@@ -1,13 +1,297 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Keys, PwTable}
+import graft.sources.Tables
+import graft.functions.Exprs
+import graft.functions.Exprs._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY.md §2 through the graft
+  * library (PwTable / Exprs / operators.*), and `oracleSql` carries the equivalent
+  * DuckDB SQL over the same parquet tables.
+  *
+  * Float-aggregate policy (oracle hash-stability): sums of non-integral doubles go
+  * through `decimal` (exact, associative in BOTH engines) and the result is cast back
+  * to double — bit-identical across Spark and DuckDB regardless of accumulation order.
+  * Per-row double arithmetic (products, differences) is IEEE-deterministic and safe.
+  * Averages are expressed as exact-decimal-sum / count in both engines.
+  */
 object SparkEntry {
+
+  // exact-sum helpers (see policy above)
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private def davg(c: Column): Column =
+    (sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1)))
+  private val D = "decimal(18,2)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ───────────────────────────────────────────────────────────────────────────
+  //  Core relational (SURVEY §2.1)
+  // ───────────────────────────────────────────────────────────────────────────
+
+  private def qQ1(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp_ntz"))
+      .groupbyCols("l_returnflag", "l_linestatus")
+      .reduce(
+        "sum_qty"        -> sum(col("l_quantity")).cast("long"),
+        "sum_base_price" -> dsum(col("l_extendedprice")),
+        "sum_disc_price" -> sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(22,6)")).cast("double"),
+        "avg_qty"        -> (sum(col("l_quantity")).cast("double") / count(lit(1))),
+        "avg_price"      -> davg(col("l_extendedprice")),
+        "count_order"    -> count(lit(1)))
+      .toDf
+  }
+
+  private def qSelect(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        "c_custkey" -> col("c_custkey"),
+        "name_upper" -> col("c_name").str.upper,
+        "bal_sign" -> Exprs.ifElse(col("c_acctbal") < 0, lit("neg"), lit("pos")),
+        "bal_rounded" -> col("c_acctbal").num.round(0))
+      .toDf
+
+  private def qFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") < 25 && col("l_returnflag") === "R")
+      .select(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_linenumber" -> col("l_linenumber"),
+        "l_quantity" -> col("l_quantity"))
+      .toDf
+
+  private def qSplit(s: SparkSession, dir: String): DataFrame = {
+    val (hi, lo) = Tables.orders(s, dir).split(col("o_totalprice") > 100000.0)
+    hi.withColumns("side" -> lit("hi")).concat(lo.withColumns("side" -> lit("lo")))
+      .select("o_orderkey" -> col("o_orderkey"), "side" -> col("side")).toDf
+  }
+
+  private def qGroupby(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupbyCols("o_orderstatus", "o_orderpriority")
+      .reduce(
+        "n" -> count(lit(1)),
+        "n_cust" -> countDistinct(col("o_custkey")),
+        "min_price" -> min(col("o_totalprice")),
+        "max_price" -> max(col("o_totalprice")),
+        "sum_price" -> dsum(col("o_totalprice")))
+      .toDf
+
+  private def qJoinInner(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir); val c = Tables.customer(s, dir)
+    o.join(c, col("l.o_custkey") === col("r.c_custkey"), "inner")
+      .select(
+        "o_orderkey" -> col("l.o_orderkey"),
+        "c_name" -> col("r.c_name"),
+        "o_totalprice" -> col("l.o_totalprice"))
+      .toDf
+  }
+
+  private def qJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir); val o = Tables.orders(s, dir)
+    c.join(o, col("l.c_custkey") === col("r.o_custkey"), "left")
+      .select(
+        "c_custkey" -> col("l.c_custkey"),
+        "o_orderkey" -> col("r.o_orderkey"))
+      .toDf
+  }
+
+  private def qJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    // synthetic key mismatch: orders with orderkey%3==0 vs lineitems with %3!=2
+    val o = Tables.orders(s, dir).filter(col("o_orderkey") % 3 === 0)
+    val li = Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 =!= 2)
+      .groupbyCols("l_orderkey").reduce("n_lines" -> count(lit(1)))
+    o.join(li, col("l.o_orderkey") === col("r.l_orderkey"), "full")
+      .select(
+        "o_orderkey" -> col("l.o_orderkey"),
+        "l_orderkey" -> col("r.l_orderkey"),
+        "n_lines" -> col("r.n_lines"))
+      .toDf
+  }
+
+  private def qDifference(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.customer(s, dir)
+    // keys re-derived independently (hash of the same pk value) on the rich side
+    val positive = PwTable.fromPrimaryKey(
+      all.df.filter(col("c_acctbal") > 0).select(col("c_custkey")), "c_custkey")
+    all.difference(positive)
+      .select("c_custkey" -> col("c_custkey"), "c_name" -> col("c_name")).toDf
+  }
+
+  private def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val all = Tables.customer(s, dir)
+    all.intersect(all.filter(col("c_acctbal") > 0), all.filter(col("c_nationkey") < 10))
+      .select("c_custkey" -> col("c_custkey"), "c_acctbal" -> col("c_acctbal")).toDf
+  }
+
+  private def qConcat(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val hi = o.filter(col("o_totalprice") > 200000.0)
+    val lo = o.filter(col("o_totalprice") < 20000.0)
+    hi.concat(lo).select("o_orderkey" -> col("o_orderkey"),
+      "o_totalprice" -> col("o_totalprice")).toDf
+  }
+
+  private def qUpdateCells(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val patch = c.filter(col("c_acctbal") < 0).withColumns("c_acctbal" -> lit(0.0))
+    c.updateCells(patch)
+      .select("c_custkey" -> col("c_custkey"), "c_acctbal" -> col("c_acctbal")).toDf
+  }
+
+  private def qUpdateRows(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val repl = c.filter(col("c_nationkey") === 7)
+      .withColumns("c_mktsegment" -> lit("OVERRIDDEN"))
+    c.updateRows(repl)
+      .select("c_custkey" -> col("c_custkey"), "c_mktsegment" -> col("c_mktsegment")).toDf
+  }
+
+  private def qFlatten(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .withColumns("tok" -> col("p_type").str.splitBy(" "))
+      .flatten("tok")
+      .groupbyCols("tok").reduce("n" -> count(lit(1)))
+      .toDf
+
+  private def qIx(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    // ix: lookup the order row for each lineitem via its pointer
+    li.withColumns("_optr" -> Keys.pointerFrom(col("l_orderkey")))
+      .ix(o, col("_optr"))
+      .select(
+        "l_orderkey" -> col("l_orderkey"),
+        "l_linenumber" -> col("l_linenumber"),
+        "o_totalprice" -> col("o_totalprice"))
+      .toDf
+  }
+
+  private def qOrderedDiff(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .diff(keys = Seq(col("o_orderdate"), col("o_orderkey")),
+        valueCol = col("o_totalprice"), k = 1, instance = col("o_custkey"))
+      .select(
+        "o_custkey" -> col("o_custkey"),
+        "o_orderkey" -> col("o_orderkey"),
+        "diff" -> col("diff"))
+      .toDf
+
+  private def qSortPrevNext(s: SparkSession, dir: String): DataFrame = {
+    // sort: per-customer linked list over orders; emit the neighbouring *values*
+    // (ids are engine-internal; the lag/lead structure is the observable)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir).df
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+  }
+
+  // ───────────────────────────────────────────────────────────────────────────
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"          -> (qQ1 _),
+    "select_project"  -> (qSelect _),
+    "filter_rows"     -> (qFilter _),
+    "split_two_way"   -> (qSplit _),
+    "groupby_reduce"  -> (qGroupby _),
+    "join_inner"      -> (qJoinInner _),
+    "join_left"       -> (qJoinLeft _),
+    "join_outer"      -> (qJoinOuter _),
+    "difference"      -> (qDifference _),
+    "intersect"       -> (qIntersect _),
+    "concat"          -> (qConcat _),
+    "update_cells"    -> (qUpdateCells _),
+    "update_rows"     -> (qUpdateRows _),
+    "flatten"         -> (qFlatten _),
+    "ix_lookup"       -> (qIx _),
+    "ordered_diff"    -> (qOrderedDiff _),
+    "sort_prev_next"  -> (qSortPrevNext _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "select_project" ->
+      """SELECT c_custkey, UPPER(c_name) AS name_upper,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
+        |  ROUND(c_acctbal, 0) AS bal_rounded
+        |FROM customer""".stripMargin,
+    "filter_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity < 25 AND l_returnflag = 'R'""".stripMargin,
+    "split_two_way" ->
+      """SELECT o_orderkey, CASE WHEN o_totalprice > 100000.0 THEN 'hi' ELSE 'lo' END AS side
+        |FROM orders""".stripMargin,
+    "groupby_reduce" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority""".stripMargin,
+    "join_inner" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey""".stripMargin,
+    "join_outer" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+        |     li AS (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem
+        |            WHERE l_orderkey % 3 <> 2 GROUP BY l_orderkey)
+        |SELECT o.o_orderkey, li.l_orderkey, li.n_lines
+        |FROM o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey""".stripMargin,
+    "difference" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)""".stripMargin,
+    "intersect" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > 0 AND c_nationkey < 10""".stripMargin,
+    "concat" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 200000.0 OR o_totalprice < 20000.0""".stripMargin,
+    "update_cells" ->
+      """SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal
+        |FROM customer""".stripMargin,
+    "update_rows" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_nationkey = 7 THEN 'OVERRIDDEN' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer""".stripMargin,
+    "flatten" ->
+      """SELECT tok, COUNT(*) AS n
+        |FROM (SELECT UNNEST(STRING_SPLIT(p_type, ' ')) AS tok FROM part)
+        |GROUP BY tok""".stripMargin,
+    "ix_lookup" ->
+      """SELECT l_orderkey, l_linenumber, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "ordered_diff" ->
+      """SELECT o_custkey, o_orderkey,
+        |  o_totalprice - LAG(o_totalprice, 1) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS diff
+        |FROM orders""".stripMargin,
+    "sort_prev_next" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_orderkey, 1)  OVER w AS prev_key,
+        |  LEAD(o_orderkey, 1) OVER w AS next_key
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+  )
 }

@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // naive parquet timestamps stay NTZ (oracle parity with DuckDB's naive TIMESTAMP)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+      // events.ts is parquet TIMESTAMP(NANOS): read as Long ns (Spark has no ns timestamps)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

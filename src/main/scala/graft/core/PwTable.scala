@@ -1,0 +1,260 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DataType
+
+/** A Pathway-style keyed table: a DataFrame plus a stable id column `_pw_id`.
+  *
+  * Mirrors the *semantics* of the reference `Table` (universe + typed columns,
+  * python/pathway/internals/table.py:53) on idiomatic Spark: the universe is just a key
+  * column, operators are declarative DataFrame transformations, and Catalyst supplies
+  * the optimizations the reference lacks (pushdown, pruning, join selection, codegen).
+  *
+  * Id-derivation rules (reference semantics, re-expressed):
+  *  - row-wise ops (select/filter/with_columns/...) preserve `_pw_id`
+  *  - groupby/reduce: id = hash(grouping values)     (groupbys.py:71)
+  *  - join: id = hash(left_id, right_id)             (joins.py:135, `id=` arg overrides)
+  *  - flatten: id = hash(origin_id, position)        (table.py:2341)
+  *  - concat keeps ids (disjointness checkable); concat_reindex re-hashes with a side tag
+  */
+final class PwTable private (val df: DataFrame) extends Serializable {
+  import Keys.IdCol
+
+  def id: Column = df(IdCol)
+  def apply(name: String): Column = df(name)
+  def columns: Seq[String] = df.columns.toSeq.filterNot(_ == IdCol)
+  def spark: SparkSession = df.sparkSession
+
+  /** Drop the bookkeeping id column — for sinks / oracle-facing results. */
+  def toDf: DataFrame = df.drop(IdCol)
+
+  private def wrap(d: DataFrame): PwTable = new PwTable(d)
+
+  // ───────────────────────── row-wise (universe-preserving) ─────────────────────────
+
+  /** Pathway `select` (table.py:389): rowwise projection, same universe. */
+  def select(cols: (String, Column)*): PwTable =
+    wrap(df.select(col(IdCol) +: cols.map { case (n, c) => c.as(n) }: _*))
+
+  /** Pathway `with_columns` (table.py:1865): add/replace columns. */
+  def withColumns(cols: (String, Column)*): PwTable =
+    wrap(df.withColumns(cols.toMap))
+
+  /** Pathway `filter` (table.py:497). */
+  def filter(cond: Column): PwTable = wrap(df.filter(cond))
+
+  /** Pathway `split` (table.py:538): one logical pass → (matching, rest).
+    * Catalyst shares the scan between the two branches. */
+  def split(cond: Column): (PwTable, PwTable) =
+    (filter(cond), filter(!coalesce(cond, lit(false))))
+
+  /** Pathway `rename_columns`/`rename_by_dict` (table.py:2015). */
+  def rename(pairs: (String, String)*): PwTable =
+    wrap(df.withColumnsRenamed(pairs.toMap))
+
+  def withPrefix(p: String): PwTable =
+    wrap(df.withColumnsRenamed(columns.map(c => c -> s"$p$c").toMap))
+
+  def withSuffix(s: String): PwTable =
+    wrap(df.withColumnsRenamed(columns.map(c => c -> s"$c$s").toMap))
+
+  /** Pathway `without` (table.py:2232). */
+  def without(cols: String*): PwTable = wrap(df.drop(cols: _*))
+
+  /** Pathway `cast_to_types` (table.py:2232). */
+  def castToTypes(types: (String, DataType)*): PwTable =
+    wrap(df.withColumns(types.map { case (n, t) => n -> df(n).cast(t) }.toMap))
+
+  // ───────────────────────────────── grouping ─────────────────────────────────
+
+  /** Pathway `groupby` (table.py:1192). `instance` is just an extra grouping column
+    * used for sharding (SURVEY §2.4) — pass it as one of the keys. */
+  def groupby(keys: (String, Column)*): PwGrouped = PwGrouped(this, keys)
+
+  def groupbyCols(names: String*): PwGrouped =
+    PwGrouped(this, names.map(n => n -> df(n)))
+
+  /** Pathway `deduplicate` (table.py:1315) — batch form: keep, per instance, the single
+    * row maximal under `priority` (the acceptor reduced to an ordering). Implemented as
+    * `max_by(struct(all), priority)` — one shuffle, map-side combine, no window sort. */
+  def deduplicate(instance: Seq[Column], priority: Column): PwTable = {
+    val payload = struct(df.columns.map(df(_)): _*)
+    val out = df
+      .groupBy(instance: _*)
+      .agg(max_by(payload, priority).as("_row"))
+      .select(col("_row.*"))
+    wrap(out)
+  }
+
+  // ────────────────────────────────── joins ──────────────────────────────────
+
+  /** Pathway equi-join (internals/joins.py:135): result id = hash(left_id, right_id).
+    * `how`: inner | left | right | full. Catalyst picks broadcast/SMJ/shuffled-hash. */
+  def join(other: PwTable, on: Column, how: String = "inner"): PwJoinResult = {
+    val l = df.alias("l")
+    val r = other.df.withColumnRenamed(IdCol, "_pw_id_r").alias("r")
+    PwJoinResult(l.join(r, on, normalizeHow(how)), spark)
+  }
+
+  private def normalizeHow(how: String): String = how match {
+    case "left"  => "left_outer"
+    case "right" => "right_outer"
+    case "full" | "outer" => "full_outer"
+    case h => h
+  }
+
+  /** Pathway `ix` / `ix_ref` (table.py:1416, 2662): row lookup by pointer.
+    * `optional=true` → left join (missing → nulls); strict → inner. */
+  def ix(other: PwTable, keyExpr: Column, optional: Boolean = false): PwTable = {
+    val r = other.df.withColumnRenamed(IdCol, "_pw_ix_id")
+    val joined = df.join(r, keyExpr === col("_pw_ix_id"),
+      if (optional) "left_outer" else "inner")
+    wrap(joined.drop("_pw_ix_id"))
+  }
+
+  // ─────────────────────────────── set operations ───────────────────────────────
+
+  /** Pathway `concat` (table.py:1586): union of disjoint key-spaces. */
+  def concat(others: PwTable*): PwTable =
+    wrap(others.foldLeft(df)((a, b) => a.unionByName(b.df)))
+
+  /** Pathway `concat_reindex` (table.py:315): union with fresh ids (side-tagged hash). */
+  def concatReindex(others: PwTable*): PwTable = {
+    val tagged = (this +: others).zipWithIndex.map { case (t, i) =>
+      t.df.withColumn(IdCol, Keys.pointerFrom(t.df(IdCol), lit(i)))
+    }
+    wrap(tagged.reduce(_ unionByName _))
+  }
+
+  /** Pathway `difference` (table.py:988): rows of this whose key ∉ other. */
+  def difference(other: PwTable): PwTable =
+    wrap(df.join(other.df.select(IdCol), Seq(IdCol), "left_anti"))
+
+  /** Pathway `intersect` (table.py:1025): rows of this whose key ∈ every other. */
+  def intersect(others: PwTable*): PwTable =
+    wrap(others.foldLeft(df)((a, b) =>
+      a.join(b.df.select(IdCol), Seq(IdCol), "left_semi")))
+
+  /** Pathway `restrict` (table.py:1087): like intersect, asserting other ⊆ this. */
+  def restrict(other: PwTable): PwTable = intersect(other)
+
+  /** Pathway `update_cells` / `<<` (table.py:1691): overwrite cells present in `other`
+    * (matched by id); rows missing from `other` keep their values. */
+  def updateCells(other: PwTable): PwTable = {
+    val overlap = other.columns.filter(columns.contains)
+    val r = other.df
+      .select((IdCol +: overlap).map(col): _*)
+      .withColumnsRenamed(overlap.map(c => c -> s"_new_$c").toMap)
+    val joined = df.join(r, Seq(IdCol), "left_outer")
+    val replaced = overlap.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col(s"_new_$c"), col(c))))
+    wrap(replaced.drop(overlap.map(c => s"_new_$c"): _*))
+  }
+
+  /** Pathway `update_rows` (table.py:1776): upsert whole rows, other wins. */
+  def updateRows(other: PwTable): PwTable = {
+    require(columns == other.columns || columns.toSet == other.columns.toSet,
+      s"update_rows needs same columns: $columns vs ${other.columns}")
+    val l = df.withColumnsRenamed(columns.map(c => c -> s"_l_$c").toMap)
+    val r = other.df.withColumnsRenamed(columns.map(c => c -> s"_r_$c").toMap)
+    val joined = l.join(r, Seq(IdCol), "full_outer")
+    val merged = columns.foldLeft(joined)((d, c) =>
+      d.withColumn(c, coalesce(col(s"_r_$c"), col(s"_l_$c"))))
+    wrap(merged.select(col(IdCol) +: columns.map(col): _*))
+  }
+
+  // ───────────────────────────── re-keying / shape ─────────────────────────────
+
+  /** Pathway `with_id_from` (table.py:1942): re-key from expression values. */
+  def withIdFrom(cols: Column*): PwTable =
+    wrap(df.withColumn(IdCol, Keys.pointerFrom(cols: _*)))
+
+  /** Pathway `flatten` (table.py:2341): explode an iterable column; id = hash(origin, pos).
+    * `withOrigin` keeps the pre-explosion id as `origin_id`. */
+  def flatten(colName: String, withOrigin: Boolean = false): PwTable = {
+    val exploded = df
+      .select(col(IdCol).as("_pw_origin"), posexplode(col(colName)).as(Seq("_pw_pos", colName)),
+        struct(columns.filterNot(_ == colName).map(col): _*).as("_rest"))
+      .select(Keys.pointerFrom(col("_pw_origin"), col("_pw_pos")).as(IdCol),
+        col("_pw_origin"), col(colName), col("_rest.*"))
+    val out = if (withOrigin) exploded.withColumnRenamed("_pw_origin", "origin_id")
+              else exploded.drop("_pw_origin")
+    wrap(out)
+  }
+
+  /** Pathway `sort` (table.py:2409): per-instance linked list — `prev`/`next` pointer
+    * columns in `key` order. Window lag/lead replaces the reference's custom
+    * prev_next operator (src/engine/dataflow/operators/prev_next.rs:775). */
+  def sortWithPrevNext(keys: Seq[Column], instance: Column = lit(0)): PwTable = {
+    val w = Window.partitionBy(instance).orderBy(keys: _*)
+    wrap(df.withColumn("prev", lag(col(IdCol), 1).over(w))
+           .withColumn("next", lead(col(IdCol), 1).over(w)))
+  }
+
+  /** Pathway `stdlib.ordered.diff` (stdlib/ordered/diff.py:10): value minus the value
+    * k rows earlier in `keys` order (per instance). Pass a total order (include a
+    * tie-break key) for deterministic results. */
+  def diff(keys: Seq[Column], valueCol: Column, k: Int = 1, instance: Column = lit(0)): PwTable = {
+    val w = Window.partitionBy(instance).orderBy(keys: _*)
+    wrap(df.withColumn("diff", valueCol - lag(valueCol, k).over(w)))
+  }
+}
+
+object PwTable {
+  import Keys.IdCol
+
+  /** Key by primary-key columns (Pathway connector `primary_key=`). */
+  def fromPrimaryKey(df: DataFrame, pk: String*): PwTable =
+    new PwTable(df.withColumn(IdCol, Keys.pointerFrom(pk.map(df(_)): _*)))
+
+  /** Key by all columns (Pathway's auto-id from input; identical rows coalesce —
+    * documented divergence from the reference's offset-derived ids). */
+  def fromAllColumns(df: DataFrame): PwTable =
+    new PwTable(df.withColumn(IdCol, Keys.pointerFrom(df.columns.map(df(_)): _*)))
+
+  /** Wrap a DataFrame that already carries `_pw_id`. */
+  def fromKeyed(df: DataFrame): PwTable = {
+    require(df.columns.contains(IdCol), s"missing $IdCol")
+    new PwTable(df)
+  }
+
+  /** Pathway `Table.empty` (table.py:362). */
+  def empty(spark: SparkSession, schema: org.apache.spark.sql.types.StructType): PwTable = {
+    val withId = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(IdCol, org.apache.spark.sql.types.LongType) +: schema.fields)
+    new PwTable(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withId))
+  }
+}
+
+/** Deferred groupby (Pathway `GroupedTable`, internals/groupbys.py:71). */
+final case class PwGrouped(table: PwTable, keys: Seq[(String, Column)]) {
+  import Keys.IdCol
+
+  /** Pathway `reduce` (groupbys.py:158): one aggregation pass; result id =
+    * hash(grouping values). Spark gives partial (map-side) aggregation for free. */
+  def reduce(aggs: (String, Column)*): PwTable = {
+    val keyCols = keys.map { case (n, c) => c.as(n) }
+    val grouped = table.df
+      .groupBy(keyCols: _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    PwTable.fromKeyed(
+      grouped.withColumn(IdCol, Keys.pointerFrom(keys.map { case (n, _) => col(n) }: _*)))
+  }
+}
+
+/** Join result with deferred projection (Pathway `JoinResult`, joins.py:553). */
+final case class PwJoinResult(joined: DataFrame, spark: SparkSession) {
+  import Keys.IdCol
+
+  /** Project; result id = hash(left_id, right_id) (joins.py id derivation). */
+  def select(cols: (String, Column)*): PwTable = {
+    val withId = joined.withColumn(IdCol,
+      Keys.pointerFrom(col(s"l.$IdCol"), col("_pw_id_r")))
+    PwTable.fromKeyed(
+      withId.select(col(IdCol) +: cols.map { case (n, c) => c.as(n) }: _*))
+  }
+
+  def filter(cond: Column): PwJoinResult = copy(joined = joined.filter(cond))
+}

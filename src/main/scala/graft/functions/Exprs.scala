@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Pathway's scalar expression surface (SURVEY §2.3) as Spark Column combinators.
+  * Everything here lowers to built-in, codegen'd Catalyst expressions — the reference
+  * routes much of this (the whole `str.*` namespace, e.g. internals/expressions/
+  * string.py:64) through interpreted Python callbacks; on Spark these are native.
+  */
+object Exprs {
+
+  // ── conditionals (internals/common.py) ──────────────────────────────────────
+  /** pw.if_else (common.py:328). */
+  def ifElse(cond: Column, ifTrue: Column, ifFalse: Column): Column =
+    when(cond, ifTrue).otherwise(ifFalse)
+
+  /** pw.coalesce (common.py:277). */
+  def coalesceAll(cols: Column*): Column = coalesce(cols: _*)
+
+  /** pw.require (common.py:302): value if all args non-null else null. */
+  def require(value: Column, required: Column*): Column =
+    when(required.map(_.isNotNull).reduce(_ && _), value)
+
+  /** pw.unwrap (common.py:399): assert non-null (errors the row otherwise). */
+  def unwrap(c: Column): Column =
+    when(c.isNotNull, c).otherwise(raise_error(lit("unwrap: got null")))
+
+  /** pw.fill_error (common.py:438): with try_* upstream, errors surface as null. */
+  def fillError(c: Column, fallback: Column): Column = coalesce(c, fallback)
+
+  // ── containers (expression.rs:124-125, common.py:361) ──────────────────────
+  def makeTuple(cols: Column*): Column = struct(cols: _*)
+  /** checked get → null on missing (GetExpression, expression.py:1090). */
+  def tryGet(c: Column, i: Column): Column = try_element_at(c, i)
+  def get(c: Column, i: Column): Column = element_at(c, i)
+
+  // ── string parsing (expression.rs:128-130) ──────────────────────────────────
+  def parseInt(c: Column): Column = c.cast("long")
+  def parseFloat(c: Column): Column = c.cast("double")
+  def parseBool(c: Column): Column = c.cast("boolean")
+
+  /** Implicit namespaces mirroring pathway's `col.str.*` / `col.dt.*` / `col.num.*`. */
+  implicit final class PwColumn(private val c: Column) extends AnyVal {
+    def str: StrOps = new StrOps(c)
+    def dt: DtOps = new DtOps(c)
+    def num: NumOps = new NumOps(c)
+    /** integer floor-division `//` (expression.rs IntDiv). */
+    def floorDiv(other: Column): Column = floor(c / other).cast("long")
+    /** `**` */
+    def **(other: Column): Column = pow(c, other)
+  }
+
+  /** `str.*` namespace (internals/expressions/string.py:33-872) — all native. */
+  final class StrOps(private val c: Column) extends AnyVal {
+    def lower: Column = org.apache.spark.sql.functions.lower(c)
+    def upper: Column = org.apache.spark.sql.functions.upper(c)
+    def reversed: Column = reverse(c)
+    def len: Column = length(c)
+    def replaceAll(pat: Column, rep: Column): Column =
+      org.apache.spark.sql.functions.replace(c, pat, rep)
+    def startswith(p: Column): Column = c.startsWith(p)
+    def endswith(p: Column): Column = c.endsWith(p)
+    def swapcase: Column = {
+      // no built-in; compose: translate via upper/lower char classes
+      val up = org.apache.spark.sql.functions.upper(c)
+      val lo = org.apache.spark.sql.functions.lower(c)
+      // per-char swap: upper where original was lower, else lower
+      // regexp trick is costlier; use UDF-free zip over split? Keep simple expr:
+      // swapcase(s) = translate of each char — implemented via transform on chars
+      array_join(transform(split(c, ""),
+        ch => when(ch === org.apache.spark.sql.functions.lower(ch),
+                   org.apache.spark.sql.functions.upper(ch))
+              .otherwise(org.apache.spark.sql.functions.lower(ch))), "")
+    }
+    def strip: Column = trim(c)
+    def title: Column = initcap(org.apache.spark.sql.functions.lower(c))
+    def count(sub: Column): Column =
+      when(length(sub) === 0, lit(null))
+        .otherwise(((length(c) - length(org.apache.spark.sql.functions.replace(c, sub, lit("")))) / length(sub)).cast("long"))
+    def find(sub: Column): Column = (instr(c, sub.cast("string")) - 1).cast("long")
+    def removeprefix(p: Column): Column =
+      when(c.startsWith(p), c.substr(length(p) + 1, length(c))).otherwise(c)
+    def removesuffix(s: Column): Column =
+      when(c.endsWith(s), c.substr(lit(1), length(c) - length(s))).otherwise(c)
+    /** python-style [start, end) slice, 0-based. */
+    def slice(start: Int, end: Int): Column = c.substr(lit(start + 1), lit(end - start))
+    def parseInt: Column = c.cast("long")
+    def parseFloat: Column = c.cast("double")
+    def parseBool: Column = org.apache.spark.sql.functions.lower(c).isin("true", "1", "yes", "on")
+    def splitBy(sep: String): Column =
+      org.apache.spark.sql.functions.split(c, java.util.regex.Pattern.quote(sep))
+  }
+
+  /** `dt.*` namespace (internals/expressions/date_time.py:41-1605).
+    * Timestamps are µs-precision Spark timestamps; durations are Long nanoseconds
+    * (SURVEY §1.4 — preserves the reference's ns arithmetic in aggregable form). */
+  final class DtOps(private val c: Column) extends AnyVal {
+    def nanosecond: Column = (date_format(c, "SSSSSS").cast("long") * 1000L)
+    def microsecond: Column = date_format(c, "SSSSSS").cast("long")
+    def millisecond: Column = (date_format(c, "SSSSSS").cast("long") / 1000L).cast("long")
+    def second: Column = org.apache.spark.sql.functions.second(c).cast("long")
+    def minute: Column = org.apache.spark.sql.functions.minute(c).cast("long")
+    def hour: Column = org.apache.spark.sql.functions.hour(c).cast("long")
+    def day: Column = dayofmonth(c).cast("long")
+    def month: Column = org.apache.spark.sql.functions.month(c).cast("long")
+    def year: Column = org.apache.spark.sql.functions.year(c).cast("long")
+    /** ISO weekday 0=Mon..6=Sun (python datetime.weekday parity). */
+    def weekday: Column = ((dayofweek(c) + 5) % 7).cast("long")
+    /** seconds/millis/micros since epoch. */
+    def timestampSec: Column = unix_timestamp(c).cast("long")
+    def timestampMs: Column = unix_millis(c)
+    def timestampUs: Column = unix_micros(c)
+    def strftime(fmt: String): Column = date_format(c, fmt)
+    def round(unit: String): Column = date_trunc(unit, c) // floor; see DtOps.roundTo for true round
+    def floorTo(unit: String): Column = date_trunc(unit, c)
+    /** true round-to-duration (reference dt.round, date_time.py): duration in ns. */
+    def roundToNs(durationNs: Long): Column = {
+      val us = unix_micros(c)
+      val dUs = durationNs / 1000L
+      timestamp_micros(((us + dUs / 2).cast("long") / dUs).cast("long") * dUs)
+    }
+    def floorToNs(durationNs: Long): Column = {
+      val us = unix_micros(c)
+      val dUs = durationNs / 1000L
+      timestamp_micros(floor(us.cast("double") / dUs).cast("long") * dUs)
+    }
+    def toUtc(tz: String): Column = to_utc_timestamp(c, tz)
+    def toNaiveInTimezone(tz: String): Column = from_utc_timestamp(c, tz)
+  }
+
+  /** `num.*` namespace (internals/expressions/numerical.py:30-144). */
+  final class NumOps(private val c: Column) extends AnyVal {
+    def abs: Column = org.apache.spark.sql.functions.abs(c)
+    def round(decimals: Int): Column = org.apache.spark.sql.functions.round(c, decimals)
+    def fillNa(v: Column): Column = coalesce(nanvl(c, lit(null)), v)
+  }
+
+  // ── durations as Long ns ─────────────────────────────────────────────────────
+  object Duration {
+    def ns(n: Long): Long = n
+    def us(n: Long): Long = n * 1000L
+    def ms(n: Long): Long = n * 1000000L
+    def seconds(n: Long): Long = n * 1000000000L
+    def minutes(n: Long): Long = n * 60L * 1000000000L
+    def hours(n: Long): Long = n * 3600L * 1000000000L
+    def days(n: Long): Long = n * 86400L * 1000000000L
+    def weeks(n: Long): Long = n * 7L * 86400L * 1000000000L
+  }
+
+  // ── JSON (internals/json.py; expression.rs:126-127) ─────────────────────────
+  object Json {
+    def getItem(c: Column, path: String): Column = get_json_object(c, s"$$.$path")
+    def getInt(c: Column, path: String): Column = getItem(c, path).cast("long")
+    def getFloat(c: Column, path: String): Column = getItem(c, path).cast("double")
+    def getStr(c: Column, path: String): Column = getItem(c, path)
+    def parse(c: Column, schemaDdl: String): Column = from_json(c, schemaDdl, Map.empty[String, String])
+  }
+}
