@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Keys, PwTable}
 import graft.sources.Tables
-import graft.functions.Exprs
+import graft.functions.{Exprs, Reducers}
 import graft.functions.Exprs._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -196,6 +196,77 @@ object SparkEntry {
   }
 
   // ───────────────────────────────────────────────────────────────────────────
+  //  Reducers (SURVEY §2.4)
+  // ───────────────────────────────────────────────────────────────────────────
+
+  private def qReduceMinMax(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupbyCols("l_returnflag")
+      .reduce(
+        "min_price" -> Reducers.min_(col("l_extendedprice")),
+        "max_price" -> Reducers.max_(col("l_extendedprice")),
+        "min_ship" -> Reducers.min_(col("l_shipdate")),
+        "max_ship" -> Reducers.max_(col("l_shipdate")))
+      .toDf
+
+  private def qReduceArgMinMax(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupbyCols("l_returnflag")
+      .reduce(
+        "argmax_key" -> Reducers.argmax(col("l_orderkey"), col("l_extendedprice"), col("l_orderkey")),
+        "argmin_key" -> Reducers.argmin(col("l_orderkey"), col("l_extendedprice"), col("l_orderkey")))
+      .toDf
+
+  private def qReduceUniqueAny(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+    li.join(o, col("l.l_orderkey") === col("r.o_orderkey"))
+      .select("l_orderkey" -> col("l.l_orderkey"), "o_orderstatus" -> col("r.o_orderstatus"),
+        "l_returnflag" -> col("l.l_returnflag"))
+      .groupbyCols("l_orderkey")
+      .reduce(
+        "status" -> Reducers.unique(col("o_orderstatus")),
+        "flag" -> Reducers.anyDeterministic(col("l_returnflag")))
+      .toDf
+  }
+
+  private def qReduceSortedTuple(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).groupbyCols("o_custkey")
+      .reduce("keys" -> array_join(
+        transform(Reducers.sortedTuple(col("o_orderkey")), x => x.cast("string")), ","))
+      .toDf
+
+  private def qReduceTupleOrdered(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).groupbyCols("o_custkey")
+      .reduce("keys_by_date" -> array_join(
+        transform(
+          Reducers.tupleInOrder(struct(col("o_orderdate"), col("o_orderkey")), col("o_orderkey")),
+          x => x.cast("string")), ","))
+      .toDf
+
+  private def qReduceStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).groupbyCols("o_orderpriority")
+      .reduce(
+        "n" -> Reducers.count_(),
+        "n_cust" -> Reducers.countDistinct_(col("o_custkey")),
+        "avg_price" -> davg(col("o_totalprice")))
+      .toDf
+
+  private def qReduceStateful(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupbyCols("l_returnflag")
+      .reduce("sum_sq_qty" -> Reducers.sumSq(col("l_quantity")))
+      .toDf
+
+  private def qReduceEarliestLatest(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).groupbyCols("user_id")
+      .reduce(
+        "first_value" -> Reducers.earliest(col("value"), col("ts"), col("event_id")),
+        "last_value" -> Reducers.latest(col("value"), col("ts"), col("event_id")))
+      .toDf
+
+  private def qReduceApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).groupbyCols("o_orderstatus")
+      .reduce("approx_cust" -> Reducers.countDistinctApprox(col("o_custkey"), 0.02))
+      .toDf
+
+  // ───────────────────────────────────────────────────────────────────────────
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -216,6 +287,15 @@ object SparkEntry {
     "ix_lookup"       -> (qIx _),
     "ordered_diff"    -> (qOrderedDiff _),
     "sort_prev_next"  -> (qSortPrevNext _),
+    "reduce_min_max"  -> (qReduceMinMax _),
+    "reduce_argminmax" -> (qReduceArgMinMax _),
+    "reduce_unique_any" -> (qReduceUniqueAny _),
+    "reduce_sorted_tuple" -> (qReduceSortedTuple _),
+    "reduce_tuple_ordered" -> (qReduceTupleOrdered _),
+    "reduce_stats"    -> (qReduceStats _),
+    "reduce_stateful_sumsq" -> (qReduceStateful _),
+    "reduce_earliest_latest" -> (qReduceEarliestLatest _),
+    "reduce_approx_distinct" -> (qReduceApproxDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -293,5 +373,49 @@ object SparkEntry {
         |  LAG(o_orderkey, 1)  OVER w AS prev_key,
         |  LEAD(o_orderkey, 1) OVER w AS next_key
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "reduce_min_max" ->
+      """SELECT l_returnflag, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "reduce_argminmax" ->
+      """WITH mx AS (
+        |  SELECT l_returnflag, l_orderkey AS argmax_key FROM (
+        |    SELECT l_returnflag, l_orderkey, ROW_NUMBER() OVER
+        |      (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey DESC) rn
+        |    FROM lineitem) WHERE rn = 1),
+        |mn AS (
+        |  SELECT l_returnflag, l_orderkey AS argmin_key FROM (
+        |    SELECT l_returnflag, l_orderkey, ROW_NUMBER() OVER
+        |      (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC, l_orderkey ASC) rn
+        |    FROM lineitem) WHERE rn = 1)
+        |SELECT mx.l_returnflag, argmax_key, argmin_key FROM mx JOIN mn USING (l_returnflag)""".stripMargin,
+    "reduce_unique_any" ->
+      """SELECT l_orderkey, MIN(o_orderstatus) AS status, MIN(l_returnflag) AS flag
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey""".stripMargin,
+    "reduce_sorted_tuple" ->
+      """SELECT o_custkey, STRING_AGG(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "reduce_tuple_ordered" ->
+      """SELECT o_custkey, STRING_AGG(CAST(o_orderkey AS VARCHAR), ','
+        |    ORDER BY o_orderdate, o_orderkey) AS keys_by_date
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+    "reduce_stats" ->
+      """SELECT o_orderpriority, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "reduce_stateful_sumsq" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "reduce_earliest_latest" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, value FROM events),
+        |fi AS (SELECT user_id, value AS first_value FROM (
+        |  SELECT user_id, value, ROW_NUMBER() OVER
+        |    (PARTITION BY user_id ORDER BY tns ASC, event_id ASC) rn FROM e) WHERE rn = 1),
+        |la AS (SELECT user_id, value AS last_value FROM (
+        |  SELECT user_id, value, ROW_NUMBER() OVER
+        |    (PARTITION BY user_id ORDER BY tns DESC, event_id DESC) rn FROM e) WHERE rn = 1)
+        |SELECT fi.user_id, first_value, last_value FROM fi JOIN la USING (user_id)""".stripMargin,
   )
 }

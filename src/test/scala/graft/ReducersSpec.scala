@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Reducers
+import graft.sources.Tables
+
+class ReducersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import SparkTestBase.sfDir
+
+  test("unique reducer errors on non-unique groups") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    val ex = intercept[Exception] {
+      df.groupBy("k").agg(Reducers.unique(col("v"))).collect()
+    }
+    assert(ex.getMessage.contains("non-unique") || ex.getCause != null)
+  }
+
+  test("unique reducer passes on unique groups") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (1, "a"), (2, "c")).toDF("k", "v")
+    val out = df.groupBy("k").agg(Reducers.unique(col("v")).as("v")).collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "a"), (2, "c")))
+  }
+
+  test("statefulSingle aggregator: custom fold with map-side combine shape") {
+    import spark.implicits._
+    val agg = Reducers.statefulSingle[Long, (Long, Long), Double]((0L, 0L))(
+      (s, x) => (s._1 + x, s._2 + 1))((a, b) => (a._1 + b._1, a._2 + b._2))(
+      s => if (s._2 == 0) 0.0 else s._1.toDouble / s._2)
+    val out = spark.range(1, 101).as[Long]
+      .select(udaf(agg).apply(col("id")).as("mean")).head.getDouble(0)
+    assert(out == 50.5)
+  }
+
+  test("approx_count_distinct is within rsd of exact") {
+    val o = Tables.orders(spark, sfDir).df
+    val exact = o.select(countDistinct(col("o_custkey"))).head.getLong(0)
+    val approx = o.select(approx_count_distinct(col("o_custkey"), 0.02)).head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+
+  test("earliest/latest pick by event time with deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5L, 1.0), (1L, 10L, 6L, 2.0), (1L, 20L, 7L, 3.0))
+      .toDF("k", "t", "id", "v")
+    val r = df.groupBy("k").agg(
+      Reducers.earliest(col("v"), col("t"), col("id")).as("e"),
+      Reducers.latest(col("v"), col("t"), col("id")).as("l")).head
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 3.0)
+  }
+}
