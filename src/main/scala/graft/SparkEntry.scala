@@ -267,6 +267,94 @@ object SparkEntry {
       .toDf
 
   // ───────────────────────────────────────────────────────────────────────────
+  //  Expression namespaces (SURVEY §2.3) — rowwise goldens over real tables
+  // ───────────────────────────────────────────────────────────────────────────
+
+  private def qExprStr(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      "p_partkey" -> col("p_partkey"),
+      "up" -> col("p_type").str.upper,
+      "lo" -> col("p_type").str.lower,
+      "len" -> col("p_type").str.len,
+      "rev" -> col("p_type").str.reversed,
+      "strip" -> col("p_brand").str.strip,
+      "starts" -> col("p_type").str.startswith(lit("PROMO")),
+      "ends" -> col("p_type").str.endswith(lit("STEEL")),
+      "n_spaces" -> col("p_type").str.count(lit(" ")),
+      "pos" -> col("p_type").str.find(lit("BRUSHED")),
+      "noprefix" -> col("p_type").str.removeprefix(lit("STANDARD ")),
+      "repl" -> col("p_type").str.replaceAll(lit(" "), lit("_")),
+      "sliced" -> col("p_type").str.slice(0, 5)).toDf
+
+  private def qExprDt(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      "o_orderkey" -> col("o_orderkey"),
+      "y" -> col("o_orderdate").dt.year,
+      "m" -> col("o_orderdate").dt.month,
+      "d" -> col("o_orderdate").dt.day,
+      "wd" -> col("o_orderdate").dt.weekday,
+      "ym" -> col("o_orderdate").dt.strftime("yyyy-MM"),
+      "mon_start" -> col("o_orderdate").dt.floorTo("month"),
+      "epoch_s" -> col("o_orderdate").dt.timestampSec).toDf
+
+  private def qExprDtRound(s: SparkSession, dir: String): DataFrame = {
+    // events.ts arrives as Long ns (parquet TIMESTAMP(NANOS) via nanosAsLong);
+    // integer `div` — double division would corrupt epochs beyond 2^53 ns
+    val t = timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+    Tables.events(s, dir).select(
+      "event_id" -> col("event_id"),
+      "t" -> t,
+      "floor_h" -> t.dt.floorToNs(Exprs.Duration.hours(1)),
+      "round_h" -> t.dt.roundToNs(Exprs.Duration.hours(1))).toDf
+  }
+
+  private def qExprNum(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      "l_orderkey" -> col("l_orderkey"),
+      "l_linenumber" -> col("l_linenumber"),
+      "qabs" -> (col("l_quantity") - 25.0).num.abs,
+      "q_div" -> col("l_quantity").cast("long").floorDiv(lit(7)),
+      "q_mod" -> (col("l_quantity").cast("long") % 7),
+      "q_pow" -> (col("l_quantity") ** lit(2)),
+      "disc_round" -> col("l_discount").num.round(1)).toDf
+
+  private def qExprJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      "event_id" -> col("event_id"),
+      "k" -> Exprs.Json.getInt(col("props"), "k"),
+      "k_str" -> Exprs.Json.getStr(col("props"), "k"),
+      "missing" -> Exprs.Json.getStr(col("props"), "nope")).toDf
+
+  private def qExprCond(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir); val o = Tables.orders(s, dir)
+    c.join(o, col("l.c_custkey") === col("r.o_custkey"), "left")
+      .select(
+        "c_custkey" -> col("l.c_custkey"),
+        "o_orderkey" -> col("r.o_orderkey"),
+        "okey_filled" -> Exprs.fillError(col("r.o_orderkey"), lit(-1L)),
+        "tier" -> Exprs.ifElse(col("l.c_acctbal") > 5000, lit("gold"),
+          Exprs.ifElse(col("l.c_acctbal") > 0, lit("silver"), lit("none"))),
+        "req" -> Exprs.require(col("l.c_acctbal"), col("r.o_orderkey")))
+      .toDf
+  }
+
+  private def qExprTuple(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      "p_partkey" -> col("p_partkey"),
+      "first_tok" -> Exprs.get(col("p_type").str.splitBy(" "), lit(1)),
+      "third_tok" -> Exprs.tryGet(col("p_type").str.splitBy(" "), lit(3)),
+      "pair_second" -> Exprs.makeTuple(col("p_brand"), col("p_type")).getField("p_type")).toDf
+
+  private def qCastRename(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .castToTypes("l_quantity" -> org.apache.spark.sql.types.LongType)
+      .rename("l_quantity" -> "qty_int")
+      .without("l_tax")
+      .select("l_orderkey" -> col("l_orderkey"), "l_linenumber" -> col("l_linenumber"),
+        "qty_int" -> col("qty_int"))
+      .toDf
+
+  // ───────────────────────────────────────────────────────────────────────────
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -287,6 +375,14 @@ object SparkEntry {
     "ix_lookup"       -> (qIx _),
     "ordered_diff"    -> (qOrderedDiff _),
     "sort_prev_next"  -> (qSortPrevNext _),
+    "expr_str"        -> (qExprStr _),
+    "expr_dt"         -> (qExprDt _),
+    "expr_dt_round"   -> (qExprDtRound _),
+    "expr_num"        -> (qExprNum _),
+    "expr_json"       -> (qExprJson _),
+    "expr_cond"       -> (qExprCond _),
+    "expr_tuple"      -> (qExprTuple _),
+    "cast_rename"     -> (qCastRename _),
     "reduce_min_max"  -> (qReduceMinMax _),
     "reduce_argminmax" -> (qReduceArgMinMax _),
     "reduce_unique_any" -> (qReduceUniqueAny _),
@@ -373,6 +469,56 @@ object SparkEntry {
         |  LAG(o_orderkey, 1)  OVER w AS prev_key,
         |  LEAD(o_orderkey, 1) OVER w AS next_key
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "expr_str" ->
+      """SELECT p_partkey, UPPER(p_type) AS up, LOWER(p_type) AS lo,
+        |  LENGTH(p_type) AS len, REVERSE(p_type) AS rev, TRIM(p_brand) AS strip,
+        |  STARTS_WITH(p_type, 'PROMO') AS starts, ENDS_WITH(p_type, 'STEEL') AS ends,
+        |  CAST((LENGTH(p_type) - LENGTH(REPLACE(p_type, ' ', ''))) / 1 AS BIGINT) AS n_spaces,
+        |  INSTR(p_type, 'BRUSHED') - 1 AS pos,
+        |  CASE WHEN STARTS_WITH(p_type, 'STANDARD ')
+        |       THEN SUBSTRING(p_type, LENGTH('STANDARD ') + 1) ELSE p_type END AS noprefix,
+        |  REPLACE(p_type, ' ', '_') AS repl,
+        |  SUBSTRING(p_type, 1, 5) AS sliced
+        |FROM part""".stripMargin,
+    "expr_dt" ->
+      """SELECT o_orderkey, YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+        |  DAY(o_orderdate) AS d, ISODOW(o_orderdate) - 1 AS wd,
+        |  STRFTIME(o_orderdate, '%Y-%m') AS ym,
+        |  DATE_TRUNC('month', o_orderdate) AS mon_start,
+        |  CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders""".stripMargin,
+    "expr_dt_round" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT event_id, make_timestamp(us) AS t,
+        |  make_timestamp(us - us % 3600000000) AS floor_h,
+        |  make_timestamp((us + 1800000000) - (us + 1800000000) % 3600000000) AS round_h
+        |FROM e""".stripMargin,
+    "expr_num" ->
+      """SELECT l_orderkey, l_linenumber, ABS(l_quantity - 25.0) AS qabs,
+        |  CAST(l_quantity AS BIGINT) // 7 AS q_div,
+        |  CAST(l_quantity AS BIGINT) % 7 AS q_mod,
+        |  POWER(l_quantity, 2) AS q_pow,
+        |  ROUND(l_discount, 1) AS disc_round
+        |FROM lineitem""".stripMargin,
+    "expr_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  json_extract_string(props, '$.nope') AS missing
+        |FROM events""".stripMargin,
+    "expr_cond" ->
+      """SELECT c_custkey, o_orderkey, COALESCE(o_orderkey, -1) AS okey_filled,
+        |  CASE WHEN c_acctbal > 5000 THEN 'gold'
+        |       WHEN c_acctbal > 0 THEN 'silver' ELSE 'none' END AS tier,
+        |  CASE WHEN o_orderkey IS NOT NULL THEN c_acctbal END AS req
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey""".stripMargin,
+    "expr_tuple" ->
+      """SELECT p_partkey, STRING_SPLIT(p_type, ' ')[1] AS first_tok,
+        |  STRING_SPLIT(p_type, ' ')[3] AS third_tok,
+        |  p_type AS pair_second
+        |FROM part""".stripMargin,
+    "cast_rename" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty_int
+        |FROM lineitem""".stripMargin,
     "reduce_min_max" ->
       """SELECT l_returnflag, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
         |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship

@@ -57,7 +57,7 @@ object Exprs {
     def lower: Column = org.apache.spark.sql.functions.lower(c)
     def upper: Column = org.apache.spark.sql.functions.upper(c)
     def reversed: Column = reverse(c)
-    def len: Column = length(c)
+    def len: Column = length(c).cast("long")
     def replaceAll(pat: Column, rep: Column): Column =
       org.apache.spark.sql.functions.replace(c, pat, rep)
     def startswith(p: Column): Column = c.startsWith(p)
@@ -108,23 +108,25 @@ object Exprs {
     def year: Column = org.apache.spark.sql.functions.year(c).cast("long")
     /** ISO weekday 0=Mon..6=Sun (python datetime.weekday parity). */
     def weekday: Column = ((dayofweek(c) + 5) % 7).cast("long")
-    /** seconds/millis/micros since epoch. */
-    def timestampSec: Column = unix_timestamp(c).cast("long")
-    def timestampMs: Column = unix_millis(c)
-    def timestampUs: Column = unix_micros(c)
+    /** seconds/millis/micros since epoch (NTZ interpreted in UTC session tz). */
+    def timestampSec: Column = unix_seconds(c.cast("timestamp_ltz"))
+    def timestampMs: Column = unix_millis(c.cast("timestamp_ltz"))
+    def timestampUs: Column = unix_micros(c.cast("timestamp_ltz"))
     def strftime(fmt: String): Column = date_format(c, fmt)
-    def round(unit: String): Column = date_trunc(unit, c) // floor; see DtOps.roundTo for true round
-    def floorTo(unit: String): Column = date_trunc(unit, c)
-    /** true round-to-duration (reference dt.round, date_time.py): duration in ns. */
+    def floorTo(unit: String): Column = date_trunc(unit, c).cast("timestamp_ntz")
+    /** true round-to-duration (reference dt.round, date_time.py): duration in ns.
+      * Integer µs arithmetic throughout — double math would lose precision on
+      * post-2001 epochs (unix ns > 2^53). */
     def roundToNs(durationNs: Long): Column = {
-      val us = unix_micros(c)
+      val us = unix_micros(c.cast("timestamp_ltz"))
       val dUs = durationNs / 1000L
-      timestamp_micros(((us + dUs / 2).cast("long") / dUs).cast("long") * dUs)
+      timestamp_micros(((us + lit(dUs / 2)) - pmod(us + lit(dUs / 2), lit(dUs))).cast("long"))
+        .cast("timestamp_ntz")
     }
     def floorToNs(durationNs: Long): Column = {
-      val us = unix_micros(c)
+      val us = unix_micros(c.cast("timestamp_ltz"))
       val dUs = durationNs / 1000L
-      timestamp_micros(floor(us.cast("double") / dUs).cast("long") * dUs)
+      timestamp_micros((us - pmod(us, lit(dUs))).cast("long")).cast("timestamp_ntz")
     }
     def toUtc(tz: String): Column = to_utc_timestamp(c, tz)
     def toNaiveInTimezone(tz: String): Column = from_utc_timestamp(c, tz)
