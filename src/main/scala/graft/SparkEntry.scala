@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Keys, PwTable}
+import graft.operators.Temporal
 import graft.sources.Tables
 import graft.functions.{Exprs, Reducers}
 import graft.functions.Exprs._
@@ -355,6 +356,107 @@ object SparkEntry {
       .toDf
 
   // ───────────────────────────────────────────────────────────────────────────
+  //  Temporal operators (SURVEY §2.2) over the events table
+  // ───────────────────────────────────────────────────────────────────────────
+
+  /** events with ts_t = TIMESTAMP_NTZ event time (ns long → µs). */
+  private def eventsT(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).df.withColumn("ts_t", Temporal.nsToTs(col("ts")))
+
+  private val H1 = Exprs.Duration.hours(1)
+  private val M15 = Exprs.Duration.minutes(15)
+  private val M30 = Exprs.Duration.minutes(30)
+  private val M10 = Exprs.Duration.minutes(10)
+
+  private def qWindowTumbling(s: SparkSession, dir: String): DataFrame =
+    Temporal.tumble(eventsT(s, dir), col("ts_t"), H1)
+      .groupBy(col("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  private def qWindowSliding(s: SparkSession, dir: String): DataFrame =
+    Temporal.slide(eventsT(s, dir), col("ts_t"), H1, M15)
+      .groupBy(col("w_start"))
+      .agg(count(lit(1)).as("n"))
+
+  private def qWindowSession(s: SparkSession, dir: String): DataFrame =
+    Temporal.sessionize(eventsT(s, dir), col("ts_t"), M30, Seq(col("user_id")))
+      .groupBy(col("user_id"), col("_sid"))
+      .agg(count(lit(1)).as("n"), min(col("ts_t")).as("s_start"), max(col("ts_t")).as("s_end"))
+      .drop("_sid")
+
+  private def qIntervalsOver(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsT(s, dir)
+    val at = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("at_id"), col("user_id").as("at_user"), col("ts_t").as("at_t"))
+    Temporal.intervalsOver(at, e, col("at_t"), col("ts_t"),
+        -M10, 0L, col("at_user") === col("user_id"))
+      .groupBy(col("at_id"))
+      .agg(count(col("event_id")).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  private def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsT(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts_t").as("l_t"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts_t").as("r_t"))
+    Temporal.intervalJoin(clicks, purchases, col("l_t"), col("r_t"),
+        0L, M10, col("l_user") === col("r_user"), "inner")
+      .select(col("l_id"), col("r_id"))
+  }
+
+  private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = eventsT(s, dir)
+    val l = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts_t").as("l_t"))
+    val r = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts_t").as("r_t"), col("value").as("r_value"))
+    (l, r)
+  }
+
+  private def qAsofBackward(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = asofSides(s, dir)
+    Temporal.asofJoin(l, r, col("l_t"), col("r_t"), col("l_user"), col("r_user"),
+        Seq("r_id" -> col("r_id"), "r_value" -> col("r_value")), "backward", "left")
+      .select(col("l_id"), col("r_id"), col("r_value"))
+  }
+
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = asofSides(s, dir)
+    Temporal.asofJoin(l, r, col("l_t"), col("r_t"), col("l_user"), col("r_user"),
+        Seq("r_id" -> col("r_id")), "forward", "inner")
+      .select(col("l_id"), col("r_id"))
+  }
+
+  private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = asofSides(s, dir)
+    Temporal.asofNearest(l, r, "l_t", "r_t", "l_user", "r_user",
+        Seq("r_id" -> col("r_id")))
+      .select(col("l_id"), col("r_id"))
+  }
+
+  private def qWindowJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsT(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts_t").as("l_t"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts_t").as("r_t"))
+    Temporal.windowJoin(clicks, views, col("l_t"), col("r_t"), H1,
+        col("l_user") === col("r_user"), "inner")
+      .groupBy(col("w_start"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private def qInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsT(s, dir)
+      .withColumn("v", when(col("event_type") === "view", col("value")))
+    e.withColumn("v_interp",
+        Temporal.interpolate(col("ts_t"), col("v"), Seq(col("user_id"))))
+      .select(col("event_id"), col("v_interp"))
+  }
+
+  // ───────────────────────────────────────────────────────────────────────────
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,6 +494,16 @@ object SparkEntry {
     "reduce_stateful_sumsq" -> (qReduceStateful _),
     "reduce_earliest_latest" -> (qReduceEarliestLatest _),
     "reduce_approx_distinct" -> (qReduceApproxDistinct _),
+    "window_tumbling" -> (qWindowTumbling _),
+    "window_sliding"  -> (qWindowSliding _),
+    "window_session"  -> (qWindowSession _),
+    "intervals_over"  -> (qIntervalsOver _),
+    "interval_join"   -> (qIntervalJoin _),
+    "asof_backward"   -> (qAsofBackward _),
+    "asof_forward"    -> (qAsofForward _),
+    "asof_nearest"    -> (qAsofNearest _),
+    "window_join"     -> (qWindowJoin _),
+    "interpolate"     -> (qInterpolate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -563,5 +675,88 @@ object SparkEntry {
         |  SELECT user_id, value, ROW_NUMBER() OVER
         |    (PARTITION BY user_id ORDER BY tns DESC, event_id DESC) rn FROM e) WHERE rn = 1)
         |SELECT fi.user_id, first_value, last_value FROM fi JOIN la USING (user_id)""".stripMargin,
+    "window_tumbling" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT make_timestamp(us - us % 3600000000) AS w_start, event_type,
+        |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
+    "window_sliding" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us FROM events),
+        |w AS (SELECT UNNEST(generate_series(us // 900000000 * 900000000 - 2700000000,
+        |                                    us // 900000000 * 900000000, 900000000)) AS st FROM e)
+        |SELECT make_timestamp(st) AS w_start, COUNT(*) AS n FROM w GROUP BY 1""".stripMargin,
+    "window_session" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |f AS (SELECT user_id, us,
+        |  CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, us, SUM(brk) OVER
+        |  (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, COUNT(*) AS n, make_timestamp(MIN(us)) AS s_start,
+        |  make_timestamp(MAX(us)) AS s_end
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+    "intervals_over" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS us FROM events),
+        |at AS (SELECT event_id AS at_id, user_id AS at_user, us AS at_us FROM e
+        |       WHERE event_type = 'error')
+        |SELECT at_id, COUNT(e.event_id) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM at LEFT JOIN e ON at_user = e.user_id
+        |  AND e.us BETWEEN at_us - 600000000 AND at_us
+        |GROUP BY at_id""".stripMargin,
+    "interval_join" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS us FROM events)
+        |SELECT l.event_id AS l_id, r.event_id AS r_id
+        |FROM e l JOIN e r ON l.user_id = r.user_id
+        |  AND l.event_type = 'click' AND r.event_type = 'purchase'
+        |  AND r.us BETWEEN l.us AND l.us + 600000000""".stripMargin,
+    "asof_backward" ->
+      """WITH l AS (SELECT event_id AS l_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT event_id AS r_id, user_id, ts, value AS r_value FROM events
+        |           WHERE event_type = 'click')
+        |SELECT l_id, r_id, r_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "asof_forward" ->
+      """WITH l AS (SELECT event_id AS l_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT event_id AS r_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT l_id, r_id
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    "asof_nearest" ->
+      """WITH l AS (SELECT event_id AS l_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT event_id AS r_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |b AS (SELECT l_id, l.ts AS lt, r_id AS b_id, r.ts AS bt
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l_id, r_id AS f_id, r.ts AS ft
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT b.l_id,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL
+        |         OR (epoch_ns(lt) - epoch_ns(bt)) <= (epoch_ns(ft) - epoch_ns(lt)))
+        |       THEN b_id ELSE f_id END AS r_id
+        |FROM b JOIN f USING (l_id)""".stripMargin,
+    "window_join" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT user_id, us - us % 3600000000 AS w FROM e WHERE event_type = 'click'),
+        |v AS (SELECT user_id, us - us % 3600000000 AS w FROM e WHERE event_type = 'view')
+        |SELECT make_timestamp(c.w) AS w_start, COUNT(*) AS n_pairs
+        |FROM c JOIN v ON c.user_id = v.user_id AND c.w = v.w
+        |GROUP BY 1""".stripMargin,
+    "interpolate" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+        |    CASE WHEN event_type = 'view' THEN value END AS v FROM events),
+        |w AS (SELECT event_id, v, us,
+        |  LAST_VALUE(v IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY us ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY us ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY us ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM e)
+        |SELECT event_id,
+        |  CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * CAST(us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) END AS v_interp
+        |FROM w""".stripMargin,
   )
 }

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Pathway's temporal operator suite (SURVEY §2.2; reference
+  * python/pathway/stdlib/temporal/) re-expressed on Spark.
+  *
+  * Batch forms live here; the streaming forms (watermarks, stateful kernels) in
+  * graft.streaming. Timestamps are TIMESTAMP_NTZ columns; durations are Long
+  * nanoseconds (µs-resolution effective — Spark's precision), matching the
+  * reference's ns durations (src/engine/time.rs) as closely as Spark allows.
+  *
+  * Scale notes: every join here is an equi-join on (key [, bucket/window]) so the
+  * planner gets a shuffle key — no broadcast-less cross products. The asof kernel
+  * is the classic union+sort formulation: one shuffle + one sort per side, no
+  * per-row lookups, skew-safe under AQE.
+  */
+object Temporal {
+
+  /** ns-epoch Long → TIMESTAMP_NTZ, precision-safe (decimal division, not double —
+    * post-2001 ns epochs exceed 2^53). For parquet TIMESTAMP(NANOS) columns read
+    * with spark.sql.legacy.parquet.nanosAsLong=true. */
+  def nsToTs(ns: Column): Column =
+    timestamp_micros(floor(ns.cast("decimal(25,0)") / 1000).cast("long")).cast("timestamp_ntz")
+
+  private def usOf(t: Column): Column = unix_micros(t.cast("timestamp_ltz"))
+  private def usToTs(us: Column): Column = timestamp_micros(us).cast("timestamp_ntz")
+  private def interval(durNs: Long): String = s"${durNs / 1000L} microseconds"
+
+  // ───────────────────────── windowby (reference _window.py) ─────────────────────────
+
+  /** Tumbling windows (_window.py:768): adds `w_start`/`w_end`. Native `window()`
+    * — codegen'd assignment, no shuffle until the downstream groupBy. */
+  def tumble(df: DataFrame, t: Column, durNs: Long, originNs: Long = 0L): DataFrame = {
+    val w = window(t, interval(durNs), interval(durNs), s"${originNs / 1000L} microseconds")
+    df.withColumn("_w", w)
+      .withColumn("w_start", col("_w.start").cast("timestamp_ntz"))
+      .withColumn("w_end", col("_w.end").cast("timestamp_ntz"))
+      .drop("_w")
+  }
+
+  /** Sliding windows (_window.py:565): one row per (row, window) pair. */
+  def slide(df: DataFrame, t: Column, durNs: Long, hopNs: Long): DataFrame = {
+    val w = window(t, interval(durNs), interval(hopNs))
+    df.withColumn("_w", w)
+      .withColumn("w_start", col("_w.start").cast("timestamp_ntz"))
+      .withColumn("w_end", col("_w.end").cast("timestamp_ntz"))
+      .drop("_w")
+  }
+
+  /** Session windows (_window.py:501, gap-based): adds `s_start`/`s_end` per
+    * instance. Batch formulation: boundary flag + running sum = session id —
+    * two window passes over one (instance, t) sort; no native session_window
+    * dependency so the same code path works for the custom-predicate variant. */
+  def sessionize(df: DataFrame, t: Column, gapNs: Long, instance: Seq[Column],
+      predicate: Option[(Column, Column) => Column] = None): DataFrame = {
+    val sortW = Window.partitionBy(instance: _*).orderBy(t)
+    val prevT = lag(t, 1).over(sortW)
+    val isBreak = predicate match {
+      case Some(p) => !p(prevT, t) // custom merge predicate (reference predicate sessions)
+      case None => (usOf(t) - usOf(prevT)) > lit(gapNs / 1000L)
+    }
+    val flagged = df.withColumn("_brk",
+      when(prevT.isNull, lit(1)).otherwise(isBreak.cast("int")))
+    val sid = sum(col("_brk")).over(sortW.rowsBetween(Window.unboundedPreceding, 0))
+    flagged.withColumn("_sid", sid).drop("_brk")
+  }
+
+  /** intervals_over (_window.py:699): for each row of `at`, aggregate `data` rows
+    * with data.t ∈ [at.t + loNs, at.t + hiNs] (and equal instance keys). Plain
+    * range join — with the instance equi-key the planner shuffles on it. */
+  def intervalsOver(at: DataFrame, data: DataFrame, atT: Column, dataT: Column,
+      loNs: Long, hiNs: Long, cond: Column): DataFrame = {
+    val lo = usOf(atT) + lit(loNs / 1000L)
+    val hi = usOf(atT) + lit(hiNs / 1000L)
+    at.join(data, cond && usOf(dataT).between(lo, hi), "left_outer")
+  }
+
+  // ───────────────────── interval_join (_interval_join.py:577) ─────────────────────
+
+  /** interval_join: pairs (l, r) with r.t − l.t ∈ [loNs, hiNs] and matching keys.
+    * `how`: inner|left|right|full (outer variants keep unmatched rows). The key
+    * equi-condition makes this a shuffled equi-join with a range residual; for
+    * key-less use at scale, bucket both sides first (bucketizeForIntervalJoin). */
+  def intervalJoin(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
+      loNs: Long, hiNs: Long, keys: Column, how: String = "inner"): DataFrame = {
+    val cond = keys &&
+      (usOf(rt) >= usOf(lt) + lit(loNs / 1000L)) &&
+      (usOf(rt) <= usOf(lt) + lit(hiNs / 1000L))
+    l.join(r, cond, how match {
+      case "left" => "left_outer"; case "right" => "right_outer"
+      case "full" | "outer" => "full_outer"; case h => h
+    })
+  }
+
+  /** Key-less interval joins at scale: equi-join on time buckets of width
+    * (hi−lo), neighbor buckets unioned — the same bucketing idea the reference
+    * uses (_interval_join.py:287 _NonZeroDifferenceIntervalJoinResult). */
+  def bucketCol(t: Column, widthNs: Long): Column = {
+    val us = usOf(t)
+    (us - pmod(us, lit(widthNs / 1000L))).cast("long")
+  }
+
+  // ─────────────────────── asof_join (_asof_join.py:481) ───────────────────────
+
+  /** Distributed as-of join: for each left row, the latest (direction=backward) /
+    * earliest (forward) / closest (nearest) right row per key, ties inclusive.
+    *
+    * Kernel: union both sides tagged, one sort per key by (t, side), then a
+    * running `last(_, ignoreNulls)` window carries the current right row to each
+    * left row — O(n log n) per partition, single shuffle, no point lookups.
+    * (The reference builds the same sorted prev/next structure via
+    * _asof_join.py:40 _build_groups.)
+    *
+    * @param rPayload right columns to carry (renamed as given)
+    * @param how inner = drop unmatched left rows; left = keep (nulls)
+    */
+  def asofJoin(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
+      lKey: Column, rKey: Column, rPayload: Seq[(String, Column)],
+      direction: String = "backward", how: String = "left"): DataFrame = {
+    val lStruct = struct(l.columns.map(l(_)): _*)
+    val lType = l.select(lStruct.as("s")).schema("s").dataType
+    val rStruct = struct(rPayload.map { case (n, c) => c.as(n) }: _*)
+    val rType = r.select(rStruct.as("s")).schema("s").dataType
+
+    val lSide = l.select(lKey.as("_k"), usOf(lt).as("_t"), lit(1).as("_isL"),
+      lStruct.as("_lrow"), lit(null).cast(rType).as("_rrow"))
+    val rSide = r.select(rKey.as("_k"), usOf(rt).as("_t"), lit(0).as("_isL"),
+      lit(null).cast(lType).as("_lrow"), rStruct.as("_rrow"))
+
+    // backward: rights sort before lefts at equal t (inclusive match);
+    // forward: mirror time so the same running-last kernel applies
+    val unioned = lSide.unionByName(rSide)
+    val tOrd = direction match {
+      case "backward" => col("_t")
+      case "forward" => col("_t") * -1
+      case d => throw new IllegalArgumentException(s"direction $d (nearest: asofNearest)")
+    }
+    val w = Window.partitionBy(col("_k")).orderBy(tOrd, col("_isL"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = unioned
+      .withColumn("_rmatch", last(col("_rrow"), ignoreNulls = true).over(w))
+      .filter(col("_isL") === 1)
+    val kept = if (how == "inner") matched.filter(col("_rmatch").isNotNull) else matched
+    val flat = kept.select(col("_lrow.*"), col("_rmatch"))
+    rPayload.foldLeft(flat)((d, nc) => d.withColumn(nc._1, col(s"_rmatch.${nc._1}")))
+      .drop("_rmatch")
+  }
+
+  /** direction=NEAREST: backward + forward pass, keep the closer match (tie →
+    * backward, pinned; the reference resolves ties by internal order).
+    * Name-based args: the second pass runs on the first pass's output, so
+    * resolved attributes from `l` would not survive. */
+  def asofNearest(l: DataFrame, r: DataFrame, ltName: String, rtName: String,
+      lKeyName: String, rKeyName: String, rPayload: Seq[(String, Column)]): DataFrame = {
+    val payloadB = (rPayload :+ (rtName -> col(rtName))).map { case (n, c) => s"_b_$n" -> c }
+    val payloadF = (rPayload :+ (rtName -> col(rtName))).map { case (n, c) => s"_f_$n" -> c }
+    val back = asofJoin(l, r, col(ltName), col(rtName), col(lKeyName), r(rKeyName),
+      payloadB, "backward", "left")
+    val both = asofJoin(back, r, col(ltName), col(rtName), col(lKeyName), r(rKeyName),
+      payloadF, "forward", "left")
+    val lt = col(ltName); val bt = col(s"_b_$rtName"); val ft = col(s"_f_$rtName")
+    val useBack = bt.isNotNull && (ft.isNull || (usOf(lt) - usOf(bt)) <= (usOf(ft) - usOf(lt)))
+    val out = rPayload.foldLeft(both)((d, nc) =>
+      d.withColumn(nc._1, when(useBack, col(s"_b_${nc._1}")).otherwise(col(s"_f_${nc._1}"))))
+    out.drop((payloadB.map(_._1) ++ payloadF.map(_._1)): _*)
+  }
+
+  // ───────────────────── window_join (_window_join.py:156) ─────────────────────
+
+  /** window_join: both sides assigned tumbling windows; join on (window, keys). */
+  def windowJoin(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
+      durNs: Long, keys: Column, how: String = "inner"): DataFrame = {
+    val lw = tumble(l, lt, durNs)
+    val rw = tumble(r, rt, durNs)
+      .withColumnRenamed("w_start", "w_start_r").withColumnRenamed("w_end", "w_end_r")
+    lw.join(rw, keys && col("w_start") === col("w_start_r"), how)
+      .drop("w_start_r", "w_end_r")
+  }
+
+  // ───────────── interpolate (stdlib/statistical/_interpolate.py:56) ─────────────
+
+  /** Linear interpolation of nulls in `v` along `t` per instance. Endpoints clamp
+    * to the nearest known value (reference mode=LINEAR). */
+  def interpolate(t: Column, v: Column, instance: Seq[Column]): Column = {
+    val wPrev = Window.partitionBy(instance: _*).orderBy(t)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(instance: _*).orderBy(t)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(v, ignoreNulls = true).over(wPrev)
+    val pt = last(when(v.isNotNull, usOf(t)), ignoreNulls = true).over(wPrev)
+    val nv = first(v, ignoreNulls = true).over(wNext)
+    val nt = first(when(v.isNotNull, usOf(t)), ignoreNulls = true).over(wNext)
+    when(v.isNotNull, v)
+      .when(pv.isNull, nv)
+      .when(nv.isNull, pv)
+      .otherwise(pv + (nv - pv) * (usOf(t) - pt).cast("double") / (nt - pt).cast("double"))
+  }
+}
