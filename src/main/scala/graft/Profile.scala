@@ -1,0 +1,25 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev-only: time individual queries (args: sfDir, query names...). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.tail.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[profile] $name%-24s ${(System.nanoTime()-t0)/1e9}%8.1f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Keys, PwTable}
-import graft.operators.Temporal
+import graft.operators.{Dedup, Multimodal, Similarity, Temporal, TextOps}
 import graft.sources.Tables
 import graft.functions.{Exprs, Reducers}
 import graft.functions.Exprs._
@@ -457,6 +457,117 @@ object SparkEntry {
   }
 
   // ───────────────────────────────────────────────────────────────────────────
+  //  LLM-pipeline operators: text analysis, dedup, similarity, multimodal
+  // ───────────────────────────────────────────────────────────────────────────
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).toDf
+
+  private def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.wordCount(col("text")).as("n_words"),
+      TextOps.charCount(col("text")).as("n_chars_m"))
+
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      TextOps.alphaRatio(col("text")).as("alpha_ratio"),
+      TextOps.punctRatio(col("text")).as("punct_ratio"),
+      TextOps.stopwordRatio(col("text")).as("stop_ratio"),
+      TextOps.meanWordLen(col("text")).as("mean_wlen"),
+      TextOps.qualityScore(col("text")).as("quality"))
+
+  private def qTextLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
+
+  private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+
+  private def qDocSplit(s: SparkSession, dir: String): DataFrame =
+    TextOps.splitIntoChunks(docs(s, dir).select("doc_id", "text"), col("text"), 50, 10)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"), col("n_chunk_tokens"))
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val copies = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    Dedup.exact(d.unionByName(copies), col("doc_id"), col("text"))
+  }
+
+  private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val l = d.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val r = d.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    l.join(r, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"), Dedup.jaccard(col("sh1"), col("sh2")).as("jac"))
+  }
+
+  /** Planted near-duplicates: first 50 docs re-appear (id+20000) with one extra
+    * token appended — the LSH pipeline must link each copy to its original. */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    val nearDups = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 20000).as("doc_id"), concat(col("text"), lit(" extra")).as("text"))
+    d.unionByName(nearDups)
+  }
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(plantedDocs(s, dir), col("doc_id"), col("text"),
+      k = 5, numHashes = 64, bands = 16, threshold = 0.7)
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(plantedDocs(s, dir), col("doc_id"), col("text"),
+      maxDist = 3, bands = 4)
+
+  private def qEmbCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf
+    val l = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val r = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    l.join(r, col("id2") === col("id1") + 1)
+      .select(col("id1"), col("id2"), Similarity.cosine(col("v1"), col("v2")).as("score"))
+  }
+
+  private def qKnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf
+    val q = e.filter(col("vec_id") < 10)
+    Similarity.bruteForceKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5)
+  }
+
+  private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf
+    val q = e.filter(col("vec_id") < 10)
+    Similarity.lshKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5, dim = 64)
+  }
+
+  private def qRrfFusion(s: SparkSession, dir: String): DataFrame =
+    Similarity.rrfFusion(Seq(qKnnBrute(s, dir), qKnnLsh(s, dir)), k0 = 60, topK = 5)
+
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    TextOps.bm25PerTerm(docs(s, dir), col("doc_id"), col("text"),
+      Seq("data", "query", "window"))
+
+  private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq((1L, "data query window"), (2L, "spark join batch"),
+      (3L, "hash table scan")).toDF("q_id", "q_text")
+    TextOps.fuzzyJoin(docs(s, dir), col("doc_id"), col("text"),
+      queries, col("q_id"), col("q_text"))
+  }
+
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.packAsMedia(docs(s, dir), col("doc_id"), col("text"), "text")
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("byte_len"), col("head_sum"), col("kind"))
+  }
+
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.packAsMedia(docs(s, dir), col("doc_id"), col("text"), "video")
+    Multimodal.sampleFrames(media, stride = 4)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+  }
+
+  // ───────────────────────────────────────────────────────────────────────────
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -504,6 +615,23 @@ object SparkEntry {
     "asof_nearest"    -> (qAsofNearest _),
     "window_join"     -> (qWindowJoin _),
     "interpolate"     -> (qInterpolate _),
+    "text_tokens"     -> (qTextTokens _),
+    "text_quality"    -> (qTextQuality _),
+    "text_langid"     -> (qTextLangId _),
+    "text_fingerprint" -> (qTextFingerprint _),
+    "doc_split_chunks" -> (qDocSplit _),
+    "dedup_exact"     -> (qDedupExact _),
+    "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (qDedupMinhash _),
+    "dedup_simhash"   -> (qDedupSimhash _),
+    "embedding_cosine_pairs" -> (qEmbCosinePairs _),
+    "knn_brute_force" -> (qKnnBrute _),
+    "knn_lsh"         -> (qKnnLsh _),
+    "rrf_fusion"      -> (qRrfFusion _),
+    "bm25_per_term"   -> (qBm25 _),
+    "fuzzy_join"      -> (qFuzzyJoin _),
+    "multimodal_features" -> (qMultimodalFeatures _),
+    "multimodal_frames" -> (qMultimodalFrames _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -758,5 +886,123 @@ object SparkEntry {
         |  CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
         |       ELSE pv + (nv - pv) * CAST(us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) END AS v_interp
         |FROM w""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS BIGINT) AS n_words,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |    regexp_extract_all(lower(text), '[a-z0-9'']+') AS words FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','you','that'], x))) AS DOUBLE) / len(toks) AS stop_ratio,
+        |  CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) AS mean_wlen,
+        |  LEAST(1.0, GREATEST(0.0,
+        |    0.4 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+        |    + 0.3 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','you','that'], x))) AS DOUBLE) / len(toks))
+        |    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)))) AS quality
+        |FROM t""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','you','that'], x))) AS h_en,
+        |  len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ich','nicht','mit','ein','zu'], x))) AS h_de,
+        |  len(list_filter(toks, x -> list_contains(['le','la','les','et','est','je','ne','pas','un','pour'], x))) AS h_fr,
+        |  len(list_filter(toks, x -> list_contains(['el','los','y','es','no','un','por','que','con','para'], x))) AS h_es
+        |FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+        |  WHEN h_de >= h_fr AND h_de >= h_es AND h_de > 0 THEN 'de'
+        |  WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+        |  WHEN h_es > 0 THEN 'es'
+        |  ELSE 'und' END AS pred_lang
+        |FROM h""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "doc_split_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  UNNEST(generate_series(0,
+        |    GREATEST(CAST(CEIL(CAST(len(toks) - 10 AS DOUBLE) / 40) AS INT), 1) - 1)) AS ci
+        |  FROM d)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, ci * 40 + 1, ci * 40 + 50), ' ') AS chunk_text,
+        |  CAST(len(list_slice(toks, ci * 40 + 1, ci * 40 + 50)) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
+    "dedup_exact" ->
+      """WITH u AS (SELECT doc_id, text FROM documents
+        |           UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies FROM u GROUP BY text""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, GREATEST(length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) - 2, 1)),
+        |    i -> substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), i, 3))) AS sh
+        |  FROM documents)
+        |SELECT l.doc_id AS id1, r.doc_id AS id2,
+        |  CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+        |  CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE) AS jac
+        |FROM d l JOIN d r ON r.doc_id = l.doc_id + 1""".stripMargin,
+    "embedding_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+        |SELECT l.vec_id AS id1, r.vec_id AS id2,
+        |  list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)), (a, b) -> a + b)
+        |  / (SQRT(list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(l.embedding[i] AS DOUBLE) * CAST(l.embedding[i] AS DOUBLE)), (a, b) -> a + b))
+        |   * SQRT(list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)), (a, b) -> a + b))) AS score
+        |FROM e l JOIN e r ON r.vec_id = l.vec_id + 1""".stripMargin,
+    "knn_brute_force" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings),
+        |s AS (SELECT query_id, nn_id,
+        |  list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), (a, b) -> a + b)
+        |  / (SQRT(list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (a, b) -> a + b))
+        |   * SQRT(list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), (a, b) -> a + b))) AS score
+        |  FROM q JOIN c ON query_id <> nn_id),
+        |r AS (SELECT query_id, nn_id, score,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM s)
+        |SELECT query_id, nn_id, score, rank FROM r WHERE rank <= 5""".stripMargin,
+    "bm25_per_term" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base),
+        |terms AS (SELECT UNNEST(['data', 'query', 'window']) AS term),
+        |tdf AS (SELECT term, COUNT(*) AS df FROM base, terms WHERE list_contains(toks, term) GROUP BY term),
+        |tf AS (SELECT doc_id, dl, term,
+        |    CAST(len(list_filter(toks, t -> t = term)) AS BIGINT) AS tf
+        |  FROM base, terms WHERE list_contains(toks, term))
+        |SELECT tf.doc_id AS id, tf.term,
+        |  LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |    * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
+        |FROM tf JOIN tdf USING (term), stats""".stripMargin,
+    "fuzzy_join" ->
+      """WITH q(q_id, q_text) AS (VALUES (CAST(1 AS BIGINT), 'data query window'),
+        |                               (CAST(2 AS BIGINT), 'spark join batch'),
+        |                               (CAST(3 AS BIGINT), 'hash table scan')),
+        |lt AS (SELECT doc_id, UNNEST(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok FROM documents),
+        |rt AS (SELECT q_id, UNNEST(list_distinct(string_split_regex(trim(lower(q_text)), '\s+'))) AS tok FROM q),
+        |pairs AS (SELECT doc_id, q_id, COUNT(*) AS n FROM lt JOIN rt USING (tok) GROUP BY 1, 2),
+        |best AS (SELECT doc_id AS l_id, q_id, n,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, q_id ASC) AS rn FROM pairs)
+        |SELECT l_id, q_id AS r_id, n AS n_shared_max FROM best WHERE rn = 1""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS byte_len,
+        |  CAST(list_sum(list_transform(generate_series(1, LEAST(64, length(text))),
+        |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS head_sum,
+        |  'text' AS kind
+        |FROM documents""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(FLOOR(GREATEST(CAST(FLOOR(length(text) / 16) AS BIGINT) - 1, 0) / 4) + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (reference
+  * stdlib/indexing/nearest_neighbors.py:170 BruteForceKnn, :262 LshKnn).
+  *
+  * Scale posture: queries are assumed small relative to the corpus —
+  * brute force broadcasts the query set (one corpus scan, no shuffle of the
+  * corpus); the LSH variant buckets both sides so candidate generation is an
+  * equi-join on (table, bucket) and the corpus never cross-joins.
+  */
+object Similarity {
+
+  /** Deterministic cosine: explicit left-to-right double folds, so any engine
+    * (or oracle) evaluating the same order reproduces the exact bits. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force top-k cosine: broadcast queries × corpus scan, rank per query
+    * by (score desc, corpus id asc — pinned tie-break). Self-matches excluded
+    * when ids collide. */
+  def bruteForceKnn(queries: DataFrame, qId: Column, qVec: Column,
+      corpus: DataFrame, cId: Column, cVec: Column, k: Int): DataFrame = {
+    val q = queries.select(qId.as("query_id"), qVec.as("_qv"))
+    val c = corpus.select(cId.as("nn_id"), cVec.as("_cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nn_id"))
+      .withColumn("score", cosine(col("_qv"), col("_cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Sign-random-projection LSH bucket for one table: `nPlanes` Rademacher (±1)
+    * hyperplanes from a seeded PRNG, embedded as a literal 2-D array — zero
+    * runtime hashing, identical on every executor/run, and the expression tree
+    * stays O(1) in (planes × dims) (an unrolled per-term sum stalls codegen).
+    * Returns the bucket as an `nPlanes`-char bitstring. */
+  def srpBucket(vec: Column, table: Int, nPlanes: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(0x5eed + 7919L * table)
+    val planes = typedLit(Seq.fill(nPlanes)(Seq.fill(dim)(
+      if (rnd.nextBoolean()) 1.0 else -1.0)))
+    array_join(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+        val proj = aggregate(
+          zip_with(vec, element_at(planes, p + 1), (x, s) => x.cast("double") * s),
+          lit(0.0), (a, v) => a + v)
+        when(proj > 0, lit("1")).otherwise(lit("0"))
+      }), "")
+  }
+
+  /** LSH-bucketed ANN: candidates = corpus rows sharing ≥1 (table, bucket) with
+    * the query, ranked by exact cosine. Trades recall for a corpus-side
+    * equi-join; raise nTables for recall, nPlanes for precision. */
+  def lshKnn(queries: DataFrame, qId: Column, qVec: Column,
+      corpus: DataFrame, cId: Column, cVec: Column,
+      k: Int, dim: Int, nPlanes: Int = 12, nTables: Int = 6): DataFrame = {
+    def withBuckets(df: DataFrame, id: Column, vec: Column, idName: String): DataFrame = {
+      val buckets = (0 until nTables).map(t => srpBucket(vec, t, nPlanes, dim))
+      df.select(id.as(idName), vec.as(s"_v_$idName"),
+        posexplode(array(buckets: _*)).as(Seq("_table", "_bucket")))
+    }
+    val qB = withBuckets(queries, qId, qVec, "query_id")
+    val cB = withBuckets(corpus, cId, cVec, "nn_id")
+    val candidates = qB.join(cB, Seq("_table", "_bucket"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("nn_id"), col("_v_query_id"), col("_v_nn_id"))
+      .dropDuplicates("query_id", "nn_id")
+      .withColumn("score", cosine(col("_v_query_id"), col("_v_nn_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Embedding near-dup pairs via one shared LSH table (dedup-by-cosine):
+    * verified exact cosine ≥ threshold. */
+  def embeddingDupPairs(df: DataFrame, id: Column, vec: Column,
+      dim: Int, threshold: Double, nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
+    val buckets = (0 until nTables).map(t => srpBucket(vec, t, nPlanes, dim))
+    val b = df.select(id.as("id"), vec.as("_v"),
+      posexplode(array(buckets: _*)).as(Seq("_table", "_bucket")))
+    val l = b.select(col("_table"), col("_bucket"), col("id").as("id1"), col("_v").as("_v1"))
+    val r = b.select(col("_table"), col("_bucket"), col("id").as("id2"), col("_v").as("_v2"))
+    l.join(r, Seq("_table", "_bucket"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("score", cosine(col("_v1"), col("_v2")))
+      .filter(col("score") >= threshold)
+      .select("id1", "id2", "score")
+  }
+
+  /** Reciprocal-rank fusion of per-retriever top-k lists
+    * (reference stdlib/indexing/hybrid_index.py:14). Inputs share
+    * (query_id, nn_id, rank); score = Σ 1/(k0 + rank). */
+  def rrfFusion(results: Seq[DataFrame], k0: Int = 60, topK: Int = 10): DataFrame = {
+    val unioned = results.map(_.select(col("query_id"), col("nn_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = unioned.groupBy("query_id", "nn_id")
+      .agg(sum(lit(1.0) / (lit(k0) + col("rank"))).as("rrf_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("nn_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+}

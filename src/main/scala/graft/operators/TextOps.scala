@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines (builder-prompt first-class
+  * surface; composes the reference's LLM xpack splitters/scoring ideas,
+  * reference python/pathway/xpacks/llm/splitters.py).
+  *
+  * Everything is built-in HOFs/regex — codegen'd, no UDFs, safe at 100 TB: these are
+  * embarrassingly parallel rowwise transforms with no shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokens (lowercased). */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Word tokens: ASCII word runs — the "BPE-ish regex" token estimate. */
+  def wordTokens(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z0-9']+"), lit(0))
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+  def wordCount(c: Column): Column = size(wordTokens(c)).cast("long")
+
+  // ── quality scoring (length/punct/stopword ratios) ──────────────────────────
+  private val EnStop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "you", "that")
+
+  def charCount(c: Column): Column = length(c).cast("long")
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(c, "[^a-zA-Z]", "")).cast("double") / length(c)
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.,;:!?'\"]", "")).cast("double") / length(c)
+  def stopwordRatio(c: Column): Column = {
+    val stops = array(EnStop.map(lit): _*)
+    size(filter(tokens(c), t => array_contains(stops, t))).cast("double") / size(tokens(c))
+  }
+  def meanWordLen(c: Column): Column =
+    aggregate(wordTokens(c), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(wordTokens(c))
+
+  /** Composite [0,1] quality heuristic (weights pinned; deterministic). */
+  def qualityScore(c: Column): Column =
+    least(lit(1.0), greatest(lit(0.0),
+      lit(0.4) * least(lit(1.0), size(tokens(c)).cast("double") / 100.0) +
+      lit(0.3) * stopwordRatio(c) +
+      lit(0.3) * (lit(1.0) - punctRatio(c))))
+
+  // ── language id (fixed stopword lists, deterministic argmax) ────────────────
+  private val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnStop,
+    "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "je", "ne", "pas", "un", "pour"),
+    "es" -> Seq("el", "los", "y", "es", "no", "un", "por", "que", "con", "para"))
+
+  def langHits(c: Column, lang: String): Column = {
+    val stops = array(LangStops.toMap.apply(lang).map(lit): _*)
+    size(filter(tokens(c), t => array_contains(stops, t))).cast("long")
+  }
+
+  /** Predicted language: argmax of per-language stopword hits; ties resolve in
+    * LangStops order; all-zero → 'und'. */
+  def langId(c: Column): Column = {
+    val hits = LangStops.map { case (l, _) => l -> langHits(c, l) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und")) { case ((l, h), acc) =>
+      when(h === maxHits && maxHits > 0, lit(l)).otherwise(acc)
+    } match {
+      // foldRight gives earlier langs precedence on ties (en first)
+      case c0 => c0
+    }
+  }
+
+  // ── fingerprinting ───────────────────────────────────────────────────────────
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text. */
+  def fingerprintMd5(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " "))
+
+  /** 64-bit rolling (polynomial) hash over chars — base 257 mod 2^64, the classic
+    * Rabin-Karp fingerprint, as a codegen'd HOF fold. */
+  def rollingHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (acc, ch) => acc * 257L + ascii(ch).cast("long"))
+
+  // ── splitter (xpacks/llm/splitters.py: token-count chunker) ──────────────────
+  /** Chunk into `chunkSize`-token windows advancing by (chunkSize − overlap); one
+    * output row per chunk via posexplode. Adds chunk_idx, chunk_text, n_chunk_tokens. */
+  def splitIntoChunks(df: DataFrame, text: Column, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be < chunkSize")
+    val step = chunkSize - overlap
+    val toks = tokens(text)
+    val nChunks = greatest(ceil((size(toks) - lit(overlap)).cast("double") / step), lit(1))
+      .cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => slice(toks, i * step + 1, lit(chunkSize)))
+    df.withColumn("_chunks", chunks)
+      .select(df.columns.map(col) :+ posexplode(col("_chunks")).as(Seq("chunk_idx", "_ctoks")): _*)
+      .withColumn("chunk_text", array_join(col("_ctoks"), " "))
+      .withColumn("n_chunk_tokens", size(col("_ctoks")).cast("long"))
+      .drop("_chunks", "_ctoks")
+  }
+
+  // ── BM25 (stdlib/indexing/bm25.py:41 TantivyBM25 → pure Spark aggregates) ────
+  /** Per-(doc, term) BM25 components for a fixed term list. Returns
+    * (id, term, score): tf-part × idf with k1/b pinned. Aggregates (N, df,
+    * avg_len) are exact-integer; the float formula is order-pinned so results
+    * are engine-portable. At scale: one groupBy over exploded tokens, then a
+    * broadcast join of the tiny per-term df table back onto docs. */
+  def bm25PerTerm(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = tokens(text)
+    val base = docs.select(id.as("id"), toks.as("_toks"), size(toks).cast("long").as("_dl"))
+      .cache()
+    val n = base.count() // N docs (driver scalar: two-pass like any TF-IDF build)
+    val avgdl = base.select(avg(col("_dl"))).head.getDouble(0)
+
+    val termDf = base
+      .select(col("id"), explode(array_distinct(col("_toks"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+    val tf = base
+      .select(col("id"), col("_dl"), explode(col("_toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("id"), col("term"), col("_dl")).agg(count(lit(1)).as("tf"))
+
+    tf.join(broadcast(termDf), "term")
+      .withColumn("idf",
+        log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("score",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("_dl") / avgdl)))
+      .select(col("id"), col("term"), col("score"))
+  }
+
+  // ── fuzzy join (stdlib/ml/smart_table_ops/_fuzzy_join.py:43) ─────────────────
+  /** Token-overlap fuzzy join: for each left row, the right row sharing the most
+    * distinct tokens (tie → smallest right id). Explode-join-reaggregate — the
+    * shuffle key is the token, so common-token skew is the thing to watch; pass
+    * a stopword-filtered tokenizer for production use. */
+  def fuzzyJoin(l: DataFrame, lId: Column, lText: Column,
+      r: DataFrame, rId: Column, rText: Column): DataFrame = {
+    val lTok = l.select(lId.as("l_id"), explode(array_distinct(tokens(lText))).as("tok"))
+    val rTok = r.select(rId.as("r_id"), explode(array_distinct(tokens(rText))).as("tok"))
+    lTok.join(rTok, "tok")
+      .groupBy("l_id", "r_id").agg(count(lit(1)).as("n_shared"))
+      .groupBy("l_id").agg(
+        max_by(col("r_id"), struct(col("n_shared"), -col("r_id"))).as("r_id"),
+        max(col("n_shared")).as("n_shared_max"))
+  }
+}
