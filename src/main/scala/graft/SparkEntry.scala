@@ -543,9 +543,14 @@ object SparkEntry {
   private def qRrfFusion(s: SparkSession, dir: String): DataFrame =
     Similarity.rrfFusion(Seq(qKnnBrute(s, dir), qKnnLsh(s, dir)), k0 = 60, topK = 5)
 
+  /** Score rounded to 6 dp: DuckDB evaluates the mult/div chain with FMA-style
+    * contraction, so the raw doubles differ by 1-2 ULP from any IEEE op order
+    * Spark can express. BM25 magnitudes are O(0.1-10); 6 dp is far above ULP
+    * noise and far below score resolution. */
   private def qBm25(s: SparkSession, dir: String): DataFrame =
     TextOps.bm25PerTerm(docs(s, dir), col("doc_id"), col("text"),
       Seq("data", "query", "window"))
+      .withColumn("score", round(col("score"), 6))
 
   private def qFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -981,8 +986,8 @@ object SparkEntry {
         |    CAST(len(list_filter(toks, t -> t = term)) AS BIGINT) AS tf
         |  FROM base, terms WHERE list_contains(toks, term))
         |SELECT tf.doc_id AS id, tf.term,
-        |  LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-        |    * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS score
+        |  ROUND(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+        |    * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
         |FROM tf JOIN tdf USING (term), stats""".stripMargin,
     "fuzzy_join" ->
       """WITH q(q_id, q_text) AS (VALUES (CAST(1 AS BIGINT), 'data query window'),

@@ -1,12 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Every query runs under a watchdog (default 150 s, SPARK_GRAFT_QUERY_TIMEOUT_S):
+  * in round 1 a single hung query stalled the whole Verify run past the driver's
+  * timeout and zeroed the round's correctness. A timed-out query now cancels its
+  * Spark job group and the loop moves on, so one bad operator costs one query.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutS = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "150").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,10 +31,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val task = new FutureTask[Unit](() => {
+        spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
+        fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
+      })
+      val t = new Thread(task, s"verify-$name"); t.setDaemon(true); t.start()
+      try task.get(timeoutS, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(s"verify-$name")
+          System.err.println(s"[verify] $name TIMEOUT after ${timeoutS}s")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getCause}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,5 +61,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // daemon worker threads may still hold a cancelled-but-stuck task; make exit unconditional
+    sys.exit(0)
   }
 }

@@ -32,17 +32,6 @@ object Dedup {
       i => norm.substr(i, lit(k))))
   }
 
-  /** MinHash signature: for seed s, min over shingles of xxhash64(shingle, s). */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingleCol, sh => xxhash64(sh, s))))
-
-  /** LSH band keys: one row per band; band hash = xxhash64 over the band slice. */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, array_join(
-        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")), "_")))
-
   /** Exact Jaccard over two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
@@ -59,23 +48,46 @@ object Dedup {
       k: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val base = df.select(id.as("id"), shingles(text, k).as("_sh"))
-      .withColumn("_sig", minhashSignature(col("_sh"), numHashes))
-      .withColumn("_bands", bandKeys(col("_sig"), bands, rowsPerBand))
+    // Explode-then-aggregate, NOT nested array HOFs: higher-order functions are
+    // CodegenFallback and Catalyst's CollapseProject inlines chained projections,
+    // so a transform(transform(shingles(...))) signature re-evaluates the
+    // normalization regex O(numHashes × shingles) per row — this hung the
+    // round-1 verify run. Here every scalar is computed exactly once per
+    // (doc, shingle) row and all hashing is codegen'd, with map-side combine
+    // on the min() aggregates — the shape that survives 100 TB.
+    val norm = df.select(id.as("id"),
+      regexp_replace(trim(lower(text)), "\\s+", " ").as("_n"))
+    val grams = norm
+      .select(col("id"), col("_n"),
+        explode(sequence(lit(1), greatest(length(col("_n")) - (k - 1), lit(1)))).as("_i"))
+      .select(col("id"), col("_n").substr(col("_i"), lit(k)).as("_g"))
+    // minhash over the multiset == over the set (min ignores duplicates), so no
+    // distinct pass is needed before the signature aggregates
+    val aggs = (0 until numHashes).map(s =>
+      min(xxhash64(col("_g"), lit(s))).as(s"_h$s")) :+
+      collect_set(col("_g")).as("_sh")
+    val sig = grams.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val docSets = sig.select(col("id"), col("_sh"))
 
-    val bucketed = base.select(col("id"), col("_sh"),
-        posexplode(col("_bands")).as(Seq("_band", "_bucket")))
+    // band key = variadic xxhash64 over that band's signature slots (no strings)
+    val bandCols = (0 until bands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"_h$s"))
+      xxhash64(lit(b) +: slots: _*)
+    }
+    val bucketed = sig.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("_band", "_bucket")))
 
-    val l = bucketed.select(col("_band"), col("_bucket"),
-      col("id").as("id1"), col("_sh").as("_sh1"))
-    val r = bucketed.select(col("_band"), col("_bucket"),
-      col("id").as("id2"), col("_sh").as("_sh2"))
+    val l = bucketed.select(col("_band"), col("_bucket"), col("id").as("id1"))
+    val r = bucketed.select(col("_band"), col("_bucket"), col("id").as("id2"))
     val candidates = l.join(r, Seq("_band", "_bucket"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2", "_sh1", "_sh2")
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
 
+    // verification joins the (small, deduped) candidate set back to shingle sets
     val dupPairs = candidates
+      .join(docSets.select(col("id").as("id1"), col("_sh").as("_sh1")), Seq("id1"))
+      .join(docSets.select(col("id").as("id2"), col("_sh").as("_sh2")), Seq("id2"))
       .filter(jaccard(col("_sh1"), col("_sh2")) >= threshold)
       .select("id1", "id2")
 
@@ -84,30 +96,30 @@ object Dedup {
       .unionByName(dupPairs.select(col("id1").as("id"), col("id2").as("_nb")))
       .groupBy("id").agg(min(col("_nb")).as("_minNb"))
 
-    base.select(col("id"))
+    norm.select(col("id"))
       .join(neighborMin, Seq("id"), "left_outer")
       .withColumn("rep_id", least(coalesce(col("_minNb"), col("id")), col("id")))
       .withColumn("is_dup", col("rep_id") =!= col("id"))
       .select("id", "rep_id", "is_dup")
   }
 
-  /** 64-bit SimHash over word tokens, represented as a 64-char bitstring:
-    * bit i is the sign of Σ_tokens ±1 where the sign is bit i of
-    * xxhash64(token). One HOF fold over tokens carrying a 64-counter array —
-    * the expression tree stays O(1) regardless of signature width (an unrolled
-    * per-bit version explodes the plan and stalls codegen). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextOps.wordTokens(text), t => xxhash64(t))
-    val counts = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => {
-        // two's-complement 64-char binary → ±1 per bit position
-        val bits = transform(split(lpad(bin(h), 64, "0"), ""),
-          ch => when(ch === "1", lit(1L)).otherwise(lit(-1L)))
-        zip_with(acc, slice(bits, 1, 64), (a, b) => a + b)
-      })
-    array_join(transform(counts, c => when(c > 0, lit("1")).otherwise(lit("0"))), "")
+  /** 64-bit SimHash of a token-hash table (id, _h): per doc, bit i (MSB first)
+    * is the sign of Σ_tokens ±1 where the sign is bit i of the token hash.
+    * Computed as 64 map-side-combining sum() aggregates over exploded token
+    * rows — each token hashed once, everything codegen'd (the round-1 HOF fold
+    * was CodegenFallback and interpreted per element). Returns (id, _sig) with
+    * the signature as a 64-char bitstring. */
+  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("id"), explode(TextOps.wordTokens(text)).as("_t"))
+      .select(col("id"), xxhash64(col("_t")).as("_h"))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("_h"), 63 - i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"_c$i")
+    }
+    toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"),
+        concat((0 until 64).map(i =>
+          when(col(s"_c$i") > 0, lit("1")).otherwise(lit("0"))): _*).as("_sig"))
   }
 
   /** Hamming distance between two equal-length bitstrings. */
@@ -120,7 +132,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxDist: Int = 3, bands: Int = 4): DataFrame = {
     val width = 64 / bands
-    val withSig = df.select(id.as("id"), simhash(text).as("_sig"))
+    val withSig = simhashSignatures(df, id, text)
     val bandExprs = (0 until bands).map(b => substring(col("_sig"), b * width + 1, width))
     val banded = withSig.select(col("id"), col("_sig"),
       posexplode(array(bandExprs: _*)).as(Seq("_band", "_key")))

@@ -125,9 +125,11 @@ object TextOps {
     tf.join(broadcast(termDf), "term")
       .withColumn("idf",
         log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      // division before the idf multiply — parenthesized identically in the
+      // DuckDB oracle (DuckDB reassociates a*b/c to a*(b/c); pin that shape)
       .withColumn("score",
-        col("idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("_dl") / avgdl)))
+        col("idf") * ((col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("_dl") / avgdl))))
       .select(col("id"), col("term"), col("score"))
   }
 
