@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Keys, PwTable}
-import graft.operators.{Dedup, Multimodal, Similarity, Temporal, TextOps}
+import graft.operators.{Dedup, Graphs, Multimodal, Similarity, Temporal, TextOps, Utils}
 import graft.sources.Tables
 import graft.functions.{Exprs, Reducers}
 import graft.functions.Exprs._
@@ -510,9 +510,12 @@ object SparkEntry {
     d.unionByName(nearDups)
   }
 
+  /** 8 bands × 8 rows: the synthetic corpus shares much vocabulary, so 16×4
+    * banding admits ~100 candidate pairs per doc; 8-row bands keep the planted
+    * ~0.95-jaccard dups at >99.9% recall while cutting candidates ~50×. */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(plantedDocs(s, dir), col("doc_id"), col("text"),
-      k = 5, numHashes = 64, bands = 16, threshold = 0.7)
+      k = 5, numHashes = 64, bands = 8, threshold = 0.7)
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(plantedDocs(s, dir), col("doc_id"), col("text"),
@@ -571,6 +574,125 @@ object SparkEntry {
     Multimodal.sampleFrames(media, stride = 4)
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
   }
+
+  // ───────────────────────────────────────────────────────────────────────────
+  //  Iterate + graphs (SURVEY §2.1 iterate, §2.6 pagerank/bellman_ford)
+  // ───────────────────────────────────────────────────────────────────────────
+
+  /** 25-node synthetic graph derived from `nation`: ring edge k→(k+1)%25 with
+    * weight k%5+1 plus chord k→(2k+3)%25 with weight 2 — small diameter, fully
+    * reproducible in the oracle. */
+  private def nationEdges(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir).toDf.select(col("n_nationkey").cast("long").as("k"))
+    n.select(col("k").as("src"), ((col("k") + 1) % 25).as("dst"),
+        (col("k") % 5 + 1).as("weight"))
+      .unionByName(n.select(col("k").as("src"), ((col("k") * 2 + 3) % 25).as("dst"),
+        lit(2L).as("weight")))
+  }
+
+  private def qIterateCc(s: SparkSession, dir: String): DataFrame = {
+    // customer→nation-hub star graph: components = nations (hub id = 100000+n)
+    val edges = Tables.customer(s, dir).toDf
+      .select(col("c_custkey").as("src"), (col("c_nationkey") + 100000L).as("dst"))
+    Graphs.connectedComponents(edges, maxIterations = 10)
+  }
+
+  private def qBellmanFord(s: SparkSession, dir: String): DataFrame =
+    Graphs.bellmanFord(nationEdges(s, dir), sourceId = 0L)
+
+  private def qPagerank(s: SparkSession, dir: String): DataFrame =
+    Graphs.pagerank(nationEdges(s, dir).select("src", "dst"), iters = 3)
+
+  // ───────────────────────────────────────────────────────────────────────────
+  //  SQL bridge, UDFs, stdlib utils
+  // ───────────────────────────────────────────────────────────────────────────
+
+  private def qSqlBridge(s: SparkSession, dir: String): DataFrame =
+    graft.core.GraftSql.sql(s,
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_v WHERE o_totalprice > 150000 GROUP BY o_orderpriority""".stripMargin,
+      "orders_v" -> Tables.orders(s, dir).toDf)
+
+  private def qApplyUdf(s: SparkSession, dir: String): DataFrame = {
+    val tier = graft.functions.Udfs.apply1[java.lang.Double, String] { bal =>
+      if (bal == null) "none"
+      else if (bal > 5000) "gold" else if (bal > 0) "silver" else "none"
+    }
+    Tables.customer(s, dir).toDf
+      .select(col("c_custkey"), tier(col("c_acctbal")).as("tier"))
+  }
+
+  private def qUnpackCol(s: SparkSession, dir: String): DataFrame = {
+    val packed = Tables.part(s, dir).toDf
+      .select(col("p_partkey"), struct(col("p_brand"), col("p_type")).as("_s"))
+    Utils.unpackCol(packed, col("_s"), "p_brand", "p_type").drop("_s")
+  }
+
+  private def qArgmaxRows(s: SparkSession, dir: String): DataFrame =
+    Utils.argmaxRows(
+      Tables.orders(s, dir).toDf.select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq(col("o_custkey")), col("o_totalprice"), col("o_orderkey"))
+
+  private def qMajority(s: SparkSession, dir: String): DataFrame =
+    Utils.majority(Tables.orders(s, dir).toDf, Seq(col("o_orderstatus")),
+      col("o_orderpriority"))
+
+  private def qGradualBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.orders(s, dir).toDf
+      .agg(davg(col("o_totalprice")).as("avg_price"))
+    Utils.broadcastScalar(
+        Tables.orders(s, dir).toDf.select("o_orderkey", "o_totalprice"), stats)
+      .select(col("o_orderkey"), (col("o_totalprice") > col("avg_price")).as("above_avg"))
+  }
+
+  private def qNdarraySum(s: SparkSession, dir: String): DataFrame =
+    Utils.ndarraySum(
+        Tables.embeddings(s, dir).toDf.select((col("vec_id") % 10).as("g"), col("embedding")),
+        Seq(col("g")), col("embedding"))
+      .select(col("g"), posexplode(col("array_sum")).as(Seq("i", "s")))
+      .select(col("g"), col("i"), col("s").cast("double").as("s"))
+
+  // ───────────────────────────────────────────────────────────────────────────
+  //  Streaming semantics, batch-checkable slices (SURVEY §2.2)
+  // ───────────────────────────────────────────────────────────────────────────
+
+  private def qDedupAcceptor(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.deduplicateBatch(
+      Tables.events(s, dir).toDf,
+      Seq(col("user_id")),
+      struct(col("ts"), col("event_id")),
+      (n, o) => n >= o + 1,
+      col("value"),
+      org.apache.spark.sql.types.DoubleType)
+
+  private def qAsofNow(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).toDf
+    val left = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"))
+    val rightNow = Utils.argmaxRows(
+      e.filter(col("event_type") === "click")
+        .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+          col("ts").as("r_ts"), col("value").as("r_value")),
+      Seq(col("r_user")), col("r_ts"), col("r_id"))
+    graft.streaming.StreamOps.asofNowJoin(left, rightNow,
+        col("l_user") === col("r_user"), "inner")
+      .select("l_id", "r_id", "r_value")
+  }
+
+  private def qStreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val changelog = Tables.events(s, dir).toDf.select(
+      col("user_id"), col("value"),
+      col("ts").as("time"),
+      when(col("event_type") === "error", lit(-1)).otherwise(lit(1)).as("diff"))
+    graft.streaming.StreamOps.streamToTable(changelog, Seq("user_id"), isUpsert = true)
+  }
+
+  private def qIgnoreLate(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.ignoreLateBatch(
+        eventsT(s, dir).select(col("event_id"), col("ts_t")),
+        col("ts_t"), Exprs.Duration.hours(6))
+      .select("event_id", "ts_t")
 
   // ───────────────────────────────────────────────────────────────────────────
 
@@ -637,6 +759,20 @@ object SparkEntry {
     "fuzzy_join"      -> (qFuzzyJoin _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_frames" -> (qMultimodalFrames _),
+    "iterate_cc"      -> (qIterateCc _),
+    "bellman_ford"    -> (qBellmanFord _),
+    "pagerank"        -> (qPagerank _),
+    "sql_bridge"      -> (qSqlBridge _),
+    "apply_udf"       -> (qApplyUdf _),
+    "unpack_col"      -> (qUnpackCol _),
+    "argmax_rows"     -> (qArgmaxRows _),
+    "majority"        -> (qMajority _),
+    "gradual_broadcast" -> (qGradualBroadcast _),
+    "ndarray_sum"     -> (qNdarraySum _),
+    "dedup_acceptor"  -> (qDedupAcceptor _),
+    "asof_now_join"   -> (qAsofNow _),
+    "stream_upsert"   -> (qStreamUpsert _),
+    "ignore_late"     -> (qIgnoreLate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1009,5 +1145,114 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST(FLOOR(GREATEST(CAST(FLOOR(length(text) / 16) AS BIGINT) - 1, 0) / 4) + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    "iterate_cc" ->
+      """WITH m AS (SELECT c_nationkey, MIN(c_custkey) AS minc FROM customer GROUP BY c_nationkey)
+        |SELECT c_custkey AS vertex, minc AS component
+        |FROM customer JOIN m USING (c_nationkey)
+        |UNION ALL SELECT 100000 + c_nationkey, minc FROM m""".stripMargin,
+    "bellman_ford" ->
+      """WITH RECURSIVE nn AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |edges AS (SELECT k AS src, (k+1)%25 AS dst, k%5+1 AS w FROM nn
+        |          UNION ALL SELECT k, (k*2+3)%25, 2 FROM nn),
+        |walk(v, d, steps) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, walk.d + e.w, steps + 1
+        |  FROM walk JOIN edges e ON e.src = walk.v WHERE steps < 15)
+        |SELECT v AS vertex, MIN(d) AS dist FROM walk GROUP BY v""".stripMargin,
+    "pagerank" ->
+      """WITH nn AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |ed0 AS (SELECT k AS src, (k+1)%25 AS dst FROM nn
+        |        UNION ALL SELECT k, (k*2+3)%25 FROM nn),
+        |ed AS (SELECT DISTINCT src, dst FROM ed0),
+        |verts AS (SELECT DISTINCT src AS vertex FROM ed UNION SELECT DISTINCT dst FROM ed),
+        |deg AS (SELECT src AS vertex, COUNT(*) AS out_deg FROM ed GROUP BY src),
+        |params AS (SELECT COUNT(*) AS n, 1000000000000 // COUNT(*) AS r0,
+        |  (1000000000000 - (1000000000000 * 85) // 100) // COUNT(*) AS base FROM verts),
+        |p0 AS (SELECT vertex, r0 AS rank FROM verts, params),
+        |p1 AS (SELECT v.vertex, base + (85 * COALESCE(m.mass, 0)) // 100 AS rank
+        |       FROM verts v CROSS JOIN params LEFT JOIN (
+        |         SELECT ed.dst AS vertex, SUM(p.rank // d.out_deg) AS mass
+        |         FROM ed JOIN p0 p ON p.vertex = ed.src JOIN deg d ON d.vertex = ed.src
+        |         GROUP BY ed.dst) m ON m.vertex = v.vertex),
+        |p2 AS (SELECT v.vertex, base + (85 * COALESCE(m.mass, 0)) // 100 AS rank
+        |       FROM verts v CROSS JOIN params LEFT JOIN (
+        |         SELECT ed.dst AS vertex, SUM(p.rank // d.out_deg) AS mass
+        |         FROM ed JOIN p1 p ON p.vertex = ed.src JOIN deg d ON d.vertex = ed.src
+        |         GROUP BY ed.dst) m ON m.vertex = v.vertex),
+        |p3 AS (SELECT v.vertex, base + (85 * COALESCE(m.mass, 0)) // 100 AS rank
+        |       FROM verts v CROSS JOIN params LEFT JOIN (
+        |         SELECT ed.dst AS vertex, SUM(p.rank // d.out_deg) AS mass
+        |         FROM ed JOIN p2 p ON p.vertex = ed.src JOIN deg d ON d.vertex = ed.src
+        |         GROUP BY ed.dst) m ON m.vertex = v.vertex)
+        |SELECT vertex, rank FROM p3""".stripMargin,
+    "sql_bridge" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_totalprice > 150000 GROUP BY o_orderpriority""".stripMargin,
+    "apply_udf" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal > 5000 THEN 'gold'
+        |       WHEN c_acctbal > 0 THEN 'silver' ELSE 'none' END AS tier
+        |FROM customer""".stripMargin,
+    "unpack_col" ->
+      """SELECT p_partkey, p_brand, p_type FROM part""".stripMargin,
+    "argmax_rows" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "majority" ->
+      """SELECT o_orderstatus, majority_value, majority_count FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS majority_value, COUNT(*) AS majority_count,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1""".stripMargin,
+    "gradual_broadcast" ->
+      """SELECT o_orderkey,
+        |  o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |                  FROM orders) AS above_avg
+        |FROM orders""".stripMargin,
+    "ndarray_sum" ->
+      // x widens float→double BEFORE the decimal cast: DuckDB's direct
+      // float→decimal rounds differently than its double→decimal (and Spark
+      // always goes through double)
+      """WITH e AS (SELECT vec_id % 10 AS g,
+        |    UNNEST(embedding) AS x, UNNEST(range(len(embedding))) AS i
+        |  FROM embeddings)
+        |SELECT g, CAST(i AS INT) AS i,
+        |  CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE) AS s
+        |FROM e GROUP BY g, i""".stripMargin,
+    "dedup_acceptor" ->
+      // recursive-CTE left fold (DuckDB 1.0.0's list_reduce mis-evaluates over
+      // grouped lists — verified against a manual fold of its own list output)
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, value, ROW_NUMBER() OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events),
+        |cnt AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+        |f(user_id, acc, rn) AS (
+        |  SELECT user_id, value, 1 FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT f.user_id, CASE WHEN b.value >= f.acc + 1 THEN b.value ELSE f.acc END, f.rn + 1
+        |  FROM f JOIN base b ON b.user_id = f.user_id AND b.rn = f.rn + 1)
+        |SELECT f.user_id, f.acc AS accepted FROM f JOIN cnt USING (user_id)
+        |WHERE f.rn = cnt.c""".stripMargin,
+    "asof_now_join" ->
+      """WITH l AS (SELECT event_id AS l_id, user_id FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, event_id AS r_id, value AS r_value FROM (
+        |  SELECT user_id, event_id, value, ROW_NUMBER() OVER
+        |    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click') WHERE rn = 1)
+        |SELECT l_id, r_id, r_value FROM l JOIN r USING (user_id)""".stripMargin,
+    "stream_upsert" ->
+      """SELECT user_id, value FROM (
+        |  SELECT user_id, value,
+        |    CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS diff,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND diff > 0""".stripMargin,
+    "ignore_late" ->
+      """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts_t FROM events)
+        |SELECT event_id, ts_t FROM e
+        |WHERE ts_t >= (SELECT MAX(ts_t) FROM e) - INTERVAL 6 HOUR""".stripMargin,
   )
 }

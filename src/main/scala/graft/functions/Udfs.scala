@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** UDF surface (reference pw.apply internals/common.py:96, @pw.udf
+  * internals/udfs/__init__.py:299 with sync/async executors, caching, retries).
+  *
+  * Policy (SURVEY.md §2.3): built-in expressions beat UDFs — they stay inside
+  * whole-stage codegen. These wrappers exist for the genuinely custom cases,
+  * and the async path batches per partition exactly where the reference runs
+  * its async executors (one client per worker, batched calls).
+  */
+object Udfs {
+
+  /** pw.apply / apply_with_type: a typed scalar UDF. */
+  def apply1[I: scala.reflect.runtime.universe.TypeTag,
+      O: scala.reflect.runtime.universe.TypeTag](f: I => O): Column => Column = {
+    val u = udf(f)
+    (c: Column) => u(c)
+  }
+
+  def apply2[A: scala.reflect.runtime.universe.TypeTag,
+      B: scala.reflect.runtime.universe.TypeTag,
+      O: scala.reflect.runtime.universe.TypeTag](f: (A, B) => O): (Column, Column) => Column = {
+    val u = udf(f)
+    (a: Column, b: Column) => u(a, b)
+  }
+
+  /** apply_async (common.py:170) — per-partition batched execution: `setup`
+    * builds one client per partition (≈ per reference worker), `call` handles a
+    * whole batch (amortized round-trips), mirroring udfs/executors.py's async
+    * batching. Use for embedder/LLM endpoints. */
+  def mapBatches[I, O](ds: Dataset[I], batchSize: Int)(setup: () => AnyRef)(
+      call: (AnyRef, Seq[I]) => Seq[O])(implicit enc: Encoder[O]): Dataset[O] =
+    ds.mapPartitions { it =>
+      val client = setup()
+      it.grouped(batchSize).flatMap(batch => call(client, batch.toSeq))
+    }
+
+  /** Deterministic-UDF cache (udfs/caches.py InMemoryCache): per-executor
+    * memoization of a pure function. At scale this is a per-JVM LRU — the
+    * reference's cache is likewise per-worker. */
+  def cached[I, O](f: I => O, maxEntries: Int = 100000): I => O = {
+    val cache = new java.util.concurrent.ConcurrentHashMap[I, O]()
+    (i: I) =>
+      cache.computeIfAbsent(i, k => {
+        if (cache.size() > maxEntries) cache.clear()
+        f(k)
+      })
+  }
+
+  /** Retry policy (udfs/retries.py ExponentialBackoffRetryStrategy). */
+  def withRetries[O](maxRetries: Int = 3, initialDelayMs: Long = 100)(f: () => O): O = {
+    var attempt = 0
+    var delay = initialDelayMs
+    var out: Option[O] = None
+    while (out.isEmpty) {
+      try out = Some(f())
+      catch {
+        case e: Throwable if attempt < maxRetries =>
+          Thread.sleep(delay); delay *= 2; attempt += 1
+        case e: Throwable => throw e
+      }
+    }
+    out.get
+  }
+}

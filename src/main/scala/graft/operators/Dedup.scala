@@ -24,12 +24,15 @@ object Dedup {
       .agg(min(id).as("rep_id"), count(lit(1)).as("n_copies"))
       .drop("_key")
 
-  /** Character k-shingles (distinct), whitespace-normalized lowercase. */
+  /** Character k-shingles (distinct), whitespace-normalized lowercase.
+    * The normalization regex is bound through a 1-element array + lambda so it
+    * evaluates ONCE per row — referencing it straight inside the per-position
+    * lambda would re-run the regex per shingle (HOFs are interpreted). */
   def shingles(text: Column, k: Int): Column = {
     val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
-      i => norm.substr(i, lit(k))))
+    array_distinct(flatten(transform(array(norm), n =>
+      transform(sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+        i => n.substr(i, lit(k))))))
   }
 
   /** Exact Jaccard over two shingle arrays. */
@@ -66,7 +69,13 @@ object Dedup {
     val aggs = (0 until numHashes).map(s =>
       min(xxhash64(col("_g"), lit(s))).as(s"_h$s")) :+
       collect_set(col("_g")).as("_sh")
+    // The signature table feeds three consumers (bucketing + both sides of the
+    // verification join); persist it or the shingle+64-agg pipeline recomputes
+    // per consumer (measured 3× the whole runtime at sf0.1). ~0.5 KB/doc —
+    // materializing the signature table is the standard MinHash design at any
+    // scale.
     val sig = grams.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docSets = sig.select(col("id"), col("_sh"))
 
     // band key = variadic xxhash64 over that band's signature slots (no strings)
@@ -116,15 +125,19 @@ object Dedup {
       sum(when(shiftright(col("_h"), 63 - i).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"_c$i")
     }
+    // pack the 64 sign bits into ONE long: hamming distance then costs a single
+    // codegen'd bit_count(xor) per candidate pair instead of an interpreted
+    // 64-element string zip
+    val packed = (0 until 64).map(i =>
+      when(col(s"_c$i") > 0, shiftleft(lit(1L), 63 - i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
     toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("id"),
-        concat((0 until 64).map(i =>
-          when(col(s"_c$i") > 0, lit("1")).otherwise(lit("0"))): _*).as("_sig"))
+      .select(col("id"), packed.as("_sig"))
   }
 
-  /** Hamming distance between two equal-length bitstrings. */
+  /** Hamming distance between two packed 64-bit signatures. */
   def hammingDist(a: Column, b: Column): Column =
-    size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), p => p)).cast("long")
+    bit_count(a.bitwiseXOR(b)).cast("long")
 
   /** SimHash near-dup candidates: split the 64-bit fingerprint into `bands`
     * 16-bit band keys — two docs within hamming distance (bands−1) share ≥1 band
@@ -132,8 +145,11 @@ object Dedup {
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxDist: Int = 3, bands: Int = 4): DataFrame = {
     val width = 64 / bands
+    val mask = (1L << width) - 1
     val withSig = simhashSignatures(df, id, text)
-    val bandExprs = (0 until bands).map(b => substring(col("_sig"), b * width + 1, width))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandExprs = (0 until bands).map(b =>
+      shiftright(col("_sig"), b * width).bitwiseAND(lit(mask)))
     val banded = withSig.select(col("id"), col("_sig"),
       posexplode(array(bandExprs: _*)).as(Seq("_band", "_key")))
     val l = banded.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph algorithms built on Iterate.fixpoint, mirroring the reference's
+  * stdlib (pagerank stdlib/graphs/pagerank/impl.py:18, bellman_ford
+  * stdlib/graphs/bellman_ford/impl.py:42, both ~40-line compositions over
+  * `pw.iterate`).
+  *
+  * Edges are a DataFrame (src, dst[, weight]). All joins are key-partitioned
+  * shuffle joins — the same sharding the reference's dataflow uses — and each
+  * iteration's state is checkpointed by Iterate so lineage stays flat.
+  */
+object Graphs {
+
+  /** Connected components: label = min reachable vertex id (label propagation).
+    * Converges in O(diameter) passes. */
+  def connectedComponents(edges: DataFrame, src: String = "src", dst: String = "dst",
+      maxIterations: Int = 50): DataFrame = {
+    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
+      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+      .distinct()
+    val vertices = sym.select(col("u").as("vertex")).distinct()
+    val initial = vertices.select(col("vertex"), col("vertex").as("component"))
+    Iterate.fixpoint(initial, labels => {
+      val viaNeighbor = sym.join(labels, sym("v") === labels("vertex"))
+        .select(col("u").as("vertex"), col("component"))
+      labels.unionByName(viaNeighbor)
+        .groupBy("vertex").agg(min("component").as("component"))
+    }, maxIterations)
+  }
+
+  /** Single-source shortest paths (Bellman-Ford). Integer or decimal weights
+    * recommended for exact convergence checks. Unreachable vertices omitted. */
+  def bellmanFord(edges: DataFrame, sourceId: Long,
+      src: String = "src", dst: String = "dst", weight: String = "weight",
+      maxIterations: Int = 50): DataFrame = {
+    val e = edges.select(col(src).as("u"), col(dst).as("v"), col(weight).as("w"))
+    val initial = e.sparkSession.range(1).select(lit(sourceId).as("vertex"), lit(0L).as("dist"))
+    Iterate.fixpoint(initial, dist => {
+      val relaxed = e.join(dist, e("u") === dist("vertex"))
+        .select(col("v").as("vertex"), (col("dist") + col("w")).as("dist"))
+      dist.unionByName(relaxed)
+        .groupBy("vertex").agg(min("dist").as("dist"))
+    }, maxIterations)
+  }
+
+  /** PageRank with `iters` fixed passes, damping dampNum/dampDen. Ranks are
+    * 64-bit FIXED-POINT integers (units of 1/scale): every operation is exact
+    * integer arithmetic (floor div), so results are bit-identical across
+    * engines, shuffle orders, and partition counts — float or decimal division
+    * would make the result depend on rounding modes. Dangling nodes keep the
+    * base (1-d)/n mass (contributions only flow along edges; matches the
+    * reference's simple formulation, stdlib/graphs/pagerank/impl.py:18). */
+  def pagerank(edges: DataFrame, iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
+      scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src").as("u"), col("dst").as("v")).distinct()
+    val vertices = e.select(col("u").as("vertex"))
+      .unionByName(e.select(col("v").as("vertex"))).distinct()
+    val outDeg = e.groupBy(col("u").as("vertex")).agg(count(lit(1)).as("out_deg"))
+    val nV = vertices.count()
+    val initRank = scale / nV
+    val baseFp = (scale - scale * dampNum / dampDen) / nV
+    val initial = vertices.withColumn("rank", lit(initRank))
+    Iterate.nTimes(initial, ranks => {
+      val contrib = e
+        .join(ranks, e("u") === ranks("vertex"))
+        .join(outDeg, "vertex")
+        .select(col("v").as("vertex"), expr("rank div out_deg").as("c"))
+      val summed = contrib.groupBy("vertex").agg(sum("c").as("mass"))
+      vertices.join(summed, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          (lit(baseFp) + expr(s"($dampNum * coalesce(mass, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("rank"))
+    }, iters)
+  }
+}

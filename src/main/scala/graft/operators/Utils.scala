@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** stdlib utils (reference python/pathway/stdlib/utils/):
+  * unpack_col (col.py:14), argmax_rows/argmin_rows (filtering.py:8/20),
+  * groupby_reduce_majority (col.py:309), plus gradual_broadcast
+  * (engine dataflow.rs:2512) in its batch form. */
+object Utils {
+
+  /** unpack_col: explode a struct column into top-level columns. */
+  def unpackCol(df: DataFrame, structCol: Column, names: String*): DataFrame =
+    df.select((df.columns.map(col) ++
+      names.map(n => structCol.getField(n).as(n))): _*)
+
+  /** argmax_rows: keep the row with max `value` per group (ties → smallest
+    * tie-break, pinned so results are deterministic). One shuffle via max_by
+    * on the full row struct — no join-back. */
+  def argmaxRows(df: DataFrame, groupCols: Seq[Column], value: Column, tieBreak: Column): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(groupCols: _*)
+      .agg(max_by(payload, struct(value, -tieBreak)).as("_row"))
+      .select(col("_row.*"))
+  }
+
+  def argminRows(df: DataFrame, groupCols: Seq[Column], value: Column, tieBreak: Column): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(groupCols: _*)
+      .agg(min_by(payload, struct(value, tieBreak)).as("_row"))
+      .select(col("_row.*"))
+  }
+
+  /** groupby_reduce_majority: most frequent `value` per group (ties → smallest
+    * value, any orderable type). Count per (group, value) first — the heavy
+    * shuffle aggregates map-side — then a rank over the (small) distinct-value
+    * counts picks the winner. */
+  def majority(df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
+    val counted = df.groupBy(groupCols :+ value.as("_v"): _*).agg(count(lit(1)).as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(c => counted(c.toString)): _*)
+      .orderBy(col("_n").desc, col("_v").asc)
+    counted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(groupCols.map(c => counted(c.toString)) :+
+        col("_v").as("majority_value") :+ col("_n").as("majority_count"): _*)
+  }
+
+  /** gradual_broadcast (batch form): attach a small aggregated scalar table to
+    * every row via broadcast join — the reference's tolerance-band machinery
+    * exists to avoid recomputation churn in streaming; in micro-batch the
+    * broadcast is already amortized per batch. */
+  def broadcastScalar(df: DataFrame, scalar: DataFrame): DataFrame =
+    df.crossJoin(broadcast(scalar))
+
+  /** Elementwise sum of equal-length numeric arrays per group (the reference's
+    * ndarray `sum` reducer, reducers.py:350 ndarray case). Explode + (group,
+    * index) partial aggregation — never materializes per-group matrices, so a
+    * group with billions of rows still aggregates map-side. Cast to decimal
+    * for exact float sums (engine-portable). */
+  def ndarraySum(df: DataFrame, groupCols: Seq[Column], arr: Column,
+      scale: Int = 6): DataFrame = {
+    val exploded = df.select(groupCols :+ posexplode(arr).as(Seq("_i", "_x")): _*)
+    val g = exploded.groupBy(groupCols.map(c => exploded(c.toString)) :+ col("_i"): _*)
+      .agg(sum(col("_x").cast("double").cast(s"decimal(28,$scale)")).as("_s"))
+    g.groupBy(groupCols.map(c => g(c.toString)): _*)
+      .agg(transform(sort_array(collect_list(struct(col("_i"), col("_s")))),
+        x => x.getField("_s")).as("array_sum"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File-system and message connectors (reference python/pathway/io;
+  * formats src/connectors/data_format).
+  *
+  * Mode mapping (io/fs/__init__.py:32 `mode="static"|"streaming"`):
+  * static → `spark.read`, streaming → `spark.readStream` on the same path —
+  * Spark's file stream source natively watches directories, which is the
+  * reference's filesystem scanner (data_storage/file.rs) behavior.
+  *
+  * `with_metadata=True` adds the per-file metadata column the reference
+  * attaches (path, size, modification time) via Spark's `_metadata` column.
+  * S3/MinIO are the same sources on `s3a://` paths — no code difference.
+  */
+object Connectors {
+
+  sealed trait Mode
+  case object Static extends Mode
+  case object Streaming extends Mode
+
+  private def reader(spark: SparkSession, mode: Mode, schema: Option[StructType]) =
+    mode match {
+      case Static =>
+        val r = spark.read; schema.foreach(r.schema); Left(r)
+      case Streaming =>
+        val r = spark.readStream; schema.foreach(r.schema); Right(r)
+    }
+
+  private def withMeta(df: DataFrame, wanted: Boolean): DataFrame =
+    if (wanted)
+      df.withColumn("_metadata_path", col("_metadata.file_path"))
+        .withColumn("_metadata_size", col("_metadata.file_size"))
+        .withColumn("_metadata_modified_at", col("_metadata.file_modification_time"))
+    else df
+
+  /** CSV (io/csv, data_format/dsv.rs). Header + delimiter options mirror
+    * `csv.read(…, csv_settings)`. */
+  def csv(spark: SparkSession, path: String, mode: Mode = Static,
+      schema: Option[StructType] = None, header: Boolean = true,
+      delimiter: String = ",", withMetadata: Boolean = false): DataFrame = {
+    val opts = Map("header" -> header.toString, "sep" -> delimiter)
+    val df = reader(spark, mode, schema) match {
+      case Left(r)  => r.options(opts).csv(path)
+      case Right(r) => r.options(opts).csv(path)
+    }
+    withMeta(df, withMetadata)
+  }
+
+  /** JSON-lines (io/jsonlines, data_format/json.rs). */
+  def jsonlines(spark: SparkSession, path: String, mode: Mode = Static,
+      schema: Option[StructType] = None, withMetadata: Boolean = false): DataFrame = {
+    val df = reader(spark, mode, schema) match {
+      case Left(r)  => r.json(path)
+      case Right(r) => r.json(path)
+    }
+    withMeta(df, withMetadata)
+  }
+
+  /** Plaintext: one row per line (io/plaintext, data_format/single_column.rs). */
+  def plaintext(spark: SparkSession, path: String, mode: Mode = Static,
+      withMetadata: Boolean = false): DataFrame = {
+    val df = reader(spark, mode, None) match {
+      case Left(r)  => r.text(path)
+      case Right(r) => r.text(path)
+    }
+    withMeta(df.withColumnRenamed("value", "data"), withMetadata)
+  }
+
+  /** plaintext_by_file / binary: one row per whole file (io/fs format="binary").
+    * Static only (binaryFile has no stream source); stream the parent dir with
+    * plaintext for the streaming case. */
+  def binaryByFile(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(col("path").as("_metadata_path"), col("modificationTime").as("_metadata_modified_at"),
+        col("length").as("_metadata_size"), col("content").as("data"))
+
+  /** Parquet (the lakehouse default; Delta/Iceberg are the same call with
+    * format("delta"/"iceberg") when those jars are on the cluster). */
+  def parquet(spark: SparkSession, path: String, mode: Mode = Static,
+      schema: Option[StructType] = None, withMetadata: Boolean = false): DataFrame = {
+    val df = reader(spark, mode, schema) match {
+      case Left(r)  => r.parquet(path)
+      case Right(r) => r.parquet(path)
+    }
+    withMeta(df, withMetadata)
+  }
+
+  /** Kafka source (io/kafka/__init__.py:33): native Structured Streaming
+    * format("kafka"); value parsing is the caller's format function. Requires
+    * the spark-sql-kafka package on the cluster (not in this container —
+    * plumbing kept format-compatible). */
+  def kafka(spark: SparkSession, bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Debezium CDC envelope → changelog rows (io/debezium,
+    * data_format/debezium.rs): each message's payload.op maps to diffs —
+    * c/r → +1 after-image; d → −1 before-image; u → −1 before AND +1 after.
+    * Input: a DataFrame with a JSON string column; output: one row per diff
+    * with the parsed payload struct, `diff`, and source ts_ms as `time`. */
+  def debeziumToChangelog(df: DataFrame, jsonCol: Column, payloadSchema: StructType): DataFrame = {
+    val envSchema = new StructType()
+      .add("payload", new StructType()
+        .add("before", payloadSchema).add("after", payloadSchema)
+        .add("op", org.apache.spark.sql.types.StringType)
+        .add("ts_ms", org.apache.spark.sql.types.LongType))
+    val p = from_json(jsonCol, envSchema).getField("payload")
+    val parsed = df.select(p.as("_p"))
+    val afterIns = parsed
+      .filter(col("_p.op").isin("c", "r", "u"))
+      .select(col("_p.after").as("row"), lit(1).as("diff"), col("_p.ts_ms").as("time"))
+    val beforeDel = parsed
+      .filter(col("_p.op").isin("d", "u"))
+      .select(col("_p.before").as("row"), lit(-1).as("diff"), col("_p.ts_ms").as("time"))
+    afterIns.unionByName(beforeDel).select(col("row.*"), col("diff"), col("time"))
+  }
+
+  // ── writers ────────────────────────────────────────────────────────────────
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  def writeJsonlines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Changelog CSV sink (concepts.md:240-243): appends rows with time/diff
+    * columns rather than applying diffs. */
+  def writeChangelogCsv(changelog: DataFrame, path: String): Unit =
+    changelog.write.mode("append").option("header", "true").csv(path)
+}

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming surface: Pathway's unified batch/streaming table model mapped to
+  * Structured Streaming (SURVEY.md §2.2).
+  *
+  * Behavior mapping (reference python/pathway/stdlib/temporal/temporal_behavior.py):
+  *  - `common_behavior(cutoff=…)`      → `withWatermark(ts, cutoff)` — Spark
+  *    drops late rows and frees window state exactly like the engine's
+  *    forget/ignore_late (src/engine/dataflow.rs:4202/4249).
+  *  - `exactly_once_behavior()`        → append output mode: each window is
+  *    emitted once, when the watermark passes its end (dataflow.rs:2010 freeze).
+  *  - `delay=`                         → processing-time trigger interval.
+  *
+  * Changelog model (reference concepts.md:234-243): a stream row is
+  * (payload…, time, diff) with diff ∈ {+1, −1}; `toStream` / `fromStreams`
+  * convert between snapshot tables and changelogs (table.py:2857/2967).
+  */
+object StreamOps {
+
+  // ── behaviors ──────────────────────────────────────────────────────────────
+
+  /** cutoff behavior: event-time watermark; rows later than `cutoff` relative
+    * to the max observed event time are dropped and stateful operators GC. */
+  def withCutoff(df: DataFrame, tsCol: String, cutoff: String): DataFrame =
+    df.withWatermark(tsCol, cutoff)
+
+  /** Batch equivalent of ignore_late/forget: drop rows older than
+    * (max event time − cutoffNs). The streaming path gets this from the
+    * watermark; batch recomputes the threshold exactly. */
+  def ignoreLateBatch(df: DataFrame, ts: Column, cutoffNs: Long): DataFrame = {
+    // broadcast the 1-row max, never a global window (which would funnel the
+    // whole table through one partition)
+    val mx = df.agg(max(ts).as("_max_ts"))
+    df.crossJoin(broadcast(mx))
+      .filter(ts >= col("_max_ts") - expr(s"INTERVAL ${cutoffNs / 1000} MICROSECOND"))
+      .drop("_max_ts")
+  }
+
+  /** exactly-once windowed aggregation: tumbling window + watermark + append
+    * mode — each window emitted exactly once after it closes. Returns a
+    * DataStreamWriter ready for `.start()`. */
+  def exactlyOnceTumbling(df: DataFrame, tsCol: String, duration: String,
+      cutoff: String, keys: Seq[Column], aggs: Seq[Column]): DataStreamWriter[Row] =
+    df.withWatermark(tsCol, cutoff)
+      .groupBy(window(col(tsCol), duration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .writeStream.outputMode(OutputMode.Append)
+
+  // ── changelog conversions ──────────────────────────────────────────────────
+
+  /** Table → changelog: every current row becomes an insertion (diff=+1) at
+    * `timeCol` (processing-time stamp if absent). table.py:2857 to_stream. */
+  def toStream(df: DataFrame, timeCol: Option[Column] = None): DataFrame =
+    df.withColumn("time", timeCol.getOrElse(current_timestamp()))
+      .withColumn("diff", lit(1))
+
+  /** Changelog → table snapshot: apply diffs in time order per key.
+    * Insert-wins-then-retract semantics: net count per (key, payload) =
+    * Σ diff; rows with net > 0 survive, and the latest surviving payload per
+    * key is the snapshot (is_upsert=true keeps last payload regardless of
+    * retractions — io upsert mode, table.py:2967 from_streams). */
+  def streamToTable(changelog: DataFrame, keyCols: Seq[String],
+      timeCol: String = "time", diffCol: String = "diff",
+      isUpsert: Boolean = false): DataFrame = {
+    val payload = changelog.columns.filterNot(c =>
+      c == timeCol || c == diffCol || keyCols.contains(c))
+    val k = keyCols.map(col)
+    if (isUpsert) {
+      // latest event per key wins (ties: larger diff i.e. insert wins)
+      changelog.groupBy(k: _*)
+        .agg(max_by(struct((payload :+ diffCol).map(col): _*),
+          struct(col(timeCol), col(diffCol))).as("_s"))
+        .filter(col("_s." + diffCol) > 0)
+        .select(k ++ payload.map(c => col("_s." + c).as(c)): _*)
+    } else {
+      // net-count semantics per full row value
+      changelog.groupBy(k ++ payload.map(col): _*)
+        .agg(sum(col(diffCol)).as("_net"), max(col(timeCol)).as("_t"))
+        .filter(col("_net") > 0)
+        .groupBy(k: _*)
+        .agg(max_by(struct(payload.map(col): _*), col("_t")).as("_s"))
+        .select(k ++ payload.map(c => col("_s." + c).as(c)): _*)
+    }
+  }
+
+  // ── stream-static (asof_now) join ──────────────────────────────────────────
+
+  /** asof_now_join (reference _asof_now_join.py:176): left stream rows join
+    * the RIGHT side's state as of processing time; left must be append-only
+    * and results never retro-update. In Spark this is exactly a stream-static
+    * join: the static side is re-read per micro-batch. */
+  def asofNowJoin(leftStream: DataFrame, rightStatic: DataFrame,
+      cond: Column, how: String = "inner"): DataFrame =
+    leftStream.join(rightStatic, cond, how)
+
+  // ── stateful deduplicate (acceptor) ────────────────────────────────────────
+
+  /** Streaming deduplicate with a user acceptor (reference
+    * stdlib/stateful/deduplicate.py:9 — `acceptor(new, old) => replace?`).
+    * State per key = last accepted value; each arriving value is kept only if
+    * there is no previous value or `acceptor(new, old)` is true.
+    * Works on Dataset[(K, V)] so user types stay checked; use in
+    * `ds.groupByKey(_._1).flatMapGroupsWithState(...)(dedupAcceptor(acceptor))`.
+    */
+  def dedupAcceptor[K, V](acceptor: (V, V) => Boolean): (K, Iterator[(K, V)], GroupState[V]) => Iterator[(K, V)] =
+    (key: K, rows: Iterator[(K, V)], state: GroupState[V]) => {
+      var emitted = List.empty[(K, V)]
+      rows.foreach { case (_, v) =>
+        val accept = !state.exists || acceptor(v, state.get)
+        if (accept) { state.update(v); emitted = (key, v) :: emitted }
+      }
+      emitted.reverseIterator
+    }
+
+  /** Batch deduplicate with acceptor semantics for an ORDERED replay: fold
+    * rows per instance in `orderBy` order through the acceptor, keep the
+    * final accepted row. (Batch = replaying the whole stream at one time.) */
+  def deduplicateBatch(df: DataFrame, instance: Seq[Column], orderBy: Column,
+      acceptorSql: (Column, Column) => Column, valueCol: Column,
+      valueType: org.apache.spark.sql.types.DataType): DataFrame = {
+    // fold via aggregate over the time-ordered collected values: tiny state per
+    // group (the accepted value), one shuffle — same state machine as streaming
+    val ordered = sort_array(collect_list(struct(orderBy.as("_o"), valueCol.as("_v"))))
+    val folded = aggregate(ordered, lit(null).cast(valueType),
+      (acc, x) => when(acc.isNull || acceptorSql(x.getField("_v"), acc), x.getField("_v"))
+        .otherwise(acc))
+    df.groupBy(instance: _*).agg(folded.as("accepted"))
+  }
+
+  // ── sinks ──────────────────────────────────────────────────────────────────
+
+  /** subscribe(on_change) — reference io/_subscribe.py:17: per-microbatch
+    * callback with the batch DataFrame and epoch id (foreachBatch). */
+  def subscribe(df: DataFrame, onChange: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch(onChange)
+
+  /** Changelog-applying upsert sink: per microbatch, merge batch rows into an
+    * in-memory keyed table (stand-in for a JDBC MERGE / Delta MERGE target —
+    * the io/postgres snapshot mode). Returns the mutable sink map for tests. */
+  def upsertSink(df: DataFrame, keyCols: Seq[String]):
+      (scala.collection.concurrent.Map[Seq[Any], Seq[Any]], DataStreamWriter[Row]) = {
+    val table = scala.collection.concurrent.TrieMap.empty[Seq[Any], Seq[Any]]
+    val writer = df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val cols = batch.columns
+      val kIdx = keyCols.map(cols.indexOf(_))
+      batch.collect().foreach { row =>
+        val k = kIdx.map(row.get)
+        table.put(k, row.toSeq)
+      }
+      ()
+    }
+    (table, writer)
+  }
+
+  /** Demo/rate source (reference demo/__init__.py range_stream): monotonically
+    * increasing `value` rows at `rowsPerSecond`. */
+  def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+
+  /** Run a streaming query to completion of available data (test helper —
+    * availableNow trigger processes everything then stops). */
+  def runAvailableNow(w: DataStreamWriter[Row]): StreamingQuery = {
+    val q = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Graphs, Iterate, Utils}
+import graft.functions.Udfs
+
+/** Iterate/graph/util semantics on small known graphs. */
+class IterateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("fixpoint converges and stops before maxIterations") {
+    // halve-until-odd: fixpoint of x -> if even then x/2
+    val init = Seq(12L, 5L, 8L).toDF("x")
+    val out = Iterate.fixpoint(init,
+      df => df.select(when(col("x") % 2 === 0, col("x") / 2).otherwise(col("x"))
+        .cast("long").as("x")),
+      maxIterations = 20)
+    assert(out.as[Long].collect().sorted.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("connectedComponents labels two separate components") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val cc = Graphs.connectedComponents(edges)
+    val m = cc.as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(m(_) == 1L) && Seq(10L, 11L).forall(m(_) == 10L))
+  }
+
+  test("bellmanFord finds shortest paths with relaxation") {
+    // 0→1 (5), 0→2 (1), 2→1 (2): shortest 0→1 is 3 via 2
+    val edges = Seq((0L, 1L, 5L), (0L, 2L, 1L), (2L, 1L, 2L)).toDF("src", "dst", "weight")
+    val d = Graphs.bellmanFord(edges, 0L).as[(Long, Long)].collect().toMap
+    assert(d == Map(0L -> 0L, 1L -> 3L, 2L -> 1L))
+  }
+
+  test("pagerank: symmetric 2-cycle splits mass evenly, fixed point reached") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graphs.pagerank(edges, iters = 5).as[(Long, Long)].collect().toMap
+    assert(r(1L) == r(2L) && r(1L) > 400000000000L) // each ≈ 0.5 in 1e-12 units
+  }
+
+  test("utils: argmaxRows / majority / unpackCol") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("b", 4L, 5.0))
+      .toDF("g", "id", "v")
+    val top = Utils.argmaxRows(df, Seq(col("g")), col("v"), col("id"))
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(top == Set(("a", 2L), ("b", 4L))) // tie at 30.0 → smaller id
+
+    val maj = Utils.majority(Seq(("g", "x"), ("g", "x"), ("g", "y")).toDF("g", "v"),
+      Seq(col("g")), col("v")).select("majority_value").as[String].head
+    assert(maj == "x")
+
+    val packed = Seq((1L, ("b1", "t1"))).toDF("id", "s")
+    val un = Utils.unpackCol(packed, col("s"), "_1", "_2")
+    assert(un.select("_1", "_2").as[(String, String)].head == ("b1", "t1"))
+  }
+
+  test("udfs: apply1 wraps a typed scalar function; cached memoizes") {
+    val double = Udfs.apply1[java.lang.Long, Long](x => x * 2)
+    val out = Seq(1L, 2L).toDF("x").select(double(col("x")).as("y")).as[Long].collect()
+    assert(out.sorted.toSeq == Seq(2L, 4L))
+    var calls = 0
+    val f = Udfs.cached[Int, Int] { x => calls += 1; x + 1 }
+    assert(f(1) == 2 && f(1) == 2 && calls == 1)
+  }
+}

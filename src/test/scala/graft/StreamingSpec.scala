@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+
+/** Streaming semantics (SURVEY §2.2): windows+watermark behavior mapping,
+  * stateful acceptor dedup, changelog conversions, foreachBatch sinks — all
+  * exercised through real Structured Streaming micro-batches via MemoryStream. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("tumbling window + cutoff behavior drops late rows and emits each window once") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val writer = StreamOps.exactlyOnceTumbling(
+      input.toDF().toDF("t", "k"), "t", "10 minutes", "5 minutes",
+      Seq(col("k")), Seq(count(lit(1)).as("n")))
+    val q = writer.format("memory").queryName("tumble_out").start()
+    // watermark advances BETWEEN micro-batches: batch 1 sets it from max event
+    // time − cutoff; the batch after the advance emits the closed windows
+    input.addData((ts("2024-01-01 00:01:00"), "a"), (ts("2024-01-01 00:02:00"), "a"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:31:00"), "a")) // moves watermark to 00:26
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:32:00"), "a")) // next batch flushes closed windows
+    q.processAllAvailable()
+    val out = spark.table("tumble_out").select(col("window.start").cast("string"), col("n"))
+      .as[(String, Long)].collect().toMap
+    // window [00:00,00:10) closed (watermark 00:26): emitted exactly once with 2 rows
+    assert(out("2024-01-01 00:00:00") == 2L)
+    // windows at/after the watermark are not emitted yet (append semantics)
+    assert(!out.contains("2024-01-01 00:30:00"))
+    q.stop()
+  }
+
+  test("acceptor deduplicate keeps state across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    // acceptor: replace only if new value strictly larger (monotone dedup)
+    val flat = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        StreamOps.dedupAcceptor[String, Long]((n, o) => n > o))
+    val q = flat.toDF("k", "v").writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(("a", 5L), ("a", 3L), ("b", 1L)) // 3 rejected (<=5)
+    q.processAllAvailable()
+    input.addData(("a", 7L), ("b", 1L))            // 7 accepted, dup 1 rejected
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").as[(String, Long)].collect().toSeq
+    assert(out.sorted == Seq(("a", 5L), ("a", 7L), ("b", 1L)))
+    q.stop()
+  }
+
+  test("changelog roundtrip: toStream then streamToTable recovers the snapshot") {
+    val t = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val changelog = StreamOps.toStream(t, Some(lit(ts("2024-01-01 00:00:00"))))
+    assert(changelog.columns.toSeq == Seq("id", "v", "time", "diff"))
+    // apply an upsert and a retraction on top
+    val more = Seq((1L, "x2", ts("2024-01-01 00:01:00"), 1),
+      (2L, "y", ts("2024-01-01 00:01:00"), -1)).toDF("id", "v", "time", "diff")
+    val all = changelog.unionByName(more)
+    val snap = StreamOps.streamToTable(all, Seq("id")).as[(Long, String)].collect().toSet
+    assert(snap == Set((1L, "x2"))) // id=1 upserted, id=2 retracted
+    val upsert = StreamOps.streamToTable(all, Seq("id"), isUpsert = true)
+      .as[(Long, String)].collect().toSet
+    assert(upsert == Set((1L, "x2"))) // latest for id=2 is the retraction → gone
+  }
+
+  test("foreachBatch upsert sink applies per-batch merges") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val (table, writer) = StreamOps.upsertSink(input.toDF().toDF("id", "v"), Seq("id"))
+    val q = writer.start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((1L, "a2"))
+    q.processAllAvailable()
+    assert(table(Seq(1L)) == Seq(1L, "a2") && table(Seq(2L)) == Seq(2L, "b"))
+    q.stop()
+  }
+
+  test("asof_now join: left stream rows see right state per micro-batch") {
+    implicit val sql = spark.sqlContext
+    val right = Seq((1L, "r1"), (2L, "r2")).toDF("rk", "rv")
+    val input = MemoryStream[Long]
+    val joined = StreamOps.asofNowJoin(input.toDF().toDF("lk"), right,
+      col("lk") === col("rk"), "inner")
+    val q = joined.writeStream.format("memory").queryName("asofnow_out")
+      .outputMode("append").start()
+    input.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    val out = spark.table("asofnow_out").select("lk", "rv").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "r1"), (2L, "r2"))) // 3 has no match (inner)
+    q.stop()
+  }
+
+  test("ignoreLateBatch keeps only rows within cutoff of max event time") {
+    val df = Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 05:00:00"),
+      ts("2024-01-01 06:30:00")).toDF("t")
+    val kept = StreamOps.ignoreLateBatch(df, col("t"), 2L * 3600 * 1000000000L)
+      .as[java.sql.Timestamp].collect().toSet
+    assert(kept == Set(ts("2024-01-01 05:00:00"), ts("2024-01-01 06:30:00")))
+  }
+}
