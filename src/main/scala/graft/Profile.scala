@@ -15,10 +15,16 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val explain = sys.env.get("GRAFT_EXPLAIN").contains("1")
     args.tail.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[profile] $name%-24s ${(System.nanoTime()-t0)/1e9}%8.1f s  rows=$n")
+      if (explain) {
+        println(s"========== $name ==========")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      } else {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[profile] $name%-24s ${(System.nanoTime()-t0)/1e9}%8.1f s  rows=$n")
+      }
     }
     spark.stop()
   }

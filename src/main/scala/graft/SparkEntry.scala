@@ -405,6 +405,26 @@ object SparkEntry {
       .select(col("l_id"), col("r_id"))
   }
 
+  private def qIntervalJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsT(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts_t").as("l_t"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts_t").as("r_t"))
+    Temporal.intervalJoin(clicks, purchases, col("l_t"), col("r_t"),
+        0L, M10, col("l_user") === col("r_user"), "left")
+      .select(col("l_id"), col("r_id"))
+  }
+
+  private def qEmbedKnn(s: SparkSession, dir: String): DataFrame = {
+    // xpack pipeline: embed documents (partition-batched fake endpoint) → self-KNN
+    val emb = graft.operators.Embedders.embed(
+      docs(s, dir).select("doc_id", "text"), "text", dim = 32)
+    val q = emb.filter(col("doc_id") < 5)
+    Similarity.bruteForceKnn(q, col("doc_id"), col("embedding"),
+      emb, col("doc_id"), col("embedding"), k = 3)
+  }
+
   private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = eventsT(s, dir)
     val l = e.filter(col("event_type") === "purchase")
@@ -737,6 +757,8 @@ object SparkEntry {
     "window_session"  -> (qWindowSession _),
     "intervals_over"  -> (qIntervalsOver _),
     "interval_join"   -> (qIntervalJoin _),
+    "interval_join_left" -> (qIntervalJoinLeft _),
+    "embed_knn"       -> (qEmbedKnn _),
     "asof_backward"   -> (qAsofBackward _),
     "asof_forward"    -> (qAsofForward _),
     "asof_nearest"    -> (qAsofNearest _),
@@ -980,6 +1002,13 @@ object SparkEntry {
         |FROM e l JOIN e r ON l.user_id = r.user_id
         |  AND l.event_type = 'click' AND r.event_type = 'purchase'
         |  AND r.us BETWEEN l.us AND l.us + 600000000""".stripMargin,
+    "interval_join_left" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT event_id AS l_id, user_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS r_id, user_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT c.l_id, p.r_id
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.us BETWEEN c.us AND c.us + 600000000""".stripMargin,
     "asof_backward" ->
       """WITH l AS (SELECT event_id AS l_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |     r AS (SELECT event_id AS r_id, user_id, ts, value AS r_value FROM events

