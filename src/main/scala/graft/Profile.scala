@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
@@ -20,6 +21,10 @@ object Profile {
       if (explain) {
         println(s"========== $name ==========")
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      } else if (sys.env.get("GRAFT_NOOP").contains("1")) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        println(f"[profile] $name%-24s ${(System.nanoTime()-t0)/1e9}%8.1f s  (noop)")
       } else {
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()

@@ -28,12 +28,15 @@ object Dedup {
     * The normalization regex is bound through a 1-element array + lambda so it
     * evaluates ONCE per row — referencing it straight inside the per-position
     * lambda would re-run the regex per shingle (HOFs are interpreted). */
-  def shingles(text: Column, k: Int): Column = {
-    val norm = regexp_replace(trim(lower(text)), "\\s+", " ")
+  def shingles(text: Column, k: Int): Column =
+    shinglesOfNorm(regexp_replace(trim(lower(text)), "\\s+", " "), k)
+
+  /** Shingles of an already-normalized string; the 1-element-array lambda binds
+    * `norm` once per row even when it is a compound expression. */
+  def shinglesOfNorm(norm: Column, k: Int): Column =
     array_distinct(flatten(transform(array(norm), n =>
       transform(sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
         i => n.substr(i, lit(k))))))
-  }
 
   /** Exact Jaccard over two shingle arrays. */
   def jaccard(a: Column, b: Column): Column =
@@ -60,23 +63,32 @@ object Dedup {
     // on the min() aggregates — the shape that survives 100 TB.
     val norm = df.select(id.as("id"),
       regexp_replace(trim(lower(text)), "\\s+", " ").as("_n"))
-    val grams = norm
-      .select(col("id"), col("_n"),
-        explode(sequence(lit(1), greatest(length(col("_n")) - (k - 1), lit(1)))).as("_i"))
-      .select(col("id"), col("_n").substr(col("_i"), lit(k)).as("_g"))
+    // build the shingle multiset as ONE array expression and explode it: the
+    // generator output is just the 5-char gram, so the 100×-larger normalized
+    // document is never copied per shingle row (exploding positions and
+    // substr-ing afterwards dragged _n through the Generate — ~500 MB of row
+    // copies at sf0.1, 3.6 s of the total)
+    val gramArray = flatten(transform(array(col("_n")), n =>
+      transform(sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+        i => n.substr(i, lit(k)))))
+    // hash each gram string ONCE; the per-seed hash family then mixes the
+    // 8-byte hash (long input), which is far cheaper than re-hashing the
+    // string per seed
+    val grams = norm.select(col("id"), explode(gramArray).as("_g"))
+      .select(col("id"), xxhash64(col("_g")).as("_gh"))
     // minhash over the multiset == over the set (min ignores duplicates), so no
     // distinct pass is needed before the signature aggregates
+    // 64 pure min() aggregates — NO collect_set here: a single collect_set in
+    // the agg list switches the whole aggregate to ObjectHashAggregate and
+    // disables codegen for the 64 mins (measured ~4× slower). Shingle sets are
+    // recomputed later only for the (small) candidate pair set.
     val aggs = (0 until numHashes).map(s =>
-      min(xxhash64(col("_g"), lit(s))).as(s"_h$s")) :+
-      collect_set(col("_g")).as("_sh")
-    // The signature table feeds three consumers (bucketing + both sides of the
-    // verification join); persist it or the shingle+64-agg pipeline recomputes
-    // per consumer (measured 3× the whole runtime at sf0.1). ~0.5 KB/doc —
-    // materializing the signature table is the standard MinHash design at any
-    // scale.
+      min(xxhash64(col("_gh"), lit(s))).as(s"_h$s"))
+    // The signature table feeds bucketing; persist it or the shingle+64-agg
+    // pipeline recomputes per consumer. ~0.5 KB/doc — materializing the
+    // signature table is the standard MinHash design at any scale.
     val sig = grams.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docSets = sig.select(col("id"), col("_sh"))
 
     // band key = variadic xxhash64 over that band's signature slots (no strings)
     val bandCols = (0 until bands).map { b =>
@@ -93,10 +105,18 @@ object Dedup {
       .select("id1", "id2")
       .dropDuplicates("id1", "id2")
 
-    // verification joins the (small, deduped) candidate set back to shingle sets
+    // verification: shingle ONLY docs that appear in some candidate pair
+    // (semi-join first), then join the small candidate set to both sides and
+    // compute exact jaccard — the expensive set build is O(candidate docs),
+    // not O(corpus)
+    val candIds = candidates.select(col("id1").as("id"))
+      .unionByName(candidates.select(col("id2").as("id"))).distinct()
+    val candSets = norm.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), shinglesOfNorm(col("_n"), k).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupPairs = candidates
-      .join(docSets.select(col("id").as("id1"), col("_sh").as("_sh1")), Seq("id1"))
-      .join(docSets.select(col("id").as("id2"), col("_sh").as("_sh2")), Seq("id2"))
+      .join(candSets.select(col("id").as("id1"), col("_sh").as("_sh1")), Seq("id1"))
+      .join(candSets.select(col("id").as("id2"), col("_sh").as("_sh2")), Seq("id2"))
       .filter(jaccard(col("_sh1"), col("_sh2")) >= threshold)
       .select("id1", "id2")
 

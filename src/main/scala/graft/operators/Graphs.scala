@@ -23,12 +23,17 @@ object Graphs {
       .distinct()
     val vertices = sym.select(col("u").as("vertex")).distinct()
     val initial = vertices.select(col("vertex"), col("vertex").as("component"))
+    // labels only ever decrease and the vertex set is fixed, so Σ component is
+    // strictly decreasing until the fixpoint — a one-row aggregate per pass
+    // replaces the exceptAll multiset compare (2 extra shuffles per pass)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("component")).head.getLong(0)
     Iterate.fixpoint(initial, labels => {
       val viaNeighbor = sym.join(labels, sym("v") === labels("vertex"))
         .select(col("u").as("vertex"), col("component"))
       labels.unionByName(viaNeighbor)
         .groupBy("vertex").agg(min("component").as("component"))
-    }, maxIterations)
+    }, maxIterations, (prev, next) => labelSum(prev) == labelSum(next))
   }
 
   /** Single-source shortest paths (Bellman-Ford). Integer or decimal weights
@@ -38,12 +43,18 @@ object Graphs {
       maxIterations: Int = 50): DataFrame = {
     val e = edges.select(col(src).as("u"), col(dst).as("v"), col(weight).as("w"))
     val initial = e.sparkSession.range(1).select(lit(sourceId).as("vertex"), lit(0L).as("dist"))
+    // reached-count never decreases and per-vertex dist never increases, so the
+    // (count, Σdist) pair is a monotone fingerprint: unchanged ⇔ fixpoint
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("dist")).head
+      (r.getLong(0), r.getLong(1))
+    }
     Iterate.fixpoint(initial, dist => {
       val relaxed = e.join(dist, e("u") === dist("vertex"))
         .select(col("v").as("vertex"), (col("dist") + col("w")).as("dist"))
       dist.unionByName(relaxed)
         .groupBy("vertex").agg(min("dist").as("dist"))
-    }, maxIterations)
+    }, maxIterations, (prev, next) => fp(prev) == fp(next))
   }
 
   /** PageRank with `iters` fixed passes, damping dampNum/dampDen. Ranks are

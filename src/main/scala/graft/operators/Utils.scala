@@ -45,6 +45,35 @@ object Utils {
         col("_v").as("majority_value") :+ col("_n").as("majority_count"): _*)
   }
 
+  /** Skew-salted aggregation: two-phase groupBy for hot keys. Phase 1 groups on
+    * (key, salt) — the hot key's rows spread over `salts` partitions and
+    * partially aggregate; phase 2 merges the per-salt partials. Use for any
+    * algebraic aggregate (sum/count/min/max) when one key dominates; AQE's
+    * skew handling covers joins, but aggregation skew needs the salt. */
+  def saltedAgg(df: DataFrame, key: Column, salts: Int,
+      partial: Column => Column, merge: Column => Column, valueCol: Column,
+      outName: String): DataFrame = {
+    val salted = df.groupBy(key.as("_k"), (monotonically_increasing_id() % salts).as("_salt"))
+      .agg(partial(valueCol).as("_partial"))
+    salted.groupBy(col("_k")).agg(merge(col("_partial")).as(outName))
+      .withColumnRenamed("_k", key.toString)
+  }
+
+  /** Skew-salted join: replicate the small side `salts`× with an explicit salt
+    * column, scatter the big side's hot keys across salts. Equivalent results
+    * to a plain equi-join, but the hot key's rows land on `salts` reducers
+    * instead of one. (AQE skew-join splitting usually suffices — this is the
+    * explicit fallback for engines/configs without it, and for deterministic
+    * partition sizing at very large scale.) */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: Column, smallKey: Column,
+      salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val saltedSmall = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall,
+        bigKey === smallKey && saltedBig("_salt") === saltedSmall("_salt"))
+      .drop("_salt")
+  }
+
   /** gradual_broadcast (batch form): attach a small aggregated scalar table to
     * every row via broadcast join — the reference's tolerance-band machinery
     * exists to avoid recomputation churn in streaming; in micro-batch the

@@ -56,6 +56,21 @@ class IterateSpec extends AnyFunSuite {
     assert(un.select("_1", "_2").as[(String, String)].head == ("b1", "t1"))
   }
 
+  test("saltedAgg and saltedJoin match their unsalted equivalents") {
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toLong))
+      .toDF("k", "v")
+    val agg = Utils.saltedAgg(big, col("k"), 8, sum, sum, col("v"), "total")
+    val expectAgg = big.groupBy("k").agg(sum("v").as("total"))
+      .as[(String, Long)].collect().toMap
+    assert(agg.as[(String, Long)].collect().toMap == expectAgg)
+
+    val small = Seq(("hot", "H"), ("k1", "A")).toDF("sk", "tag")
+    val j = Utils.saltedJoin(big, small, col("k"), col("sk"), 4)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(j == Map("hot" -> 100L, "k1" -> 1L))
+  }
+
   test("udfs: apply1 wraps a typed scalar function; cached memoizes") {
     val double = Udfs.apply1[java.lang.Long, Long](x => x * 2)
     val out = Seq(1L, 2L).toDF("x").select(double(col("x")).as("y")).as[Long].collect()
