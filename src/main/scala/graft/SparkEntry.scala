@@ -155,6 +155,27 @@ object SparkEntry {
       .select("c_custkey" -> col("c_custkey"), "c_mktsegment" -> col("c_mktsegment")).toDf
   }
 
+  private def qConcatReindex(s: SparkSession, dir: String): DataFrame = {
+    // same source twice: concat would collide on ids; concat_reindex re-keys.
+    // Observable = row multiset (ids are engine-internal): every order twice.
+    val o = Tables.orders(s, dir)
+    o.concatReindex(o)
+      .select("o_orderkey" -> col("o_orderkey"), "o_totalprice" -> col("o_totalprice")).toDf
+  }
+
+  private def qRestrict(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    c.restrict(c.filter(col("c_mktsegment") === "BUILDING"))
+      .select("c_custkey" -> col("c_custkey"), "c_mktsegment" -> col("c_mktsegment")).toDf
+  }
+
+  private def qWithUniverseOf(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val slim = c.select("c_custkey" -> col("c_custkey"), "c_acctbal" -> col("c_acctbal"))
+    slim.withUniverseOf(c.filter(col("c_nationkey") < 5))
+      .select("c_custkey" -> col("c_custkey"), "c_acctbal" -> col("c_acctbal")).toDf
+  }
+
   private def qFlatten(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir)
       .withColumns("tok" -> col("p_type").str.splitBy(" "))
@@ -729,6 +750,9 @@ object SparkEntry {
     "difference"      -> (qDifference _),
     "intersect"       -> (qIntersect _),
     "concat"          -> (qConcat _),
+    "concat_reindex"  -> (qConcatReindex _),
+    "restrict"        -> (qRestrict _),
+    "with_universe_of" -> (qWithUniverseOf _),
     "update_cells"    -> (qUpdateCells _),
     "update_rows"     -> (qUpdateRows _),
     "flatten"         -> (qFlatten _),
@@ -848,6 +872,14 @@ object SparkEntry {
     "concat" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice > 200000.0 OR o_totalprice < 20000.0""".stripMargin,
+    "concat_reindex" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |UNION ALL SELECT o_orderkey, o_totalprice FROM orders""".stripMargin,
+    "restrict" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "with_universe_of" ->
+      """SELECT c_custkey, c_acctbal FROM customer WHERE c_nationkey < 5""".stripMargin,
     "update_cells" ->
       """SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS c_acctbal
         |FROM customer""".stripMargin,

