@@ -584,6 +584,13 @@ object SparkEntry {
       e, col("vec_id"), col("embedding"), k = 5, dim = 64)
   }
 
+  private def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf
+    val q = e.filter(col("vec_id") < 10)
+    Similarity.ivfKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5, nCells = 16, nProbe = 4)
+  }
+
   private def qRrfFusion(s: SparkSession, dir: String): DataFrame =
     Similarity.rrfFusion(Seq(qKnnBrute(s, dir), qKnnLsh(s, dir)), k0 = 60, topK = 5)
 
@@ -800,6 +807,7 @@ object SparkEntry {
     "embedding_cosine_pairs" -> (qEmbCosinePairs _),
     "knn_brute_force" -> (qKnnBrute _),
     "knn_lsh"         -> (qKnnLsh _),
+    "knn_ivf"         -> (qKnnIvf _),
     "rrf_fusion"      -> (qRrfFusion _),
     "bm25_per_term"   -> (qBm25 _),
     "fuzzy_join"      -> (qFuzzyJoin _),

@@ -82,6 +82,45 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("score"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-flat ANN (the classic inverted-file index, e.g. FAISS IVF): partition
+    * the corpus into `nCells` Voronoi cells, probe the `nProbe` nearest cells
+    * per query, exact cosine only within probed cells.
+    *
+    * Centroids are the lowest-id corpus vectors (deterministic seeding — at
+    * scale substitute a k-means|| fit; the index structure and query path stay
+    * identical). Every step is a broadcast join + aggregation: the corpus is
+    * scanned once to assign cells and once per query batch via the
+    * (cell, corpus) equi-join — no cross join of corpus × queries. */
+  def ivfKnn(queries: DataFrame, qId: Column, qVec: Column,
+      corpus: DataFrame, cId: Column, cVec: Column,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(cId.as("nn_id"), cVec.as("_cv"))
+    val centroids = c.orderBy(col("nn_id")).limit(nCells)
+      .select(col("nn_id").as("_cell"), col("_cv").as("_centroid"))
+    // cell assignment: nearest centroid by cosine (broadcast nCells rows)
+    val assigned = c.join(broadcast(centroids), lit(true))
+      .withColumn("_sim", cosine(col("_cv"), col("_centroid")))
+      .groupBy(col("nn_id")).agg(
+        max_by(col("_cell"), struct(col("_sim"), -col("_cell"))).as("_cell"),
+        first(col("_cv")).as("_cv"))
+    val q = queries.select(qId.as("query_id"), qVec.as("_qv"))
+    val qCells = q.join(broadcast(centroids), lit(true))
+      .withColumn("_sim", cosine(col("_qv"), col("_centroid")))
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_sim").desc, col("_cell"))
+    val probed = qCells.withColumn("_pr", row_number().over(probeW))
+      .filter(col("_pr") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("_cell"))
+    val scored = probed.join(assigned, Seq("_cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .withColumn("score", cosine(col("_qv"), col("_cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
   /** Embedding near-dup pairs via one shared LSH table (dedup-by-cosine):
     * verified exact cosine ≥ threshold. */
   def embeddingDupPairs(df: DataFrame, id: Column, vec: Column,

@@ -132,6 +132,42 @@ object StreamOps {
     df.groupBy(instance: _*).agg(folded.as("accepted"))
   }
 
+  // ── buffer (reorder/delay) ─────────────────────────────────────────────────
+
+  /** `buffer` (reference table.py:921, engine dataflow.rs:4154): hold rows
+    * until the watermark passes their event time + delay, then release them in
+    * event-time order — turning an out-of-order stream into an in-order one at
+    * the cost of `delay` latency.
+    *
+    * flatMapGroupsWithState kernel with event-time timeout: rows accumulate in
+    * per-key state; each timeout releases everything older than the current
+    * watermark, sorted. Use as
+    * `ds.groupByKey(key).flatMapGroupsWithState(Append, EventTimeTimeout)(
+    *    bufferKernel[K, V](getEventTimeMs))` on a watermarked Dataset.
+    */
+  def bufferKernel[K, V](eventTimeMs: V => Long): (K, Iterator[V], GroupState[List[V]]) => Iterator[V] =
+    (key: K, rows: Iterator[V], state: GroupState[List[V]]) => {
+      if (state.hasTimedOut) {
+        val wm = state.getCurrentWatermarkMs()
+        val (ripe, hold) = state.getOption.getOrElse(Nil).partition(eventTimeMs(_) <= wm)
+        if (hold.isEmpty) state.remove() else {
+          state.update(hold)
+          state.setTimeoutTimestamp(hold.map(eventTimeMs).min + 1)
+        }
+        ripe.sortBy(eventTimeMs).iterator
+      } else {
+        val buf = state.getOption.getOrElse(Nil) ++ rows
+        state.update(buf)
+        // wake as soon as the watermark can next release something
+        state.setTimeoutTimestamp(buf.map(eventTimeMs).min + 1)
+        Iterator.empty
+      }
+    }
+
+  /** Batch equivalent of buffer: a total event-time sort (batch mode sees the
+    * whole stream, so "wait until threshold then emit in order" = sort). */
+  def bufferBatch(df: DataFrame, ts: Column): DataFrame = df.orderBy(ts)
+
   // ── sinks ──────────────────────────────────────────────────────────────────
 
   /** subscribe(on_change) — reference io/_subscribe.py:17: per-microbatch

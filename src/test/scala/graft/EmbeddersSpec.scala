@@ -20,6 +20,17 @@ class EmbeddersSpec extends AnyFunSuite {
     assert(math.abs(norm - 1.0) < 1e-5)   // unit-normalized
   }
 
+  test("ivfKnn finds the exact duplicate within probed cells") {
+    val vecs = (0L until 40L).map { i =>
+      (i, Seq.tabulate(8)(d => ((i * 7 + d * 3) % 11).toFloat / 11f))
+    }
+    val df = (vecs :+ (100L, vecs(5)._2)).toDF("id", "v") // 100 duplicates vec 5
+    val knn = Similarity.ivfKnn(df.filter(col("id") === 100L), col("id"), col("v"),
+      df, col("id"), col("v"), k = 3, nCells = 8, nProbe = 3)
+    val top = knn.orderBy("rank").select("nn_id").as[Long].collect()
+    assert(top.head == 5L) // its own duplicate ranks first
+  }
+
   test("embed + bruteForceKnn ranks identical text first") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "delta epsilon zeta"), (4L, "alpha beta delta")).toDF("id", "text")

@@ -154,6 +154,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(sess.select("_sid").distinct().count() == 1) // all timestamps 1s apart merge
   }
 
+  test("buffer releases rows in event-time order once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val buffered = input.toDS()
+      .withWatermark("_1", "5 minutes")
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        StreamOps.bufferKernel[Int, (java.sql.Timestamp, String)](_._1.getTime))
+    val q = buffered.toDF("t", "v").writeStream.format("memory").queryName("buf_out")
+      .outputMode("append").start()
+    // out-of-order arrivals within one batch
+    input.addData((ts("2024-01-01 00:03:00"), "c"), (ts("2024-01-01 00:01:00"), "a"),
+      (ts("2024-01-01 00:02:00"), "b"))
+    q.processAllAvailable()
+    assert(spark.table("buf_out").count() == 0) // still held (watermark behind)
+    input.addData((ts("2024-01-01 00:30:00"), "z")) // watermark → 00:25
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:31:00"), "z2")) // extra batch fires the timeout
+    q.processAllAvailable()
+    val out = spark.table("buf_out").select("v").as[String].collect().toSeq
+    assert(out.take(3) == Seq("a", "b", "c")) // released IN EVENT-TIME ORDER
+    q.stop()
+  }
+
   test("ignoreLateBatch keeps only rows within cutoff of max event time") {
     val df = Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 05:00:00"),
       ts("2024-01-01 06:30:00")).toDF("t")
