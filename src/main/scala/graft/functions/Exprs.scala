@@ -113,6 +113,12 @@ object Exprs {
     def timestampMs: Column = unix_millis(c.cast("timestamp_ltz"))
     def timestampUs: Column = unix_micros(c.cast("timestamp_ltz"))
     def strftime(fmt: String): Column = date_format(c, fmt)
+    /** dt.strptime (date_time.py strptime): parse a string column. */
+    def strptime(fmt: String): Column = to_timestamp(c, fmt).cast("timestamp_ntz")
+    /** dt.from_timestamp(unit): epoch number → timestamp (date_time.py from_timestamp). */
+    def fromTimestampSec: Column = timestamp_seconds(c).cast("timestamp_ntz")
+    def fromTimestampMs: Column = timestamp_millis(c.cast("long")).cast("timestamp_ntz")
+    def fromTimestampUs: Column = timestamp_micros(c.cast("long")).cast("timestamp_ntz")
     def floorTo(unit: String): Column = date_trunc(unit, c).cast("timestamp_ntz")
     /** true round-to-duration (reference dt.round, date_time.py): duration in ns.
       * Integer µs arithmetic throughout — double math would lose precision on
