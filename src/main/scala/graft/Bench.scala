@@ -36,6 +36,9 @@ object Bench {
             spark.sparkContext.cancelJobGroup(s"bench-$name"); -1.0
           case _: Throwable => -1.0
         }
+      // queries are independent; drop their persisted intermediates so earlier
+      // queries' caches don't distort later timings
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -44,6 +44,7 @@ object Verify {
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getCause}")
       }
+      spark.catalog.clearCache() // per-query persisted intermediates
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
