@@ -71,6 +71,22 @@ class ConnectorsSpec extends AnyFunSuite {
       (2L, "x", -1, 300L))) // delete retracts before-image
   }
 
+  test("streaming wordcount maintains live counts across file arrivals (update mode)") {
+    val dir = tmpDir() + "/wc"
+    new java.io.File(dir).mkdirs()
+    Files.writeString(java.nio.file.Path.of(dir, "0.txt"), "a b a\n")
+    val lines = Connectors.plaintext(spark, dir, mode = Connectors.Streaming)
+    val q = graft.examples.WordCount.counts(lines)
+      .writeStream.outputMode("complete").format("memory").queryName("wc_out").start()
+    q.processAllAvailable()
+    assert(spark.table("wc_out").as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 1L))
+    Files.writeString(java.nio.file.Path.of(dir, "1.txt"), "b c\n")
+    q.processAllAvailable()
+    assert(spark.table("wc_out").as[(String, Long)].collect().toMap ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 1L)) // counts updated incrementally
+    q.stop()
+  }
+
   test("rate demo stream produces increasing values") {
     val df = graft.streaming.StreamOps.rateStream(spark, 10)
     assert(df.isStreaming && df.columns.contains("value"))
