@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.debug.Debug
+
+/** Markdown fixture helper (FIXTURES.md §1): the reference's
+  * table_from_markdown / assert_table_equality testing style. */
+class DebugSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("tableFromMarkdown infers types, nulls, and the id key column") {
+    val t = Debug.tableFromMarkdown(spark,
+      """| id | age | owner | score | active |
+        || 1  | 10  | Alice | 1.5   | true   |
+        || 2  | 9   | Bob   | None  | false  |
+        || 3  | 8   | Alice | 2.25  | true   |""".stripMargin)
+    val df = t.toDf
+    assert(df.schema("age").dataType.typeName == "long")
+    assert(df.schema("score").dataType.typeName == "double")
+    assert(df.schema("active").dataType.typeName == "boolean")
+    assert(df.filter(col("score").isNull).count() == 1)
+    // id-keyed: filter then set-op behaves on row identity
+    val adults = t.filter(col("age") >= 9)
+    assert(t.difference(adults).toDf.select("owner").as[String].collect().toSeq == Seq("Alice"))
+  }
+
+  test("tablesEqual is order-independent multiset equality") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    val b = Seq((2L, "y"), (1L, "x")).toDF("k", "v")
+    val c = Seq((1L, "x"), (1L, "x")).toDF("k", "v")
+    assert(Debug.tablesEqual(a, b))
+    assert(!Debug.tablesEqual(a, c))
+  }
+
+  test("operator semantics pinned with markdown fixtures (groupby+reduce)") {
+    val t = Debug.tableFromMarkdown(spark,
+      """| owner | pet |
+        || Alice | dog |
+        || Bob   | dog |
+        || Alice | cat |""".stripMargin)
+    val got = t.groupbyCols("owner").reduce("n" -> count(lit(1))).toDf
+    val want = Seq(("Alice", 2L), ("Bob", 1L)).toDF("owner", "n")
+    assert(Debug.tablesEqual(got, want))
+  }
+}
