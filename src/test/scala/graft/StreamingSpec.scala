@@ -178,6 +178,27 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("persistence: aggregation state survives a stop/restart via checkpoint (reference persistence/)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val inDir = base + "/in"; val ckpt = base + "/ckpt"
+    new java.io.File(inDir).mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "0.txt"), "a\nb\na\n")
+    def startQuery() = graft.examples.WordCount.counts(
+        graft.sources.Connectors.plaintext(spark, inDir, mode = graft.sources.Connectors.Streaming))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ckpt_out").option("checkpointLocation", ckpt).start()
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    assert(spark.table("ckpt_out").as[(String, Long)].collect().toMap == Map("a" -> 2L, "b" -> 1L))
+    q1.stop() // simulate failure/shutdown
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "1.txt"), "a\nc\n")
+    val q2 = startQuery() // replays from checkpointed offsets + state
+    q2.processAllAvailable()
+    assert(spark.table("ckpt_out").as[(String, Long)].collect().toMap ==
+      Map("a" -> 3L, "b" -> 1L, "c" -> 1L)) // old state recovered, only new file processed
+    q2.stop()
+  }
+
   test("ignoreLateBatch keeps only rows within cutoff of max event time") {
     val df = Seq(ts("2024-01-01 00:00:00"), ts("2024-01-01 05:00:00"),
       ts("2024-01-01 06:30:00")).toDF("t")
