@@ -103,6 +103,28 @@ object Temporal {
     (us - pmod(us, lit(widthNs / 1000L))).cast("long")
   }
 
+  /** Key-less interval join via time-bucket equi-join: each left row is
+    * replicated into the buckets its window [lt+lo, lt+hi] can touch
+    * (⌈(hi−lo)/width⌉+1 of width hi−lo), the right side is bucketed once, and
+    * the pair condition is re-checked exactly. Shuffles on the bucket instead
+    * of cross-joining — the reference's bucketing scheme
+    * (_interval_join.py:287) expressed as explode + equi-join. */
+  def intervalJoinKeyless(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
+      loNs: Long, hiNs: Long): DataFrame = {
+    val widthNs = math.max(hiNs - loNs, 1000L)
+    val widthUs = widthNs / 1000L
+    val lLoUs = usOf(lt) + lit(loNs / 1000L)
+    val lB = l.withColumn("_bucket",
+      explode(sequence(
+        (lLoUs - pmod(lLoUs, lit(widthUs))).cast("long"),
+        usOf(lt) + lit(hiNs / 1000L), lit(widthUs))))
+    val rB = r.withColumn("_bucket", bucketCol(rt, widthNs))
+    lB.join(rB, Seq("_bucket"))
+      .filter(usOf(rt) >= usOf(lt) + lit(loNs / 1000L) &&
+        usOf(rt) <= usOf(lt) + lit(hiNs / 1000L))
+      .drop("_bucket")
+  }
+
   // ─────────────────────── asof_join (_asof_join.py:481) ───────────────────────
 
   /** Distributed as-of join: for each left row, the latest (direction=backward) /

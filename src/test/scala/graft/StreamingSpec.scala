@@ -178,6 +178,21 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("keyless interval join via buckets matches the naive cross-join result") {
+    import graft.operators.Temporal
+    val l = (0L until 50L).map(i => (i, ts(f"2024-01-01 00:${i % 60}%02d:00")))
+      .toDF("l_id", "lt")
+    val r = (0L until 50L).map(i => (i + 1000, ts(f"2024-01-01 00:${(i * 7 % 60)}%02d:30")))
+      .toDF("r_id", "rt")
+    val lo = 0L; val hi = 5L * 60 * 1000000000L // [0, +5 min]
+    val bucketed = Temporal.intervalJoinKeyless(l, r, col("lt"), col("rt"), lo, hi)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val naive = l.crossJoin(r)
+      .filter(col("rt") >= col("lt") && col("rt") <= col("lt") + expr("INTERVAL 5 MINUTES"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive && naive.nonEmpty)
+  }
+
   test("persistence: aggregation state survives a stop/restart via checkpoint (reference persistence/)") {
     val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val inDir = base + "/in"; val ckpt = base + "/ckpt"
