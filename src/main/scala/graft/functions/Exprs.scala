@@ -32,6 +32,13 @@ object Exprs {
 
   // ── containers (expression.rs:124-125, common.py:361) ──────────────────────
   def makeTuple(cols: Column*): Column = struct(cols: _*)
+
+  /** MatMul (`@`) for 1-D numeric arrays: the dot product as a codegen-free but
+    * attribute-bound HOF fold (expression.rs:134 MatMul; ndarray case limited
+    * to vectors — 2-D matmul stays out of expression space at scale). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
   /** checked get → null on missing (GetExpression, expression.py:1090). */
   def tryGet(c: Column, i: Column): Column = try_element_at(c, i)
   def get(c: Column, i: Column): Column = element_at(c, i)
