@@ -57,6 +57,29 @@ object Graphs {
     }, maxIterations, (prev, next) => fp(prev) == fp(next))
   }
 
+  /** Community detection via synchronous label propagation — the scalable
+    * stand-in for the reference's Louvain (stdlib/graphs/louvain_communities;
+    * true Louvain's sequential modularity sweeps don't parallelize cleanly).
+    * Each pass every vertex adopts the most frequent label among its
+    * neighbors (ties → smallest label, deterministic); `iters` fixed passes. */
+  def labelPropagation(edges: DataFrame, iters: Int = 5,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
+      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+      .distinct()
+    val vertices = sym.select(col("u").as("vertex")).distinct()
+    val initial = vertices.select(col("vertex"), col("vertex").as("label"))
+    Iterate.nTimes(initial, labels => {
+      val neighborLabels = sym.join(labels, sym("v") === labels("vertex"))
+        .select(col("u").as("vertex"), col("label"))
+      val counted = neighborLabels.groupBy("vertex", "label").agg(count(lit(1)).as("_n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vertex")).orderBy(col("_n").desc, col("label").asc)
+      counted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("vertex"), col("label"))
+    }, iters)
+  }
+
   /** PageRank with `iters` fixed passes, damping dampNum/dampDen. Ranks are
     * 64-bit FIXED-POINT integers (units of 1/scale): every operation is exact
     * integer arithmetic (floor div), so results are bit-identical across

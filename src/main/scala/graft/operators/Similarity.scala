@@ -60,9 +60,14 @@ object Similarity {
   /** LSH-bucketed ANN: candidates = corpus rows sharing ≥1 (table, bucket) with
     * the query, ranked by exact cosine. Trades recall for a corpus-side
     * equi-join; raise nTables for recall, nPlanes for precision. */
+  /** Defaults tuned on weakly-clustered (near-gaussian) embeddings: SRP
+    * collision prob per table is (1−θ/π)^nPlanes, so for neighbor angles
+    * around 60–70° 12 planes ⇒ ~1% recall (measured); 6 planes × 12 tables
+    * ⇒ ~40–60% recall at ~15–20% of the corpus as candidates. Real clustered
+    * embeddings (smaller θ) can raise nPlanes for sharper buckets. */
   def lshKnn(queries: DataFrame, qId: Column, qVec: Column,
       corpus: DataFrame, cId: Column, cVec: Column,
-      k: Int, dim: Int, nPlanes: Int = 12, nTables: Int = 6): DataFrame = {
+      k: Int, dim: Int, nPlanes: Int = 6, nTables: Int = 12): DataFrame = {
     def withBuckets(df: DataFrame, id: Column, vec: Column, idName: String): DataFrame = {
       val buckets = (0 until nTables).map(t => srpBucket(vec, t, nPlanes, dim))
       df.select(id.as(idName), vec.as(s"_v_$idName"),

@@ -40,6 +40,34 @@ class IterateSpec extends AnyFunSuite {
     assert(r(1L) == r(2L) && r(1L) > 400000000000L) // each ≈ 0.5 in 1e-12 units
   }
 
+  test("labelPropagation separates two dense cliques joined by one edge") {
+    val clique1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val clique2 = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val edges = (clique1 ++ clique2 :+ (4L, 11L)).toDF("src", "dst")
+    val labels = Graphs.labelPropagation(edges, iters = 5).as[(Long, Long)].collect().toMap
+    val c1 = (1L to 4L).map(labels).toSet
+    val c2 = (11L to 14L).map(labels).toSet
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2) // two communities, internally agreed
+  }
+
+  test("ANN recall: lshKnn and ivfKnn recover most of brute-force top-k") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val exact = topSet(Similarity.bruteForceKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 10))
+    val lsh = topSet(Similarity.lshKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 10, dim = 64))
+    val ivf = topSet(Similarity.ivfKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 10, nCells = 8, nProbe = 4))
+    val lshRecall = (lsh & exact).size.toDouble / exact.size
+    val ivfRecall = (ivf & exact).size.toDouble / exact.size
+    assert(lshRecall > 0.2, s"lsh recall $lshRecall")  // approximate, but far above random
+    assert(ivfRecall > 0.3, s"ivf recall $ivfRecall")  // (random ≈ k/N = 10/1000)
+  }
+
   test("utils: argmaxRows / majority / unpackCol") {
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("b", 4L, 5.0))
       .toDF("g", "id", "v")
