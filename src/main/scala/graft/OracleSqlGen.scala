@@ -1,0 +1,183 @@
+package graft
+
+import graft.functions.CrossHash
+import graft.functions.CrossHash._
+import graft.operators.Similarity
+
+/** Machine-generated DuckDB oracle SQL for the hash-family queries
+  * (MinHash-LSH, SimHash, SRP-LSH KNN, IVF KNN, RRF fusion, embed-KNN).
+  *
+  * These pipelines are deterministic end-to-end once token/gram hashing uses
+  * the CrossHash md5 family, but their transcription needs per-seed constants,
+  * per-table hyperplane literals, and N-way band joins — so the SQL is built
+  * programmatically from the SAME constants the Spark operators embed
+  * (CrossHash.mixers, Similarity.srpPlanes). Floating-point folds use the
+  * DuckDB `list_reduce(list_transform(...))` left-to-right idiom, proven
+  * bit-exact against Spark's `aggregate` fold by the green knn_brute_force /
+  * embedding_cosine_pairs oracles.
+  */
+object OracleSqlGen {
+
+  /** plantedDocs twin (SparkEntry.plantedDocs): originals + near-dup copies. */
+  private val planted =
+    """u AS (SELECT doc_id, text FROM documents
+      |     UNION ALL SELECT doc_id + 20000, text || ' extra' FROM documents WHERE doc_id < 50)""".stripMargin
+
+  /** Deterministic cosine between two DOUBLE-castable list columns, matching
+    * Similarity.cosine's left-to-right folds. */
+  private def cos(a: String, b: String, dim: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1, $dim), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)"
+    s"(${dot(a, b)} / (SQRT(${dot(a, a)}) * SQRT(${dot(b, b)})))"
+  }
+
+  /** Dedup.minhashLsh(plantedDocs, k=5, numHashes=32, bands=8, threshold=0.7). */
+  def dedupMinhashLsh(k: Int, numHashes: Int, bands: Int, threshold: Double): String = {
+    val rpb = numHashes / bands
+    val shingle =
+      s"list_transform(generate_series(1, GREATEST(length(nrm) - ${k - 1}, 1)), i -> substr(nrm, i, $k))"
+    val mins = (0 until numHashes).map(s => s"MIN(${duckMix("gu", s)}) AS h$s").mkString(", ")
+    val bandJoins = (0 until bands).map { b =>
+      val conds = (b * rpb until (b + 1) * rpb).map(s => s"l.h$s = r.h$s").mkString(" AND ")
+      s"SELECT l.id AS id1, r.id AS id2 FROM sig l JOIN sig r ON $conds AND l.id < r.id"
+    }.mkString("\n  UNION\n  ")
+    val inter = "len(list_intersect(a.sh, b.sh))"
+    val est = (0 until numHashes)
+      .map(s => s"(CASE WHEN sl.h$s = sr.h$s THEN 1 ELSE 0 END)").mkString(" + ")
+    val estMin = math.max(0.0, threshold - 0.15)
+    s"""WITH $planted,
+n AS (SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm FROM u),
+g AS (SELECT id, UNNEST($shingle) AS gram FROM n),
+gu AS (SELECT id, ${duckU64("gram")} AS gu FROM g),
+sig AS (SELECT id, $mins FROM gu GROUP BY id),
+cand AS ($bandJoins),
+pref AS (SELECT id1, id2 FROM cand JOIN sig sl ON sl.id = cand.id1 JOIN sig sr ON sr.id = cand.id2
+  WHERE CAST($est AS DOUBLE) / $numHashes >= $estMin),
+sh AS (SELECT id, list_distinct($shingle) AS sh FROM n),
+dup AS (SELECT id1, id2 FROM pref JOIN sh a ON a.id = pref.id1 JOIN sh b ON b.id = pref.id2
+  WHERE CAST($inter AS DOUBLE) / CAST(len(a.sh) + len(b.sh) - $inter AS DOUBLE) >= $threshold),
+nb AS (SELECT id, MIN(nbr) AS mn FROM
+  (SELECT id1 AS id, id2 AS nbr FROM dup UNION ALL SELECT id2, id1 FROM dup) GROUP BY id)
+SELECT n.id AS id, LEAST(COALESCE(nb.mn, n.id), n.id) AS rep_id,
+  LEAST(COALESCE(nb.mn, n.id), n.id) <> n.id AS is_dup
+FROM n LEFT JOIN nb ON nb.id = n.id"""
+  }
+
+  /** Dedup.simhashPairs(plantedDocs, maxDist=3, bands=4). */
+  def dedupSimhash(maxDist: Int, bands: Int): String = {
+    val width = 64 / bands
+    val sums = (0 until 64)
+      .map(i => s"SUM(CASE WHEN ${duckBit("hu", i)} = 1 THEN 1 ELSE -1 END) AS c$i")
+      .mkString(", ")
+    val packed = (0 until 64)
+      .map(i => s"(CASE WHEN c$i > 0 THEN ${BigInt(1) << (63 - i)}::HUGEINT ELSE 0::HUGEINT END)")
+      .mkString(" + ")
+    val bandConds = (0 until bands).map { b =>
+      val p = BigInt(1) << (b * width)
+      s"(a.us // $p) % ${1L << width} = (b.us // $p) % ${1L << width}"
+    }.mkString(" OR ")
+    val ham = (0 until 64)
+      .map(i => s"(CASE WHEN ${duckBit("ua", i)} <> ${duckBit("ub", i)} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $planted,
+tk AS (SELECT doc_id AS id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS t FROM u),
+hu AS (SELECT id, ${duckU64("t")} AS hu FROM tk),
+c AS (SELECT id, $sums FROM hu GROUP BY id),
+s AS (SELECT id, ($packed) AS us FROM c),
+cand AS (SELECT a.id AS id1, b.id AS id2, a.us AS ua, b.us AS ub
+  FROM s a JOIN s b ON a.id < b.id AND ($bandConds)),
+h AS (SELECT id1, id2, ($ham) AS hamming FROM cand)
+SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming FROM h WHERE hamming <= $maxDist"""
+  }
+
+  /** One SRP table's bucket bitstring for list column `v` (matches
+    * Similarity.srpBucket: sign of the per-plane Rademacher projection). */
+  private def srpBucketSql(v: String, table: Int, nPlanes: Int, dim: Int): String =
+    Similarity.srpPlanes(table, nPlanes, dim).map { plane =>
+      val lits = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+      val proj = s"list_reduce(list_transform(generate_series(1, $dim), " +
+        s"i -> CAST($v[i] AS DOUBLE) * (([$lits])::DOUBLE[])[i]), (p, q) -> p + q)"
+      s"(CASE WHEN $proj > 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  /** CTEs shared by knnLsh and rrfFusion: SRP-bucketed candidates + scores. */
+  private def lshScoreCtes(k: Int, dim: Int, nPlanes: Int, nTables: Int): String = {
+    def buckets(src: String, idCol: String, v: String) = (0 until nTables).map { t =>
+      s"SELECT $idCol, $t AS tbl, ${srpBucketSql(v, t, nPlanes, dim)} AS bkt FROM $src"
+    }.mkString("\n  UNION ALL ")
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings),
+qb AS (${buckets("q", "query_id", "qv")}),
+cb AS (${buckets("c", "nn_id", "cv")}),
+lcand AS (SELECT DISTINCT query_id, nn_id FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bkt = cb.bkt
+  AND query_id <> nn_id),
+lsc AS (SELECT query_id, nn_id, ${cos("qv", "cv", dim)} AS score
+  FROM lcand JOIN q USING (query_id) JOIN c USING (nn_id)),
+lr AS (SELECT query_id, nn_id, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM lsc)"""
+  }
+
+  /** Similarity.lshKnn on embeddings, queries vec_id<10, k=5. */
+  def knnLsh(k: Int, dim: Int, nPlanes: Int, nTables: Int): String =
+    s"""WITH ${lshScoreCtes(k, dim, nPlanes, nTables)}
+SELECT query_id, nn_id, score, rank FROM lr WHERE rank <= $k"""
+
+  /** Similarity.ivfKnn on embeddings, queries vec_id<10. */
+  def knnIvf(k: Int, dim: Int, nCells: Int, nProbe: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings),
+cent AS (SELECT nn_id AS cell, cv AS centroid FROM c ORDER BY nn_id LIMIT $nCells),
+asg AS (SELECT nn_id, cell FROM (
+  SELECT c.nn_id, cent.cell, ROW_NUMBER() OVER (PARTITION BY c.nn_id
+    ORDER BY ${cos("cv", "centroid", dim)} DESC, cent.cell ASC) AS rn
+  FROM c CROSS JOIN cent) WHERE rn = 1),
+probe AS (SELECT query_id, cell FROM (
+  SELECT q.query_id, cent.cell, ROW_NUMBER() OVER (PARTITION BY q.query_id
+    ORDER BY ${cos("qv", "centroid", dim)} DESC, cent.cell ASC) AS rn
+  FROM q CROSS JOIN cent) WHERE rn <= $nProbe),
+sc AS (SELECT query_id, nn_id, ${cos("qv", "cv", dim)} AS score
+  FROM probe JOIN asg USING (cell) JOIN q USING (query_id) JOIN c USING (nn_id)
+  WHERE query_id <> nn_id),
+r AS (SELECT query_id, nn_id, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM sc)
+SELECT query_id, nn_id, score, rank FROM r WHERE rank <= $k"""
+
+  /** Similarity.rrfFusion(brute-force k=5, SRP-LSH k=5), k0=60, topK=5. */
+  def rrfFusion(k: Int, dim: Int, nPlanes: Int, nTables: Int, k0: Int, topK: Int): String =
+    s"""WITH ${lshScoreCtes(k, dim, nPlanes, nTables)},
+bsc AS (SELECT query_id, nn_id, ${cos("qv", "cv", dim)} AS score
+  FROM q JOIN c ON query_id <> nn_id),
+br AS (SELECT query_id, nn_id,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM bsc),
+uni AS (SELECT query_id, nn_id, rank FROM br WHERE rank <= $k
+  UNION ALL SELECT query_id, nn_id, rank FROM lr WHERE rank <= $k),
+f AS (SELECT query_id, nn_id, SUM(1.0 / ($k0 + rank)) AS rrf_score FROM uni GROUP BY 1, 2)
+SELECT query_id, nn_id, rrf_score, rank FROM (
+  SELECT query_id, nn_id, rrf_score,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, nn_id ASC) AS rank FROM f)
+WHERE rank <= $topK"""
+
+  /** Embedders.embed(documents, dim=32) → Similarity.bruteForceKnn
+    * (queries doc_id<5, k=3). Vectors are signed md5-token-hash counts —
+    * exact integers, assembled per dimension then cosine'd in DOUBLE. */
+  def embedKnn(dim: Int, k: Int, maxQueryId: Int): String =
+    s"""WITH tk AS (SELECT doc_id, UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+    x -> x <> '')) AS t FROM documents),
+hv AS (SELECT doc_id, ${duckU64("t")} AS hu FROM tk),
+ag AS (SELECT doc_id, CAST(hu % $dim AS BIGINT) AS idx,
+    SUM(CASE WHEN hu >= $Half THEN -1 ELSE 1 END) AS v
+  FROM hv GROUP BY 1, 2),
+g AS (SELECT doc_id, list(idx ORDER BY idx) AS idxs, list(v ORDER BY idx) AS vals
+  FROM ag GROUP BY doc_id),
+emb AS (SELECT d.doc_id, list_transform(generate_series(0, ${dim - 1}),
+    i -> CAST(COALESCE(vals[list_position(idxs, i)], 0) AS DOUBLE)) AS ev
+  FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id),
+q AS (SELECT doc_id AS query_id, ev AS qv FROM emb WHERE doc_id < $maxQueryId),
+c AS (SELECT doc_id AS nn_id, ev AS cv FROM emb),
+sc AS (SELECT query_id, nn_id, ${cos("qv", "cv", dim)} AS score
+  FROM q JOIN c ON query_id <> nn_id),
+r AS (SELECT query_id, nn_id, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM sc)
+SELECT query_id, nn_id, score, rank FROM r WHERE rank <= $k"""
+}

@@ -9,6 +9,7 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       .config("spark.sql.timestampType", "TIMESTAMP_NTZ")

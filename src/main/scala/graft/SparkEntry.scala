@@ -551,12 +551,14 @@ object SparkEntry {
     d.unionByName(nearDups)
   }
 
-  /** 8 bands × 8 rows: the synthetic corpus shares much vocabulary, so 16×4
-    * banding admits ~100 candidate pairs per doc; 8-row bands keep the planted
-    * ~0.95-jaccard dups at >99.9% recall while cutting candidates ~50×. */
+  /** 8 bands × 4 rows (32 hashes): planted dups sit at jaccard ≈ 0.95, so a
+    * band matches with p ≈ 0.95⁴ ≈ 0.81 and all 8 miss with p ≈ 2e-6 —
+    * near-perfect recall at half the aggregate fan-out of the 64-hash config
+    * (the whole bench's biggest line in r2). Band width 4 admits more noise
+    * candidates than 8, but the exact-jaccard verify gates them. */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(plantedDocs(s, dir), col("doc_id"), col("text"),
-      k = 5, numHashes = 64, bands = 8, threshold = 0.7)
+      k = 5, numHashes = 32, bands = 8, threshold = 0.7)
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(plantedDocs(s, dir), col("doc_id"), col("text"),
@@ -1254,7 +1256,7 @@ object SparkEntry {
         |         SELECT ed.dst AS vertex, SUM(p.rank // d.out_deg) AS mass
         |         FROM ed JOIN p2 p ON p.vertex = ed.src JOIN deg d ON d.vertex = ed.src
         |         GROUP BY ed.dst) m ON m.vertex = v.vertex)
-        |SELECT vertex, rank FROM p3""".stripMargin,
+        |SELECT vertex, CAST(rank AS BIGINT) AS rank FROM p3""".stripMargin,
     "sql_bridge" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -1317,11 +1319,25 @@ object SparkEntry {
       """SELECT user_id, value FROM (
         |  SELECT user_id, value,
         |    CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS diff,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, CASE WHEN event_type = 'error' THEN -1 ELSE 1 END DESC,
+        |               value DESC) AS rn
         |  FROM events) WHERE rn = 1 AND diff > 0""".stripMargin,
     "ignore_late" ->
       """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts_t FROM events)
         |SELECT event_id, ts_t FROM e
         |WHERE ts_t >= (SELECT MAX(ts_t) FROM e) - INTERVAL 6 HOUR""".stripMargin,
+    // Generated oracles (OracleSqlGen): the hash-family pipelines are
+    // deterministic end-to-end on the CrossHash md5 family, but need per-seed
+    // constants / hyperplane literals / N-way band joins — built from the SAME
+    // constants the Spark operators embed. reduce_approx_distinct is the one
+    // deliberately un-oracle-able query: Spark HLL++ and DuckDB approx_distinct
+    // are different sketches and cannot hash-match (documented divergence).
+    "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
+    "dedup_simhash" -> OracleSqlGen.dedupSimhash(maxDist = 3, bands = 4),
+    "knn_lsh" -> OracleSqlGen.knnLsh(k = 5, dim = 64, nPlanes = 6, nTables = 12),
+    "knn_ivf" -> OracleSqlGen.knnIvf(k = 5, dim = 64, nCells = 16, nProbe = 4),
+    "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
+    "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),
   )
 }

@@ -21,6 +21,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.ansi.enabled", "false")
       // naive parquet timestamps stay NTZ (oracle parity with DuckDB's naive TIMESTAMP)
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")

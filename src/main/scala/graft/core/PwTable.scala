@@ -193,8 +193,11 @@ final class PwTable private (val df: DataFrame) extends Serializable {
 
   /** Pathway `sort` (table.py:2409): per-instance linked list — `prev`/`next` pointer
     * columns in `key` order. Window lag/lead replaces the reference's custom
-    * prev_next operator (src/engine/dataflow/operators/prev_next.rs:775). */
-  def sortWithPrevNext(keys: Seq[Column], instance: Column = lit(0)): PwTable = {
+    * prev_next operator (src/engine/dataflow/operators/prev_next.rs:775).
+    * `instance` is REQUIRED: it is the window partition key — a constant would
+    * funnel the whole table through one partition (pass the sharding column the
+    * reference's `instance=` argument carries). */
+  def sortWithPrevNext(keys: Seq[Column], instance: Column): PwTable = {
     val w = Window.partitionBy(instance).orderBy(keys: _*)
     wrap(df.withColumn("prev", lag(col(IdCol), 1).over(w))
            .withColumn("next", lead(col(IdCol), 1).over(w)))
@@ -202,8 +205,10 @@ final class PwTable private (val df: DataFrame) extends Serializable {
 
   /** Pathway `stdlib.ordered.diff` (stdlib/ordered/diff.py:10): value minus the value
     * k rows earlier in `keys` order (per instance). Pass a total order (include a
-    * tie-break key) for deterministic results. */
-  def diff(keys: Seq[Column], valueCol: Column, k: Int = 1, instance: Column = lit(0)): PwTable = {
+    * tie-break key) for deterministic results. `instance` is REQUIRED — it is
+    * the window partition key; a constant funnels the table through one
+    * partition (see sortWithPrevNext). */
+  def diff(keys: Seq[Column], valueCol: Column, k: Int, instance: Column): PwTable = {
     val w = Window.partitionBy(instance).orderBy(keys: _*)
     wrap(df.withColumn("diff", valueCol - lag(valueCol, k).over(w)))
   }

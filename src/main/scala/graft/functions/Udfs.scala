@@ -42,12 +42,16 @@ object Udfs {
     * memoization of a pure function. At scale this is a per-JVM LRU — the
     * reference's cache is likewise per-worker. */
   def cached[I, O](f: I => O, maxEntries: Int = 100000): I => O = {
+    // ConcurrentHashMap forbids the mapping function from mutating the map
+    // (clear() inside computeIfAbsent can deadlock under concurrent executor
+    // threads), so the bound check runs BEFORE the lookup. clear() is a crude
+    // full eviction but keeps the structure lock-free on the hit path; a
+    // per-executor cache is best-effort, matching udfs/caches.py InMemoryCache.
     val cache = new java.util.concurrent.ConcurrentHashMap[I, O]()
-    (i: I) =>
-      cache.computeIfAbsent(i, k => {
-        if (cache.size() > maxEntries) cache.clear()
-        f(k)
-      })
+    (i: I) => {
+      if (cache.size() >= maxEntries && !cache.containsKey(i)) cache.clear()
+      cache.computeIfAbsent(i, k => f(k))
+    }
   }
 
   /** Retry policy (udfs/retries.py ExponentialBackoffRetryStrategy). */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.CrossHash
 
 /** Deduplication family for training-data pipelines (builder-prompt first-class
   * surface). Five tiers, cheapest first:
@@ -13,8 +14,10 @@ import org.apache.spark.sql.functions._
   *  5. embedding-cosine — semantic near-dup over vector columns (see Similarity)
   *
   * Scale posture: no driver collects; candidates come from equi-join-able bucket
-  * keys (LSH bands / simhash bands), never O(n²) cross joins. All hashing is
-  * xxhash64 (codegen'd).
+  * keys (LSH bands / simhash bands), never O(n²) cross joins. Token/gram
+  * hashing is the md5-derived CrossHash family (codegen'd built-ins,
+  * bit-reproducible in the DuckDB oracle); band-bucket keys — join keys whose
+  * values never reach the output — stay on xxhash64.
   */
 object Dedup {
 
@@ -45,13 +48,24 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline:
     * shingle → signature → band buckets → candidate pairs (equi-join on
-    * (band, bucket), id1 < id2, deduped) → verify exact jaccard ≥ threshold →
+    * (band, bucket), id1 < id2, deduped) → signature-estimate prefilter
+    * (fraction of equal signature slots ≥ threshold − 0.15; 32 integer
+    * comparisons per pair) → verify exact jaccard ≥ threshold →
     * representative = min neighbor id (single-pass star-merge; run
     * Iterate.fixpoint over it for full transitive closure).
     *
+    * The prefilter is load-bearing at scale: narrow bands (4 rows) keep recall
+    * near-perfect but admit O(corpus) noise pairs on shared-vocabulary text —
+    * at sf0.1 ~81k candidates from 5k docs. Estimating jaccard from the
+    * signatures already in hand costs nothing and cuts the exact-verify join
+    * (which ships both documents' full shingle arrays per pair) to the true
+    * near-dup set. With 32 hashes the estimate's sd is ≤ 0.09, so the 0.15
+    * margin keeps pairs at the threshold with > 95% probability — and the
+    * DuckDB oracle replicates the same prefilter, so verification is exact.
+    *
     * Returns (id, rep_id, is_dup). */
   def minhashLsh(df: DataFrame, id: Column, text: Column,
-      k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Explode-then-aggregate, NOT nested array HOFs: higher-order functions are
@@ -61,36 +75,56 @@ object Dedup {
     // round-1 verify run. Here every scalar is computed exactly once per
     // (doc, shingle) row and all hashing is codegen'd, with map-side combine
     // on the min() aggregates — the shape that survives 100 TB.
-    val norm = df.select(id.as("id"),
+    val norm = df.select(id.cast("long").as("id"),
       regexp_replace(trim(lower(text)), "\\s+", " ").as("_n"))
-    // build the shingle multiset as ONE array expression and explode it: the
-    // generator output is just the 5-char gram, so the 100×-larger normalized
-    // document is never copied per shingle row (exploding positions and
-    // substr-ing afterwards dragged _n through the Generate — ~500 MB of row
-    // copies at sf0.1, 3.6 s of the total)
-    val gramArray = flatten(transform(array(col("_n")), n =>
-      transform(sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
-        i => n.substr(i, lit(k)))))
-    // hash each gram string ONCE; the per-seed hash family then mixes the
-    // 8-byte hash (long input), which is far cheaper than re-hashing the
-    // string per seed
-    val grams = norm.select(col("id"), explode(gramArray).as("_g"))
-      .select(col("id"), xxhash64(col("_g")).as("_gh"))
+    // Gram generation + base hash as a mapPartitions kernel. The expression
+    // form (flatten(transform(...transform(sequence...substr...)))) routes
+    // every gram through interpreted HOF eval — ArrayTransform is
+    // CodegenFallback — costing ~2.5 µs/gram (3.7 s of the sf0.1 total just to
+    // explode 1.5M grams). The JVM loop emits (id, md5-64(gram)) directly:
+    // same values bit-for-bit (CrossHash.md5Long twin, oracle-verified), one
+    // narrow 16-byte row per gram, no shuffle-shape change, fully distributed.
+    val sess = df.sparkSession
+    import sess.implicits._
+    val kk = k
+    val grams = norm.as[(Long, String)].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (docId, n) =>
+        if (n == null) Iterator.empty
+        else {
+          val L = math.max(n.length - (kk - 1), 1)
+          (0 until L).iterator.map { i =>
+            val g = n.substring(i, math.min(i + kk, n.length))
+            md.reset()
+            val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (docId, java.nio.ByteBuffer.wrap(d, 0, 8).getLong)
+          }
+        }
+      }
+    }.toDF("id", "_gh")
     // minhash over the multiset == over the set (min ignores duplicates), so no
     // distinct pass is needed before the signature aggregates
-    // 64 pure min() aggregates — NO collect_set here: a single collect_set in
-    // the agg list switches the whole aggregate to ObjectHashAggregate and
-    // disables codegen for the 64 mins (measured ~4× slower). Shingle sets are
-    // recomputed later only for the (small) candidate pair set.
+    // numHashes pure min() aggregates — NO collect_set here: a single
+    // collect_set in the agg list switches the whole aggregate to
+    // ObjectHashAggregate and disables codegen for the mins (measured ~4×
+    // slower). Shingle sets are recomputed later only for the (small)
+    // candidate pair set.
     val aggs = (0 until numHashes).map(s =>
-      min(xxhash64(col("_gh"), lit(s))).as(s"_h$s"))
-    // The signature table feeds bucketing; persist it or the shingle+64-agg
-    // pipeline recomputes per consumer. ~0.5 KB/doc — materializing the
-    // signature table is the standard MinHash design at any scale.
+      min(CrossHash.mix(col("_gh"), s)).as(s"_h$s"))
+    // The signature table feeds bucketing, prefilter and verification; persist
+    // AND materialize it eagerly: AQE compiles the downstream broadcast/join
+    // subqueries as parallel jobs, and without the eager count they all race
+    // to compute the not-yet-populated cache — ~20 concurrent copies of the
+    // gram+agg pipeline (measured: 13 s → 4 s at sf0.1). ~0.5 KB/doc —
+    // materializing the signature table is the standard MinHash design at any
+    // scale (on a cluster it would be a checkpoint/table, same shape).
     val sig = grams.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
 
-    // band key = variadic xxhash64 over that band's signature slots (no strings)
+    // band key = variadic xxhash64 over that band's signature slots (no
+    // strings; a bucket key is join-internal, so Spark-only hashing is fine —
+    // the oracle joins on the slot values directly)
     val bandCols = (0 until bands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"_h$s"))
       xxhash64(lit(b) +: slots: _*)
@@ -103,18 +137,55 @@ object Dedup {
     val candidates = l.join(r, Seq("_band", "_bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
+
+    // prefilter on estimated jaccard BEFORE deduplicating pairs: rejoin the
+    // (persisted, broadcast-size) signature table to both sides and keep pairs
+    // whose equal-slot fraction clears the margin — the distinct then runs on
+    // the ~100× smaller near-dup set, and no shingle array ships for noise
+    val sigL = sig.select(col("id").as("id1") +:
+      (0 until numHashes).map(s => col(s"_h$s").as(s"_l$s")): _*)
+    val sigR = sig.select(col("id").as("id2") +:
+      (0 until numHashes).map(s => col(s"_h$s").as(s"_r$s")): _*)
+    val estJaccard = (0 until numHashes)
+      .map(s => when(col(s"_l$s") === col(s"_r$s"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / numHashes
+    val estMin = math.max(0.0, threshold - 0.15)
+    val prefiltered = candidates.join(sigL, "id1").join(sigR, "id2")
+      .filter(estJaccard >= estMin)
+      .select("id1", "id2")
       .dropDuplicates("id1", "id2")
 
-    // verification: shingle ONLY docs that appear in some candidate pair
+    // verification: shingle ONLY docs that appear in some surviving pair
     // (semi-join first), then join the small candidate set to both sides and
     // compute exact jaccard — the expensive set build is O(candidate docs),
-    // not O(corpus)
-    val candIds = candidates.select(col("id1").as("id"))
-      .unionByName(candidates.select(col("id2").as("id"))).distinct()
+    // not O(corpus). Shingle sets are DISTINCT md5-64 gram hashes (same JVM
+    // kernel as the signature grams): set-jaccard counts are invariant under
+    // the injective hash, 8-byte elements beat 5-char strings through the
+    // pair join, and the interpreted shingle HOF stays off this path.
+    val candIds = prefiltered.select(col("id1").as("id"))
+      .unionByName(prefiltered.select(col("id2").as("id"))).distinct()
     val candSets = norm.join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), shinglesOfNorm(col("_n"), k).as("_sh"))
+      .as[(Long, String)].mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, n) =>
+          if (n == null) (docId, Array.empty[Long])
+          else {
+            val L = math.max(n.length - (kk - 1), 1)
+            val set = scala.collection.mutable.HashSet.empty[Long]
+            var i = 0
+            while (i < L) {
+              val g = n.substring(i, math.min(i + kk, n.length))
+              md.reset()
+              val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              set += java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+              i += 1
+            }
+            (docId, set.toArray)
+          }
+        }
+      }.toDF("id", "_sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupPairs = candidates
+    val dupPairs = prefiltered
       .join(candSets.select(col("id").as("id1"), col("_sh").as("_sh1")), Seq("id1"))
       .join(candSets.select(col("id").as("id2"), col("_sh").as("_sh2")), Seq("id2"))
       .filter(jaccard(col("_sh1"), col("_sh2")) >= threshold)
@@ -140,7 +211,7 @@ object Dedup {
     * the signature as a 64-char bitstring. */
   def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("id"), explode(TextOps.wordTokens(text)).as("_t"))
-      .select(col("id"), xxhash64(col("_t")).as("_h"))
+      .select(col("id"), CrossHash.md5Long(col("_t")).as("_h"))
     val bitAggs = (0 until 64).map { i =>
       sum(when(shiftright(col("_h"), 63 - i).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"_c$i")

@@ -15,18 +15,21 @@ import org.apache.spark.sql.types._
   * and scales linearly: no shuffle, no driver involvement. */
 object Embedders {
 
-  /** A trivial deterministic "model": dim-sized vector from token hashes.
-    * Stub for the endpoint call — clearly NOT a semantic embedding. */
+  /** A trivial deterministic "model": dim-sized vector of signed token-hash
+    * counts. Stub for the endpoint call — clearly NOT a semantic embedding.
+    * Hashing is CrossHash.md5LongJvm so the DuckDB oracle reproduces the
+    * vectors bit-exactly; values stay small integers (exact in Float) and are
+    * deliberately NOT normalized — cosine is scale-invariant, so downstream
+    * KNN is unchanged and the oracle needs no float-rounding replication. */
   final class FakeEmbedder(dim: Int) extends Serializable {
     def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
       texts.map { t =>
         val v = new Array[Float](dim)
-        t.toLowerCase.split("\\s+").foreach { tok =>
-          val h = scala.util.hashing.MurmurHash3.stringHash(tok)
-          v(math.floorMod(h, dim)) += (if (h < 0) -1f else 1f)
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+          val h = graft.functions.CrossHash.md5LongJvm(tok)
+          v(math.floorMod(h, dim).toInt) += (if (h < 0) -1f else 1f)
         }
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
-        if (n == 0f) v else v.map(_ / n)
+        v
       }
   }
 

@@ -24,16 +24,15 @@ object Graphs {
     val vertices = sym.select(col("u").as("vertex")).distinct()
     val initial = vertices.select(col("vertex"), col("vertex").as("component"))
     // labels only ever decrease and the vertex set is fixed, so Σ component is
-    // strictly decreasing until the fixpoint — a one-row aggregate per pass
-    // replaces the exceptAll multiset compare (2 extra shuffles per pass)
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum("component")).head.getLong(0)
-    Iterate.fixpoint(initial, labels => {
+    // strictly decreasing until the fixpoint — a one-row fingerprint per pass
+    // (evaluated once, in the pass's materialization job) replaces the
+    // exceptAll multiset compare (2 extra shuffles per pass)
+    Iterate.fixpointByFingerprint(initial, labels => {
       val viaNeighbor = sym.join(labels, sym("v") === labels("vertex"))
         .select(col("u").as("vertex"), col("component"))
       labels.unionByName(viaNeighbor)
         .groupBy("vertex").agg(min("component").as("component"))
-    }, maxIterations, (prev, next) => labelSum(prev) == labelSum(next))
+    }, df => df.agg(sum("component")).head.getLong(0), maxIterations)
   }
 
   /** Single-source shortest paths (Bellman-Ford). Integer or decimal weights
@@ -44,17 +43,18 @@ object Graphs {
     val e = edges.select(col(src).as("u"), col(dst).as("v"), col(weight).as("w"))
     val initial = e.sparkSession.range(1).select(lit(sourceId).as("vertex"), lit(0L).as("dist"))
     // reached-count never decreases and per-vertex dist never increases, so the
-    // (count, Σdist) pair is a monotone fingerprint: unchanged ⇔ fixpoint
-    def fp(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum("dist")).head
-      (r.getLong(0), r.getLong(1))
-    }
-    Iterate.fixpoint(initial, dist => {
+    // (count, Σdist) pair is a monotone fingerprint: unchanged ⇔ fixpoint.
+    // Evaluated once per pass in the materialization job (fixpointByFingerprint
+    // carries the previous pass's value — never recomputed on prev).
+    Iterate.fixpointByFingerprint(initial, dist => {
       val relaxed = e.join(dist, e("u") === dist("vertex"))
         .select(col("v").as("vertex"), (col("dist") + col("w")).as("dist"))
       dist.unionByName(relaxed)
         .groupBy("vertex").agg(min("dist").as("dist"))
-    }, maxIterations, (prev, next) => fp(prev) == fp(next))
+    }, df => {
+      val r = df.agg(count(lit(1)), sum("dist")).head
+      (r.getLong(0), r.getLong(1))
+    }, maxIterations)
   }
 
   /** Community detection via synchronous label propagation — the scalable

@@ -9,27 +9,72 @@ import org.apache.spark.storage.StorageLevel
   *
   * Spark has no dataflow loop primitive, so the driver re-evaluates the step
   * function until the result stops changing (or `maxIterations`). Each pass is
-  * persisted and localCheckpointed so the lineage does NOT grow with the
-  * iteration count — unbounded lineage is the classic Spark iterative-job
-  * failure mode (stack overflows in the planner at scale).
+  * persisted and checkpointed so the lineage does NOT grow with the iteration
+  * count — unbounded lineage is the classic Spark iterative-job failure mode
+  * (stack overflows in the planner at scale).
+  *
+  * Per-pass job shape (fingerprint variant): ONE job computes the step and
+  * populates the cache (the fingerprint aggregate rides on it), then the eager
+  * checkpoint copies from cache — the heavy shuffle work runs exactly once per
+  * pass. Fingerprints are remembered across passes, never recomputed on `prev`.
+  *
+  * Fault tolerance: `localCheckpoint` stores partitions on executors — fast,
+  * but an executor loss mid-loop destroys non-recomputable lineage. On a real
+  * cluster set a checkpoint dir (`sc.setCheckpointDir`) and pass
+  * `reliable = true` to use HDFS-backed `checkpoint` instead.
   *
   * Batch-only by design: the reference supports iterate over streams via
   * timely loops; we document that divergence (SURVEY.md known-hard #3).
-  *
-  * Convergence check: `step` output must be deterministic; we compare via
-  * `exceptAll` count (multiset equality) which shuffles once per pass — at
-  * scale pass a cheaper `converged` predicate (e.g. an aggregate delta).
   */
 object Iterate {
 
-  def fixpoint(initial: DataFrame, step: DataFrame => DataFrame,
-      maxIterations: Int = 50,
-      converged: (DataFrame, DataFrame) => Boolean = defaultConverged): DataFrame = {
-    var current = initial.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+  private def materialize(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(true)
+    else df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+
+  /** Fixpoint with a per-pass scalar fingerprint. `fingerprint` must be a
+    * deterministic driver-side summary (an aggregate `.head`, e.g. Σ label)
+    * such that fingerprint(step(x)) == fingerprint(x) ⇔ convergence — true for
+    * any monotone state (labels only decrease, distances only shrink, reach
+    * only grows). Evaluated ONCE per pass, in the same job that populates the
+    * pass's cache. */
+  def fixpointByFingerprint(initial: DataFrame, step: DataFrame => DataFrame,
+      fingerprint: DataFrame => Any, maxIterations: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    var current = materialize(initial, reliable)
+    var fp = fingerprint(current)
     var i = 0
     var done = false
     while (i < maxIterations && !done) {
-      val next = step(current).persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+      // lazy checkpoint mark + fingerprint action = ONE job per pass: the
+      // aggregate materializes the checkpointed partitions as it runs, so no
+      // separate copy job follows (reliable checkpoints stay eager — their
+      // write happens on re-execution otherwise)
+      val next =
+        if (reliable) step(current).persist(StorageLevel.MEMORY_AND_DISK).checkpoint(true)
+        else step(current).localCheckpoint(false)
+      val nfp = fingerprint(next)
+      done = nfp == fp
+      fp = nfp
+      current.unpersist()
+      current = next
+      i += 1
+    }
+    current
+  }
+
+  /** General fixpoint with a pairwise convergence predicate. Prefer
+    * `fixpointByFingerprint` when a monotone one-row summary exists — this
+    * variant re-reads both passes in `converged`. */
+  def fixpoint(initial: DataFrame, step: DataFrame => DataFrame,
+      maxIterations: Int = 50,
+      converged: (DataFrame, DataFrame) => Boolean = defaultConverged,
+      reliable: Boolean = false): DataFrame = {
+    var current = materialize(initial, reliable)
+    var i = 0
+    var done = false
+    while (i < maxIterations && !done) {
+      val next = materialize(step(current), reliable)
       done = converged(current, next)
       current.unpersist()
       current = next
@@ -44,6 +89,16 @@ object Iterate {
 
   /** Run a fixed number of passes (no convergence check) — for algorithms with
     * a pinned iteration count (e.g. pagerank-k). */
-  def nTimes(initial: DataFrame, step: DataFrame => DataFrame, n: Int): DataFrame =
-    fixpoint(initial, step, n, (_, _) => false)
+  def nTimes(initial: DataFrame, step: DataFrame => DataFrame, n: Int,
+      reliable: Boolean = false): DataFrame = {
+    var current = materialize(initial, reliable)
+    var i = 0
+    while (i < n) {
+      val next = materialize(step(current), reliable)
+      current.unpersist()
+      current = next
+      i += 1
+    }
+    current
+  }
 }

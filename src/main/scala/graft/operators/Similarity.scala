@@ -44,10 +44,15 @@ object Similarity {
     * runtime hashing, identical on every executor/run, and the expression tree
     * stays O(1) in (planes × dims) (an unrolled per-term sum stalls codegen).
     * Returns the bucket as an `nPlanes`-char bitstring. */
-  def srpBucket(vec: Column, table: Int, nPlanes: Int, dim: Int): Column = {
+  /** The Rademacher hyperplanes for one SRP table — exposed so the DuckDB
+    * oracle generator embeds the identical constants. */
+  def srpPlanes(table: Int, nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(0x5eed + 7919L * table)
-    val planes = typedLit(Seq.fill(nPlanes)(Seq.fill(dim)(
-      if (rnd.nextBoolean()) 1.0 else -1.0)))
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  def srpBucket(vec: Column, table: Int, nPlanes: Int, dim: Int): Column = {
+    val planes = typedLit(srpPlanes(table, nPlanes, dim))
     array_join(
       transform(sequence(lit(0), lit(nPlanes - 1)), p => {
         val proj = aggregate(
@@ -154,5 +159,6 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("nn_id"))
     fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .withColumn("rank", col("rank").cast("long"))
   }
 }

@@ -71,10 +71,12 @@ object StreamOps {
       c == timeCol || c == diffCol || keyCols.contains(c))
     val k = keyCols.map(col)
     if (isUpsert) {
-      // latest event per key wins (ties: larger diff i.e. insert wins)
+      // latest event per key wins; ties broken by larger diff (insert beats
+      // retract at the same time), then by payload values — a TOTAL order, so
+      // the winner is deterministic under any shuffle/partition order
       changelog.groupBy(k: _*)
         .agg(max_by(struct((payload :+ diffCol).map(col): _*),
-          struct(col(timeCol), col(diffCol))).as("_s"))
+          struct(col(timeCol) +: col(diffCol) +: payload.map(col): _*)).as("_s"))
         .filter(col("_s." + diffCol) > 0)
         .select(k ++ payload.map(c => col("_s." + c).as(c)): _*)
     } else {

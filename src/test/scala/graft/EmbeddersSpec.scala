@@ -8,7 +8,7 @@ class EmbeddersSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
-  test("embed adds a unit-norm array<float> column, deterministic per text") {
+  test("embed adds an integer-count array<float> column, deterministic per text") {
     val df = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other text"))
       .toDF("id", "text")
     val out = Embedders.embed(df, "text", dim = 16).cache()
@@ -16,8 +16,10 @@ class EmbeddersSpec extends AnyFunSuite {
     val vecs = out.select("id", "embedding").as[(Long, Seq[Float])].collect().toMap
     assert(vecs(1L) == vecs(2L))          // deterministic
     assert(vecs(1L) != vecs(3L))
-    val norm = math.sqrt(vecs(1L).map(x => x.toDouble * x).sum)
-    assert(math.abs(norm - 1.0) < 1e-5)   // unit-normalized
+    // signed token counts: exact small integers (oracle-reproducible; cosine
+    // downstream is scale-invariant so normalization is deliberately absent)
+    assert(vecs(1L).forall(x => x == math.rint(x)))
+    assert(math.abs(vecs(1L).map(_.toDouble).map(math.abs).sum - 2.0) < 1e-9)
   }
 
   test("ivfKnn finds the exact duplicate within probed cells") {

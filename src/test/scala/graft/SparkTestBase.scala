@@ -11,6 +11,7 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
