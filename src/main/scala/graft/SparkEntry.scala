@@ -654,6 +654,34 @@ object SparkEntry {
     Graphs.pagerank(nationEdges(s, dir).select("src", "dst"), iters = 3)
 
   // ───────────────────────────────────────────────────────────────────────────
+  //  Error-value semantics (reference Error sentinel, remove_errors, fill_error)
+  // ───────────────────────────────────────────────────────────────────────────
+
+  /** Orders with two deliberately poisoned computations: a division whose
+    * denominator hits zero (o_orderkey % 97), and a cast that only succeeds on
+    * every third key — one bad row must land in the error log, not kill the
+    * job (reference src/engine/value.rs:228 Error; table.py:2753). */
+  private def checkedOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).toDf
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val den = col("o_orderkey") % 97
+    val prioNum = when(col("o_orderkey") % 3 === 0, lit("42"))
+      .otherwise(col("o_orderpriority")) // '1-URGENT' etc — unparseable
+    val withDiv = graft.functions.Errors.tryDiv(
+      graft.functions.Errors.init(o), "price_per", col("o_totalprice"), den)
+    graft.functions.Errors.tryCast(withDiv, "clerk_id", prioNum, "bigint")
+  }
+
+  private def qErrorHandling(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Errors.removeErrors(
+        graft.functions.Errors.fillError(checkedOrders(s, dir), "price_per", lit(-1.0)))
+      .select("o_orderkey", "price_per", "clerk_id")
+
+  private def qErrorTable(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Errors.errorTable(checkedOrders(s, dir), col("o_orderkey"))
+      .select("o_orderkey", "err_col", "err_msg")
+
+  // ───────────────────────────────────────────────────────────────────────────
   //  SQL bridge, UDFs, stdlib utils
   // ───────────────────────────────────────────────────────────────────────────
 
@@ -825,6 +853,8 @@ object SparkEntry {
     "majority"        -> (qMajority _),
     "gradual_broadcast" -> (qGradualBroadcast _),
     "ndarray_sum"     -> (qNdarraySum _),
+    "error_handling"  -> (qErrorHandling _),
+    "error_table"     -> (qErrorTable _),
     "dedup_acceptor"  -> (qDedupAcceptor _),
     "asof_now_join"   -> (qAsofNow _),
     "stream_upsert"   -> (qStreamUpsert _),
@@ -1333,6 +1363,20 @@ object SparkEntry {
     // constants the Spark operators embed. reduce_approx_distinct is the one
     // deliberately un-oracle-able query: Spark HLL++ and DuckDB approx_distinct
     // are different sketches and cannot hash-match (documented divergence).
+    "error_handling" ->
+      // rows whose cast failed (o_orderkey % 3 != 0) were dropped by
+      // remove_errors; division errors were filled with -1.0
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN -1.0
+        |       ELSE o_totalprice / (o_orderkey % 97) END AS price_per,
+        |  CAST(42 AS BIGINT) AS clerk_id
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+    "error_table" ->
+      """SELECT o_orderkey, 'price_per' AS err_col, 'division by zero' AS err_msg
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'clerk_id', 'invalid cast to bigint'
+        |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
     "dedup_simhash" -> OracleSqlGen.dedupSimhash(maxDist = 3, bands = 4),
     "knn_lsh" -> OracleSqlGen.knnLsh(k = 5, dim = 64, nPlanes = 6, nTables = 12),

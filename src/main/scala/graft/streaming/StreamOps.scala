@@ -177,9 +177,11 @@ object StreamOps {
   def subscribe(df: DataFrame, onChange: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     df.writeStream.foreachBatch(onChange)
 
-  /** Changelog-applying upsert sink: per microbatch, merge batch rows into an
-    * in-memory keyed table (stand-in for a JDBC MERGE / Delta MERGE target —
-    * the io/postgres snapshot mode). Returns the mutable sink map for tests. */
+  /** TEST DOUBLE ONLY: per-microbatch merge into an in-memory TrieMap so
+    * streaming specs can assert sink state without a database. It collects
+    * each batch to the driver — the production path is [[JdbcSink]], which
+    * streams partitions through batched JDBC statements (no driver collect)
+    * and is integration-tested against embedded Derby. */
   def upsertSink(df: DataFrame, keyCols: Seq[String]):
       (scala.collection.concurrent.Map[Seq[Any], Seq[Any]], DataStreamWriter[Row]) = {
     val table = scala.collection.concurrent.TrieMap.empty[Seq[Any], Seq[Any]]

@@ -56,16 +56,25 @@ class IterateSpec extends AnyFunSuite {
     val q = e.filter(col("vec_id") < 10)
     def topSet(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "nn_id").as[(Long, Long)].collect().toSet
-    val exact = topSet(Similarity.bruteForceKnn(q, col("vec_id"), col("embedding"),
-      e, col("vec_id"), col("embedding"), k = 10))
-    val lsh = topSet(Similarity.lshKnn(q, col("vec_id"), col("embedding"),
-      e, col("vec_id"), col("embedding"), k = 10, dim = 64))
-    val ivf = topSet(Similarity.ivfKnn(q, col("vec_id"), col("embedding"),
-      e, col("vec_id"), col("embedding"), k = 10, nCells = 8, nProbe = 4))
-    val lshRecall = (lsh & exact).size.toDouble / exact.size
-    val ivfRecall = (ivf & exact).size.toDouble / exact.size
-    assert(lshRecall > 0.2, s"lsh recall $lshRecall")  // approximate, but far above random
-    assert(ivfRecall > 0.3, s"ivf recall $ivfRecall")  // (random ≈ k/N = 10/1000)
+    val exact5 = topSet(Similarity.bruteForceKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5))
+    val lsh5 = topSet(Similarity.lshKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5, dim = 64))
+    val ivf5 = topSet(Similarity.ivfKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5, nCells = 8, nProbe = 4))
+    val lshRecall = (lsh5 & exact5).size.toDouble / exact5.size
+    val ivfRecall = (ivf5 & exact5).size.toDouble / exact5.size
+    info(f"recall@5: lsh $lshRecall%.2f ivf $ivfRecall%.2f")
+    // SRP on near-gaussian embeddings: documented threshold (see srpBucket
+    // scaladoc) — far above random (k/N = 5/1000) but not exact
+    assert(lshRecall > 0.2, s"lsh recall $lshRecall")
+    assert(ivfRecall >= 0.9, s"ivf recall $ivfRecall")
+
+    // structural soundness: probing every cell must reproduce brute force
+    // exactly (no vector lost or double-assigned by the inverted file)
+    val exhaustive = topSet(Similarity.ivfKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5, nCells = 8, nProbe = 8))
+    assert(exhaustive == exact5)
   }
 
   test("utils: argmaxRows / majority / unpackCol") {

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.JdbcSink
+
+/** Integration test of the JDBC upsert sink against embedded Derby (a real
+  * database file, the JDBC engine shipped with Spark): inserts, updates and
+  * deletes from changelog diffs. */
+class JdbcSinkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val dbDir = java.nio.file.Files.createTempDirectory("graft-derby").toString
+  private val url = s"jdbc:derby:$dbDir/db;create=true"
+
+  private def query(sql: String): Seq[(Long, String, Double)] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(sql)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+      while (rs.next()) buf += ((rs.getLong(1), rs.getString(2), rs.getDouble(3)))
+      buf.toSeq
+    } finally conn.close()
+  }
+
+  test("applyUpserts applies insert/update/delete diffs to a real database") {
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE users (user_id BIGINT PRIMARY KEY, name VARCHAR(32), score DOUBLE)")
+    conn.close()
+
+    // batch 1: three inserts
+    JdbcSink.applyUpserts(
+      Seq((1L, "ann", 1.0, 1), (2L, "bob", 2.0, 1), (3L, "cat", 3.0, 1))
+        .toDF("user_id", "name", "score", "diff"),
+      Seq("user_id"), url, "users", diffCol = Some("diff"))
+    assert(query("SELECT user_id, name, score FROM users ORDER BY user_id") ==
+      Seq((1L, "ann", 1.0), (2L, "bob", 2.0), (3L, "cat", 3.0)))
+
+    // batch 2: update key 2, delete key 3, insert key 4
+    JdbcSink.applyUpserts(
+      Seq((2L, "bobby", 2.5, 1), (3L, "cat", 3.0, -1), (4L, "dee", 4.0, 1))
+        .toDF("user_id", "name", "score", "diff"),
+      Seq("user_id"), url, "users", diffCol = Some("diff"))
+    assert(query("SELECT user_id, name, score FROM users ORDER BY user_id") ==
+      Seq((1L, "ann", 1.0), (2L, "bobby", 2.5), (4L, "dee", 4.0)))
+
+    // batch 3: no diff column → pure upsert semantics
+    JdbcSink.applyUpserts(
+      Seq((1L, "ann2", 1.5), (5L, "eve", 5.0)).toDF("user_id", "name", "score"),
+      Seq("user_id"), url, "users")
+    assert(query("SELECT user_id, name, score FROM users ORDER BY user_id") ==
+      Seq((1L, "ann2", 1.5), (2L, "bobby", 2.5), (4L, "dee", 4.0), (5L, "eve", 5.0)))
+  }
+}
