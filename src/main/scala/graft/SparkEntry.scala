@@ -535,7 +535,12 @@ object SparkEntry {
   }
 
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // persist + materialize the shingled projection: the shingle HOF is
+    // CodegenFallback (interpreted), so without the eager cache BOTH join
+    // sides re-run it over the full corpus (~2 s each at sf0.1)
     val d = docs(s, dir).select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count()
     val l = d.select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val r = d.select(col("doc_id").as("id2"), col("sh").as("sh2"))
     l.join(r, col("id2") === col("id1") + 1)
