@@ -686,6 +686,30 @@ object SparkEntry {
     graft.functions.Errors.errorTable(checkedOrders(s, dir), col("o_orderkey"))
       .select("o_orderkey", "err_col", "err_msg")
 
+  /** HMM Viterbi decode per user over the event stream (reference
+    * stdlib/ml/hmm.py create_hmm_reducer). Model scores are exact dyadic
+    * doubles (-0.25, -1.5, …) so the DP sums are bit-identical in any IEEE
+    * engine — the oracle replays the same recursion as a recursive CTE. */
+  private def qHmmDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Hmm, HmmModel}
+    val model = HmmModel(
+      states = Seq("F", "H"),
+      startLogProb = Map("F" -> -0.75, "H" -> -0.5),
+      transLogProb = Map(
+        ("F", "F") -> -1.25, ("F", "H") -> -0.5,
+        ("H", "F") -> -0.5, ("H", "H") -> -1.0),
+      emitLogProb = Map(
+        ("F", "click") -> -1.0, ("F", "view") -> -0.25, ("F", "purchase") -> -0.5,
+        ("F", "error") -> -3.0, ("F", "signup") -> -0.5,
+        ("H", "click") -> -0.25, ("H", "view") -> -1.5, ("H", "purchase") -> -2.0,
+        ("H", "error") -> -0.125, ("H", "signup") -> -1.0))
+    val e = Tables.events(s, dir).toDf
+      .select(col("user_id"), col("ts").cast("long").as("tsn"), col("event_type"))
+    Hmm.decode(e, model, "user_id", "tsn", "event_type")
+      .select(col("user_id").cast("long").as("user_id"),
+        concat_ws("", col("path")).as("path"))
+  }
+
   // ───────────────────────────────────────────────────────────────────────────
   //  SQL bridge, UDFs, stdlib utils
   // ───────────────────────────────────────────────────────────────────────────
@@ -858,6 +882,7 @@ object SparkEntry {
     "majority"        -> (qMajority _),
     "gradual_broadcast" -> (qGradualBroadcast _),
     "ndarray_sum"     -> (qNdarraySum _),
+    "hmm_decode"      -> (qHmmDecode _),
     "error_handling"  -> (qErrorHandling _),
     "error_table"     -> (qErrorTable _),
     "dedup_acceptor"  -> (qDedupAcceptor _),
@@ -1368,6 +1393,32 @@ object SparkEntry {
     // constants the Spark operators embed. reduce_approx_distinct is the one
     // deliberately un-oracle-able query: Spark HLL++ and DuckDB approx_distinct
     // are different sketches and cannot hash-match (documented divergence).
+    "hmm_decode" ->
+      // Viterbi over (F, H) with exact dyadic scores; candidate scan F-first,
+      // strictly-greater switches — mirrors Hmm.viterbi's deterministic
+      // tie-breaks exactly
+      """WITH RECURSIVE
+        |ef(obs, e) AS (SELECT * FROM (VALUES ('click', -1.0::DOUBLE), ('view', -0.25::DOUBLE),
+        |  ('purchase', -0.5::DOUBLE), ('error', -3.0::DOUBLE), ('signup', -0.5::DOUBLE))),
+        |eh(obs, e) AS (SELECT * FROM (VALUES ('click', -0.25::DOUBLE), ('view', -1.5::DOUBLE),
+        |  ('purchase', -2.0::DOUBLE), ('error', -0.125::DOUBLE), ('signup', -1.0::DOUBLE))),
+        |o AS (SELECT user_id, event_type AS obs,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_type) AS rn
+        |  FROM events),
+        |cnt AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+        |v(user_id, rn, sf, sh, pf, ph) AS (
+        |  SELECT o.user_id, 1, -0.75::DOUBLE + ef.e, -0.5::DOUBLE + eh.e, 'F', 'H'
+        |  FROM o JOIN ef ON ef.obs = o.obs JOIN eh ON eh.obs = o.obs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT v.user_id, v.rn + 1,
+        |    GREATEST(v.sf + -1.25::DOUBLE, v.sh + -0.5::DOUBLE) + ef.e,
+        |    GREATEST(v.sf + -0.5::DOUBLE, v.sh + -1.0::DOUBLE) + eh.e,
+        |    (CASE WHEN v.sh + -0.5::DOUBLE > v.sf + -1.25::DOUBLE THEN v.ph ELSE v.pf END) || 'F',
+        |    (CASE WHEN v.sh + -1.0::DOUBLE > v.sf + -0.5::DOUBLE THEN v.ph ELSE v.pf END) || 'H'
+        |  FROM v JOIN o ON o.user_id = v.user_id AND o.rn = v.rn + 1
+        |  JOIN ef ON ef.obs = o.obs JOIN eh ON eh.obs = o.obs)
+        |SELECT v.user_id, CASE WHEN sh > sf THEN ph ELSE pf END AS path
+        |FROM v JOIN cnt ON cnt.user_id = v.user_id AND v.rn = cnt.c""".stripMargin,
     "error_handling" ->
       // rows whose cast failed (o_orderkey % 3 != 0) were dropped by
       // remove_errors; division errors were filled with -1.0

@@ -80,6 +80,75 @@ object Graphs {
     }, iters)
   }
 
+  /** Louvain-style community detection: synchronous modularity-gain moves
+    * (reference stdlib/graphs/louvain_communities/impl.py:282 — its sequential
+    * sweep is replaced by a per-pass parallel argmax move, the standard
+    * distributed Louvain adaptation; one level, no coarsening).
+    *
+    * Per pass, every vertex u evaluates, for each neighboring community c,
+    * score(c) = w(u,c) − k_u·vol(c \ u)/2m  (∝ the modularity gain of joining
+    * c) and moves to the best strictly-improving community (ties → smaller
+    * community id — deterministic). All steps are equi-joins + aggregations on
+    * (vertex | community) keys; 2m is the only driver scalar. */
+  def louvain(edges: DataFrame, iters: Int = 10,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
+      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("u").as("vertex")).agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m2 = sym.count().toDouble // = 2m
+    val initial = deg.select(col("vertex"), col("vertex").as("community"))
+    Iterate.nTimes(initial, labels => {
+      val comVol = labels.join(deg, "vertex")
+        .groupBy("community").agg(sum("k").as("vol"))
+      // w(u, c): edges from u into community c
+      val neigh = sym
+        .join(labels.select(col("vertex").as("v"), col("community").as("c")), "v")
+        .groupBy(col("u").as("vertex"), col("c")).agg(count(lit(1)).as("w"))
+      val own = labels.select(col("vertex"), col("community").as("own"))
+      // stay value: score of keeping the current community (own volume
+      // excludes u's own degree)
+      val wOwn = neigh.join(own, "vertex").filter(col("c") === col("own"))
+        .select(col("vertex"), col("w").as("_wOwn"))
+      val stay = own.join(deg, "vertex")
+        .join(comVol.select(col("community").as("own"), col("vol").as("_ovol")), "own")
+        .join(wOwn, Seq("vertex"), "left_outer")
+        .select(col("vertex"), col("own"), col("k"),
+          (coalesce(col("_wOwn"), lit(0L)) - col("k") * (col("_ovol") - col("k")) / m2).as("_stay"))
+      val cand = neigh.join(stay, "vertex").filter(col("c") =!= col("own"))
+        .join(comVol.select(col("community").as("c"), col("vol")), "c")
+        .withColumn("_score", col("w") - col("k") * col("vol") / m2)
+      val bestMove = cand.groupBy("vertex").agg(
+        max_by(struct(col("c"), col("_score")), struct(col("_score"), -col("c"))).as("_b"),
+        first(col("own")).as("_own"), first(col("_stay")).as("_stay"))
+        .select(col("vertex"),
+          when(col("_b._score") > col("_stay"), col("_b.c")).otherwise(col("_own")).as("_new"))
+      // vertices with no external neighbor communities keep their label
+      own.join(bestMove, Seq("vertex"), "left_outer")
+        .select(col("vertex"), coalesce(col("_new"), col("own")).as("community"))
+    }, iters)
+  }
+
+  /** Modularity Q of an assignment (vertex, community) over `edges` —
+    * Σ_c [ in_c/2m − (vol_c/2m)² ], unweighted. */
+  def modularity(edges: DataFrame, assignment: DataFrame): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+    val lab = assignment.select(col("vertex"), col("community"))
+    val m2 = sym.count().toDouble
+    val withC = sym
+      .join(lab.select(col("vertex").as("u"), col("community").as("cu")), "u")
+      .join(lab.select(col("vertex").as("v"), col("community").as("cv")), "v")
+    val inC = withC.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(count(lit(1)).as("in2"))
+    val vol = withC.groupBy(col("cu").as("community")).agg(count(lit(1)).as("vol"))
+    vol.join(inC, Seq("community"), "left_outer")
+      .select(sum(coalesce(col("in2"), lit(0L)) / m2 - pow(col("vol") / m2, 2)).as("q"))
+  }
+
   /** PageRank with `iters` fixed passes, damping dampNum/dampDen. Ranks are
     * 64-bit FIXED-POINT integers (units of 1/scale): every operation is exact
     * integer arithmetic (floor div), so results are bit-identical across

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Http
+import java.nio.charset.StandardCharsets
+
+/** HTTP connector over loopback: POSTed JSON rows become a streaming table;
+  * batches post back out per partition. */
+class HttpSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def post(url: String, body: String): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(body.getBytes(StandardCharsets.UTF_8))
+    conn.getOutputStream.close()
+    val resp = new String(conn.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    conn.disconnect()
+    resp
+  }
+
+  test("restConnector: POSTed rows land in the streaming table, acked with ids") {
+    val spool = java.nio.file.Files.createTempDirectory("graft-http").toString
+    val schema = StructType(Seq(
+      StructField("user", StringType), StructField("value", LongType)))
+    val (server, stream) = Http.restConnector(spark, spool, schema)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/ingest"
+      val ack1 = post(url, """{"user":"ann","value":1}""")
+      assert(ack1.contains("\"id\""))
+      post(url, """{"user":"bob","value":2}""" + "\n" + """{"user":"cat","value":3}""")
+      val q = stream.writeStream.format("memory").queryName("http_in")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      val rows = spark.table("http_in").as[(String, Long)].collect().toSet
+      assert(rows == Set(("ann", 1L), ("bob", 2L), ("cat", 3L)))
+    } finally server.stop(0)
+  }
+
+  test("postBatch: one JSON-lines request per partition, failures surface") {
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/sink", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      body.split("\n").filter(_.nonEmpty).foreach(received.add)
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/sink"
+      Http.postBatch(Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"), url)
+      val got = received.toArray(Array.empty[String]).toSet
+      assert(got == Set("""{"k":"a","v":1}""", """{"k":"b","v":2}""", """{"k":"c","v":3}"""))
+    } finally server.stop(0)
+  }
+}

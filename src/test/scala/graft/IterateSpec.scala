@@ -40,6 +40,22 @@ class IterateSpec extends AnyFunSuite {
     assert(r(1L) == r(2L) && r(1L) > 400000000000L) // each ≈ 0.5 in 1e-12 units
   }
 
+  test("louvain separates cliques and beats the singleton partition on modularity") {
+    val clique1 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val clique2 = for (i <- 11L to 15L; j <- (i + 1) to 15L) yield (i, j)
+    val edges = (clique1 ++ clique2 :+ (5L, 11L)).toDF("src", "dst")
+    val assign = Graphs.louvain(edges, iters = 6).cache()
+    val labels = assign.as[(Long, Long)].collect().toMap
+    val c1 = (1L to 5L).map(labels).toSet
+    val c2 = (11L to 15L).map(labels).toSet
+    assert(c1.size == 1 && c2.size == 1 && c1 != c2)
+    val q = Graphs.modularity(edges, assign).as[Double].head()
+    val qSingletons = Graphs.modularity(edges,
+      edges.select(col("src").as("vertex")).unionByName(edges.select(col("dst").as("vertex")))
+        .distinct().withColumn("community", col("vertex"))).as[Double].head()
+    assert(q > qSingletons && q > 0.3, s"q=$q singletons=$qSingletons")
+  }
+
   test("labelPropagation separates two dense cliques joined by one edge") {
     val clique1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     val clique2 = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
