@@ -107,10 +107,14 @@ object TextOps {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
     val toks = tokens(text)
+    // no cache: tokenization is codegen'd regexp, so the three consumers
+    // (scalars, df, tf) just rescan — cheaper than pinning the tokenized
+    // corpus in memory at scale, and nothing is left persisted behind
+    // (r2 leaked this cache). Both driver scalars come from ONE job.
     val base = docs.select(id.as("id"), toks.as("_toks"), size(toks).cast("long").as("_dl"))
-      .cache()
-    val n = base.count() // N docs (driver scalar: two-pass like any TF-IDF build)
-    val avgdl = base.select(avg(col("_dl"))).head.getDouble(0)
+    val r = base.agg(count(lit(1)), avg(col("_dl"))).head
+    val n = r.getLong(0) // N docs (driver scalar: two-pass like any TF-IDF build)
+    val avgdl = r.getDouble(1)
 
     val termDf = base
       .select(col("id"), explode(array_distinct(col("_toks"))).as("term"))

@@ -53,6 +53,11 @@ object Utils {
   def saltedAgg(df: DataFrame, key: Column, salts: Int,
       partial: Column => Column, merge: Column => Column, valueCol: Column,
       outName: String): DataFrame = {
+    // monotonically_increasing_id is NOT stable across retries/replans — fine
+    // here because the salt only shards rows between partial aggregates and
+    // `merge` must be algebraic (sum-of-sums etc.), so ANY row→salt split
+    // yields the same final value; do not use this salting with
+    // order-sensitive merges
     val salted = df.groupBy(key.as("_k"), (monotonically_increasing_id() % salts).as("_salt"))
       .agg(partial(valueCol).as("_partial"))
     salted.groupBy(col("_k")).agg(merge(col("_partial")).as(outName))

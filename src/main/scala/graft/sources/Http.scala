@@ -54,7 +54,11 @@ object Http {
 
   /** POST one batch as JSON lines, one request per partition (executor-side). */
   def postBatch(batch: DataFrame, url: String): Unit =
-    batch.toJSON.foreachPartition { (lines: Iterator[String]) =>
+    postLines(batch.toJSON, url)
+
+  /** POST pre-rendered lines, one request per partition (executor-side). */
+  def postLines(rendered: org.apache.spark.sql.Dataset[String], url: String): Unit =
+    rendered.foreachPartition { (lines: Iterator[String]) =>
       if (lines.nonEmpty) {
         val conn = new java.net.URL(url).openConnection()
           .asInstanceOf[java.net.HttpURLConnection]
@@ -73,4 +77,24 @@ object Http {
   /** Streaming HTTP writer: every microbatch POSTed to `url`. */
   def postSink(df: DataFrame, url: String): DataStreamWriter[Row] =
     df.writeStream.foreachBatch { (batch: DataFrame, _: Long) => postBatch(batch, url) }
+
+  /** Vector-store point upserts (reference io/{qdrant,pinecone,...} writers):
+    * rows become `{"id":…,"vector":[…],"payload":{…}}` JSON lines POSTed per
+    * partition — the generic REST shape the vector-DB upsert APIs share;
+    * an endpoint-specific envelope is a format tweak on the receiving side. */
+  def postVectors(batch: DataFrame, idCol: String, vecCol: String, url: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val payloadCols = batch.columns.filterNot(c => c == idCol || c == vecCol)
+    val points = batch.select(to_json(struct(
+      col(idCol).as("id"), col(vecCol).as("vector"),
+      struct(payloadCols.map(col): _*).as("payload"))).as("json"))
+    postLines(points.select(col("json")).as(org.apache.spark.sql.Encoders.STRING), url)
+  }
+
+  /** Streaming vector-store writer. */
+  def vectorSink(df: DataFrame, idCol: String, vecCol: String,
+      url: String): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      postVectors(batch, idCol, vecCol, url)
+    }
 }

@@ -58,4 +58,26 @@ class HttpSpec extends AnyFunSuite {
       assert(got == Set("""{"k":"a","v":1}""", """{"k":"b","v":2}""", """{"k":"c","v":3}"""))
     } finally server.stop(0)
   }
+
+  test("postVectors ships id/vector/payload point upserts") {
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/points", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      body.split("\n").filter(_.nonEmpty).foreach(received.add)
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/points"
+      val df = Seq((7L, Seq(1.0f, 0.0f), "doc-a"), (8L, Seq(0.5f, 0.5f), "doc-b"))
+        .toDF("vec_id", "embedding", "title")
+      Http.postVectors(df, "vec_id", "embedding", url)
+      val got = received.toArray(Array.empty[String]).toSet
+      assert(got == Set(
+        """{"id":7,"vector":[1.0,0.0],"payload":{"title":"doc-a"}}""",
+        """{"id":8,"vector":[0.5,0.5],"payload":{"title":"doc-b"}}"""))
+    } finally server.stop(0)
+  }
 }
