@@ -686,6 +686,28 @@ object SparkEntry {
     graft.functions.Errors.errorTable(checkedOrders(s, dir), col("o_orderkey"))
       .select("o_orderkey", "err_col", "err_msg")
 
+  /** TPC-H Q3-style shipping-priority query: 3-way join with selective
+    * filters on every input + grouped revenue. Exercises the multi-join
+    * Catalyst path end-to-end: both dim-side filters reach the parquet scans
+    * (PushedFilters) and the customer side broadcasts; revenue follows the
+    * q1 decimal-exact float policy. */
+  private def qQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("timestamp_ntz")
+    val c = Tables.customer(s, dir).toDf
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, dir).toDf
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, dir).toDf
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("_rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("_rev").cast("decimal(22,6)")).cast("double").as("revenue"))
+  }
+
   /** HMM Viterbi decode per user over the event stream (reference
     * stdlib/ml/hmm.py create_hmm_reducer). Model scores are exact dyadic
     * doubles (-0.25, -1.5, …) so the DP sums are bit-identical in any IEEE
@@ -882,6 +904,7 @@ object SparkEntry {
     "majority"        -> (qMajority _),
     "gradual_broadcast" -> (qGradualBroadcast _),
     "ndarray_sum"     -> (qNdarraySum _),
+    "q3_shipping"     -> (qQ3 _),
     "hmm_decode"      -> (qHmmDecode _),
     "error_handling"  -> (qErrorHandling _),
     "error_table"     -> (qErrorTable _),
@@ -1393,6 +1416,16 @@ object SparkEntry {
     // constants the Spark operators embed. reduce_approx_distinct is the one
     // deliberately un-oracle-able query: Spark HLL++ and DuckDB approx_distinct
     // are different sketches and cannot hash-match (documented divergence).
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2""".stripMargin,
     "hmm_decode" ->
       // Viterbi over (F, H) with exact dyadic scores; candidate scan F-first,
       // strictly-greater switches — mirrors Hmm.viterbi's deterministic
