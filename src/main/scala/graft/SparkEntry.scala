@@ -618,6 +618,18 @@ object SparkEntry {
       queries, col("q_id"), col("q_text"))
   }
 
+  private def qRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq((0L, "data query window"), (1L, "spark join batch"),
+      (2L, "hash table scan")).toDF("q_id", "q_text")
+    // second-stage candidates: ~30 docs per query from a cheap routing key
+    // (stands in for a first-stage retriever's output)
+    val cands = docs(s, dir).filter(col("doc_id") < 90)
+      .join(queries, col("doc_id") % 3 === col("q_id"))
+    TextOps.rerankTopK(cands, col("q_id"), col("q_text"),
+      col("doc_id"), col("text"), k = 5)
+  }
+
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.packAsMedia(docs(s, dir), col("doc_id"), col("text"), "text")
     Multimodal.extractFeatures(media).toDF()
@@ -892,6 +904,7 @@ object SparkEntry {
     "rrf_fusion"      -> (qRrfFusion _),
     "bm25_per_term"   -> (qBm25 _),
     "fuzzy_join"      -> (qFuzzyJoin _),
+    "rerank_topk"     -> (qRerank _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "iterate_cc"      -> (qIterateCc _),
@@ -1416,6 +1429,20 @@ object SparkEntry {
     // constants the Spark operators embed. reduce_approx_distinct is the one
     // deliberately un-oracle-able query: Spark HLL++ and DuckDB approx_distinct
     // are different sketches and cannot hash-match (documented divergence).
+    "rerank_topk" ->
+      """WITH q(q_id, q_text) AS (VALUES (CAST(0 AS BIGINT), 'data query window'),
+        |                               (CAST(1 AS BIGINT), 'spark join batch'),
+        |                               (CAST(2 AS BIGINT), 'hash table scan')),
+        |c AS (SELECT q_id, doc_id,
+        |    list_distinct(regexp_extract_all(lower(q_text), '[a-z0-9'']+')) AS qt,
+        |    list_distinct(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS dt
+        |  FROM documents JOIN q ON doc_id % 3 = q_id WHERE doc_id < 90),
+        |s AS (SELECT q_id, doc_id,
+        |    CAST(len(list_intersect(qt, dt)) AS DOUBLE) / CAST(len(qt) AS DOUBLE) AS score
+        |  FROM c),
+        |r AS (SELECT q_id, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rank FROM s)
+        |SELECT q_id, doc_id, score, rank FROM r WHERE rank <= 5""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue

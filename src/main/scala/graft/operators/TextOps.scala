@@ -137,6 +137,32 @@ object TextOps {
       .select(col("id"), col("term"), col("score"))
   }
 
+  // ── rerankers (xpacks/llm/rerankers.py: CrossEncoder/LLMReranker +
+  //    rerank_topk_filter) ──────────────────────────────────────────────────────
+  /** Deterministic lexical relevance: |tokens(q) ∩ tokens(d)| / |tokens(q)|
+    * over distinct word tokens — the built-in scorer (an LLM/cross-encoder
+    * scorer plugs into the same shape through AsyncTransformer). */
+  def lexicalOverlapScore(qText: Column, dText: Column): Column = {
+    val qt = array_distinct(wordTokens(qText))
+    size(array_intersect(qt, array_distinct(wordTokens(dText)))).cast("double") /
+      size(qt).cast("double")
+  }
+
+  /** Rerank candidate (query, doc) pairs: score with `scorer`, keep top-k per
+    * query (ties → smaller doc id; reference rerank_topk_filter). Candidates
+    * come from any upstream retriever (BM25/KNN); this is the second-stage
+    * rerank, so the scored set is small and the window cheap. */
+  def rerankTopK(candidates: DataFrame, queryId: Column, qText: Column,
+      docId: Column, dText: Column, k: Int,
+      scorer: (Column, Column) => Column = lexicalOverlapScore): DataFrame = {
+    val scored = candidates.select(queryId.as("q_id"), docId.as("doc_id"),
+      scorer(qText, dText).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   // ── fuzzy join (stdlib/ml/smart_table_ops/_fuzzy_join.py:43) ─────────────────
   /** Token-overlap fuzzy join: for each left row, the right row sharing the most
     * distinct tokens (tie → smallest right id). Explode-join-reaggregate — the

@@ -170,6 +170,55 @@ object StreamOps {
     * whole stream, so "wait until threshold then emit in order" = sort). */
   def bufferBatch(df: DataFrame, ts: Column): DataFrame = df.orderBy(ts)
 
+  // ── stream-stream asof join (SURVEY known-hard #2; reference
+  //    _asof_join.py backward semantics over two live streams) ────────────────
+
+  /** One event of the unioned (left ∪ right) stream feeding the asof kernel. */
+  final case class AsofEvent[L, R](isLeft: Boolean, timeMs: Long,
+      left: Option[L], right: Option[R])
+
+  final case class AsofJoinState[L, R](lefts: List[(Long, L)], rights: List[(Long, R)])
+
+  /** flatMapGroupsWithState kernel for a per-key BACKWARD asof join of two
+    * streams sharing one watermark: a left row (t, l) waits until the
+    * watermark passes t — at which point every right row with time ≤ t has
+    * arrived — and emits (t, l, latest right ≤ t). State is bounded by the
+    * watermark: held lefts are all later than it, and of the rights at or
+    * before it only the single latest survives (any future left still matches
+    * that one). Use as
+    * `union.groupByKey(key).flatMapGroupsWithState(Append, EventTimeTimeout)(
+    *    asofJoinKernel[K, L, R])` on a watermarked union. Ties on right time
+    * resolve to the last-arrived row — give rights a total time order for
+    * full determinism (same contract as the batch asofJoin). */
+  def asofJoinKernel[K, L, R]: (K, Iterator[AsofEvent[L, R]],
+      GroupState[AsofJoinState[L, R]]) => Iterator[(K, Long, L, Option[R])] =
+    (key: K, rows: Iterator[AsofEvent[L, R]], state: GroupState[AsofJoinState[L, R]]) => {
+      val st0 = state.getOption.getOrElse(AsofJoinState[L, R](Nil, Nil))
+      val st1 = if (state.hasTimedOut) st0 else {
+        val evs = rows.toList
+        AsofJoinState(
+          st0.lefts ++ evs.filter(_.isLeft).map(e => e.timeMs -> e.left.get),
+          st0.rights ++ evs.filter(!_.isLeft).map(e => e.timeMs -> e.right.get))
+      }
+      val wm = state.getCurrentWatermarkMs()
+      val (ripe, hold) = st1.lefts.partition(_._1 <= wm)
+      val out = ripe.sortBy(_._1).map { case (lt, lv) =>
+        val candidates = st1.rights.filter(_._1 <= lt)
+        val m = if (candidates.isEmpty) None else Some(candidates.maxBy(_._1)._2)
+        (key, lt, lv, m)
+      }
+      val (future, past) = st1.rights.partition(_._1 > wm)
+      val keepPast = if (past.isEmpty) Nil else List(past.maxBy(_._1))
+      val next = AsofJoinState(hold, keepPast ++ future)
+      if (next.lefts.isEmpty && next.rights.isEmpty) state.remove()
+      else {
+        state.update(next)
+        if (next.lefts.nonEmpty)
+          state.setTimeoutTimestamp(next.lefts.map(_._1).min + 1)
+      }
+      out.iterator
+    }
+
   // ── sinks ──────────────────────────────────────────────────────────────────
 
   /** subscribe(on_change) — reference io/_subscribe.py:17: per-microbatch

@@ -122,6 +122,46 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream BACKWARD asof join: left rows match latest right <= t once watermark passes") {
+    implicit val sql = spark.sqlContext
+    import StreamOps.{AsofEvent, AsofJoinState}
+    val input = MemoryStream[(java.sql.Timestamp, Long, Boolean, String)] // (t, key, isLeft, payload)
+    val events = input.toDS().toDF("t", "k", "isLeft", "p")
+      .withWatermark("t", "5 minutes")
+      .as[(java.sql.Timestamp, Long, Boolean, String)] // projection keeps the watermarked attr
+    val joined = events.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[(java.sql.Timestamp, Long, Boolean, String)],
+         st: org.apache.spark.sql.streaming.GroupState[AsofJoinState[String, String]]) =>
+          StreamOps.asofJoinKernel[Long, String, String](k,
+            it.map { case (t, _, isLeft, p) =>
+              AsofEvent[String, String](isLeft, t.getTime,
+                if (isLeft) Some(p) else None, if (isLeft) None else Some(p))
+            }, st)
+      }
+    val q = joined.toDF("k", "lt", "lv", "rv").writeStream.format("memory")
+      .queryName("asof_stream_out").outputMode("append").start()
+    // rights r1@00:01=ten r2@00:05=twenty; lefts l0@00:00, l1@00:03, l2@00:06
+    input.addData(
+      (ts("2024-01-01 00:01:00"), 1L, false, "ten"),
+      (ts("2024-01-01 00:03:00"), 1L, true, "l1"),
+      (ts("2024-01-01 00:00:00"), 1L, true, "l0"))
+    q.processAllAvailable()
+    input.addData(
+      (ts("2024-01-01 00:05:00"), 1L, false, "twenty"),
+      (ts("2024-01-01 00:06:00"), 1L, true, "l2"))
+    q.processAllAvailable()
+    // push the watermark far past all lefts (other key)
+    input.addData((ts("2024-01-01 01:00:00"), 99L, false, "z"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 01:01:00"), 99L, false, "z2"))
+    q.processAllAvailable()
+    val out = spark.table("asof_stream_out").filter(col("k") === 1L)
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    assert(out == Map("l0" -> None, "l1" -> Some("ten"), "l2" -> Some("twenty")))
+    q.stop()
+  }
+
   test("streaming deduplication within watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
