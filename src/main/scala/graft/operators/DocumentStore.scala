@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document store: the xpack's flagship RAG composition (reference
+  * python/pathway/xpacks/llm/document_store.py + vector_store.py — chunk →
+  * embed → index → retrieve, optionally rerank), built purely from the
+  * library's own operators so the whole path inherits their scale posture:
+  * chunking is a posexplode, embedding is partition-batched, retrieval is a
+  * broadcast-queries KNN (or SRP-LSH for corpus-scale query sets), reranking
+  * a per-query window over the small candidate set.
+  *
+  * The embedder is the pluggable piece — `Embedders.embed` here (deterministic
+  * stub; a real endpoint swaps in via the same partition-batched client,
+  * see AsyncTransformer for the failure-tracking variant).
+  */
+object DocumentStore {
+
+  /** The built index: one row per chunk with its embedding.
+    * Columns: doc_id, chunk_id, chunk_idx, chunk_text, embedding. */
+  def build(docs: DataFrame, idCol: Column, textCol: Column,
+      chunkTokens: Int = 50, overlap: Int = 10, dim: Int = 64): DataFrame = {
+    val chunks = TextOps.splitIntoChunks(
+        docs.select(idCol.as("doc_id"), textCol.as("text")), col("text"),
+        chunkTokens, overlap)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .withColumn("chunk_id",
+        graft.core.Keys.pointerFrom(col("doc_id"), col("chunk_idx")))
+    Embedders.embed(chunks, "chunk_text", dim = dim)
+  }
+
+  /** Top-k chunks per query by cosine over the store's embeddings.
+    * `exact = false` routes through SRP-LSH buckets instead of the
+    * broadcast-queries brute force (the corpus-scale path). */
+  def retrieve(store: DataFrame, queries: DataFrame, qId: Column, qText: Column,
+      k: Int = 5, dim: Int = 64, exact: Boolean = true): DataFrame = {
+    val q = Embedders.embed(queries.select(qId.as("query_id"), qText.as("q_text")),
+      "q_text", dim = dim)
+    val knn =
+      if (exact) Similarity.bruteForceKnn(q, col("query_id"), col("embedding"),
+        store, col("chunk_id"), col("embedding"), k)
+      else Similarity.lshKnn(q, col("query_id"), col("embedding"),
+        store, col("chunk_id"), col("embedding"), k, dim)
+    knn.join(store.select(col("chunk_id").as("nn_id"), col("doc_id"),
+        col("chunk_idx"), col("chunk_text")), "nn_id")
+      .select(col("query_id"), col("nn_id").as("chunk_id"), col("doc_id"),
+        col("chunk_idx"), col("chunk_text"), col("score"), col("rank"))
+  }
+
+  /** Retrieve a wider candidate set, then rerank with the lexical scorer
+    * (second stage; an LLM scorer swaps in through rerankTopK's `scorer`). */
+  def retrieveReranked(store: DataFrame, queries: DataFrame, qId: Column,
+      qText: Column, fetchK: Int = 20, finalK: Int = 5, dim: Int = 64): DataFrame = {
+    val fetched = retrieve(store, queries, qId, qText, fetchK, dim)
+      .join(queries.select(qId.as("query_id"), qText.as("q_text")), "query_id")
+    val reranked = TextOps.rerankTopK(fetched, col("query_id"), col("q_text"),
+        col("chunk_id"), col("chunk_text"), finalK)
+      .select(col("q_id").as("query_id"), col("doc_id").as("chunk_id"),
+        col("score").as("rerank_score"), col("rank"))
+    reranked.join(fetched.select("query_id", "chunk_id", "doc_id", "chunk_idx",
+        "chunk_text"), Seq("query_id", "chunk_id"))
+      .select("query_id", "doc_id", "chunk_idx", "chunk_text", "rerank_score", "rank")
+  }
+}

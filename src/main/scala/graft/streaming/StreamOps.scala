@@ -170,6 +170,15 @@ object StreamOps {
     * whole stream, so "wait until threshold then emit in order" = sort). */
   def bufferBatch(df: DataFrame, ts: Column): DataFrame = df.orderBy(ts)
 
+  /** behavior `delay` (reference temporal_behavior.py:21 common_behavior —
+    * postpone emission until `delay` past the row's event time): the buffer
+    * kernel on a clock shifted by `delayMs`, so a row releases once the
+    * watermark passes eventTime + delay. Compose after a windowed aggregate
+    * to delay that window's first output, exactly the reference's semantics. */
+  def delayKernel[K, V](eventTimeMs: V => Long, delayMs: Long):
+      (K, Iterator[V], GroupState[List[V]]) => Iterator[V] =
+    bufferKernel[K, V](v => eventTimeMs(v) + delayMs)
+
   // ── stream-stream asof join (SURVEY known-hard #2; reference
   //    _asof_join.py backward semantics over two live streams) ────────────────
 

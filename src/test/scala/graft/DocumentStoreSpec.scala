@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DocumentStore
+
+/** End-to-end RAG composition: chunk → embed → retrieve → rerank. */
+class DocumentStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon " * 12),
+    (2L, "spark shuffle partition broadcast join " * 12),
+    (3L, "minhash shingle jaccard signature band " * 12)).toDF("id", "body")
+
+  test("build produces one embedded row per chunk with stable chunk ids") {
+    val store = DocumentStore.build(docs, col("id"), col("body"),
+      chunkTokens = 20, overlap = 5, dim = 16).cache()
+    assert(store.columns.toSet ==
+      Set("doc_id", "chunk_idx", "chunk_text", "chunk_id", "embedding"))
+    val perDoc = store.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc.values.forall(_ >= 3)) // 60 tokens, 15-token stride
+    assert(store.select("chunk_id").distinct.count() == store.count())
+  }
+
+  test("retrieve finds the source document's chunks for its own vocabulary") {
+    val store = DocumentStore.build(docs, col("id"), col("body"),
+      chunkTokens = 20, overlap = 5, dim = 16).cache()
+    val queries = Seq((100L, "spark shuffle partition"),
+      (200L, "minhash shingle jaccard")).toDF("qid", "qtext")
+    val hits = DocumentStore.retrieve(store, queries, col("qid"), col("qtext"),
+      k = 3, dim = 16)
+    val topDoc = hits.filter(col("rank") === 1)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toMap
+    assert(topDoc(100L) == 2L && topDoc(200L) == 3L)
+  }
+
+  test("retrieveReranked returns finalK chunks ranked by lexical overlap") {
+    val store = DocumentStore.build(docs, col("id"), col("body"),
+      chunkTokens = 20, overlap = 5, dim = 16).cache()
+    val queries = Seq((100L, "alpha beta gamma")).toDF("qid", "qtext")
+    val out = DocumentStore.retrieveReranked(store, queries, col("qid"), col("qtext"),
+      fetchK = 6, finalK = 2, dim = 16).cache()
+    assert(out.count() == 2)
+    val top = out.filter(col("rank") === 1).select("doc_id").as[Long].head()
+    assert(top == 1L)
+    assert(out.select("rerank_score").as[Double].collect().forall(_ > 0.9))
+  }
+}

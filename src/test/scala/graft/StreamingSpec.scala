@@ -162,6 +162,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("behavior delay: rows release only once the watermark passes t + delay") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val delayed = input.toDS()
+      .withWatermark("_1", "0 seconds")
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        StreamOps.delayKernel[Int, (java.sql.Timestamp, String)](
+          _._1.getTime, delayMs = 10 * 60 * 1000))
+    val q = delayed.toDF("t", "v").writeStream.format("memory").queryName("delay_out")
+      .outputMode("append").start()
+    input.addData((ts("2024-01-01 00:01:00"), "a"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:05:00"), "wm1")) // wm → 00:05 < 00:11
+    q.processAllAvailable()
+    assert(spark.table("delay_out").filter(col("v") === "a").count() == 0)
+    input.addData((ts("2024-01-01 00:12:00"), "wm2")) // wm → 00:12 ≥ 00:11
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:13:00"), "wm3")) // extra batch fires timeout
+    q.processAllAvailable()
+    assert(spark.table("delay_out").filter(col("v") === "a").count() == 1)
+    q.stop()
+  }
+
   test("streaming deduplication within watermark") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
