@@ -158,6 +158,49 @@ SELECT query_id, nn_id, rrf_score, rank FROM (
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, nn_id ASC) AS rank FROM f)
 WHERE rank <= $topK"""
 
+  /** DocumentStore.build(documents, 50/10, dim) → retrieve(3 literal queries,
+    * k, exact): chunking (40-token stride), md5 chunk ids, FakeEmbedder
+    * vectors per chunk and per query, cosine ranking with the chunk id as
+    * tie-break — the full RAG retrieval path replayed in SQL. */
+  def docStoreRetrieve(dim: Int, k: Int, queries: Seq[(Long, String)]): String = {
+    val qvals = queries.map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")
+    // signed token-count vector of a token-list column `toks`, as CTE steps
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+c0 AS (SELECT doc_id, toks,
+    UNNEST(generate_series(0, GREATEST(CAST(CEIL(CAST(len(toks) - 10 AS DOUBLE) / 40) AS INT), 1) - 1)) AS ci
+  FROM d),
+ch AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+    array_to_string(list_slice(toks, ci * 40 + 1, ci * 40 + 50), ' ') AS chunk_text FROM c0),
+chid AS (SELECT doc_id, chunk_idx, chunk_text,
+    ${duckSigned(duckU64("doc_id || ':' || chunk_idx"))} AS chunk_id FROM ch),
+ctk AS (SELECT chunk_id, UNNEST(list_filter(string_split_regex(lower(chunk_text), '\\s+'),
+    x -> x <> '')) AS t FROM chid),
+chv AS (SELECT chunk_id, ${duckU64("t")} AS hu FROM ctk),
+cag AS (SELECT chunk_id, CAST(hu % $dim AS BIGINT) AS idx,
+    SUM(CASE WHEN hu >= $Half THEN -1 ELSE 1 END) AS v FROM chv GROUP BY 1, 2),
+cg AS (SELECT chunk_id, list(idx ORDER BY idx) AS idxs, list(v ORDER BY idx) AS vals
+  FROM cag GROUP BY chunk_id),
+cemb AS (SELECT c.chunk_id, c.doc_id, c.chunk_idx, list_transform(generate_series(0, ${dim - 1}),
+    i -> CAST(COALESCE(vals[list_position(idxs, i)], 0) AS DOUBLE)) AS cv
+  FROM chid c LEFT JOIN cg ON cg.chunk_id = c.chunk_id),
+q(query_id, q_text) AS (VALUES $qvals),
+qtk AS (SELECT query_id, UNNEST(list_filter(string_split_regex(lower(q_text), '\\s+'),
+    x -> x <> '')) AS t FROM q),
+qhv AS (SELECT query_id, ${duckU64("t")} AS hu FROM qtk),
+qag AS (SELECT query_id, CAST(hu % $dim AS BIGINT) AS idx,
+    SUM(CASE WHEN hu >= $Half THEN -1 ELSE 1 END) AS v FROM qhv GROUP BY 1, 2),
+qg AS (SELECT query_id, list(idx ORDER BY idx) AS idxs, list(v ORDER BY idx) AS vals
+  FROM qag GROUP BY query_id),
+qemb AS (SELECT q.query_id, list_transform(generate_series(0, ${dim - 1}),
+    i -> CAST(COALESCE(vals[list_position(idxs, i)], 0) AS DOUBLE)) AS qv
+  FROM q LEFT JOIN qg ON qg.query_id = q.query_id),
+sc AS (SELECT query_id, chunk_id, doc_id, chunk_idx, ${cos("qv", "cv", dim)} AS score
+  FROM qemb JOIN cemb ON query_id <> chunk_id),
+r AS (SELECT query_id, doc_id, chunk_idx, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, chunk_id ASC) AS rank FROM sc)
+SELECT query_id, doc_id, chunk_idx, score, rank FROM r WHERE rank <= $k"""
+  }
+
   /** Embedders.embed(documents, dim=32) → Similarity.bruteForceKnn
     * (queries doc_id<5, k=3). Vectors are signed md5-token-hash counts —
     * exact integers, assembled per dimension then cosine'd in DOUBLE. */

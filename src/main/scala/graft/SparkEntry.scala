@@ -630,6 +630,17 @@ object SparkEntry {
       col("doc_id"), col("text"), k = 5)
   }
 
+  private def qDocStoreRetrieve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = graft.operators.DocumentStore.build(
+      docs(s, dir), col("doc_id"), col("text"), chunkTokens = 50, overlap = 10, dim = 32)
+    val queries = Seq((1L, "data query window"), (2L, "spark join batch"),
+      (3L, "hash table scan")).toDF("qid", "qtext")
+    graft.operators.DocumentStore.retrieve(store, queries, col("qid"), col("qtext"),
+        k = 3, dim = 32)
+      .select("query_id", "doc_id", "chunk_idx", "score", "rank")
+  }
+
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.packAsMedia(docs(s, dir), col("doc_id"), col("text"), "text")
     Multimodal.extractFeatures(media).toDF()
@@ -905,6 +916,7 @@ object SparkEntry {
     "bm25_per_term"   -> (qBm25 _),
     "fuzzy_join"      -> (qFuzzyJoin _),
     "rerank_topk"     -> (qRerank _),
+    "doc_store_retrieve" -> (qDocStoreRetrieve _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "iterate_cc"      -> (qIterateCc _),
@@ -1499,5 +1511,8 @@ object SparkEntry {
     "knn_ivf" -> OracleSqlGen.knnIvf(k = 5, dim = 64, nCells = 16, nProbe = 4),
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),
+    "doc_store_retrieve" -> OracleSqlGen.docStoreRetrieve(dim = 32, k = 3,
+      queries = Seq(1L -> "data query window", 2L -> "spark join batch",
+        3L -> "hash table scan")),
   )
 }

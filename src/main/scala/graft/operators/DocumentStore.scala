@@ -25,8 +25,12 @@ object DocumentStore {
         docs.select(idCol.as("doc_id"), textCol.as("text")), col("text"),
         chunkTokens, overlap)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
-      .withColumn("chunk_id",
-        graft.core.Keys.pointerFrom(col("doc_id"), col("chunk_idx")))
+      // chunk id from the CrossHash md5 family (not xxhash64 pointers): the
+      // id doubles as the retrieval tie-break, and md5 keeps the whole store
+      // — ids included — reproducible by any engine (the DuckDB oracle
+      // re-derives it)
+      .withColumn("chunk_id", graft.functions.CrossHash.md5Long(
+        concat_ws(":", col("doc_id"), col("chunk_idx"))))
     Embedders.embed(chunks, "chunk_text", dim = dim)
   }
 
