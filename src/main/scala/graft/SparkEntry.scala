@@ -630,6 +630,16 @@ object SparkEntry {
       col("doc_id"), col("text"), k = 5)
   }
 
+  /** 2-D MatMul: reshape each embedding to 8×8, multiply by its transpose,
+    * explode the Gram matrix — exact double folds, oracle-replayed. */
+  private def qMatmul2d(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf.filter(col("vec_id") < 500)
+    val m = Exprs.reshape(col("embedding"), 8, 8)
+    val p = Exprs.matmul2d(m, Exprs.transpose2d(m))
+    e.select(col("vec_id"), posexplode(p).as(Seq("i", "row")))
+      .select(col("vec_id"), col("i"), posexplode(col("row")).as(Seq("j", "v")))
+  }
+
   private def qDocStoreRetrieve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val store = graft.operators.DocumentStore.build(
@@ -917,6 +927,7 @@ object SparkEntry {
     "fuzzy_join"      -> (qFuzzyJoin _),
     "rerank_topk"     -> (qRerank _),
     "doc_store_retrieve" -> (qDocStoreRetrieve _),
+    "matmul_2d"       -> (qMatmul2d _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "iterate_cc"      -> (qIterateCc _),
@@ -1511,6 +1522,13 @@ object SparkEntry {
     "knn_ivf" -> OracleSqlGen.knnIvf(k = 5, dim = 64, nCells = 16, nProbe = 4),
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),
+    "matmul_2d" ->
+      """SELECT vec_id, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+        |  list_reduce(list_transform(generate_series(1, 8),
+        |    k -> CAST(embedding[i*8 + k] AS DOUBLE) * CAST(embedding[j*8 + k] AS DOUBLE)),
+        |    (a, b) -> a + b) AS v
+        |FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |  generate_series(0, 7) t1(i), generate_series(0, 7) t2(j)""".stripMargin,
     "doc_store_retrieve" -> OracleSqlGen.docStoreRetrieve(dim = 32, k = 3,
       queries = Seq(1L -> "data query window", 2L -> "spark join batch",
         3L -> "hash table scan")),

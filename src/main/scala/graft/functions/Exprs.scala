@@ -34,11 +34,33 @@ object Exprs {
   def makeTuple(cols: Column*): Column = struct(cols: _*)
 
   /** MatMul (`@`) for 1-D numeric arrays: the dot product as a codegen-free but
-    * attribute-bound HOF fold (expression.rs:134 MatMul; ndarray case limited
-    * to vectors — 2-D matmul stays out of expression space at scale). */
+    * attribute-bound HOF fold (expression.rs:134 MatMul). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Reshape a flat numeric array into `rows` rows of `cols` (row-major) —
+    * the 2-D ndarray is `array<array<double>>`. */
+  def reshape(vec: Column, rows: Int, cols: Int): Column =
+    transform(sequence(lit(0), lit(rows - 1)),
+      r => slice(vec, r * cols + 1, lit(cols)))
+
+  /** 2-D transpose. */
+  def transpose2d(m: Column): Column =
+    transform(sequence(lit(1), size(element_at(m, 1))),
+      j => transform(m, row => element_at(row, j)))
+
+  /** MatMul for 2-D ndarrays (expression.rs:134 — full matrix case):
+    * result[i][j] = Σ_k a[i][k]·b[k][j], folds left-to-right in k so the
+    * value is bit-reproducible by the oracle. HOFs are interpreted — right
+    * for the reference's per-row small-matrix semantics (feature transforms);
+    * corpus-scale linear algebra belongs in an explode→equi-join→agg plan,
+    * not an expression. */
+  def matmul2d(a: Column, b: Column): Column =
+    transform(a, row =>
+      transform(sequence(lit(1), size(element_at(b, 1))), j =>
+        aggregate(zip_with(row, b, (x, brow) => x.cast("double") * element_at(brow, j)),
+          lit(0.0), (acc, v) => acc + v)))
   /** checked get → null on missing (GetExpression, expression.py:1090). */
   def tryGet(c: Column, i: Column): Column = try_element_at(c, i)
   def get(c: Column, i: Column): Column = element_at(c, i)
