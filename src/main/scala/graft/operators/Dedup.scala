@@ -203,6 +203,16 @@ object Dedup {
       .select("id", "rep_id", "is_dup")
   }
 
+  /** Full transitive closure over verified near-dup pairs: a~b and b~c put
+    * a, b, c in one group even when (a, c) never surfaced as a candidate —
+    * connected components (Iterate.fixpoint label propagation) over the pair
+    * graph, where minhashLsh's single-pass star-merge stops at direct
+    * neighbors. Returns (id, rep_id = min id of the group). */
+  def dupGroups(pairs: DataFrame): DataFrame =
+    Graphs.connectedComponents(
+        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+      .select(col("vertex").as("id"), col("component").as("rep_id"))
+
   /** 64-bit SimHash of a token-hash table (id, _h): per doc, bit i (MSB first)
     * is the sign of Σ_tokens ±1 where the sign is bit i of the token hash.
     * Computed as 64 map-side-combining sum() aggregates over exploded token

@@ -62,6 +62,14 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("dupGroups closes near-dup chains transitively (a~b~c one group)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val groups = graft.operators.Dedup.dupGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups(1L) == 1L && groups(2L) == 1L && groups(3L) == 1L)
+    assert(groups(10L) == 10L && groups(11L) == 10L)
+  }
+
   test("floorDiv/% Euclidean-style identity for positive divisors") {
     import graft.functions.Exprs._
     forAll(Gen.chooseNum(-10000L, 10000L), Gen.chooseNum(1L, 100L)) { (a, b) =>
