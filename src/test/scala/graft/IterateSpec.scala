@@ -93,6 +93,21 @@ class IterateSpec extends AnyFunSuite {
     assert(exhaustive == exact5)
   }
 
+  test("HNSW recall: per-partition graph index recovers brute-force top-k") {
+    import graft.operators.{Hnsw, Similarity}
+    val e = spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    val exact = topSet(Similarity.bruteForceKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5))
+    val hnsw = topSet(Hnsw.knn(q, col("vec_id"), col("embedding"),
+      e.repartition(2), col("vec_id"), col("embedding"), k = 5, dim = 64))
+    val recall = (hnsw & exact).size.toDouble / exact.size
+    info(f"hnsw recall@5 = $recall%.2f")
+    assert(recall >= 0.85, s"hnsw recall $recall")
+  }
+
   test("utils: argmaxRows / majority / unpackCol") {
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("b", 4L, 5.0))
       .toDF("g", "id", "v")
