@@ -741,6 +741,31 @@ object SparkEntry {
       .agg(sum(col("_rev").cast("decimal(22,6)")).cast("double").as("revenue"))
   }
 
+  /** TPC-H Q5-style local-supplier-volume: 6-way join (region→nation→
+    * customer→orders→lineitem→supplier with the local-supplier condition)
+    * + grouped revenue — the deepest join tree in the suite; dims broadcast
+    * down the chain, lineitem streams once. */
+  private def qQ5(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("timestamp_ntz")
+    val r = Tables.region(s, dir).toDf.filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir).toDf
+    val c = Tables.customer(s, dir).toDf
+    val o = Tables.orders(s, dir).toDf
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(s, dir).toDf
+    val su = Tables.supplier(s, dir).toDf
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(22,6)")).cast("double").as("revenue"))
+  }
+
   /** HMM Viterbi decode per user over the event stream (reference
     * stdlib/ml/hmm.py create_hmm_reducer). Model scores are exact dyadic
     * doubles (-0.25, -1.5, …) so the DP sums are bit-identical in any IEEE
@@ -941,6 +966,7 @@ object SparkEntry {
     "gradual_broadcast" -> (qGradualBroadcast _),
     "ndarray_sum"     -> (qNdarraySum _),
     "q3_shipping"     -> (qQ3 _),
+    "q5_local_supplier" -> (qQ5 _),
     "hmm_decode"      -> (qHmmDecode _),
     "error_handling"  -> (qErrorHandling _),
     "error_table"     -> (qErrorTable _),
@@ -1452,6 +1478,19 @@ object SparkEntry {
     // constants the Spark operators embed. reduce_approx_distinct is the one
     // deliberately un-oracle-able query: Spark HLL++ and DuckDB approx_distinct
     // are different sketches and cannot hash-match (documented divergence).
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
     "rerank_topk" ->
       """WITH q(q_id, q_text) AS (VALUES (CAST(0 AS BIGINT), 'data query window'),
         |                               (CAST(1 AS BIGINT), 'spark join batch'),
