@@ -203,13 +203,16 @@ object StreamOps {
       GroupState[AsofJoinState[L, R]]) => Iterator[(K, Long, L, Option[R])] =
     (key: K, rows: Iterator[AsofEvent[L, R]], state: GroupState[AsofJoinState[L, R]]) => {
       val st0 = state.getOption.getOrElse(AsofJoinState[L, R](Nil, Nil))
+      val wm = state.getCurrentWatermarkMs()
       val st1 = if (state.hasTimedOut) st0 else {
-        val evs = rows.toList
+        // drop events at or behind the watermark (the ignore-late contract):
+        // the right history before the watermark is already compacted, so a
+        // late left could otherwise emit a wrong None-match
+        val evs = rows.toList.filter(_.timeMs > wm)
         AsofJoinState(
           st0.lefts ++ evs.filter(_.isLeft).map(e => e.timeMs -> e.left.get),
           st0.rights ++ evs.filter(!_.isLeft).map(e => e.timeMs -> e.right.get))
       }
-      val wm = state.getCurrentWatermarkMs()
       val (ripe, hold) = st1.lefts.partition(_._1 <= wm)
       val out = ripe.sortBy(_._1).map { case (lt, lv) =>
         val candidates = st1.rights.filter(_._1 <= lt)
