@@ -875,6 +875,25 @@ object SparkEntry {
     graft.streaming.StreamOps.streamToTable(changelog, Seq("user_id"), isUpsert = true)
   }
 
+  /** Retraction algebra over the events-as-changelog: linear reducers via
+    * diff-weighting + exact live-multiset min/max (reference reduce.rs
+    * retract path; a fully-retracted value never surfaces as min). */
+  private def qChangelogAgg(s: SparkSession, dir: String): DataFrame = {
+    val changelog = Tables.events(s, dir).toDf.select(
+      col("user_id"), col("value"),
+      when(col("event_type") === "error", lit(-1)).otherwise(lit(1)).as("diff"))
+    // decimal-exact float policy for the order-sensitive double sum
+    val net = graft.streaming.ChangelogOps.netAggregate(
+      changelog, Seq("user_id"), col("value").cast("decimal(18,6)"), col("diff"))
+    val mm = graft.streaming.ChangelogOps.liveMinMax(
+      changelog, Seq("user_id"), col("value"), col("diff"))
+    net.join(mm, "user_id")
+      .select(col("user_id"), col("net_count"),
+        col("net_sum").cast("double").as("net_sum"),
+        (col("net_sum").cast("double") / col("net_count")).as("net_avg"),
+        col("live_min"), col("live_max"))
+  }
+
   private def qIgnoreLate(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamOps.ignoreLateBatch(
         eventsT(s, dir).select(col("event_id"), col("ts_t")),
@@ -973,6 +992,7 @@ object SparkEntry {
     "dedup_acceptor"  -> (qDedupAcceptor _),
     "asof_now_join"   -> (qAsofNow _),
     "stream_upsert"   -> (qStreamUpsert _),
+    "changelog_agg"   -> (qChangelogAgg _),
     "ignore_late"     -> (qIgnoreLate _),
   )
 
@@ -1468,6 +1488,18 @@ object SparkEntry {
         |      ORDER BY ts DESC, CASE WHEN event_type = 'error' THEN -1 ELSE 1 END DESC,
         |               value DESC) AS rn
         |  FROM events) WHERE rn = 1 AND diff > 0""".stripMargin,
+    "changelog_agg" ->
+      """WITH cl AS (SELECT user_id, value,
+        |    CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS diff FROM events),
+        |net AS (SELECT user_id, CAST(SUM(diff) AS BIGINT) AS net_count,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * diff) AS DOUBLE) AS net_sum
+        |  FROM cl GROUP BY user_id HAVING SUM(diff) > 0),
+        |mm AS (SELECT user_id, MIN(v) AS live_min, MAX(v) AS live_max FROM (
+        |    SELECT user_id, value AS v, SUM(diff) AS mult FROM cl GROUP BY 1, 2)
+        |  WHERE mult > 0 GROUP BY user_id)
+        |SELECT net.user_id, net_count, net_sum, net_sum / net_count AS net_avg,
+        |  live_min, live_max
+        |FROM net JOIN mm USING (user_id)""".stripMargin,
     "ignore_late" ->
       """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts_t FROM events)
         |SELECT event_id, ts_t FROM e
