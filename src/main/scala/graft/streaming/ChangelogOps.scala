@@ -31,6 +31,25 @@ object ChangelogOps {
       .filter(col("net_count") > 0)
       .withColumn("net_avg", col("net_sum") / col("net_count"))
 
+  /** Changelog × changelog equi-join — the bilinear rule of differential
+    * dataflow: an output row exists per (left event, right event) pair with
+    * diff = diff_l · diff_r, so retractions on either side retract exactly
+    * the pairs they created (join_tables dataflow.rs:2720 does the same via
+    * arrangements). Result is itself a changelog (`diff` column). */
+  def joinChangelogs(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftDiff: Column, rightDiff: Column): DataFrame =
+    left.withColumn("_dl", leftDiff)
+      .join(right.withColumn("_dr", rightDiff), on)
+      .withColumn("diff", col("_dl") * col("_dr"))
+      .drop("_dl", "_dr")
+
+  /** The live relation of a changelog: rows whose net multiplicity is
+    * positive, with that multiplicity (Pathway's "current snapshot"). */
+  def liveRows(changelog: DataFrame, cols: Seq[String], diff: Column): DataFrame =
+    changelog.groupBy(cols.map(col): _*)
+      .agg(sum(diff).cast("long").as("multiplicity"))
+      .filter(col("multiplicity") > 0)
+
   /** Exact min/max over the LIVE multiset of a changelog: values whose net
     * multiplicity is positive. Handles retract-then-reinsert histories that
     * break naive min tracking. */

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.ChangelogOps
+
+/** Retraction algebra: diff-weighted aggregates, live multiset, and the
+  * bilinear join rule (diff = diff_l · diff_r). */
+class ChangelogOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // key a: insert 5, insert 7, retract 5 → live {7}; key b: insert 3, retract 3 → dead
+  private def cl = Seq(
+    ("a", 5.0, 1), ("a", 7.0, 1), ("a", 5.0, -1),
+    ("b", 3.0, 1), ("b", 3.0, -1)).toDF("k", "v", "diff")
+
+  test("netAggregate drops fully-retracted keys and nets the linear reducers") {
+    val out = ChangelogOps.netAggregate(cl, Seq("k"), col("v"), col("diff"))
+      .select("k", "net_count", "net_sum").as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map("a" -> ((1L, 7.0))))
+  }
+
+  test("liveMinMax ignores retracted values (retract-then-reinsert safe)") {
+    val out = ChangelogOps.liveMinMax(cl, Seq("k"), col("v"), col("diff"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map("a" -> ((7.0, 7.0))))
+    // reinsert 5 for a: min comes back
+    val cl2 = cl.unionByName(Seq(("a", 5.0, 1)).toDF("k", "v", "diff"))
+    val out2 = ChangelogOps.liveMinMax(cl2, Seq("k"), col("v"), col("diff"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out2 == Map("a" -> ((5.0, 7.0))))
+  }
+
+  test("joinChangelogs follows the bilinear diff rule; live view matches joined snapshots") {
+    val l = Seq(("a", "l1", 1), ("a", "l1", -1), ("a", "l2", 1)).toDF("k", "lv", "ld")
+    val r = Seq(("a", "r1", 1)).toDF("k", "rv", "rd")
+    val joined = ChangelogOps.joinChangelogs(l, r, Seq("k"), col("ld"), col("rd"))
+    // live rows of the joined changelog == join of the live sides
+    val live = ChangelogOps.liveRows(joined, Seq("k", "lv", "rv"), col("diff"))
+      .select("lv", "rv").as[(String, String)].collect().toSet
+    assert(live == Set(("l2", "r1")))
+    // and the retracted pair netted out to zero
+    assert(joined.filter(col("lv") === "l1").agg(sum("diff")).head.getLong(0) == 0L)
+  }
+}
