@@ -123,6 +123,24 @@ object Connectors {
     afterIns.unionByName(beforeDel).select(col("row.*"), col("diff"), col("time"))
   }
 
+  /** JDBC snapshot read (reference io/postgres & friends, read side): plain
+    * `spark.read.jdbc` — predicate pushdown and column pruning reach the
+    * database. `partitionColumn`/bounds split the scan across executors for
+    * big tables (pass None for a single-partition read of small dims).
+    * Integration-tested against embedded Derby in JdbcSinkSpec. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    partitionColumn match {
+      case Some((c, lo, hi, n)) => base
+        .option("partitionColumn", c)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", n).load()
+      case None => base.load()
+    }
+  }
+
   // ── writers ────────────────────────────────────────────────────────────────
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =

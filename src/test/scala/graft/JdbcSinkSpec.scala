@@ -52,5 +52,15 @@ class JdbcSinkSpec extends AnyFunSuite {
       Seq("user_id"), url, "users")
     assert(query("SELECT user_id, name, score FROM users ORDER BY user_id") ==
       Seq((1L, "ann2", 1.5), (2L, "bobby", 2.5), (4L, "dee", 4.0), (5L, "eve", 5.0)))
+
+    // read side: spark.read.jdbc round-trips the final state, single and
+    // partitioned scans agree
+    val read = graft.sources.Connectors.jdbc(spark, url, "users")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(read == Seq((1L, "ann2", 1.5), (2L, "bobby", 2.5), (4L, "dee", 4.0), (5L, "eve", 5.0)))
+    val readPart = graft.sources.Connectors.jdbc(spark, url, "users",
+        Some(("user_id", 0L, 10L, 3)))
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(readPart == read)
   }
 }
