@@ -67,6 +67,9 @@ object Dedup {
   def minhashLsh(df: DataFrame, id: Column, text: Column,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    require(numHashes <= CrossHash.mixers.length,
+      s"numHashes=$numHashes exceeds the ${CrossHash.mixers.length} pregenerated mix constants")
     val rowsPerBand = numHashes / bands
     // Explode-then-aggregate, NOT nested array HOFs: higher-order functions are
     // CodegenFallback and Catalyst's CollapseProject inlines chained projections,

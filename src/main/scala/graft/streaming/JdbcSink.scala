@@ -68,6 +68,8 @@ object JdbcSink {
                 upd.addBatch()
               }
               val counts = upd.executeBatch()
+              // drivers returning SUCCESS_NO_INFO (-2) report "executed,
+              // unknown count" — only an exact 0 means the key was absent
               val misses = ups.zip(counts).collect { case (r, 0) => r }
               if (misses.nonEmpty) {
                 misses.foreach { r =>
