@@ -201,6 +201,46 @@ r AS (SELECT query_id, doc_id, chunk_idx, score,
 SELECT query_id, doc_id, chunk_idx, score, rank FROM r WHERE rank <= $k"""
   }
 
+  /** Graphs.louvain over the 25-node nation graph, `iters` unrolled passes
+    * (same technique as the pagerank oracle): per pass — community volumes,
+    * neighbor-community weights, stay score, best strictly-improving move
+    * with (score DESC, community ASC) tie-break. All inputs are exact
+    * integers; the single double division k·vol/2m rounds identically in any
+    * IEEE engine. */
+  def louvain(iters: Int): String = {
+    val base =
+      """nn AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |e0 AS (SELECT k AS src, (k+1)%25 AS dst FROM nn
+        |       UNION ALL SELECT k, (k*2+3)%25 FROM nn),
+        |sym AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+        |  SELECT src AS u, dst AS v FROM e0 UNION ALL SELECT dst, src FROM e0)
+        |  WHERE u <> v),
+        |deg AS MATERIALIZED (SELECT u AS vertex, COUNT(*) AS kd FROM sym GROUP BY u),
+        |m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM sym),
+        |l0 AS MATERIALIZED (SELECT vertex, vertex AS community FROM deg)""".stripMargin
+    val passes = (0 until iters).map { i =>
+      val (l, n) = (s"l$i", s"l${i + 1}")
+      s"""vol$i AS MATERIALIZED (SELECT community, SUM(kd) AS vol FROM $l JOIN deg USING (vertex) GROUP BY community),
+nb$i AS MATERIALIZED (SELECT sym.u AS vertex, lb.community AS c, COUNT(*) AS w
+  FROM sym JOIN $l lb ON lb.vertex = sym.v GROUP BY 1, 2),
+stay$i AS MATERIALIZED (SELECT lb.vertex, lb.community AS own, d.kd,
+    COALESCE(wo.w, 0) - d.kd * (v.vol - d.kd) / m2.m AS stay
+  FROM $l lb JOIN deg d USING (vertex) JOIN vol$i v ON v.community = lb.community
+  LEFT JOIN (SELECT nb$i.vertex, nb$i.w FROM nb$i JOIN $l x ON x.vertex = nb$i.vertex
+             AND x.community = nb$i.c) wo ON wo.vertex = lb.vertex, m2),
+best$i AS MATERIALIZED (SELECT vertex, c, score FROM (
+  SELECT s.vertex, nb$i.c, nb$i.w - s.kd * v.vol / m2.m AS score,
+    ROW_NUMBER() OVER (PARTITION BY s.vertex
+      ORDER BY nb$i.w - s.kd * v.vol / m2.m DESC, nb$i.c ASC) AS rn
+  FROM nb$i JOIN stay$i s ON s.vertex = nb$i.vertex AND nb$i.c <> s.own
+  JOIN vol$i v ON v.community = nb$i.c, m2) WHERE rn = 1),
+$n AS MATERIALIZED (SELECT s.vertex,
+    CASE WHEN b.vertex IS NOT NULL AND b.score > s.stay THEN b.c ELSE s.own END AS community
+  FROM stay$i s LEFT JOIN best$i b ON b.vertex = s.vertex)"""
+    }.mkString(",\n")
+    s"WITH $base,\n$passes\nSELECT vertex, community FROM l$iters"
+  }
+
   /** Embedders.embed(documents, dim=32) → Similarity.bruteForceKnn
     * (queries doc_id<5, k=3). Vectors are signed md5-token-hash counts —
     * exact integers, assembled per dimension then cosine'd in DOUBLE. */

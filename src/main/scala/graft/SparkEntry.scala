@@ -691,6 +691,9 @@ object SparkEntry {
   private def qPagerank(s: SparkSession, dir: String): DataFrame =
     Graphs.pagerank(nationEdges(s, dir).select("src", "dst"), iters = 3)
 
+  private def qLouvain(s: SparkSession, dir: String): DataFrame =
+    Graphs.louvain(nationEdges(s, dir).select("src", "dst"), iters = 4)
+
   // ───────────────────────────────────────────────────────────────────────────
   //  Error-value semantics (reference Error sentinel, remove_errors, fill_error)
   // ───────────────────────────────────────────────────────────────────────────
@@ -977,6 +980,7 @@ object SparkEntry {
     "iterate_cc"      -> (qIterateCc _),
     "bellman_ford"    -> (qBellmanFord _),
     "pagerank"        -> (qPagerank _),
+    "louvain"         -> (qLouvain _),
     "sql_bridge"      -> (qSqlBridge _),
     "apply_udf"       -> (qApplyUdf _),
     "unpack_col"      -> (qUnpackCol _),
@@ -1593,6 +1597,7 @@ object SparkEntry {
     "knn_ivf" -> OracleSqlGen.knnIvf(k = 5, dim = 64, nCells = 16, nProbe = 4),
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),
+    "louvain" -> OracleSqlGen.louvain(iters = 4),
     "matmul_2d" ->
       """SELECT vec_id, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
         |  list_reduce(list_transform(generate_series(1, 8),
