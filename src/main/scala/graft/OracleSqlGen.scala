@@ -241,6 +241,62 @@ $n AS MATERIALIZED (SELECT s.vertex,
     s"WITH $base,\n$passes\nSELECT vertex, community FROM l$iters"
   }
 
+  /** Clustering.viaLsh(embeddings, dim, k, nPlanes, nTables, lloydIters):
+    * SRP buckets over 2^40-quantized integer vectors → per-bucket component
+    * sums → spherical k-means (init = k lexicographically-smallest buckets,
+    * unrolled Lloyd passes — same technique as the louvain oracle) → per-point
+    * majority vote. All state is exact integer; only the cosine folds are
+    * floating point (left-to-right, bit-stable). */
+  def clusteringLsh(dim: Int, k: Int, nPlanes: Int, nTables: Int, lloydIters: Int): String = {
+    val buckets = (0 until nTables).map { t =>
+      s"SELECT pid, qv, $t AS tbl, ${srpBucketSql("qv", t, nPlanes, dim)} AS bkt FROM pts"
+    }.mkString("\n  UNION ALL ")
+    // farthest-point init: cs1 = {rid 1}; cs_j adds the rep minimizing its max
+    // cosine to the chosen set (ties → smaller rid), excluding already-chosen
+    val initPasses = (2 to k).map { j =>
+      val prev = s"cs${j - 1}"
+      s"""ch$j AS MATERIALIZED (SELECT $j AS c, rid, rv FROM rept WHERE rid = (
+  SELECT m.rid FROM (
+    SELECT r2.rid, MAX(${cos("r2.rv", "cs.cv", dim)}) AS ms
+    FROM rept r2 CROSS JOIN $prev cs
+    WHERE r2.rid NOT IN (SELECT rid FROM $prev) GROUP BY r2.rid) m
+  ORDER BY m.ms ASC, m.rid ASC LIMIT 1)),
+cs$j AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT c, rid, rv AS cv FROM ch$j)"""
+    }.mkString(",\n")
+    val passes = (0 until lloydIters).map { i =>
+      val (c, n) = (s"c$i", s"c${i + 1}")
+      s"""a$i AS MATERIALIZED (SELECT rid, c FROM (
+  SELECT r.rid, $c.c, ROW_NUMBER() OVER (PARTITION BY r.rid
+    ORDER BY ${cos("r.rv", s"$c.cv", dim)} DESC, $c.c ASC) AS rn
+  FROM rept r CROSS JOIN $c) WHERE rn = 1),
+n$i AS (SELECT a$i.c, g.i AS idx, SUM(rv[g.i]) AS s
+  FROM a$i JOIN rept USING (rid) CROSS JOIN generate_series(1, $dim) AS g(i) GROUP BY 1, 2),
+nc$i AS (SELECT c, list(CAST(s AS BIGINT) ORDER BY idx) AS nv FROM n$i GROUP BY c),
+$n AS MATERIALIZED (SELECT $c.c, COALESCE(nc$i.nv, $c.cv) AS cv FROM $c LEFT JOIN nc$i USING (c))"""
+    }.mkString(",\n")
+    val last = s"c$lloydIters"
+    s"""WITH pts AS (SELECT vec_id AS pid, list_transform(generate_series(1, $dim),
+    i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1099511627776) AS BIGINT)) AS qv
+  FROM embeddings),
+b AS MATERIALIZED ($buckets),
+comp AS (SELECT tbl, bkt, g.i AS idx, SUM(qv[g.i]) AS s
+  FROM b CROSS JOIN generate_series(1, $dim) AS g(i) GROUP BY 1, 2, 3),
+reps AS (SELECT tbl, bkt, list(CAST(s AS BIGINT) ORDER BY idx) AS rv FROM comp GROUP BY tbl, bkt),
+rept AS MATERIALIZED (SELECT tbl, bkt, rv, ROW_NUMBER() OVER (ORDER BY tbl, bkt) AS rid FROM reps),
+cs1 AS MATERIALIZED (SELECT 1 AS c, rid, rv AS cv FROM rept WHERE rid = 1),
+${if (k > 1) initPasses + ",\n" else ""}c0 AS MATERIALIZED (SELECT c, cv FROM cs$k),
+$passes,
+af AS (SELECT rid, c FROM (
+  SELECT r.rid, $last.c, ROW_NUMBER() OVER (PARTITION BY r.rid
+    ORDER BY ${cos("r.rv", s"$last.cv", dim)} DESC, $last.c ASC) AS rn
+  FROM rept r CROSS JOIN $last) WHERE rn = 1),
+lab AS (SELECT tbl, bkt, c - 1 AS label FROM af JOIN rept USING (rid)),
+votes AS (SELECT pid, label, COUNT(*) AS cnt FROM b JOIN lab USING (tbl, bkt) GROUP BY 1, 2)
+SELECT pid AS id, CAST(label AS BIGINT) AS label FROM (
+  SELECT pid, label, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cnt DESC, label ASC) AS rn
+  FROM votes) WHERE rn = 1"""
+  }
+
   /** Embedders.embed(documents, dim=32) → Similarity.bruteForceKnn
     * (queries doc_id<5, k=3). Vectors are signed md5-token-hash counts —
     * exact integers, assembled per dimension then cosine'd in DOUBLE. */

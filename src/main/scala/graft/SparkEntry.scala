@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Keys, PwTable}
-import graft.operators.{Dedup, Graphs, Multimodal, Similarity, Temporal, TextOps, Utils}
+import graft.operators.{Clustering, Dedup, Graphs, Multimodal, Similarity, Temporal, TextOps, Utils}
 import graft.sources.Tables
 import graft.functions.{Exprs, Reducers}
 import graft.functions.Exprs._
@@ -598,6 +598,14 @@ object SparkEntry {
       e, col("vec_id"), col("embedding"), k = 5, nCells = 16, nProbe = 4)
   }
 
+  /** LSH pre-clustering (reference _clustering_via_lsh.py): bucket → cluster
+    * representatives (spherical k-means) → majority vote per point. */
+  private def qClusteringLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf
+    Clustering.viaLsh(e, col("vec_id"), col("embedding"),
+      dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2)
+  }
+
   private def qRrfFusion(s: SparkSession, dir: String): DataFrame =
     Similarity.rrfFusion(Seq(qKnnBrute(s, dir), qKnnLsh(s, dir)), k0 = 60, topK = 5)
 
@@ -969,6 +977,7 @@ object SparkEntry {
     "knn_brute_force" -> (qKnnBrute _),
     "knn_lsh"         -> (qKnnLsh _),
     "knn_ivf"         -> (qKnnIvf _),
+    "clustering_lsh"  -> (qClusteringLsh _),
     "rrf_fusion"      -> (qRrfFusion _),
     "bm25_per_term"   -> (qBm25 _),
     "fuzzy_join"      -> (qFuzzyJoin _),
@@ -1595,6 +1604,7 @@ object SparkEntry {
     "dedup_simhash" -> OracleSqlGen.dedupSimhash(maxDist = 3, bands = 4),
     "knn_lsh" -> OracleSqlGen.knnLsh(k = 5, dim = 64, nPlanes = 6, nTables = 12),
     "knn_ivf" -> OracleSqlGen.knnIvf(k = 5, dim = 64, nCells = 16, nProbe = 4),
+    "clustering_lsh" -> OracleSqlGen.clusteringLsh(dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2),
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),
     "louvain" -> OracleSqlGen.louvain(iters = 4),

@@ -31,7 +31,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev filter: SPARK_GRAFT_ONLY=q1,q2 dumps (and lists oracle SQL for) a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    selected.foreach { case (name, fn) =>
       val task = new FutureTask[Unit](() => {
         spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
         fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -60,6 +63,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter(kv => only.forall(_(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -17,7 +17,7 @@ object Graphs {
   /** Connected components: label = min reachable vertex id (label propagation).
     * Converges in O(diameter) passes. */
   def connectedComponents(edges: DataFrame, src: String = "src", dst: String = "dst",
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50, unroll: Int = 1): DataFrame = {
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct()
@@ -32,14 +32,14 @@ object Graphs {
         .select(col("u").as("vertex"), col("component"))
       labels.unionByName(viaNeighbor)
         .groupBy("vertex").agg(min("component").as("component"))
-    }, df => df.agg(sum("component")).head.getLong(0), maxIterations)
+    }, df => df.agg(sum("component")).head.getLong(0), maxIterations, unroll = unroll)
   }
 
   /** Single-source shortest paths (Bellman-Ford). Integer or decimal weights
     * recommended for exact convergence checks. Unreachable vertices omitted. */
   def bellmanFord(edges: DataFrame, sourceId: Long,
       src: String = "src", dst: String = "dst", weight: String = "weight",
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50, unroll: Int = 1): DataFrame = {
     val e = edges.select(col(src).as("u"), col(dst).as("v"), col(weight).as("w"))
     val initial = e.sparkSession.range(1).select(lit(sourceId).as("vertex"), lit(0L).as("dist"))
     // reached-count never decreases and per-vertex dist never increases, so the
@@ -54,7 +54,7 @@ object Graphs {
     }, df => {
       val r = df.agg(count(lit(1)), sum("dist")).head
       (r.getLong(0), r.getLong(1))
-    }, maxIterations)
+    }, maxIterations, unroll = unroll)
   }
 
   /** Community detection via synchronous label propagation — the scalable
@@ -63,7 +63,7 @@ object Graphs {
     * Each pass every vertex adopts the most frequent label among its
     * neighbors (ties → smallest label, deterministic); `iters` fixed passes. */
   def labelPropagation(edges: DataFrame, iters: Int = 5,
-      src: String = "src", dst: String = "dst"): DataFrame = {
+      src: String = "src", dst: String = "dst", unroll: Int = 1): DataFrame = {
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct()
@@ -77,7 +77,7 @@ object Graphs {
         .partitionBy(col("vertex")).orderBy(col("_n").desc, col("label").asc)
       counted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
         .select(col("vertex"), col("label"))
-    }, iters)
+    }, iters, unroll = unroll)
   }
 
   /** Louvain-style community detection: synchronous modularity-gain moves
@@ -91,7 +91,7 @@ object Graphs {
     * community id — deterministic). All steps are equi-joins + aggregations on
     * (vertex | community) keys; 2m is the only driver scalar. */
   def louvain(edges: DataFrame, iters: Int = 10,
-      src: String = "src", dst: String = "dst"): DataFrame = {
+      src: String = "src", dst: String = "dst", unroll: Int = 1): DataFrame = {
     val sym = edges.select(col(src).as("u"), col(dst).as("v"))
       .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
       .filter(col("u") =!= col("v")).distinct()
@@ -128,7 +128,7 @@ object Graphs {
       // vertices with no external neighbor communities keep their label
       own.join(bestMove, Seq("vertex"), "left_outer")
         .select(col("vertex"), coalesce(col("_new"), col("own")).as("community"))
-    }, iters)
+    }, iters, unroll = unroll)
   }
 
   /** Modularity Q of an assignment (vertex, community) over `edges` —
@@ -157,7 +157,7 @@ object Graphs {
     * base (1-d)/n mass (contributions only flow along edges; matches the
     * reference's simple formulation, stdlib/graphs/pagerank/impl.py:18). */
   def pagerank(edges: DataFrame, iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, unroll: Int = 1): DataFrame = {
     val e = edges.select(col("src").as("u"), col("dst").as("v")).distinct()
     val vertices = e.select(col("u").as("vertex"))
       .unionByName(e.select(col("v").as("vertex"))).distinct()
@@ -176,6 +176,6 @@ object Graphs {
         .select(col("vertex"),
           (lit(baseFp) + expr(s"($dampNum * coalesce(mass, CAST(0 AS BIGINT))) div $dampDen"))
             .as("rank"))
-    }, iters)
+    }, iters, unroll = unroll)
   }
 }

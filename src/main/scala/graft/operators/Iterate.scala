@@ -36,29 +36,43 @@ object Iterate {
     * deterministic driver-side summary (an aggregate `.head`, e.g. Σ label)
     * such that fingerprint(step(x)) == fingerprint(x) ⇔ convergence — true for
     * any monotone state (labels only decrease, distances only shrink, reach
-    * only grows). Evaluated ONCE per pass, in the same job that populates the
-    * pass's cache. */
+    * only grows). Evaluated ONCE per materialization, in the same job that
+    * populates the cache.
+    *
+    * `unroll` chains that many step applications lazily between
+    * materializations. WARNING — only profitable when the step consumes its
+    * input EXACTLY ONCE (a linear pipeline): a step that references its input
+    * r times (self-union, join-back — every graph algorithm here) replicates
+    * the previous pass's unmaterialized subplan r× per level, i.e. r^unroll
+    * plan growth (measured: louvain 3 s → 31 s at unroll=2). Default 1 =
+    * materialize every pass. For a MONOTONE fingerprint unroll>1 is still an
+    * exact convergence test: if any chained pass changed the state, the
+    * fingerprint moved; the loop may run up to `unroll − 1` extra idempotent
+    * passes past the fixpoint. */
   def fixpointByFingerprint(initial: DataFrame, step: DataFrame => DataFrame,
       fingerprint: DataFrame => Any, maxIterations: Int = 50,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, unroll: Int = 1): DataFrame = {
+    require(unroll >= 1, s"unroll=$unroll must be >= 1")
     var current = materialize(initial, reliable)
     var fp = fingerprint(current)
     var i = 0
     var done = false
     while (i < maxIterations && !done) {
-      // lazy checkpoint mark + fingerprint action = ONE job per pass: the
+      val k = math.min(unroll, maxIterations - i)
+      val stepped = (1 to k).foldLeft(current)((df, _) => step(df))
+      // lazy checkpoint mark + fingerprint action = ONE job per group: the
       // aggregate materializes the checkpointed partitions as it runs, so no
       // separate copy job follows (reliable checkpoints stay eager — their
       // write happens on re-execution otherwise)
       val next =
-        if (reliable) step(current).persist(StorageLevel.MEMORY_AND_DISK).checkpoint(true)
-        else step(current).localCheckpoint(false)
+        if (reliable) stepped.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(true)
+        else stepped.localCheckpoint(false)
       val nfp = fingerprint(next)
       done = nfp == fp
       fp = nfp
       current.unpersist()
       current = next
-      i += 1
+      i += k
     }
     current
   }
@@ -88,16 +102,21 @@ object Iterate {
     next.exceptAll(prev).isEmpty && prev.exceptAll(next).isEmpty
 
   /** Run a fixed number of passes (no convergence check) — for algorithms with
-    * a pinned iteration count (e.g. pagerank-k). */
+    * a pinned iteration count (e.g. pagerank-k). `unroll` chains that many
+    * passes per materialization — same caveat as fixpointByFingerprint: only
+    * for steps that consume their input exactly once. */
   def nTimes(initial: DataFrame, step: DataFrame => DataFrame, n: Int,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, unroll: Int = 1): DataFrame = {
+    require(unroll >= 1, s"unroll=$unroll must be >= 1")
     var current = materialize(initial, reliable)
     var i = 0
     while (i < n) {
-      val next = materialize(step(current), reliable)
+      val k = math.min(unroll, n - i)
+      val stepped = (1 to k).foldLeft(current)((df, _) => step(df))
+      val next = materialize(stepped, reliable)
       current.unpersist()
       current = next
-      i += 1
+      i += k
     }
     current
   }
