@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Keys, PwTable}
-import graft.operators.{Clustering, Dedup, Graphs, Multimodal, Similarity, Temporal, TextOps, Utils}
+import graft.operators.{Clustering, Dedup, Graphs, Multimodal, Similarity, Temporal, TextOps, TrainPrep, Utils}
 import graft.sources.Tables
 import graft.functions.{Exprs, Reducers}
 import graft.functions.Exprs._
@@ -504,6 +504,33 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).toDf
 
+  /** Deterministic train/val/test split by cross-engine doc_id hash. */
+  private def qSplitTrainTest(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.splitByHash(docs(s, dir).select(col("doc_id")), col("doc_id"))
+
+  /** Concat-then-chunk sequence packing into 2048-token windows, sharded by
+    * lang (never a single global window). */
+  private def qDocPack(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      TextOps.wordCount(col("text")).as("_nt"))
+    TrainPrep.packSequences(d, col("lang"), col("doc_id"), col("_nt"), budget = 2048)
+      .select(col("doc_id"), col("lang"), col("pack_id"), col("offset_in_pack"), col("n_tokens"))
+  }
+
+  /** PII redaction + audit counts. The fixture corpus is synthetic/clean, so
+    * deterministic PII is planted on every 7th doc before redacting. */
+  private def qTextPii(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555 123-4567")))
+          .otherwise(lit(""))).as("_t"))
+    val (red, emails, phones) = TrainPrep.piiRedact(col("_t"))
+    planted.select(col("doc_id"), red.as("text_redacted"),
+      emails.as("n_emails"), phones.as("n_phones"))
+  }
+
   private def qTextTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
       TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -964,6 +991,9 @@ object SparkEntry {
     "asof_nearest"    -> (qAsofNearest _),
     "window_join"     -> (qWindowJoin _),
     "interpolate"     -> (qInterpolate _),
+    "split_train_test" -> (qSplitTrainTest _),
+    "doc_pack"        -> (qDocPack _),
+    "text_pii"        -> (qTextPii _),
     "text_tokens"     -> (qTextTokens _),
     "text_quality"    -> (qTextQuality _),
     "text_langid"     -> (qTextLangId _),
@@ -1276,6 +1306,35 @@ object SparkEntry {
         |  CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
         |       ELSE pv + (nv - pv) * CAST(us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) END AS v_interp
         |FROM w""".stripMargin,
+    "split_train_test" -> {
+      val slot = "((" + graft.functions.CrossHash.duckSigned(
+        graft.functions.CrossHash.duckU64("CAST(doc_id AS VARCHAR)")) +
+        " % 100) + 100) % 100"
+      s"""SELECT doc_id, CASE WHEN $slot < 98 THEN 'train'
+         |  WHEN $slot < 99 THEN 'val' ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+    "doc_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, lang, n_tokens, COALESCE(SUM(n_tokens) OVER (
+        |  PARTITION BY lang ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM t)
+        |SELECT doc_id, lang, CAST(off // 2048 AS BIGINT) AS pack_id,
+        |  CAST(off % 2048 AS BIGINT) AS offset_in_pack, n_tokens FROM o""".stripMargin,
+    "text_pii" -> {
+      val em = graft.operators.TrainPrep.EmailRe
+      val ph = graft.operators.TrainPrep.PhoneRe
+      s"""WITH p AS (SELECT doc_id, text || CASE WHEN ((doc_id % 7) + 7) % 7 = 0
+         |    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 555 123-4567'
+         |    ELSE '' END AS t FROM documents),
+         |e AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+         |  regexp_replace(t, '$em', '<EMAIL>', 'g') AS t2 FROM p)
+         |SELECT doc_id, regexp_replace(t2, '$ph', '<PHONE>', 'g') AS text_redacted,
+         |  n_emails, CAST(len(regexp_extract_all(t2, '$ph')) AS BIGINT) AS n_phones
+         |FROM e""".stripMargin
+    },
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
