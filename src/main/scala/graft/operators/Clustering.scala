@@ -42,10 +42,36 @@ object Clustering {
     */
   def viaLsh(points: DataFrame, id: Column, vec: Column, dim: Int, k: Int,
       nPlanes: Int = 4, nTables: Int = 4, lloydIters: Int = 2): DataFrame = {
-    val p = points.select(id.cast("long").as("pid"), quantize(vec).as("_qv"))
-    val buckets = (0 until nTables).map(t => Similarity.srpBucket(col("_qv"), t, nPlanes, dim))
-    val b = p.select(col("pid"), col("_qv"),
-        posexplode(array(buckets: _*)).as(Seq("_table", "_bucket")))
+    // Quantize + all nTables bucket strings in ONE mapPartitions kernel:
+    // expression HOFs (aggregate/zip_with) are CodegenFallback-interpreted
+    // (same lesson as the minhash gram kernel, SURVEY §8), and nTables
+    // projections of them dominated this operator's cost. The kernel emits
+    // the exploded (pid, qv, table, bucket) rows directly — arithmetic is
+    // bit-identical to srpBucket's left-to-right double fold.
+    val sess = points.sparkSession
+    import sess.implicits._
+    val planes: Array[Array[Array[Double]]] = Array.tabulate(nTables)(t =>
+      Similarity.srpPlanes(t, nPlanes, dim).map(_.toArray).toArray)
+    val b = points.select(id.cast("long").as("pid"),
+        vec.cast("array<double>").as("_v"))
+      .as[(Long, Seq[Double])].mapPartitions { it =>
+        it.flatMap { case (pid, v) =>
+          val qv = new Array[Long](v.length)
+          var i = 0
+          while (i < v.length) { qv(i) = math.floor(v(i) * Q).toLong; i += 1 }
+          (0 until nTables).iterator.map { t =>
+            val sb = new java.lang.StringBuilder(nPlanes)
+            var p = 0
+            while (p < nPlanes) {
+              var acc = 0.0; var j = 0
+              val pl = planes(t)(p)
+              while (j < qv.length) { acc += qv(j).toDouble * pl(j); j += 1 }
+              sb.append(if (acc > 0) '1' else '0'); p += 1
+            }
+            (pid, qv.toSeq, t, sb.toString)
+          }
+        }
+      }.toDF("pid", "_qv", "_table", "_bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // representative per (table, bucket): component sums — exact, and they
@@ -57,69 +83,80 @@ object Clustering {
       .groupBy("_table", "_bucket", "_i").agg(sum("_x").as("_s"))
     val reps = comp.groupBy("_table", "_bucket").agg(
         transform(array_sort(collect_list(struct(col("_i"), col("_s")))), e => e("_s")).as("_rv"))
-    // global row_number is a single-partition window, but it runs on the
-    // REPRESENTATIVE table, whose size is bounded by nTables·2^nPlanes buckets
-    // regardless of corpus size — the whole point of LSH pre-clustering
-    val rid = row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("_table"), col("_bucket")))
-    val repT = reps.withColumn("_rid", rid.cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    repT.count() // materialize once: assignment + every Lloyd pass re-reads it
 
+    // The representative table is bounded by nTables·2^nPlanes rows REGARDLESS
+    // of corpus size — that is the whole point of LSH pre-clustering — so the
+    // k-means over representatives runs on the driver (the reference clusters
+    // them with driver-side sklearn KMeans too). One distributed job computes
+    // the reps; everything per-point (bucketing, votes) stays distributed.
+    // All arithmetic is exact Long sums; the only doubles are the cosine folds,
+    // accumulated left-to-right exactly like Similarity.cosine's aggregate()
+    // HOF, so the DuckDB oracle reproduces every comparison bit-for-bit.
+    val repRows: Array[(Int, String, Array[Long])] = reps
+      .select(col("_table"), col("_bucket"), col("_rv")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getSeq[Long](2).toArray))
+      .sortBy { case (t, bkt, _) => (t, bkt) }
+    def cos(a: Array[Long], bb: Array[Long]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * bb(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += bb(i).toDouble * bb(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val n = repRows.length
     // init: deterministic farthest-point traversal (greedy k-center, the
     // k-means++ max variant): c1 = lexicographically-smallest bucket, then
     // c_j = the rep minimizing its max cosine to the already-chosen set
     // (ties → smaller rep id). Spreads the seeds across the sphere so
     // well-separated cones never share all k seeds (naive first-k does).
-    var chosen = repT.filter(col("_rid") === 1)
-      .select(lit(1L).as("_c"), col("_rid").as("_crid"), col("_rv").as("_cv"))
-    for (j <- 2 to k) {
-      val next = repT.join(broadcast(chosen), lit(true))
-        .withColumn("_sim", Similarity.cosine(col("_rv"), col("_cv")))
-        .groupBy("_rid").agg(max("_sim").as("_ms"), first("_rv").as("_rv"))
-        .join(chosen.select(col("_crid").as("_rid")), Seq("_rid"), "left_anti")
-        .orderBy(col("_ms").asc, col("_rid").asc).limit(1)
-        .select(lit(j.toLong).as("_c"), col("_rid").as("_crid"), col("_rv").as("_cv"))
-      chosen = chosen.unionByName(next).localCheckpoint(true) // k rows
+    val chosen = scala.collection.mutable.ArrayBuffer(0) // rid-1 indexes
+    for (_ <- 2 to math.min(k, n)) {
+      var bestIdx = -1; var bestMs = Double.MaxValue
+      for (i <- 0 until n if !chosen.contains(i)) {
+        val ms = chosen.map(c => cos(repRows(i)._3, repRows(c)._3)).max
+        if (ms < bestMs) { bestMs = ms; bestIdx = i } // strict < → smaller rid wins ties
+      }
+      chosen += bestIdx
     }
-    var centroids = chosen.select(col("_c"), col("_cv"))
+    var centroids: Array[Array[Long]] = chosen.map(i => repRows(i)._3).toArray
 
-    // Lloyd passes: assign reps to nearest centroid by cosine, then new
-    // centroid = Σ (rep sums) over members — the weighted mean's direction
-    // (Σ w_b·mean_b = Σ sums_b), so no division ever happens.
+    // assignment: nearest centroid by cosine, (score DESC, cluster ASC)
+    // tie-break — ascending scan with strict > keeps the smaller cluster.
+    def assignAll(): Array[Int] = repRows.map { case (_, _, rv) =>
+      var bestC = 0; var bestS = Double.MinValue
+      for (c <- centroids.indices) {
+        val s = cos(rv, centroids(c))
+        if (s > bestS) { bestS = s; bestC = c }
+      }
+      bestC
+    }
+    // Lloyd passes: new centroid = Σ (rep sums) over members — the weighted
+    // mean's direction (Σ w_b·mean_b = Σ sums_b), so no division ever happens;
+    // empty clusters keep their previous centroid.
     for (_ <- 1 to lloydIters) {
-      val assigned = assign(repT, centroids)
-      val newComp = assigned.join(repT, "_rid")
-        .select(col("_c"), posexplode(col("_rv")).as(Seq("_i", "_x")))
-        .groupBy("_c", "_i").agg(sum("_x").as("_s"))
-      val newCent = newComp.groupBy("_c").agg(
-        transform(array_sort(collect_list(struct(col("_i"), col("_s")))), e => e("_s")).as("_nv"))
-      centroids = centroids.join(newCent, Seq("_c"), "left_outer")
-        .select(col("_c"), coalesce(col("_nv"), col("_cv")).as("_cv"))
-        .localCheckpoint(true) // tiny (k rows); flattens the per-pass lineage
+      val asg = assignAll()
+      centroids = centroids.indices.map { c =>
+        val members = repRows.indices.filter(i => asg(i) == c)
+        if (members.isEmpty) centroids(c)
+        else members.map(i => repRows(i)._3)
+          .reduce((x, y) => Array.tabulate(x.length)(i => x(i) + y(i)))
+      }.toArray
     }
 
     // final rep labels → per-point majority vote over its nTables buckets
-    val labels = assign(repT, centroids)
-      .join(repT.select(col("_rid"), col("_table"), col("_bucket")), "_rid")
-      .select(col("_table"), col("_bucket"), (col("_c") - 1).as("_label"))
+    val finalAsg = assignAll()
+    val labels = repRows.indices.toList
+      .map(i => (repRows(i)._1, repRows(i)._2, finalAsg(i).toLong))
+      .toDF("_table", "_bucket", "_label")
     val votes = b.select(col("pid"), col("_table"), col("_bucket"))
-      .join(labels, Seq("_table", "_bucket"))
+      .join(broadcast(labels), Seq("_table", "_bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("_cnt").desc, col("_label").asc)
     votes.groupBy("pid", "_label").agg(count(lit(1)).as("_cnt"))
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
       .select(col("pid").as("id"), col("_label").as("label"))
-  }
-
-  /** Nearest-centroid assignment by cosine over the integer sums
-    * (score DESC, cluster ASC tie-break). Centroids broadcast — k rows. */
-  private def assign(repT: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_rid")).orderBy(col("_sim").desc, col("_c").asc)
-    repT.join(broadcast(centroids), lit(true))
-      .withColumn("_sim", Similarity.cosine(col("_rv"), col("_cv")))
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("_rid"), col("_c"))
   }
 }
