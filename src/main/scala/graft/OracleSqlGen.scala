@@ -297,6 +297,41 @@ SELECT pid AS id, CAST(label AS BIGINT) AS label FROM (
   FROM votes) WHERE rn = 1"""
   }
 
+  /** TrainPrep.duplicateSpans(plantedDocs, k): per doc, how many of its
+    * k-token windows occur ≥2 times corpus-wide. Window hash = md5-64 of the
+    * space-joined gram — the same bytes the Spark kernel hashes. */
+  /** Window-position explode: generate_series used as a SCALAR list (the
+    * lateral table form rejects column bounds) — same idiom as the minhash
+    * shingle oracle. */
+  private def windowGrams(src: String, k: Int): String = {
+    val gram = s"array_to_string(list_slice(ts, pos, pos + ${k - 1}), ' ')"
+    s"""(SELECT doc_id, pos, ${duckU64(gram)} AS h FROM
+  (SELECT doc_id, UNNEST(generate_series(1, len(ts) - ${k - 1})) AS pos, ts FROM
+    (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+     FROM $src) t0) t1)"""
+  }
+
+  def duplicateSpans(k: Int): String =
+    s"""WITH $planted,
+w AS (SELECT * FROM ${windowGrams("u", k)} wg),
+c AS (SELECT h, COUNT(*) AS n FROM w GROUP BY h),
+pd AS (SELECT doc_id, COUNT(*) AS nw, SUM(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS nd
+  FROM w JOIN c USING (h) GROUP BY doc_id)
+SELECT u.doc_id, CAST(COALESCE(pd.nw, 0) AS BIGINT) AS n_windows,
+  CAST(COALESCE(pd.nd, 0) AS BIGINT) AS n_dup_windows
+FROM u LEFT JOIN pd USING (doc_id)"""
+
+  /** TrainPrep.decontaminate(corpus = plantedDocs, eval = docs < maxEvalId, k):
+    * corpus docs sharing a k-token window hash with the eval set. */
+  def decontaminate(k: Int, maxEvalId: Int): String =
+    s"""WITH $planted,
+cg AS (SELECT * FROM ${windowGrams("u", k)} wg),
+eg AS (SELECT DISTINCT doc_id AS eid, h FROM
+  ${windowGrams(s"(SELECT doc_id, text FROM documents WHERE doc_id < $maxEvalId) s", k)} e)
+SELECT cg.doc_id, CAST(COUNT(DISTINCT cg.pos) AS BIGINT) AS n_hit_windows,
+  CAST(COUNT(DISTINCT eg.eid) AS BIGINT) AS n_eval_docs
+FROM cg JOIN eg USING (h) GROUP BY cg.doc_id"""
+
   /** Embedders.embed(documents, dim=32) → Similarity.bruteForceKnn
     * (queries doc_id<5, k=3). Vectors are signed md5-token-hash counts —
     * exact integers, assembled per dimension then cosine'd in DOUBLE. */

@@ -596,6 +596,29 @@ object SparkEntry {
     Dedup.simhashPairs(plantedDocs(s, dir), col("doc_id"), col("text"),
       maxDist = 3, bands = 4)
 
+  /** Substring-level duplication signal with 8-token windows: the 50 planted
+    * near-dup pairs share essentially all their windows (only the appended
+    * tail differs); unplanted docs show ~no dup windows at vocab^8 odds. */
+  private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.duplicateSpans(plantedDocs(s, dir), col("doc_id"), col("text"), k = 8)
+
+  /** Decontamination: docs 0-49 are the "benchmark"; the corpus (plantedDocs)
+    * contains them verbatim AND as near-dup copies (id+20000) — both must be
+    * flagged via shared 8-token windows. */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val eval = docs(s, dir).filter(col("doc_id") < 50)
+    TrainPrep.decontaminate(plantedDocs(s, dir), col("doc_id"), col("text"),
+      eval, col("doc_id"), col("text"), k = 8)
+  }
+
+  /** Deterministic quality-weighted sampling: keep each doc with probability
+    * = its quality score, decided by cross-engine md5(doc_id). */
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    TrainPrep.sampleByWeight(d, col("doc_id"), col("quality"))
+  }
+
   private def qEmbCosinePairs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).toDf
     val l = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
@@ -1003,6 +1026,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash"   -> (qDedupSimhash _),
+    "dedup_spans"     -> (qDedupSpans _),
+    "decontaminate"   -> (qDecontaminate _),
+    "sample_weighted" -> (qSampleWeighted _),
     "embedding_cosine_pairs" -> (qEmbCosinePairs _),
     "knn_brute_force" -> (qKnnBrute _),
     "knn_lsh"         -> (qKnnLsh _),
@@ -1341,6 +1367,22 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS BIGINT) AS n_words,
         |  CAST(length(text) AS BIGINT) AS n_chars_m
         |FROM documents""".stripMargin,
+    "dedup_spans" -> OracleSqlGen.duplicateSpans(k = 8),
+    "decontaminate" -> OracleSqlGen.decontaminate(k = 8, maxEvalId = 50),
+    "sample_weighted" -> {
+      val slot = "((" + graft.functions.CrossHash.duckSigned(
+        graft.functions.CrossHash.duckU64("CAST(doc_id AS VARCHAR)")) +
+        " % 1000000) + 1000000) % 1000000"
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |q AS (SELECT doc_id, LEAST(1.0, GREATEST(0.0,
+        |    0.4 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+        |    + 0.3 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','you','that'], x))) AS DOUBLE) / len(toks))
+        |    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)))) AS quality
+        |  FROM t)
+        |SELECT doc_id, quality FROM q
+        |WHERE """.stripMargin + slot + " < CAST(FLOOR(quality * 1000000.0) AS BIGINT)"
+    },
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks,

@@ -70,4 +70,84 @@ object TrainPrep {
     val redacted = regexp_replace(phones0, PhoneRe, "<PHONE>")
     (redacted, emails, phoneCnt)
   }
+
+  /** (id, pos, hash) of every k-token window of `text` — the shared primitive
+    * under substring-level dedup and decontamination. Tokenization (lower →
+    * whitespace split → drop empties) runs as codegen'd Spark SQL; window
+    * assembly + md5-64 hashing runs in a mapPartitions kernel (expression HOFs
+    * are CodegenFallback-interpreted — same lesson as the minhash gram kernel).
+    * `pos` is the 1-based index of the window's first token. One narrow
+    * 20-byte row per window, fully distributed, no shuffle here. */
+  def tokenWindowHashes(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val toks = filter(split(lower(text), "\\s+"), x => x =!= "")
+    df.select(id.cast("long").as("id"), toks.as("_ts"))
+      .as[(Long, Seq[String])].mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, ts) =>
+          val n = if (ts == null) 0 else ts.length
+          (0 to n - k).iterator.map { i =>
+            val g = ts.slice(i, i + k).mkString(" ")
+            md.reset()
+            val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            (docId, i + 1, java.nio.ByteBuffer.wrap(d, 0, 8).getLong)
+          }
+        }
+      }.toDF("id", "pos", "_h")
+  }
+
+  /** Substring-level duplication signal (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": exact duplicated token spans, here at
+    * window granularity): per document, how many of its k-token windows occur
+    * ≥2 times anywhere in the corpus (including elsewhere in the same doc).
+    *
+    * Returns every input doc: (doc_id, n_windows, n_dup_windows). Shape at
+    * scale: window hashes → groupBy(hash) count (map-side combine) → equi-join
+    * back → groupBy(doc). No all-pairs, no broadcast of anything unbounded. */
+  def duplicateSpans(df: DataFrame, id: Column, text: Column, k: Int = 8): DataFrame = {
+    val wh = tokenWindowHashes(df, id, text, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = wh.groupBy("_h").agg(count(lit(1)).as("_n"))
+    val perDoc = wh.join(counts, "_h")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("_n") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    df.select(id.cast("long").as("doc_id"))
+      .join(perDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
+  /** Benchmark decontamination (GPT-3-style n-gram overlap): corpus documents
+    * sharing at least one k-token window with the eval set, with overlap
+    * detail. Returns (doc_id, n_hit_windows = distinct contaminated positions,
+    * n_eval_docs = distinct eval docs hit).
+    *
+    * Shape at scale: both sides reduce to (hash) keys; the eval side is
+    * distinct-ed and is normally small enough that AQE broadcasts it — the
+    * corpus side never shuffles more than one row per window. */
+  def decontaminate(corpus: DataFrame, corpusId: Column, corpusText: Column,
+      eval: DataFrame, evalId: Column, evalText: Column, k: Int = 8): DataFrame = {
+    val cg = tokenWindowHashes(corpus, corpusId, corpusText, k)
+    val eg = tokenWindowHashes(eval, evalId, evalText, k)
+      .select(col("id").as("_eid"), col("_h")).distinct()
+    cg.join(eg, "_h")
+      .groupBy(col("id").as("doc_id"))
+      .agg(countDistinct(col("pos")).as("n_hit_windows"),
+        countDistinct(col("_eid")).as("n_eval_docs"))
+  }
+
+  /** Deterministic weighted sampling: keep a row iff
+    * pmod(md5(key), resolution) < floor(p · resolution) — i.e. with
+    * probability p, but decided by a cross-engine hash of the key, so the
+    * sample is stable under reruns, repartitioning, and appends, and the
+    * accept/reject decision is exactly reproducible in the DuckDB oracle.
+    * `p` is any per-row Column in [0, 1] (e.g. TextOps.qualityScore). */
+  def sampleByWeight(df: DataFrame, key: Column, p: Column,
+      resolution: Long = 1000000L): DataFrame =
+    df.filter(pmod(CrossHash.md5Long(key), lit(resolution)) <
+      floor(p * resolution.toDouble).cast("long"))
 }

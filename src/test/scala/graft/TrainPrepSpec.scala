@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TrainPrep
+
+/** TrainPrep: substring-span dedup, decontamination, weighted sampling —
+  * known-answer fixtures small enough to verify by hand. */
+class TrainPrepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("duplicateSpans counts k-token windows occurring >= 2 times corpus-wide") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // windows (k=3): "a b c","b c d","c d e"
+      (2L, "x y c d e z"),     // "x y c","y c d","c d e","d e z" — shares "c d e"
+      (3L, "p q p q p q"),     // "p q p","q p q","p q p","q p q" — all internal dups
+      (4L, "lone pair")        // shorter than k: zero windows
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.duplicateSpans(docs, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 4L), (4L, 0L, 0L)))
+  }
+
+  test("duplicateSpans flags a verbatim copy completely") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"), // exact copy: every window duplicated
+      (3L, "u1 u2 u3 u4 u5 u6")
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.duplicateSpans(docs, col("doc_id"), col("text"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 0L)))
+  }
+
+  test("decontaminate reports distinct hit positions and distinct eval docs") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),   // shares "quick brown fox" with eval 1
+      (11L, "quick brown fox quick brown fox pad"), // 2 distinct hit positions
+      (12L, "nothing in common here at all")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "xx quick brown fox yy"),
+      (2L, "quick brown fox zz")            // same gram in a second eval doc
+    ).toDF("doc_id", "text")
+    val got = TrainPrep.decontaminate(corpus, col("doc_id"), col("text"),
+        eval, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((10L, 1L, 2L), (11L, 2L, 2L)))
+  }
+
+  test("sampleByWeight: p=1 keeps all, p=0 keeps none, sample grows with p") {
+    val d = (0L until 500L).toDF("id")
+    assert(TrainPrep.sampleByWeight(d, col("id"), lit(1.0)).count() == 500)
+    assert(TrainPrep.sampleByWeight(d, col("id"), lit(0.0)).count() == 0)
+    val at30 = TrainPrep.sampleByWeight(d, col("id"), lit(0.3)).collect().map(_.getLong(0)).toSet
+    val at70 = TrainPrep.sampleByWeight(d, col("id"), lit(0.7)).collect().map(_.getLong(0)).toSet
+    // hash-threshold sampling is nested: raising p only ever adds rows
+    assert(at30.subsetOf(at70))
+    // and roughly calibrated (md5 is uniform; 500 draws at p=0.3 → ±6σ ≈ 61)
+    assert(math.abs(at30.size - 150) < 62, s"p=0.3 kept ${at30.size}/500")
+    // deterministic under recomputation
+    val again = TrainPrep.sampleByWeight(d, col("id"), lit(0.3)).collect().map(_.getLong(0)).toSet
+    assert(again == at30)
+  }
+
+  test("splitByHash partitions every row into exactly one split, stably") {
+    val d = (0L until 300L).toDF("id")
+    val s1 = TrainPrep.splitByHash(d, col("id"))
+    assert(s1.groupBy("split").count().collect().map(_.getLong(1)).sum == 300)
+    // appending new rows never moves an old row's split
+    val s2 = TrainPrep.splitByHash((0L until 600L).toDF("id"), col("id"))
+      .filter(col("id") < 300)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+}
