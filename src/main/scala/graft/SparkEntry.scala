@@ -562,10 +562,11 @@ object SparkEntry {
   }
 
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // persist + materialize the shingled projection: the shingle HOF is
-    // CodegenFallback (interpreted), so without the eager cache BOTH join
-    // sides re-run it over the full corpus (~2 s each at sf0.1)
-    val d = docs(s, dir).select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    // persist + materialize the shingled projection (kernel form — the HOF
+    // chain is interpreted): without the eager cache BOTH join sides re-run
+    // the shingling over the full corpus
+    val d = Dedup.shingleSets(docs(s, dir), col("doc_id"), col("text"), 3)
+      .withColumnRenamed("id", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     d.count()
     val l = d.select(col("doc_id").as("id1"), col("sh").as("sh1"))

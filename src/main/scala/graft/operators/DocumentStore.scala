@@ -31,7 +31,16 @@ object DocumentStore {
       // re-derives it)
       .withColumn("chunk_id", graft.functions.CrossHash.md5Long(
         concat_ws(":", col("doc_id"), col("chunk_idx"))))
-    Embedders.embed(chunks, "chunk_text", dim = dim)
+    // A built index is by definition multi-consumer (every retrieve reads it
+    // twice: KNN corpus + metadata join-back) — persist and materialize
+    // eagerly so the chunk+embed pipeline runs exactly once, not once per
+    // downstream subquery (AQE races recomputation otherwise, SURVEY §8).
+    // Callers drop it with unpersist(); on a cluster this would be a
+    // checkpoint/Delta table — same posture.
+    val store = Embedders.embed(chunks, "chunk_text", dim = dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    store.count()
+    store
   }
 
   /** Top-k chunks per query by cosine over the store's embeddings.
