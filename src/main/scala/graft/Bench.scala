@@ -4,7 +4,15 @@ import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and prints
   * ONE raw JSON line (build.sbt passes forked stdout through unprefixed so the
   * driver can parse it). Queries run under a watchdog so a hang costs one entry
-  * (-1 marks timeout/failure), not the whole bench. */
+  * (-1 marks timeout/failure), not the whole bench.
+  *
+  * Each query runs TWICE (cache cleared between runs): the per-query numbers
+  * report the second (warm) run so first-touch JIT/codegen cost isn't charged
+  * to whichever query the Map iterates first — the r5/r6 identical-binary runs
+  * showed up to 5.7× per-query swings from that attribution. `value` is the
+  * warm total; `cold_total` keeps the first-run sum for end-to-end context.
+  * Values are rounded to ms so all ~100 entries fit the driver's line capture.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,15 +31,18 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: absorb JVM/session/codegen/committer startup so it isn't
-    // charged to whichever query the Map happens to iterate first
+    // untimed warmup: absorb JVM/session/committer startup so it isn't charged
+    // to whichever query runs first
     try {
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy("n_regionkey").count()
         .write.mode("overwrite").format("noop").save()
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val task = new FutureTask[Unit](() => {
         spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
@@ -45,15 +56,23 @@ object Bench {
             spark.sparkContext.cancelJobGroup(s"bench-$name"); -1.0
           case _: Throwable => -1.0
         }
-      // queries are independent; drop their persisted intermediates so earlier
-      // queries' caches don't distort later timings
+      // queries are independent; drop persisted intermediates so one run's
+      // caches don't distort the next
       spark.catalog.clearCache()
-      name -> sec
+      sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = selected.map { case (name, fn) =>
+      val cold = timeOnce(name, fn)
+      val warm = if (cold < 0) -1.0 else timeOnce(name, fn)
+      name -> (cold, warm)
+    }
+    def r3(v: Double): String = if (v < 0) "-1" else BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (_, w)) => s"\"" + k + "\":" + r3(w) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ > 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val warmTotal = results.values.map(_._2).filter(_ > 0).sum
+    val coldTotal = results.values.map(_._1).filter(_ > 0).sum
+    println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     sys.exit(0)
   }

@@ -1,0 +1,209 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd vector kernels for the similarity family.
+  *
+  * The Column-combinator forms (`aggregate`/`zip_with`/`transform`) are
+  * CodegenFallback in Spark — every row pays interpreted per-element closure
+  * dispatch, a 10-100× tax that multiplies across the corpus scan in
+  * `lshKnn`/`bruteForceKnn`/`ivfKnn`/`embeddingDupPairs`/DocumentStore
+  * retrieval. These expressions compute the identical arithmetic (same
+  * left-to-right IEEE double accumulation order, so the DuckDB oracles'
+  * `list_reduce` folds stay bit-exact) as a tight JVM loop inside
+  * whole-stage codegen.
+  */
+private[graft] object VectorExprs {
+  /** Per-element read returning double, by array element type. */
+  def getD(a: ArrayData, i: Int, et: DataType): Double = et match {
+    case FloatType   => a.getFloat(i).toDouble
+    case DoubleType  => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType    => a.getLong(i).toDouble
+    case ShortType   => a.getShort(i).toDouble
+    case other       => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  /** Java source for the same per-element read (codegen twin of [[getD]]). */
+  def getCode(arr: String, idx: String, et: DataType): String = et match {
+    case FloatType   => s"(double) $arr.getFloat($idx)"
+    case DoubleType  => s"$arr.getDouble($idx)"
+    case IntegerType => s"(double) $arr.getInt($idx)"
+    case LongType    => s"(double) $arr.getLong($idx)"
+    case ShortType   => s"(double) $arr.getShort($idx)"
+    case other       => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  def numericArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType | ShortType, _) => true
+    case _ => false
+  }
+}
+
+/** Cosine similarity of two numeric-array columns.
+  *
+  * Exact semantics of the previous HOF form
+  * (`aggregate(zip_with(a,b,x*y),0.0,+) / (sqrt(Σx²)·sqrt(Σy²))`): each
+  * accumulator sums left-to-right in index order in double, so results are
+  * bit-identical; null out on length mismatch or any null element (a null
+  * product poisons the fold in the HOF form).
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprs.numericArray(left.dataType) && VectorExprs.numericArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numeric array inputs, got ${left.dataType} / ${right.dataType}")
+
+  @transient private lazy val etL = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val etR = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = VectorExprs.getD(a, i, etL)
+      val y = VectorExprs.getD(b, i, etR)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $x = ${VectorExprs.getCode(a, i.toString, etL)};
+         |    double $y = ${VectorExprs.getCode(b, i.toString, etR)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** All `nTables` SRP bucket bitstrings of a vector in one corpus pass.
+  *
+  * Twin of the per-table `Similarity.srpBucket` Column form (same Rademacher
+  * planes, same left-to-right projection fold, `proj > 0` → '1'): on length
+  * mismatch or a null element the HOF fold yields a null projection which
+  * `when(proj > 0,...).otherwise("0")` turns into '0' — reproduced here.
+  * Output is array(nTables) of nPlanes-char strings, fed to `posexplode` so
+  * (pos, col) = (_table, _bucket) exactly as the previous
+  * `posexplode(array(bucket_0..bucket_T))` produced.
+  */
+case class SrpAllBuckets(child: Expression, planes: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "srp_all_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprs.numericArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric array input, got ${child.dataType}")
+
+  private val nTables = planes.length
+  private val nPlanes = planes.head.length
+  private val dim = planes.head.head.length
+  @transient private lazy val p: Array[Array[Array[Double]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bad = n != dim
+    if (!bad) {
+      var i = 0
+      while (i < n && !bad) { if (v.isNullAt(i)) bad = true; i += 1 }
+    }
+    val out = new Array[AnyRef](nTables)
+    var t = 0
+    while (t < nTables) {
+      val cs = new Array[Char](nPlanes)
+      var pi = 0
+      while (pi < nPlanes) {
+        if (bad) cs(pi) = '0'
+        else {
+          val pl = p(t)(pi)
+          var acc = 0.0; var i = 0
+          while (i < dim) { acc += VectorExprs.getD(v, i, et) * pl(i); i += 1 }
+          cs(pi) = if (acc > 0) '1' else '0'
+        }
+        pi += 1
+      }
+      out(t) = UTF8String.fromString(new String(cs))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val pRef = ctx.addReferenceObj("srpPlanes", p, "double[][][]")
+      val n = ctx.freshName("n"); val bad = ctx.freshName("bad")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t"); val pp = ctx.freshName("pp")
+      val j = ctx.freshName("j"); val acc = ctx.freshName("acc")
+      val pl = ctx.freshName("pl"); val cs = ctx.freshName("cs"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $v.numElements();
+         |boolean $bad = ($n != $dim);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($v.isNullAt($i)) { $bad = true; break; }
+         |  }
+         |}
+         |org.apache.spark.unsafe.types.UTF8String[] $out =
+         |  new org.apache.spark.unsafe.types.UTF8String[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  char[] $cs = new char[$nPlanes];
+         |  for (int $pp = 0; $pp < $nPlanes; $pp++) {
+         |    if ($bad) { $cs[$pp] = '0'; }
+         |    else {
+         |      double $acc = 0.0;
+         |      double[] $pl = $pRef[$t][$pp];
+         |      for (int $j = 0; $j < $dim; $j++) {
+         |        $acc += ${VectorExprs.getCode(v, j.toString, et)} * $pl[$j];
+         |      }
+         |      $cs[$pp] = $acc > 0 ? '1' : '0';
+         |    }
+         |  }
+         |  $out[$t] = org.apache.spark.unsafe.types.UTF8String.fromString(new String($cs));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftExprBridge}
 import org.apache.spark.sql.functions._
+
+import graft.functions.{CosineSim, SrpAllBuckets}
 
 /** Similarity search over embedding columns (reference
   * stdlib/indexing/nearest_neighbors.py:170 BruteForceKnn, :262 LshKnn).
@@ -14,14 +16,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Deterministic cosine: explicit left-to-right double folds, so any engine
-    * (or oracle) evaluating the same order reproduces the exact bits. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+    * (or oracle) evaluating the same order reproduces the exact bits. Runs as
+    * a native codegen'd kernel ([[graft.functions.CosineSim]]) — the
+    * equivalent `aggregate(zip_with(...))` HOF form is CodegenFallback and
+    * pays interpreted per-element dispatch on every corpus row. */
+  def cosine(a: Column, b: Column): Column =
+    GraftExprBridge.column(
+      CosineSim(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
 
   /** Brute-force top-k cosine: broadcast queries × corpus scan, rank per query
     * by (score desc, corpus id asc — pinned tie-break). Self-matches excluded
@@ -51,16 +52,16 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  def srpBucket(vec: Column, table: Int, nPlanes: Int, dim: Int): Column = {
-    val planes = typedLit(srpPlanes(table, nPlanes, dim))
-    array_join(
-      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-        val proj = aggregate(
-          zip_with(vec, element_at(planes, p + 1), (x, s) => x.cast("double") * s),
-          lit(0.0), (a, v) => a + v)
-        when(proj > 0, lit("1")).otherwise(lit("0"))
-      }), "")
-  }
+  def srpBucket(vec: Column, table: Int, nPlanes: Int, dim: Int): Column =
+    element_at(srpAllBuckets(vec, table + 1, nPlanes, dim), table + 1)
+
+  /** All `nTables` SRP bucket bitstrings in one pass — a native codegen
+    * kernel ([[graft.functions.SrpAllBuckets]]); `posexplode` of the result
+    * yields the (_table, _bucket) pairs the per-table form produced, without
+    * nTables × nPlanes interpreted HOF dot products per row. */
+  def srpAllBuckets(vec: Column, nTables: Int, nPlanes: Int, dim: Int): Column =
+    GraftExprBridge.column(SrpAllBuckets(GraftExprBridge.expression(vec),
+      (0 until nTables).map(t => srpPlanes(t, nPlanes, dim))))
 
   /** LSH-bucketed ANN: candidates = corpus rows sharing ≥1 (table, bucket) with
     * the query, ranked by exact cosine. Trades recall for a corpus-side
@@ -73,11 +74,9 @@ object Similarity {
   def lshKnn(queries: DataFrame, qId: Column, qVec: Column,
       corpus: DataFrame, cId: Column, cVec: Column,
       k: Int, dim: Int, nPlanes: Int = 6, nTables: Int = 12): DataFrame = {
-    def withBuckets(df: DataFrame, id: Column, vec: Column, idName: String): DataFrame = {
-      val buckets = (0 until nTables).map(t => srpBucket(vec, t, nPlanes, dim))
+    def withBuckets(df: DataFrame, id: Column, vec: Column, idName: String): DataFrame =
       df.select(id.as(idName), vec.as(s"_v_$idName"),
-        posexplode(array(buckets: _*)).as(Seq("_table", "_bucket")))
-    }
+        posexplode(srpAllBuckets(vec, nTables, nPlanes, dim)).as(Seq("_table", "_bucket")))
     val qB = withBuckets(queries, qId, qVec, "query_id")
     val cB = withBuckets(corpus, cId, cVec, "nn_id")
     val candidates = qB.join(cB, Seq("_table", "_bucket"))
@@ -135,9 +134,8 @@ object Similarity {
     * verified exact cosine ≥ threshold. */
   def embeddingDupPairs(df: DataFrame, id: Column, vec: Column,
       dim: Int, threshold: Double, nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
-    val buckets = (0 until nTables).map(t => srpBucket(vec, t, nPlanes, dim))
     val b = df.select(id.as("id"), vec.as("_v"),
-      posexplode(array(buckets: _*)).as(Seq("_table", "_bucket")))
+      posexplode(srpAllBuckets(vec, nTables, nPlanes, dim)).as(Seq("_table", "_bucket")))
     val l = b.select(col("_table"), col("_bucket"), col("id").as("id1"), col("_v").as("_v1"))
     val r = b.select(col("_table"), col("_bucket"), col("id").as("id2"), col("_v").as("_v2"))
     l.join(r, Seq("_table", "_bucket"))
