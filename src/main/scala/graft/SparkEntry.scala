@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Keys, PwTable}
-import graft.operators.{Clustering, Dedup, Graphs, Multimodal, Similarity, Temporal, TextOps, TrainPrep, Utils}
+import graft.operators.{Clustering, Dedup, DocParse, Graphs, Multimodal, Similarity, Temporal, TextOps, TrainPrep, Utils}
 import graft.sources.Tables
 import graft.functions.{Exprs, Reducers}
 import graft.functions.Exprs._
@@ -503,6 +503,27 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).toDf
+
+  /** DocParse over per-format wrappers of the documents table, synthesized
+    * deterministically (doc_id mod 3 → html with entities + script/style +
+    * title, markdown with YAML front matter + heading, plain) so sniffing,
+    * tag/script stripping, entity decode, and title extraction are all
+    * oracle-checked on every row. */
+  private def qDocParse(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idS = col("doc_id").cast("string")
+    val html = concat(lit("<html><head><title>Doc "), idS,
+      lit("</title><style>p{color:red}</style></head><body><h1>Doc "), idS,
+      lit("</h1><p>intro &amp; overview &lt;draft&gt;</p><script>var x = 1;</script><p>"),
+      col("text"), lit("</p></body></html>"))
+    val md = concat(lit("---\ntitle: Doc "), idS, lit("\nlang: en\n---\n# Doc "),
+      idS, lit("\n\n"), col("text"))
+    val content = when(col("doc_id") % 3 === 0, html)
+      .when(col("doc_id") % 3 === 1, md)
+      .otherwise(col("text"))
+    DocParse.parseDocs(d.select(col("doc_id"), content.as("content")),
+      col("doc_id"), col("content"))
+  }
 
   /** Deterministic train/val/test split by cross-engine doc_id hash. */
   private def qSplitTrainTest(s: SparkSession, dir: String): DataFrame =
@@ -1027,6 +1048,7 @@ object SparkEntry {
     "text_langid"     -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "doc_split_chunks" -> (qDocSplit _),
+    "doc_parse"       -> (qDocParse _),
     "dedup_exact"     -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
@@ -1420,6 +1442,35 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "doc_parse" ->
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN '<html><head><title>Doc ' || doc_id || '</title><style>p{color:red}</style></head><body><h1>Doc ' || doc_id || '</h1><p>intro &amp; overview &lt;draft&gt;</p><script>var x = 1;</script><p>' || text || '</p></body></html>'
+        |       WHEN doc_id % 3 = 1 THEN '---' || chr(10) || 'title: Doc ' || doc_id || chr(10) || 'lang: en' || chr(10) || '---' || chr(10) || '# Doc ' || doc_id || chr(10) || chr(10) || text
+        |       ELSE text END AS content FROM documents),
+        |p AS (SELECT doc_id, content,
+        |  CASE WHEN substr(content, 1, 1) = '<' THEN 'html'
+        |       WHEN substr(content, 1, 4) = '---' || chr(10) THEN 'markdown'
+        |       ELSE 'plain' END AS format FROM c),
+        |h AS (SELECT doc_id, content, format,
+        |  regexp_replace(regexp_replace(regexp_replace(content,
+        |    '(?is)<head[^>]*>.*?</head>', ' ', 'g'),
+        |    '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |    '(?s)<[^>]*>', ' ', 'g') AS detag FROM p)
+        |SELECT doc_id, format,
+        |  CASE WHEN format = 'html' THEN nullif(regexp_extract(content, '(?is)<title[^>]*>(.*?)</title>', 1), '')
+        |       WHEN format = 'markdown' THEN nullif(regexp_extract(regexp_extract(content, '(?s)^---\n(.*?)\n---\n', 1), '(?m)^title: *(.*)$', 1), '')
+        |       ELSE NULL END AS title,
+        |  CASE WHEN format = 'html' THEN trim(regexp_replace(
+        |         replace(replace(replace(replace(replace(replace(detag,
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |         '\s+', ' ', 'g'))
+        |       WHEN format = 'markdown' THEN trim(regexp_replace(replace(replace(
+        |         regexp_replace(regexp_replace(regexp_replace(content,
+        |           '(?s)^---\n.*?\n---\n', ''), '(?m)^#{1,6} *', '', 'g'),
+        |           '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+        |         '*', ''), '`', ''), '\s+', ' ', 'g'))
+        |       ELSE trim(regexp_replace(content, '\s+', ' ', 'g')) END AS text
+        |FROM h""".stripMargin,
     "doc_split_chunks" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |c AS (SELECT doc_id, toks,

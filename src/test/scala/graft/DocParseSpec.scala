@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DocParse
+
+class DocParseSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("html: strips script/style subtrees and tags, decodes entities, extracts title") {
+    val html =
+      """<html><head><title> Release Notes </title>
+        |<style>body { color: red }</style></head>
+        |<body><h1>V2</h1><script>var tracking = "<p>";</script>
+        |<p>Tom &amp; Jerry say &quot;hi&quot; &lt;3&nbsp;&#39;ok&#39;</p></body></html>""".stripMargin
+    val out = DocParse.parseDocs(Seq((1L, html)).toDF("id", "content"),
+      col("id"), col("content")).collect().head
+    assert(out.getAs[String]("format") == "html")
+    assert(out.getAs[String]("title") == " Release Notes ") // head subtree dropped from body text
+    assert(out.getAs[String]("text") == """V2 Tom & Jerry say "hi" <3 'ok'""")
+  }
+
+  test("markdown: front matter fields, heading/link/emphasis stripping") {
+    val md = "---\ntitle: The Plan\nlang: en\n---\n# Intro\n\nSee **bold** and [the docs](https://x.y/z) here."
+    val out = DocParse.parseDocs(Seq((1L, md)).toDF("id", "content"),
+      col("id"), col("content")).collect().head
+    assert(out.getAs[String]("format") == "markdown")
+    assert(out.getAs[String]("title") == "The Plan")
+    assert(out.getAs[String]("text") == "Intro See bold and the docs here.")
+  }
+
+  test("plain text passes through with whitespace collapsed; title null") {
+    val out = DocParse.parseDocs(Seq((1L, "  two\n words \t here ")).toDF("id", "content"),
+      col("id"), col("content")).collect().head
+    assert(out.getAs[String]("format") == "plain")
+    assert(out.getAs[String]("title") == null)
+    assert(out.getAs[String]("text") == "two words here")
+  }
+
+  test("binary path: UTF-8 bytes → parsed doc (fs binary connector shape)") {
+    val bytes = "---\ntitle: Bin\n---\nBody here.".getBytes("UTF-8")
+    val out = DocParse.parseBinaryDocs(Seq((7L, bytes)).toDF("id", "raw"),
+      col("id"), col("raw")).collect().head
+    assert(out.getAs[Long]("doc_id") == 7L)
+    assert(out.getAs[String]("title") == "Bin")
+    assert(out.getAs[String]("text") == "Body here.")
+  }
+
+  test("parsed html text feeds the chunk splitter downstream") {
+    val html = "<html><body><p>" + Seq.tabulate(120)(i => s"tok$i").mkString(" ") + "</p></body></html>"
+    val parsed = DocParse.parseDocs(Seq((1L, html)).toDF("id", "content"),
+      col("id"), col("content"))
+    val chunks = graft.operators.TextOps.splitIntoChunks(
+      parsed, col("text"), chunkSize = 50, overlap = 10)
+    assert(chunks.count() >= 3)
+  }
+}
