@@ -241,6 +241,67 @@ $n AS MATERIALIZED (SELECT s.vertex,
     s"WITH $base,\n$passes\nSELECT vertex, community FROM l$iters"
   }
 
+  /** Weighted louvain move passes (twin of Graphs.louvainMoves): labels
+    * `${p}l0..${p}l$iters`, over weighted sym edges `$sym`(u,v,w) and degrees
+    * `$deg`(vertex,kd) (self-loop mass included in kd, absent from sym). */
+  private def louvainPassesSql(p: String, sym: String, deg: String, iters: Int): String =
+    (0 until iters).map { i =>
+      val (l, n) = (s"${p}l$i", s"${p}l${i + 1}")
+      s"""${p}vol$i AS MATERIALIZED (SELECT community, SUM(kd) AS vol FROM $l JOIN $deg USING (vertex) GROUP BY community),
+${p}nb$i AS MATERIALIZED (SELECT $sym.u AS vertex, lb.community AS c, SUM($sym.w) AS w
+  FROM $sym JOIN $l lb ON lb.vertex = $sym.v GROUP BY 1, 2),
+${p}stay$i AS MATERIALIZED (SELECT lb.vertex, lb.community AS own, d.kd,
+    COALESCE(wo.w, 0) - d.kd * (v.vol - d.kd) / m2.m AS stay
+  FROM $l lb JOIN $deg d USING (vertex) JOIN ${p}vol$i v ON v.community = lb.community
+  LEFT JOIN (SELECT ${p}nb$i.vertex, ${p}nb$i.w FROM ${p}nb$i JOIN $l x ON x.vertex = ${p}nb$i.vertex
+             AND x.community = ${p}nb$i.c) wo ON wo.vertex = lb.vertex, m2),
+${p}best$i AS MATERIALIZED (SELECT vertex, c, score FROM (
+  SELECT s.vertex, ${p}nb$i.c, ${p}nb$i.w - s.kd * v.vol / m2.m AS score,
+    ROW_NUMBER() OVER (PARTITION BY s.vertex
+      ORDER BY ${p}nb$i.w - s.kd * v.vol / m2.m DESC, ${p}nb$i.c ASC) AS rn
+  FROM ${p}nb$i JOIN ${p}stay$i s ON s.vertex = ${p}nb$i.vertex AND ${p}nb$i.c <> s.own
+  JOIN ${p}vol$i v ON v.community = ${p}nb$i.c, m2) WHERE rn = 1),
+$n AS MATERIALIZED (SELECT s.vertex,
+    CASE WHEN b.vertex IS NOT NULL AND b.score > s.stay THEN b.c ELSE s.own END AS community
+  FROM ${p}stay$i s LEFT JOIN ${p}best$i b ON b.vertex = s.vertex)"""
+    }.mkString(",\n")
+
+  /** Graphs.louvainMultilevel over the nation graph: level-1 unit-weight
+    * passes, contraction (cross-community mass → weighted super-edges,
+    * intra mass → self-loop degree), weighted level-2 passes, composed
+    * vertex → c₁ → c₂ labels. m2 is conserved across levels. */
+  def louvainMultilevel(iters1: Int, iters2: Int): String = {
+    val base =
+      """nn AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |e0 AS (SELECT k AS src, (k+1)%25 AS dst FROM nn
+        |       UNION ALL SELECT k, (k*2+3)%25 FROM nn),
+        |sym1 AS MATERIALIZED (SELECT u, v, CAST(1 AS BIGINT) AS w FROM (
+        |  SELECT DISTINCT u, v FROM (
+        |    SELECT src AS u, dst AS v FROM e0 UNION ALL SELECT dst, src FROM e0)
+        |  WHERE u <> v)),
+        |deg1 AS MATERIALIZED (SELECT u AS vertex, SUM(w) AS kd FROM sym1 GROUP BY u),
+        |m2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM sym1),
+        |al0 AS MATERIALIZED (SELECT vertex, vertex AS community FROM deg1)""".stripMargin
+    val contract =
+      s"""map1 AS MATERIALIZED (SELECT vertex, community FROM al$iters1),
+sym2 AS MATERIALIZED (SELECT lu.community AS u, lv.community AS v, SUM(s.w) AS w
+  FROM sym1 s JOIN map1 lu ON lu.vertex = s.u JOIN map1 lv ON lv.vertex = s.v
+  WHERE lu.community <> lv.community GROUP BY 1, 2),
+lp2 AS (SELECT lu.community AS vertex, SUM(s.w) AS lw
+  FROM sym1 s JOIN map1 lu ON lu.vertex = s.u JOIN map1 lv ON lv.vertex = s.v
+  WHERE lu.community = lv.community GROUP BY 1),
+deg2 AS MATERIALIZED (SELECT sv.vertex, COALESCE(x.kx, 0) + COALESCE(lp2.lw, 0) AS kd
+  FROM (SELECT DISTINCT community AS vertex FROM map1) sv
+  LEFT JOIN (SELECT u AS vertex, SUM(w) AS kx FROM sym2 GROUP BY u) x USING (vertex)
+  LEFT JOIN lp2 USING (vertex)),
+bl0 AS (SELECT vertex, vertex AS community FROM deg2)"""
+    s"""WITH $base,
+${louvainPassesSql("a", "sym1", "deg1", iters1)},
+$contract,
+${louvainPassesSql("b", "sym2", "deg2", iters2)}
+SELECT m.vertex, b.community FROM map1 m JOIN bl$iters2 b ON b.vertex = m.community"""
+  }
+
   /** Clustering.viaLsh(embeddings, dim, k, nPlanes, nTables, lloydIters):
     * SRP buckets over 2^40-quantized integer vectors → per-bucket component
     * sums → spherical k-means (init = k lexicographically-smallest buckets,

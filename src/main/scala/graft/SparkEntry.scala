@@ -778,6 +778,10 @@ object SparkEntry {
   private def qLouvain(s: SparkSession, dir: String): DataFrame =
     Graphs.louvain(nationEdges(s, dir).select("src", "dst"), iters = 4)
 
+  private def qLouvainMultilevel(s: SparkSession, dir: String): DataFrame =
+    Graphs.louvainMultilevel(nationEdges(s, dir).select("src", "dst"),
+      iters1 = 3, iters2 = 3)
+
   // ───────────────────────────────────────────────────────────────────────────
   //  Error-value semantics (reference Error sentinel, remove_errors, fill_error)
   // ───────────────────────────────────────────────────────────────────────────
@@ -1073,6 +1077,7 @@ object SparkEntry {
     "bellman_ford"    -> (qBellmanFord _),
     "pagerank"        -> (qPagerank _),
     "louvain"         -> (qLouvain _),
+    "louvain_multilevel" -> (qLouvainMultilevel _),
     "sql_bridge"      -> (qSqlBridge _),
     "apply_udf"       -> (qApplyUdf _),
     "unpack_col"      -> (qUnpackCol _),
@@ -1765,6 +1770,7 @@ object SparkEntry {
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),
     "louvain" -> OracleSqlGen.louvain(iters = 4),
+    "louvain_multilevel" -> OracleSqlGen.louvainMultilevel(iters1 = 3, iters2 = 3),
     "matmul_2d" ->
       """SELECT vec_id, CAST(i AS INT) AS i, CAST(j AS INT) AS j,
         |  list_reduce(list_transform(generate_series(1, 8),

@@ -92,21 +92,37 @@ object Graphs {
     * (vertex | community) keys; 2m is the only driver scalar. */
   def louvain(edges: DataFrame, iters: Int = 10,
       src: String = "src", dst: String = "dst", unroll: Int = 1): DataFrame = {
-    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
-      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
-      .filter(col("u") =!= col("v")).distinct()
+    val sym = symWeighted(edges, src, dst)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = sym.groupBy(col("u").as("vertex")).agg(count(lit(1)).as("k"))
+    val deg = sym.groupBy(col("u").as("vertex")).agg(sum("w").as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m2 = sym.count().toDouble // = 2m
+    louvainMoves(sym, deg, m2, iters, unroll)
+  }
+
+  /** Symmetric unit-weight edge list (u, v, w=1), self-loops dropped. */
+  private def symWeighted(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges.select(col(src).as("u"), col(dst).as("v"))
+      .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+      .withColumn("w", lit(1L))
+
+  /** The synchronous weighted move passes shared by one-level [[louvain]] and
+    * [[louvainMultilevel]]: `sym` is a symmetric weighted edge list (u,v,w)
+    * with u ≠ v; `deg` carries each vertex's weighted degree INCLUDING any
+    * self-loop mass (a contracted community's internal edges travel with the
+    * super-vertex under any move, so they appear in `deg` but never in
+    * `sym`). `m2` (= 2m, conserved across levels) is the only driver scalar. */
+  private def louvainMoves(sym: DataFrame, deg: DataFrame, m2: Double,
+      iters: Int, unroll: Int): DataFrame = {
     val initial = deg.select(col("vertex"), col("vertex").as("community"))
     Iterate.nTimes(initial, labels => {
       val comVol = labels.join(deg, "vertex")
         .groupBy("community").agg(sum("k").as("vol"))
-      // w(u, c): edges from u into community c
+      // w(u, c): edge mass from u into community c
       val neigh = sym
         .join(labels.select(col("vertex").as("v"), col("community").as("c")), "v")
-        .groupBy(col("u").as("vertex"), col("c")).agg(count(lit(1)).as("w"))
+        .groupBy(col("u").as("vertex"), col("c")).agg(sum("w").as("w"))
       val own = labels.select(col("vertex"), col("community").as("own"))
       // stay value: score of keeping the current community (own volume
       // excludes u's own degree)
@@ -129,6 +145,41 @@ object Graphs {
       own.join(bestMove, Seq("vertex"), "left_outer")
         .select(col("vertex"), coalesce(col("_new"), col("own")).as("community"))
     }, iters, unroll = unroll)
+  }
+
+  /** Multi-level Louvain (reference louvain_communities/impl.py:282: move
+    * passes, then contract communities into super-vertices and recurse):
+    * level-1 moves on the unit-weight graph, then communities collapse into a
+    * weighted super-graph — cross-community mass becomes weighted edges,
+    * intra-community mass becomes self-loop degree — level-2 moves run on
+    * that, and the final label composes vertex → c₁ → c₂. The contracted
+    * graph is |communities| vertices, so level 2 costs a fraction of level 1;
+    * 2m is conserved so modularity comparisons stay on the original scale. */
+  def louvainMultilevel(edges: DataFrame, iters1: Int = 4, iters2: Int = 4,
+      src: String = "src", dst: String = "dst", unroll: Int = 1): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = symWeighted(edges, src, dst).persist(mem)
+    val deg = sym.groupBy(col("u").as("vertex")).agg(sum("w").as("k")).persist(mem)
+    val m2 = sym.count().toDouble
+    val l1 = louvainMoves(sym, deg, m2, iters1, unroll).persist(mem)
+    val mapped = sym
+      .join(l1.select(col("vertex").as("u"), col("community").as("cu")), "u")
+      .join(l1.select(col("vertex").as("v"), col("community").as("cv")), "v")
+      .persist(mem)
+    val superSym = mapped.filter(col("cu") =!= col("cv"))
+      .groupBy(col("cu").as("u"), col("cv").as("v")).agg(sum("w").as("w"))
+    val loops = mapped.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("vertex")).agg(sum("w").as("_loop"))
+    val superDeg = l1.select(col("community").as("vertex")).distinct()
+      .join(superSym.groupBy(col("u").as("vertex")).agg(sum("w").as("_kx")),
+        Seq("vertex"), "left_outer")
+      .join(loops, Seq("vertex"), "left_outer")
+      .select(col("vertex"),
+        (coalesce(col("_kx"), lit(0L)) + coalesce(col("_loop"), lit(0L))).as("k"))
+    val l2 = louvainMoves(superSym, superDeg, m2, iters2, unroll)
+    l1.select(col("vertex"), col("community").as("_c1"))
+      .join(l2.select(col("vertex").as("_c1"), col("community")), "_c1")
+      .select(col("vertex"), col("community"))
   }
 
   /** Modularity Q of an assignment (vertex, community) over `edges` —

@@ -56,6 +56,21 @@ class IterateSpec extends AnyFunSuite {
     assert(q > qSingletons && q > 0.3, s"q=$q singletons=$qSingletons")
   }
 
+  test("louvainMultilevel: coarsening never loses modularity vs one level") {
+    // ring-of-cliques: one-level moves find the cliques; level-2 contraction
+    // can then merge weakly-bound neighbors when that improves Q
+    val cliques = for (c <- 0L until 4L; i <- 0L until 4L; j <- (i + 1) until 4L)
+      yield (c * 10 + i, c * 10 + j)
+    val bridges = (0L until 4L).map(c => (c * 10, ((c + 1) % 4) * 10 + 1))
+    val edges = (cliques ++ bridges).toDF("src", "dst")
+    val one = Graphs.louvain(edges, iters = 4).cache()
+    val multi = Graphs.louvainMultilevel(edges, iters1 = 4, iters2 = 4).cache()
+    assert(multi.count() == one.count()) // every vertex labeled after compose
+    val qOne = Graphs.modularity(edges, one).as[Double].head()
+    val qMulti = Graphs.modularity(edges, multi).as[Double].head()
+    assert(qMulti >= qOne - 1e-12 && qMulti > 0.3, s"qMulti=$qMulti qOne=$qOne")
+  }
+
   test("labelPropagation separates two dense cliques joined by one edge") {
     val clique1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     val clique2 = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
