@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.MessageBus
+import graft.sources.{LoopbackBus, MessageBus}
 import java.nio.file.Files
 
 /** MessageBus: transport-agnostic bus plumbing round-tripped through the
@@ -45,6 +45,53 @@ class MessageBusSpec extends AnyFunSuite {
         .as[(String, String)].collect().toSeq
       assert(got == Seq(("a", "m1"), ("b", "m2"), ("c", "m3")))
     } finally q.stop()
+  }
+
+  test("loopback subject matching: NATS wildcard semantics") {
+    import LoopbackBus.subjectMatches
+    assert(subjectMatches("events.click", "events.click"))
+    assert(!subjectMatches("events.click", "events.view"))
+    assert(subjectMatches("events.*", "events.click"))
+    assert(!subjectMatches("events.*", "events.click.eu"))
+    assert(subjectMatches("events.>", "events.click.eu"))
+    assert(subjectMatches("events.>", "events.click"))
+    assert(!subjectMatches("events.>", "events"))
+    assert(subjectMatches("*.click", "events.click"))
+    assert(subjectMatches(">", "anything.at.all"))
+  }
+
+  test("loopback broker end-to-end: streaming write → filtered subscribe → streaming read") {
+    val bus = "e2e-bus"
+    val spool = Files.createTempDirectory("graft-loopback-in").toString
+    try {
+      // ingress side first: subscribe to the filtered subject, stream the spool
+      val (src, subId) = LoopbackBus.read(spark, bus, "events.*", spool)
+      val qIn = src.writeStream.format("memory").queryName("loopback_in")
+        .option("checkpointLocation", Files.createTempDirectory("graft-lb-ck1").toString)
+        .start()
+      // egress side: a streaming frame written through the SPI publisher,
+      // per-row topics so filtering is exercised
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(String, String, String)]
+      val qOut = LoopbackBus.write(in.toDF().toDF("topic", "key", "value"), bus)
+        .option("checkpointLocation", Files.createTempDirectory("graft-lb-ck2").toString)
+        .start()
+      try {
+        in.addData(("events.click", "k1", "v1"), ("audit.login", "k2", "v2"),
+          ("events.view", "k3", "v3"))
+        qOut.processAllAvailable() // publish → subscriber spools matching rows
+        qIn.processAllAvailable()  // spool → streaming source
+        val got = spark.sql("SELECT topic, key, value FROM loopback_in ORDER BY key")
+          .as[(String, String, String)].collect().toSeq
+        assert(got == Seq(("events.click", "k1", "v1"), ("events.view", "k3", "v3")))
+        // QoS-0: after unsubscribe, publishes are dropped (delivery count 0)
+        LoopbackBus.broker(bus).unsubscribe(subId)
+        assert(LoopbackBus.broker(bus).publish("events.click", "k4", "v4") == 0)
+        qIn.processAllAvailable()
+        assert(spark.sql("SELECT COUNT(*) FROM loopback_in").as[Long].head() == 2L)
+      } finally { qIn.stop(); qOut.stop() }
+    } finally LoopbackBus.drop(bus)
   }
 
   test("streaming sink publishes each micro-batch through per-partition clients") {
