@@ -123,25 +123,47 @@ lr AS (SELECT query_id, nn_id, score,
     s"""WITH ${lshScoreCtes(k, dim, nPlanes, nTables)}
 SELECT query_id, nn_id, score, rank FROM lr WHERE rank <= $k"""
 
-  /** Similarity.ivfKnn on embeddings, queries vec_id<10. */
-  def knnIvf(k: Int, dim: Int, nCells: Int, nProbe: Int): String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings),
-cent AS (SELECT nn_id AS cell, cv AS centroid FROM c ORDER BY nn_id LIMIT $nCells),
+  /** Similarity.ivfKnn on embeddings, queries vec_id<10: md5-order seed
+    * sample + `refineIters` Lloyd passes over 2^40-quantized integer vectors
+    * (the clusteringLsh technique — exact Long sums, cosine folds the only
+    * doubles), then probe/score. */
+  def knnIvf(k: Int, dim: Int, nCells: Int, nProbe: Int, refineIters: Int,
+      spill: Int): String = {
+    val quant = s"list_transform(generate_series(1, $dim), " +
+      s"i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1099511627776) AS BIGINT))"
+    val passes = (0 until refineIters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT nn_id, cell, qv FROM (
+  SELECT cq.nn_id, ct$i.cell, cq.qv, ROW_NUMBER() OVER (PARTITION BY cq.nn_id
+    ORDER BY ${cos("cq.qv", s"ct$i.centroid", dim)} DESC, ct$i.cell ASC) AS rn
+  FROM cq CROSS JOIN ct$i) WHERE rn = 1),
+s$i AS (SELECT cell, g.i AS idx, SUM(qv[g.i]) AS s
+  FROM a$i CROSS JOIN generate_series(1, $dim) AS g(i) GROUP BY 1, 2),
+n$i AS (SELECT cell, list(CAST(s AS BIGINT) ORDER BY idx) AS nv FROM s$i GROUP BY cell),
+ct${i + 1} AS MATERIALIZED (SELECT ct$i.cell, COALESCE(n$i.nv, ct$i.centroid) AS centroid
+  FROM ct$i LEFT JOIN n$i USING (cell))"""
+    }.mkString(",\n")
+    val last = s"ct$refineIters"
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, $quant AS qq
+  FROM embeddings WHERE vec_id < 10),
+cq AS MATERIALIZED (SELECT vec_id AS nn_id, embedding AS cv, $quant AS qv FROM embeddings),
+ct0 AS MATERIALIZED (SELECT nn_id AS cell, qv AS centroid FROM cq
+  ORDER BY ${duckSigned(duckU64("CAST(nn_id AS VARCHAR)"))}, nn_id LIMIT $nCells),
+$passes,
 asg AS (SELECT nn_id, cell FROM (
-  SELECT c.nn_id, cent.cell, ROW_NUMBER() OVER (PARTITION BY c.nn_id
-    ORDER BY ${cos("cv", "centroid", dim)} DESC, cent.cell ASC) AS rn
-  FROM c CROSS JOIN cent) WHERE rn = 1),
+  SELECT cq.nn_id, $last.cell, ROW_NUMBER() OVER (PARTITION BY cq.nn_id
+    ORDER BY ${cos("cq.qv", s"$last.centroid", dim)} DESC, $last.cell ASC) AS rn
+  FROM cq CROSS JOIN $last) WHERE rn <= $spill),
 probe AS (SELECT query_id, cell FROM (
-  SELECT q.query_id, cent.cell, ROW_NUMBER() OVER (PARTITION BY q.query_id
-    ORDER BY ${cos("qv", "centroid", dim)} DESC, cent.cell ASC) AS rn
-  FROM q CROSS JOIN cent) WHERE rn <= $nProbe),
-sc AS (SELECT query_id, nn_id, ${cos("qv", "cv", dim)} AS score
-  FROM probe JOIN asg USING (cell) JOIN q USING (query_id) JOIN c USING (nn_id)
+  SELECT q.query_id, $last.cell, ROW_NUMBER() OVER (PARTITION BY q.query_id
+    ORDER BY ${cos("q.qq", s"$last.centroid", dim)} DESC, $last.cell ASC) AS rn
+  FROM q CROSS JOIN $last) WHERE rn <= $nProbe),
+sc AS (SELECT DISTINCT query_id, nn_id, ${cos("q.qv", "cq.cv", dim)} AS score
+  FROM probe JOIN asg USING (cell) JOIN q USING (query_id) JOIN cq USING (nn_id)
   WHERE query_id <> nn_id),
 r AS (SELECT query_id, nn_id, score,
   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM sc)
 SELECT query_id, nn_id, score, rank FROM r WHERE rank <= $k"""
+  }
 
   /** Similarity.rrfFusion(brute-force k=5, SRP-LSH k=5), k0=60, topK=5. */
   def rrfFusion(k: Int, dim: Int, nPlanes: Int, nTables: Int, k0: Int, topK: Int): String =

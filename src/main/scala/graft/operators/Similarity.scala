@@ -95,33 +95,72 @@ object Similarity {
     * the corpus into `nCells` Voronoi cells, probe the `nProbe` nearest cells
     * per query, exact cosine only within probed cells.
     *
-    * Centroids are the lowest-id corpus vectors (deterministic seeding — at
-    * scale substitute a k-means|| fit; the index structure and query path stay
-    * identical). Every step is a broadcast join + aggregation: the corpus is
-    * scanned once to assign cells and once per query batch via the
-    * (cell, corpus) equi-join — no cross join of corpus × queries. */
+    * Centroids: a deterministic uniform seed sample — the nCells smallest
+    * md5(id) values (hash order ≈ random order, unbiased at any scale,
+    * unlike lowest-id which inherits whatever the id sequence correlates
+    * with; `orderBy.limit` is TakeOrderedAndProject, per-partition top-k +
+    * driver merge, no global sort) — refined by `refineIters` synchronous
+    * Lloyd passes over 2^40-quantized integer vectors, the
+    * Clustering.viaLsh technique: component sums are exact Longs, so the
+    * fit is order-independent and the DuckDB oracle replays every
+    * comparison bit-for-bit (cosine is scale-invariant, so the un-divided
+    * sum IS the mean direction; empty cells keep their previous centroid).
+    * Balanced cells make per-probe recall the binding constraint, so the
+    * index multi-assigns each corpus vector to its `spill` nearest cells
+    * (IVF replication — `spill`× storage for a sharp recall lift; candidate
+    * pairs are deduped before scoring). Every step is a broadcast join +
+    * aggregation: the corpus is scanned once per pass to assign cells and
+    * once per query batch via the (cell, corpus) equi-join — no cross join
+    * of corpus × queries. */
   def ivfKnn(queries: DataFrame, qId: Column, qVec: Column,
       corpus: DataFrame, cId: Column, cVec: Column,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = corpus.select(cId.as("nn_id"), cVec.as("_cv"))
-    val centroids = c.orderBy(col("nn_id")).limit(nCells)
-      .select(col("nn_id").as("_cell"), col("_cv").as("_centroid"))
-    // cell assignment: nearest centroid by cosine (broadcast nCells rows)
-    val assigned = c.join(broadcast(centroids), lit(true))
-      .withColumn("_sim", cosine(col("_cv"), col("_centroid")))
-      .groupBy(col("nn_id")).agg(
-        max_by(col("_cell"), struct(col("_sim"), -col("_cell"))).as("_cell"),
-        first(col("_cv")).as("_cv"))
-    val q = queries.select(qId.as("query_id"), qVec.as("_qv"))
-    val qCells = q.join(broadcast(centroids), lit(true))
+      k: Int, nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2,
+      spill: Int = 2): DataFrame = {
+    val cq = corpus.select(cId.as("nn_id"), cVec.as("_cv"),
+        Clustering.quantize(cVec).as("_qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = cq
+      .orderBy(graft.functions.CrossHash.md5Long(col("nn_id")), col("nn_id"))
+      .limit(nCells)
+      .select(col("nn_id").as("_cell"), col("_qv").as("_centroid"))
+    val centroids = (0 until refineIters).foldLeft(seeds) { (ct, _) =>
+      val a = cq.join(broadcast(ct), lit(true))
+        .withColumn("_sim", cosine(col("_qv"), col("_centroid")))
+        .groupBy(col("nn_id")).agg(
+          max_by(col("_cell"), struct(col("_sim"), -col("_cell"))).as("_cell"),
+          first(col("_qv")).as("_qv"))
+      val sums = a.select(col("_cell"), posexplode(col("_qv")).as(Seq("_i", "_x")))
+        .groupBy("_cell", "_i").agg(sum("_x").as("_s"))
+        .groupBy("_cell").agg(
+          transform(array_sort(collect_list(struct(col("_i"), col("_s")))),
+            e => e("_s")).as("_nv"))
+      ct.join(sums, Seq("_cell"), "left_outer")
+        .select(col("_cell"), coalesce(col("_nv"), col("_centroid")).as("_centroid"))
+    }
+    // cell assignment: each vector's `spill` nearest centroids by cosine
+    // over the quantized view
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nn_id")).orderBy(col("_sim").desc, col("_cell"))
+    val assigned = cq.join(broadcast(centroids), lit(true))
       .withColumn("_sim", cosine(col("_qv"), col("_centroid")))
+      .withColumn("_ar", row_number().over(aw))
+      .filter(col("_ar") <= spill)
+      .select(col("_cell"), col("nn_id"), col("_cv"))
+    val q = queries.select(qId.as("query_id"), qVec.as("_qv"),
+      Clustering.quantize(qVec).as("_qq"))
+    val qCells = q.join(broadcast(centroids), lit(true))
+      .withColumn("_sim", cosine(col("_qq"), col("_centroid")))
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("_sim").desc, col("_cell"))
     val probed = qCells.withColumn("_pr", row_number().over(probeW))
       .filter(col("_pr") <= nProbe)
       .select(col("query_id"), col("_qv"), col("_cell"))
+    // spill-replicated vectors can reach a query through several probed
+    // cells: dedupe the (query, candidate) pair before scoring
     val scored = probed.join(assigned, Seq("_cell"))
       .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("_qv"), col("nn_id"), col("_cv"))
+      .dropDuplicates("query_id", "nn_id")
       .withColumn("score", cosine(col("_qv"), col("_cv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))

@@ -93,13 +93,19 @@ class IterateSpec extends AnyFunSuite {
       e, col("vec_id"), col("embedding"), k = 5, dim = 64))
     val ivf5 = topSet(Similarity.ivfKnn(q, col("vec_id"), col("embedding"),
       e, col("vec_id"), col("embedding"), k = 5, nCells = 8, nProbe = 4))
+    val ivfSpill3 = topSet(Similarity.ivfKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5, nCells = 8, nProbe = 4, spill = 3))
     val lshRecall = (lsh5 & exact5).size.toDouble / exact5.size
     val ivfRecall = (ivf5 & exact5).size.toDouble / exact5.size
-    info(f"recall@5: lsh $lshRecall%.2f ivf $ivfRecall%.2f")
+    val ivf3Recall = (ivfSpill3 & exact5).size.toDouble / exact5.size
+    info(f"recall@5: lsh $lshRecall%.2f ivf $ivfRecall%.2f ivf(spill=3) $ivf3Recall%.2f")
     // SRP on near-gaussian embeddings: documented threshold (see srpBucket
     // scaladoc) — far above random (k/N = 5/1000) but not exact
     assert(lshRecall > 0.2, s"lsh recall $lshRecall")
+    // near-gaussian data is IVF's worst case (balanced cells, spread
+    // neighbors); the spill replication factor is the recall dial
     assert(ivfRecall >= 0.9, s"ivf recall $ivfRecall")
+    assert(ivf3Recall >= 0.95, s"ivf spill=3 recall $ivf3Recall")
 
     // structural soundness: probing every cell must reproduce brute force
     // exactly (no vector lost or double-assigned by the inverted file)
