@@ -437,6 +437,28 @@ object SparkEntry {
       .select(col("l_id"), col("r_id"))
   }
 
+  private def qIntervalJoinRight(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsT(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts_t").as("l_t"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts_t").as("r_t"))
+    Temporal.intervalJoin(clicks, purchases, col("l_t"), col("r_t"),
+        0L, M10, col("l_user") === col("r_user"), "right")
+      .select(col("l_id"), col("r_id"))
+  }
+
+  private def qIntervalJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsT(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts_t").as("l_t"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts_t").as("r_t"))
+    Temporal.intervalJoin(clicks, purchases, col("l_t"), col("r_t"),
+        0L, M10, col("l_user") === col("r_user"), "full")
+      .select(col("l_id"), col("r_id"))
+  }
+
   private def qEmbedKnn(s: SparkSession, dir: String): DataFrame = {
     // xpack pipeline: embed documents (partition-batched fake endpoint) → self-KNN
     val emb = graft.operators.Embedders.embed(
@@ -1038,6 +1060,8 @@ object SparkEntry {
     "intervals_over"  -> (qIntervalsOver _),
     "interval_join"   -> (qIntervalJoin _),
     "interval_join_left" -> (qIntervalJoinLeft _),
+    "interval_join_right" -> (qIntervalJoinRight _),
+    "interval_join_full" -> (qIntervalJoinFull _),
     "embed_knn"       -> (qEmbedKnn _),
     "asof_backward"   -> (qAsofBackward _),
     "asof_forward"    -> (qAsofForward _),
@@ -1316,6 +1340,20 @@ object SparkEntry {
         |p AS (SELECT event_id AS r_id, user_id, us FROM e WHERE event_type = 'purchase')
         |SELECT c.l_id, p.r_id
         |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |  AND p.us BETWEEN c.us AND c.us + 600000000""".stripMargin,
+    "interval_join_right" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT event_id AS l_id, user_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS r_id, user_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT c.l_id, p.r_id
+        |FROM c RIGHT JOIN p ON c.user_id = p.user_id
+        |  AND p.us BETWEEN c.us AND c.us + 600000000""".stripMargin,
+    "interval_join_full" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT event_id AS l_id, user_id, us FROM e WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS r_id, user_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT c.l_id, p.r_id
+        |FROM c FULL JOIN p ON c.user_id = p.user_id
         |  AND p.us BETWEEN c.us AND c.us + 600000000""".stripMargin,
     "asof_backward" ->
       """WITH l AS (SELECT event_id AS l_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -9,8 +9,8 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *
   * Scale posture: rows stream per PARTITION through one connection with
   * batched statements — no driver collect anywhere (the r2 `upsertSink`
-  * TrieMap stand-in collected each microbatch; it remains in StreamOps as a
-  * test double only). Feed this sink a per-key netted changelog (e.g.
+  * TrieMap stand-in collected each microbatch; it now lives in test scope
+  * as `TestSinks.upsertSink`). Feed this sink a per-key netted changelog (e.g.
   * `StreamOps.streamToTable` output per microbatch) so the per-key winner is
   * decided upstream by Spark, not by row arrival order.
   *

@@ -238,26 +238,6 @@ object StreamOps {
   def subscribe(df: DataFrame, onChange: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     df.writeStream.foreachBatch(onChange)
 
-  /** TEST DOUBLE ONLY: per-microbatch merge into an in-memory TrieMap so
-    * streaming specs can assert sink state without a database. It collects
-    * each batch to the driver — the production path is [[JdbcSink]], which
-    * streams partitions through batched JDBC statements (no driver collect)
-    * and is integration-tested against embedded Derby. */
-  def upsertSink(df: DataFrame, keyCols: Seq[String]):
-      (scala.collection.concurrent.Map[Seq[Any], Seq[Any]], DataStreamWriter[Row]) = {
-    val table = scala.collection.concurrent.TrieMap.empty[Seq[Any], Seq[Any]]
-    val writer = df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val cols = batch.columns
-      val kIdx = keyCols.map(cols.indexOf(_))
-      batch.collect().foreach { row =>
-        val k = kIdx.map(row.get)
-        table.put(k, row.toSeq)
-      }
-      ()
-    }
-    (table, writer)
-  }
-
   /** Demo/rate source (reference demo/__init__.py range_stream): monotonically
     * increasing `value` rows at `rowsPerSecond`. */
   def rateStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =

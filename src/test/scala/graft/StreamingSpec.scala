@@ -76,7 +76,7 @@ class StreamingSpec extends AnyFunSuite {
   test("foreachBatch upsert sink applies per-batch merges") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, String)]
-    val (table, writer) = StreamOps.upsertSink(input.toDF().toDF("id", "v"), Seq("id"))
+    val (table, writer) = TestSinks.upsertSink(input.toDF().toDF("id", "v"), Seq("id"))
     val q = writer.start()
     input.addData((1L, "a"), (2L, "b"))
     q.processAllAvailable()
