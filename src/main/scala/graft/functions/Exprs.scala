@@ -33,11 +33,14 @@ object Exprs {
   // ── containers (expression.rs:124-125, common.py:361) ──────────────────────
   def makeTuple(cols: Column*): Column = struct(cols: _*)
 
-  /** MatMul (`@`) for 1-D numeric arrays: the dot product as a codegen-free but
-    * attribute-bound HOF fold (expression.rs:134 MatMul). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** MatMul (`@`) for 1-D numeric arrays: the dot product as a native
+    * codegen'd kernel (expression.rs:134 MatMul; same left-to-right fold as
+    * the HOF form it replaced). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(graft.functions.DotProduct(
+      GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+  }
 
   /** Reshape a flat numeric array into `rows` rows of `cols` (row-major) —
     * the 2-D ndarray is `array<array<double>>`. */

@@ -111,6 +111,112 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of two numeric-array columns — the reference's 1-D MatMul
+  * (`@`, expression.rs:134). Same fold semantics as [[CosineSim]]'s
+  * numerator: left-to-right double accumulation, null on length mismatch or
+  * any null element. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprs.numericArray(left.dataType) && VectorExprs.numericArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numeric array inputs, got ${left.dataType} / ${right.dataType}")
+
+  @transient private lazy val etL = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val etR = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      dot += VectorExprs.getD(a, i, etL) * VectorExprs.getD(b, i, etR)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $dot += ${VectorExprs.getCode(a, i.toString, etL)} *
+         |      ${VectorExprs.getCode(b, i.toString, etR)};
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Floor-quantize a numeric array to exact Longs: element → floor(x·scale)
+  * (the `transform(vec, x => floor(x*Q).cast("long"))` HOF without the
+  * interpreted per-element dispatch; null elements stay null). */
+case class QuantizeVec(child: Expression, scale: Long) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(LongType, child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "quantize_vec"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprs.numericArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric array input, got ${child.dataType}")
+
+  @transient private lazy val et = child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (v.isNullAt(i)) null
+        else math.floor(VectorExprs.getD(v, i, et) * scale).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $v.numElements();
+         |Object[] $out = new Object[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$v.isNullAt($i)) {
+         |    $out[$i] = (Long) (long) java.lang.Math.floor(
+         |      ${VectorExprs.getCode(v, i.toString, et)} * ${scale}L);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All `nTables` SRP bucket bitstrings of a vector in one corpus pass.
   *
   * Twin of the per-table `Similarity.srpBucket` Column form (same Rademacher

@@ -27,8 +27,11 @@ object Clustering {
   private val Q = 1099511627776L // 2^40
 
   /** floor-quantize a float/double array column to exact BIGINTs. */
-  def quantize(vec: Column): Column =
-    transform(vec, x => floor(x.cast("double") * Q).cast("long"))
+  def quantize(vec: Column): Column = {
+    import org.apache.spark.sql.GraftExprBridge
+    GraftExprBridge.column(
+      graft.functions.QuantizeVec(GraftExprBridge.expression(vec), Q))
+  }
 
   /** LSH pre-clustering: returns (id, label) with label ∈ [0, k).
     *
