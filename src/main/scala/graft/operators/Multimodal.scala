@@ -9,9 +9,13 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extract run per-partition over iterator batches
   * (the Scala analog of `mapInPandas` — one JVM call per batch, not per row).
   *
-  * The actual codecs are NOT in this container, so the decode step is a
-  * clearly-marked deterministic STUB — the Spark-side contract (schema, batch
-  * shape, partitioning) is real and tested.
+  * Image (PNG/JPEG/BMP/GIF) and audio (WAV/AIFF PCM) decode are REAL — the
+  * JDK ships those codecs (`javax.imageio`, `javax.sound.sampled`):
+  * [[decodeImages]]/[[resizeImages]]/[[decodeAudio]]. Video codecs are not
+  * in the JDK, so the video path keeps the clearly-marked deterministic
+  * stub ([[extractFeatures]]/[[sampleFrames]]) — its Spark-side contract
+  * (schema, batch shape, partitioning) is real and tested, and it doubles
+  * as the byte-level feature path the oracle queries check.
   */
 object Multimodal {
 
@@ -66,6 +70,130 @@ object Multimodal {
     while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1.0; i += 1 }
     val n = math.max(bytes.length, 1).toDouble
     MediaFeatures(id, bytes.length.toLong, headSum, kind, hist.map(_ / n))
+  }
+
+  // ── real decoders (pure JDK — no external codec jars needed) ──────────────
+
+  /** Decoded-image features: dimensions, channel means, and a 64-bit aHash
+    * (average hash — 8×8 block-mean grayscale, bit = block > global mean; the
+    * classic perceptual fingerprint for image near-dup bucketing). `ok=false`
+    * rows carry the undecodable blob's id (failure side-channel, same shape
+    * as AsyncTransformer's). */
+  case class ImageFeatures(media_id: Long, ok: Boolean, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, ahash: Long)
+
+  /** REAL image decode + feature extraction over `javax.imageio`
+    * (PNG/JPEG/BMP/GIF ship with the JDK), batched per partition like
+    * [[extractFeatures]]. The aHash grid uses exact integer block sums —
+    * no Graphics2D interpolation — so results are deterministic across
+    * JVMs/partitionings. */
+  def decodeImages(media: DataFrame): Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    media.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) ImageFeatures(id, ok = false, -1, -1, 0, 0, 0, 0L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            val gray = new Array[Long](64) // 8×8 block sums
+            val cnt = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+                sr += r; sg += g; sb += b
+                val cell = math.min(y * 8 / h, 7) * 8 + math.min(x * 8 / w, 7)
+                gray(cell) += (r + g + b); cnt(cell) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w.toLong * h).toDouble
+            var total = 0.0
+            val means = Array.tabulate(64)(i => if (cnt(i) == 0) 0.0 else gray(i).toDouble / cnt(i))
+            means.foreach(total += _)
+            val avg = total / 64
+            var hash = 0L
+            var i = 0
+            while (i < 64) { if (means(i) > avg) hash |= (1L << i); i += 1 }
+            ImageFeatures(id, ok = true, w, h, sr / n, sg / n, sb / n, hash)
+          }
+        }
+      }
+  }
+
+  /** REAL image resize (area-preserving `Graphics2D` bilinear) re-encoded as
+    * PNG: (media_id, blob) in → (media_id, blob) out, per-partition batches —
+    * the thumbnail/normalize stage of an image-training pipeline. */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val sess = media.sparkSession
+    import sess.implicits._
+    media.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img == null) Iterator.empty
+          else {
+            val out = new java.awt.image.BufferedImage(width, height,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, width, height, null)
+            g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            Iterator.single((id, buf.toByteArray))
+          }
+        }
+      }.toDF("media_id", "blob")
+  }
+
+  /** Decoded-audio features over `javax.sound.sampled` (WAV/AIFF PCM ship
+    * with the JDK): format metadata + RMS amplitude of the 16-bit samples. */
+  case class AudioFeatures(media_id: Long, ok: Boolean, sample_rate: Int,
+      channels: Int, n_frames: Long, rms: Double)
+
+  def decodeAudio(media: DataFrame): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    media.select(col("media_id"), col("blob"))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            val data = in.readAllBytes()
+            // 16-bit PCM RMS (the WAV default); other depths report rms=0
+            var sumSq = 0.0; var n = 0
+            if (fmt.getSampleSizeInBits == 16) {
+              val bb = java.nio.ByteBuffer.wrap(data).order(
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN)
+              while (bb.remaining() >= 2) {
+                val s = bb.getShort.toDouble / 32768.0
+                sumSq += s * s; n += 1
+              }
+            }
+            AudioFeatures(id, ok = true, fmt.getSampleRate.toInt, fmt.getChannels,
+              frames, if (n == 0) 0.0 else math.sqrt(sumSq / n))
+          } catch {
+            case _: Exception => AudioFeatures(id, ok = false, -1, -1, -1L, 0.0)
+          }
+        }
+      }
   }
 
   /** Frame sampling stub for video-kind blobs: every `stride`-th 16-byte block
