@@ -33,9 +33,11 @@ object TextOps {
     val stops = array(EnStop.map(lit): _*)
     size(filter(tokens(c), t => array_contains(stops, t))).cast("double") / size(tokens(c))
   }
+  /** Σ length(token) = length of the token concatenation — keeps the whole
+    * expression codegen'd (an `aggregate` fold here is interpreted per
+    * token × per document, a corpus-scan tax). Exact same integer sum. */
   def meanWordLen(c: Column): Column =
-    aggregate(wordTokens(c), lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      size(wordTokens(c))
+    length(array_join(wordTokens(c), "")).cast("double") / size(wordTokens(c))
 
   /** Composite [0,1] quality heuristic (weights pinned; deterministic). */
   def qualityScore(c: Column): Column =
