@@ -42,6 +42,9 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // CrossHash.mix relies on non-ANSI Long wrap-around (project-wide
+      // session setting, see CrossHash scaladoc)
+      .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -86,6 +89,22 @@ object ScaleProbe {
     time("knn_brute_full") {
       Similarity.bruteForceKnn(q, col("vec_id"), col("embedding"),
         emb, col("vec_id"), col("embedding"), k = 5)
+    }
+
+    // text-dedup family at the same multiplier (documents replicated with
+    // offset ids, so true-dup structure scales with the corpus)
+    val docsBase = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val nd = docsBase.count()
+    val docsScaled = (0 until mult).map(i =>
+        docsBase.select((col("doc_id") + lit(i * nd)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    docsScaled.write.mode("overwrite").parquet("/tmp/graft_docs_scaled")
+    val docs = spark.read.parquet("/tmp/graft_docs_scaled")
+    time("dedup_minhash_lsh") {
+      graft.operators.Dedup.minhashLsh(docs, col("doc_id"), col("text"), threshold = 0.7)
+    }
+    time("dedup_spans") {
+      graft.operators.TrainPrep.duplicateSpans(docs, col("doc_id"), col("text"), k = 10)
     }
     spark.stop()
     sys.exit(0)
