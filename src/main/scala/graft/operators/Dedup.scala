@@ -270,10 +270,18 @@ object Dedup {
     * 16-bit band keys — two docs within hamming distance (bands−1) share ≥1 band
     * (pigeonhole). Returns verified pairs with hamming ≤ maxDist. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxDist: Int = 3, bands: Int = 4): DataFrame = {
+      maxDist: Int = 3, bands: Int = 4): DataFrame =
+    hash64DupPairs(simhashSignatures(df, id, text), maxDist, bands)
+
+  /** Near-dup pairs of any 64-bit fingerprint table (id, _sig) within
+    * `maxDist` Hamming distance: the SimHash band trick — a pair within
+    * maxDist < bands shares ≥1 exact band, so candidates come from `bands`
+    * equi-joins (never all-pairs), verified with codegen'd bit_count(xor).
+    * Shared by text SimHash and image aHash dedup. */
+  def hash64DupPairs(sigs: DataFrame, maxDist: Int, bands: Int): DataFrame = {
     val width = 64 / bands
     val mask = (1L << width) - 1
-    val withSig = simhashSignatures(df, id, text)
+    val withSig = sigs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandExprs = (0 until bands).map(b =>
       shiftright(col("_sig"), b * width).bitwiseAND(lit(mask)))

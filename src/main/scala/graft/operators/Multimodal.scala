@@ -159,6 +159,16 @@ object Multimodal {
       }.toDF("media_id", "blob")
   }
 
+  /** Image near-dup pairs: decode → 64-bit aHash → SimHash-style band
+    * equi-join within `maxDist` Hamming bits ([[graft.operators.Dedup
+    * .hash64DupPairs]] — no all-pairs comparison, survives corpus scale).
+    * Undecodable blobs are excluded. */
+  def imageDupPairs(media: DataFrame, maxDist: Int = 3, bands: Int = 4): DataFrame =
+    Dedup.hash64DupPairs(
+      decodeImages(media).filter(col("ok"))
+        .select(col("media_id").as("id"), col("ahash").as("_sig")),
+      maxDist, bands)
+
   /** Decoded-audio features over `javax.sound.sampled` (WAV/AIFF PCM ship
     * with the JDK): format metadata + RMS amplitude of the 16-bit samples. */
   case class AudioFeatures(media_id: Long, ok: Boolean, sample_rate: Int,

@@ -61,6 +61,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.getWidth == 16 && back.getHeight == 8)
   }
 
+  test("imageDupPairs: near-identical images pair by aHash band join, distinct scenes don't") {
+    def scene(noise: Int) = pngBytes(64, 64) { (x, y) =>
+      val v = if ((x / 8 + y / 8) % 2 == 0) 200 else 40
+      val n = math.min(255, math.max(0, v + (if ((x + y) % 13 == 0) noise else 0)))
+      (n << 16) | (n << 8) | n
+    }
+    val gradient = pngBytes(64, 64)((x, _) => { val v = x * 4 min 255; (v << 16) | (v << 8) | v })
+    val df = Seq((1L, scene(0)), (2L, scene(12)), (3L, gradient)).toDF("media_id", "blob")
+    val pairs = Multimodal.imageDupPairs(df, maxDist = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // noisy twin pairs; the gradient doesn't
+  }
+
   test("decodeAudio: real WAV decode — format metadata and RMS of a sine") {
     val wav = wavBytes(8000, 4000, amp = 0.5)
     val df = Seq((1L, wav), (2L, Array[Byte](0, 0, 0))).toDF("media_id", "blob")
