@@ -6,18 +6,30 @@ import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
   * driver can parse it). Queries run under a watchdog so a hang costs one entry
   * (-1 marks timeout/failure), not the whole bench.
   *
-  * Each query runs TWICE (cache cleared between runs): the per-query numbers
-  * report the second (warm) run so first-touch JIT/codegen cost isn't charged
-  * to whichever query the Map iterates first — the r5/r6 identical-binary runs
-  * showed up to 5.7× per-query swings from that attribution. `value` is the
-  * warm total; `cold_total` keeps the first-run sum for end-to-end context.
-  * Values are rounded to ms so all ~100 entries fit the driver's line capture.
+  * Each query runs cold then warm (cache cleared between runs): the per-query
+  * numbers report warm runs so first-touch JIT/codegen cost isn't charged to
+  * whichever query the Map iterates first — the r5/r6 identical-binary runs
+  * showed up to 5.7× per-query swings from that attribution. Queries whose
+  * first warm run lands under 1 s are re-run to a MEDIAN-OF-3 warm (the
+  * local[32] scheduling-noise floor is ~±0.2 s, which otherwise swamps
+  * sub-second deltas); `reps` records the per-query rep count.
+  *
+  * Output, defended against the driver's line-length capture cap (r7 lost 15
+  * of 102 entries to truncation of the single giant line):
+  *  1. one compact line PER QUERY as it finishes:
+  *       {"q":"name","cold":c,"s":warm,"reps":n}
+  *  2. the aggregate {"metric":...} line (driver contract) still carries the
+  *     full queries map — harmless if truncated, every number already
+  *     appeared on its own line;
+  *  3. the complete JSON is also written to SPARK_GRAFT_BENCH_OUT
+  *     (default /tmp/graft_bench_full.json).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val timeoutS = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "120").toLong
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_full.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,18 +73,35 @@ object Bench {
       spark.catalog.clearCache()
       sec
     }
-    val results = selected.map { case (name, fn) =>
-      val cold = timeOnce(name, fn)
-      val warm = if (cold < 0) -1.0 else timeOnce(name, fn)
-      name -> (cold, warm)
-    }
     def r3(v: Double): String = if (v < 0) "-1" else BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (_, w)) => s"\"" + k + "\":" + r3(w) }
+    val results = selected.map { case (name, fn) =>
+      val cold = timeOnce(name, fn)
+      val warm1 = if (cold < 0) -1.0 else timeOnce(name, fn)
+      // median-of-3 for sub-second queries: two more warm reps, take the median
+      val (warm, reps) =
+        if (warm1 >= 0 && warm1 < 1.0) {
+          val ws = Seq(warm1, timeOnce(name, fn), timeOnce(name, fn)).filter(_ >= 0).sorted
+          (ws(ws.size / 2), ws.size)
+        } else (warm1, 1)
+      println(s"""{"q":"$name","cold":${r3(cold)},"s":${r3(warm)},"reps":$reps}""")
+      name -> (cold, warm, reps)
+    }
+    val qs = results.map { case (k, (_, w, _)) => s"\"" + k + "\":" + r3(w) }
       .mkString("{", ",", "}")
     val warmTotal = results.values.map(_._2).filter(_ > 0).sum
     val coldTotal = results.values.map(_._1).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      val full = results.map { case (k, (c, w, n)) =>
+        s"""    "$k": {"cold": ${r3(c)}, "warm": ${r3(w)}, "reps": $n}""" }
+        .mkString("{\n  \"metric\": \"total\",\n  \"value\": " + r3(warmTotal) +
+          ",\n  \"unit\": \"sec\",\n  \"cold_total\": " + r3(coldTotal) +
+          ",\n  \"sf\": \"" + sfDir + "\",\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
     sys.exit(0)
   }

@@ -1,21 +1,32 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Similarity
+import graft.operators.{Dedup, Graphs, Similarity, Temporal, TrainPrep}
+import graft.streaming.ChangelogOps
 
-/** One-off scale probe (VERDICT r6 item 10): replicate the embeddings table
-  * `mult`× with offset ids, then time the LSH family warm — kernelized
-  * expressions vs the interpreted-HOF forms they replaced — to confirm the
-  * per-row eval win and linear scaling before the 100× claim. Results are
+/** Scale probe: replicate inputs `mult`× (disjoint id/user spaces per
+  * replica, so join selectivity stays constant and the probe measures the
+  * honest 10×-corpus cost) and time each operator family warm. Results are
   * recorded in BASELINE.md; not part of the driver contract.
   *
-  * Usage: runMain graft.ScaleProbe [mult]   (env SPARK_GRAFT_SF_DIR)
+  * Families (arg 2, comma-separated; default all):
+  *  - lsh        — kernelized cosine/SRP vs interpreted HOF forms; full KNN
+  *  - textdedup  — minhash LSH + span dedup on a replicated corpus
+  *  - hotbucket  — ADVERSARIAL: constant-text pileup; the band-join guard
+  *                 must keep candidates linear where all-pairs is quadratic
+  *  - relational — join / windows / interval + asof joins at 10×
+  *  - graph      — synthetic deterministic graph: cc / pagerank / bellman /
+  *                 louvain
+  *  - changelog  — liveMinMax over a high-cardinality retraction history
+  *                 (state bounded by distinct live values)
+  *
+  * Usage: runMain graft.ScaleProbe [mult] [families]  (env SPARK_GRAFT_SF_DIR)
   */
 object ScaleProbe {
   /** The pre-kernelization cosine: interpreted aggregate/zip_with folds. */
-  private def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+  private def hofCosine(a: Column, b: Column) = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
@@ -23,7 +34,7 @@ object ScaleProbe {
     dot / (sqrt(na) * sqrt(nb))
   }
 
-  private def hofSrpBucket(vec: org.apache.spark.sql.Column, table: Int, nPlanes: Int, dim: Int) = {
+  private def hofSrpBucket(vec: Column, table: Int, nPlanes: Int, dim: Int) = {
     val planes = typedLit(Similarity.srpPlanes(table, nPlanes, dim))
     array_join(
       transform(sequence(lit(0), lit(nPlanes - 1)), p => {
@@ -36,6 +47,9 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val families = args.drop(1).headOption
+      .map(_.split(',').map(_.trim).toSet)
+      .getOrElse(Set("lsh", "textdedup", "hotbucket", "relational", "graph", "changelog"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -45,67 +59,235 @@ object ScaleProbe {
       // CrossHash.mix relies on non-ANSI Long wrap-around (project-wide
       // session setting, see CrossHash scaladoc)
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val n = base.count()
-    val scaled = (0 until mult).map(i =>
-        base.select((col("vec_id") + lit(i * n)).as("vec_id"), col("embedding")))
-      .reduce(_ unionByName _)
-    scaled.write.mode("overwrite").parquet("/tmp/graft_emb_scaled")
-    val emb = spark.read.parquet("/tmp/graft_emb_scaled")
-    val q = emb.filter(col("vec_id") < 10)
 
-    def time(name: String)(df: => DataFrame): Unit = {
+    def time(name: String, rows: Long)(df: => DataFrame): Unit = {
       def once(): Double = {
         val t0 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once(); val warm = once()
-      println(f"PROBE $name%-28s rows=${n * mult}%-8d cold=$cold%7.2fs warm=$warm%7.2fs")
+      println(f"PROBE $name%-28s rows=$rows%-9d cold=$cold%7.2fs warm=$warm%7.2fs")
     }
 
-    time("cosine_kernel") {
-      emb.select(Similarity.cosine(col("embedding"), reverse(col("embedding"))).as("s"))
-        .agg(sum("s"))
-    }
-    time("cosine_hof") {
-      emb.select(hofCosine(col("embedding"), reverse(col("embedding"))).as("s"))
-        .agg(sum("s"))
-    }
-    time("srp_kernel") {
-      emb.select(posexplode(Similarity.srpAllBuckets(col("embedding"), 12, 6, 64)))
-        .groupBy("col").count()
-    }
-    time("srp_hof") {
-      val buckets = (0 until 12).map(t => hofSrpBucket(col("embedding"), t, 6, 64))
-      emb.select(posexplode(array(buckets: _*))).groupBy("col").count()
-    }
-    time("knn_lsh_full") {
-      Similarity.lshKnn(q, col("vec_id"), col("embedding"),
-        emb, col("vec_id"), col("embedding"), k = 5, dim = 64)
-    }
-    time("knn_brute_full") {
-      Similarity.bruteForceKnn(q, col("vec_id"), col("embedding"),
-        emb, col("vec_id"), col("embedding"), k = 5)
+    /** Replicate with per-replica offsets on the given Long columns, write
+      * to parquet (probes must not pay the union tree per run), reread. */
+    def replicate(base: DataFrame, offsets: Map[String, Long], path: String): DataFrame = {
+      val scaled = (0 until mult).map { i =>
+        offsets.foldLeft(base) { case (df, (c, span)) =>
+          df.withColumn(c, col(c) + lit(i * span)) }
+      }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
     }
 
-    // text-dedup family at the same multiplier (documents replicated with
-    // offset ids, so true-dup structure scales with the corpus)
-    val docsBase = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-    val nd = docsBase.count()
-    val docsScaled = (0 until mult).map(i =>
-        docsBase.select((col("doc_id") + lit(i * nd)).as("doc_id"), col("text")))
-      .reduce(_ unionByName _)
-    docsScaled.write.mode("overwrite").parquet("/tmp/graft_docs_scaled")
-    val docs = spark.read.parquet("/tmp/graft_docs_scaled")
-    time("dedup_minhash_lsh") {
-      graft.operators.Dedup.minhashLsh(docs, col("doc_id"), col("text"), threshold = 0.7)
+    if (families("lsh")) {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = base.count()
+      val emb = replicate(base.select("vec_id", "embedding"),
+        Map("vec_id" -> n), "/tmp/graft_emb_scaled")
+      val q = emb.filter(col("vec_id") < 10)
+      val rows = n * mult
+      time("cosine_kernel", rows) {
+        emb.select(Similarity.cosine(col("embedding"), reverse(col("embedding"))).as("s"))
+          .agg(sum("s"))
+      }
+      time("cosine_hof", rows) {
+        emb.select(hofCosine(col("embedding"), reverse(col("embedding"))).as("s"))
+          .agg(sum("s"))
+      }
+      time("srp_kernel", rows) {
+        emb.select(posexplode(Similarity.srpAllBuckets(col("embedding"), 12, 6, 64)))
+          .groupBy("col").count()
+      }
+      time("srp_hof", rows) {
+        val buckets = (0 until 12).map(t => hofSrpBucket(col("embedding"), t, 6, 64))
+        emb.select(posexplode(array(buckets: _*))).groupBy("col").count()
+      }
+      time("knn_lsh_full", rows) {
+        Similarity.lshKnn(q, col("vec_id"), col("embedding"),
+          emb, col("vec_id"), col("embedding"), k = 5, dim = 64)
+      }
+      time("knn_brute_full", rows) {
+        Similarity.bruteForceKnn(q, col("vec_id"), col("embedding"),
+          emb, col("vec_id"), col("embedding"), k = 5)
+      }
     }
-    time("dedup_spans") {
-      graft.operators.TrainPrep.duplicateSpans(docs, col("doc_id"), col("text"), k = 10)
+
+    if (families("textdedup")) {
+      val docsBase = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+      val nd = docsBase.count()
+      val docs = replicate(docsBase, Map("doc_id" -> nd), "/tmp/graft_docs_scaled")
+      time("dedup_minhash_lsh", nd * mult) {
+        Dedup.minhashLsh(docs, col("doc_id"), col("text"), threshold = 0.7)
+      }
+      time("dedup_spans", nd * mult) {
+        TrainPrep.duplicateSpans(docs, col("doc_id"), col("text"), k = 10)
+      }
     }
+
+    if (families("hotbucket")) {
+      // Adversarial pileup: every fourth doc replaced by the SAME boilerplate
+      // string. At mult=10 on sf0.1 that is ~12.5k identical docs — one
+      // bucket in every band; all-pairs would be ~78M candidates per band
+      // before any filter, the guard's star form emits ~12.5k.
+      val docsBase = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+      val nd = docsBase.count()
+      val poisoned = replicate(
+        docsBase.withColumn("text",
+          when(col("doc_id") % 4 === 0,
+            lit("click here to accept cookies and continue to the site"))
+            .otherwise(col("text"))),
+        Map("doc_id" -> nd), "/tmp/graft_docs_poisoned")
+      time("hotbucket_minhash_guard", nd * mult) {
+        Dedup.minhashLsh(poisoned, col("doc_id"), col("text"), threshold = 0.7)
+      }
+      val dup = Dedup.minhashLsh(poisoned, col("doc_id"), col("text"), threshold = 0.7)
+        .filter(col("is_dup")).count()
+      println(s"PROBE hotbucket_minhash_guard dup_rows=$dup of ${nd * mult} " +
+        s"(expect >= ${nd * mult / 4 - 1} boilerplate clones)")
+
+      // constant 64-bit signature: guarded star join stays linear
+      import spark.implicits._
+      val m = 50000L
+      val sigs = spark.range(1, m + 1).select(col("id"), lit(0x0F0F0F0F0F0F0F0FL).as("_sig"))
+      time("hotbucket_hash64_guard", m) {
+        Dedup.hash64DupPairs(sigs, maxDist = 3, bands = 4)
+      }
+      val nPairs = Dedup.hash64DupPairs(sigs, maxDist = 3, bands = 4).count()
+      println(s"PROBE hotbucket_hash64_guard pairs=$nPairs (star bound: m-1=${m - 1}; " +
+        s"all-pairs would be ${m * (m - 1) / 2})")
+      // the unguarded cliff, at a size where it still terminates: 3k rows
+      val m3 = 3000L
+      val sigs3 = spark.range(1, m3 + 1).select(col("id"), lit(0x0F0F0F0F0F0F0F0FL).as("_sig"))
+      time("hotbucket_hash64_unguarded3k", m3) {
+        Dedup.hash64DupPairs(sigs3, maxDist = 3, bands = 4, bucketCap = Int.MaxValue)
+      }
+      time("hotbucket_hash64_guarded3k", m3) {
+        Dedup.hash64DupPairs(sigs3, maxDist = 3, bands = 4)
+      }
+    }
+
+    if (families("relational")) {
+      val eventsBase = spark.read.parquet(s"$sfDir/events.parquet")
+      val ne = eventsBase.count()
+      val userSpan = 1000000L
+      val events = replicate(eventsBase,
+        Map("event_id" -> ne, "user_id" -> userSpan), "/tmp/graft_events_scaled")
+        .withColumn("ts_t", Temporal.nsToTs(col("ts")))
+      val H1 = 3600L * 1000000000L; val M15 = 900L * 1000000000L
+      val M30 = 1800L * 1000000000L; val M10 = 600L * 1000000000L
+      time("window_tumbling", ne * mult) {
+        Temporal.tumble(events, col("ts_t"), H1)
+          .groupBy(col("w_start"), col("event_type")).agg(count(lit(1)).as("n"))
+      }
+      time("window_sliding", ne * mult) {
+        Temporal.slide(events, col("ts_t"), H1, M15)
+          .groupBy(col("w_start")).agg(count(lit(1)).as("n"))
+      }
+      time("window_session", ne * mult) {
+        Temporal.sessionize(events, col("ts_t"), M30, Seq(col("user_id")))
+          .groupBy(col("user_id"), col("_sid")).agg(count(lit(1)).as("n"))
+      }
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts_t").as("l_t"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts_t").as("r_t"))
+      time("interval_join", ne * mult) {
+        Temporal.intervalJoin(clicks, purchases, col("l_t"), col("r_t"),
+          0L, M10, col("l_user") === col("r_user"), "inner")
+      }
+      time("asof_backward", ne * mult) {
+        Temporal.asofJoin(
+          purchases.select(col("r_id").as("l_id"), col("r_user").as("l_user"),
+            col("r_t").as("l_t")),
+          clicks.select(col("l_id").as("r_id"), col("l_user").as("r_user"),
+            col("l_t").as("r_t")),
+          col("l_t"), col("r_t"), col("l_user"), col("r_user"),
+          Seq("r_id" -> col("r_id")), "backward", "left")
+      }
+      val ordersBase = spark.read.parquet(s"$sfDir/orders.parquet")
+      val custBase = spark.read.parquet(s"$sfDir/customer.parquet")
+      val no = ordersBase.count(); val nc = custBase.count()
+      val orders = replicate(ordersBase.select("o_orderkey", "o_custkey", "o_totalprice"),
+        Map("o_orderkey" -> no * 4, "o_custkey" -> nc * 4), "/tmp/graft_orders_scaled")
+      val cust = replicate(custBase.select("c_custkey", "c_name"),
+        Map("c_custkey" -> nc * 4), "/tmp/graft_cust_scaled")
+      time("join_orders_customer", no * mult) {
+        orders.join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_name").agg(sum("o_totalprice").as("total"))
+      }
+      val liBase = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+      val nl = liBase.count()
+      val li = { // no id column — plain row replication; the agg is by flag
+        val scaled = (0 until mult).map(_ => liBase).reduce(_ unionByName _)
+        scaled.write.mode("overwrite").parquet("/tmp/graft_li_scaled")
+        spark.read.parquet("/tmp/graft_li_scaled")
+      }
+      time("q1_agg", nl * mult) {
+        li.groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sq"),
+            sum("l_extendedprice").as("se"))
+      }
+    }
+
+    if (families("graph")) {
+      // deterministic synthetic graph: 20k·mult/10 vertices, 8 out-edges each
+      // via an LCG — dense enough that cc/pagerank shuffle real data volumes
+      val nV = 2000L * mult
+      val verts = spark.range(nV)
+      val edges = verts.select(col("id").as("src"),
+          explode(sequence(lit(1), lit(8))).as("_e"))
+        .withColumn("dst",
+          pmod(col("src") * lit(6364136223846793005L) + col("_e") * lit(1442695040888963407L),
+            lit(nV)))
+        .withColumn("weight", pmod(col("src") + col("_e"), lit(100)) + 1)
+        .select("src", "dst", "weight")
+      edges.write.mode("overwrite").parquet("/tmp/graft_graph_scaled")
+      val e = spark.read.parquet("/tmp/graft_graph_scaled")
+      val nE = e.count()
+      time("graph_cc", nE) {
+        Graphs.connectedComponents(e.select("src", "dst"), maxIterations = 10)
+      }
+      time("graph_pagerank", nE) {
+        Graphs.pagerank(e.select("src", "dst"), iters = 3)
+      }
+      time("graph_bellman_ford", nE) {
+        Graphs.bellmanFord(e, sourceId = 0L, maxIterations = 10)
+      }
+      time("graph_louvain", nE) {
+        Graphs.louvain(e.select("src", "dst"), iters = 2)
+      }
+    }
+
+    if (families("changelog")) {
+      // high-cardinality retraction history: nKeys keys × many values, every
+      // third value fully retracted, some re-inserted. liveMinMax state =
+      // live distinct (key, value), NOT history length — doubling history
+      // with pure churn must not double the output.
+      val n = 1000000L * mult / 10
+      val hist = spark.range(n).select(
+          pmod(col("id"), lit(1000)).as("k"),
+          pmod(col("id") * lit(2654435761L), lit(50000)).as("v"),
+          when(col("id") % 3 === 1, lit(-1)).otherwise(lit(1)).as("diff"))
+      hist.write.mode("overwrite").parquet("/tmp/graft_changelog_scaled")
+      val ch = spark.read.parquet("/tmp/graft_changelog_scaled")
+      time("changelog_live_minmax", n) {
+        ChangelogOps.liveMinMax(ch, Seq("k"), col("v"), col("diff"))
+      }
+      val out = ChangelogOps.liveMinMax(ch, Seq("k"), col("v"), col("diff")).count()
+      val liveVals = ChangelogOps.liveRows(ch, Seq("k", "v"), col("diff")).count()
+      println(s"PROBE changelog_live_minmax history=$n live_distinct=$liveVals out_keys=$out " +
+        "(state bounded by live distinct values, not history)")
+      time("changelog_net_agg", n) {
+        ChangelogOps.netAggregate(ch, Seq("k"), col("v"), col("diff"))
+      }
+    }
+
     spark.stop()
     sys.exit(0)
   }

@@ -1804,7 +1804,7 @@ object SparkEntry {
     "dedup_simhash" -> OracleSqlGen.dedupSimhash(maxDist = 3, bands = 4),
     "knn_lsh" -> OracleSqlGen.knnLsh(k = 5, dim = 64, nPlanes = 6, nTables = 12),
     "knn_ivf" -> OracleSqlGen.knnIvf(k = 5, dim = 64, nCells = 16, nProbe = 4,
-      refineIters = 2, spill = 2),
+      refineIters = 2, spill = 3),
     "clustering_lsh" -> OracleSqlGen.clusteringLsh(dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2),
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),

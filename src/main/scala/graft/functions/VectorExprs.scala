@@ -81,7 +81,11 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // Zero-norm vectors divide by zero: the HOF form's Divide returned NULL
+    // (non-ANSI), never NaN — NaN would sort above every real score in a
+    // descending ORDER BY and crown a dead embedding the top neighbor.
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -101,7 +105,7 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |    double $y = ${VectorExprs.getCode(b, i.toString, etR)};
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if ($bad) { ${ev.isNull} = true; }
+         |  if ($bad || $na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
          |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
          |}
        """.stripMargin

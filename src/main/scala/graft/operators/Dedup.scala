@@ -89,7 +89,7 @@ object Dedup {
     * Returns (id, rep_id, is_dup). */
   def minhashLsh(df: DataFrame, id: Column, text: Column,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     require(numHashes <= CrossHash.mixers.length,
       s"numHashes=$numHashes exceeds the ${CrossHash.mixers.length} pregenerated mix constants")
@@ -158,11 +158,23 @@ object Dedup {
     val bucketed = sig.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("_band", "_bucket")))
 
-    val l = bucketed.select(col("_band"), col("_bucket"), col("id").as("id1"))
-    val r = bucketed.select(col("_band"), col("_bucket"), col("id").as("id2"))
+    // hot-bucket guard (see hash64DupPairs scaladoc): buckets over bucketCap
+    // emit star candidates against the min-id representative (m−1 pairs)
+    // instead of going quadratic; true-dup pileups reconnect through the
+    // star-merge below, and the prefilter/verify stages are unchanged
+    val sized = bucketed.join(
+      bucketed.groupBy("_band", "_bucket").agg(
+        count(lit(1)).as("_n"), min(col("id")).as("_repId")),
+      Seq("_band", "_bucket"))
+    val cold = sized.filter(col("_n") <= bucketCap)
+    val l = cold.select(col("_band"), col("_bucket"), col("id").as("id1"))
+    val r = cold.select(col("_band"), col("_bucket"), col("id").as("id2"))
     val candidates = l.join(r, Seq("_band", "_bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
+      .unionByName(sized.filter(col("_n") > bucketCap)
+        .filter(col("id") =!= col("_repId"))
+        .select(col("_repId").as("id1"), col("id").as("id2")))
 
     // prefilter on estimated jaccard BEFORE deduplicating pairs: rejoin the
     // (persisted, broadcast-size) signature table to both sides and keep pairs
@@ -273,12 +285,33 @@ object Dedup {
       maxDist: Int = 3, bands: Int = 4): DataFrame =
     hash64DupPairs(simhashSignatures(df, id, text), maxDist, bands)
 
+  /** Default hot-bucket cap for the band-join family. A bucket of m rows
+    * yields m²/2 all-pairs candidates; 4096 caps that at ~8M pairs per
+    * degenerate bucket — large enough that organic buckets (sf-scale data
+    * measures ≤ a few hundred) never trip it, small enough that one
+    * boilerplate key can't go quadratic at corpus scale. */
+  val DefaultBucketCap: Int = 4096
+
   /** Near-dup pairs of any 64-bit fingerprint table (id, _sig) within
     * `maxDist` Hamming distance: the SimHash band trick — a pair within
     * maxDist < bands shares ≥1 exact band, so candidates come from `bands`
     * equi-joins (never all-pairs), verified with codegen'd bit_count(xor).
-    * Shared by text SimHash and image aHash dedup. */
-  def hash64DupPairs(sigs: DataFrame, maxDist: Int, bands: Int): DataFrame = {
+    * Shared by text SimHash and image aHash dedup.
+    *
+    * Hot-bucket guard (the standard LSH skew treatment): buckets larger than
+    * `bucketCap` — boilerplate text, blank images, any degenerate key —
+    * would make the self-join quadratic in that bucket's size before any
+    * verify filter runs. Those buckets switch to star candidates: every
+    * member pairs with the bucket's min-id representative only (m−1 pairs
+    * instead of m²/2). For true-dup pileups (the only way honest data makes
+    * a giant bucket) the star pairs all verify and transitive grouping
+    * ([[dupGroups]] / minhashLsh's star-merge) reconnects the full cluster;
+    * cross-member pairs that fail verification against the rep are the
+    * (documented) recall cost of bounding the join. The size count is one
+    * map-side-combining agg co-partitioned with the join key — no extra
+    * shuffle shape. */
+  def hash64DupPairs(sigs: DataFrame, maxDist: Int, bands: Int,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val width = 64 / bands
     val mask = (1L << width) - 1
     val withSig = sigs
@@ -287,10 +320,23 @@ object Dedup {
       shiftright(col("_sig"), b * width).bitwiseAND(lit(mask)))
     val banded = withSig.select(col("id"), col("_sig"),
       posexplode(array(bandExprs: _*)).as(Seq("_band", "_key")))
-    val l = banded.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))
-    val r = banded.select(col("_band"), col("_key"), col("id").as("id2"), col("_sig").as("_s2"))
-    l.join(r, Seq("_band", "_key"))
+    val sized = banded.join(
+      banded.groupBy("_band", "_key").agg(
+        count(lit(1)).as("_n"),
+        min(struct(col("id"), col("_sig"))).as("_rep")),
+      Seq("_band", "_key"))
+    val cold = sized.filter(col("_n") <= bucketCap)
+    val l = cold.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))
+    val r = cold.select(col("_band"), col("_key"), col("id").as("id2"), col("_sig").as("_s2"))
+    val coldPairs = l.join(r, Seq("_band", "_key"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "_s1", "id2", "_s2")
+    // rep has the bucket's min id, so id1 < id2 holds by construction
+    val hotPairs = sized.filter(col("_n") > bucketCap)
+      .filter(col("id") =!= col("_rep.id"))
+      .select(col("_rep.id").as("id1"), col("_rep._sig").as("_s1"),
+        col("id").as("id2"), col("_sig").as("_s2"))
+    coldPairs.unionByName(hotPairs)
       .dropDuplicates("id1", "id2")
       .filter(hammingDist(col("_s1"), col("_s2")) <= maxDist)
       .select(col("id1"), col("id2"), hammingDist(col("_s1"), col("_s2")).as("hamming"))

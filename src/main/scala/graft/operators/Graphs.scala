@@ -107,44 +107,96 @@ object Graphs {
       .filter(col("u") =!= col("v")).distinct()
       .withColumn("w", lit(1L))
 
-  /** The synchronous weighted move passes shared by one-level [[louvain]] and
-    * [[louvainMultilevel]]: `sym` is a symmetric weighted edge list (u,v,w)
-    * with u ≠ v; `deg` carries each vertex's weighted degree INCLUDING any
-    * self-loop mass (a contracted community's internal edges travel with the
-    * super-vertex under any move, so they appear in `deg` but never in
-    * `sym`). `m2` (= 2m, conserved across levels) is the only driver scalar. */
+  /** The synchronous weighted move passes shared by one-level [[louvain]],
+    * [[louvainMultilevel]] and [[louvainAuto]]: `sym` is a symmetric weighted
+    * edge list (u,v,w) with u ≠ v; `deg` carries each vertex's weighted
+    * degree INCLUDING any self-loop mass (a contracted community's internal
+    * edges travel with the super-vertex under any move, so they appear in
+    * `deg` but never in `sym`). `m2` (= 2m, conserved across levels) is the
+    * only driver scalar.
+    *
+    * FUSED move pass (r7 plan-audit item): the loop state carries (vertex,
+    * community, k) so the old per-pass labels⋈deg join disappears, and the
+    * former stay/candidate split is one scored relation — the own-community
+    * row rides the same aggregation as the neighbor rows (a zero-mass seed
+    * row per vertex, summed away when real own-edges exist) with the
+    * vol−k_u correction applied by a `when` on c = own. Score arithmetic is
+    * bit-identical to the unfused form (same Long products, same single
+    * double division), and the max_by key (score, own-wins-ties, −c)
+    * reproduces the strict-improvement move rule exactly. Edge-scale data
+    * shuffles 4× per pass: join-on-v, groupBy(vertex,c), join-on-c(vol),
+    * join-on-vertex + final argmax (comVol itself is a community-keyed
+    * partial agg of the small label table). */
   private def louvainMoves(sym: DataFrame, deg: DataFrame, m2: Double,
       iters: Int, unroll: Int): DataFrame = {
-    val initial = deg.select(col("vertex"), col("vertex").as("community"))
+    val initial = deg.select(col("vertex"), col("vertex").as("community"), col("k"))
     Iterate.nTimes(initial, labels => {
-      val comVol = labels.join(deg, "vertex")
-        .groupBy("community").agg(sum("k").as("vol"))
-      // w(u, c): edge mass from u into community c
-      val neigh = sym
+      val comVol = labels.groupBy("community").agg(sum("k").as("vol"))
+      // w(u, c) for every neighboring community PLUS a zero-mass row for the
+      // own community (so stay-scoring needs no separate pass; sum() folds
+      // the seed into the real own-mass when it exists)
+      val neighAll = sym
         .join(labels.select(col("vertex").as("v"), col("community").as("c")), "v")
-        .groupBy(col("u").as("vertex"), col("c")).agg(sum("w").as("w"))
-      val own = labels.select(col("vertex"), col("community").as("own"))
-      // stay value: score of keeping the current community (own volume
-      // excludes u's own degree)
-      val wOwn = neigh.join(own, "vertex").filter(col("c") === col("own"))
-        .select(col("vertex"), col("w").as("_wOwn"))
-      val stay = own.join(deg, "vertex")
-        .join(comVol.select(col("community").as("own"), col("vol").as("_ovol")), "own")
-        .join(wOwn, Seq("vertex"), "left_outer")
-        .select(col("vertex"), col("own"), col("k"),
-          (coalesce(col("_wOwn"), lit(0L)) - col("k") * (col("_ovol") - col("k")) / m2).as("_stay"))
-      val cand = neigh.join(stay, "vertex").filter(col("c") =!= col("own"))
+        .select(col("u").as("vertex"), col("c"), col("w"))
+        .unionByName(labels.select(col("vertex"), col("community").as("c"), lit(0L).as("w")))
+        .groupBy("vertex", "c").agg(sum("w").as("w"))
+      val scored = neighAll
         .join(comVol.select(col("community").as("c"), col("vol")), "c")
-        .withColumn("_score", col("w") - col("k") * col("vol") / m2)
-      val bestMove = cand.groupBy("vertex").agg(
-        max_by(struct(col("c"), col("_score")), struct(col("_score"), -col("c"))).as("_b"),
-        first(col("own")).as("_own"), first(col("_stay")).as("_stay"))
-        .select(col("vertex"),
-          when(col("_b._score") > col("_stay"), col("_b.c")).otherwise(col("_own")).as("_new"))
-      // vertices with no external neighbor communities keep their label
-      own.join(bestMove, Seq("vertex"), "left_outer")
-        .select(col("vertex"), coalesce(col("_new"), col("own")).as("community"))
+        .join(labels.select(col("vertex"), col("community").as("own"), col("k")), "vertex")
+        // own community's volume excludes u's own degree; same Long-arith,
+        // single-double-division shape as the unfused stay/cand expressions
+        .withColumn("_score",
+          col("w") - col("k") *
+            (col("vol") - when(col("c") === col("own"), col("k")).otherwise(lit(0L))) / m2)
+      // move iff the best other community STRICTLY beats staying: own wins
+      // every score tie via the middle key, then smaller c among the rest
+      scored.groupBy("vertex").agg(
+          max_by(col("c"), struct(col("_score"),
+            when(col("c") === col("own"), 1).otherwise(0), -col("c"))).as("community"),
+          first(col("k")).as("k"))
+        .select(col("vertex"), col("community"), col("k"))
     }, iters, unroll = unroll)
+      .select(col("vertex"), col("community"))
+  }
+
+  /** Contract an assignment into its super-graph: cross-community mass
+    * becomes weighted edges, intra-community mass (plus member self-loops,
+    * already inside `deg`) becomes super-vertex self-loop degree. Conserves
+    * total degree, so 2m carries across levels unchanged. */
+  private def contract(sym: DataFrame, deg: DataFrame, labels: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val mapped = sym
+      .join(labels.select(col("vertex").as("u"), col("community").as("cu")), "u")
+      .join(labels.select(col("vertex").as("v"), col("community").as("cv")), "v")
+    val superSym = mapped.filter(col("cu") =!= col("cv"))
+      .groupBy(col("cu").as("u"), col("cv").as("v")).agg(sum("w").as("w"))
+    // Σ member k = external rows + intra rows + member loops — exactly the
+    // super-vertex's degree-with-loops at any depth
+    val superDeg = labels.join(deg, "vertex")
+      .groupBy(col("community").as("vertex")).agg(sum("k").as("k"))
+    (superSym, superDeg)
+  }
+
+  /** Weighted modularity of a level assignment, loops included:
+    * Q = Σ_c [ in2_c/2m − (vol_c/2m)² ] where in2_c counts both directions
+    * of intra-community edges plus member self-loop mass (k − row-sum). */
+  private def levelModularity(sym: DataFrame, deg: DataFrame, labels: DataFrame,
+      m2: Double): Double = {
+    val intra = sym
+      .join(labels.select(col("vertex").as("u"), col("community").as("cu")), "u")
+      .join(labels.select(col("vertex").as("v"), col("community").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community")).agg(sum("w").as("_intra"))
+    val rowSum = sym.groupBy(col("u").as("vertex")).agg(sum("w").as("_rs"))
+    val loops = labels.join(deg, "vertex")
+      .join(rowSum, Seq("vertex"), "left_outer")
+      .groupBy("community").agg(
+        sum(col("k") - coalesce(col("_rs"), lit(0L))).as("_loop"), sum("k").as("vol"))
+    val r = loops.join(intra, Seq("community"), "left_outer")
+      .select(sum((coalesce(col("_intra"), lit(0L)) + col("_loop")) / m2
+        - pow(col("vol") / m2, 2)).as("q"))
+      .head
+    r.getDouble(0)
   }
 
   /** Multi-level Louvain (reference louvain_communities/impl.py:282: move
@@ -162,24 +214,63 @@ object Graphs {
     val deg = sym.groupBy(col("u").as("vertex")).agg(sum("w").as("k")).persist(mem)
     val m2 = sym.count().toDouble
     val l1 = louvainMoves(sym, deg, m2, iters1, unroll).persist(mem)
-    val mapped = sym
-      .join(l1.select(col("vertex").as("u"), col("community").as("cu")), "u")
-      .join(l1.select(col("vertex").as("v"), col("community").as("cv")), "v")
-      .persist(mem)
-    val superSym = mapped.filter(col("cu") =!= col("cv"))
-      .groupBy(col("cu").as("u"), col("cv").as("v")).agg(sum("w").as("w"))
-    val loops = mapped.filter(col("cu") === col("cv"))
-      .groupBy(col("cu").as("vertex")).agg(sum("w").as("_loop"))
-    val superDeg = l1.select(col("community").as("vertex")).distinct()
-      .join(superSym.groupBy(col("u").as("vertex")).agg(sum("w").as("_kx")),
-        Seq("vertex"), "left_outer")
-      .join(loops, Seq("vertex"), "left_outer")
-      .select(col("vertex"),
-        (coalesce(col("_kx"), lit(0L)) + coalesce(col("_loop"), lit(0L))).as("k"))
+    val (superSym, superDeg) = contract(sym, deg, l1)
     val l2 = louvainMoves(superSym, superDeg, m2, iters2, unroll)
     l1.select(col("vertex"), col("community").as("_c1"))
       .join(l2.select(col("vertex").as("_c1"), col("community")), "_c1")
       .select(col("vertex"), col("community"))
+  }
+
+  /** N-level Louvain with gain-stop — the full shape of the reference's
+    * recursion (louvain_communities/impl.py:282 recurses until no move
+    * improves modularity): run `itersPerLevel` synchronous move passes,
+    * contract, and repeat while each level's modularity improves by more
+    * than `minGain`, up to `maxLevels`. One modularity scalar is collected
+    * per level (bounded by maxLevels — the same driver-scalar budget as 2m).
+    * Returns (vertex, community) on the ORIGINAL vertex ids; use
+    * [[louvainAutoTrace]] to also observe the per-level modularity. */
+  def louvainAuto(edges: DataFrame, itersPerLevel: Int = 4, maxLevels: Int = 10,
+      minGain: Double = 1e-9, src: String = "src", dst: String = "dst",
+      unroll: Int = 1): DataFrame =
+    louvainAutoTrace(edges, itersPerLevel, maxLevels, minGain, src, dst, unroll)._1
+
+  /** [[louvainAuto]] plus the per-level modularity trace (spec hook: the
+    * trace must be non-decreasing — contraction preserves modularity and a
+    * move pass only takes strictly-improving moves). */
+  def louvainAutoTrace(edges: DataFrame, itersPerLevel: Int = 4, maxLevels: Int = 10,
+      minGain: Double = 1e-9, src: String = "src", dst: String = "dst",
+      unroll: Int = 1): (DataFrame, Seq[Double]) = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var sym = symWeighted(edges, src, dst).persist(mem)
+    var deg = sym.groupBy(col("u").as("vertex")).agg(sum("w").as("k")).persist(mem)
+    val m2 = sym.count().toDouble
+    var mapping: DataFrame = null
+    var prevQ = Double.NegativeInfinity
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var level = 0
+    var done = false
+    while (!done && level < maxLevels) {
+      val l = louvainMoves(sym, deg, m2, itersPerLevel, unroll).persist(mem)
+      mapping =
+        if (mapping == null) l
+        else mapping.select(col("vertex"), col("community").as("_c"))
+          .join(l.select(col("vertex").as("_c"), col("community")), "_c")
+          .select(col("vertex"), col("community"))
+          .persist(mem)
+      val q = levelModularity(sym, deg, l, m2)
+      trace += q
+      if (q - prevQ <= minGain) done = true
+      else {
+        prevQ = q
+        val (s2, d2) = contract(sym, deg, l)
+        sym = s2.persist(mem); deg = d2.persist(mem)
+        // a level that collapsed everything into isolated super-vertices has
+        // no external edges left — nothing further to move
+        if (sym.isEmpty) done = true
+      }
+      level += 1
+    }
+    (mapping, trace.toSeq)
   }
 
   /** Modularity Q of an assignment (vertex, community) over `edges` —

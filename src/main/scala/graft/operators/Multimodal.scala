@@ -93,9 +93,11 @@ object Multimodal {
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
+          // ImageIO plugins throw RuntimeExceptions (IllegalArgument, CMM,
+          // ArrayIndexOOB) on corrupt-but-recognized blobs, not just IOException
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) ImageFeatures(id, ok = false, -1, -1, 0, 0, 0, 0L)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
@@ -141,7 +143,7 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null) Iterator.empty
           else {
             val out = new java.awt.image.BufferedImage(width, height,

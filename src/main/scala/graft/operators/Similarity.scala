@@ -115,7 +115,7 @@ object Similarity {
   def ivfKnn(queries: DataFrame, qId: Column, qVec: Column,
       corpus: DataFrame, cId: Column, cVec: Column,
       k: Int, nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2,
-      spill: Int = 2): DataFrame = {
+      spill: Int = 3): DataFrame = {
     val cq = corpus.select(cId.as("nn_id"), cVec.as("_cv"),
         Clustering.quantize(cVec).as("_qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -123,6 +123,14 @@ object Similarity {
       .orderBy(graft.functions.CrossHash.md5Long(col("nn_id")), col("nn_id"))
       .limit(nCells)
       .select(col("nn_id").as("_cell"), col("_qv").as("_centroid"))
+    // Refinement sums accumulate 2^40-quantized components in Spark's
+    // sum(LongType), which wraps silently on overflow (the DuckDB oracle's
+    // SUM(BIGINT) widens to HUGEINT). For unit-ish embeddings (|x| ≤ 2 →
+    // |component| ≤ 2^41) the Long sum is exact while every cell holds
+    // < 2^22 (~4M) members. At larger corpora keep cells under that bound
+    // by scaling nCells with corpus size (cells ≈ N/nCells members), which
+    // is also what keeps probe cost flat — the bound and the perf posture
+    // want the same knob.
     val centroids = (0 until refineIters).foldLeft(seeds) { (ct, _) =>
       val a = cq.join(broadcast(ct), lit(true))
         .withColumn("_sim", cosine(col("_qv"), col("_centroid")))
@@ -170,15 +178,32 @@ object Similarity {
   }
 
   /** Embedding near-dup pairs via one shared LSH table (dedup-by-cosine):
-    * verified exact cosine ≥ threshold. */
+    * verified exact cosine ≥ threshold.
+    *
+    * Hot-bucket guard (see [[graft.operators.Dedup.hash64DupPairs]]):
+    * near-constant embeddings piling into one SRP bucket would make the
+    * self-join quadratic; buckets over `bucketCap` emit star candidates
+    * against the min-id representative instead. */
   def embeddingDupPairs(df: DataFrame, id: Column, vec: Column,
-      dim: Int, threshold: Double, nPlanes: Int = 8, nTables: Int = 8): DataFrame = {
+      dim: Int, threshold: Double, nPlanes: Int = 8, nTables: Int = 8,
+      bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
     val b = df.select(id.as("id"), vec.as("_v"),
       posexplode(srpAllBuckets(vec, nTables, nPlanes, dim)).as(Seq("_table", "_bucket")))
-    val l = b.select(col("_table"), col("_bucket"), col("id").as("id1"), col("_v").as("_v1"))
-    val r = b.select(col("_table"), col("_bucket"), col("id").as("id2"), col("_v").as("_v2"))
+    val sized = b.join(
+      b.groupBy("_table", "_bucket").agg(
+        count(lit(1)).as("_n"),
+        min(col("id")).as("_repId"), min_by(col("_v"), col("id")).as("_repV")),
+      Seq("_table", "_bucket"))
+    val cold = sized.filter(col("_n") <= bucketCap)
+    val l = cold.select(col("_table"), col("_bucket"), col("id").as("id1"), col("_v").as("_v1"))
+    val r = cold.select(col("_table"), col("_bucket"), col("id").as("id2"), col("_v").as("_v2"))
     l.join(r, Seq("_table", "_bucket"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "_v1", "id2", "_v2")
+      .unionByName(sized.filter(col("_n") > bucketCap)
+        .filter(col("id") =!= col("_repId"))
+        .select(col("_repId").as("id1"), col("_repV").as("_v1"),
+          col("id").as("id2"), col("_v").as("_v2")))
       .dropDuplicates("id1", "id2")
       .withColumn("score", cosine(col("_v1"), col("_v2")))
       .filter(col("score") >= threshold)

@@ -22,12 +22,15 @@ import java.util.concurrent.atomic.AtomicLong
 object LoopbackBus {
 
   /** NATS subject match: dot-separated tokens, `*` matches exactly one
-    * token, a trailing `>` matches one-or-more remaining tokens. */
+    * token, a trailing `>` matches one-or-more remaining tokens. NATS
+    * grammar only permits `>` as the FINAL token — mid-pattern it is an
+    * ordinary literal (so `a.>.b` matches only the literal subject
+    * `a.>.b`, never over-matching `a.x.y`). */
   def subjectMatches(pattern: String, subject: String): Boolean = {
     val p = pattern.split('.'); val s = subject.split('.')
     var i = 0
     while (i < p.length) {
-      if (p(i) == ">") return i < s.length // '>' needs ≥1 remaining token
+      if (p(i) == ">" && i == p.length - 1) return i < s.length // tail wildcard needs ≥1 token
       if (i >= s.length || (p(i) != "*" && p(i) != s(i))) return false
       i += 1
     }

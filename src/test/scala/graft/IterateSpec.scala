@@ -81,6 +81,23 @@ class IterateSpec extends AnyFunSuite {
     assert(c1.size == 1 && c2.size == 1 && c1 != c2) // two communities, internally agreed
   }
 
+  test("cosine: zero-norm vectors yield NULL, never NaN (dead embeddings rank last)") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 0.0)), (3L, Array(0.9, 0.1)))
+      .toDF("id", "v")
+    val q = Seq((10L, Array(1.0, 0.0))).toDF("id", "v")
+    val scores = df.crossJoin(q.select(col("v").as("qv")))
+      .select(col("id"), Similarity.cosine(col("v"), col("qv")).as("s"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(scores(2L).isEmpty, "zero-norm must be NULL (NaN would sort above every real score)")
+    assert(scores(1L).exists(_ > 0.99) && scores(3L).exists(_ > 0.9))
+    // end-to-end: the dead embedding must not be crowned top neighbor
+    val top = Similarity.bruteForceKnn(q, col("id"), col("v"), df, col("id"), col("v"), k = 1)
+      .select("nn_id").as[Long].collect()
+    assert(top.sameElements(Array(1L)))
+  }
+
   test("ANN recall: lshKnn and ivfKnn recover most of brute-force top-k") {
     import graft.operators.Similarity
     val e = spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet")
@@ -91,21 +108,23 @@ class IterateSpec extends AnyFunSuite {
       e, col("vec_id"), col("embedding"), k = 5))
     val lsh5 = topSet(Similarity.lshKnn(q, col("vec_id"), col("embedding"),
       e, col("vec_id"), col("embedding"), k = 5, dim = 64))
-    val ivf5 = topSet(Similarity.ivfKnn(q, col("vec_id"), col("embedding"),
+    // defaults (spill=3) carry the recall contract; spill=2 is the cheaper dial
+    val ivfDefault = topSet(Similarity.ivfKnn(q, col("vec_id"), col("embedding"),
       e, col("vec_id"), col("embedding"), k = 5, nCells = 8, nProbe = 4))
-    val ivfSpill3 = topSet(Similarity.ivfKnn(q, col("vec_id"), col("embedding"),
-      e, col("vec_id"), col("embedding"), k = 5, nCells = 8, nProbe = 4, spill = 3))
+    val ivfSpill2 = topSet(Similarity.ivfKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5, nCells = 8, nProbe = 4, spill = 2))
     val lshRecall = (lsh5 & exact5).size.toDouble / exact5.size
-    val ivfRecall = (ivf5 & exact5).size.toDouble / exact5.size
-    val ivf3Recall = (ivfSpill3 & exact5).size.toDouble / exact5.size
-    info(f"recall@5: lsh $lshRecall%.2f ivf $ivfRecall%.2f ivf(spill=3) $ivf3Recall%.2f")
+    val ivfRecall = (ivfDefault & exact5).size.toDouble / exact5.size
+    val ivf2Recall = (ivfSpill2 & exact5).size.toDouble / exact5.size
+    info(f"recall@5: lsh $lshRecall%.2f ivf(defaults) $ivfRecall%.2f ivf(spill=2) $ivf2Recall%.2f")
     // SRP on near-gaussian embeddings: documented threshold (see srpBucket
     // scaladoc) — far above random (k/N = 5/1000) but not exact
     assert(lshRecall > 0.2, s"lsh recall $lshRecall")
     // near-gaussian data is IVF's worst case (balanced cells, spread
-    // neighbors); the spill replication factor is the recall dial
-    assert(ivfRecall >= 0.9, s"ivf recall $ivfRecall")
-    assert(ivf3Recall >= 0.95, s"ivf spill=3 recall $ivf3Recall")
+    // neighbors); the spill replication factor is the recall dial —
+    // the DEFAULT configuration must hold the documented 0.95 bar
+    assert(ivfRecall >= 0.95, s"ivf recall at defaults $ivfRecall")
+    assert(ivf2Recall >= 0.9, s"ivf spill=2 recall $ivf2Recall")
 
     // structural soundness: probing every cell must reproduce brute force
     // exactly (no vector lost or double-assigned by the inverted file)

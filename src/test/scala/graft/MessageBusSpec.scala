@@ -58,6 +58,11 @@ class MessageBusSpec extends AnyFunSuite {
     assert(!subjectMatches("events.>", "events"))
     assert(subjectMatches("*.click", "events.click"))
     assert(subjectMatches(">", "anything.at.all"))
+    // NATS grammar: '>' is a wildcard only as the FINAL token — mid-pattern
+    // it is a literal, never an over-matching tail
+    assert(!subjectMatches("a.>.b", "a.x.y"))
+    assert(!subjectMatches("a.>.b", "a.x.b"))
+    assert(subjectMatches("a.>.b", "a.>.b"))
   }
 
   test("loopback broker end-to-end: streaming write → filtered subscribe → streaming read") {

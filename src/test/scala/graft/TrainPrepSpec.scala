@@ -10,6 +10,41 @@ class TrainPrepSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  test("hot-bucket guard: degenerate buckets emit star candidates, groups survive") {
+    import graft.operators.Dedup
+    // 40 identical docs (one giant bucket in every band) + 2 distinct docs;
+    // cap=10 forces the hot path on the pileup
+    val docs = ((1L to 40L).map(i => (i, "the same boilerplate text repeated everywhere")) ++
+      Seq((100L, "a completely different document about spark"),
+          (101L, "yet another unrelated piece of writing here"))).toDF("doc_id", "text")
+    val guarded = Dedup.minhashLsh(docs, col("doc_id"), col("text"), bucketCap = 10)
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    // every clone still resolves to rep 1 through the star candidates
+    assert(guarded.filter(_._1 <= 40).forall { case (id, rep, dup) =>
+      rep == 1L && (dup == (id != 1L)) })
+    assert(guarded.filter(_._1 >= 100).forall { case (_, rep, dup) => !dup && rep >= 100 })
+
+    // hash64DupPairs: constant signature, cap=10 → exactly m−1 star pairs
+    // (all-pairs would be m(m−1)/2)
+    val m = 30
+    val sigs = (1L to m.toLong).map(i => (i, 0x0F0F0F0F0F0F0F0FL)).toDF("id", "_sig")
+    val pairs = Dedup.hash64DupPairs(sigs, maxDist = 3, bands = 4, bucketCap = 10)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == (2L to m.toLong).map(i => (1L, i)).toSet,
+      s"expected ${m - 1} star pairs against rep 1, got ${pairs.size}")
+    // and transitive grouping reconnects the full cluster
+    val groups = Dedup.dupGroups(
+        Dedup.hash64DupPairs(sigs, maxDist = 3, bands = 4, bucketCap = 10))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to m.toLong).forall(groups(_) == 1L))
+
+    // below the cap the all-pairs path is byte-identical to the unguarded form
+    val small = Seq((1L, 7L), (2L, 7L), (3L, 0x7000000000000003L)).toDF("id", "_sig")
+    val coldPairs = Dedup.hash64DupPairs(small, maxDist = 3, bands = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(coldPairs == Set((1L, 2L)))
+  }
+
   test("duplicateSpans counts k-token windows occurring >= 2 times corpus-wide") {
     val docs = Seq(
       (1L, "a b c d e"),       // windows (k=3): "a b c","b c d","c d e"
