@@ -126,11 +126,24 @@ object Graphs {
     * reproduces the strict-improvement move rule exactly. Edge-scale data
     * shuffles 4× per pass: join-on-v, groupBy(vertex,c), join-on-c(vol),
     * join-on-vertex + final argmax (comVol itself is a community-keyed
-    * partial agg of the small label table). */
+    * partial agg of the small label table).
+    *
+    * `alternate=false` (the [[louvain]]/[[louvainMultilevel]] contract —
+    * oracle-pinned) lets every vertex adopt its best move simultaneously.
+    * That oscillates on bipartite-ish graphs — after contraction a
+    * hub-and-leaves super-graph has NO intra-community edges, so hub and
+    * leaves swap communities forever (the classic synchronous-label-update
+    * artifact). `alternate=true` is the standard parallel-Louvain remedy
+    * (Grappolo-style coloring, degenerated to 2 colors): each pass runs two
+    * sub-passes where only vertices of one xxhash64 parity may move while
+    * the frozen half anchors the configuration — mutual swaps between a
+    * mover and its target need equal parity, which the hash decorrelates
+    * from structure. Same score arithmetic, twice the joins per pass;
+    * only [[louvainAuto]] pays that. */
   private def louvainMoves(sym: DataFrame, deg: DataFrame, m2: Double,
-      iters: Int, unroll: Int): DataFrame = {
+      iters: Int, unroll: Int, alternate: Boolean = false): DataFrame = {
     val initial = deg.select(col("vertex"), col("vertex").as("community"), col("k"))
-    Iterate.nTimes(initial, labels => {
+    def movePass(labels: DataFrame, parity: Option[Int]): DataFrame = {
       val comVol = labels.groupBy("community").agg(sum("k").as("vol"))
       // w(u, c) for every neighboring community PLUS a zero-mass row for the
       // own community (so stay-scoring needs no separate pass; sum() folds
@@ -150,12 +163,21 @@ object Graphs {
             (col("vol") - when(col("c") === col("own"), col("k")).otherwise(lit(0L))) / m2)
       // move iff the best other community STRICTLY beats staying: own wins
       // every score tie via the middle key, then smaller c among the rest
-      scored.groupBy("vertex").agg(
+      val best = scored.groupBy("vertex").agg(
           max_by(col("c"), struct(col("_score"),
-            when(col("c") === col("own"), 1).otherwise(0), -col("c"))).as("community"),
-          first(col("k")).as("k"))
-        .select(col("vertex"), col("community"), col("k"))
-    }, iters, unroll = unroll)
+            when(col("c") === col("own"), 1).otherwise(0), -col("c"))).as("_new"),
+          first(col("own")).as("_own"), first(col("k")).as("k"))
+      parity match {
+        case None => best.select(col("vertex"), col("_new").as("community"), col("k"))
+        case Some(p) => best.select(col("vertex"),
+          when(pmod(xxhash64(col("vertex")), lit(2)) === p, col("_new"))
+            .otherwise(col("_own")).as("community"), col("k"))
+      }
+    }
+    Iterate.nTimes(initial, labels =>
+      if (alternate) movePass(movePass(labels, Some(0)), Some(1))
+      else movePass(labels, None),
+      iters, unroll = unroll)
       .select(col("vertex"), col("community"))
   }
 
@@ -234,9 +256,15 @@ object Graphs {
       unroll: Int = 1): DataFrame =
     louvainAutoTrace(edges, itersPerLevel, maxLevels, minGain, src, dst, unroll)._1
 
-  /** [[louvainAuto]] plus the per-level modularity trace (spec hook: the
-    * trace must be non-decreasing — contraction preserves modularity and a
-    * move pass only takes strictly-improving moves). */
+  /** [[louvainAuto]] plus the per-level modularity trace. A level is
+    * ACCEPTED only if its modularity beats the previous accepted level by
+    * more than `minGain`; a non-improving level is discarded and the loop
+    * stops. The SYNCHRONOUS move pass can oscillate below the incoming
+    * modularity (two super-vertices swapping communities in the same pass —
+    * the classic parallel-Louvain artifact), so monotonicity is enforced by
+    * acceptance, not assumed: the returned trace (accepted levels only) is
+    * strictly increasing by construction, and the final assignment never
+    * loses to any prefix of levels. */
   def louvainAutoTrace(edges: DataFrame, itersPerLevel: Int = 4, maxLevels: Int = 10,
       minGain: Double = 1e-9, src: String = "src", dst: String = "dst",
       unroll: Int = 1): (DataFrame, Seq[Double]) = {
@@ -250,18 +278,19 @@ object Graphs {
     var level = 0
     var done = false
     while (!done && level < maxLevels) {
-      val l = louvainMoves(sym, deg, m2, itersPerLevel, unroll).persist(mem)
-      mapping =
-        if (mapping == null) l
-        else mapping.select(col("vertex"), col("community").as("_c"))
-          .join(l.select(col("vertex").as("_c"), col("community")), "_c")
-          .select(col("vertex"), col("community"))
-          .persist(mem)
+      val l = louvainMoves(sym, deg, m2, itersPerLevel, unroll, alternate = true)
+        .persist(mem)
       val q = levelModularity(sym, deg, l, m2)
-      trace += q
-      if (q - prevQ <= minGain) done = true
+      if (q - prevQ <= minGain) done = true // reject: keep the prior levels' labels
       else {
+        trace += q
         prevQ = q
+        mapping =
+          if (mapping == null) l
+          else mapping.select(col("vertex"), col("community").as("_c"))
+            .join(l.select(col("vertex").as("_c"), col("community")), "_c")
+            .select(col("vertex"), col("community"))
+            .persist(mem)
         val (s2, d2) = contract(sym, deg, l)
         sym = s2.persist(mem); deg = d2.persist(mem)
         // a level that collapsed everything into isolated super-vertices has
@@ -270,6 +299,10 @@ object Graphs {
       }
       level += 1
     }
+    // degenerate guard: if even level 1 failed to improve on -inf (impossible
+    // for finite q) fall back to singletons so callers always get labels
+    if (mapping == null)
+      mapping = deg.select(col("vertex"), col("vertex").as("community"))
     (mapping, trace.toSeq)
   }
 

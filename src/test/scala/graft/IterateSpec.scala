@@ -71,6 +71,43 @@ class IterateSpec extends AnyFunSuite {
     assert(qMulti >= qOne - 1e-12 && qMulti > 0.3, s"qMulti=$qMulti qOne=$qOne")
   }
 
+  test("louvainAuto: 3-level hierarchy converges with a monotone modularity trace") {
+    // 16 micro-cliques of 4 (level 1), glued in quads — 3 parallel edges
+    // from each leaf clique to its quad's hub clique, a star so synchronous
+    // moves can't swap-oscillate — into 4 meso groups (level 2); meso groups
+    // chained by single edges (level 3, too weak to merge: rejected by the
+    // gain-stop). Expect: 2 accepted levels, strictly increasing trace,
+    // quads unified on original ids.
+    val microCliques = for {
+      c <- 0L until 16L; i <- 0L until 4L; j <- (i + 1) until 4L
+    } yield (c * 10 + i, c * 10 + j)
+    val mesoGlue = for { g <- 0L until 4L; k <- 1L until 4L; e <- 0L until 3L }
+      yield ((g * 4 + k) * 10 + e, (g * 4) * 10 + (e + 1) % 4)
+    val macroGlue = (0L until 3L).map(g => (g * 40 + 2, (g + 1) * 40 + 2))
+    val edges = (microCliques ++ mesoGlue ++ macroGlue).toDF("src", "dst")
+    val (assign, trace) = Graphs.louvainAutoTrace(edges, itersPerLevel = 4, maxLevels = 6)
+    val labels = assign.as[(Long, Long)].collect().toMap
+    assert(labels.size == 64, "every vertex labeled on original ids")
+    // each quad ends up internally agreed (level 2 accepted and folded),
+    // and the 4 quads carry distinct labels (level 3 rejected)
+    val quadLabels = (0L until 4L).map { g =>
+      val ls = (for (c <- g * 4 until (g + 1) * 4; i <- 0L until 4L)
+        yield labels(c * 10 + i)).toSet
+      assert(ls.size == 1, s"quad $g split across $ls")
+      ls.head
+    }
+    assert(quadLabels.toSet.size == 4, s"quads collapsed: $quadLabels")
+    assert(trace.size >= 2, s"expected >= 2 accepted levels, trace=$trace")
+    trace.sliding(2).foreach { case Seq(a, b) =>
+      assert(b > a, s"accepted trace must strictly increase: $trace") }
+    val q = Graphs.modularity(edges, assign).as[Double].head()
+    assert(q > 0.5, s"q=$q") // hierarchical cliques: strong community structure
+    // and the auto result never loses to the fixed 2-level form
+    val q2 = Graphs.modularity(edges,
+      Graphs.louvainMultilevel(edges, iters1 = 4, iters2 = 4)).as[Double].head()
+    assert(q >= q2 - 1e-12, s"auto q=$q < 2-level q=$q2")
+  }
+
   test("labelPropagation separates two dense cliques joined by one edge") {
     val clique1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     val clique2 = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
