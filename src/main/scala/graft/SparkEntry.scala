@@ -755,8 +755,32 @@ object SparkEntry {
 
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.packAsMedia(docs(s, dir), col("doc_id"), col("text"), "text")
-    Multimodal.extractFeatures(media).toDF()
+    Multimodal.byteFeatures(media).toDF()
       .select(col("media_id"), col("byte_len"), col("head_sum"), col("kind"))
+  }
+
+  /** REAL decode oracle: deterministic two-tone PNGs generated from doc_id
+    * (left/right colors are closed-form functions of the id), decoded by
+    * `Multimodal.decodeImages` — so dims, exact channel means, and the aHash
+    * have closed-form DuckDB expectations. PNG is lossless; the 32×16 layout
+    * puts the tone boundary exactly on the 8×8 aHash grid (left = grid cols
+    * 0–3), making the hash one of three exact constants. */
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val (ra, ga, ba) = (((id * 37) % 256).toInt, ((id * 59) % 256).toInt,
+            ((id * 83) % 256).toInt)
+          val (rb, gb, bb) = (((id * 101 + 7) % 256).toInt, ((id * 131 + 11) % 256).toInt,
+            ((id * 151 + 13) % 256).toInt)
+          (id, Multimodal.twoTonePng(32, 16,
+            (ra << 16) | (ga << 8) | ba, (rb << 16) | (gb << 8) | bb))
+        }
+      }.toDF("media_id", "blob")
+    Multimodal.decodeImages(media).toDF()
+      .select(col("media_id"), col("ok"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"), col("ahash"))
   }
 
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
@@ -1096,6 +1120,7 @@ object SparkEntry {
     "doc_store_retrieve" -> (qDocStoreRetrieve _),
     "matmul_2d"       -> (qMatmul2d _),
     "multimodal_features" -> (qMultimodalFeatures _),
+    "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "iterate_cc"      -> (qIterateCc _),
     "bellman_ford"    -> (qBellmanFord _),
@@ -1590,6 +1615,21 @@ object SparkEntry {
         |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS head_sum,
         |  'text' AS kind
         |FROM documents""".stripMargin,
+    // closed-form expectations for the real decoder on two-tone PNGs: means
+    // are half-sums (equal halves of a 32x16 image), the aHash is the 0x0F /
+    // 0xF0 byte pattern picked by which half is brighter (gray block mean
+    // vs global mean), exactly as decodeImages' integer block-sum grid
+    "multimodal_decode" ->
+      """WITH c AS (SELECT doc_id,
+        |  (doc_id*37)%256 AS ra, (doc_id*59)%256 AS ga, (doc_id*83)%256 AS ba,
+        |  (doc_id*101+7)%256 AS rb, (doc_id*131+11)%256 AS gb, (doc_id*151+13)%256 AS bb
+        |  FROM documents)
+        |SELECT doc_id AS media_id, TRUE AS ok, 32 AS width, 16 AS height,
+        |  (ra+rb)/2.0 AS mean_r, (ga+gb)/2.0 AS mean_g, (ba+bb)/2.0 AS mean_b,
+        |  CASE WHEN ra+ga+ba > rb+gb+bb THEN CAST(1085102592571150095 AS BIGINT)
+        |       WHEN rb+gb+bb > ra+ga+ba THEN CAST(-1085102592571150096 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS ahash
+        |FROM c""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id AS media_id,
         |  CAST(FLOOR(GREATEST(CAST(FLOOR(length(text) / 16) AS BIGINT) - 1, 0) / 4) + 1 AS BIGINT) AS n_frames

@@ -13,9 +13,8 @@ import org.apache.spark.sql.types._
   * JDK ships those codecs (`javax.imageio`, `javax.sound.sampled`):
   * [[decodeImages]]/[[resizeImages]]/[[decodeAudio]]. Video codecs are not
   * in the JDK, so the video path keeps the clearly-marked deterministic
-  * stub ([[extractFeatures]]/[[sampleFrames]]) — its Spark-side contract
-  * (schema, batch shape, partitioning) is real and tested, and it doubles
-  * as the byte-level feature path the oracle queries check.
+  * stub ([[sampleFrames]]); [[byteFeatures]] is the byte-level (pre-decode)
+  * fingerprint path — named so nobody mistakes it for a decoder.
   */
 object Multimodal {
 
@@ -41,29 +40,27 @@ object Multimodal {
         lit(null).cast(IntegerType).as("sample_rate"),
         octet_length(encode(payload, "UTF-8")).cast(LongType).as("n_frames")).as("meta"))
 
-  /** Feature row produced by the (stubbed) decoder. */
+  /** Feature row produced by the byte-level (non-decoding) path. */
   case class MediaFeatures(media_id: Long, byte_len: Long, head_sum: Long,
       kind: String, feature: Array[Double])
 
-  /** STUB decode + feature-extract, batched per partition (mapPartitions ≈
-    * mapInPandas batch shape). Real deployments swap `decodeOne` for an actual
-    * codec call (JNI/ONNX/FFmpeg); everything around it — iterator batching,
-    * schema, partition preservation — is production-shaped.
-    *
-    * Stub features (deterministic): byte length, sum of the first 64 bytes,
-    * and an 8-dim "embedding" = normalized byte histogram over 8 bins. */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  /** BYTE-LEVEL features — explicitly NOT a decoder (real decode lives in
+    * [[decodeImages]]/[[decodeAudio]]): byte length, sum of the first 64
+    * bytes, and an 8-dim "embedding" = normalized byte histogram over 8
+    * bins. Useful as a cheap pre-decode fingerprint (dedup/triage on raw
+    * blobs) and as the deterministic stand-in for codecs the JVM lacks
+    * (video). Batched per partition — the mapInPandas batch shape. */
+  def byteFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.select(col("media_id"), col("blob"), col("meta.kind"))
       .as[(Long, Array[Byte], String)](Encoders.tuple(
         Encoders.scalaLong, Encoders.BINARY, Encoders.STRING))
       .mapPartitions { it: Iterator[(Long, Array[Byte], String)] =>
-        it.map { case (id, bytes, kind) => decodeOne(id, bytes, kind) }
+        it.map { case (id, bytes, kind) => byteFeaturesOne(id, bytes, kind) }
       }
   }
 
-  /** ??? in spirit: replace with a real decoder. Deterministic fake. */
-  private def decodeOne(id: Long, bytes: Array[Byte], kind: String): MediaFeatures = {
+  private def byteFeaturesOne(id: Long, bytes: Array[Byte], kind: String): MediaFeatures = {
     val headSum = bytes.iterator.take(64).map(b => (b & 0xff).toLong).sum
     val hist = new Array[Double](8)
     var i = 0
@@ -84,7 +81,7 @@ object Multimodal {
 
   /** REAL image decode + feature extraction over `javax.imageio`
     * (PNG/JPEG/BMP/GIF ship with the JDK), batched per partition like
-    * [[extractFeatures]]. The aHash grid uses exact integer block sums —
+    * [[byteFeatures]]. The aHash grid uses exact integer block sums —
     * no Graphics2D interpolation — so results are deterministic across
     * JVMs/partitionings. */
   def decodeImages(media: DataFrame): Dataset[ImageFeatures] = {
@@ -159,6 +156,28 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "blob")
+  }
+
+  /** Deterministic two-tone PNG: left half `rgbLeft`, right half `rgbRight`
+    * (0xRRGGBB). PNG is lossless, so [[decodeImages]] recovers the exact
+    * channel values — which makes every decoded feature (means, aHash)
+    * closed-form computable from the two colors: the fixture behind the
+    * `multimodal_decode` oracle query and MultimodalSpec. */
+  def twoTonePng(w: Int, h: Int, rgbLeft: Int, rgbRight: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (x < w / 2) rgbLeft else rgbRight)
+        x += 1
+      }
+      y += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
   }
 
   /** Image near-dup pairs: decode → 64-bit aHash → SimHash-style band
