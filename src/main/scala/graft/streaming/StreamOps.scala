@@ -231,6 +231,100 @@ object StreamOps {
       out.iterator
     }
 
+  /** flatMapGroupsWithState kernel for a per-key FORWARD asof join of two
+    * streams sharing one watermark: a left row (t, l) matches the EARLIEST
+    * right with time ≥ t. The match is final once the watermark passes the
+    * best candidate r* (= min held right ≥ t): every right at or before r*
+    * has then arrived, so nothing can undercut it. A left with no candidate
+    * yet holds — its match may arrive arbitrarily late, so (unlike backward)
+    * the forward kernel never emits None; that is the forward contract, not
+    * a bug. Rights at or behind the watermark that resolved nothing are
+    * dropped: a future left arrives past the watermark, so a forward match
+    * for it can't be behind the watermark. */
+  def asofForwardKernel[K, L, R]: (K, Iterator[AsofEvent[L, R]],
+      GroupState[AsofJoinState[L, R]]) => Iterator[(K, Long, L, Option[R])] =
+    (key: K, rows: Iterator[AsofEvent[L, R]], state: GroupState[AsofJoinState[L, R]]) => {
+      val st0 = state.getOption.getOrElse(AsofJoinState[L, R](Nil, Nil))
+      val wm = state.getCurrentWatermarkMs()
+      val st1 = if (state.hasTimedOut) st0 else {
+        val evs = rows.toList.filter(_.timeMs > wm) // ignore-late contract
+        AsofJoinState(
+          st0.lefts ++ evs.filter(_.isLeft).map(e => e.timeMs -> e.left.get),
+          st0.rights ++ evs.filter(!_.isLeft).map(e => e.timeMs -> e.right.get))
+      }
+      // a left resolves iff its earliest right >= lt is itself final (<= wm);
+      // ties on right time resolve to the earlier-listed (arrival) row
+      def candidate(lt: Long): Option[(Long, R)] = {
+        val cs = st1.rights.filter(_._1 >= lt)
+        if (cs.isEmpty) None else Some(cs.minBy(_._1))
+      }
+      val (ripe, hold) = st1.lefts.partition(lt => candidate(lt._1).exists(_._1 <= wm))
+      val out = ripe.sortBy(_._1).map { case (lt, lv) =>
+        (key, lt, lv, candidate(lt).map(_._2))
+      }
+      val next = AsofJoinState(hold, st1.rights.filter(_._1 > wm))
+      if (next.lefts.isEmpty && next.rights.isEmpty) state.remove()
+      else {
+        state.update(next)
+        // wake when the earliest still-pending candidate becomes final; lefts
+        // with no candidate wait for a right arrival (which re-invokes us)
+        val wake = next.lefts.flatMap(l => candidate(l._1).map(_._1))
+        if (wake.nonEmpty) state.setTimeoutTimestamp(wake.min + 1)
+      }
+      out.iterator
+    }
+
+  /** Per-left state for the NEAREST kernel: the best candidate seen so far
+    * travels with the left (so matched rights can compact away). */
+  final case class AsofNearestState[L, R](
+      lefts: List[(Long, L, Option[(Long, R)])], rights: List[(Long, R)])
+
+  /** flatMapGroupsWithState kernel for a per-key NEAREST asof join: a left
+    * at t matches the right minimizing |rt − t|, ties to the BACKWARD side
+    * (same rule as the batch [[graft.operators.Temporal.asofNearest]]). A
+    * left with best-so-far distance d is final once the watermark passes
+    * t + d: every right in [t−d, t+d] has then arrived and an exact-tie
+    * late forward row would lose to the held backward candidate anyway.
+    * Each left folds its best candidate into its own state, so rights
+    * behind the watermark compact to the single latest (the backward seed
+    * for future lefts) exactly like the backward kernel. A left that has
+    * never seen any right holds (no distance bound exists yet). */
+  def asofNearestKernel[K, L, R]: (K, Iterator[AsofEvent[L, R]],
+      GroupState[AsofNearestState[L, R]]) => Iterator[(K, Long, L, Option[R])] =
+    (key: K, rows: Iterator[AsofEvent[L, R]], state: GroupState[AsofNearestState[L, R]]) => {
+      val st0 = state.getOption.getOrElse(AsofNearestState[L, R](Nil, Nil))
+      val wm = state.getCurrentWatermarkMs()
+      val (lefts0, rights0) = if (state.hasTimedOut) (st0.lefts, st0.rights) else {
+        val evs = rows.toList.filter(_.timeMs > wm)
+        (st0.lefts ++ evs.filter(_.isLeft).map(e => (e.timeMs, e.left.get,
+           Option.empty[(Long, R)])),
+         st0.rights ++ evs.filter(!_.isLeft).map(e => e.timeMs -> e.right.get))
+      }
+      // (distance, forward?) orders candidates: smaller distance wins, ties
+      // prefer backward; equal-time rights keep the first-listed (arrival)
+      def rank(lt: Long)(c: (Long, R)) = (math.abs(c._1 - lt), if (c._1 > lt) 1 else 0)
+      val updated = lefts0.map { case (lt, lv, best) =>
+        val cands = best.toList ++ rights0
+        val nb = if (cands.isEmpty) None else Some(cands.minBy(rank(lt)))
+        (lt, lv, nb)
+      }
+      val (ripe, hold) = updated.partition { case (lt, _, best) =>
+        best.exists(b => lt + math.abs(b._1 - lt) <= wm) }
+      val out = ripe.sortBy(_._1).map { case (lt, lv, best) =>
+        (key, lt, lv, best.map(_._2)) }
+      val (future, past) = rights0.partition(_._1 > wm)
+      val keepPast = if (past.isEmpty) Nil else List(past.maxBy(_._1))
+      val next = AsofNearestState(hold, keepPast ++ future)
+      if (next.lefts.isEmpty && next.rights.isEmpty) state.remove()
+      else {
+        state.update(next)
+        val wake = next.lefts.flatMap { case (lt, _, best) =>
+          best.map(b => lt + math.abs(b._1 - lt)) }
+        if (wake.nonEmpty) state.setTimeoutTimestamp(wake.min + 1)
+      }
+      out.iterator
+    }
+
   // ── sinks ──────────────────────────────────────────────────────────────────
 
   /** subscribe(on_change) — reference io/_subscribe.py:17: per-microbatch

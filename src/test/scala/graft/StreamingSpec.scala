@@ -162,6 +162,92 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream FORWARD asof join: left rows match earliest right >= t") {
+    implicit val sql = spark.sqlContext
+    import StreamOps.{AsofEvent, AsofJoinState}
+    val input = MemoryStream[(java.sql.Timestamp, Long, Boolean, String)]
+    val events = input.toDS().toDF("t", "k", "isLeft", "p")
+      .withWatermark("t", "5 minutes")
+      .as[(java.sql.Timestamp, Long, Boolean, String)]
+    val joined = events.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[(java.sql.Timestamp, Long, Boolean, String)],
+         st: org.apache.spark.sql.streaming.GroupState[AsofJoinState[String, String]]) =>
+          StreamOps.asofForwardKernel[Long, String, String](k,
+            it.map { case (t, _, isLeft, p) =>
+              AsofEvent[String, String](isLeft, t.getTime,
+                if (isLeft) Some(p) else None, if (isLeft) None else Some(p))
+            }, st)
+      }
+    val q = joined.toDF("k", "lt", "lv", "rv").writeStream.format("memory")
+      .queryName("asof_fwd_out").outputMode("append").start()
+    // rights r1@00:04=ten r2@00:08=twenty; lefts l0@00:00 l1@00:03 (batch 1),
+    // l2@00:06 (batch 2), l3@01:30 (no right ever follows: must never emit)
+    input.addData(
+      (ts("2024-01-01 00:04:00"), 1L, false, "ten"),
+      (ts("2024-01-01 00:00:00"), 1L, true, "l0"),
+      (ts("2024-01-01 00:03:00"), 1L, true, "l1"))
+    q.processAllAvailable()
+    input.addData(
+      (ts("2024-01-01 00:08:00"), 1L, false, "twenty"),
+      (ts("2024-01-01 00:06:00"), 1L, true, "l2"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 01:00:00"), 99L, false, "z"),
+      (ts("2024-01-01 01:30:00"), 1L, true, "l3"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 02:30:00"), 99L, false, "z2"))
+    q.processAllAvailable()
+    val out = spark.table("asof_fwd_out").filter(col("k") === 1L)
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    // forward never emits None: l3 (no right >= t exists yet) is still held
+    assert(out == Map("l0" -> Some("ten"), "l1" -> Some("ten"), "l2" -> Some("twenty")))
+    q.stop()
+  }
+
+  test("stream-stream NEAREST asof join: closest right wins, ties to backward") {
+    implicit val sql = spark.sqlContext
+    import StreamOps.{AsofEvent, AsofNearestState}
+    val input = MemoryStream[(java.sql.Timestamp, Long, Boolean, String)]
+    val events = input.toDS().toDF("t", "k", "isLeft", "p")
+      .withWatermark("t", "5 minutes")
+      .as[(java.sql.Timestamp, Long, Boolean, String)]
+    val joined = events.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[(java.sql.Timestamp, Long, Boolean, String)],
+         st: org.apache.spark.sql.streaming.GroupState[AsofNearestState[String, String]]) =>
+          StreamOps.asofNearestKernel[Long, String, String](k,
+            it.map { case (t, _, isLeft, p) =>
+              AsofEvent[String, String](isLeft, t.getTime,
+                if (isLeft) Some(p) else None, if (isLeft) None else Some(p))
+            }, st)
+      }
+    val q = joined.toDF("k", "lt", "lv", "rv").writeStream.format("memory")
+      .queryName("asof_near_out").outputMode("append").start()
+    // rights a@00:02 b@00:10; lefts l0@00:00 (a d=2) l1@00:05 (a d=3 beats
+    // b d=5) l2@00:07 (b d=3) l3@00:06 (d=4 both: tie -> backward a);
+    // l4@00:20 sees b (d=10) in batch 1, improved by c@00:22 (d=2) in batch 2
+    input.addData(
+      (ts("2024-01-01 00:02:00"), 1L, false, "a"),
+      (ts("2024-01-01 00:10:00"), 1L, false, "b"),
+      (ts("2024-01-01 00:00:00"), 1L, true, "l0"),
+      (ts("2024-01-01 00:05:00"), 1L, true, "l1"),
+      (ts("2024-01-01 00:07:00"), 1L, true, "l2"),
+      (ts("2024-01-01 00:06:00"), 1L, true, "l3"),
+      (ts("2024-01-01 00:20:00"), 1L, true, "l4"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:22:00"), 1L, false, "c"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 01:00:00"), 99L, false, "z"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 01:01:00"), 99L, false, "z2"))
+    q.processAllAvailable()
+    val out = spark.table("asof_near_out").filter(col("k") === 1L)
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    assert(out == Map("l0" -> Some("a"), "l1" -> Some("a"), "l2" -> Some("b"),
+      "l3" -> Some("a"), "l4" -> Some("c")))
+    q.stop()
+  }
+
   test("behavior delay: rows release only once the watermark passes t + delay") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]
