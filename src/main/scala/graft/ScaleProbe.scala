@@ -124,6 +124,12 @@ object ScaleProbe {
       time("dedup_minhash_lsh", nd * mult) {
         Dedup.minhashLsh(docs, col("doc_id"), col("text"), threshold = 0.7)
       }
+      // guard overhead isolation: same corpus with the hot-bucket guard
+      // disabled — the delta is the pure cost of the per-bucket size count
+      time("dedup_minhash_unguarded", nd * mult) {
+        Dedup.minhashLsh(docs, col("doc_id"), col("text"), threshold = 0.7,
+          bucketCap = Int.MaxValue)
+      }
       time("dedup_spans", nd * mult) {
         TrainPrep.duplicateSpans(docs, col("doc_id"), col("text"), k = 10)
       }

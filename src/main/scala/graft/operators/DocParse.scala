@@ -86,7 +86,51 @@ object DocParse {
         .otherwise(trim(regexp_replace(content, "\\s+", " "))).as("text"))
   }
 
-  /** Bytes-in variant (fs binary connector → parser → store pipeline). */
-  def parseBinaryDocs(df: DataFrame, id: Column, bytes: Column): DataFrame =
-    parseDocs(df, id, utf8(bytes))
+  /** Magic-byte sniff ahead of any UTF-8 decode: `%PDF` → pdf, the ZIP
+    * local-file header `PK\x03\x04` → docx (OOXML containers), else text
+    * (handed to [[sniff]] on the decoded string). */
+  def sniffBytes(b: Column): Column =
+    when(substring(b, 1, 4) === lit("%PDF".getBytes("US-ASCII")), "pdf")
+      .when(substring(b, 1, 4) === lit(Array[Byte](0x50, 0x4b, 0x03, 0x04)), "docx")
+      .otherwise("text")
+
+  /** A binary-format parser: blob → (title-or-null, text). The PDF/DOCX
+    * integration seam: pdfbox/poi are absent from this container's offline
+    * cache (BASELINE.md), so nothing ships a real implementation, but the
+    * day the jar exists the integration is one entry —
+    * `parseBinaryDocs(df, id, b, Map("pdf" -> pdfboxExtract))`. */
+  type BinaryParser = Array[Byte] => (String, String)
+
+  /** Bytes-in variant (fs binary connector → parser → store pipeline):
+    * binary formats dispatch on magic bytes to a registered [[BinaryParser]];
+    * a recognized-but-unregistered format keeps its `format` tag with null
+    * title/text (the "needs a codec" channel — NOT silently utf8-mangled);
+    * everything else takes the text path ([[parseDocs]]). */
+  def parseBinaryDocs(df: DataFrame, id: Column, bytes: Column,
+      parsers: Map[String, BinaryParser] = Map.empty): DataFrame = {
+    val bfmt = sniffBytes(bytes)
+    val content = utf8(bytes)
+    val tfmt = sniff(content)
+    // per registered format, a (title, text) struct from the pluggable fn
+    val parsed: Map[String, Column] = parsers.map { case (f, fn) =>
+      f -> udf((b: Array[Byte]) => fn(b)).apply(bytes)
+    }
+    def binCase(field: String, fallthrough: Column): Column =
+      Seq("pdf", "docx").foldRight(fallthrough) { (f, els) =>
+        when(bfmt === f,
+          parsed.get(f).map(_.getField(field)).getOrElse(lit(null).cast("string")))
+          .otherwise(els)
+      }
+    df.select(
+      id.as("doc_id"),
+      when(bfmt === "text", tfmt).otherwise(bfmt).as("format"),
+      binCase("_1",
+        when(tfmt === "html", htmlTitle(content))
+          .when(tfmt === "markdown", frontMatterField(mdFrontMatter(content), "title"))
+          .otherwise(lit(null).cast("string"))).as("title"),
+      binCase("_2",
+        when(tfmt === "html", htmlToText(content))
+          .when(tfmt === "markdown", mdToText(content))
+          .otherwise(trim(regexp_replace(content, "\\s+", " ")))).as("text"))
+  }
 }

@@ -48,6 +48,35 @@ class DocParseSpec extends AnyFunSuite {
     assert(out.getAs[String]("text") == "Body here.")
   }
 
+  test("pdf seam: magic-byte dispatch routes blobs through a pluggable parser") {
+    val pdfBytes = "%PDF-1.4\nBT (Hello from pdf) Tj ET".getBytes("US-ASCII")
+    val mdBytes = "---\ntitle: Bin\n---\nBody.".getBytes("UTF-8")
+    val docs = Seq((1L, pdfBytes), (2L, mdBytes)).toDF("id", "raw")
+
+    // unregistered: format tagged, title/text null — never utf8-mangled
+    val bare = DocParse.parseBinaryDocs(docs, col("id"), col("raw"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(bare(1L).getAs[String]("format") == "pdf")
+    assert(bare(1L).getAs[String]("title") == null)
+    assert(bare(1L).getAs[String]("text") == null)
+    assert(bare(2L).getAs[String]("format") == "markdown")
+    assert(bare(2L).getAs[String]("text") == "Body.")
+
+    // registered test-double (a pdfbox stand-in: extract BT..ET text ops);
+    // the real integration is this one Map entry the day the jar exists
+    val fakePdf: DocParse.BinaryParser = b => {
+      val s = new String(b, "US-ASCII")
+      val m = "\\(([^)]*)\\) Tj".r.findFirstMatchIn(s)
+      (null, m.map(_.group(1)).getOrElse(""))
+    }
+    val parsed = DocParse.parseBinaryDocs(docs, col("id"), col("raw"),
+        Map("pdf" -> fakePdf))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(parsed(1L).getAs[String]("format") == "pdf")
+    assert(parsed(1L).getAs[String]("text") == "Hello from pdf")
+    assert(parsed(2L).getAs[String]("text") == "Body.") // text path untouched
+  }
+
   test("parsed html text feeds the chunk splitter downstream") {
     val html = "<html><body><p>" + Seq.tabulate(120)(i => s"tok$i").mkString(" ") + "</p></body></html>"
     val parsed = DocParse.parseDocs(Seq((1L, html)).toDF("id", "content"),
