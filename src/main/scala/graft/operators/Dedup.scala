@@ -94,57 +94,59 @@ object Dedup {
     require(numHashes <= CrossHash.mixers.length,
       s"numHashes=$numHashes exceeds the ${CrossHash.mixers.length} pregenerated mix constants")
     val rowsPerBand = numHashes / bands
-    // Explode-then-aggregate, NOT nested array HOFs: higher-order functions are
-    // CodegenFallback and Catalyst's CollapseProject inlines chained projections,
-    // so a transform(transform(shingles(...))) signature re-evaluates the
-    // normalization regex O(numHashes × shingles) per row — this hung the
-    // round-1 verify run. Here every scalar is computed exactly once per
-    // (doc, shingle) row and all hashing is codegen'd, with map-side combine
-    // on the min() aggregates — the shape that survives 100 TB.
     val norm = df.select(id.cast("long").as("id"),
       regexp_replace(trim(lower(text)), "\\s+", " ").as("_n"))
-    // Gram generation + base hash as a mapPartitions kernel. The expression
-    // form (flatten(transform(...transform(sequence...substr...)))) routes
-    // every gram through interpreted HOF eval — ArrayTransform is
-    // CodegenFallback — costing ~2.5 µs/gram (3.7 s of the sf0.1 total just to
-    // explode 1.5M grams). The JVM loop emits (id, md5-64(gram)) directly:
-    // same values bit-for-bit (CrossHash.md5Long twin, oracle-verified), one
-    // narrow 16-byte row per gram, no shuffle-shape change, fully distributed.
+    // The FULL signature is computed inside one mapPartitions kernel: minhash
+    // is per-doc-local (a doc's grams never leave their row), so exploding
+    // grams into rows and re-aggregating — even with map-side combine — only
+    // pays Tungsten encoding for every gram plus a 32-column hash-aggregate.
+    // The JVM loop folds gram → md5-64 → the 32 Long-wrap mixes → running
+    // mins in registers and emits ONE row per doc. Values are bit-for-bit
+    // the old explode+min() pipeline's (CrossHash.md5Long/mix twins; min is
+    // order-independent), so the DuckDB oracle is unchanged. Earlier shapes,
+    // kept for the record: nested array HOFs are CodegenFallback and
+    // CollapseProject re-evaluates the normalization regex O(hashes×grams)
+    // per row (hung the round-1 verify); explode+codegen'd min() aggs fixed
+    // that but still shipped ~2.5 µs/gram through encode+agg.
     val sess = df.sparkSession
     import sess.implicits._
     val kk = k
-    val grams = norm.as[(Long, String)].mapPartitions { it =>
+    val mixA = Array.tabulate(numHashes)(s => CrossHash.mixers(s)._1)
+    val mixB = Array.tabulate(numHashes)(s => CrossHash.mixers(s)._2)
+    val sigRows = norm.as[(Long, String)].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { case (docId, n) =>
         if (n == null) Iterator.empty
         else {
+          val mins = Array.fill(mixA.length)(Long.MaxValue)
           val L = math.max(n.length - (kk - 1), 1)
-          (0 until L).iterator.map { i =>
+          var i = 0
+          while (i < L) {
             val g = n.substring(i, math.min(i + kk, n.length))
             md.reset()
             val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            (docId, java.nio.ByteBuffer.wrap(d, 0, 8).getLong)
+            val gh = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+            var s = 0
+            while (s < mins.length) {
+              val m = gh * mixA(s) + mixB(s)
+              if (m < mins(s)) mins(s) = m
+              s += 1
+            }
+            i += 1
           }
+          Iterator.single((docId, mins))
         }
       }
-    }.toDF("id", "_gh")
-    // minhash over the multiset == over the set (min ignores duplicates), so no
-    // distinct pass is needed before the signature aggregates
-    // numHashes pure min() aggregates — NO collect_set here: a single
-    // collect_set in the agg list switches the whole aggregate to
-    // ObjectHashAggregate and disables codegen for the mins (measured ~4×
-    // slower). Shingle sets are recomputed later only for the (small)
-    // candidate pair set.
-    val aggs = (0 until numHashes).map(s =>
-      min(CrossHash.mix(col("_gh"), s)).as(s"_h$s"))
+    }.toDF("id", "_mins")
     // The signature table feeds bucketing, prefilter and verification; persist
     // AND materialize it eagerly: AQE compiles the downstream broadcast/join
     // subqueries as parallel jobs, and without the eager count they all race
     // to compute the not-yet-populated cache — ~20 concurrent copies of the
-    // gram+agg pipeline (measured: 13 s → 4 s at sf0.1). ~0.5 KB/doc —
+    // signature pipeline (measured: 13 s → 4 s at sf0.1). ~0.5 KB/doc —
     // materializing the signature table is the standard MinHash design at any
     // scale (on a cluster it would be a checkpoint/table, same shape).
-    val sig = grams.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val sig = sigRows.select(col("id") +:
+        (0 until numHashes).map(s => col("_mins")(s).as(s"_h$s")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count()
 
