@@ -325,6 +325,34 @@ object StreamOps {
       out.iterator
     }
 
+  /** STREAMING iterate (reference `pw.iterate` over live tables — engine
+    * dataflow.rs:5046 maintains the fixpoint incrementally inside timely
+    * loops). Structured Streaming has no iterative operator, so the honest
+    * Spark translation is RECOMPUTE-ON-SNAPSHOT: each micro-batch appends to
+    * an accumulated input snapshot (eagerly localCheckpointed, so lineage
+    * stays flat across epochs) and the batch fixpoint
+    * ([[graft.operators.Iterate.fixpoint]]) re-runs on it; `onResult`
+    * receives the converged table per epoch. Correctness is identical to
+    * the reference (the fixpoint of the current input); the cost model is
+    * full recompute per batch rather than incremental maintenance — right
+    * for Spark, where the per-pass work is a handful of shuffle jobs and
+    * snapshots are columnar-cached. On a real cluster prefer a checkpoint
+    * dir + `reliable` fixpoints for executor-loss safety, and widen the
+    * trigger interval so recompute cost amortizes over batch size. */
+  def iterateOnStream(stream: DataFrame,
+      init: DataFrame => DataFrame,
+      step: (DataFrame, DataFrame) => DataFrame,
+      maxIterations: Int = 50)(onResult: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    var acc: DataFrame = null
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val b = batch.localCheckpoint(true)
+      acc = if (acc == null) b else acc.unionByName(b).localCheckpoint(true)
+      val snap = acc
+      onResult(graft.operators.Iterate.fixpoint(
+        init(snap), st => step(st, snap), maxIterations), epoch)
+    }
+  }
+
   // ── sinks ──────────────────────────────────────────────────────────────────
 
   /** subscribe(on_change) — reference io/_subscribe.py:17: per-microbatch

@@ -248,6 +248,39 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming iterate: connected components converge per epoch over the growing snapshot") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val results = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+    val writer = StreamOps.iterateOnStream(
+      input.toDS().toDF("src", "dst"),
+      init = snap => snap.select(col("src").as("vertex"))
+        .unionByName(snap.select(col("dst").as("vertex")))
+        .distinct().withColumn("component", col("vertex")),
+      step = (labels, snap) => {
+        val edges = snap.select(col("src"), col("dst"))
+          .unionByName(snap.select(col("dst").as("src"), col("src").as("dst")))
+        val viaNeighbor = edges
+          .join(labels.select(col("vertex").as("dst"), col("component")), "dst")
+          .select(col("src").as("vertex"), col("component"))
+        labels.unionByName(viaNeighbor)
+          .groupBy("vertex").agg(min("component").as("component"))
+      })( (res, epoch) =>
+        results(epoch) = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap )
+    val q = writer.start()
+    input.addData((1L, 2L), (2L, 3L), (10L, 11L))
+    q.processAllAvailable()
+    val first = results.keys.min
+    assert(results(first) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the next epoch bridges the components: the snapshot fixpoint merges them
+    input.addData((3L, 10L))
+    q.processAllAvailable()
+    val last = results.keys.max
+    assert(last > first)
+    assert(results(last) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L))
+    q.stop()
+  }
+
   test("behavior delay: rows release only once the watermark passes t + delay") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String)]

@@ -45,6 +45,22 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(coldPairs == Set((1L, 2L)))
   }
 
+  test("hot-bucket guard: embedding SRP pileup emits star candidates, pairs verify") {
+    import graft.operators.Similarity
+    // 30 identical embeddings (every SRP table hashes them to one bucket) +
+    // 2 orthogonal-ish distinct ones; cap=8 forces the star path
+    val base = Array.tabulate(8)(i => math.sin(i * 1.7) + 0.2)
+    val vecs = ((1L to 30L).map(i => (i, base)) ++
+      Seq((100L, Array.tabulate(8)(i => math.cos(i * 2.3))),
+          (101L, Array.tabulate(8)(i => math.sin(i * 0.4) - 0.6)))).toDF("id", "v")
+    val pairs = Similarity.embeddingDupPairs(vecs, col("id"), col("v"),
+        dim = 8, threshold = 0.99, nPlanes = 4, nTables = 4, bucketCap = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // exactly the m-1 star pairs against rep 1 (identical vectors all verify)
+    assert(pairs == (2L to 30L).map(i => (1L, i)).toSet,
+      s"expected 29 star pairs, got ${pairs.size}")
+  }
+
   test("duplicateSpans counts k-token windows occurring >= 2 times corpus-wide") {
     val docs = Seq(
       (1L, "a b c d e"),       // windows (k=3): "a b c","b c d","c d e"
