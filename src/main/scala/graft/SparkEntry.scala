@@ -783,6 +783,26 @@ object SparkEntry {
         col("mean_r"), col("mean_g"), col("mean_b"), col("ahash"))
   }
 
+  /** REAL audio-decode oracle: constant-amplitude 16-bit PCM WAVs generated
+    * from doc_id (rate, length, amplitude all closed-form in the id; the
+    * amplitude is a power of two so RMS = amp/32768 is an exact binary
+    * fraction), decoded by `Multimodal.decodeAudio` via javax.sound. */
+  private def qMultimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val sr = (8000 + (id % 4) * 4000).toInt
+          val n = (100 + id % 50).toInt
+          val amp = (1 << (9 + (id % 6)).toInt).toShort
+          (id, Multimodal.pcmWav(sr, Array.fill(n)(amp)))
+        }
+      }.toDF("media_id", "blob")
+    Multimodal.decodeAudio(media).toDF()
+      .select(col("media_id"), col("ok"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("rms"))
+  }
+
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.packAsMedia(docs(s, dir), col("doc_id"), col("text"), "video")
     Multimodal.sampleFrames(media, stride = 4)
@@ -1121,6 +1141,7 @@ object SparkEntry {
     "matmul_2d"       -> (qMatmul2d _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_decode" -> (qMultimodalDecode _),
+    "multimodal_audio" -> (qMultimodalAudio _),
     "multimodal_frames" -> (qMultimodalFrames _),
     "iterate_cc"      -> (qIterateCc _),
     "bellman_ford"    -> (qBellmanFord _),
@@ -1630,6 +1651,13 @@ object SparkEntry {
         |       WHEN rb+gb+bb > ra+ga+ba THEN CAST(-1085102592571150096 AS BIGINT)
         |       ELSE CAST(0 AS BIGINT) END AS ahash
         |FROM c""".stripMargin,
+    "multimodal_audio" ->
+      """SELECT doc_id AS media_id, TRUE AS ok,
+        |  CAST(8000 + (doc_id%4)*4000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(100 + doc_id%50 AS BIGINT) AS n_frames,
+        |  CAST(POWER(2, 9 + doc_id%6) AS DOUBLE)/32768 AS rms
+        |FROM documents""".stripMargin,
     "multimodal_frames" ->
       """SELECT doc_id AS media_id,
         |  CAST(FLOOR(GREATEST(CAST(FLOOR(length(text) / 16) AS BIGINT) - 1, 0) / 4) + 1 AS BIGINT) AS n_frames

@@ -227,6 +227,23 @@ object Multimodal {
       }
   }
 
+  /** Deterministic 16-bit mono PCM WAV from raw samples — the audio twin of
+    * [[twoTonePng]]: WAV is lossless, so [[decodeAudio]] recovers the exact
+    * sample values and every decoded feature (rate, frames, RMS) is
+    * closed-form computable. Fixture behind the `multimodal_audio` oracle. */
+  def pcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(samples)
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
   /** Frame sampling stub for video-kind blobs: every `stride`-th 16-byte block
     * becomes a "frame" row — exercises the explode/partition shape of real
     * frame extraction. */
