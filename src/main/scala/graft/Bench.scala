@@ -82,7 +82,9 @@ object Bench {
       val (warm, reps) =
         if (warm1 >= 0 && warm1 < 1.0) {
           val ws = Seq(warm1, timeOnce(name, fn), timeOnce(name, fn)).filter(_ >= 0).sorted
-          (ws(ws.size / 2), ws.size)
+          // lower-median: on an even count (a rep timed out) take the lower
+          // middle, not the max — the noise this guards against is upward
+          (ws((ws.size - 1) / 2), ws.size)
         } else (warm1, 1)
       println(s"""{"q":"$name","cold":${r3(cold)},"s":${r3(warm)},"reps":$reps}""")
       name -> (cold, warm, reps)

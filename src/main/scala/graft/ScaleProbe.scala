@@ -180,7 +180,9 @@ object ScaleProbe {
     if (families("relational")) {
       val eventsBase = spark.read.parquet(s"$sfDir/events.parquet")
       val ne = eventsBase.count()
-      val userSpan = 1000000L
+      // measured span, not a guess: replicas must occupy DISJOINT user
+      // spaces or cross-replica joins inflate the "10x" numbers
+      val userSpan = eventsBase.agg(max("user_id")).head.getLong(0) + 1
       val events = replicate(eventsBase,
         Map("event_id" -> ne, "user_id" -> userSpan), "/tmp/graft_events_scaled")
         .withColumn("ts_t", Temporal.nsToTs(col("ts")))

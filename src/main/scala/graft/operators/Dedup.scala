@@ -162,21 +162,33 @@ object Dedup {
 
     // hot-bucket guard (see hash64DupPairs scaladoc): buckets over bucketCap
     // emit star candidates against the min-id representative (m−1 pairs)
-    // instead of going quadratic; true-dup pileups reconnect through the
-    // star-merge below, and the prefilter/verify stages are unchanged
-    val sized = bucketed.join(
-      bucketed.groupBy("_band", "_bucket").agg(
-        count(lit(1)).as("_n"), min(col("id")).as("_repId")),
-      Seq("_band", "_bucket"))
-    val cold = sized.filter(col("_n") <= bucketCap)
-    val l = cold.select(col("_band"), col("_bucket"), col("id").as("id1"))
-    val r = cold.select(col("_band"), col("_bucket"), col("id").as("id2"))
-    val candidates = l.join(r, Seq("_band", "_bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .unionByName(sized.filter(col("_n") > bucketCap)
-        .filter(col("id") =!= col("_repId"))
-        .select(col("_repId").as("id1"), col("id").as("id2")))
+    // instead of going quadratic. The hot-key set is ≤ corpus/bucketCap rows
+    // BY CONSTRUCTION, so it broadcasts: the cold path is a broadcast
+    // anti-join (no extra shuffle of the full bucket table) and only the
+    // count agg (map-side combined to distinct buckets) is added work.
+    // bucketCap=Int.MaxValue disables the guard entirely (the honest
+    // unguarded control for ScaleProbe).
+    val candidates = if (bucketCap == Int.MaxValue) {
+      val l = bucketed.select(col("_band"), col("_bucket"), col("id").as("id1"))
+      val r = bucketed.select(col("_band"), col("_bucket"), col("id").as("id2"))
+      l.join(r, Seq("_band", "_bucket"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2")
+    } else {
+      val hot = broadcast(bucketed.groupBy("_band", "_bucket")
+        .agg(count(lit(1)).as("_n"), min(col("id")).as("_repId"))
+        .filter(col("_n") > bucketCap))
+      val cold = bucketed.join(hot.select("_band", "_bucket"),
+        Seq("_band", "_bucket"), "left_anti")
+      val l = cold.select(col("_band"), col("_bucket"), col("id").as("id1"))
+      val r = cold.select(col("_band"), col("_bucket"), col("id").as("id2"))
+      l.join(r, Seq("_band", "_bucket"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "id2")
+        .unionByName(bucketed.join(hot, Seq("_band", "_bucket"))
+          .filter(col("id") =!= col("_repId"))
+          .select(col("_repId").as("id1"), col("id").as("id2")))
+    }
 
     // prefilter on estimated jaccard BEFORE deduplicating pairs: rejoin the
     // (persisted, broadcast-size) signature table to both sides and keep pairs
@@ -309,9 +321,11 @@ object Dedup {
     * a giant bucket) the star pairs all verify and transitive grouping
     * ([[dupGroups]] / minhashLsh's star-merge) reconnects the full cluster;
     * cross-member pairs that fail verification against the rep are the
-    * (documented) recall cost of bounding the join. The size count is one
-    * map-side-combining agg co-partitioned with the join key — no extra
-    * shuffle shape. */
+    * (documented) recall cost of bounding the join. The hot-key set is
+    * ≤ rows/bucketCap entries BY CONSTRUCTION, so it broadcasts: the cold
+    * path is a broadcast anti-join and the only added work is the
+    * map-side-combined bucket-count agg. `bucketCap = Int.MaxValue`
+    * disables the guard (the honest unguarded control). */
   def hash64DupPairs(sigs: DataFrame, maxDist: Int, bands: Int,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     val width = 64 / bands
@@ -322,23 +336,31 @@ object Dedup {
       shiftright(col("_sig"), b * width).bitwiseAND(lit(mask)))
     val banded = withSig.select(col("id"), col("_sig"),
       posexplode(array(bandExprs: _*)).as(Seq("_band", "_key")))
-    val sized = banded.join(
-      banded.groupBy("_band", "_key").agg(
-        count(lit(1)).as("_n"),
-        min(struct(col("id"), col("_sig"))).as("_rep")),
-      Seq("_band", "_key"))
-    val cold = sized.filter(col("_n") <= bucketCap)
-    val l = cold.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))
-    val r = cold.select(col("_band"), col("_key"), col("id").as("id2"), col("_sig").as("_s2"))
-    val coldPairs = l.join(r, Seq("_band", "_key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "_s1", "id2", "_s2")
-    // rep has the bucket's min id, so id1 < id2 holds by construction
-    val hotPairs = sized.filter(col("_n") > bucketCap)
-      .filter(col("id") =!= col("_rep.id"))
-      .select(col("_rep.id").as("id1"), col("_rep._sig").as("_s1"),
-        col("id").as("id2"), col("_sig").as("_s2"))
-    coldPairs.unionByName(hotPairs)
+    val pairs = if (bucketCap == Int.MaxValue) {
+      val l = banded.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))
+      val r = banded.select(col("_band"), col("_key"), col("id").as("id2"), col("_sig").as("_s2"))
+      l.join(r, Seq("_band", "_key"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "_s1", "id2", "_s2")
+    } else {
+      val hot = broadcast(banded.groupBy("_band", "_key")
+        .agg(count(lit(1)).as("_n"), min(struct(col("id"), col("_sig"))).as("_rep"))
+        .filter(col("_n") > bucketCap))
+      val cold = banded.join(hot.select("_band", "_key"),
+        Seq("_band", "_key"), "left_anti")
+      val l = cold.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))
+      val r = cold.select(col("_band"), col("_key"), col("id").as("id2"), col("_sig").as("_s2"))
+      val coldPairs = l.join(r, Seq("_band", "_key"))
+        .filter(col("id1") < col("id2"))
+        .select("id1", "_s1", "id2", "_s2")
+      // rep has the bucket's min id, so id1 < id2 holds by construction
+      val hotPairs = banded.join(hot, Seq("_band", "_key"))
+        .filter(col("id") =!= col("_rep.id"))
+        .select(col("_rep.id").as("id1"), col("_rep._sig").as("_s1"),
+          col("id").as("id2"), col("_sig").as("_s2"))
+      coldPairs.unionByName(hotPairs)
+    }
+    pairs
       .dropDuplicates("id1", "id2")
       .filter(hammingDist(col("_s1"), col("_s2")) <= maxDist)
       .select(col("id1"), col("id2"), hammingDist(col("_s1"), col("_s2")).as("hamming"))

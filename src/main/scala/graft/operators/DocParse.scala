@@ -115,8 +115,11 @@ object DocParse {
     val parsed: Map[String, Column] = parsers.map { case (f, fn) =>
       f -> udf((b: Array[Byte]) => fn(b)).apply(bytes)
     }
+    // fold over the sniffable formats ∪ registered keys, so a parser
+    // registered for a future sniffBytes format is never silently dead
+    val binFormats = (Seq("pdf", "docx") ++ parsers.keys).distinct
     def binCase(field: String, fallthrough: Column): Column =
-      Seq("pdf", "docx").foldRight(fallthrough) { (f, els) =>
+      binFormats.foldRight(fallthrough) { (f, els) =>
         when(bfmt === f,
           parsed.get(f).map(_.getField(field)).getOrElse(lit(null).cast("string")))
           .otherwise(els)

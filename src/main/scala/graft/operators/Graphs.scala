@@ -269,8 +269,13 @@ object Graphs {
       minGain: Double = 1e-9, src: String = "src", dst: String = "dst",
       unroll: Int = 1): (DataFrame, Seq[Double]) = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var sym = symWeighted(edges, src, dst).persist(mem)
-    var deg = sym.groupBy(col("u").as("vertex")).agg(sum("w").as("k")).persist(mem)
+    // every intermediate persist is tracked and released once the final
+    // mapping is materialized — a 10-level run would otherwise leave ~4
+    // dead cached tables per level pinned for the session's lifetime
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = { pinned += df.persist(mem); df }
+    var sym = pin(symWeighted(edges, src, dst))
+    var deg = pin(sym.groupBy(col("u").as("vertex")).agg(sum("w").as("k")))
     val m2 = sym.count().toDouble
     var mapping: DataFrame = null
     var prevQ = Double.NegativeInfinity
@@ -278,8 +283,7 @@ object Graphs {
     var level = 0
     var done = false
     while (!done && level < maxLevels) {
-      val l = louvainMoves(sym, deg, m2, itersPerLevel, unroll, alternate = true)
-        .persist(mem)
+      val l = pin(louvainMoves(sym, deg, m2, itersPerLevel, unroll, alternate = true))
       val q = levelModularity(sym, deg, l, m2)
       if (q - prevQ <= minGain) done = true // reject: keep the prior levels' labels
       else {
@@ -287,12 +291,11 @@ object Graphs {
         prevQ = q
         mapping =
           if (mapping == null) l
-          else mapping.select(col("vertex"), col("community").as("_c"))
+          else pin(mapping.select(col("vertex"), col("community").as("_c"))
             .join(l.select(col("vertex").as("_c"), col("community")), "_c")
-            .select(col("vertex"), col("community"))
-            .persist(mem)
+            .select(col("vertex"), col("community")))
         val (s2, d2) = contract(sym, deg, l)
-        sym = s2.persist(mem); deg = d2.persist(mem)
+        sym = pin(s2); deg = pin(d2)
         // a level that collapsed everything into isolated super-vertices has
         // no external edges left — nothing further to move
         if (sym.isEmpty) done = true
@@ -303,7 +306,10 @@ object Graphs {
     // for finite q) fall back to singletons so callers always get labels
     if (mapping == null)
       mapping = deg.select(col("vertex"), col("vertex").as("community"))
-    (mapping, trace.toSeq)
+    val out = mapping.persist(mem)
+    out.count() // materialize before releasing the lineage's caches
+    pinned.filter(_ ne out).foreach(_.unpersist(false))
+    (out, trace.toSeq)
   }
 
   /** Modularity Q of an assignment (vertex, community) over `edges` —

@@ -225,8 +225,12 @@ object StreamOps {
       if (next.lefts.isEmpty && next.rights.isEmpty) state.remove()
       else {
         state.update(next)
-        if (next.lefts.nonEmpty)
-          state.setTimeoutTimestamp(next.lefts.map(_._1).min + 1)
+        // held-left release times, plus future-right times so a quiescent
+        // key still compacts its rights down to the single backward seed
+        // as the watermark advances (not-yet-final rights would otherwise
+        // sit in the store until the next event for this key)
+        val wake = next.lefts.map(_._1) ++ future.map(_._1)
+        if (wake.nonEmpty) state.setTimeoutTimestamp(math.max(wake.min, wm) + 1)
       }
       out.iterator
     }
@@ -266,10 +270,15 @@ object StreamOps {
       if (next.lefts.isEmpty && next.rights.isEmpty) state.remove()
       else {
         state.update(next)
-        // wake when the earliest still-pending candidate becomes final; lefts
-        // with no candidate wait for a right arrival (which re-invokes us)
-        val wake = next.lefts.flatMap(l => candidate(l._1).map(_._1))
-        if (wake.nonEmpty) state.setTimeoutTimestamp(wake.min + 1)
+        // wake when the earliest pending candidate becomes final, and also
+        // when any held right passes the watermark — so a key that stops
+        // receiving events still prunes its rights and eventually removes
+        // its state instead of leaking it. Candidate-less lefts alone set
+        // no timeout: they can only resolve on a right arrival, which
+        // re-invokes the kernel (that hold is the forward contract).
+        val wake = next.lefts.flatMap(l => candidate(l._1).map(_._1)) ++
+          next.rights.map(_._1)
+        if (wake.nonEmpty) state.setTimeoutTimestamp(math.max(wake.min, wm) + 1)
       }
       out.iterator
     }
@@ -318,9 +327,13 @@ object StreamOps {
       if (next.lefts.isEmpty && next.rights.isEmpty) state.remove()
       else {
         state.update(next)
+        // resolution times of candidated lefts, plus held-right times so a
+        // quiescent key still compacts its rights (and removes its state)
+        // as the watermark advances instead of leaking it
         val wake = next.lefts.flatMap { case (lt, _, best) =>
-          best.map(b => lt + math.abs(b._1 - lt)) }
-        if (wake.nonEmpty) state.setTimeoutTimestamp(wake.min + 1)
+          best.map(b => lt + math.abs(b._1 - lt)) } ++
+          next.rights.map(_._1)
+        if (wake.nonEmpty) state.setTimeoutTimestamp(math.max(wake.min, wm) + 1)
       }
       out.iterator
     }
@@ -345,8 +358,12 @@ object StreamOps {
       maxIterations: Int = 50)(onResult: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     var acc: DataFrame = null
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      // checkpoint ONLY the new batch: the snapshot is then a union of
+      // individually-checkpointed leaves — flat lineage depth at O(batch)
+      // cost per epoch, where re-checkpointing the whole union would copy
+      // every historical row again each epoch (O(total²) cumulative)
       val b = batch.localCheckpoint(true)
-      acc = if (acc == null) b else acc.unionByName(b).localCheckpoint(true)
+      acc = if (acc == null) b else acc.unionByName(b)
       val snap = acc
       onResult(graft.operators.Iterate.fixpoint(
         init(snap), st => step(st, snap), maxIterations), epoch)
