@@ -270,6 +270,9 @@ object ScaleProbe {
       time("graph_louvain", nE) {
         Graphs.louvain(e.select("src", "dst"), iters = 2)
       }
+      time("graph_louvain_auto", nE) {
+        Graphs.louvainAuto(e.select("src", "dst"), itersPerLevel = 2, maxLevels = 4)
+      }
     }
 
     if (families("changelog")) {

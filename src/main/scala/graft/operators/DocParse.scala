@@ -88,7 +88,10 @@ object DocParse {
 
   /** Magic-byte sniff ahead of any UTF-8 decode: `%PDF` → pdf, the ZIP
     * local-file header `PK\x03\x04` → docx (OOXML containers), else text
-    * (handed to [[sniff]] on the decoded string). */
+    * (handed to [[sniff]] on the decoded string). Caveat: every ZIP-based
+    * container (xlsx, jar, plain zip) shares that header — a registered
+    * "docx" parser must sniff the OOXML content type internally and use
+    * its (title=null, text="") path for non-docx archives. */
   def sniffBytes(b: Column): Column =
     when(substring(b, 1, 4) === lit("%PDF".getBytes("US-ASCII")), "pdf")
       .when(substring(b, 1, 4) === lit(Array[Byte](0x50, 0x4b, 0x03, 0x04)), "docx")
