@@ -122,6 +122,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream interval join LEFT OUTER: unmatched lefts emit with nulls after watermark") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    val l = clicks.toDF().toDF("ct", "cu").withWatermark("ct", "10 seconds")
+    val r = buys.toDF().toDF("bt", "bu").withWatermark("bt", "10 seconds")
+    val joined = l.join(r,
+      col("cu") === col("bu") && col("bt") >= col("ct") &&
+        col("bt") <= col("ct") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssij_lo_out")
+      .outputMode("append").start()
+    clicks.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:02:00"), 3L))
+    buys.addData((ts("2024-01-01 00:05:00"), 1L)) // matches u1; u3 never buys
+    q.processAllAvailable()
+    // advance BOTH watermarks far past u3's click + interval so its state
+    // expires and the null-padded row releases
+    clicks.addData((ts("2024-01-01 02:00:00"), 99L))
+    buys.addData((ts("2024-01-01 02:00:00"), 98L))
+    q.processAllAvailable()
+    clicks.addData((ts("2024-01-01 03:00:00"), 99L))
+    buys.addData((ts("2024-01-01 03:00:00"), 98L))
+    q.processAllAvailable()
+    val out = spark.table("ssij_lo_out").filter(col("cu").isin(1L, 3L))
+      .select("cu", "bu").as[(Long, Option[Long])].collect().toSet
+    assert(out.contains((1L, Some(1L))), s"matched row missing: $out")
+    assert(out.contains((3L, None)), s"unmatched left not emitted: $out")
+    q.stop()
+  }
+
   test("stream-stream BACKWARD asof join: left rows match latest right <= t once watermark passes") {
     implicit val sql = spark.sqlContext
     import StreamOps.{AsofEvent, AsofJoinState}
