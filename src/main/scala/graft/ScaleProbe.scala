@@ -13,7 +13,10 @@ import graft.streaming.ChangelogOps
   *
   * Families (arg 2, comma-separated; default all):
   *  - lsh        — kernelized cosine/SRP vs interpreted HOF forms; full KNN
-  *  - textdedup  — minhash LSH + span dedup on a replicated corpus
+  *  - textdedup  — minhash LSH + span dedup on a replicated corpus (every
+  *                 doc in an m-clone group: the dense-dup STRESS probe)
+  *  - textdedupdist — per-replica vowel-rotated replication (constant dup
+  *                 density: the honest linear-scaling probe)
   *  - hotbucket  — ADVERSARIAL: constant-text pileup; the band-join guard
   *                 must keep candidates linear where all-pairs is quadratic
   *  - relational — join / windows / interval + asof joins at 10×
@@ -49,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "hotbucket", "relational", "graph", "changelog"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "hotbucket", "relational", "graph", "changelog"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -131,6 +134,38 @@ object ScaleProbe {
           bucketCap = Int.MaxValue)
       }
       time("dedup_spans", nd * mult) {
+        TrainPrep.duplicateSpans(docs, col("doc_id"), col("text"), k = 10)
+      }
+    }
+
+    if (families("textdedupdist")) {
+      // DISTINCT-doc scaling corpus: replication with per-replica vowel
+      // rotation — cross-replica shingle overlap collapses (jaccard ≈ 0),
+      // so dup density stays CONSTANT as the corpus grows. This is the
+      // honest linear-scaling probe; the plain `textdedup` family (offset-id
+      // replication → every doc in an m-clone group) is the dense-dup
+      // STRESS probe, whose verify cost is Θ(true pairs) = Θ(m²·docs) by
+      // design and OOMs a single box around 100× (documented, BASELINE.md).
+      val docsBase = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+      val nd = docsBase.count()
+      // per-replica Caesar maps: letters rotated by i mod 26, digits by i
+      // mod 10 — maps collide only at i ≡ j (mod lcm = 130), so every
+      // replica below 130× carries a distinct scrambling and cross-replica
+      // shingle overlap is ~0 (within-replica organic dups are preserved:
+      // both sides of a dup get the same map)
+      val letters = "abcdefghijklmnopqrstuvwxyz"; val digits = "0123456789"
+      val scaled = (0 until mult).map { i =>
+        val rot = (letters.drop(i % 26) + letters.take(i % 26)) +
+          (digits.drop(i % 10) + digits.take(i % 10))
+        docsBase.select((col("doc_id") + lit(i * nd)).as("doc_id"),
+          translate(col("text"), letters + digits, rot).as("text"))
+      }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet("/tmp/graft_docs_dist")
+      val docs = spark.read.parquet("/tmp/graft_docs_dist")
+      time("dedup_minhash_distinct", nd * mult) {
+        Dedup.minhashLsh(docs, col("doc_id"), col("text"), threshold = 0.7)
+      }
+      time("dedup_spans_distinct", nd * mult) {
         TrainPrep.duplicateSpans(docs, col("doc_id"), col("text"), k = 10)
       }
     }
