@@ -190,10 +190,17 @@ object Dedup {
           .select(col("_repId").as("id1"), col("id").as("id2")))
     }
 
-    // prefilter on estimated jaccard BEFORE deduplicating pairs: rejoin the
-    // (persisted, broadcast-size) signature table to both sides and keep pairs
-    // whose equal-slot fraction clears the margin — the distinct then runs on
-    // the ~100× smaller near-dup set, and no shingle array ships for noise
+    // DEDUPE pairs before the prefilter joins: a pair can surface from up to
+    // `bands` buckets, and the signature rejoin widens every row to 2×32
+    // slots — at corpus scale the signature table outgrows the broadcast
+    // threshold, the rejoin becomes a sort-merge join, and shipping each
+    // pair up to 8× through two wide shuffles is what filled 76 GB of
+    // scratch at the 500k-doc probe. The distinct runs on NARROW (id1,id2)
+    // rows (16 B), then the prefilter joins see each pair once. (At small
+    // scale the sig rejoin broadcasts and either order is cheap.)
+    val uniquePairs = candidates.dropDuplicates("id1", "id2")
+    // prefilter on estimated jaccard: keep pairs whose equal-slot fraction
+    // clears the margin — no shingle array ships for noise pairs
     val sigL = sig.select(col("id").as("id1") +:
       (0 until numHashes).map(s => col(s"_h$s").as(s"_l$s")): _*)
     val sigR = sig.select(col("id").as("id2") +:
@@ -202,10 +209,9 @@ object Dedup {
       .map(s => when(col(s"_l$s") === col(s"_r$s"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / numHashes
     val estMin = math.max(0.0, threshold - 0.15)
-    val prefiltered = candidates.join(sigL, "id1").join(sigR, "id2")
+    val prefiltered = uniquePairs.join(sigL, "id1").join(sigR, "id2")
       .filter(estJaccard >= estMin)
       .select("id1", "id2")
-      .dropDuplicates("id1", "id2")
 
     // verification: shingle ONLY docs that appear in some surviving pair
     // (semi-join first), then join the small candidate set to both sides and
