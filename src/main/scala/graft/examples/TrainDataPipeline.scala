@@ -1,0 +1,90 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextOps, TrainPrep}
+
+/** End-to-end LLM training-data curation pipeline — the composition a user
+  * of the reference would run daily, expressed entirely in this library's
+  * operators. Stages (each one a single declarative DataFrame transform, so
+  * Catalyst fuses what it can and every shuffle is one the algorithm needs):
+  *
+  *   1. analyze    — language-ID, quality score, token counts, PII audit
+  *   2. filter     — keep high-quality docs in the target language
+  *   3. exact dedup — md5-fingerprint groupBy, keep min-id representative
+  *   4. near dedup — MinHash+LSH (banded buckets + prefilter + verify),
+  *                   drop every non-representative member
+  *   5. decontaminate — remove docs sharing a token window with the eval set
+  *   6. sample     — deterministic weighted downsampling (rerun-stable)
+  *   7. split      — hash-based train/val/test (leak-free by construction)
+  *   8. pack       — lay docs end-to-end into fixed token-budget windows
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 runMain
+  *      graft.examples.TrainDataPipeline
+  */
+object TrainDataPipeline {
+
+  /** The pipeline as a function (spec-testable): documents(doc_id, text) +
+    * an eval table → packed training rows with full audit columns. */
+  def curate(docs: DataFrame, evalSet: DataFrame, budget: Long = 2048): DataFrame = {
+    // 1. analyze (rowwise, codegen'd — no shuffle)
+    val (redacted, nEmails, nPhones) = TrainPrep.piiRedact(col("text"))
+    val analyzed = docs.select(
+      col("doc_id"), redacted.as("text"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      (nEmails + nPhones).as("pii_hits"))
+
+    // 2. filter
+    val kept = analyzed.filter(col("lang") === "en" && col("quality") >= 0.3)
+
+    // 3. exact dedup: fingerprint groupBy, min-id representative survives
+    val reps = Dedup.exact(kept, col("doc_id"), TextOps.fingerprintMd5(col("text")))
+    val exactDeduped = kept.join(reps.select(col("rep_id").as("doc_id")), "doc_id")
+
+    // 4. near dedup: every (id, rep, is_dup) row with is_dup keeps only reps
+    val near = Dedup.minhashLsh(exactDeduped, col("doc_id"), col("text"))
+    val nearDeduped = exactDeduped.join(
+      near.filter(!col("is_dup")).select(col("id").as("doc_id")), "doc_id")
+
+    // 5. decontaminate: drop docs sharing any token window with the eval set
+    // (decontaminate returns the CONTAMINATED rows + audit counts)
+    val contaminated = TrainPrep.decontaminate(nearDeduped, col("doc_id"), col("text"),
+      evalSet, col("eval_id"), col("eval_text"), k = 8)
+    val clean = nearDeduped.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 6. deterministic weighted sampling: quality-proportional keep rate
+    val sampled = TrainPrep.sampleByWeight(clean, col("doc_id"),
+      least(col("quality") + 0.5, lit(1.0)))
+
+    // 7. leak-free split on the stable id hash
+    val splits = TrainPrep.splitByHash(sampled, col("doc_id"))
+
+    // 8. pack the train split into fixed context windows, sharded by split
+    TrainPrep.packSequences(
+      splits.filter(col("split") === "train"),
+      instance = col("split"), order = col("doc_id"),
+      nTokens = col("n_tokens"), budget = budget)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.ansi.enabled", "false") // CrossHash Long wrap
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    // stand-in eval set: a slice of the corpus guarantees contamination hits
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
+    val out = curate(docs, evalSet)
+    val packs = out.agg(countDistinct("pack_id")).head.getLong(0)
+    println(s"[pipeline] input=${docs.count()} curated=${out.count()} packs=$packs")
+    spark.stop()
+  }
+}

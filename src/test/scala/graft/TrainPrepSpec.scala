@@ -61,6 +61,29 @@ class TrainPrepSpec extends AnyFunSuite {
       s"expected 29 star pairs, got ${pairs.size}")
   }
 
+  test("TrainDataPipeline.curate: clones and contaminated docs removed, rerun-stable") {
+    import graft.examples.TrainDataPipeline
+    val base = "the quick brown fox jumps over the lazy dog and then it runs away " +
+      "to the forest where all of the other animals have been waiting for it since morning"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),                        // near-dup of 1 -> dropped
+      (3L, "this is a completely different story about a ship that sails " +
+        "across the sea with a crew of twenty and a cat that they all feed daily"),
+      (4L, "here we have yet another long and quite ordinary piece of english " +
+        "writing about the weather in the north and the people who live there"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "a ship that sails across the sea with a crew"))
+      .toDF("eval_id", "eval_text")                 // contaminates doc 3
+    def run() = TrainDataPipeline.curate(docs, evalSet, budget = 64)
+      .select("doc_id").as[Long].collect().toSet
+    val out = run()
+    assert(!out.contains(2L), "near-dup clone must be dropped")
+    assert(!out.contains(3L), "eval-contaminated doc must be dropped")
+    assert(out.contains(1L) || out.contains(4L), "survivors expected")
+    assert(run() == out, "pipeline must be deterministic across reruns")
+  }
+
   test("duplicateSpans counts k-token windows occurring >= 2 times corpus-wide") {
     val docs = Seq(
       (1L, "a b c d e"),       // windows (k=3): "a b c","b c d","c d e"
