@@ -123,6 +123,46 @@ object Connectors {
     afterIns.unionByName(beforeDel).select(col("row.*"), col("diff"), col("time"))
   }
 
+  /** Airbyte protocol reader, file mode (reference io/airbyte — its
+    * connector RUNTIME shells out to Docker images, out of scope here; the
+    * wire format those connectors emit is the public Airbyte protocol:
+    * JSONL `AirbyteMessage` envelopes). Reads the envelope stream, keeps
+    * `type=RECORD` rows of the requested `stream`, and parses `record.data`
+    * with the given schema — so a dump produced by ANY Airbyte source
+    * (`airbyte-cli read > out.jsonl`, an S3 staging area, a Kafka topic of
+    * envelopes) loads as a table. STATE/LOG/CATALOG messages pass through
+    * unharmed (filtered), matching the protocol's interleaving. Works on
+    * both batch (`spark.read.text`) and streaming (`readStream.text`)
+    * inputs — pass either as `lines`. */
+  def airbyteRecords(lines: DataFrame, stream: String,
+      dataSchema: StructType): DataFrame = {
+    val env = new StructType()
+      .add("type", org.apache.spark.sql.types.StringType)
+      .add("record", new StructType()
+        .add("stream", org.apache.spark.sql.types.StringType)
+        .add("namespace", org.apache.spark.sql.types.StringType)
+        .add("emitted_at", org.apache.spark.sql.types.LongType)
+        .add("data", dataSchema))
+    val p = from_json(col("value"), env)
+    lines.select(p.as("_m"))
+      .filter(col("_m.type") === "RECORD" && col("_m.record.stream") === stream)
+      .select(col("_m.record.data.*"), col("_m.record.emitted_at").as("_emitted_at"))
+  }
+
+  /** Airbyte incremental-dedup CDC shape → changelog: sources running CDC
+    * emit `_ab_cdc_deleted_at` (non-null = deletion) inside `data`; map to
+    * diff ±1 rows like [[debeziumToChangelog]], `time` = emitted_at. */
+  def airbyteCdcToChangelog(lines: DataFrame, stream: String,
+      dataSchema: StructType): DataFrame = {
+    val withDel = dataSchema.add("_ab_cdc_deleted_at",
+      org.apache.spark.sql.types.StringType)
+    val recs = airbyteRecords(lines, stream, withDel)
+    recs.select(
+      (dataSchema.fieldNames.map(col).toSeq :+
+        when(col("_ab_cdc_deleted_at").isNotNull, lit(-1)).otherwise(lit(1)).as("diff") :+
+        col("_emitted_at").as("time")): _*)
+  }
+
   /** JDBC snapshot read (reference io/postgres & friends, read side): plain
     * `spark.read.jdbc` — predicate pushdown and column pruning reach the
     * database. `partitionColumn`/bounds split the scan across executors for

@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import graft.operators.Embedders
+
+/** Question-answering REST endpoint (reference xpacks/llm/question_answering
+  * .py — `BaseRAGQuestionAnswerer` serves `/v2/answer` over a DataIndex;
+  * routing in xpacks/llm/servers.py).
+  *
+  * The split mirrors the reference's own architecture: the dataflow side
+  * BUILDS and refreshes the index (here: `DocumentStore.build`, a Spark
+  * job), while serving runs in-process over that index's snapshot — the
+  * reference keeps its usearch/tantivy index in the server's memory next to
+  * the HTTP loop, not inside the dataflow either. So `serve` collects the
+  * (chunk_id, doc_id, chunk_text, embedding) store once and answers queries
+  * from local memory; the snapshot must fit the serving host, the identical
+  * constraint the reference's in-process index has. Re-`serve` (or swap the
+  * handler) after rebuilding the store to refresh — the Spark side stays
+  * fully distributed.
+  *
+  * Protocol: `POST <path>` body `{"query": "...", "k": 3}` →
+  * `{"results": [{"chunk_id":…, "doc_id":…, "score":…, "text":…}, …]}`.
+  * JSON in/out via json4s (already on Spark's classpath).
+  */
+object QaServer {
+
+  private final case class Entry(chunkId: Long, docId: Long, text: String,
+      vec: Array[Float])
+
+  def serve(store: DataFrame, dim: Int, port: Int = 0,
+      path: String = "/v2/answer", defaultK: Int = 3): HttpServer = {
+    val entries = store.select("chunk_id", "doc_id", "chunk_text", "embedding")
+      .collect()
+      .map { r =>
+        Entry(r.getLong(0), r.getLong(1), r.getString(2),
+          r.getSeq[Float](3).toArray)
+      }
+    val embedder = new Embedders.FakeEmbedder(dim)
+
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    def jsonEscape(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext(path, new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        try {
+          if (ex.getRequestMethod != "POST") {
+            ex.sendResponseHeaders(405, -1); return
+          }
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          val parsed = JsonMethods.parse(body)
+          val query = parsed \ "query" match {
+            case JString(q) => q
+            case _ => null
+          }
+          if (query == null) { ex.sendResponseHeaders(400, -1); return }
+          val k = parsed \ "k" match {
+            case JInt(n) => n.toInt
+            case _ => defaultK
+          }
+          val qv = embedder.embedBatch(Seq(query)).head
+          val top = entries.map(e => (e, cosine(qv, e.vec)))
+            .sortBy { case (e, s) => (-s, e.chunkId) }
+            .take(math.max(k, 0))
+          val results = top.map { case (e, s) =>
+            s"""{"chunk_id":${e.chunkId},"doc_id":${e.docId},"score":$s,"text":"${jsonEscape(e.text)}"}"""
+          }.mkString("[", ",", "]")
+          val resp = s"""{"results":$results}""".getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, resp.length.toLong)
+          ex.getResponseBody.write(resp)
+        } finally ex.close()
+      }
+    })
+    server.start()
+    server
+  }
+}

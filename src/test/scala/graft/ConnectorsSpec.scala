@@ -71,6 +71,33 @@ class ConnectorsSpec extends AnyFunSuite {
       (2L, "x", -1, 300L))) // delete retracts before-image
   }
 
+  test("airbyte protocol: RECORD envelopes parse per stream, CDC maps to diffs") {
+    val data = new StructType().add("id", LongType).add("v", StringType)
+    val lines = Seq(
+      """{"type":"LOG","log":{"level":"INFO","message":"starting"}}""",
+      """{"type":"RECORD","record":{"stream":"users","emitted_at":100,"data":{"id":1,"v":"a"}}}""",
+      """{"type":"RECORD","record":{"stream":"orders","emitted_at":110,"data":{"id":9,"v":"zz"}}}""",
+      """{"type":"STATE","state":{"data":{"cursor":"110"}}}""",
+      """{"type":"RECORD","record":{"stream":"users","emitted_at":120,"data":{"id":2,"v":"b"}}}""")
+      .toDF("value")
+    val users = Connectors.airbyteRecords(lines, "users", data)
+      .select("id", "v", "_emitted_at").as[(Long, String, Long)].collect().toSet
+    assert(users == Set((1L, "a", 100L), (2L, "b", 120L))) // orders/STATE/LOG filtered
+
+    val cdcLines = Seq(
+      """{"type":"RECORD","record":{"stream":"users","emitted_at":100,"data":{"id":1,"v":"a","_ab_cdc_deleted_at":null}}}""",
+      """{"type":"RECORD","record":{"stream":"users","emitted_at":200,"data":{"id":1,"v":"a","_ab_cdc_deleted_at":"2024-01-01T00:00:00Z"}}}""")
+      .toDF("value")
+    val cl = Connectors.airbyteCdcToChangelog(cdcLines, "users", data)
+      .select("id", "v", "diff", "time").as[(Long, String, Int, Long)].collect().toSet
+    assert(cl == Set((1L, "a", 1, 100L), (1L, "a", -1, 200L)))
+
+    // and the changelog snapshot resolves the deletion
+    val snap = graft.streaming.StreamOps.streamToTable(
+      Connectors.airbyteCdcToChangelog(cdcLines, "users", data), Seq("id"))
+    assert(snap.count() == 0)
+  }
+
   test("streaming wordcount maintains live counts across file arrivals (update mode)") {
     val dir = tmpDir() + "/wc"
     new java.io.File(dir).mkdirs()

@@ -80,4 +80,29 @@ class HttpSpec extends AnyFunSuite {
         """{"id":8,"vector":[0.5,0.5],"payload":{"title":"doc-b"}}"""))
     } finally server.stop(0)
   }
+
+  test("QaServer: /v2/answer returns top-k chunks for a query over a built store") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spark is a distributed engine for large scale data processing " +
+        "with dataframes and a catalyst optimizer inside"),
+      (2L, "the cat sat on a warm mat in the sun and slept through the whole " +
+        "afternoon without a single care"),
+      (3L, "window functions and joins shuffle data between partitions in a " +
+        "distributed query engine at scale")).toDF("doc_id", "text")
+    val store = graft.operators.DocumentStore.build(
+      docs, col("doc_id"), col("text"), chunkTokens = 30, overlap = 5, dim = 32)
+    val server = graft.sources.QaServer.serve(store, dim = 32)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/v2/answer"
+      val resp = post(url, """{"query": "distributed data engine", "k": 2}""")
+      assert(resp.startsWith("""{"results":["""), resp)
+      // two results, and the cat doc is not one of them
+      assert("\"chunk_id\":".r.findAllIn(resp).size == 2, resp)
+      assert(!resp.contains("\"doc_id\":2"), resp)
+      // default k + malformed body behavior
+      val resp1 = post(url, """{"query": "cat in the sun", "k": 1}""")
+      assert(resp1.contains("\"doc_id\":2"), resp1)
+    } finally server.stop(0)
+  }
 }
