@@ -31,14 +31,33 @@ object QaServer {
   private final case class Entry(chunkId: Long, docId: Long, text: String,
       vec: Array[Float])
 
-  def serve(store: DataFrame, dim: Int, port: Int = 0,
-      path: String = "/v2/answer", defaultK: Int = 3): HttpServer = {
-    val entries = store.select("chunk_id", "doc_id", "chunk_text", "embedding")
+  /** A served endpoint whose index can be refreshed in place: call
+    * `refresh(newStore)` after the Spark side rebuilds the store and the
+    * next request answers from the new snapshot — an atomic reference swap,
+    * so serving never pauses (the reference's servers update their index
+    * from the live dataflow the same way). */
+  final class Served private[QaServer] (val server: HttpServer,
+      ref: java.util.concurrent.atomic.AtomicReference[Array[Entry]]) {
+    def refresh(store: DataFrame): Unit = ref.set(QaServer.collectEntries(store))
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def collectEntries(store: DataFrame): Array[Entry] =
+    store.select("chunk_id", "doc_id", "chunk_text", "embedding")
       .collect()
       .map { r =>
         Entry(r.getLong(0), r.getLong(1), r.getString(2),
           r.getSeq[Float](3).toArray)
       }
+
+  def serve(store: DataFrame, dim: Int, port: Int = 0,
+      path: String = "/v2/answer", defaultK: Int = 3): HttpServer =
+    serveRefreshable(store, dim, port, path, defaultK).server
+
+  def serveRefreshable(store: DataFrame, dim: Int, port: Int = 0,
+      path: String = "/v2/answer", defaultK: Int = 3): Served = {
+    val indexRef = new java.util.concurrent.atomic.AtomicReference(collectEntries(store))
     val embedder = new Embedders.FakeEmbedder(dim)
 
     def cosine(a: Array[Float], b: Array[Float]): Double = {
@@ -81,6 +100,7 @@ object QaServer {
             case _ => defaultK
           }
           val qv = embedder.embedBatch(Seq(query)).head
+          val entries = indexRef.get()
           val top = entries.map(e => (e, cosine(qv, e.vec)))
             .sortBy { case (e, s) => (-s, e.chunkId) }
             .take(math.max(k, 0))
@@ -95,6 +115,6 @@ object QaServer {
       }
     })
     server.start()
-    server
+    new Served(server, indexRef)
   }
 }

@@ -105,4 +105,21 @@ class HttpSpec extends AnyFunSuite {
       assert(resp1.contains("\"doc_id\":2"), resp1)
     } finally server.stop(0)
   }
+
+  test("QaServer.refresh: atomic index swap serves the new snapshot without restart") {
+    import org.apache.spark.sql.functions.col
+    val v1 = Seq((1L, "alpha beta gamma delta epsilon words about nothing at all"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((2L, "spark catalyst optimizer distributed query engine plan"))
+      .toDF("doc_id", "text")
+    def store(d: org.apache.spark.sql.DataFrame) = graft.operators.DocumentStore.build(
+      d, col("doc_id"), col("text"), chunkTokens = 30, overlap = 5, dim = 32)
+    val served = graft.sources.QaServer.serveRefreshable(store(v1), dim = 32)
+    try {
+      val url = s"http://127.0.0.1:${served.port}/v2/answer"
+      assert(post(url, """{"query": "anything", "k": 1}""").contains("\"doc_id\":1"))
+      served.refresh(store(v2))
+      assert(post(url, """{"query": "anything", "k": 1}""").contains("\"doc_id\":2"))
+    } finally served.stop()
+  }
 }
