@@ -15,7 +15,7 @@ import graft.streaming.ChangelogOps
   *  - lsh        — kernelized cosine/SRP vs interpreted HOF forms; full KNN
   *  - textdedup  — minhash LSH + span dedup on a replicated corpus (every
   *                 doc in an m-clone group: the dense-dup STRESS probe)
-  *  - textdedupdist — per-replica vowel-rotated replication (constant dup
+  *  - textdedupdist — per-replica Caesar-rotated replication (constant dup
   *                 density: the honest linear-scaling probe)
   *  - hotbucket  — ADVERSARIAL: constant-text pileup; the band-join guard
   *                 must keep candidates linear where all-pairs is quadratic
@@ -139,7 +139,7 @@ object ScaleProbe {
     }
 
     if (families("textdedupdist")) {
-      // DISTINCT-doc scaling corpus: replication with per-replica vowel
+      // DISTINCT-doc scaling corpus: replication with per-replica Caesar
       // rotation — cross-replica shingle overlap collapses (jaccard ≈ 0),
       // so dup density stays CONSTANT as the corpus grows. This is the
       // honest linear-scaling probe; the plain `textdedup` family (offset-id

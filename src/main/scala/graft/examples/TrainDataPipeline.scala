@@ -28,14 +28,16 @@ object TrainDataPipeline {
   /** The pipeline as a function (spec-testable): documents(doc_id, text) +
     * an eval table → packed training rows with full audit columns. */
   def curate(docs: DataFrame, evalSet: DataFrame, budget: Long = 2048): DataFrame = {
-    // 1. analyze (rowwise, codegen'd — no shuffle)
+    // 1. analyze (rowwise, codegen'd — no shuffle). Redact FIRST: lang /
+    // quality / token counts must describe the text the pipeline ships,
+    // not the pre-redaction original (pack offsets depend on n_tokens)
     val (redacted, nEmails, nPhones) = TrainPrep.piiRedact(col("text"))
-    val analyzed = docs.select(
-      col("doc_id"), redacted.as("text"),
-      TextOps.langId(col("text")).as("lang"),
-      TextOps.qualityScore(col("text")).as("quality"),
-      TextOps.tokenCount(col("text")).as("n_tokens"),
-      (nEmails + nPhones).as("pii_hits"))
+    val analyzed = docs
+      .select(col("doc_id"), redacted.as("text"), (nEmails + nPhones).as("pii_hits"))
+      .select(col("doc_id"), col("text"), col("pii_hits"),
+        TextOps.langId(col("text")).as("lang"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
 
     // 2. filter
     val kept = analyzed.filter(col("lang") === "en" && col("quality") >= 0.3)
@@ -62,10 +64,15 @@ object TrainDataPipeline {
     // 7. leak-free split on the stable id hash
     val splits = TrainPrep.splitByHash(sampled, col("doc_id"))
 
-    // 8. pack the train split into fixed context windows, sharded by split
+    // 8. pack the train split into fixed context windows. The packing
+    // window is sharded by a hash bucket of the doc id (packSequences'
+    // scaladoc: NEVER a single global sort partition — `split` alone would
+    // be exactly that after the train filter); at real scale use a
+    // date/source column so packs align with ingestion shards
     TrainPrep.packSequences(
-      splits.filter(col("split") === "train"),
-      instance = col("split"), order = col("doc_id"),
+      splits.filter(col("split") === "train")
+        .withColumn("_shard", pmod(graft.functions.CrossHash.md5Long(col("doc_id")), lit(16L))),
+      instance = col("_shard"), order = col("doc_id"),
       nTokens = col("n_tokens"), budget = budget)
   }
 
@@ -82,9 +89,11 @@ object TrainDataPipeline {
     // stand-in eval set: a slice of the corpus guarantees contamination hits
     val evalSet = docs.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
+    val nIn = docs.count()
     val out = curate(docs, evalSet)
-    val packs = out.agg(countDistinct("pack_id")).head.getLong(0)
-    println(s"[pipeline] input=${docs.count()} curated=${out.count()} packs=$packs")
+    // one action for the whole summary — don't re-run the pipeline per stat
+    val row = out.agg(count(lit(1)).as("n"), countDistinct(col("pack_id")).as("p")).head
+    println(s"[pipeline] input=$nIn curated=${row.getLong(0)} packs=${row.getLong(1)}")
     spark.stop()
   }
 }

@@ -154,11 +154,15 @@ object Connectors {
     * diff ±1 rows like [[debeziumToChangelog]], `time` = emitted_at. */
   def airbyteCdcToChangelog(lines: DataFrame, stream: String,
       dataSchema: StructType): DataFrame = {
-    val withDel = dataSchema.add("_ab_cdc_deleted_at",
-      org.apache.spark.sql.types.StringType)
+    // CDC catalogs usually already declare _ab_cdc_deleted_at - don't add a
+    // duplicate field (ambiguous-column AnalysisException downstream)
+    val withDel =
+      if (dataSchema.fieldNames.contains("_ab_cdc_deleted_at")) dataSchema
+      else dataSchema.add("_ab_cdc_deleted_at",
+        org.apache.spark.sql.types.StringType)
     val recs = airbyteRecords(lines, stream, withDel)
     recs.select(
-      (dataSchema.fieldNames.map(col).toSeq :+
+      (dataSchema.fieldNames.filterNot(_ == "_ab_cdc_deleted_at").map(col).toSeq :+
         when(col("_ab_cdc_deleted_at").isNotNull, lit(-1)).otherwise(lit(1)).as("diff") :+
         col("_emitted_at").as("time")): _*)
   }

@@ -36,20 +36,35 @@ object QaServer {
     * next request answers from the new snapshot — an atomic reference swap,
     * so serving never pauses (the reference's servers update their index
     * from the live dataflow the same way). */
-  final class Served private[QaServer] (val server: HttpServer,
+  final class Served private[QaServer] (val server: HttpServer, dim: Int,
       ref: java.util.concurrent.atomic.AtomicReference[Array[Entry]]) {
-    def refresh(store: DataFrame): Unit = ref.set(QaServer.collectEntries(store))
+    private var prev: DataFrame = null
+    /** Swap in a rebuilt store; the superseded store's cache is released
+      * (its rows live on in the collected snapshot until this swap). */
+    def refresh(store: DataFrame): Unit = synchronized {
+      ref.set(QaServer.collectEntries(store, dim))
+      if (prev ne null) prev.unpersist(false)
+      prev = store
+    }
     def port: Int = server.getAddress.getPort
     def stop(): Unit = server.stop(0)
   }
 
-  private def collectEntries(store: DataFrame): Array[Entry] =
-    store.select("chunk_id", "doc_id", "chunk_text", "embedding")
+  private def collectEntries(store: DataFrame, dim: Int): Array[Entry] = {
+    val entries = store.select("chunk_id", "doc_id", "chunk_text", "embedding")
       .collect()
       .map { r =>
         Entry(r.getLong(0), r.getLong(1), r.getString(2),
           r.getSeq[Float](3).toArray)
       }
+    // fail fast on a serve(dim) / store-dim mismatch: truncated-cosine
+    // scoring would otherwise return silently garbage rankings
+    entries.find(_.vec.length != dim).foreach { e =>
+      throw new IllegalArgumentException(
+        s"store embedding dim ${e.vec.length} != serve dim $dim (chunk ${e.chunkId})")
+    }
+    entries
+  }
 
   def serve(store: DataFrame, dim: Int, port: Int = 0,
       path: String = "/v2/answer", defaultK: Int = 3): HttpServer =
@@ -57,7 +72,7 @@ object QaServer {
 
   def serveRefreshable(store: DataFrame, dim: Int, port: Int = 0,
       path: String = "/v2/answer", defaultK: Int = 3): Served = {
-    val indexRef = new java.util.concurrent.atomic.AtomicReference(collectEntries(store))
+    val indexRef = new java.util.concurrent.atomic.AtomicReference(collectEntries(store, dim))
     val embedder = new Embedders.FakeEmbedder(dim)
 
     def cosine(a: Array[Float], b: Array[Float]): Double = {
@@ -89,7 +104,10 @@ object QaServer {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           import org.json4s._
           import org.json4s.jackson.JsonMethods
-          val parsed = JsonMethods.parse(body)
+          val parsed =
+            try JsonMethods.parse(body)
+            catch { case scala.util.control.NonFatal(_) =>
+              ex.sendResponseHeaders(400, -1); return }
           val query = parsed \ "query" match {
             case JString(q) => q
             case _ => null
@@ -101,7 +119,10 @@ object QaServer {
           }
           val qv = embedder.embedBatch(Seq(query)).head
           val entries = indexRef.get()
+          // non-finite scores (zero-norm query or chunk) can't rank and
+          // -Infinity isn't valid JSON - drop them
           val top = entries.map(e => (e, cosine(qv, e.vec)))
+            .filter { case (_, s) => java.lang.Double.isFinite(s) }
             .sortBy { case (e, s) => (-s, e.chunkId) }
             .take(math.max(k, 0))
           val results = top.map { case (e, s) =>
@@ -115,6 +136,6 @@ object QaServer {
       }
     })
     server.start()
-    new Served(server, indexRef)
+    new Served(server, dim, indexRef)
   }
 }

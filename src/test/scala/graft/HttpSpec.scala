@@ -100,9 +100,23 @@ class HttpSpec extends AnyFunSuite {
       // two results, and the cat doc is not one of them
       assert("\"chunk_id\":".r.findAllIn(resp).size == 2, resp)
       assert(!resp.contains("\"doc_id\":2"), resp)
-      // default k + malformed body behavior
       val resp1 = post(url, """{"query": "cat in the sun", "k": 1}""")
       assert(resp1.contains("\"doc_id\":2"), resp1)
+      // default k (no "k" in body) returns defaultK=3 results
+      val respDef = post(url, """{"query": "distributed data engine"}""")
+      assert("\"chunk_id\":".r.findAllIn(respDef).size == 3, respDef)
+      // malformed body -> clean 400, not a dropped connection
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      conn.getOutputStream.write("not json".getBytes(StandardCharsets.UTF_8))
+      conn.getOutputStream.close()
+      assert(conn.getResponseCode == 400)
+      conn.disconnect()
+      // empty query embeds to the zero vector: scores are non-finite and
+      // dropped, so the response is valid JSON with zero results
+      val respEmpty = post(url, """{"query": "", "k": 2}""")
+      assert(respEmpty == """{"results":[]}""", respEmpty)
     } finally server.stop(0)
   }
 
