@@ -147,10 +147,11 @@ object StreamOps {
     * `ds.groupByKey(key).flatMapGroupsWithState(Append, EventTimeTimeout)(
     *    bufferKernel[K, V](getEventTimeMs))` on a watermarked Dataset.
     */
-  def bufferKernel[K, V](eventTimeMs: V => Long): (K, Iterator[V], GroupState[List[V]]) => Iterator[V] =
+  def bufferKernel[K, V](eventTimeMs: V => Long,
+      dropPastDue: Boolean = true): (K, Iterator[V], GroupState[List[V]]) => Iterator[V] =
     (key: K, rows: Iterator[V], state: GroupState[List[V]]) => {
+      val wm = state.getCurrentWatermarkMs()
       if (state.hasTimedOut) {
-        val wm = state.getCurrentWatermarkMs()
         val (ripe, hold) = state.getOption.getOrElse(Nil).partition(eventTimeMs(_) <= wm)
         if (hold.isEmpty) state.remove() else {
           state.update(hold)
@@ -158,11 +159,22 @@ object StreamOps {
         }
         ripe.sortBy(eventTimeMs).iterator
       } else {
-        val buf = state.getOption.getOrElse(Nil) ++ rows
-        state.update(buf)
-        // wake as soon as the watermark can next release something
-        state.setTimeoutTimestamp(buf.map(eventTimeMs).min + 1)
-        Iterator.empty
+        // flatMapGroupsWithState does NOT pre-filter late rows: an arrival
+        // already at-or-behind the watermark must not enter the buffer (its
+        // timeout would be in the past, which Spark rejects — query death).
+        // Buffer semantics (release time = event time) DROP it: the row is
+        // late and the in-order releases up to wm already went out
+        // (ignore_late). Delay semantics (release time = t + delay) EMIT it
+        // now: its hold period has fully elapsed.
+        val (pastDue, future) = rows.toList.partition(eventTimeMs(_) <= wm)
+        val buf = state.getOption.getOrElse(Nil) ++ future
+        if (buf.nonEmpty) {
+          state.update(buf)
+          // wake as soon as the watermark can next release something; held
+          // rows are all > wm by construction, so the timeout is valid
+          state.setTimeoutTimestamp(buf.map(eventTimeMs).min + 1)
+        }
+        if (dropPastDue) Iterator.empty else pastDue.sortBy(eventTimeMs).iterator
       }
     }
 
@@ -177,7 +189,9 @@ object StreamOps {
     * to delay that window's first output, exactly the reference's semantics. */
   def delayKernel[K, V](eventTimeMs: V => Long, delayMs: Long):
       (K, Iterator[V], GroupState[List[V]]) => Iterator[V] =
-    bufferKernel[K, V](v => eventTimeMs(v) + delayMs)
+    // a row whose t + delay already passed the watermark has served its
+    // full hold — emit immediately rather than dropping it
+    bufferKernel[K, V](v => eventTimeMs(v) + delayMs, dropPastDue = false)
 
   // ── stream-stream asof join (SURVEY known-hard #2; reference
   //    _asof_join.py backward semantics over two live streams) ────────────────

@@ -85,6 +85,48 @@ class AsofKernelPropertySpec extends AnyFunSuite {
   private def split(evs: Seq[Ev], k: Int): Seq[Seq[Ev]] =
     evs.grouped(math.max(1, (evs.size + k - 1) / k)).toSeq
 
+  test("buffer kernel: out-of-order delivery releases kept rows in event-time order") {
+    (1L to 20L).foreach { seed =>
+      val rnd = new scala.util.Random(seed + 3000)
+      // OUT-OF-ORDER delivery (unlike the asof cases): some rows arrive
+      // behind the watermark and must be dropped, never crash the kernel
+      val times = rnd.shuffle((1 to 400).toList).take(30).map(_ * 60000L)
+      val batches = times.grouped(8).toSeq
+      var state: Optional[List[Long]] = Optional.empty()
+      var lastTimeout: Option[Long] = None
+      var wm = 0L
+      var maxSeen = 0L
+      val released = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val expectedKept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def invoke(evs: Seq[Long], timedOut: Boolean): Unit = {
+        val st = TestGroupState.create[List[Long]](state,
+          GroupStateTimeout.EventTimeTimeout, 1000L, Optional.of(wm), timedOut)
+          .asInstanceOf[TestGroupState[List[Long]]]
+        released ++= StreamOps.bufferKernel[Long, Long](identity)(1L, evs.iterator, st)
+        state = if (st.isRemoved || !st.exists) Optional.empty() else Optional.of(st.get)
+        lastTimeout = if (st.isRemoved || !st.getTimeoutTimestampMs.isPresent) None
+          else Some(st.getTimeoutTimestampMs.get)
+      }
+      def fire(): Unit = {
+        var g = 0
+        while (state.isPresent && lastTimeout.exists(_ <= wm) && g < 1000) {
+          invoke(Nil, timedOut = true); g += 1
+        }
+      }
+      batches.foreach { b =>
+        fire()
+        expectedKept ++= b.filter(_ > wm) // late-at-delivery rows are dropped
+        invoke(b, timedOut = false)
+        maxSeen = math.max(maxSeen, b.max)
+        wm = maxSeen - DelayMs
+      }
+      wm = maxSeen + 100 * DelayMs
+      fire()
+      assert(released.toList == expectedKept.toList.sorted,
+        s"seed=$seed: releases must be exactly the kept rows in event-time order")
+    }
+  }
+
   test("backward kernel == brute-force backward asof over 20 random sequences") {
     (1L to 20L).foreach { seed =>
       val evs = gen(seed, 30)
