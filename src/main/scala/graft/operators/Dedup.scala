@@ -278,20 +278,41 @@ object Dedup {
     * was CodegenFallback and interpreted per element). Returns (id, _sig) with
     * the signature as a 64-char bitstring. */
   def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.as("id"), explode(TextOps.wordTokens(text)).as("_t"))
-      .select(col("id"), CrossHash.md5Long(col("_t")).as("_h"))
-    val bitAggs = (0 until 64).map { i =>
-      sum(when(shiftright(col("_h"), 63 - i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"_c$i")
-    }
-    // pack the 64 sign bits into ONE long: hamming distance then costs a single
-    // codegen'd bit_count(xor) per candidate pair instead of an interpreted
-    // 64-element string zip
-    val packed = (0 until 64).map(i =>
-      when(col(s"_c$i") > 0, shiftleft(lit(1L), 63 - i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("id"), packed.as("_sig"))
+    // Tokenization stays in Spark SQL (wordTokens — identical lower/regex
+    // semantics as the DuckDB oracle); the signature fold runs in a JVM
+    // kernel like minhashLsh's: simhash is per-doc-local, so exploding a
+    // row per token and running 64 conditional sum() aggregates only paid
+    // Tungsten encoding + a 64-column hash-agg for values that never leave
+    // their document. Values are bit-for-bit the old pipeline's: md5LongJvm
+    // is md5Long's JVM twin, (h >> k) & 1 == (h >>> k) & 1, sum-over-
+    // multiset order-independent. Token-less docs emit no row (the explode
+    // semantics).
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.select(id.cast("long").as("id"), TextOps.wordTokens(text).as("_toks"))
+      .as[(Long, Seq[String])].mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, toks) =>
+          if (toks == null || toks.isEmpty) Iterator.empty
+          else {
+            val counts = new Array[Long](64)
+            toks.foreach { t =>
+              md.reset()
+              val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+              var i = 0
+              while (i < 64) {
+                if (((h >>> (63 - i)) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+                i += 1
+              }
+            }
+            var sig = 0L
+            var i = 0
+            while (i < 64) { if (counts(i) > 0) sig |= (1L << (63 - i)); i += 1 }
+            Iterator.single((docId, sig))
+          }
+        }
+      }.toDF("id", "_sig")
   }
 
   /** Hamming distance between two packed 64-bit signatures. */
