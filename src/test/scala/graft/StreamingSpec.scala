@@ -351,6 +351,34 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming session windows: native session_window closes on watermark (append)") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = input.toDF().toDF("t", "user")
+      .withWatermark("t", "1 minute")
+      .groupBy(session_window(col("t"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("n"),
+        col("session_window.start").as("s"), col("session_window.end").as("e"))
+    val q = agg.writeStream.format("memory").queryName("sess_stream_out")
+      .outputMode("append").start()
+    // user 1: events at 00:00, 00:05 (one session, gap < 10m), then 00:30
+    // (new session); user 2: a single event
+    input.addData(
+      (ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:05:00"), 1L),
+      (ts("2024-01-01 00:30:00"), 1L), (ts("2024-01-01 00:02:00"), 2L))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 02:00:00"), 99L)) // push the watermark
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 03:00:00"), 99L))
+    q.processAllAvailable()
+    val rows = spark.table("sess_stream_out").filter(col("user").isin(1L, 2L))
+      .select("user", "n").as[(Long, Long)].collect().toSeq.sorted
+    // sessions: user1 {00:00,00:05} (n=2) and {00:30} (n=1); user2 n=1
+    assert(rows == Seq((1L, 1L), (1L, 2L), (2L, 1L)), rows.toString)
+    q.stop()
+  }
+
   test("predicate session windows merge by custom condition (batch)") {
     import graft.operators.Temporal
     // merge consecutive rows while the value gap is < 100 (not time-based)
