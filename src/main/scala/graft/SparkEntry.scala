@@ -283,10 +283,22 @@ object SparkEntry {
         "last_value" -> Reducers.latest(col("value"), col("ts"), col("event_id")))
       .toDf
 
-  private def qReduceApproxDistinct(s: SparkSession, dir: String): DataFrame =
+  private def qReduceApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // HLL++ sketches can't hash-match a DuckDB oracle directly (different
+    // sketches), but Spark's estimate is deterministic for fixed input — so
+    // assert the documented error bound AS DATA: emit the exact count plus
+    // within_tol = |approx − exact| / exact ≤ 3·rsd, which DuckDB reproduces
+    // exactly (exact count + literal true).
+    val rsd = 0.02
     Tables.orders(s, dir).groupbyCols("o_orderstatus")
-      .reduce("approx_cust" -> Reducers.countDistinctApprox(col("o_custkey"), 0.02))
+      .reduce(
+        "approx_cust" -> Reducers.countDistinctApprox(col("o_custkey"), rsd),
+        "exact_cust"  -> Reducers.countDistinct_(col("o_custkey")))
       .toDf
+      .select(col("o_orderstatus"), col("exact_cust"),
+        (abs(col("approx_cust") - col("exact_cust")) / col("exact_cust") <= lit(3 * rsd))
+          .as("within_tol"))
+  }
 
   // ───────────────────────────────────────────────────────────────────────────
   //  Expression namespaces (SURVEY §2.3) — rowwise goldens over real tables
@@ -1788,9 +1800,14 @@ object SparkEntry {
     // Generated oracles (OracleSqlGen): the hash-family pipelines are
     // deterministic end-to-end on the CrossHash md5 family, but need per-seed
     // constants / hyperplane literals / N-way band joins — built from the SAME
-    // constants the Spark operators embed. reduce_approx_distinct is the one
-    // deliberately un-oracle-able query: Spark HLL++ and DuckDB approx_distinct
-    // are different sketches and cannot hash-match (documented divergence).
+    // constants the Spark operators embed.
+    // reduce_approx_distinct: the sketches themselves can't hash-match (Spark
+    // HLL++ vs DuckDB's), so the query asserts the 3·rsd error bound as data —
+    // exact count (both engines agree) + within_tol, true on both sides as long
+    // as Spark's deterministic estimate stays inside the documented bound.
+    "reduce_approx_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_cust, true AS within_tol
+        |FROM orders GROUP BY 1""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue

@@ -149,6 +149,8 @@ object Dedup {
         (0 until numHashes).map(s => col("_mins")(s).as(s"_h$s")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count()
+    var candSets: DataFrame = null
+    try {
 
     // band key = variadic xxhash64 over that band's signature slots (no
     // strings; a bucket key is join-internal, so Spark-only hashing is fine —
@@ -222,7 +224,7 @@ object Dedup {
     // pair join, and the interpreted shingle HOF stays off this path.
     val candIds = prefiltered.select(col("id1").as("id"))
       .unionByName(prefiltered.select(col("id2").as("id"))).distinct()
-    val candSets = norm.join(candIds, Seq("id"), "left_semi")
+    candSets = norm.join(candIds, Seq("id"), "left_semi")
       .as[(Long, String)].mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (docId, n) =>
@@ -243,11 +245,17 @@ object Dedup {
         }
       }.toDF("id", "_sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the verified pairs (small: true near-dups only) so the
+    // signature/shingle caches can be released in finally — repeated
+    // same-session calls no longer leak a cache entry per invocation.
+    // localCheckpoint truncates lineage; its blocks are ContextCleaner-
+    // managed once the frame is unreachable, unlike persist entries.
     val dupPairs = prefiltered
       .join(candSets.select(col("id").as("id1"), col("_sh").as("_sh1")), Seq("id1"))
       .join(candSets.select(col("id").as("id2"), col("_sh").as("_sh2")), Seq("id2"))
       .filter(jaccard(col("_sh1"), col("_sh2")) >= threshold)
       .select("id1", "id2")
+      .localCheckpoint(true)
 
     // star-merge: every doc points at the smallest duplicate neighbor (or itself)
     val neighborMin = dupPairs.select(col("id2").as("id"), col("id1").as("_nb"))
@@ -259,6 +267,10 @@ object Dedup {
       .withColumn("rep_id", least(coalesce(col("_minNb"), col("id")), col("id")))
       .withColumn("is_dup", col("rep_id") =!= col("id"))
       .select("id", "rep_id", "is_dup")
+    } finally {
+      sig.unpersist(false)
+      if (candSets != null) candSets.unpersist(false)
+    }
   }
 
   /** Full transitive closure over verified near-dup pairs: a~b and b~c put
@@ -352,44 +364,67 @@ object Dedup {
     * ≤ rows/bucketCap entries BY CONSTRUCTION, so it broadcasts: the cold
     * path is a broadcast anti-join and the only added work is the
     * map-side-combined bucket-count agg. `bucketCap = Int.MaxValue`
-    * disables the guard (the honest unguarded control). */
+    * disables the guard (the honest unguarded control).
+    *
+    * Multi-cluster recall hazard (explicit): the star assumes a hot bucket is
+    * ONE dup pileup. If a degenerate band key collects SEVERAL distinct clone
+    * clusters, members of the non-rep clusters pair only against the global
+    * min-id rep, fail the Hamming verify, and any pair whose ONLY shared band
+    * was the hot one is lost — a silent recall change vs the unguarded join.
+    * In practice other bands (untouched by the guard) recover same-cluster
+    * pairs, but a caller who needs exhaustive recall on adversarial keys
+    * should raise `bucketCap` (or disable with Int.MaxValue) and accept the
+    * quadratic bucket. */
   def hash64DupPairs(sigs: DataFrame, maxDist: Int, bands: Int,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     val width = 64 / bands
     val mask = (1L << width) - 1
     val withSig = sigs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandExprs = (0 until bands).map(b =>
-      shiftright(col("_sig"), b * width).bitwiseAND(lit(mask)))
-    val banded = withSig.select(col("id"), col("_sig"),
-      posexplode(array(bandExprs: _*)).as(Seq("_band", "_key")))
-    val pairs = if (bucketCap == Int.MaxValue) {
-      val l = banded.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))
-      val r = banded.select(col("_band"), col("_key"), col("id").as("id2"), col("_sig").as("_s2"))
-      l.join(r, Seq("_band", "_key"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "_s1", "id2", "_s2")
-    } else {
-      val hot = broadcast(banded.groupBy("_band", "_key")
-        .agg(count(lit(1)).as("_n"), min(struct(col("id"), col("_sig"))).as("_rep"))
-        .filter(col("_n") > bucketCap))
-      val cold = banded.join(hot.select("_band", "_key"),
-        Seq("_band", "_key"), "left_anti")
-      val l = cold.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))
-      val r = cold.select(col("_band"), col("_key"), col("id").as("id2"), col("_sig").as("_s2"))
-      val coldPairs = l.join(r, Seq("_band", "_key"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "_s1", "id2", "_s2")
-      // rep has the bucket's min id, so id1 < id2 holds by construction
-      val hotPairs = banded.join(hot, Seq("_band", "_key"))
-        .filter(col("id") =!= col("_rep.id"))
-        .select(col("_rep.id").as("id1"), col("_rep._sig").as("_s1"),
-          col("id").as("id2"), col("_sig").as("_s2"))
-      coldPairs.unionByName(hotPairs)
-    }
-    pairs
-      .dropDuplicates("id1", "id2")
-      .filter(hammingDist(col("_s1"), col("_s2")) <= maxDist)
-      .select(col("id1"), col("id2"), hammingDist(col("_s1"), col("_s2")).as("hamming"))
+    try {
+      // Eager materialization before any downstream plan compiles: AQE runs
+      // the broadcast/join subqueries as parallel jobs that would otherwise
+      // race to fill the unpopulated cache (same measured effect as
+      // minhashLsh's sig.count(), 13 s → 4 s at sf0.1).
+      withSig.count()
+      val bandExprs = (0 until bands).map(b =>
+        shiftright(col("_sig"), b * width).bitwiseAND(lit(mask)))
+      val banded = withSig.select(col("id"), col("_sig"),
+        posexplode(array(bandExprs: _*)).as(Seq("_band", "_key")))
+      val pairs = if (bucketCap == Int.MaxValue) {
+        val l = banded.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))
+        val r = banded.select(col("_band"), col("_key"), col("id").as("id2"), col("_sig").as("_s2"))
+        l.join(r, Seq("_band", "_key"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "_s1", "id2", "_s2")
+      } else {
+        val hot = broadcast(banded.groupBy("_band", "_key")
+          .agg(count(lit(1)).as("_n"), min(struct(col("id"), col("_sig"))).as("_rep"))
+          .filter(col("_n") > bucketCap))
+        val cold = banded.join(hot.select("_band", "_key"),
+          Seq("_band", "_key"), "left_anti")
+        val l = cold.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))
+        val r = cold.select(col("_band"), col("_key"), col("id").as("id2"), col("_sig").as("_s2"))
+        val coldPairs = l.join(r, Seq("_band", "_key"))
+          .filter(col("id1") < col("id2"))
+          .select("id1", "_s1", "id2", "_s2")
+        // rep has the bucket's min id, so id1 < id2 holds by construction
+        val hotPairs = banded.join(hot, Seq("_band", "_key"))
+          .filter(col("id") =!= col("_rep.id"))
+          .select(col("_rep.id").as("id1"), col("_rep._sig").as("_s1"),
+            col("id").as("id2"), col("_sig").as("_s2"))
+        coldPairs.unionByName(hotPairs)
+      }
+      // Materialize the NARROW verified pairs (localCheckpoint truncates the
+      // lineage so the returned frame no longer references the signature
+      // cache — blocks are ContextCleaner-managed, unlike persist entries),
+      // then release the cache in finally: repeated same-session calls no
+      // longer leak a cache entry per invocation.
+      pairs
+        .dropDuplicates("id1", "id2")
+        .filter(hammingDist(col("_s1"), col("_s2")) <= maxDist)
+        .select(col("id1"), col("id2"), hammingDist(col("_s1"), col("_s2")).as("hamming"))
+        .localCheckpoint(true)
+    } finally withSig.unpersist(false)
   }
 }
