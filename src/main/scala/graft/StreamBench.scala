@@ -1,0 +1,305 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
+import graft.streaming.{JdbcSink, StreamOps}
+import graft.streaming.StreamOps.{AsofEvent, AsofJoinState, AsofNearestState}
+
+/** Streaming throughput/latency benchmark main — the streaming counterpart of
+  * [[Bench]]. The reference's in-tree performance baseline is entirely
+  * streaming (wordcount convergence harness
+  * `integration_tests/wordcount/base.py:345-393`; queue-latency percentiles at
+  * 10-30k msg/s in its benchmark docs), so this main drives every stateful
+  * kernel from a rate source at a fixed input rate and records what those
+  * harnesses record:
+  *
+  *  - sustained rows/s (total input rows / wall-clock, idle batches included),
+  *  - per-microbatch latency p50/p99/max (`triggerExecution` from the query's
+  *    progress events — the full latency of a record's batch under the default
+  *    as-fast-as-possible trigger),
+  *  - end-of-run stateful-operator row count (evidence the kernel's state is
+  *    bounded by the watermark, not accumulating),
+  *
+  * plus a wordcount CONVERGENCE measurement mirroring base.py:345: feed a
+  * fixed corpus through `groupBy(word).count()`, wait until the sink table
+  * equals the exact expected counts, record time-to-convergence (the
+  * reference's rule: no progress for 180 s = failed run; here the watchdog).
+  *
+  * Scenarios (same kernels the correctness specs pin):
+  *   asof_backward / asof_forward / asof_nearest — stream-stream asof join
+  *     kernels (StreamOps.scala), rate rows split alternately into left/right
+  *     events over 256 keys, 2 s watermark.
+  *   buffer          — event-time reorder buffer kernel, 1 s watermark.
+  *   session_window  — native session_window append aggregation.
+  *   tumbling_agg    — 1 s tumbling windowed wordcount, append on watermark.
+  *   dedup_acceptor  — stateful acceptor dedup over 100k keys.
+  *   upsert_jdbc     — changelog upsert sink into embedded Derby (batched
+  *                     UPDATE/INSERT/DELETE per partition).
+  *   changelog_upsert — per-microbatch streamToTable snapshot compute.
+  *   wordcount_convergence — MemoryStream corpus, exact-count convergence.
+  *
+  * Output contract (same shape as Bench): one compact JSON line per scenario
+  * as it finishes, one aggregate line, and the complete JSON written to
+  * SPARK_GRAFT_STREAM_OUT (default /tmp/graft_streambench.json).
+  * Knobs: SPARK_GRAFT_STREAM_RATE (rows/s, default 20000),
+  * SPARK_GRAFT_STREAM_SECS (per-scenario wall time, default 20),
+  * SPARK_GRAFT_ONLY (comma filter), SPARK_GRAFT_CPUS.
+  */
+object StreamBench {
+
+  final case class M(name: String, rate: Int, wallSecs: Double, rows: Long,
+      rowsPerSec: Double, procRowsPerSec: Double, p50Ms: Long, p99Ms: Long,
+      maxMs: Long, batches: Int, stateRows: Long, err: String = null)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val rate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "20000").toInt
+    val secs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "20").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAM_OUT", "/tmp/graft_streambench.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      // keep every progress event of a run (default 100 would drop the head
+      // of a 20 s default-trigger run with sub-100ms batches)
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nKeys = 256L
+
+    def rateSrc: DataFrame = StreamOps.rateStream(spark, rate)
+
+    def ckpt(): String =
+      java.nio.file.Files.createTempDirectory("graft_sb_").toString
+
+    // ── scenario starters ───────────────────────────────────────────────────
+
+    /** Split rate rows alternately into left/right asof events over nKeys. */
+    def asofEvents = rateSrc
+      .select(col("timestamp").as("t"), (col("value") % nKeys).as("k"),
+        (col("value") % 2 === 0).as("isLeft"), col("value").as("p"))
+      .withWatermark("t", "2 seconds")
+      .as[(java.sql.Timestamp, Long, Boolean, Long)]
+
+    def toEvent(r: (java.sql.Timestamp, Long, Boolean, Long)): AsofEvent[Long, Long] =
+      AsofEvent[Long, Long](r._3, r._1.getTime,
+        if (r._3) Some(r._4) else None, if (r._3) None else Some(r._4))
+
+    def startAsofBackward(): StreamingQuery =
+      asofEvents.groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (k: Long, it: Iterator[(java.sql.Timestamp, Long, Boolean, Long)],
+           st: org.apache.spark.sql.streaming.GroupState[AsofJoinState[Long, Long]]) =>
+            StreamOps.asofJoinKernel[Long, Long, Long](k, it.map(toEvent), st)
+        }.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+
+    def startAsofForward(): StreamingQuery =
+      asofEvents.groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (k: Long, it: Iterator[(java.sql.Timestamp, Long, Boolean, Long)],
+           st: org.apache.spark.sql.streaming.GroupState[AsofJoinState[Long, Long]]) =>
+            StreamOps.asofForwardKernel[Long, Long, Long](k, it.map(toEvent), st)
+        }.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+
+    def startAsofNearest(): StreamingQuery =
+      asofEvents.groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (k: Long, it: Iterator[(java.sql.Timestamp, Long, Boolean, Long)],
+           st: org.apache.spark.sql.streaming.GroupState[AsofNearestState[Long, Long]]) =>
+            StreamOps.asofNearestKernel[Long, Long, Long](k, it.map(toEvent), st)
+        }.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+
+    def startBuffer(): StreamingQuery =
+      rateSrc.select(col("timestamp").as("t"), (col("value") % nKeys).as("k"),
+          col("value").as("v"))
+        .withWatermark("t", "1 second")
+        .as[(java.sql.Timestamp, Long, Long)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          StreamOps.bufferKernel[Long, (java.sql.Timestamp, Long, Long)](_._1.getTime))
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+
+    def startSessionWindow(): StreamingQuery =
+      rateSrc.select(col("timestamp").as("t"), (col("value") % nKeys).as("k"))
+        .withWatermark("t", "1 second")
+        // inter-arrival per key at the default rate is rate/nKeys rows/s, so a
+        // 5 ms gap closes sessions continuously — the state machine churns
+        // (open/extend/close) instead of growing one session per key forever
+        .groupBy(session_window(col("t"), "5 milliseconds"), col("k"))
+        .count()
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+
+    def startTumblingAgg(): StreamingQuery =
+      rateSrc.select(col("timestamp").as("t"),
+          concat(lit("w"), col("value") % 10000).as("word"))
+        .withWatermark("t", "1 second")
+        .groupBy(window(col("t"), "1 second"), col("word")).count()
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+
+    def startDedupAcceptor(): StreamingQuery =
+      rateSrc.select((col("value") % 100000L).as("k"), col("value").as("v"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          StreamOps.dedupAcceptor[Long, Long]((n, o) => n > o))
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+
+    lazy val derbyUrl: String = {
+      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+      val dir = java.nio.file.Files.createTempDirectory("graft_sb_derby").toString
+      val url = s"jdbc:derby:$dir/db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try conn.createStatement().executeUpdate(
+        "CREATE TABLE sb_users (user_id BIGINT PRIMARY KEY, score DOUBLE)")
+      finally conn.close()
+      url
+    }
+
+    def startUpsertJdbc(): StreamingQuery =
+      JdbcSink.upsertWriter(
+        rateSrc.select((col("value") % 10000L).as("user_id"),
+          (col("value") / 10000L).cast("double").as("score"),
+          when(col("value") % 50 === 0, -1).otherwise(1).as("diff")),
+        Seq("user_id"), derbyUrl, "sb_users", diffCol = Some("diff"))
+        .option("checkpointLocation", ckpt()).start()
+
+    def startChangelogUpsert(): StreamingQuery =
+      rateSrc.select((col("value") % 10000L).as("k"), col("value").as("v"),
+          col("timestamp").as("time"), lit(1).as("diff"))
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          StreamOps.streamToTable(b, Seq("k"), isUpsert = true)
+            .write.mode("overwrite").format("noop").save()
+        }.option("checkpointLocation", ckpt()).start()
+
+    // ── measurement ─────────────────────────────────────────────────────────
+
+    def r1(v: Double): String =
+      BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
+
+    def measure(name: String, start: () => StreamingQuery): M = {
+      val t0 = System.nanoTime()
+      try {
+        val q = start()
+        Thread.sleep(secs * 1000L)
+        q.stop()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val ps = q.recentProgress.filter(_.numInputRows > 0)
+        val durs = ps.flatMap(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong)).sorted
+        def pct(p: Double): Long =
+          if (durs.isEmpty) -1L else durs(math.min(durs.length - 1, (p * durs.length).toInt))
+        val rows = ps.map(_.numInputRows).sum
+        val stateRows = ps.lastOption
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        // wall-clock throughput charges query startup + trigger idle time;
+        // processing throughput (rows / Σ triggerExecution) is the kernel's
+        // sustained capacity — what a saturated stream would see
+        val busySecs = durs.sum / 1000.0
+        M(name, rate, wall, rows, rows / wall,
+          if (busySecs > 0) rows / busySecs else 0, pct(0.5), pct(0.99),
+          durs.lastOption.getOrElse(-1L), durs.length, stateRows)
+      } catch {
+        case e: Throwable =>
+          M(name, rate, (System.nanoTime() - t0) / 1e9, 0, 0, 0, -1, -1, -1, 0, 0,
+            err = e.getClass.getSimpleName)
+      }
+    }
+
+    /** Wordcount convergence (reference base.py:345): stream a fixed corpus,
+      * measure wall time until the counts table exactly equals the expected
+      * multiset. 180 s without convergence = failed run (reference's rule). */
+    def wordcountConvergence(): M = {
+      implicit val sqlCtx = spark.sqlContext
+      val vocab = 997
+      val chunkRows = 5000
+      val chunks = 100
+      val total = chunkRows.toLong * chunks
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val counts = input.toDS().select(concat(lit("w"), col("value") % vocab).as("word"))
+        .groupBy("word").count()
+      val t0 = System.nanoTime()
+      val q = counts.writeStream.format("memory").queryName("sb_wordcount")
+        .outputMode("complete").option("checkpointLocation", ckpt()).start()
+      try {
+        var i = 0L
+        while (i < total) { input.addData(i until math.min(i + chunkRows, total)); i += chunkRows }
+        val deadline = System.nanoTime() + 180L * 1000000000L
+        q.processAllAvailable()
+        // exact convergence: every word's count matches the closed form
+        val got = spark.table("sb_wordcount")
+          .as[(String, Long)].collect().toMap
+        val expected = (0 until vocab).map { w =>
+          s"w$w" -> (total / vocab + (if (w < total % vocab) 1 else 0))
+        }.toMap
+        val wall = (System.nanoTime() - t0) / 1e9
+        val converged = got == expected && System.nanoTime() < deadline
+        val ps = q.recentProgress.filter(_.numInputRows > 0)
+        val durs = ps.flatMap(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong)).sorted
+        def pct(p: Double): Long =
+          if (durs.isEmpty) -1L else durs(math.min(durs.length - 1, (p * durs.length).toInt))
+        val busySecs = durs.sum / 1000.0
+        M("wordcount_convergence", 0, wall, total, total / wall,
+          if (busySecs > 0) total / busySecs else 0, pct(0.5),
+          pct(0.99), durs.lastOption.getOrElse(-1L), durs.length, vocab,
+          err = if (converged) null else "not_converged")
+      } catch {
+        case e: Throwable =>
+          M("wordcount_convergence", 0, (System.nanoTime() - t0) / 1e9, 0, 0, 0,
+            -1, -1, -1, 0, 0, err = e.getClass.getSimpleName)
+      } finally q.stop()
+    }
+
+    val scenarios: Seq[(String, () => M)] = Seq(
+      "asof_backward" -> (() => measure("asof_backward", startAsofBackward _)),
+      "asof_forward" -> (() => measure("asof_forward", startAsofForward _)),
+      "asof_nearest" -> (() => measure("asof_nearest", startAsofNearest _)),
+      "buffer" -> (() => measure("buffer", startBuffer _)),
+      "session_window" -> (() => measure("session_window", startSessionWindow _)),
+      "tumbling_agg" -> (() => measure("tumbling_agg", startTumblingAgg _)),
+      "dedup_acceptor" -> (() => measure("dedup_acceptor", startDedupAcceptor _)),
+      "upsert_jdbc" -> (() => measure("upsert_jdbc", startUpsertJdbc _)),
+      "changelog_upsert" -> (() => measure("changelog_upsert", startChangelogUpsert _)),
+      "wordcount_convergence" -> (() => wordcountConvergence()))
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(scenarios)(s => scenarios.filter(kv => s(kv._1)))
+
+    def json(m: M): String =
+      s"""{"k":"${m.name}","rate":${m.rate},"secs":${r1(m.wallSecs)},""" +
+        s""""rows":${m.rows},"rows_per_s":${r1(m.rowsPerSec)},""" +
+        s""""proc_rows_per_s":${r1(m.procRowsPerSec)},""" +
+        s""""p50_ms":${m.p50Ms},"p99_ms":${m.p99Ms},"max_ms":${m.maxMs},""" +
+        s""""batches":${m.batches},"state_rows":${m.stateRows},""" +
+        s""""err":${if (m.err == null) "null" else "\"" + m.err + "\""}}"""
+
+    val results = selected.map { case (_, run) =>
+      val m = run()
+      println(json(m))
+      m
+    }
+    val totalRows = results.map(_.rows).sum
+    val line = s"""{"metric":"stream_total_rows","value":$totalRows,"unit":"rows",""" +
+      s""""rate":$rate,"secs_per_kernel":$secs,""" +
+      s""""kernels":[${results.map(json).mkString(",")}]}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (results.map(json).mkString("[\n  ", ",\n  ", "\n]\n"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    spark.stop()
+    sys.exit(0)
+  }
+}
