@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Keys, PwTable}
-import graft.operators.{Clustering, Dedup, DocParse, Graphs, Multimodal, Similarity, Temporal, TextOps, TrainPrep, Utils}
+import graft.operators.{Clustering, Dedup, DocParse, Graphs, Hnsw, Multimodal, Similarity, Temporal, TextOps, TrainPrep, Utils}
 import graft.sources.Tables
 import graft.functions.{Exprs, Reducers}
 import graft.functions.Exprs._
@@ -690,6 +690,18 @@ object SparkEntry {
       e, col("vec_id"), col("embedding"), k = 5)
   }
 
+  private def qKnnHnsw(s: SparkSession, dir: String): DataFrame = {
+    // Deterministic construction (id-hash levels, hash-fixed shards, sorted
+    // inserts) makes HNSW oracle-able at all: the output is a pure function
+    // of the data. The generous beam (efSearch ≥ shard size at oracle SF)
+    // makes the per-shard search exact, so the merged top-k equals brute
+    // force row-for-row — realistic beams are recall-pinned in IterateSpec.
+    val e = Tables.embeddings(s, dir).toDf
+    val q = e.filter(col("vec_id") < 10)
+    Hnsw.knn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5, dim = 64, efSearch = 512)
+  }
+
   private def qKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).toDf
     val q = e.filter(col("vec_id") < 10)
@@ -1142,6 +1154,7 @@ object SparkEntry {
     "sample_weighted" -> (qSampleWeighted _),
     "embedding_cosine_pairs" -> (qEmbCosinePairs _),
     "knn_brute_force" -> (qKnnBrute _),
+    "knn_hnsw"        -> (qKnnHnsw _),
     "knn_lsh"         -> (qKnnLsh _),
     "knn_ivf"         -> (qKnnIvf _),
     "clustering_lsh"  -> (qClusteringLsh _),
@@ -1606,6 +1619,23 @@ object SparkEntry {
         |      i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)), (a, b) -> a + b))) AS score
         |FROM e l JOIN e r ON r.vec_id = l.vec_id + 1""".stripMargin,
     "knn_brute_force" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings),
+        |s AS (SELECT query_id, nn_id,
+        |  list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), (a, b) -> a + b)
+        |  / (SQRT(list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (a, b) -> a + b))
+        |   * SQRT(list_reduce(list_transform(generate_series(1, 64),
+        |      i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)), (a, b) -> a + b))) AS score
+        |  FROM q JOIN c ON query_id <> nn_id),
+        |r AS (SELECT query_id, nn_id, score,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM s)
+        |SELECT query_id, nn_id, score, rank FROM r WHERE rank <= 5""".stripMargin,
+    // knn_hnsw: deterministic construction + an exact per-shard beam at this
+    // SF ⇒ output equals brute-force top-k row-for-row (same cosine fold, so
+    // scores are bit-identical); the oracle IS the brute-force ranking
+    "knn_hnsw" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings),
         |s AS (SELECT query_id, nn_id,

@@ -23,7 +23,14 @@ import scala.collection.mutable
 object Hnsw {
 
   /** One per-partition index. M = max neighbors per node per layer,
-    * efConstruction/efSearch = beam widths. */
+    * efConstruction/efSearch = beam widths.
+    *
+    * DETERMINISTIC construction: a node's level is a pure function of its id
+    * (golden-ratio hash → uniform → geometric), not a draw from a sequential
+    * RNG — so the graph depends only on the SET and ORDER of inserted ids,
+    * never on how many draws preceded an insert. [[knn]] pins the order
+    * (sorted by id within hash-fixed partitions), making the whole operator's
+    * output a pure function of (corpus, queries, params). */
   final class Index(dim: Int, m: Int, efConstruction: Int) extends Serializable {
     private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
     private val ids = mutable.ArrayBuffer.empty[Long]
@@ -31,8 +38,15 @@ object Hnsw {
     private val neighbors = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[mutable.ArrayBuffer[Int]]]
     private var entryPoint = -1
     private var topLayer = -1
-    private val rnd = new scala.util.Random(42)
     private val levelNorm = 1.0 / math.log(m.toDouble)
+
+    /** Deterministic level: finalize-mixed id hash → u ∈ (0,1] → geometric. */
+    private def levelOf(id: Long): Int = {
+      var h = id * 0x9E3779B97F4A7C15L
+      h ^= (h >>> 32); h *= 0xD6E8FEB86659FD93L; h ^= (h >>> 32)
+      val u = ((h >>> 11) + 1).toDouble / (1L << 53).toDouble
+      math.min((-math.log(u) * levelNorm).toInt, 16)
+    }
 
     private def sim(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -72,7 +86,7 @@ object Hnsw {
     def add(id: Long, v: Array[Float]): Unit = {
       val node = vecs.length
       vecs += v; ids += id
-      val level = math.min((-math.log(rnd.nextDouble()) * levelNorm).toInt, 16)
+      val level = levelOf(id)
       while (topLayer < level) {
         topLayer += 1
         neighbors += mutable.ArrayBuffer.empty
@@ -117,16 +131,31 @@ object Hnsw {
   }
 
   /** ANN top-k: per-partition HNSW indexes, queries broadcast, global merge.
-    * Output matches bruteForceKnn: (query_id, nn_id, score, rank). */
+    * Output matches bruteForceKnn: (query_id, nn_id, score, rank).
+    *
+    * DETERMINISM: the corpus is hash-repartitioned by id into a FIXED
+    * `indexPartitions` count (Murmur3 on the value — a pure function of the
+    * id, unlike range partitioning whose sampled bounds vary per run) and
+    * sorted by id within each partition, so each per-partition graph is a
+    * pure function of the data regardless of how the input arrived — the
+    * same rows come back at 2, 8, or 32 input partitions (pinned by
+    * IterateSpec's invariance test). At cluster scale `indexPartitions`
+    * is the index-shard count: raise it so a shard's vectors fit an
+    * executor; build cost stays O(n log n) per shard and queries fan out
+    * to every shard exactly like the reference's sharded usearch index. */
   def knn(queries: DataFrame, qId: Column, qVec: Column,
       corpus: DataFrame, cId: Column, cVec: Column, k: Int, dim: Int,
-      m: Int = 8, efConstruction: Int = 64, efSearch: Int = 64): DataFrame = {
+      m: Int = 8, efConstruction: Int = 64, efSearch: Int = 64,
+      indexPartitions: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val qRows = queries.select(qId.cast("long"), qVec).as[(Long, Array[Float])]
       .collect() // query set is small by contract (same as bruteForceKnn's broadcast)
     val qB = spark.sparkContext.broadcast(qRows)
-    val partials = corpus.select(cId.cast("long"), cVec).as[(Long, Array[Float])]
+    val partials = corpus.select(cId.cast("long").as("_id"), cVec.as("_v"))
+      .repartition(indexPartitions, col("_id"))
+      .sortWithinPartitions("_id")
+      .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val idx = new Index(dim, m, efConstruction)
         it.foreach { case (id, v) => idx.add(id, v) }

@@ -185,6 +185,22 @@ class IterateSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"hnsw recall $recall")
   }
 
+  test("HNSW determinism: identical rows at 2/8/32 input partitions") {
+    import graft.operators.Hnsw
+    // construction is a pure function of (corpus, params): levels are id
+    // hashes, the corpus re-hashes into a FIXED indexPartitions count, and
+    // inserts run in sorted-id order — so input partitioning must not leak
+    val e = spark.read.parquet(s"${SparkTestBase.sfDir}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    def rows(nParts: Int) = Hnsw.knn(q, col("vec_id"), col("embedding"),
+        e.repartition(nParts), col("vec_id"), col("embedding"), k = 5, dim = 64)
+      .select("query_id", "nn_id", "score", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val at2 = rows(2)
+    assert(at2.sameElements(rows(8)), "2-part vs 8-part rows differ")
+    assert(at2.sameElements(rows(32)), "2-part vs 32-part rows differ")
+  }
+
   test("utils: argmaxRows / majority / unpackCol") {
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0), ("b", 4L, 5.0))
       .toDF("g", "id", "v")
