@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "hotbucket", "relational", "graph", "changelog"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "hotbucket", "relational", "graph", "changelog", "pipeline"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -72,8 +72,22 @@ object ScaleProbe {
         df.write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val cold = once(); val warm = once()
-      println(f"PROBE $name%-28s rows=$rows%-9d cold=$cold%7.2fs warm=$warm%7.2fs")
+      // count Spark jobs in the warm run: job count is the cross-JVM-stable
+      // cost metric for pass-structured operators (wall time swings ±40%
+      // between launches on this box — BASELINE.md r8)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      val cold = once()
+      spark.sparkContext.addSparkListener(counter)
+      val warm = try once() finally {
+        Thread.sleep(200) // let the async listener bus drain
+        spark.sparkContext.removeSparkListener(counter)
+      }
+      println(f"PROBE $name%-28s rows=$rows%-9d cold=$cold%7.2fs warm=$warm%7.2fs jobs=${jobs.get}%d")
     }
 
     /** Replicate with per-replica offsets on the given Long columns, write
@@ -82,6 +96,25 @@ object ScaleProbe {
       val scaled = (0 until mult).map { i =>
         offsets.foldLeft(base) { case (df, (c, span)) =>
           df.withColumn(c, col(c) + lit(i * span)) }
+      }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+    /** Distinct-doc replication: per-replica Caesar maps (letters rotated by
+      * i mod 26, digits by i mod 10) collide only at i ≡ j (mod 130), so every
+      * replica below 130× carries a distinct scrambling, cross-replica shingle
+      * overlap is ~0, and dup DENSITY stays constant as the corpus grows —
+      * the honest linear-scaling corpus (vs offset-id replication's m-clone
+      * dense-dup stress). Within-replica organic dups are preserved (both
+      * sides of a dup get the same map). */
+    def caesarReplicate(docsBase: DataFrame, nd: Long, path: String): DataFrame = {
+      val letters = "abcdefghijklmnopqrstuvwxyz"; val digits = "0123456789"
+      val scaled = (0 until mult).map { i =>
+        val rot = (letters.drop(i % 26) + letters.take(i % 26)) +
+          (digits.drop(i % 10) + digits.take(i % 10))
+        docsBase.select((col("doc_id") + lit(i * nd)).as("doc_id"),
+          translate(col("text"), letters + digits, rot).as("text"))
       }.reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
@@ -153,15 +186,7 @@ object ScaleProbe {
       // replica below 130× carries a distinct scrambling and cross-replica
       // shingle overlap is ~0 (within-replica organic dups are preserved:
       // both sides of a dup get the same map)
-      val letters = "abcdefghijklmnopqrstuvwxyz"; val digits = "0123456789"
-      val scaled = (0 until mult).map { i =>
-        val rot = (letters.drop(i % 26) + letters.take(i % 26)) +
-          (digits.drop(i % 10) + digits.take(i % 10))
-        docsBase.select((col("doc_id") + lit(i * nd)).as("doc_id"),
-          translate(col("text"), letters + digits, rot).as("text"))
-      }.reduce(_ unionByName _)
-      scaled.write.mode("overwrite").parquet("/tmp/graft_docs_dist")
-      val docs = spark.read.parquet("/tmp/graft_docs_dist")
+      val docs = caesarReplicate(docsBase, nd, "/tmp/graft_docs_dist")
       time("dedup_minhash_distinct", nd * mult) {
         Dedup.minhashLsh(docs, col("doc_id"), col("text"), threshold = 0.7)
       }
@@ -331,6 +356,24 @@ object ScaleProbe {
         "(state bounded by live distinct values, not history)")
       time("changelog_net_agg", n) {
         ChangelogOps.netAggregate(ch, Seq("k"), col("v"), col("diff"))
+      }
+    }
+
+    if (families("pipeline")) {
+      // The composed end-to-end curation chain (examples/TrainDataPipeline:
+      // analyze → filter → exact dedup → minhash near-dedup → decontaminate →
+      // sample → split → pack) — what a user actually runs. Composition can
+      // surface cache/AQE interactions single-operator probes can't (e.g.
+      // minhashLsh's internal persists running under a larger concurrent
+      // plan). Distinct-doc replication keeps dup density constant.
+      val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val nd = docsBase.count()
+      val docs = caesarReplicate(docsBase, nd, "/tmp/graft_docs_pipeline")
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
+      time("pipeline_curate", nd * mult) {
+        graft.examples.TrainDataPipeline.curate(docs, evalSet)
       }
     }
 
