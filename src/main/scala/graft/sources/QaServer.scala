@@ -35,10 +35,17 @@ object QaServer {
     * `refresh(newStore)` after the Spark side rebuilds the store and the
     * next request answers from the new snapshot — an atomic reference swap,
     * so serving never pauses (the reference's servers update their index
-    * from the live dataflow the same way). */
+    * from the live dataflow the same way).
+    *
+    * Cache-lifecycle OWNERSHIP: every store handed to `serveRefreshable` or
+    * `refresh` belongs to the endpoint from that point on — when a refresh
+    * supersedes it (including the initial store on the FIRST refresh), it is
+    * `unpersist`ed, a no-op if the caller never persisted it. Callers that
+    * want to keep using a superseded store's cache must re-persist it. */
   final class Served private[QaServer] (val server: HttpServer, dim: Int,
-      ref: java.util.concurrent.atomic.AtomicReference[Array[Entry]]) {
-    private var prev: DataFrame = null
+      ref: java.util.concurrent.atomic.AtomicReference[Array[Entry]],
+      initialStore: DataFrame) {
+    private var prev: DataFrame = initialStore
     /** Swap in a rebuilt store; the superseded store's cache is released
       * (its rows live on in the collected snapshot until this swap). */
     def refresh(store: DataFrame): Unit = synchronized {
@@ -136,6 +143,6 @@ object QaServer {
       }
     })
     server.start()
-    new Served(server, dim, indexRef)
+    new Served(server, dim, indexRef, store)
   }
 }

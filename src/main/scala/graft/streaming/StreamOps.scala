@@ -261,6 +261,23 @@ object StreamOps {
     * for it can't be behind the watermark. */
   def asofForwardKernel[K, L, R]: (K, Iterator[AsofEvent[L, R]],
       GroupState[AsofJoinState[L, R]]) => Iterator[(K, Long, L, Option[R])] =
+    asofForwardKernelImpl[K, L, R](Long.MaxValue)
+
+  /** [[asofForwardKernel]] with a max-hold TTL: a left that still has NO
+    * forward candidate once the watermark passes `t + maxWaitMs` emits
+    * `(t, l, None)` and releases its state — bounding state for keys whose
+    * right stream stops (abandoned sessions, dead producers). A left whose
+    * candidate exists but isn't final yet is NOT expired: its resolution is
+    * already watermark-scheduled and its state bounded by the candidate's
+    * time. The plain kernel (`maxWaitMs = ∞`) holds candidate-less lefts
+    * forever — the exact forward contract, with the documented
+    * unbounded-state risk this variant trades a None-match for. */
+  def asofForwardKernelTtl[K, L, R](maxWaitMs: Long): (K, Iterator[AsofEvent[L, R]],
+      GroupState[AsofJoinState[L, R]]) => Iterator[(K, Long, L, Option[R])] =
+    asofForwardKernelImpl[K, L, R](maxWaitMs)
+
+  private def asofForwardKernelImpl[K, L, R](maxWaitMs: Long): (K, Iterator[AsofEvent[L, R]],
+      GroupState[AsofJoinState[L, R]]) => Iterator[(K, Long, L, Option[R])] =
     (key: K, rows: Iterator[AsofEvent[L, R]], state: GroupState[AsofJoinState[L, R]]) => {
       val st0 = state.getOption.getOrElse(AsofJoinState[L, R](Nil, Nil))
       val wm = state.getCurrentWatermarkMs()
@@ -276,22 +293,30 @@ object StreamOps {
         val cs = st1.rights.filter(_._1 >= lt)
         if (cs.isEmpty) None else Some(cs.minBy(_._1))
       }
-      val (ripe, hold) = st1.lefts.partition(lt => candidate(lt._1).exists(_._1 <= wm))
-      val out = ripe.sortBy(_._1).map { case (lt, lv) =>
-        (key, lt, lv, candidate(lt).map(_._2))
+      def expiry(lt: Long): Long =
+        if (maxWaitMs == Long.MaxValue) Long.MaxValue else lt + maxWaitMs
+      val (ripe, rest) = st1.lefts.partition(lt => candidate(lt._1).exists(_._1 <= wm))
+      // TTL: candidate-less lefts past their hold window resolve to None
+      val (expired, hold) = rest.partition { case (lt, _) =>
+        candidate(lt).isEmpty && expiry(lt) <= wm }
+      val out = (ripe ++ expired).sortBy(_._1).map { case (lt, lv) =>
+        (key, lt, lv, candidate(lt).filter(_._1 <= wm).map(_._2))
       }
       val next = AsofJoinState(hold, st1.rights.filter(_._1 > wm))
       if (next.lefts.isEmpty && next.rights.isEmpty) state.remove()
       else {
         state.update(next)
-        // wake when the earliest pending candidate becomes final, and also
-        // when any held right passes the watermark — so a key that stops
-        // receiving events still prunes its rights and eventually removes
-        // its state instead of leaking it. Candidate-less lefts alone set
-        // no timeout: they can only resolve on a right arrival, which
-        // re-invokes the kernel (that hold is the forward contract).
+        // wake when the earliest pending candidate becomes final, when any
+        // held right passes the watermark — so a key that stops receiving
+        // events still prunes its rights and eventually removes its state
+        // instead of leaking it — and (TTL variant) when a candidate-less
+        // left's hold window lapses. With maxWaitMs = ∞ candidate-less
+        // lefts alone set no timeout: they can only resolve on a right
+        // arrival, which re-invokes the kernel (the forward contract).
         val wake = next.lefts.flatMap(l => candidate(l._1).map(_._1)) ++
-          next.rights.map(_._1)
+          next.rights.map(_._1) ++
+          next.lefts.collect { case (lt, _) if candidate(lt).isEmpty &&
+            expiry(lt) != Long.MaxValue => expiry(lt) }
         if (wake.nonEmpty) state.setTimeoutTimestamp(math.max(wake.min, wm) + 1)
       }
       out.iterator
@@ -365,22 +390,39 @@ object StreamOps {
     * for Spark, where the per-pass work is a handful of shuffle jobs and
     * snapshots are columnar-cached. On a real cluster prefer a checkpoint
     * dir + `reliable` fixpoints for executor-loss safety, and widen the
-    * trigger interval so recompute cost amortizes over batch size. */
+    * trigger interval so recompute cost amortizes over batch size.
+    *
+    * Delivery semantics: foreachBatch is AT-LEAST-ONCE — after a failure the
+    * same epoch id can replay. Replayed epochs are NOT re-appended (the last
+    * processed epoch id is tracked; a replay recomputes and re-emits the
+    * fixpoint of the EXISTING snapshot, so `onResult` stays idempotent-safe).
+    * The snapshot lives in driver memory only and does NOT survive a query
+    * restart from checkpoint: on restart the accumulator starts empty and
+    * the fixpoint covers rows seen since the restart. To make the snapshot
+    * durable, either replay the source from earliest on restart or rebuild
+    * the accumulator from a durable sink before calling this. */
   def iterateOnStream(stream: DataFrame,
       init: DataFrame => DataFrame,
       step: (DataFrame, DataFrame) => DataFrame,
       maxIterations: Int = 50)(onResult: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
     var acc: DataFrame = null
+    var lastEpoch = Long.MinValue
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
-      // checkpoint ONLY the new batch: the snapshot is then a union of
-      // individually-checkpointed leaves — flat lineage depth at O(batch)
-      // cost per epoch, where re-checkpointing the whole union would copy
-      // every historical row again each epoch (O(total²) cumulative)
-      val b = batch.localCheckpoint(true)
-      acc = if (acc == null) b else acc.unionByName(b)
+      if (epoch > lastEpoch) {
+        lastEpoch = epoch
+        // checkpoint ONLY the new batch: the snapshot is then a union of
+        // individually-checkpointed leaves — flat lineage depth at O(batch)
+        // cost per epoch, where re-checkpointing the whole union would copy
+        // every historical row again each epoch (O(total²) cumulative)
+        val b = batch.localCheckpoint(true)
+        acc = if (acc == null) b else acc.unionByName(b)
+      }
+      // replayed epoch (epoch <= lastEpoch): the rows are already in the
+      // snapshot — recompute and re-emit without double-appending
       val snap = acc
-      onResult(graft.operators.Iterate.fixpoint(
-        init(snap), st => step(st, snap), maxIterations), epoch)
+      if (snap != null)
+        onResult(graft.operators.Iterate.fixpoint(
+          init(snap), st => step(st, snap), maxIterations), epoch)
     }
   }
 

@@ -234,6 +234,44 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("FORWARD asof TTL: a candidate-less left emits None once its hold window lapses") {
+    implicit val sql = spark.sqlContext
+    import StreamOps.{AsofEvent, AsofJoinState}
+    val input = MemoryStream[(java.sql.Timestamp, Long, Boolean, String)]
+    val events = input.toDS().toDF("t", "k", "isLeft", "p")
+      .withWatermark("t", "10 seconds")
+      .as[(java.sql.Timestamp, Long, Boolean, String)]
+    val joined = events.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[(java.sql.Timestamp, Long, Boolean, String)],
+         st: org.apache.spark.sql.streaming.GroupState[AsofJoinState[String, String]]) =>
+          StreamOps.asofForwardKernelTtl[Long, String, String](60000L)(k,
+            it.map { case (t, _, isLeft, p) =>
+              AsofEvent[String, String](isLeft, t.getTime,
+                if (isLeft) Some(p) else None, if (isLeft) None else Some(p))
+            }, st)
+      }
+    val q = joined.toDF("k", "lt", "lv", "rv").writeStream.format("memory")
+      .queryName("asof_fwd_ttl_out").outputMode("append").start()
+    // l0@00:01 with a right at 00:02 (resolves normally); l1@00:03 never gets
+    // a right — its 60 s hold lapses when the watermark passes 00:04
+    input.addData(
+      (ts("2024-01-01 00:01:00"), 1L, true, "l0"),
+      (ts("2024-01-01 00:02:00"), 1L, false, "ten"),
+      (ts("2024-01-01 00:03:00"), 1L, true, "l1"))
+    q.processAllAvailable()
+    // advance the watermark far past l1 + TTL via another key
+    input.addData((ts("2024-01-01 01:00:00"), 99L, false, "z"))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 02:00:00"), 99L, false, "z2"))
+    q.processAllAvailable()
+    val out = spark.table("asof_fwd_ttl_out").filter(col("k") === 1L)
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    assert(out == Map("l0" -> Some("ten"), "l1" -> None),
+      s"TTL'd left must emit None: $out")
+    q.stop()
+  }
+
   test("stream-stream NEAREST asof join: closest right wins, ties to backward") {
     implicit val sql = spark.sqlContext
     import StreamOps.{AsofEvent, AsofNearestState}
