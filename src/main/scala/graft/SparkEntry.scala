@@ -600,6 +600,10 @@ object SparkEntry {
       TextOps.meanWordLen(col("text")).as("mean_wlen"),
       TextOps.qualityScore(col("text")).as("quality"))
 
+  private def qTextGopher(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id") +:
+      TextOps.gopherStats(col("text")).map { case (n, c) => c.as(n) }: _*)
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
 
@@ -1141,6 +1145,7 @@ object SparkEntry {
     "text_pii"        -> (qTextPii _),
     "text_tokens"     -> (qTextTokens _),
     "text_quality"    -> (qTextQuality _),
+    "text_gopher"     -> (qTextGopher _),
     "text_langid"     -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "doc_split_chunks" -> (qDocSplit _),
@@ -1538,6 +1543,34 @@ object SparkEntry {
         |    + 0.3 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','you','that'], x))) AS DOUBLE) / len(toks))
         |    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)))) AS quality
         |FROM t""".stripMargin,
+    "text_gopher" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9'']+') AS words,
+        |    string_split_regex(text, '\n') AS lines FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+        |    / NULLIF(len(words), 0) AS mean_word_len,
+        |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
+        |    / NULLIF(len(words), 0) AS symbol_word_ratio,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+        |    / NULLIF(len(lines), 0) AS bullet_line_frac,
+        |  CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+        |    / NULLIF(len(lines), 0) AS ellipsis_line_frac,
+        |  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+        |    / NULLIF(len(lines), 0) AS dup_line_frac,
+        |  CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |    / NULLIF(len(words), 0) AS alpha_word_frac,
+        |  CAST(len(list_filter(words, w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS BIGINT) AS stop_word_hits
+        |FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+        |  ellipsis_line_frac, dup_line_frac, alpha_word_frac, stop_word_hits,
+        |  COALESCE(n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |    AND ellipsis_line_frac <= 0.3 AND dup_line_frac <= 0.3
+        |    AND alpha_word_frac >= 0.8 AND stop_word_hits >= 2, FALSE) AS gopher_pass
+        |FROM s""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |h AS (SELECT doc_id,

@@ -46,6 +46,54 @@ object TextOps {
       lit(0.3) * stopwordRatio(c) +
       lit(0.3) * (lit(1.0) - punctRatio(c))))
 
+  // ── Gopher quality rules (Rae et al. 2021 §A1.1 — the standard public
+  //    pre-training document-filter battery) ──────────────────────────────────
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-rule raw statistics + the composite pass flag. Every stat derives
+    * from exact integer counts with ONE final division, so the DuckDB oracle
+    * matches bit-for-bit. Zero-word/zero-line docs null their ratios (nullif
+    * guard) and fail the pass flag via coalesce — never divide-by-zero.
+    * The line HOFs are interpreted (CodegenFallback) but per-row linear;
+    * the word-level stats reuse the codegen'd extract/join shapes. */
+  def gopherStats(c: Column): Seq[(String, Column)] = {
+    val words = wordTokens(c)
+    val nWords = size(words).cast("long")
+    val nWordsD = nullif(size(words), lit(0)).cast("double")
+    val meanWlen = length(array_join(words, "")).cast("double") /
+      nullif(size(words), lit(0))
+    val symbols = (size(regexp_extract_all(c, lit("#"), lit(0))) +
+      size(regexp_extract_all(c, lit("\\.\\.\\.|…"), lit(0)))).cast("double")
+    val lines = split(c, "\n")
+    val nLinesD = nullif(size(lines), lit(0)).cast("double")
+    val bulletFrac = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+      .cast("double") / nLinesD
+    val ellipsisFrac = size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+      .cast("double") / nLinesD
+    val dupLineFrac = (size(lines) - size(array_distinct(lines)))
+      .cast("double") / nLinesD
+    val alphaFrac = size(filter(words, w => w.rlike("[a-z]")))
+      .cast("double") / nWordsD
+    val stopHits = size(filter(words, w => w.isin(GopherStops: _*))).cast("long")
+    val symbolRatio = symbols / nWordsD
+    val pass = coalesce(
+      nWords >= 50 && nWords <= 100000 &&
+        meanWlen >= 3.0 && meanWlen <= 10.0 &&
+        symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
+        dupLineFrac <= 0.3 && alphaFrac >= 0.8 && stopHits >= 2,
+      lit(false))
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanWlen,
+      "symbol_word_ratio" -> symbolRatio,
+      "bullet_line_frac" -> bulletFrac,
+      "ellipsis_line_frac" -> ellipsisFrac,
+      "dup_line_frac" -> dupLineFrac,
+      "alpha_word_frac" -> alphaFrac,
+      "stop_word_hits" -> stopHits,
+      "gopher_pass" -> pass)
+  }
+
   // ── language id (fixed stopword lists, deterministic argmax) ────────────────
   private val LangStops: Seq[(String, Seq[String])] = Seq(
     "en" -> EnStop,
