@@ -183,6 +183,24 @@ object StreamBench {
             .write.mode("overwrite").format("noop").save()
         }.option("checkpointLocation", ckpt()).start()
 
+    /** asof_backward with a latency-sampling sink: per emitted row, record
+      * (emit wall time − left event time) — true END-TO-END latency as the
+      * reference's queue benchmark reports it, which for a watermark-held
+      * kernel is watermark delay (2 s here) + trigger wait + processing. */
+    def startAsofBackwardE2e(lat: java.util.concurrent.ConcurrentLinkedQueue[Long]): StreamingQuery =
+      asofEvents.groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (k: Long, it: Iterator[(java.sql.Timestamp, Long, Boolean, Long)],
+           st: org.apache.spark.sql.streaming.GroupState[AsofJoinState[Long, Long]]) =>
+            StreamOps.asofJoinKernel[Long, Long, Long](k, it.map(toEvent), st)
+        }.toDF("k", "lt", "lv", "rv")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val now = System.currentTimeMillis()
+          b.select("lt").as[Long].collect().foreach(t => lat.add(now - t))
+        }
+        .option("checkpointLocation", ckpt()).start()
+
     // ── measurement ─────────────────────────────────────────────────────────
 
     def r1(v: Double): String =
@@ -262,6 +280,22 @@ object StreamBench {
       } finally q.stop()
     }
 
+    /** End-to-end latency scenario: p50/p99/max in this row are PER-RECORD
+      * event-to-emission milliseconds (not batch durations). */
+    def measureAsofE2e(): M = {
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val base = measure("asof_backward_e2e", () => startAsofBackwardE2e(lat))
+      val ds = {
+        import scala.jdk.CollectionConverters._
+        lat.asScala.toArray.sorted
+      }
+      if (ds.isEmpty) base
+      else base.copy(
+        p50Ms = ds(math.min(ds.length - 1, ds.length / 2)),
+        p99Ms = ds(math.min(ds.length - 1, (0.99 * ds.length).toInt)),
+        maxMs = ds.last)
+    }
+
     val scenarios: Seq[(String, () => M)] = Seq(
       "asof_backward" -> (() => measure("asof_backward", startAsofBackward _)),
       "asof_forward" -> (() => measure("asof_forward", startAsofForward _)),
@@ -272,6 +306,7 @@ object StreamBench {
       "dedup_acceptor" -> (() => measure("dedup_acceptor", startDedupAcceptor _)),
       "upsert_jdbc" -> (() => measure("upsert_jdbc", startUpsertJdbc _)),
       "changelog_upsert" -> (() => measure("changelog_upsert", startChangelogUpsert _)),
+      "asof_backward_e2e" -> (() => measureAsofE2e()),
       "wordcount_convergence" -> (() => wordcountConvergence()))
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
