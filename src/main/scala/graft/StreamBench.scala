@@ -183,6 +183,24 @@ object StreamBench {
             .write.mode("overwrite").format("noop").save()
         }.option("checkpointLocation", ckpt()).start()
 
+    /** Native stream-stream interval join (Spark's built-in watermarked
+      * range join — the path intervalJoin lowers to): two independent rate
+      * streams joined on key with a 2 s look-back window. 100k keys keep
+      * the match fan-out ~O(1) per left row at the default rate. */
+    def startIntervalJoin(): StreamingQuery = {
+      val l = rateSrc.select(col("timestamp").as("lt"),
+          (col("value") % 100000L).as("lk"), col("value").as("lv"))
+        .withWatermark("lt", "2 seconds")
+      val r = rateSrc.select(col("timestamp").as("rt"),
+          (col("value") % 100000L).as("rk"), col("value").as("rv"))
+        .withWatermark("rt", "2 seconds")
+      l.join(r, col("lk") === col("rk") &&
+          col("rt") >= col("lt") - expr("INTERVAL 2 SECONDS") &&
+          col("rt") <= col("lt"))
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+    }
+
     /** asof_backward with a latency-sampling sink: per emitted row, record
       * (emit wall time − left event time) — true END-TO-END latency as the
       * reference's queue benchmark reports it, which for a watermark-held
@@ -306,6 +324,7 @@ object StreamBench {
       "dedup_acceptor" -> (() => measure("dedup_acceptor", startDedupAcceptor _)),
       "upsert_jdbc" -> (() => measure("upsert_jdbc", startUpsertJdbc _)),
       "changelog_upsert" -> (() => measure("changelog_upsert", startChangelogUpsert _)),
+      "interval_join" -> (() => measure("interval_join", startIntervalJoin _)),
       "asof_backward_e2e" -> (() => measureAsofE2e()),
       "wordcount_convergence" -> (() => wordcountConvergence()))
 
