@@ -1561,16 +1561,25 @@ object SparkEntry {
         |    / NULLIF(len(lines), 0) AS dup_line_frac,
         |  CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
         |    / NULLIF(len(words), 0) AS alpha_word_frac,
-        |  CAST(len(list_filter(words, w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS BIGINT) AS stop_word_hits
-        |FROM t)
+        |  CAST(len(list_filter(words, w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS BIGINT) AS stop_word_hits,
+        |  list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i + 1]) AS grams
+        |FROM t),
+        |g AS (SELECT *,
+        |  CAST(list_max(list_transform(list_distinct(grams), d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE)
+        |    / NULLIF(len(grams), 0) AS top_2gram_frac,
+        |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+        |    / NULLIF(len(grams), 0) AS dup_2gram_frac
+        |FROM s)
         |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
         |  ellipsis_line_frac, dup_line_frac, alpha_word_frac, stop_word_hits,
+        |  top_2gram_frac, dup_2gram_frac,
         |  COALESCE(n_words >= 50 AND n_words <= 100000
         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
         |    AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
         |    AND ellipsis_line_frac <= 0.3 AND dup_line_frac <= 0.3
-        |    AND alpha_word_frac >= 0.8 AND stop_word_hits >= 2, FALSE) AS gopher_pass
-        |FROM s""".stripMargin,
+        |    AND alpha_word_frac >= 0.8 AND stop_word_hits >= 2
+        |    AND top_2gram_frac <= 0.20 AND dup_2gram_frac <= 0.30, FALSE) AS gopher_pass
+        |FROM g""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |h AS (SELECT doc_id,

@@ -76,11 +76,27 @@ object TextOps {
       .cast("double") / nWordsD
     val stopHits = size(filter(words, w => w.isin(GopherStops: _*))).cast("long")
     val symbolRatio = symbols / nWordsD
+    // word-2-gram repetition (Gopher's most-common-n-gram / duplicate-n-gram
+    // family at word granularity): zip_with pads to the LONGER side with
+    // nulls, so slice to size-1 and drop the null tail. The nested
+    // count-per-distinct-gram HOF is O(n²) per doc — fine at prose doc
+    // lengths; kernelize (mapPartitions hash count) before running it on
+    // book-length documents at corpus scale.
+    val grams = filter(
+      zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      g => g.isNotNull)
+    val nGrams = nullif(size(grams), lit(0)).cast("double")
+    val topGramFrac = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g)))).cast("double") / nGrams
+    val dupGramFrac = (size(grams) - size(array_distinct(grams)))
+      .cast("double") / nGrams
     val pass = coalesce(
       nWords >= 50 && nWords <= 100000 &&
         meanWlen >= 3.0 && meanWlen <= 10.0 &&
         symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
-        dupLineFrac <= 0.3 && alphaFrac >= 0.8 && stopHits >= 2,
+        dupLineFrac <= 0.3 && alphaFrac >= 0.8 && stopHits >= 2 &&
+        topGramFrac <= 0.20 && dupGramFrac <= 0.30,
       lit(false))
     Seq(
       "n_words" -> nWords,
@@ -91,6 +107,8 @@ object TextOps {
       "dup_line_frac" -> dupLineFrac,
       "alpha_word_frac" -> alphaFrac,
       "stop_word_hits" -> stopHits,
+      "top_2gram_frac" -> topGramFrac,
+      "dup_2gram_frac" -> dupGramFrac,
       "gopher_pass" -> pass)
   }
 

@@ -151,7 +151,10 @@ class TrainPrepSpec extends AnyFunSuite {
   test("gopherStats: line rules (bullets/ellipsis/dup lines) on known-answer docs") {
     // the synthetic corpus has no newlines, so the oracle query exercises the
     // word rules only — pin the line-based rules on constructed docs here
-    val good = (("the data " * 30).trim + " have that with be") // >50 words, stopword-rich
+    // >50 words, stopword-rich, NON-repetitive (unique word per position —
+    // "the data" * 30 would correctly fail the 2-gram repetition rule)
+    val good = (0 until 60).map(i => if (i % 5 == 0) "the" else s"word$i")
+      .mkString(" ") + " have that with be of and"
     val bullets = (0 until 10).map(i => s"- item $i").mkString("\n")
     val ellipsis = (0 until 10).map(i => s"line $i ...").mkString("\n")
     val dupLines = (Seq.fill(8)("same line of text") ++ Seq("one", "two")).mkString("\n")
@@ -170,5 +173,19 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(!out(4L).getAs[Boolean]("gopher_pass"), "dup-heavy doc fails")
     assert(!out(5L).getAs[Boolean]("gopher_pass"), "empty doc fails, no div-by-zero")
     assert(out(5L).isNullAt(out(5L).fieldIndex("mean_word_len")), "empty doc nulls ratios")
+  }
+
+  test("gopherStats: 2-gram repetition rules catch loops the other rules miss") {
+    // 60 words of "foo bar" repetition: length/stopword/line rules alone
+    // can't see the loop; the top-2-gram fraction is ~0.5
+    val loop = ("the of and be " + ("foo bar " * 28)).trim
+    val out = Seq((1L, loop)).toDF("doc_id", "text")
+      .select(col("doc_id") +:
+        graft.operators.TextOps.gopherStats(col("text"))
+          .map { case (n, c) => c.as(n) }: _*).collect().head
+    assert(out.getAs[Double]("top_2gram_frac") > 0.4,
+      s"loop doc top2gram = ${out.getAs[Double]("top_2gram_frac")}")
+    assert(out.getAs[Double]("dup_2gram_frac") > 0.8)
+    assert(!out.getAs[Boolean]("gopher_pass"), "repetition loop must fail")
   }
 }
