@@ -604,6 +604,21 @@ object SparkEntry {
     docs(s, dir).select(col("doc_id") +:
       TextOps.gopherStats(col("text")).map { case (n, c) => c.as(n) }: _*)
 
+  private def qTextC4(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic corpus is single-line and unpunctuated (every line would
+    // drop), so build a 4-line page per doc — one keepable sentence, a
+    // no-punctuation line, a too-short line, and a lorem-flagged tail on
+    // every 7th doc — the same construction the DuckDB oracle replays
+    val page = concat_ws("\n",
+      concat(substring(col("text"), 1, 80), lit(".")),
+      lit("no punct line"),
+      lit("ok?"),
+      when(col("doc_id") % 7 === 0, lit("lorem ipsum here."))
+        .otherwise(lit("tail line ends well.")))
+    docs(s, dir).select(col("doc_id") +:
+      TextOps.c4Stats(page).map { case (n, c) => c.as(n) }: _*)
+  }
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
 
@@ -1146,6 +1161,7 @@ object SparkEntry {
     "text_tokens"     -> (qTextTokens _),
     "text_quality"    -> (qTextQuality _),
     "text_gopher"     -> (qTextGopher _),
+    "text_c4"         -> (qTextC4 _),
     "text_langid"     -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "doc_split_chunks" -> (qDocSplit _),
@@ -1580,6 +1596,25 @@ object SparkEntry {
         |    AND alpha_word_frac >= 0.8 AND stop_word_hits >= 2
         |    AND top_2gram_frac <= 0.20 AND dup_2gram_frac <= 0.30, FALSE) AS gopher_pass
         |FROM g""".stripMargin,
+    "text_c4" ->
+      """WITH p AS (SELECT doc_id, concat_ws(chr(10),
+        |    substr(text, 1, 80) || '.', 'no punct line', 'ok?',
+        |    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum here.'
+        |         ELSE 'tail line ends well.' END) AS text FROM documents),
+        |t AS (SELECT doc_id, text, string_split_regex(text, '\n') AS lines FROM p),
+        |k AS (SELECT doc_id, text, lines,
+        |  list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?]["'']?$')
+        |    AND len(regexp_extract_all(lower(l), '[a-z0-9'']+')) >= 3) AS kept
+        |FROM t)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |  contains(text, '{') AS has_brace,
+        |  (contains(lower(text), 'lorem ipsum') OR contains(text, '{')
+        |    OR len(kept) = 0) AS c4_drop
+        |FROM k""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |h AS (SELECT doc_id,

@@ -112,6 +112,32 @@ object TextOps {
       "gopher_pass" -> pass)
   }
 
+  // ── C4 line-level cleaning (Raffel et al. 2020 §2.2 — the other standard
+  //    public cleaning battery; line rules complement Gopher's doc rules) ──────
+
+  /** C4 line filter + page flags. `clean_text` keeps only lines that end in
+    * terminal punctuation (`.`, `!`, `?`, or a closing quote after one) AND
+    * have ≥ `minLineWords` words, rejoined with newlines; pages carrying
+    * "lorem ipsum" or a curly brace (code) are flagged for whole-doc removal
+    * (`c4_drop`). Everything is list/filter built-ins over exact counts, so
+    * the DuckDB oracle matches bit-for-bit. */
+  def c4Stats(c: Column, minLineWords: Int = 3): Seq[(String, Column)] = {
+    val lines = split(c, "\n")
+    val kept = filter(lines, l =>
+      rtrim(l).rlike("""[.!?]["']?$""") &&
+        size(regexp_extract_all(lower(l), lit("[a-z0-9']+"), lit(0))) >= minLineWords)
+    val cleanText = array_join(kept, "\n")
+    val hasLorem = lower(c).contains("lorem ipsum")
+    val hasBrace = c.contains("{")
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "n_kept_lines" -> size(kept).cast("long"),
+      "clean_text" -> cleanText,
+      "has_lorem" -> hasLorem,
+      "has_brace" -> hasBrace,
+      "c4_drop" -> (hasLorem || hasBrace || size(kept) === 0))
+  }
+
   // ── language id (fixed stopword lists, deterministic argmax) ────────────────
   private val LangStops: Seq[(String, Seq[String])] = Seq(
     "en" -> EnStop,

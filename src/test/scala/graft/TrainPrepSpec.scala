@@ -175,6 +175,28 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out(5L).isNullAt(out(5L).fieldIndex("mean_word_len")), "empty doc nulls ratios")
   }
 
+  test("c4Stats: line filter keeps terminal-punct >=3-word lines; page flags drop") {
+    val page = Seq(
+      "This sentence ends properly.",
+      "no terminal punctuation here",
+      "Too short.",
+      "Another good line stays!",
+      "Quoted line works fine.\"").mkString("\n")
+    val out = Seq((1L, page), (2L, "Lorem Ipsum dolor sit amet."),
+        (3L, "if (x) { return y; } done here."))
+      .toDF("doc_id", "text")
+      .select(col("doc_id") +:
+        graft.operators.TextOps.c4Stats(col("text"))
+          .map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_kept_lines") == 3, "two bad lines dropped")
+    assert(out(1L).getAs[String]("clean_text") ==
+      "This sentence ends properly.\nAnother good line stays!\nQuoted line works fine.\"")
+    assert(!out(1L).getAs[Boolean]("c4_drop"))
+    assert(out(2L).getAs[Boolean]("has_lorem") && out(2L).getAs[Boolean]("c4_drop"))
+    assert(out(3L).getAs[Boolean]("has_brace") && out(3L).getAs[Boolean]("c4_drop"))
+  }
+
   test("gopherStats: 2-gram repetition rules catch loops the other rules miss") {
     // 60 words of "foo bar" repetition: length/stopword/line rules alone
     // can't see the loop; the top-2-gram fraction is ~0.5
