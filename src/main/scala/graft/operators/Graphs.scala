@@ -174,7 +174,11 @@ object Graphs {
             .otherwise(col("_own")).as("community"), col("k"))
       }
     }
-    Iterate.nTimes(initial, labels =>
+    // converged-early-stop: a pass that moves nothing makes all remaining
+    // passes no-ops (deterministic step), so labels are bit-identical to the
+    // full `iters` unroll — the oracle's fixed-pass CTEs stay exact — and
+    // contracted levels (which converge in 1-2 passes) skip the rest
+    Iterate.nTimesConverged(initial, labels =>
       if (alternate) movePass(movePass(labels, Some(0)), Some(1))
       else movePass(labels, None),
       iters, unroll = unroll)

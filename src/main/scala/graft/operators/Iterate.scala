@@ -120,4 +120,31 @@ object Iterate {
     }
     current
   }
+
+  /** [[nTimes]] with a convergence early-stop: stops as soon as a
+    * materialized block leaves the table UNCHANGED. The step is a
+    * deterministic function of the table, so an unchanged block means every
+    * remaining pass is a no-op — the result is bit-identical to running all
+    * `n` passes (oracles unaffected), only cheaper. The unchanged check is
+    * one `exceptAll.isEmpty` job per block over the (small, key-scale)
+    * iterated table — trivia next to a move pass's edge-scale shuffles. */
+  def nTimesConverged(initial: DataFrame, step: DataFrame => DataFrame, n: Int,
+      reliable: Boolean = false, unroll: Int = 1): DataFrame = {
+    require(unroll >= 1, s"unroll=$unroll must be >= 1")
+    var current = materialize(initial, reliable)
+    var i = 0
+    var done = false
+    while (i < n && !done) {
+      val k = math.min(unroll, n - i)
+      val stepped = (1 to k).foldLeft(current)((df, _) => step(df))
+      val next = materialize(stepped, reliable)
+      // the check only buys anything if passes REMAIN — never pay the job
+      // on the final block
+      done = i + k < n && next.exceptAll(current).isEmpty
+      current.unpersist()
+      current = next
+      i += k
+    }
+    current
+  }
 }
