@@ -234,6 +234,32 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stateful kernels run on the RocksDB state store (production provider)") {
+    // the provider a large-state cluster deployment would run; conf is
+    // captured at query start, so setting/resetting it here scopes the
+    // provider to this query only
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Long)]
+      val deduped = input.toDS().groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          StreamOps.dedupAcceptor[String, Long]((n, o) => n > o))
+      val q = deduped.toDF("k", "v").writeStream.format("memory")
+        .queryName("rocksdb_dedup").outputMode("append").start()
+      input.addData(("a", 1L), ("a", 5L), ("b", 2L))
+      q.processAllAvailable()
+      input.addData(("a", 3L), ("a", 7L), ("b", 1L)) // 3 and 1 rejected
+      q.processAllAvailable()
+      val out = spark.table("rocksdb_dedup").as[(String, Long)].collect().toSeq
+      assert(out.sorted == Seq(("a", 1L), ("a", 5L), ("a", 7L), ("b", 2L)),
+        s"acceptor semantics must hold on RocksDB: $out")
+      q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("FORWARD asof TTL: a candidate-less left emits None once its hold window lapses") {
     implicit val sql = spark.sqlContext
     import StreamOps.{AsofEvent, AsofJoinState}
