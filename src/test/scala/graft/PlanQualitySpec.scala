@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guard — pins the 100×-scale posture the plan
+  * audits in BASELINE.md describe, so a refactor can't silently regress it:
+  *
+  *  - NO CartesianProduct anywhere in any guarded query's physical plan;
+  *  - BroadcastNestedLoopJoin only where it is the DESIGN (knn_ivf probes
+  *    ≤ nCells centroid rows; 1-row scalar cross joins);
+  *  - dimension joins in the TPC-H-style queries broadcast;
+  *  - filters reach the parquet scan (`PushedFilters`), and projection
+  *    prunes the read schema.
+  *
+  * Checks run on the pre-adaptive physical plan (`sparkPlan`) — no
+  * execution needed; AQE only narrows join strategies further at runtime
+  * (a sort-merge join can become broadcast, never the reverse), so a clean
+  * pre-AQE plan is the conservative bound. Queries whose CONSTRUCTION runs
+  * driver-side passes (graphs, iterate) are exercised by their own specs
+  * and excluded here. */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val sfDir = SparkTestBase.sfDir
+
+  /** Queries safe to PLAN without triggering execution during construction,
+    * i.e. purely declarative builders. */
+  private val guarded = Seq(
+    "q1_agg", "q3_shipping", "q5_local_supplier",
+    "join_inner", "join_left", "join_outer", "filter_rows", "select_project",
+    "groupby_reduce", "ix_lookup", "concat", "difference", "intersect",
+    "update_cells", "update_rows", "sort_prev_next", "ordered_diff",
+    "window_tumbling", "window_sliding", "window_session", "intervals_over",
+    "interval_join", "interval_join_left", "interval_join_right",
+    "interval_join_full", "asof_backward", "asof_forward", "asof_nearest",
+    "window_join", "interpolate",
+    "text_tokens", "text_quality", "text_gopher", "text_c4", "text_langid",
+    "text_fingerprint", "text_pii", "dedup_exact", "dedup_spans",
+    "decontaminate", "sample_weighted", "split_train_test", "doc_pack",
+    "doc_split_chunks", "doc_parse", "expr_str", "expr_num", "expr_cond")
+
+  /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
+    * 1-row scalar cross joins (ignore_late-style max-ts broadcast). */
+  private val bnljAllowed = Set("ignore_late")
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.sparkPlan.toString
+  }
+
+  test("no guarded query plans a CartesianProduct or stray nested-loop join") {
+    val offenders = guarded.flatMap { name =>
+      val p = plan(name)
+      val cartesian = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      if (cartesian || bnlj)
+        Some(s"$name: ${if (cartesian) "CartesianProduct " else ""}${if (bnlj) "BNLJ" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty, s"unbounded join shapes: $offenders")
+  }
+
+  test("q3_shipping: both dimension sides broadcast, all scans carry pushed filters") {
+    val p = plan("q3_shipping")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "expected >= 2 broadcast dim joins")
+    assert("PushedFilters: \\[[^\\]]".r.findAllIn(p).nonEmpty,
+      "expected non-empty PushedFilters on at least one scan")
+  }
+
+  test("filter_rows: predicate reaches the parquet scan") {
+    val p = plan("filter_rows")
+    assert("PushedFilters: \\[[^\\]]".r.findAllIn(p).nonEmpty, s"no pushdown in:\n$p")
+  }
+
+  test("select_project: read schema is pruned to referenced columns") {
+    val p = plan("select_project")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    // the customer table has 8 columns; the projection touches a few
+    assert(readSchema.split(",").length <= 5, s"unpruned scan: $readSchema")
+  }
+
+  test("q1_agg: aggregation is two-phase (map-side partial before the shuffle)") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expected partial + final HashAggregate pair")
+  }
+}
