@@ -26,21 +26,36 @@ import graft.operators.{Dedup, TextOps, TrainPrep}
 object TrainDataPipeline {
 
   /** The pipeline as a function (spec-testable): documents(doc_id, text) +
-    * an eval table → packed training rows with full audit columns. */
-  def curate(docs: DataFrame, evalSet: DataFrame, budget: Long = 2048): DataFrame = {
+    * an eval table → packed training rows with full audit columns.
+    * `c4Clean` prepends C4 line cleaning (drops lorem/brace pages, keeps
+    * terminal-punctuation lines — requires punctuated multi-line input);
+    * `gopherFilter` adds the Gopher document-rule battery to the filter
+    * stage. Both off by default: the synthetic corpus is single-line
+    * unpunctuated prose, which C4 would drop wholesale. */
+  def curate(docs: DataFrame, evalSet: DataFrame, budget: Long = 2048,
+      gopherFilter: Boolean = false, c4Clean: Boolean = false): DataFrame = {
+    // 0. optional C4 page cleaning BEFORE anything reads the text
+    val cleaned = if (!c4Clean) docs else {
+      val stats = TextOps.c4Stats(col("text")).toMap
+      docs.select(col("doc_id"), stats("clean_text").as("text"),
+          stats("c4_drop").as("_drop"))
+        .filter(!col("_drop")).drop("_drop")
+    }
     // 1. analyze (rowwise, codegen'd — no shuffle). Redact FIRST: lang /
     // quality / token counts must describe the text the pipeline ships,
     // not the pre-redaction original (pack offsets depend on n_tokens)
     val (redacted, nEmails, nPhones) = TrainPrep.piiRedact(col("text"))
-    val analyzed = docs
+    val analyzed = cleaned
       .select(col("doc_id"), redacted.as("text"), (nEmails + nPhones).as("pii_hits"))
       .select(col("doc_id"), col("text"), col("pii_hits"),
         TextOps.langId(col("text")).as("lang"),
         TextOps.qualityScore(col("text")).as("quality"),
         TextOps.tokenCount(col("text")).as("n_tokens"))
 
-    // 2. filter
-    val kept = analyzed.filter(col("lang") === "en" && col("quality") >= 0.3)
+    // 2. filter (+ optional Gopher document rules)
+    val kept0 = analyzed.filter(col("lang") === "en" && col("quality") >= 0.3)
+    val kept = if (!gopherFilter) kept0
+      else kept0.filter(TextOps.gopherStats(col("text")).toMap.apply("gopher_pass"))
 
     // 3. exact dedup: fingerprint groupBy, min-id representative survives
     val reps = Dedup.exact(kept, col("doc_id"), TextOps.fingerprintMd5(col("text")))

@@ -175,6 +175,25 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out(5L).isNullAt(out(5L).fieldIndex("mean_word_len")), "empty doc nulls ratios")
   }
 
+  test("curate with gopherFilter+c4Clean: lorem pages and repetition loops drop") {
+    import graft.examples.TrainDataPipeline
+    def prose(seed: Int) = (0 until 70)
+      .map(i => if (i % 5 == 0) "the" else s"w${seed}x$i").mkString(" ") +
+      " have that with be of and all good things end here."
+    val docs = ((0 until 10).map(i => (i.toLong, prose(i))) ++ Seq(
+        (100L, "Lorem ipsum dolor sit amet and then some more words here."),
+        (101L, ("spam ham " * 40).trim + " the of and be have that with.")))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((999L, "completely unrelated eval text"))
+      .toDF("eval_id", "eval_text")
+    val out = TrainDataPipeline.curate(docs, evalSet,
+      gopherFilter = true, c4Clean = true)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty, "varied prose docs must survive the full battery")
+    assert(!ids.contains(100L), "lorem page must be C4-dropped")
+    assert(!ids.contains(101L), "repetition loop must fail gopher")
+  }
+
   test("c4Stats: line filter keeps terminal-punct >=3-word lines; page flags drop") {
     val page = Seq(
       "This sentence ends properly.",
