@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "hotbucket", "relational", "graph", "changelog", "pipeline"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -357,6 +357,44 @@ object ScaleProbe {
       time("changelog_net_agg", n) {
         ChangelogOps.netAggregate(ch, Seq("k"), col("v"), col("diff"))
       }
+    }
+
+    if (families("bucketing")) {
+      // co-located big-to-big join: both sides bucketed by the join key into
+      // the same bucket count join with NO shuffle exchange — the measured
+      // version of the 100 TB pre-partitioning story (repeated joins on one
+      // key amortize the one-time bucketed write)
+      import graft.sources.Bucketing
+      val li = replicate(spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        Map("l_orderkey" -> 10000000L), "/tmp/graft_li_scaled")
+      val ords = replicate(spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        Map("o_orderkey" -> 10000000L), "/tmp/graft_ord_scaled")
+      val nRows = li.count()
+      def joinAgg(l: DataFrame, o: DataFrame): DataFrame =
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum("l_quantity").as("qty"), sum("l_extendedprice").as("rev"))
+      time("join_unbucketed", nRows) { joinAgg(li, ords) }
+      spark.sql("DROP TABLE IF EXISTS graft_li_b")
+      spark.sql("DROP TABLE IF EXISTS graft_ord_b")
+      Bucketing.writeBucketed(li, "graft_li_b", "/tmp/graft_li_bucketed", 32,
+        Seq("l_orderkey"))
+      Bucketing.writeBucketed(ords, "graft_ord_b", "/tmp/graft_ord_bucketed", 32,
+        Seq("o_orderkey"))
+      val lb = Bucketing.table(spark, "graft_li_b")
+      val ob = Bucketing.table(spark, "graft_ord_b")
+      // disable broadcast so the probe measures the shuffle-vs-bucket delta,
+      // not a broadcast plan (orders at this SF would broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        time("join_unbucketed_sm", nRows) { joinAgg(li, ords) }
+        time("join_bucketed", nRows) { joinAgg(lb, ob) }
+        val joinShuffled = joinAgg(lb, ob).queryExecution.executedPlan.toString
+          .contains("Exchange hashpartitioning(l_orderkey")
+        println(s"PROBE join_bucketed join_key_exchange=$joinShuffled (expect false: bucket layout IS the partitioning)")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
 
     if (families("pipeline")) {
