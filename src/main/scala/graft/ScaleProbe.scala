@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -395,6 +395,44 @@ object ScaleProbe {
           .contains("Exchange hashpartitioning(l_orderkey")
         println(s"PROBE join_bucketed join_key_exchange=$joinShuffled (expect false: bucket layout IS the partitioning)")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+
+    if (families("skew")) {
+      // ADVERSARIAL key skew: half the big side lands on ONE key. Three
+      // treatments of the same join: AQE skew-split ON (the default
+      // posture), AQE skew OFF (what a naive engine would suffer), and the
+      // explicit salted join (the deterministic fallback for configs
+      // without AQE). Broadcast disabled throughout — a broadcast would
+      // sidestep the skew entirely and measure nothing.
+      import graft.operators.Utils
+      val n = 2000000L * mult / 10
+      val big = spark.range(n).select(
+        when(col("id") % 2 === 0, lit(7L)).otherwise(pmod(col("id"), lit(100000L))).as("k"),
+        col("id").as("v"))
+      big.write.mode("overwrite").parquet("/tmp/graft_skew_big")
+      val bigP = spark.read.parquet("/tmp/graft_skew_big")
+      val small = spark.range(100000L).select(col("id").as("sk"),
+        (col("id") * 3).as("payload"))
+      small.write.mode("overwrite").parquet("/tmp/graft_skew_small")
+      val smallP = spark.read.parquet("/tmp/graft_skew_small")
+      def agg(j: DataFrame): DataFrame = j.groupBy("k").agg(sum("payload").as("p"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        time("skew_join_aqe", n) {
+          agg(bigP.join(smallP, col("k") === col("sk")))
+        }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        time("skew_join_noaqe", n) {
+          agg(bigP.join(smallP, col("k") === col("sk")))
+        }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        time("skew_join_salted", n) {
+          agg(Utils.saltedJoin(bigP, smallP, col("k"), col("sk"), salts = 32))
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      }
     }
 
     if (families("pipeline")) {
