@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
-import graft.streaming.{JdbcSink, StreamOps}
+import graft.streaming.{JdbcSink, Monitoring, StreamOps}
 import graft.streaming.StreamOps.{AsofEvent, AsofJoinState, AsofNearestState}
 
 /** Streaming throughput/latency benchmark main — the streaming counterpart of
@@ -333,10 +333,24 @@ object StreamBench {
       "changelog_upsert" -> (() => measure("changelog_upsert", startChangelogUpsert _)),
       "interval_join" -> (() => measure("interval_join", startIntervalJoin _)),
       "asof_backward_e2e" -> (() => measureAsofE2e()),
-      "wordcount_convergence" -> (() => wordcountConvergence()))
+      "wordcount_convergence" -> (() => wordcountConvergence()),
+      // same kernel as asof_backward but with the LevelAll monitoring
+      // dashboard attached + a 1 Hz console reporter (frames rendered,
+      // output discarded). Not in the default set — run alongside
+      // asof_backward via SPARK_GRAFT_ONLY for a same-JVM A/B proving the
+      // async listener bus stays off the micro-batch critical path.
+      "asof_backward_monitored" -> (() => {
+        val mon = Monitoring.attach(spark, Monitoring.LevelAll)
+        val rep = Monitoring.startConsoleReporter(mon, 1000L, _ => ())
+        try measure("asof_backward_monitored", startAsofBackward _)
+        finally { rep.close(); Monitoring.detach(spark, mon) }
+      }))
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = only.fold(scenarios)(s => scenarios.filter(kv => s(kv._1)))
+    // the monitored A/B variant is opt-in (SPARK_GRAFT_ONLY) — the default
+    // sweep measures each kernel once
+    val selected = only.fold(scenarios.filterNot(_._1 == "asof_backward_monitored"))(
+      s => scenarios.filter(kv => s(kv._1)))
 
     def json(m: M): String =
       s"""{"k":"${m.name}","rate":${m.rate},"secs":${r1(m.wallSecs)},""" +
