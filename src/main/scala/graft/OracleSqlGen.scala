@@ -123,6 +123,20 @@ lr AS (SELECT query_id, nn_id, score,
     s"""WITH ${lshScoreCtes(k, dim, nPlanes, nTables)}
 SELECT query_id, nn_id, score, rank FROM lr WHERE rank <= $k"""
 
+  /** Similarity.knnClassify over lshKnn (reference knn_lsh_classify):
+    * majority vote over the k neighbors' `vec_id % nClasses` labels,
+    * ties (count DESC, label ASC); queries with no candidates keep a null
+    * label via the left join. */
+  def knnClassify(k: Int, dim: Int, nPlanes: Int, nTables: Int, nClasses: Int): String =
+    s"""WITH ${lshScoreCtes(k, dim, nPlanes, nTables)},
+knn AS (SELECT query_id, nn_id FROM lr WHERE rank <= $k),
+votes AS (SELECT query_id, CAST(nn_id % $nClasses AS VARCHAR) AS label, COUNT(*) AS c
+  FROM knn GROUP BY 1, 2),
+pred AS (SELECT query_id, label AS predicted_label FROM (
+  SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY c DESC, label ASC) AS rn FROM votes) WHERE rn = 1)
+SELECT q.query_id, pred.predicted_label FROM q LEFT JOIN pred USING (query_id)"""
+
   /** Similarity.ivfKnn on embeddings, queries vec_id<10: md5-order seed
     * sample + `refineIters` Lloyd passes over 2^40-quantized integer vectors
     * (the clusteringLsh technique — exact Long sums, cosine folds the only

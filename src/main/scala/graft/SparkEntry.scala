@@ -728,6 +728,21 @@ object SparkEntry {
       e, col("vec_id"), col("embedding"), k = 5, dim = 64)
   }
 
+  /** knn_lsh_classify (reference _knn_lsh.py:318): LSH kNN → neighbors'
+    * labels → majority vote per query, deterministic (count DESC, label ASC)
+    * tie-break. Labels here are the synthetic 3-class `vec_id % 3` so both
+    * engines derive them from the same table. */
+  private def qKnnClassify(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf
+    val q = e.filter(col("vec_id") < 10)
+    val knn = Similarity.lshKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5, dim = 64)
+    val labels = e.select(col("vec_id"),
+      (col("vec_id") % 3).cast("string").as("label"))
+    Similarity.knnClassify(q, col("vec_id"), knn,
+      labels, col("vec_id"), col("label"))
+  }
+
   private def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).toDf
     val q = e.filter(col("vec_id") < 10)
@@ -1177,6 +1192,7 @@ object SparkEntry {
     "knn_brute_force" -> (qKnnBrute _),
     "knn_hnsw"        -> (qKnnHnsw _),
     "knn_lsh"         -> (qKnnLsh _),
+    "knn_classify"    -> (qKnnClassify _),
     "knn_ivf"         -> (qKnnIvf _),
     "clustering_lsh"  -> (qClusteringLsh _),
     "rrf_fusion"      -> (qRrfFusion _),
@@ -1995,6 +2011,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
     "dedup_simhash" -> OracleSqlGen.dedupSimhash(maxDist = 3, bands = 4),
     "knn_lsh" -> OracleSqlGen.knnLsh(k = 5, dim = 64, nPlanes = 6, nTables = 12),
+    "knn_classify" -> OracleSqlGen.knnClassify(k = 5, dim = 64, nPlanes = 6,
+      nTables = 12, nClasses = 3),
     "knn_ivf" -> OracleSqlGen.knnIvf(k = 5, dim = 64, nCells = 16, nProbe = 4,
       refineIters = 2, spill = 3),
     "clustering_lsh" -> OracleSqlGen.clusteringLsh(dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2),

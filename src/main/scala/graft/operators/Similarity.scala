@@ -91,6 +91,34 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("score"), col("rank").cast("long").as("rank"))
   }
 
+  /** kNN classification (reference stdlib/ml/classifiers/_knn_lsh.py:318
+    * `knn_lsh_classify`): take a knn result (`query_id`, `nn_id` — any of
+    * [[bruteForceKnn]]/[[lshKnn]]/[[ivfKnn]], mirroring the reference's
+    * pluggable `knn_model`), look up each neighbor's label, and
+    * majority-vote per query. The reference breaks vote ties with Python
+    * `statistics.mode`'s first-encountered order (insertion-order
+    * dependent); here ties break deterministically (count DESC, label ASC)
+    * so the result is reproducible across partitionings and
+    * oracle-checkable. Queries with no retrieved neighbors surface with a
+    * null label (the reference's `knns_empty` update_cells path).
+    *
+    * Scale posture: one shuffle on nn_id for the label lookup (broadcast if
+    * the label table is a small dim), one partial-aggregated groupBy on
+    * (query_id, label), one query-partitioned window over ≤ k·tables vote
+    * rows per query, and a final left join on query_id — never the corpus. */
+  def knnClassify(queries: DataFrame, qId: Column, knn: DataFrame,
+      labels: DataFrame, lId: Column, label: Column): DataFrame = {
+    val votes = knn
+      .join(labels.select(lId.as("nn_id"), label.as("_label")), Seq("nn_id"))
+      .groupBy(col("query_id"), col("_label")).agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_c").desc, col("_label").asc)
+    val pred = votes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col("_label").as("predicted_label"))
+    queries.select(qId.as("query_id")).join(pred, Seq("query_id"), "left")
+  }
+
   /** IVF-flat ANN (the classic inverted-file index, e.g. FAISS IVF): partition
     * the corpus into `nCells` Voronoi cells, probe the `nProbe` nearest cells
     * per query, exact cosine only within probed cells.

@@ -43,4 +43,19 @@ class EmbeddersSpec extends AnyFunSuite {
     val top = knn.orderBy("rank").select("nn_id").as[Long].collect()
     assert(top.head == 2L) // the exact duplicate is the nearest neighbor
   }
+
+  test("knnClassify: majority vote, deterministic tie-break, null for candidate-less query") {
+    // hand-built knn result: q1 sees labels (a,a,b) → a; q2 sees (a,b) tied
+    // → tie-break label ASC → a; q3 retrieved nothing → null
+    val knn = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "nn_id")
+    val labels = Seq((10L, "a"), (11L, "a"), (12L, "b")).toDF("id", "label")
+    val queries = Seq(1L, 2L, 3L).toDF("qid")
+    val out = Similarity.knnClassify(queries, col("qid"), knn,
+      labels, col("id"), col("label"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("a"))
+    assert(out(2L).contains("a")) // 1-1 vote tie → smallest label
+    assert(out(3L).isEmpty)       // reference knns_empty path: null label
+  }
 }
