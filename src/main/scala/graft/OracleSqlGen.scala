@@ -137,6 +137,23 @@ pred AS (SELECT query_id, label AS predicted_label FROM (
     ORDER BY c DESC, label ASC) AS rn FROM votes) WHERE rn = 1)
 SELECT q.query_id, pred.predicted_label FROM q LEFT JOIN pred USING (query_id)"""
 
+  /** Utils.classifierAccuracy over the knnClassify prediction (reference
+    * ml/utils.py:13): rows counted per match/mismatch, null-safe compare. */
+  def classifierAccuracy(k: Int, dim: Int, nPlanes: Int, nTables: Int,
+      nClasses: Int): String =
+    s"""WITH ${lshScoreCtes(k, dim, nPlanes, nTables)},
+knn AS (SELECT query_id, nn_id FROM lr WHERE rank <= $k),
+votes AS (SELECT query_id, CAST(nn_id % $nClasses AS VARCHAR) AS label, COUNT(*) AS c
+  FROM knn GROUP BY 1, 2),
+pred AS (SELECT query_id, label AS predicted_label FROM (
+  SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY c DESC, label ASC) AS rn FROM votes) WHERE rn = 1),
+joined AS (SELECT q.query_id, pred.predicted_label,
+  CAST(q.query_id % $nClasses AS VARCHAR) AS exact_label
+  FROM q LEFT JOIN pred USING (query_id))
+SELECT (predicted_label IS NOT DISTINCT FROM exact_label) AS match, COUNT(*) AS cnt
+FROM joined GROUP BY 1"""
+
   /** Similarity.ivfKnn on embeddings, queries vec_id<10: md5-order seed
     * sample + `refineIters` Lloyd passes over 2^40-quantized integer vectors
     * (the clusteringLsh technique — exact Long sums, cosine folds the only

@@ -743,6 +743,17 @@ object SparkEntry {
       labels, col("vec_id"), col("label"))
   }
 
+  /** classifier_accuracy (reference ml/utils.py:13) over qKnnClassify's
+    * prediction vs the same synthetic ground truth. */
+  private def qClassifierAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val pred = qKnnClassify(s, dir)
+    val truth = Tables.embeddings(s, dir).toDf
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), (col("vec_id") % 3).cast("string").as("label"))
+    Utils.classifierAccuracy(pred, col("query_id"), col("predicted_label"),
+      truth, col("vec_id"), col("label"))
+  }
+
   private def qKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).toDf
     val q = e.filter(col("vec_id") < 10)
@@ -1193,6 +1204,7 @@ object SparkEntry {
     "knn_hnsw"        -> (qKnnHnsw _),
     "knn_lsh"         -> (qKnnLsh _),
     "knn_classify"    -> (qKnnClassify _),
+    "classifier_accuracy" -> (qClassifierAccuracy _),
     "knn_ivf"         -> (qKnnIvf _),
     "clustering_lsh"  -> (qClusteringLsh _),
     "rrf_fusion"      -> (qRrfFusion _),
@@ -2013,6 +2025,8 @@ object SparkEntry {
     "knn_lsh" -> OracleSqlGen.knnLsh(k = 5, dim = 64, nPlanes = 6, nTables = 12),
     "knn_classify" -> OracleSqlGen.knnClassify(k = 5, dim = 64, nPlanes = 6,
       nTables = 12, nClasses = 3),
+    "classifier_accuracy" -> OracleSqlGen.classifierAccuracy(k = 5, dim = 64,
+      nPlanes = 6, nTables = 12, nClasses = 3),
     "knn_ivf" -> OracleSqlGen.knnIvf(k = 5, dim = 64, nCells = 16, nProbe = 4,
       refineIters = 2, spill = 3),
     "clustering_lsh" -> OracleSqlGen.clusteringLsh(dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2),

@@ -45,6 +45,18 @@ object Utils {
         col("_v").as("majority_value") :+ col("_n").as("majority_count"): _*)
   }
 
+  /** classifier_accuracy (reference stdlib/ml/utils.py:13): join predictions
+    * to ground truth on id and count rows per match/mismatch — the
+    * reference's exact output shape (`match`, `cnt`, one row per boolean
+    * present). Null predictions (knnClassify's candidate-less queries) count
+    * as mismatches. One broadcast-able equi-join + map-side-combined count. */
+  def classifierAccuracy(predicted: DataFrame, pId: Column, predLabel: Column,
+      exact: DataFrame, eId: Column, exactLabel: Column): DataFrame =
+    predicted.select(pId.as("_id"), predLabel.as("_pred"))
+      .join(exact.select(eId.as("_id"), exactLabel.as("_label")), Seq("_id"))
+      .groupBy((col("_pred") <=> col("_label")).as("match"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Skew-salted aggregation: two-phase groupBy for hot keys. Phase 1 groups on
     * (key, salt) — the hot key's rows spread over `salts` partitions and
     * partially aggregate; phase 2 merges the per-salt partials. Use for any
