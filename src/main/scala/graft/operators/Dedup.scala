@@ -159,38 +159,14 @@ object Dedup {
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand).map(s => col(s"_h$s"))
       xxhash64(lit(b) +: slots: _*)
     }
+    // content fingerprint for the guard's tier-1 sub-clustering: hash of the
+    // FULL 32-slot signature — exact clones collide, near-dups need tier 2
     val bucketed = sig.select(col("id"),
+      xxhash64((0 until numHashes).map(s => col(s"_h$s")): _*).as("_subKey"),
       posexplode(array(bandCols: _*)).as(Seq("_band", "_bucket")))
 
-    // hot-bucket guard (see hash64DupPairs scaladoc): buckets over bucketCap
-    // emit star candidates against the min-id representative (m−1 pairs)
-    // instead of going quadratic. The hot-key set is ≤ corpus/bucketCap rows
-    // BY CONSTRUCTION, so it broadcasts: the cold path is a broadcast
-    // anti-join (no extra shuffle of the full bucket table) and only the
-    // count agg (map-side combined to distinct buckets) is added work.
-    // bucketCap=Int.MaxValue disables the guard entirely (the honest
-    // unguarded control for ScaleProbe).
-    val candidates = if (bucketCap == Int.MaxValue) {
-      val l = bucketed.select(col("_band"), col("_bucket"), col("id").as("id1"))
-      val r = bucketed.select(col("_band"), col("_bucket"), col("id").as("id2"))
-      l.join(r, Seq("_band", "_bucket"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2")
-    } else {
-      val hot = broadcast(bucketed.groupBy("_band", "_bucket")
-        .agg(count(lit(1)).as("_n"), min(col("id")).as("_repId"))
-        .filter(col("_n") > bucketCap))
-      val cold = bucketed.join(hot.select("_band", "_bucket"),
-        Seq("_band", "_bucket"), "left_anti")
-      val l = cold.select(col("_band"), col("_bucket"), col("id").as("id1"))
-      val r = cold.select(col("_band"), col("_bucket"), col("id").as("id2"))
-      l.join(r, Seq("_band", "_bucket"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2")
-        .unionByName(bucketed.join(hot, Seq("_band", "_bucket"))
-          .filter(col("id") =!= col("_repId"))
-          .select(col("_repId").as("id1"), col("id").as("id2")))
-    }
+    // two-tier hot-bucket guard — see [[guardedSelfJoin]]
+    val candidates = guardedSelfJoin(bucketed, Seq("_band", "_bucket"), Nil, bucketCap)
 
     // DEDUPE pairs before the prefilter joins: a pair can surface from up to
     // `bands` buckets, and the signature rejoin widens every row to 2×32
@@ -345,36 +321,106 @@ object Dedup {
     * boilerplate key can't go quadratic at corpus scale. */
   val DefaultBucketCap: Int = 4096
 
+  /** Shared hot-bucket-guarded band self-join for the whole LSH family
+    * (minhashLsh, [[hash64DupPairs]], Similarity.embeddingDupPairs).
+    *
+    * `buckets` must carry `keyCols` (the band/bucket key), `id`, `_subKey`
+    * (a full-content fingerprint — identical inputs MUST collide; near-dups
+    * may differ) and `payloadCols` to carry into pairs. Returns candidate
+    * pairs `id1 < id2` with `<p>_1`/`<p>_2` for each payload column.
+    *
+    * Cold buckets (≤ `bucketCap` rows) take the exact all-pairs equi-join.
+    * Hot buckets take a TWO-TIER star instead of going quadratic:
+    *
+    *  - tier 1 — members sub-group by `_subKey`; each sub-cluster emits
+    *    (min-id rep → member) pairs. Every EXACT-clone cluster inside the
+    *    bucket gets full deterministic recall, no matter how many distinct
+    *    clusters the degenerate key collected (the multi-cluster hazard the
+    *    single-rep star had);
+    *  - tier 2 — sub-cluster reps pair ALL-PAIRS when the bucket has
+    *    ≤ min(bucketCap, 256) distinct contents (near-identical clusters
+    *    still meet through their reps), else reps star against the bucket's
+    *    min-id rep. The only remaining recall concession is therefore
+    *    > 256 DISTINCT contents piling into one bucket whose true pairs
+    *    share no other (cold) band — necessarily a degenerate band key,
+    *    not genuine similarity.
+    *
+    * Bounds: per hot bucket of m rows with r distinct contents, candidates
+    * ≤ (m − r) + min(r·(r−1)/2, 256·255/2 + r) — linear in m, constant-ish
+    * in r, vs m²/2 unguarded. For the single-cluster pileup (r = 1) this
+    * degenerates to exactly the old m−1 star, so clean-data behavior and
+    * the adversarial constant-signature probe bound are unchanged. Hot keys
+    * are ≤ rows/bucketCap BY CONSTRUCTION (so are rep stats: one row per
+    * hot bucket) → both broadcast; the cold path is a broadcast anti-join;
+    * the only added work vs all-pairs is the map-side-combined count and
+    * the sub-rep agg over hot members only. `bucketCap = Int.MaxValue`
+    * short-circuits to the unguarded all-pairs join (the honest control). */
+  def guardedSelfJoin(buckets: DataFrame, keyCols: Seq[String],
+      payloadCols: Seq[String], bucketCap: Int): DataFrame = {
+    def keys = keyCols.map(col)
+    val outCols = (col("id1") +: col("id2") +:
+      payloadCols.flatMap(p => Seq(col(s"${p}_1"), col(s"${p}_2")))).toSeq
+    def side(df: DataFrame, n: Int): DataFrame =
+      df.select((keys :+ col("id").as(s"id$n")) ++
+        payloadCols.map(p => col(p).as(s"${p}_$n")): _*)
+    def pairUp(df: DataFrame): DataFrame =
+      side(df, 1).join(side(df, 2), keyCols)
+        .filter(col("id1") < col("id2"))
+        .select(outCols: _*)
+    if (bucketCap == Int.MaxValue) return pairUp(buckets)
+
+    val payloadStruct = struct(col("id") +: payloadCols.map(col): _*)
+    def repSide(structCol: String, n: Int): Seq[Column] =
+      (col(s"$structCol.id").as(s"id$n") +:
+        payloadCols.map(p => col(s"$structCol.$p").as(s"${p}_$n"))).toSeq
+
+    val hotKeys = broadcast(buckets.groupBy(keys: _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > bucketCap)
+      .select(keys: _*))
+    val cold = buckets.join(hotKeys, keyCols, "left_anti")
+    val hotMembers = buckets.join(hotKeys, keyCols)
+
+    // tier 1: struct min orders by id (first field) → sub-cluster min-id rep
+    val subReps = hotMembers.groupBy(keys :+ col("_subKey"): _*)
+      .agg(min(payloadStruct).as("_rep"))
+    val tier1 = hotMembers.join(subReps, keyCols :+ "_subKey")
+      .filter(col("id") =!= col("_rep.id")) // rep.id = sub-cluster min < id
+      .select(repSide("_rep", 1) ++
+        (col("id").as("id2") +: payloadCols.map(p => col(p).as(s"${p}_2"))): _*)
+      .select(outCols: _*)
+
+    // tier 2: reps of one bucket meet each other
+    val repCap = math.min(bucketCap, 256)
+    val repRows = subReps.select(
+      (keys :+ col("_rep.id").as("id")) ++ payloadCols.map(p => col(s"_rep.$p").as(p)): _*)
+    val repStats = broadcast(repRows.groupBy(keys: _*)
+      .agg(count(lit(1)).as("_nr"), min(payloadStruct).as("_grep")))
+    val tier2All = pairUp(repRows.join(
+      repStats.filter(col("_nr") <= repCap).select(keys: _*), keyCols))
+    val tier2Star = repRows.join(repStats.filter(col("_nr") > repCap), keyCols)
+      .filter(col("id") =!= col("_grep.id"))
+      .select(repSide("_grep", 1) ++
+        (col("id").as("id2") +: payloadCols.map(p => col(p).as(s"${p}_2"))): _*)
+      .select(outCols: _*)
+
+    pairUp(cold).unionByName(tier1).unionByName(tier2All).unionByName(tier2Star)
+  }
+
   /** Near-dup pairs of any 64-bit fingerprint table (id, _sig) within
     * `maxDist` Hamming distance: the SimHash band trick — a pair within
     * maxDist < bands shares ≥1 exact band, so candidates come from `bands`
     * equi-joins (never all-pairs), verified with codegen'd bit_count(xor).
     * Shared by text SimHash and image aHash dedup.
     *
-    * Hot-bucket guard (the standard LSH skew treatment): buckets larger than
-    * `bucketCap` — boilerplate text, blank images, any degenerate key —
-    * would make the self-join quadratic in that bucket's size before any
-    * verify filter runs. Those buckets switch to star candidates: every
-    * member pairs with the bucket's min-id representative only (m−1 pairs
-    * instead of m²/2). For true-dup pileups (the only way honest data makes
-    * a giant bucket) the star pairs all verify and transitive grouping
-    * ([[dupGroups]] / minhashLsh's star-merge) reconnects the full cluster;
-    * cross-member pairs that fail verification against the rep are the
-    * (documented) recall cost of bounding the join. The hot-key set is
-    * ≤ rows/bucketCap entries BY CONSTRUCTION, so it broadcasts: the cold
-    * path is a broadcast anti-join and the only added work is the
-    * map-side-combined bucket-count agg. `bucketCap = Int.MaxValue`
-    * disables the guard (the honest unguarded control).
-    *
-    * Multi-cluster recall hazard (explicit): the star assumes a hot bucket is
-    * ONE dup pileup. If a degenerate band key collects SEVERAL distinct clone
-    * clusters, members of the non-rep clusters pair only against the global
-    * min-id rep, fail the Hamming verify, and any pair whose ONLY shared band
-    * was the hot one is lost — a silent recall change vs the unguarded join.
-    * In practice other bands (untouched by the guard) recover same-cluster
-    * pairs, but a caller who needs exhaustive recall on adversarial keys
-    * should raise `bucketCap` (or disable with Int.MaxValue) and accept the
-    * quadratic bucket. */
+    * Hot-bucket guard: buckets larger than `bucketCap` — boilerplate text,
+    * blank images, any degenerate key — would make the self-join quadratic
+    * in that bucket's size before any verify filter runs. Those buckets
+    * take [[guardedSelfJoin]]'s two-tier star (sub-clustered by the full
+    * signature, so several distinct clone clusters in one bucket EACH keep
+    * deterministic recall — the r8 single-rep star's multi-cluster hazard
+    * is closed); transitive grouping ([[dupGroups]] / minhashLsh's
+    * star-merge) reconnects each cluster. `bucketCap = Int.MaxValue`
+    * disables the guard (the honest unguarded control). */
   def hash64DupPairs(sigs: DataFrame, maxDist: Int, bands: Int,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     val width = 64 / bands
@@ -389,32 +435,10 @@ object Dedup {
       withSig.count()
       val bandExprs = (0 until bands).map(b =>
         shiftright(col("_sig"), b * width).bitwiseAND(lit(mask)))
-      val banded = withSig.select(col("id"), col("_sig"),
+      // _subKey = the full signature: exact clones collide in tier 1
+      val banded = withSig.select(col("id"), col("_sig"), col("_sig").as("_subKey"),
         posexplode(array(bandExprs: _*)).as(Seq("_band", "_key")))
-      val pairs = if (bucketCap == Int.MaxValue) {
-        val l = banded.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))
-        val r = banded.select(col("_band"), col("_key"), col("id").as("id2"), col("_sig").as("_s2"))
-        l.join(r, Seq("_band", "_key"))
-          .filter(col("id1") < col("id2"))
-          .select("id1", "_s1", "id2", "_s2")
-      } else {
-        val hot = broadcast(banded.groupBy("_band", "_key")
-          .agg(count(lit(1)).as("_n"), min(struct(col("id"), col("_sig"))).as("_rep"))
-          .filter(col("_n") > bucketCap))
-        val cold = banded.join(hot.select("_band", "_key"),
-          Seq("_band", "_key"), "left_anti")
-        val l = cold.select(col("_band"), col("_key"), col("id").as("id1"), col("_sig").as("_s1"))
-        val r = cold.select(col("_band"), col("_key"), col("id").as("id2"), col("_sig").as("_s2"))
-        val coldPairs = l.join(r, Seq("_band", "_key"))
-          .filter(col("id1") < col("id2"))
-          .select("id1", "_s1", "id2", "_s2")
-        // rep has the bucket's min id, so id1 < id2 holds by construction
-        val hotPairs = banded.join(hot, Seq("_band", "_key"))
-          .filter(col("id") =!= col("_rep.id"))
-          .select(col("_rep.id").as("id1"), col("_rep._sig").as("_s1"),
-            col("id").as("id2"), col("_sig").as("_s2"))
-        coldPairs.unionByName(hotPairs)
-      }
+      val pairs = guardedSelfJoin(banded, Seq("_band", "_key"), Seq("_sig"), bucketCap)
       // Materialize the NARROW verified pairs (localCheckpoint truncates the
       // lineage so the returned frame no longer references the signature
       // cache — blocks are ContextCleaner-managed, unlike persist entries),
@@ -422,8 +446,9 @@ object Dedup {
       // longer leak a cache entry per invocation.
       pairs
         .dropDuplicates("id1", "id2")
-        .filter(hammingDist(col("_s1"), col("_s2")) <= maxDist)
-        .select(col("id1"), col("id2"), hammingDist(col("_s1"), col("_s2")).as("hamming"))
+        .filter(hammingDist(col("_sig_1"), col("_sig_2")) <= maxDist)
+        .select(col("id1"), col("id2"),
+          hammingDist(col("_sig_1"), col("_sig_2")).as("hamming"))
         .localCheckpoint(true)
     } finally withSig.unpersist(false)
   }

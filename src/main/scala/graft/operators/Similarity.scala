@@ -208,43 +208,23 @@ object Similarity {
   /** Embedding near-dup pairs via one shared LSH table (dedup-by-cosine):
     * verified exact cosine ≥ threshold.
     *
-    * Hot-bucket guard (see [[graft.operators.Dedup.hash64DupPairs]]):
+    * Hot-bucket guard (shared [[graft.operators.Dedup.guardedSelfJoin]]):
     * near-constant embeddings piling into one SRP bucket would make the
-    * self-join quadratic; buckets over `bucketCap` emit star candidates
-    * against the min-id representative instead. */
+    * self-join quadratic; hot buckets take the two-tier star, sub-clustered
+    * by a hash of the full vector so several distinct clone clusters in one
+    * degenerate bucket each keep deterministic recall. */
   def embeddingDupPairs(df: DataFrame, id: Column, vec: Column,
       dim: Int, threshold: Double, nPlanes: Int = 8, nTables: Int = 8,
       bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
     val base = df.select(id.as("id"), vec.as("_v"))
     val b = base.select(col("id"), col("_v"),
       posexplode(srpAllBuckets(col("_v"), nTables, nPlanes, dim)).as(Seq("_table", "_bucket")))
-      .select("_table", "_bucket", "id")
+      .select(col("_table"), col("_bucket"), col("id"),
+        xxhash64(col("_v")).as("_subKey"))
     // candidates stay NARROW (id1, id2): a pair can surface from up to
     // nTables buckets, so dedupe 16-byte rows first and rejoin the vectors
     // once per unique pair — not once per bucket copy
-    val pairs = if (bucketCap == Int.MaxValue) {
-      val l = b.select(col("_table"), col("_bucket"), col("id").as("id1"))
-      val r = b.select(col("_table"), col("_bucket"), col("id").as("id2"))
-      l.join(r, Seq("_table", "_bucket"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2")
-    } else {
-      // hot keys are ≤ rows/bucketCap by construction → broadcast; cold path
-      // is a broadcast anti-join, no extra shuffle of the bucket table
-      val hot = broadcast(b.groupBy("_table", "_bucket").agg(
-        count(lit(1)).as("_n"), min(col("id")).as("_repId"))
-        .filter(col("_n") > bucketCap))
-      val cold = b.join(hot.select("_table", "_bucket"),
-        Seq("_table", "_bucket"), "left_anti")
-      val l = cold.select(col("_table"), col("_bucket"), col("id").as("id1"))
-      val r = cold.select(col("_table"), col("_bucket"), col("id").as("id2"))
-      l.join(r, Seq("_table", "_bucket"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2")
-        .unionByName(b.join(hot, Seq("_table", "_bucket"))
-          .filter(col("id") =!= col("_repId"))
-          .select(col("_repId").as("id1"), col("id").as("id2")))
-    }
+    val pairs = Dedup.guardedSelfJoin(b, Seq("_table", "_bucket"), Nil, bucketCap)
     pairs
       .dropDuplicates("id1", "id2")
       .join(base.select(col("id").as("id1"), col("_v").as("_v1")), "id1")
