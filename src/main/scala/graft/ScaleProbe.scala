@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graphs, Similarity, Temporal, TrainPrep}
+import graft.operators.{Dedup, Graphs, Similarity, Temporal, TextOps, TrainPrep}
 import graft.streaming.ChangelogOps
 
 /** Scale probe: replicate inputs `mult`× (disjoint id/user spaces per
@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -450,6 +450,52 @@ object ScaleProbe {
         .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
       time("pipeline_curate", nd * mult) {
         graft.examples.TrainDataPipeline.curate(docs, evalSet)
+      }
+    }
+
+    if (families("longdoc")) {
+      // Doc-LENGTH ladder (1k/10k/100k words per doc, fixed doc count) for the
+      // text batteries: the corpus probes scale the number of docs, this one
+      // scales the length of each doc — the axis that exposed the r9 Gopher
+      // O(n²)-per-doc 2-gram HOF (100k words ≈ 10¹⁰ comparisons/doc, would
+      // never return; the r10 hash-count kernel is O(Σn·words) and the ladder
+      // below should grow ~10× per rung). Deterministic synthetic prose:
+      // every 11th word a stopword, vocab 5000, a newline every 37 words so
+      // the line rules see multi-line pages.
+      import spark.implicits._
+      def genDocs(nDocs: Int, wordsPerDoc: Int, path: String): DataFrame = {
+        val gen = spark.range(nDocs.toLong).as[Long].mapPartitions { it =>
+          it.map { d =>
+            val sb = new java.lang.StringBuilder(wordsPerDoc * 6)
+            var j = 0
+            while (j < wordsPerDoc) {
+              if (j > 0) sb.append(if (j % 37 == 0) '\n' else ' ')
+              if (j % 11 == 0) sb.append("the")
+              else { sb.append('w'); sb.append((d * 31 + j * 7) % 5000) }
+              j += 1
+            }
+            (d, sb.toString)
+          }
+        }.toDF("doc_id", "text")
+        gen.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+      for (wpd <- Seq(1000, 10000, 100000)) {
+        val nDocs = 64
+        val d = genDocs(nDocs, wpd, s"/tmp/graft_longdoc_$wpd")
+        time(s"gopher_${wpd}w", nDocs.toLong) {
+          TextOps.gopherStats(d, col("text"))
+            .select(TextOps.gopherStatNames.map(col): _*)
+        }
+        time(s"c4_${wpd}w", nDocs.toLong) {
+          d.select(col("doc_id") +:
+            TextOps.c4Stats(col("text")).map { case (n, c) => c.as(n) }: _*)
+        }
+        time(s"quality_langid_${wpd}w", nDocs.toLong) {
+          d.select(TextOps.qualityScore(col("text")).as("q"),
+            TextOps.langId(col("text")).as("l"),
+            TextOps.fingerprintMd5(col("text")).as("fp"))
+        }
       }
     }
 

@@ -601,8 +601,8 @@ object SparkEntry {
       TextOps.qualityScore(col("text")).as("quality"))
 
   private def qTextGopher(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id") +:
-      TextOps.gopherStats(col("text")).map { case (n, c) => c.as(n) }: _*)
+    TextOps.gopherStats(docs(s, dir).select("doc_id", "text"), col("text"))
+      .select(("doc_id" +: TextOps.gopherStatNames).map(col): _*)
 
   private def qTextC4(s: SparkSession, dir: String): DataFrame = {
     // the synthetic corpus is single-line and unpunctuated (every line would
@@ -1241,6 +1241,66 @@ object SparkEntry {
     "ignore_late"     -> (qIgnoreLate _),
   )
 
+  /** DuckDB oracle for `text_gopher`, generated from the same
+    * [[TextOps.GopherGramNs]]/threshold constants the Spark kernel uses so
+    * both sides extend in lockstep. `list_aggregate(g, 'histogram')` +
+    * `list_distinct` keep the oracle linear per document (the old
+    * per-distinct-gram rescan was O(n²) in DuckDB too). */
+  private def textGopherOracle: String = {
+    val gramDefs = TextOps.GopherGramNs.map { n =>
+      val parts = (0 until n).map(j => if (j == 0) "words[i]" else s"words[i + $j]")
+        .mkString(" || ' ' || ")
+      s"list_transform(generate_series(1, len(words) - ${n - 1}), i -> $parts) AS g$n"
+    }.mkString(",\n  ")
+    val topNs = TextOps.GopherTopGramMax.keys.toSeq.sorted
+    val dupNs = TextOps.GopherDupGramMax.keys.toSeq.sorted
+    val topFracs = topNs.map { n =>
+      s"CAST(list_max(map_values(list_aggregate(g$n, 'histogram'))) AS DOUBLE) / NULLIF(len(g$n), 0) AS top_${n}gram_frac"
+    }
+    val dupFracs = dupNs.map { n =>
+      s"CAST(len(g$n) - len(list_distinct(g$n)) AS DOUBLE) / NULLIF(len(g$n), 0) AS dup_${n}gram_frac"
+    }
+    val fracNames = topNs.map(n => s"top_${n}gram_frac") ++ dupNs.map(n => s"dup_${n}gram_frac")
+    val gramRules = (TextOps.GopherTopGramMax.toSeq.sortBy(_._1).map { case (n, t) =>
+        s"top_${n}gram_frac <= $t"
+      } ++ TextOps.GopherDupGramMax.toSeq.sortBy(_._1).map { case (n, t) =>
+        s"dup_${n}gram_frac <= $t"
+      }).mkString("\n    AND ")
+    s"""WITH t AS (SELECT doc_id, text,
+       |    regexp_extract_all(lower(text), '[a-z0-9'']+') AS words,
+       |    string_split_regex(text, '\\n') AS lines FROM documents),
+       |s AS (SELECT doc_id,
+       |  CAST(len(words) AS BIGINT) AS n_words,
+       |  CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+       |    / NULLIF(len(words), 0) AS mean_word_len,
+       |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
+       |    / NULLIF(len(words), 0) AS symbol_word_ratio,
+       |  CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+       |    / NULLIF(len(lines), 0) AS bullet_line_frac,
+       |  CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+       |    / NULLIF(len(lines), 0) AS ellipsis_line_frac,
+       |  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+       |    / NULLIF(len(lines), 0) AS dup_line_frac,
+       |  CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+       |    / NULLIF(len(words), 0) AS alpha_word_frac,
+       |  CAST(len(list_filter(words, w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS BIGINT) AS stop_word_hits,
+       |  $gramDefs
+       |FROM t),
+       |g AS (SELECT *,
+       |  ${(topFracs ++ dupFracs).mkString(",\n  ")}
+       |FROM s)
+       |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       |  ellipsis_line_frac, dup_line_frac, alpha_word_frac, stop_word_hits,
+       |  ${fracNames.mkString(", ")},
+       |  COALESCE(n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+       |    AND ellipsis_line_frac <= 0.3 AND dup_line_frac <= 0.3
+       |    AND alpha_word_frac >= 0.8 AND stop_word_hits >= 2
+       |    AND $gramRules, FALSE) AS gopher_pass
+       |FROM g""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1587,43 +1647,7 @@ object SparkEntry {
         |    + 0.3 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','you','that'], x))) AS DOUBLE) / len(toks))
         |    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)))) AS quality
         |FROM t""".stripMargin,
-    "text_gopher" ->
-      """WITH t AS (SELECT doc_id, text,
-        |    regexp_extract_all(lower(text), '[a-z0-9'']+') AS words,
-        |    string_split_regex(text, '\n') AS lines FROM documents),
-        |s AS (SELECT doc_id,
-        |  CAST(len(words) AS BIGINT) AS n_words,
-        |  CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
-        |    / NULLIF(len(words), 0) AS mean_word_len,
-        |  CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.|…')) AS DOUBLE)
-        |    / NULLIF(len(words), 0) AS symbol_word_ratio,
-        |  CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
-        |    / NULLIF(len(lines), 0) AS bullet_line_frac,
-        |  CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
-        |    / NULLIF(len(lines), 0) AS ellipsis_line_frac,
-        |  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
-        |    / NULLIF(len(lines), 0) AS dup_line_frac,
-        |  CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
-        |    / NULLIF(len(words), 0) AS alpha_word_frac,
-        |  CAST(len(list_filter(words, w -> list_contains(['the','be','to','of','and','that','have','with'], w))) AS BIGINT) AS stop_word_hits,
-        |  list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i + 1]) AS grams
-        |FROM t),
-        |g AS (SELECT *,
-        |  CAST(list_max(list_transform(list_distinct(grams), d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE)
-        |    / NULLIF(len(grams), 0) AS top_2gram_frac,
-        |  CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
-        |    / NULLIF(len(grams), 0) AS dup_2gram_frac
-        |FROM s)
-        |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
-        |  ellipsis_line_frac, dup_line_frac, alpha_word_frac, stop_word_hits,
-        |  top_2gram_frac, dup_2gram_frac,
-        |  COALESCE(n_words >= 50 AND n_words <= 100000
-        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |    AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
-        |    AND ellipsis_line_frac <= 0.3 AND dup_line_frac <= 0.3
-        |    AND alpha_word_frac >= 0.8 AND stop_word_hits >= 2
-        |    AND top_2gram_frac <= 0.20 AND dup_2gram_frac <= 0.30, FALSE) AS gopher_pass
-        |FROM g""".stripMargin,
+    "text_gopher" -> textGopherOracle,
     "text_c4" ->
       """WITH p AS (SELECT doc_id, concat_ws(chr(10),
         |    substr(text, 1, 80) || '.', 'no punct line', 'ok?',

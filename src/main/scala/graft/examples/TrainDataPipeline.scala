@@ -55,7 +55,8 @@ object TrainDataPipeline {
     // 2. filter (+ optional Gopher document rules)
     val kept0 = analyzed.filter(col("lang") === "en" && col("quality") >= 0.3)
     val kept = if (!gopherFilter) kept0
-      else kept0.filter(TextOps.gopherStats(col("text")).toMap.apply("gopher_pass"))
+      else TextOps.gopherStats(kept0, col("text"))
+        .filter(col("gopher_pass")).drop(TextOps.gopherStatNames: _*)
 
     // 3. exact dedup: fingerprint groupBy, min-id representative survives
     val reps = Dedup.exact(kept, col("doc_id"), TextOps.fingerprintMd5(col("text")))

@@ -50,14 +50,107 @@ object TextOps {
   //    pre-training document-filter battery) ──────────────────────────────────
   private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Per-rule raw statistics + the composite pass flag. Every stat derives
-    * from exact integer counts with ONE final division, so the DuckDB oracle
+  /** n-gram orders computed by the repetition kernel (Rae et al. Table A1:
+    * most-common-n-gram for n∈{2,3,4}, duplicate-n-gram for n∈{5..10};
+    * n=2 additionally keeps the legacy dup-2-gram rule). */
+  val GopherGramNs: Range = 2 to 10
+  /** Thresholds (count-fraction adaptation of Rae et al. Table A1 — the
+    * paper states character fractions; we use gram-count fractions so every
+    * stat is exact-integer ÷ exact-integer and engine-portable). */
+  val GopherTopGramMax: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val GopherDupGramMax: Map[Int, Double] =
+    Map(2 -> 0.30, 5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Output stat columns of [[gopherStats]], in order. */
+  val gopherStatNames: Seq[String] =
+    Seq("n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+      "ellipsis_line_frac", "dup_line_frac", "alpha_word_frac", "stop_word_hits") ++
+      GopherTopGramMax.keys.toSeq.sorted.map(n => s"top_${n}gram_frac") ++
+      GopherDupGramMax.keys.toSeq.sorted.map(n => s"dup_${n}gram_frac") :+
+      "gopher_pass"
+
+  /** Appends the full Gopher stat battery to `df` (columns [[gopherStatNames]]).
+    *
+    * The n-gram repetition family (most-common / duplicate n-gram fractions
+    * for every n in [[GopherGramNs]]) runs in a single mapPartitions kernel:
+    * per document, one pass per n builds a gram→count open hash map and emits
+    * (total, distinct, topCount) as exact integers — O(Σn · words) per doc,
+    * linear in document length, so book-length (100k-word) documents cost
+    * ~10⁶ map ops, not the 10¹⁰ comparisons of a nested per-distinct-gram
+    * scan (the r9 O(n²) HOF this kernel replaces; same shape as the MinHash
+    * signature kernel in Dedup.scala and tokenWindowHashes in TrainPrep.scala).
+    * Tokenization stays the codegen'd `wordTokens` expression so the gram
+    * vocabulary is bit-identical to the word-level stats and DuckDB oracle.
+    *
+    * Everything else (line rules, word-length/stopword stats) derives from
+    * exact integer counts with ONE final division, so the DuckDB oracle
     * matches bit-for-bit. Zero-word/zero-line docs null their ratios (nullif
-    * guard) and fail the pass flag via coalesce — never divide-by-zero.
-    * The line HOFs are interpreted (CodegenFallback) but per-row linear;
-    * the word-level stats reuse the codegen'd extract/join shapes. */
-  def gopherStats(c: Column): Seq[(String, Column)] = {
-    val words = wordTokens(c)
+    * guard) and fail the pass flag via coalesce — never divide-by-zero. */
+  def gopherStats(df: DataFrame, text: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val inCols = df.columns.toSeq
+    val withWords = df.withColumn("_gtext", text)
+      .withColumn("_gwords", wordTokens(col("_gtext")))
+    val wIdx = withWords.schema.fieldIndex("_gwords")
+    val outSchema = withWords.schema
+      .add("_gk", ArrayType(LongType, containsNull = false), nullable = false)
+    val ns = GopherGramNs.toArray
+    val kerneled = withWords.mapPartitions { rows =>
+      rows.map { row =>
+        val ws = row.getSeq[String](wIdx)
+        // layout: for each n (ascending): [total, distinct, topCount]
+        val out = new Array[Long](ns.length * 3)
+        if (ws != null && ws.nonEmpty) {
+          val arr = ws.toArray
+          val sb = new java.lang.StringBuilder(64)
+          var k = 0
+          while (k < ns.length) {
+            val n = ns(k)
+            val m = arr.length - n + 1
+            if (m > 0) {
+              val hm = new java.util.HashMap[String, Integer](
+                math.min(m * 2, 1 << 16))
+              var top = 0
+              var i = 0
+              while (i < m) {
+                sb.setLength(0)
+                var j = 0
+                while (j < n) {
+                  if (j > 0) sb.append(' ')
+                  sb.append(arr(i + j))
+                  j += 1
+                }
+                val g = sb.toString
+                val prev = hm.get(g)
+                val c = if (prev == null) 1 else prev.intValue + 1
+                hm.put(g, Integer.valueOf(c))
+                if (c > top) top = c
+                i += 1
+              }
+              out(k * 3) = m.toLong
+              out(k * 3 + 1) = hm.size.toLong
+              out(k * 3 + 2) = top.toLong
+            }
+            k += 1
+          }
+        }
+        Row.fromSeq(row.toSeq :+ (out.toSeq: Seq[Long]))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+
+    val c = col("_gtext")
+    val words = col("_gwords")
+    def tot(n: Int) = element_at(col("_gk"), GopherGramNs.indexOf(n) * 3 + 1)
+    def dist(n: Int) = element_at(col("_gk"), GopherGramNs.indexOf(n) * 3 + 2)
+    def topCnt(n: Int) = element_at(col("_gk"), GopherGramNs.indexOf(n) * 3 + 3)
+    // empty-gram docs: total=0 → nullif → null fraction (old HOF's null too)
+    def topFrac(n: Int) =
+      when(tot(n) === 0, lit(null).cast("double"))
+        .otherwise(topCnt(n).cast("double") / tot(n).cast("double"))
+    def dupFrac(n: Int) =
+      when(tot(n) === 0, lit(null).cast("double"))
+        .otherwise((tot(n) - dist(n)).cast("double") / tot(n).cast("double"))
     val nWords = size(words).cast("long")
     val nWordsD = nullif(size(words), lit(0)).cast("double")
     val meanWlen = length(array_join(words, "")).cast("double") /
@@ -76,29 +169,19 @@ object TextOps {
       .cast("double") / nWordsD
     val stopHits = size(filter(words, w => w.isin(GopherStops: _*))).cast("long")
     val symbolRatio = symbols / nWordsD
-    // word-2-gram repetition (Gopher's most-common-n-gram / duplicate-n-gram
-    // family at word granularity): zip_with pads to the LONGER side with
-    // nulls, so slice to size-1 and drop the null tail. The nested
-    // count-per-distinct-gram HOF is O(n²) per doc — fine at prose doc
-    // lengths; kernelize (mapPartitions hash count) before running it on
-    // book-length documents at corpus scale.
-    val grams = filter(
-      zip_with(words, slice(words, lit(2), greatest(size(words) - 1, lit(0))),
-        (a, b) => concat(a, lit(" "), b)),
-      g => g.isNotNull)
-    val nGrams = nullif(size(grams), lit(0)).cast("double")
-    val topGramFrac = array_max(transform(array_distinct(grams),
-      g => size(filter(grams, x => x === g)))).cast("double") / nGrams
-    val dupGramFrac = (size(grams) - size(array_distinct(grams)))
-      .cast("double") / nGrams
+    val gramRules = (GopherTopGramMax.toSeq.sortBy(_._1).map { case (n, t) =>
+        topFrac(n) <= t
+      } ++ GopherDupGramMax.toSeq.sortBy(_._1).map { case (n, t) =>
+        dupFrac(n) <= t
+      }).reduce(_ && _)
     val pass = coalesce(
       nWords >= 50 && nWords <= 100000 &&
         meanWlen >= 3.0 && meanWlen <= 10.0 &&
         symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
         dupLineFrac <= 0.3 && alphaFrac >= 0.8 && stopHits >= 2 &&
-        topGramFrac <= 0.20 && dupGramFrac <= 0.30,
+        gramRules,
       lit(false))
-    Seq(
+    val statCols: Seq[(String, Column)] = Seq(
       "n_words" -> nWords,
       "mean_word_len" -> meanWlen,
       "symbol_word_ratio" -> symbolRatio,
@@ -106,10 +189,12 @@ object TextOps {
       "ellipsis_line_frac" -> ellipsisFrac,
       "dup_line_frac" -> dupLineFrac,
       "alpha_word_frac" -> alphaFrac,
-      "stop_word_hits" -> stopHits,
-      "top_2gram_frac" -> topGramFrac,
-      "dup_2gram_frac" -> dupGramFrac,
-      "gopher_pass" -> pass)
+      "stop_word_hits" -> stopHits) ++
+      GopherTopGramMax.keys.toSeq.sorted.map(n => s"top_${n}gram_frac" -> topFrac(n)) ++
+      GopherDupGramMax.keys.toSeq.sorted.map(n => s"dup_${n}gram_frac" -> dupFrac(n)) :+
+      ("gopher_pass" -> pass)
+    kerneled.select(inCols.map(col) ++
+      statCols.map { case (nm, cc) => cc.as(nm) }: _*)
   }
 
   // ── C4 line-level cleaning (Raffel et al. 2020 §2.2 — the other standard

@@ -160,9 +160,7 @@ class TrainPrepSpec extends AnyFunSuite {
     val dupLines = (Seq.fill(8)("same line of text") ++ Seq("one", "two")).mkString("\n")
     val df = Seq((1L, good), (2L, bullets), (3L, ellipsis), (4L, dupLines), (5L, ""))
       .toDF("doc_id", "text")
-    val out = df.select(col("doc_id") +:
-        graft.operators.TextOps.gopherStats(col("text"))
-          .map { case (n, c) => c.as(n) }: _*)
+    val out = graft.operators.TextOps.gopherStats(df, col("text"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out(1L).getAs[Boolean]("gopher_pass"), "plain stopword-rich doc passes")
     assert(out(2L).getAs[Double]("bullet_line_frac") == 1.0)
@@ -220,13 +218,32 @@ class TrainPrepSpec extends AnyFunSuite {
     // 60 words of "foo bar" repetition: length/stopword/line rules alone
     // can't see the loop; the top-2-gram fraction is ~0.5
     val loop = ("the of and be " + ("foo bar " * 28)).trim
-    val out = Seq((1L, loop)).toDF("doc_id", "text")
-      .select(col("doc_id") +:
-        graft.operators.TextOps.gopherStats(col("text"))
-          .map { case (n, c) => c.as(n) }: _*).collect().head
+    val out = graft.operators.TextOps.gopherStats(
+        Seq((1L, loop)).toDF("doc_id", "text"), col("text"))
+      .collect().head
     assert(out.getAs[Double]("top_2gram_frac") > 0.4,
       s"loop doc top2gram = ${out.getAs[Double]("top_2gram_frac")}")
     assert(out.getAs[Double]("dup_2gram_frac") > 0.8)
     assert(!out.getAs[Boolean]("gopher_pass"), "repetition loop must fail")
+  }
+
+  test("gopherStats: extended n-gram matrix — exact known-answer fractions") {
+    // period-3 word stream "a b c a b c a b c a b" (11 words):
+    //   3-grams (9 windows): {abc×3, bca×3, cab×3} → top_3 = 3/9
+    //   7-grams (5 windows): {w1×2, w2×2, w3×1}    → dup_7 = (5-3)/5 = 0.4
+    //   10-grams (2 windows, both distinct)        → dup_10 = 0
+    val periodic = ("a b c " * 3).trim + " a b"
+    val tiny = "only five words right here"
+    val rows = graft.operators.TextOps.gopherStats(
+        Seq((1L, periodic), (2L, tiny)).toDF("doc_id", "text"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val p = rows(1L)
+    assert(p.getAs[Double]("top_3gram_frac") == 3.0 / 9.0)
+    assert(p.getAs[Double]("dup_7gram_frac") == 0.4)
+    assert(p.getAs[Double]("dup_10gram_frac") == 0.0)
+    // n-gram order longer than the doc → null fraction, no div-by-zero
+    val t = rows(2L)
+    assert(t.isNullAt(t.fieldIndex("dup_10gram_frac")))
+    assert(t.getAs[Double]("top_4gram_frac") == 0.5, "5 words → 2 4-grams, distinct")
   }
 }
