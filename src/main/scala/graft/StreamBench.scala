@@ -50,7 +50,8 @@ object StreamBench {
 
   final case class M(name: String, rate: Int, wallSecs: Double, rows: Long,
       rowsPerSec: Double, procRowsPerSec: Double, p50Ms: Long, p99Ms: Long,
-      maxMs: Long, batches: Int, stateRows: Long, err: String = null)
+      maxMs: Long, batches: Int, stateRows: Long, err: String = null,
+      stateBytes: Long = 0L)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -86,9 +87,16 @@ object StreamBench {
 
     // ── scenario starters ───────────────────────────────────────────────────
 
-    /** Split rate rows alternately into left/right asof events over nKeys. */
+    /** Split rate rows alternately into left/right asof events over nKeys.
+      * The key derives from value/2, NOT value: isLeft = value%2 and
+      * k = value%nKeys would be correlated (nKeys even), putting left and
+      * right events on disjoint key sets — a no-match workload where the
+      * forward kernel retains every candidate-less left. With value/2 the
+      * pair (2m, 2m+1) lands left+right on the same key m%nKeys, so every
+      * key sees both sides and matches actually occur. */
     def asofEvents = rateSrc
-      .select(col("timestamp").as("t"), (col("value") % nKeys).as("k"),
+      .select(col("timestamp").as("t"),
+        ((col("value") / 2).cast("long") % nKeys).as("k"),
         (col("value") % 2 === 0).as("isLeft"), col("value").as("p"))
       .withWatermark("t", "2 seconds")
       .as[(java.sql.Timestamp, Long, Boolean, Long)]
@@ -246,13 +254,23 @@ object StreamBench {
         val rows = ps.map(_.numInputRows).sum
         val stateRows = ps.lastOption
           .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        // bytes too: per-key kernels hold LISTS inside one state row per key,
+        // so numRowsTotal alone can look flat while state actually grows.
+        // Max over the run, and prefer the provider's on-version size when
+        // memoryUsedBytes under-reports (FMGWS under the HDFS provider)
+        val stateBytes = ps.map(_.stateOperators.map { so =>
+          val onVersion = Option(so.customMetrics.get("stateOnCurrentVersionSizeBytes"))
+            .map(_.longValue).getOrElse(0L)
+          math.max(so.memoryUsedBytes, onVersion)
+        }.sum).maxOption.getOrElse(0L)
         // wall-clock throughput charges query startup + trigger idle time;
         // processing throughput (rows / Σ triggerExecution) is the kernel's
         // sustained capacity — what a saturated stream would see
         val busySecs = durs.sum / 1000.0
         M(name, rate, wall, rows, rows / wall,
           if (busySecs > 0) rows / busySecs else 0, pct(0.5), pct(0.99),
-          durs.lastOption.getOrElse(-1L), durs.length, stateRows)
+          durs.lastOption.getOrElse(-1L), durs.length, stateRows,
+          stateBytes = stateBytes)
       } catch {
         case e: Throwable =>
           M(name, rate, (System.nanoTime() - t0) / 1e9, 0, 0, 0, -1, -1, -1, 0, 0,
@@ -279,7 +297,14 @@ object StreamBench {
         var i = 0L
         while (i < total) { input.addData(i until math.min(i + chunkRows, total)); i += chunkRows }
         val deadline = System.nanoTime() + 180L * 1000000000L
-        q.processAllAvailable()
+        // processAllAvailable blocks without bound — run it on a helper
+        // thread and enforce the reference's 180 s rule for real: a stalled
+        // query records not_converged instead of hanging the whole bench
+        val drain = new Thread(() => q.processAllAvailable(), "sb-wordcount-drain")
+        drain.setDaemon(true)
+        drain.start()
+        drain.join(180000L)
+        if (drain.isAlive) q.stop() // unblocks processAllAvailable; converged=false below
         // exact convergence: every word's count matches the closed form
         val got = spark.table("sb_wordcount")
           .as[(String, Long)].collect().toMap
@@ -321,6 +346,65 @@ object StreamBench {
         maxMs = ds.last)
     }
 
+    /** Kill-and-recover (reference integration_tests/wordcount kill-and-
+      * recover matrix, test_new_data.py:22): run the tumbling wordcount at
+      * `rate` against a FIXED checkpoint, stop it mid-run, stay down 5 s
+      * while the rate source's wall-clock offsets keep accruing backlog,
+      * restart from the checkpoint, and measure catch-up = time until the
+      * restarted query has processed the downtime backlog AND drawn within
+      * ~1 s of live (cumulative input ≥ rate·(down + elapsed) − rate).
+      * Exactness of recovery is pinned separately by the JdbcSinkSpec
+      * restart test; this records the TIME. */
+    def measureRecovery(): M = {
+      val ck = ckpt()
+      val downSecs = 5
+      def start() = rateSrc.select(col("timestamp").as("t"),
+          concat(lit("w"), col("value") % 10000).as("word"))
+        .withWatermark("t", "1 second")
+        .groupBy(window(col("t"), "1 second"), col("word")).count()
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ck).start()
+      val t00 = System.nanoTime()
+      try {
+        val q1 = start()
+        Thread.sleep(math.max(secs / 2, 5) * 1000L)
+        q1.stop() // the kill
+        Thread.sleep(downSecs * 1000L) // downtime: backlog accrues at `rate`
+        val t0 = System.nanoTime()
+        val q2 = start()
+        try {
+          var cum = 0L
+          var batches = 0
+          val seen = scala.collection.mutable.Set.empty[Long]
+          var catchup = -1.0
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (catchup < 0 && System.nanoTime() < deadline) {
+            Thread.sleep(50)
+            for (p <- q2.recentProgress if p.numInputRows > 0 && seen.add(p.batchId)) {
+              cum += p.numInputRows
+              batches += 1
+              val elapsed = (System.nanoTime() - t0) / 1e9
+              if (cum >= rate.toDouble * (downSecs + elapsed) - rate)
+                catchup = elapsed
+            }
+          }
+          val durs = q2.recentProgress.filter(_.numInputRows > 0)
+            .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+            .sorted
+          M("recovery_catchup", rate, catchup, cum,
+            if (catchup > 0) cum / catchup else 0, 0,
+            if (durs.isEmpty) -1 else durs(durs.length / 2),
+            if (durs.isEmpty) -1 else durs(math.min(durs.length - 1, (0.99 * durs.length).toInt)),
+            durs.lastOption.getOrElse(-1L), batches, 0,
+            err = if (catchup < 0) "not_caught_up_120s" else null)
+        } finally q2.stop()
+      } catch {
+        case e: Throwable =>
+          M("recovery_catchup", rate, (System.nanoTime() - t00) / 1e9, 0, 0, 0,
+            -1, -1, -1, 0, 0, err = e.getClass.getSimpleName)
+      }
+    }
+
     val scenarios: Seq[(String, () => M)] = Seq(
       "asof_backward" -> (() => measure("asof_backward", startAsofBackward _)),
       "asof_forward" -> (() => measure("asof_forward", startAsofForward _)),
@@ -334,6 +418,7 @@ object StreamBench {
       "interval_join" -> (() => measure("interval_join", startIntervalJoin _)),
       "asof_backward_e2e" -> (() => measureAsofE2e()),
       "wordcount_convergence" -> (() => wordcountConvergence()),
+      "recovery" -> (() => measureRecovery()),
       // same kernel as asof_backward but with the LevelAll monitoring
       // dashboard attached + a 1 Hz console reporter (frames rendered,
       // output discarded). Not in the default set — run alongside
@@ -358,6 +443,7 @@ object StreamBench {
         s""""proc_rows_per_s":${r1(m.procRowsPerSec)},""" +
         s""""p50_ms":${m.p50Ms},"p99_ms":${m.p99Ms},"max_ms":${m.maxMs},""" +
         s""""batches":${m.batches},"state_rows":${m.stateRows},""" +
+        s""""state_bytes":${m.stateBytes},""" +
         s""""err":${if (m.err == null) "null" else "\"" + m.err + "\""}}"""
 
     val results = selected.map { case (_, run) =>

@@ -139,8 +139,11 @@ object Iterate {
       val stepped = (1 to k).foldLeft(current)((df, _) => step(df))
       val next = materialize(stepped, reliable)
       // the check only buys anything if passes REMAIN — never pay the job
-      // on the final block
-      done = i + k < n && next.exceptAll(current).isEmpty
+      // on the final block. Both directions, like fixpoint: one-directional
+      // next⊆current would declare a row-DROPPING step "converged" and break
+      // the bit-identical-to-n-passes contract
+      done = i + k < n && next.exceptAll(current).isEmpty &&
+        current.exceptAll(next).isEmpty
       current.unpersist()
       current = next
       i += k

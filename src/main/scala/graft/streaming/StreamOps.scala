@@ -293,8 +293,8 @@ object StreamOps {
         val cs = st1.rights.filter(_._1 >= lt)
         if (cs.isEmpty) None else Some(cs.minBy(_._1))
       }
-      def expiry(lt: Long): Long =
-        if (maxWaitMs == Long.MaxValue) Long.MaxValue else lt + maxWaitMs
+      def expiry(lt: Long): Long = // saturating: lt + large finite maxWaitMs
+        if (lt > Long.MaxValue - maxWaitMs) Long.MaxValue else lt + maxWaitMs
       val (ripe, rest) = st1.lefts.partition(lt => candidate(lt._1).exists(_._1 <= wm))
       // TTL: candidate-less lefts past their hold window resolve to None
       val (expired, hold) = rest.partition { case (lt, _) =>
