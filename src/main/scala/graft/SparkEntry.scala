@@ -811,6 +811,23 @@ object SparkEntry {
       .select(col("vec_id"), col("i"), posexplode(col("row")).as(Seq("j", "v")))
   }
 
+  /** Distributed block matmul (Linalg scale path): A (64×64 from the first 64
+    * embeddings) × B (64×64 from the next 64, transposed layout), entries
+    * floor-quantized to integer-valued doubles so every partial-sum order —
+    * Spark's block reduce and DuckDB's join-group-sum alike — is exact. */
+  private def qMatmulBlock(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf
+    val a = e.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("i"), posexplode(col("embedding")).as(Seq("k", "x")))
+      .select(col("i"), col("k").cast("long").as("k"),
+        floor(col("x").cast("double") * 16).cast("double").as("v"))
+    val b = e.filter(col("vec_id") >= 64 && col("vec_id") < 128)
+      .select((col("vec_id") - 64).as("j"), posexplode(col("embedding")).as(Seq("k", "x")))
+      .select(col("k").cast("long").as("k"), col("j"),
+        floor(col("x").cast("double") * 16).cast("double").as("v"))
+    graft.operators.Linalg.blockMatmul(a, b, blockSize = 16)
+  }
+
   private def qDocStoreRetrieve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val store = graft.operators.DocumentStore.build(
@@ -1213,6 +1230,7 @@ object SparkEntry {
     "rerank_topk"     -> (qRerank _),
     "doc_store_retrieve" -> (qDocStoreRetrieve _),
     "matmul_2d"       -> (qMatmul2d _),
+    "matmul_block"    -> (qMatmulBlock _),
     "multimodal_features" -> (qMultimodalFeatures _),
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_audio" -> (qMultimodalAudio _),
@@ -2065,6 +2083,15 @@ object SparkEntry {
         |    (a, b) -> a + b) AS v
         |FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
         |  generate_series(0, 7) t1(i), generate_series(0, 7) t2(j)""".stripMargin,
+    "matmul_block" ->
+      """WITH a AS (SELECT vec_id AS i, t.k AS k,
+        |    CAST(FLOOR(CAST(embedding[t.k + 1] AS DOUBLE) * 16) AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(0, 63) t(k) WHERE vec_id < 64),
+        |b AS (SELECT t.k AS k, vec_id - 64 AS j,
+        |    CAST(FLOOR(CAST(embedding[t.k + 1] AS DOUBLE) * 16) AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(0, 63) t(k) WHERE vec_id >= 64 AND vec_id < 128)
+        |SELECT a.i, b.j, SUM(a.v * b.v) AS v FROM a JOIN b ON a.k = b.k
+        |GROUP BY a.i, b.j""".stripMargin,
     "doc_store_retrieve" -> OracleSqlGen.docStoreRetrieve(dim = 32, k = 3,
       queries = Seq(1L -> "data query window", 2L -> "spark join batch",
         3L -> "hash table scan")),

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Linalg
+
+class LinalgSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Deterministic sparse integer matrix: cell (i,k) present iff the mix
+    * clears `keep` of 10; integer values so every sum order is exact. */
+  private def sparseMat(rows: Int, cols: Int, keep: Int, salt: Int): DataFrame =
+    (for {
+      i <- 0 until rows; k <- 0 until cols
+      mix = (i * 31 + k * 17 + salt * 7) % 10 if mix < keep
+    } yield (i.toLong, k.toLong, ((i * 13 + k * 5 + salt) % 9 - 4).toDouble))
+      .toDF("i", "k", "v")
+
+  private def asMap(df: DataFrame): Map[(Long, Long), Double] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("blockMatmul equals cooMatmul on sparse matrices, bs not dividing dims") {
+    for (bs <- Seq(3, 8, 64)) {
+      val a = sparseMat(23, 17, 6, salt = 1)
+      val b = sparseMat(17, 29, 6, salt = 2).toDF("k", "j", "v")
+      val blocked = asMap(Linalg.blockMatmul(a, b, bs))
+      val coo = asMap(Linalg.cooMatmul(a, b))
+      assert(blocked == coo, s"bs=$bs")
+    }
+  }
+
+  test("COO presence semantics: present-but-zero entries still emit their cells") {
+    val a = Seq((0L, 0L, 0.0), (1L, 5L, 2.0)).toDF("i", "k", "v")
+    val b = Seq((0L, 3L, 7.0), (5L, 3L, 1.0)).toDF("k", "j", "v")
+    val out = asMap(Linalg.blockMatmul(a, b, 4))
+    // (0,3) exists because a(0,0) is PRESENT (the join emits the pair) even
+    // though its value is 0; a row absent from the join emits nothing.
+    assert(out == Map((0L, 3L) -> 0.0, (1L, 3L) -> 2.0))
+    assert(out == asMap(Linalg.cooMatmul(a, b)))
+  }
+
+  test("duplicate coordinates pre-sum, matching join-multiplicity semantics") {
+    val a = Seq((0L, 0L, 2.0), (0L, 0L, 3.0)).toDF("i", "k", "v")
+    val b = Seq((0L, 1L, 10.0)).toDF("k", "j", "v")
+    assert(asMap(Linalg.blockMatmul(a, b, 2)) == Map((0L, 1L) -> 50.0))
+    assert(asMap(Linalg.cooMatmul(a, b)) == Map((0L, 1L) -> 50.0))
+  }
+
+  test("identity: A × I = A on the present cells") {
+    val a = sparseMat(12, 12, 7, salt = 3)
+    val id = (0 until 12).map(k => (k.toLong, k.toLong, 1.0)).toDF("k", "j", "v")
+    val out = asMap(Linalg.blockMatmul(a, id, 5))
+    val expect = a.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == expect)
+  }
+
+  test("partition invariance: result independent of input partitioning") {
+    val a = sparseMat(20, 20, 5, salt = 4)
+    val b = sparseMat(20, 20, 5, salt = 5).toDF("k", "j", "v")
+    val base = asMap(Linalg.blockMatmul(a, b, 7))
+    for (p <- Seq(1, 13)) {
+      val got = asMap(Linalg.blockMatmul(a.repartition(p), b.repartition(p), 7))
+      assert(got == base, s"partitions=$p")
+    }
+  }
+}
