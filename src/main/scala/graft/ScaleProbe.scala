@@ -496,6 +496,15 @@ object ScaleProbe {
             TextOps.langId(col("text")).as("l"),
             TextOps.fingerprintMd5(col("text")).as("fp"))
         }
+        // signature kernels on long docs — the r10 dedupe-before-MD5 change
+        // bounds MD5 work by per-doc vocabulary, not length; these rungs pin
+        // that the dedup family stays ~linear on book-length documents
+        time(s"minhash_lsh_${wpd}w", nDocs.toLong) {
+          Dedup.minhashLsh(d, col("doc_id"), col("text"))
+        }
+        time(s"simhash_sig_${wpd}w", nDocs.toLong) {
+          Dedup.simhashSignatures(d, col("doc_id"), col("text"))
+        }
       }
     }
 

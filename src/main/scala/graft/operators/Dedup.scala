@@ -120,17 +120,24 @@ object Dedup {
         else {
           val mins = Array.fill(mixA.length)(Long.MaxValue)
           val L = math.max(n.length - (kk - 1), 1)
+          // dedupe grams BEFORE hashing: min is idempotent under duplicates,
+          // and a string-set probe is ~10× cheaper than MD5 + the 32-mix
+          // loop — on book-length docs (positions ≫ distinct grams) this
+          // bounds the expensive work by vocabulary, not document length
+          val seen = new java.util.HashSet[String](math.min(L, 1 << 16))
           var i = 0
           while (i < L) {
             val g = n.substring(i, math.min(i + kk, n.length))
-            md.reset()
-            val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val gh = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
-            var s = 0
-            while (s < mins.length) {
-              val m = gh * mixA(s) + mixB(s)
-              if (m < mins(s)) mins(s) = m
-              s += 1
+            if (seen.add(g)) {
+              md.reset()
+              val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val gh = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+              var s = 0
+              while (s < mins.length) {
+                val m = gh * mixA(s) + mixB(s)
+                if (m < mins(s)) mins(s) = m
+                s += 1
+              }
             }
             i += 1
           }
@@ -207,13 +214,18 @@ object Dedup {
           if (n == null) (docId, Array.empty[Long])
           else {
             val L = math.max(n.length - (kk - 1), 1)
+            // string-dedupe before MD5 (same argument as the signature
+            // kernel: the hash of a distinct set only needs distinct inputs)
+            val seen = new java.util.HashSet[String](math.min(L, 1 << 16))
             val set = scala.collection.mutable.HashSet.empty[Long]
             var i = 0
             while (i < L) {
               val g = n.substring(i, math.min(i + kk, n.length))
-              md.reset()
-              val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              set += java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+              if (seen.add(g)) {
+                md.reset()
+                val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                set += java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+              }
               i += 1
             }
             (docId, set.toArray)
@@ -284,13 +296,19 @@ object Dedup {
           if (toks == null || toks.isEmpty) Iterator.empty
           else {
             val counts = new Array[Long](64)
-            toks.foreach { t =>
+            // count distinct tokens first, MD5 each once: Σ_multiset ±1 ==
+            // Σ_distinct count·(±1), and natural-language token counts are
+            // vocabulary-bounded — on a 100k-word doc this does ~5-10k MD5s
+            // instead of 100k
+            val freq = new java.util.HashMap[String, Long](1 << 10)
+            toks.foreach(t => freq.merge(t, 1L, _ + _))
+            freq.forEach { (t, cnt) =>
               md.reset()
               val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
               val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
               var i = 0
               while (i < 64) {
-                if (((h >>> (63 - i)) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+                if (((h >>> (63 - i)) & 1L) == 1L) counts(i) += cnt else counts(i) -= cnt
                 i += 1
               }
             }
