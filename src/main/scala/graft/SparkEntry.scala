@@ -694,6 +694,17 @@ object SparkEntry {
     TrainPrep.sampleByWeight(d, col("doc_id"), col("quality"))
   }
 
+  /** Deterministic stratified sampling toward a target per-source mixture
+    * (data mixing): named sources keep at their listed rate, everything else
+    * at the 0.1 default. */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("src1", 0.9), ("src2", 0.5), ("src3", 0.25))
+      .toDF("source", "p")
+    TrainPrep.sampleStratified(docs(s, dir).select("doc_id", "source"),
+      col("doc_id"), col("source"), rates, defaultP = 0.1)
+  }
+
   private def qEmbCosinePairs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).toDf
     val l = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
@@ -1216,6 +1227,7 @@ object SparkEntry {
     "dedup_spans"     -> (qDedupSpans _),
     "decontaminate"   -> (qDecontaminate _),
     "sample_weighted" -> (qSampleWeighted _),
+    "sample_stratified" -> (qSampleStratified _),
     "embedding_cosine_pairs" -> (qEmbCosinePairs _),
     "knn_brute_force" -> (qKnnBrute _),
     "knn_hnsw"        -> (qKnnHnsw _),
@@ -1650,6 +1662,16 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, quality FROM q
         |WHERE """.stripMargin + slot + " < CAST(FLOOR(quality * 1000000.0) AS BIGINT)"
+    },
+    "sample_stratified" -> {
+      val slot = "((" + graft.functions.CrossHash.duckSigned(
+        graft.functions.CrossHash.duckU64("CAST(doc_id AS VARCHAR)")) +
+        " % 1000000) + 1000000) % 1000000"
+      """WITH rates(g, p) AS (VALUES ('src1', 0.9), ('src2', 0.5), ('src3', 0.25)),
+        |j AS (SELECT doc_id, source, COALESCE(p, 0.1) AS p
+        |  FROM documents LEFT JOIN rates ON source = g)
+        |SELECT doc_id, source FROM j
+        |WHERE """.stripMargin + slot + " < CAST(FLOOR(p * 1000000.0) AS BIGINT)"
     },
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,

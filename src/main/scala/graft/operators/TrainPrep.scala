@@ -150,4 +150,28 @@ object TrainPrep {
       resolution: Long = 1000000L): DataFrame =
     df.filter(pmod(CrossHash.md5Long(key), lit(resolution)) <
       floor(p * resolution.toDouble).cast("long"))
+
+  /** Deterministic STRATIFIED sampling toward a target mixture — the
+    * data-mixing step of a pre-training corpus build (per-source sampling
+    * weights à la GPT-3 Table 2.2 / The Pile's mixture table). `rates` is a
+    * two-column (group, p) table of per-stratum keep probabilities;
+    * mixture tables are dims-small by construction, so it broadcast-joins
+    * onto the corpus — no shuffle of the big side, and the accept test stays
+    * a codegen'd filter. Groups absent from `rates` take `defaultP` (0 =
+    * drop unlisted strata). Acceptance reuses [[sampleByWeight]]'s
+    * cross-engine hash-slot rule on `key`, so samples are stable under
+    * reruns, repartitioning and appends, nested as rates grow, and exactly
+    * replayable in the DuckDB oracle. */
+  def sampleStratified(df: DataFrame, key: Column, group: Column,
+      rates: DataFrame, defaultP: Double = 0.0,
+      resolution: Long = 1000000L): DataFrame = {
+    val rateCols = rates.columns
+    require(rateCols.length == 2, s"rates must be (group, p), got ${rateCols.mkString(",")}")
+    val r = broadcast(rates.select(col(rateCols(0)).as("_g"),
+      col(rateCols(1)).cast("double").as("_p")))
+    df.join(r, group === col("_g"), "left_outer")
+      .filter(pmod(CrossHash.md5Long(key), lit(resolution)) <
+        floor(coalesce(col("_p"), lit(defaultP)) * resolution.toDouble).cast("long"))
+      .drop("_g", "_p")
+  }
 }

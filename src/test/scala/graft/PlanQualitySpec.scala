@@ -35,8 +35,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "window_join", "interpolate",
     "text_tokens", "text_quality", "text_gopher", "text_c4", "text_langid",
     "text_fingerprint", "text_pii", "dedup_exact", "dedup_spans",
-    "decontaminate", "sample_weighted", "split_train_test", "doc_pack",
-    "doc_split_chunks", "doc_parse", "expr_str", "expr_num", "expr_cond")
+    "decontaminate", "sample_weighted", "sample_stratified", "split_train_test",
+    "doc_pack", "doc_split_chunks", "doc_parse", "expr_str", "expr_num",
+    "expr_cond", "matmul_block")
 
   /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
     * 1-row scalar cross joins (ignore_late-style max-ts broadcast). */
@@ -83,5 +84,11 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q1_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "expected partial + final HashAggregate pair")
+  }
+
+  test("sample_stratified: mixture table broadcasts, corpus side never shuffles") {
+    val p = plan("sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), s"rates join not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), "mixture join must not shuffle the corpus")
   }
 }

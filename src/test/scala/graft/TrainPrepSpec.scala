@@ -138,6 +138,25 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(again == at30)
   }
 
+  test("sampleStratified: per-group rates, default for unlisted, consistent with sampleByWeight") {
+    val d = (0L until 900L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val rates = Seq(("g0", 1.0), ("g1", 0.3)).toDF("grp", "p")
+    val kept = TrainPrep.sampleStratified(d, col("id"), col("grp"), rates, defaultP = 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byGrp.getOrElse("g0", 0) == 300)          // p=1 keeps the whole stratum
+    assert(!byGrp.contains("g2"))                    // defaultP=0 drops unlisted strata
+    // the g1 stratum must be EXACTLY sampleByWeight at p=0.3 on the same keys
+    // (same hash-slot rule ⇒ stratified sampling composes with global sampling)
+    val g1Direct = TrainPrep.sampleByWeight(
+        d.filter(col("grp") === "g1"), col("id"), lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_._2 == "g1").map(_._1).toSet == g1Direct)
+    // unlisted strata take defaultP instead when nonzero
+    val withDefault = TrainPrep.sampleStratified(d, col("id"), col("grp"), rates, defaultP = 1.0)
+    assert(withDefault.filter(col("grp") === "g2").count() == 300)
+  }
+
   test("splitByHash partitions every row into exactly one split, stably") {
     val d = (0L until 300L).toDF("id")
     val s1 = TrainPrep.splitByHash(d, col("id"))
