@@ -238,7 +238,7 @@ object ScaleProbe {
     }
 
     if (families("relational")) {
-      val eventsBase = spark.read.parquet(s"$sfDir/events.parquet")
+      val eventsBase = graft.sources.Tables.parquet(spark, sfDir, "events")
       val ne = eventsBase.count()
       // measured span, not a guess: replicas must occupy DISJOINT user
       // spaces or cross-replica joins inflate the "10x" numbers

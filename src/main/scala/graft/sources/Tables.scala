@@ -22,13 +22,26 @@ object Tables {
     "embeddings" -> Seq("vec_id"))
 
   def parquet(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val reader =
-      if (name == "events")
-        // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects natively;
-        // read ns as Long (see graft.operators.Temporal for µs conversion helpers).
-        spark.read.option("mergeSchema", "false")
-      else spark.read
-    reader.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The driver has generated `events.ts` as parquet TIMESTAMP(NANOS) in some
+    * rounds (read as ns-Long under spark.sql.legacy.parquet.nanosAsLong) and
+    * TIMESTAMP(MICROS) in others (read as TIMESTAMP_NTZ). Canonicalize to the
+    * ns-epoch Long the engine uses internally (graft.operators.Temporal), so
+    * every consumer sees one type regardless of the writer's precision.
+    * Session timezone is pinned to UTC by every entry point, so the NTZ→LTZ
+    * cast is wall-clock identity. */
+  private def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df
+      case TimestampNTZType => df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case TimestampType    => df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case other => throw new IllegalArgumentException(s"unsupported events.ts type: $other")
+    }
   }
 
   def load(spark: SparkSession, dir: String, name: String): PwTable =
