@@ -95,6 +95,14 @@ object Bench {
     val coldTotal = results.values.map(_._1).filter(_ > 0).sum
     val line = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // The driver captures only the tail of stdout (~2000 chars, BENCH_r*.json
+    // "tail"), so the full line above gets its head cut off once the query map
+    // outgrows the cap — every round's artifact shows parsed:null. Emit a LAST
+    // compact line (slowest 15 queries only, guaranteed < ~500 chars) so a
+    // tail-side parser always finds one complete {"metric":...} JSON line.
+    val top = results.toSeq.sortBy(-_._2._2).take(15)
+      .map { case (k, (_, w, _)) => s"\"" + k + "\":" + r3(w) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
     try {
       val full = results.map { case (k, (c, w, n)) =>
         s"""    "$k": {"cold": ${r3(c)}, "warm": ${r3(w)}, "reps": $n}""" }
