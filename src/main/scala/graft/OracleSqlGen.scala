@@ -32,8 +32,12 @@ object OracleSqlGen {
     s"(${dot(a, b)} / (SQRT(${dot(a, a)}) * SQRT(${dot(b, b)})))"
   }
 
-  /** Dedup.minhashLsh(plantedDocs, k=5, numHashes=32, bands=8, threshold=0.7). */
-  def dedupMinhashLsh(k: Int, numHashes: Int, bands: Int, threshold: Double): String = {
+  /** CTE chain shared by the MinHash oracles: corpus CTE (must define `u`)
+    * → normalize → shingle → hash → 32-slot signatures → banded candidate
+    * self-joins → estimate prefilter → exact-jaccard verified `dup` pairs.
+    * The twin of Dedup.minhashCore. */
+  private def minhashCtes(corpus: String, k: Int, numHashes: Int, bands: Int,
+      threshold: Double): String = {
     val rpb = numHashes / bands
     val shingle =
       s"list_transform(generate_series(1, GREATEST(length(nrm) - ${k - 1}, 1)), i -> substr(nrm, i, $k))"
@@ -46,7 +50,7 @@ object OracleSqlGen {
     val est = (0 until numHashes)
       .map(s => s"(CASE WHEN sl.h$s = sr.h$s THEN 1 ELSE 0 END)").mkString(" + ")
     val estMin = math.max(0.0, threshold - 0.15)
-    s"""WITH $planted,
+    s"""$corpus,
 n AS (SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm FROM u),
 g AS (SELECT id, UNNEST($shingle) AS gram FROM n),
 gu AS (SELECT id, ${duckU64("gram")} AS gu FROM g),
@@ -56,13 +60,51 @@ pref AS (SELECT id1, id2 FROM cand JOIN sig sl ON sl.id = cand.id1 JOIN sig sr O
   WHERE CAST($est AS DOUBLE) / $numHashes >= $estMin),
 sh AS (SELECT id, list_distinct($shingle) AS sh FROM n),
 dup AS (SELECT id1, id2 FROM pref JOIN sh a ON a.id = pref.id1 JOIN sh b ON b.id = pref.id2
-  WHERE CAST($inter AS DOUBLE) / CAST(len(a.sh) + len(b.sh) - $inter AS DOUBLE) >= $threshold),
+  WHERE CAST($inter AS DOUBLE) / CAST(len(a.sh) + len(b.sh) - $inter AS DOUBLE) >= $threshold)"""
+  }
+
+  /** Dedup.minhashLsh(plantedDocs, k=5, numHashes=32, bands=8, threshold=0.7). */
+  def dedupMinhashLsh(k: Int, numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${minhashCtes(planted, k, numHashes, bands, threshold)},
 nb AS (SELECT id, MIN(nbr) AS mn FROM
   (SELECT id1 AS id, id2 AS nbr FROM dup UNION ALL SELECT id2, id1 FROM dup) GROUP BY id)
 SELECT n.id AS id, LEAST(COALESCE(nb.mn, n.id), n.id) AS rep_id,
   LEAST(COALESCE(nb.mn, n.id), n.id) <> n.id AS is_dup
 FROM n LEFT JOIN nb ON nb.id = n.id"""
+
+  /** plantedChainDocs twin (SparkEntry.plantedChainDocs): originals + a
+    * first-generation near-dup (96-char md5 tail) + a second generation
+    * (192-char tail). Near-average docs yield a~b and b~c above threshold
+    * with a~c below it — the transitive-closure case. */
+  private val plantedChain = {
+    def tail(parts: String*) =
+      parts.map(p => s"md5(CAST(doc_id AS VARCHAR) || '$p')").mkString(" || ")
+    s"""u AS (SELECT doc_id, text FROM documents
+      |     UNION ALL SELECT doc_id + 20000, text || ' ' || ${tail("a1", "a2", "a3")}
+      |       FROM documents WHERE doc_id < 50
+      |     UNION ALL SELECT doc_id + 40000, text || ' ' || ${tail("a1", "a2", "a3", "b1", "b2", "b3")}
+      |       FROM documents WHERE doc_id < 50)""".stripMargin
   }
+
+  /** Dedup.dedupGroups(plantedChainDocs, ...): verified pairs → EXACT
+    * transitive closure via a recursive reachability CTE (set-semantics
+    * UNION terminates; near-dup components are tiny, so the closure is
+    * cheap) → min-reachable-id labels = Spark's connected-components
+    * fixpoint → group sizes over labeled vertices. */
+  def dedupGroups(k: Int, numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${minhashCtes(plantedChain, k, numHashes, bands, threshold)},
+sym AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
+comp AS (SELECT a AS id, MIN(b) AS rep FROM reach GROUP BY a),
+sizes AS (SELECT rep, COUNT(*) AS gs FROM comp GROUP BY rep)
+SELECT n.id AS id, COALESCE(c.rep, n.id) AS rep_id,
+  COALESCE(c.rep, n.id) <> n.id AS is_dup,
+  CAST(COALESCE(s.gs, 1) AS BIGINT) AS group_size
+FROM n LEFT JOIN comp c ON c.id = n.id
+LEFT JOIN sizes s ON s.rep = COALESCE(c.rep, n.id)"""
 
   /** Dedup.simhashPairs(plantedDocs, maxDist=3, bands=4). */
   def dedupSimhash(maxDist: Int, bands: Int): String = {

@@ -271,6 +271,19 @@ object SparkEntry {
         "avg_price" -> davg(col("o_totalprice")))
       .toDf
 
+  /** Exact quartiles of l_quantity per return flag: values are small integral
+    * doubles, and both engines interpolate with the R-7 rule at quarter-point
+    * fractions — every arithmetic step is exact in binary, so the hashes
+    * match without rounding. */
+  private def qReduceQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).groupbyCols("l_returnflag")
+      .reduce(
+        "n" -> Reducers.count_(),
+        "q25" -> Reducers.quantileCont(col("l_quantity"), 0.25),
+        "median" -> Reducers.median(col("l_quantity")),
+        "q75" -> Reducers.quantileCont(col("l_quantity"), 0.75))
+      .toDf
+
   private def qReduceStateful(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).groupbyCols("l_returnflag")
       .reduce("sum_sq_qty" -> Reducers.sumSq(col("l_quantity")))
@@ -657,6 +670,31 @@ object SparkEntry {
       .select((col("doc_id") + 20000).as("doc_id"), concat(col("text"), lit(" extra")).as("text"))
     d.unionByName(nearDups)
   }
+
+  /** Chain-planted near-duplicates (OracleSqlGen.plantedChain twin): first 50
+    * docs re-appear twice — once with a 96-char md5-derived tail (id+20000)
+    * and once with that tail plus 96 more chars (id+40000). md5 hex blocks
+    * maximize shingle diversity (a repeated literal would add O(1) distinct
+    * shingles regardless of length). For near-average-length docs (~300
+    * chars) the jaccard ladder lands a~b ≈ 0.76, b~c ≈ 0.80, a~c ≈ 0.61 —
+    * above, above, BELOW the 0.7 threshold — so the triple groups only via
+    * transitive closure, the case dedupGroups exists for. */
+  private def plantedChainDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    def tail(parts: String*) =
+      concat(parts.map(p => md5(concat(col("doc_id").cast("string"), lit(p)))): _*)
+    val gen1 = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" "), tail("a1", "a2", "a3")).as("text"))
+    val gen2 = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 40000).as("doc_id"),
+        concat(col("text"), lit(" "), tail("a1", "a2", "a3", "b1", "b2", "b3")).as("text"))
+    d.unionByName(gen1).unionByName(gen2)
+  }
+
+  private def qDedupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupGroups(plantedChainDocs(s, dir), col("doc_id"), col("text"),
+      k = 5, numHashes = 32, bands = 8, threshold = 0.7)
 
   /** 8 bands × 4 rows (32 hashes): planted dups sit at jaccard ≈ 0.95, so a
     * band matches with p ≈ 0.95⁴ ≈ 0.81 and all 8 miss with p ≈ 2e-6 —
@@ -1192,6 +1230,7 @@ object SparkEntry {
     "reduce_sorted_tuple" -> (qReduceSortedTuple _),
     "reduce_tuple_ordered" -> (qReduceTupleOrdered _),
     "reduce_stats"    -> (qReduceStats _),
+    "reduce_quantiles" -> (qReduceQuantiles _),
     "reduce_stateful_sumsq" -> (qReduceStateful _),
     "reduce_earliest_latest" -> (qReduceEarliestLatest _),
     "reduce_approx_distinct" -> (qReduceApproxDistinct _),
@@ -1223,6 +1262,7 @@ object SparkEntry {
     "dedup_exact"     -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
+    "dedup_groups" -> (qDedupGroups _),
     "dedup_simhash"   -> (qDedupSimhash _),
     "dedup_spans"     -> (qDedupSpans _),
     "decontaminate"   -> (qDecontaminate _),
@@ -1495,6 +1535,12 @@ object SparkEntry {
       """SELECT o_orderpriority, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "reduce_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q25,
+        |  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median,
+        |  CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS q75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "reduce_stateful_sumsq" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq_qty
@@ -2085,6 +2131,7 @@ object SparkEntry {
         |SELECT o_orderkey, 'clerk_id', 'invalid cast to bigint'
         |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
+    "dedup_groups" -> OracleSqlGen.dedupGroups(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
     "dedup_simhash" -> OracleSqlGen.dedupSimhash(maxDist = 3, bands = 4),
     "knn_lsh" -> OracleSqlGen.knnLsh(k = 5, dim = 64, nPlanes = 6, nTables = 12),
     "knn_classify" -> OracleSqlGen.knnClassify(k = 5, dim = 64, nPlanes = 6,

@@ -25,6 +25,19 @@ object Reducers {
     approx_count_distinct(c, rsd)
   def avg_(c: Column): Column = avg(c)
 
+  /** Exact continuous quantile (R-7 linear interpolation — the rule Spark's
+    * `percentile` and DuckDB's `quantile_cont` share): h = (n−1)·p,
+    * x⌊h⌋ + (h−⌊h⌋)·(x⌊h⌋₊₁ − x⌊h⌋). Beyond the reference's reducer set
+    * (reducers.py stops at avg/sum/count); a large-scale curation pipeline
+    * wants exact quartiles for length/score distributions. Exact percentile
+    * is a full sort per group — for 100 TB-scale dashboards prefer
+    * [[countDistinctApprox]]-style sketches (approx_percentile) unless the
+    * group fits an executor; this reducer is for grading thresholds where
+    * exactness is the point. */
+  def quantileCont(c: Column, p: Double): Column = percentile(c, lit(p))
+  /** Exact median = [[quantileCont]] at 0.5. */
+  def median(c: Column): Column = percentile(c, lit(0.5))
+
   // ── argmin/argmax (reducers.py:406/463): deterministic via lexicographic tie-break ──
   def argmin(arg: Column, value: Column, tieBreak: Column): Column =
     min_by(arg, struct(value, tieBreak))

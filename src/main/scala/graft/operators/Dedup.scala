@@ -90,6 +90,33 @@ object Dedup {
   def minhashLsh(df: DataFrame, id: Column, text: Column,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val (norm, dupPairs) = minhashCore(df, id, text, k, numHashes, bands, threshold, bucketCap)
+    // star-merge: every doc points at the smallest duplicate neighbor (or itself)
+    val neighborMin = dupPairs.select(col("id2").as("id"), col("id1").as("_nb"))
+      .unionByName(dupPairs.select(col("id1").as("id"), col("id2").as("_nb")))
+      .groupBy("id").agg(min(col("_nb")).as("_minNb"))
+
+    norm.select(col("id"))
+      .join(neighborMin, Seq("id"), "left_outer")
+      .withColumn("rep_id", least(coalesce(col("_minNb"), col("id")), col("id")))
+      .withColumn("is_dup", col("rep_id") =!= col("id"))
+      .select("id", "rep_id", "is_dup")
+  }
+
+  /** The verified near-dup pairs alone (id1 < id2, exact jaccard ≥ threshold):
+    * the raw material for [[dupGroups]] / [[dedupGroups]] and for pipelines
+    * that want custom canonical-selection policies. */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame =
+    minhashCore(df, id, text, k, numHashes, bands, threshold, bucketCap)._2
+
+  /** Shared MinHash+LSH pipeline: returns (norm = (id, _n) normalized corpus,
+    * dupPairs = verified (id1, id2) near-dup pairs, eagerly materialized via
+    * localCheckpoint so every intermediate cache is already released). */
+  private def minhashCore(df: DataFrame, id: Column, text: Column,
+      k: Int, numHashes: Int, bands: Int,
+      threshold: Double, bucketCap: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     require(numHashes <= CrossHash.mixers.length,
       s"numHashes=$numHashes exceeds the ${CrossHash.mixers.length} pregenerated mix constants")
@@ -157,6 +184,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.count()
     var candSets: DataFrame = null
+    var prefilteredCached: DataFrame = null
     try {
 
     // band key = variadic xxhash64 over that band's signature slots (no
@@ -194,9 +222,20 @@ object Dedup {
       .map(s => when(col(s"_l$s") === col(s"_r$s"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / numHashes
     val estMin = math.max(0.0, threshold - 0.15)
+    // Persist + eagerly materialize the surviving pairs: this narrow (id1,
+    // id2) table is consumed by candIds (via the semi-join broadcast), and
+    // directly by the verify join — without the eager count the band-join +
+    // guard + prefilter subtree (the most expensive stages after the
+    // signature kernel) is recomputed once per consumer, tripling the
+    // operator's fixed stage overhead (measured 27 s → 9 s full-op at
+    // sf0.1). Size is bounded by the prefilter: true near-dups + margin
+    // survivors only, orders of magnitude below the corpus.
     val prefiltered = uniquePairs.join(sigL, "id1").join(sigR, "id2")
       .filter(estJaccard >= estMin)
       .select("id1", "id2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prefilteredCached = prefiltered
+    prefiltered.count()
 
     // verification: shingle ONLY docs that appear in some surviving pair
     // (semi-join first), then join the small candidate set to both sides and
@@ -233,6 +272,10 @@ object Dedup {
         }
       }.toDF("id", "_sh")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Eager materialize: candSets is joined twice below (id1/id2 sides), and
+    // AQE's parallel subquery jobs otherwise race to fill the unpopulated
+    // cache, running the shingle kernel (+ its semi-join input) twice.
+    candSets.count()
     // Materialize the verified pairs (small: true near-dups only) so the
     // signature/shingle caches can be released in finally — repeated
     // same-session calls no longer leak a cache entry per invocation.
@@ -245,18 +288,10 @@ object Dedup {
       .select("id1", "id2")
       .localCheckpoint(true)
 
-    // star-merge: every doc points at the smallest duplicate neighbor (or itself)
-    val neighborMin = dupPairs.select(col("id2").as("id"), col("id1").as("_nb"))
-      .unionByName(dupPairs.select(col("id1").as("id"), col("id2").as("_nb")))
-      .groupBy("id").agg(min(col("_nb")).as("_minNb"))
-
-    norm.select(col("id"))
-      .join(neighborMin, Seq("id"), "left_outer")
-      .withColumn("rep_id", least(coalesce(col("_minNb"), col("id")), col("id")))
-      .withColumn("is_dup", col("rep_id") =!= col("id"))
-      .select("id", "rep_id", "is_dup")
+    (norm, dupPairs)
     } finally {
       sig.unpersist(false)
+      if (prefilteredCached != null) prefilteredCached.unpersist(false)
       if (candSets != null) candSets.unpersist(false)
     }
   }
@@ -270,6 +305,36 @@ object Dedup {
     Graphs.connectedComponents(
         pairs.select(col("id1").as("src"), col("id2").as("dst")))
       .select(col("vertex").as("id"), col("component").as("rep_id"))
+
+  /** Corpus-level near-dup grouping: MinHash+LSH verified pairs →
+    * connected components (full transitive closure — a~b and b~c group
+    * a, b, c even when (a, c) never verified as a direct pair, the case
+    * chained revisions of one document produce) → every corpus row labeled
+    * with its group representative (min id), duplicate flag, and group size.
+    * `keep(is_dup = false)` is the canonical-per-group filter; `group_size`
+    * feeds duplication-rate stats.
+    *
+    * Scale shape: the CC runs on the verified PAIR graph only (orders of
+    * magnitude below the corpus — near-dup clusters, not all docs), the
+    * corpus join is a left join on id, and group sizes come from one
+    * aggregation over the labeled pair vertices. Reference: deduplication
+    * over pw tables (see exact/minhash ops above); the transitive grouping
+    * matches how Lee et al. 2022 ("Deduplicating Training Data...") cluster
+    * near-dup pairs before keeping one representative per cluster. */
+  def dedupGroups(df: DataFrame, id: Column, text: Column,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val (norm, pairs) = minhashCore(df, id, text, k, numHashes, bands, threshold, bucketCap)
+    val comp = dupGroups(pairs)
+    val sizes = comp.groupBy("rep_id").agg(count(lit(1)).as("group_size"))
+    norm.select(col("id"))
+      .join(comp, Seq("id"), "left_outer")
+      .withColumn("rep_id", coalesce(col("rep_id"), col("id")))
+      .join(sizes, Seq("rep_id"), "left_outer")
+      .select(col("id"), col("rep_id"),
+        (col("rep_id") =!= col("id")).as("is_dup"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"))
+  }
 
   /** 64-bit SimHash of a token-hash table (id, _h): per doc, bit i (MSB first)
     * is the sign of Σ_tokens ±1 where the sign is bit i of the token hash.

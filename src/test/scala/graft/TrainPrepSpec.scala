@@ -45,6 +45,36 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(coldPairs == Set((1L, 2L)))
   }
 
+  test("dedupGroups: transitive chains group under one rep, sizes and flags exact") {
+    import graft.operators.Dedup
+    // a ~ b and b ~ c by construction, a ~ c below threshold: base text, base
+    // + 40% distinct tail, base + 80% distinct tail. The md5-style tails are
+    // spelled out so the jaccard ladder is deterministic.
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronauts deliberate about breakfast in the orbital cafeteria every morning"
+    val t1 = " qxv1 zjw2 pmh3 krt4 bfd5 ngl6 wcy7 vsk8 djq9 hzx0 plm1 rtw2 fkc3"
+    val t2 = " ybn4 muo5 gae6 xir7 ldt8 cps9 evh0 awm1 okz2 fuj3 qgs4 nib5 tyd6"
+    val docs = Seq(
+      (10L, base), (20L, base + t1), (30L, base + t1 + t2),
+      (40L, "an entirely unrelated document that speaks of nothing similar at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupGroups(docs, col("doc_id"), col("text"),
+        k = 5, numHashes = 32, bands = 8, threshold = 0.6)
+      .as[(Long, Long, Boolean, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(10L, 20L, 30L, 40L))
+    // sanity: the direct pairs the grouping is built from form a CHAIN —
+    // (10,20) and (20,30) verified, (10,30) absent
+    val pairs = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        k = 5, numHashes = 32, bands = 8, threshold = 0.6)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 20L), (20L, 30L)),
+      s"expected a strict chain, got $pairs")
+    // transitive closure: all three under rep 10, size 3; singleton untouched
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq == Seq(
+      (10L, 10L, false, 3L), (20L, 10L, true, 3L),
+      (30L, 10L, true, 3L), (40L, 40L, false, 1L)))
+  }
+
   test("hot-bucket guard: embedding SRP pileup emits star candidates, pairs verify") {
     import graft.operators.Similarity
     // 30 identical embeddings (every SRP table hashes them to one bucket) +
