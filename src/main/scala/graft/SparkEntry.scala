@@ -632,6 +632,25 @@ object SparkEntry {
       TextOps.c4Stats(page).map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Corpus-level boilerplate removal over constructed 5-line pages: two
+    * lines planted on EVERY page (cookie banner, rights footer), one on
+    * every 3rd page (newsletter), and per-doc unique text slices — the
+    * repeated lines must vanish from every document, the unique ones
+    * survive in order. */
+  private def qTextBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val page = concat_ws("\n",
+      lit("cookie notice accept all cookies"),
+      substring(col("text"), 1, 60),
+      when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter today"))
+        .otherwise(substring(col("text"), 61, 60)),
+      substring(col("text"), 121, 60),
+      lit("all rights reserved"))
+    TextOps.removeBoilerplate(
+      docs(s, dir).select(col("doc_id"), page.as("text")),
+      col("doc_id"), col("text"), maxRepeat = 2)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
 
@@ -1255,6 +1274,7 @@ object SparkEntry {
     "text_quality"    -> (qTextQuality _),
     "text_gopher"     -> (qTextGopher _),
     "text_c4"         -> (qTextC4 _),
+    "text_boilerplate" -> (qTextBoilerplate _),
     "text_langid"     -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "doc_split_chunks" -> (qDocSplit _),
@@ -1734,6 +1754,28 @@ object SparkEntry {
         |    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)))) AS quality
         |FROM t""".stripMargin,
     "text_gopher" -> textGopherOracle,
+    "text_boilerplate" ->
+      """WITH p AS (SELECT doc_id, concat_ws(chr(10),
+        |    'cookie notice accept all cookies',
+        |    substr(text, 1, 60),
+        |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter today'
+        |         ELSE substr(text, 61, 60) END,
+        |    substr(text, 121, 60),
+        |    'all rights reserved') AS text FROM documents),
+        |t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM p),
+        |e AS (SELECT doc_id, UNNEST(lines) AS line,
+        |      generate_subscripts(lines, 1) AS pos FROM t),
+        |c AS (SELECT trim(lower(line)) AS k, COUNT(*) AS c FROM e GROUP BY 1),
+        |kept AS (SELECT doc_id, pos, line FROM e
+        |  JOIN c ON c.k = trim(lower(e.line)) WHERE c.c <= 2),
+        |a AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |      string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |      FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id AS doc_id, CAST(len(t.lines) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_lines,
+        |  COALESCE(a.clean_text, '') AS clean_text,
+        |  CAST(len(t.lines) - COALESCE(a.n_kept, 0) AS DOUBLE) / len(t.lines) AS boiler_frac
+        |FROM t LEFT JOIN a USING (doc_id)""".stripMargin,
     "text_c4" ->
       """WITH p AS (SELECT doc_id, concat_ws(chr(10),
         |    substr(text, 1, 80) || '.', 'no punct line', 'ok?',

@@ -223,6 +223,48 @@ object TextOps {
       "c4_drop" -> (hasLorem || hasBrace || size(kept) === 0))
   }
 
+  /** CCNet-style corpus-level boilerplate removal: a line whose normalized
+    * form (trim + lowercase) repeats more than `maxRepeat` times ACROSS THE
+    * CORPUS is boilerplate (cookie banners, nav menus, footers) and is
+    * dropped from every document; surviving lines are reassembled in their
+    * original order. Returns (id, n_lines, n_kept_lines, clean_text,
+    * boiler_frac).
+    *
+    * Scale shape: posexplode → one corpus-wide count aggregation on the line
+    * key → equi-join back → per-doc reassembly aggregation. Everything is a
+    * keyed shuffle, no per-doc state beyond its own lines; with
+    * `hashKeys = true` (default) the count/join key is xxhash64 of the
+    * normalized line, so wide lines don't ship twice through the shuffle —
+    * the same 64-bit-line-hash practice CCNet uses at web scale (collision
+    * risk only merges counts of two distinct lines, which at worst drops an
+    * extra line — acceptable for curation, set false for exactness). */
+  def removeBoilerplate(df: DataFrame, id: Column, text: Column,
+      maxRepeat: Int = 2, hashKeys: Boolean = true): DataFrame = {
+    val lines = df.select(id.as("id"), text.as("_t"))
+      .select(col("id"), size(split(col("_t"), "\n")).cast("long").as("n_lines"),
+        posexplode(split(col("_t"), "\n")).as(Seq("_pos", "_line")))
+    val norm = trim(lower(col("_line")))
+    val keyed = lines.withColumn("_k", if (hashKeys) xxhash64(norm) else norm)
+    val counts = keyed.groupBy("_k").agg(count(lit(1)).as("_c"))
+    val kept = keyed.join(counts, Seq("_k"))
+      .filter(col("_c") <= maxRepeat)
+      .groupBy("id").agg(
+        first(col("n_lines")).as("n_lines"),
+        count(lit(1)).as("n_kept_lines"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          x => x.getField("_line")), "\n").as("clean_text"))
+    // docs whose every line was boilerplate drop out of `kept` — restore them
+    df.select(id.as("id"), size(split(text, "\n")).cast("long").as("_nl"))
+      .join(kept, Seq("id"), "left_outer")
+      .select(col("id"),
+        col("_nl").as("n_lines"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        ((col("_nl") - coalesce(col("n_kept_lines"), lit(0L))).cast("double") /
+          col("_nl")).as("boiler_frac"))
+  }
+
   // ── language id (fixed stopword lists, deterministic argmax) ────────────────
   private val LangStops: Seq[(String, Seq[String])] = Seq(
     "en" -> EnStop,

@@ -263,6 +263,34 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out(3L).getAs[Boolean]("has_brace") && out(3L).getAs[Boolean]("c4_drop"))
   }
 
+  test("removeBoilerplate: corpus-repeated lines drop everywhere, order survives") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "Cookie Banner\nunique alpha content\nmiddle one\nAll Rights Reserved"),
+      (2L, "cookie banner\nunique beta content\nmiddle two\nall rights reserved"),
+      (3L, "COOKIE BANNER\nunique gamma content\nmiddle three\nALL RIGHTS RESERVED"),
+      (4L, "cookie banner\nall rights reserved")
+    ).toDF("doc_id", "text")
+    val out = TextOps.removeBoilerplate(docs, col("doc_id"), col("text"), maxRepeat = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // banner + footer appear 4x (case-insensitive key) -> dropped everywhere;
+    // the unique and middle lines (1x each) survive in original order
+    assert(out(1L).getAs[String]("clean_text") == "unique alpha content\nmiddle one")
+    assert(out(2L).getAs[String]("clean_text") == "unique beta content\nmiddle two")
+    assert(out(3L).getAs[String]("clean_text") == "unique gamma content\nmiddle three")
+    assert(out(1L).getAs[Long]("n_lines") == 4 && out(1L).getAs[Long]("n_kept_lines") == 2)
+    assert(out(1L).getAs[Double]("boiler_frac") == 0.5)
+    // doc 4 is pure boilerplate: survives with empty clean_text, frac 1.0
+    assert(out(4L).getAs[String]("clean_text") == "" &&
+      out(4L).getAs[Long]("n_kept_lines") == 0L &&
+      out(4L).getAs[Double]("boiler_frac") == 1.0)
+    // exactness mode: string keys give identical output here
+    val exact = TextOps.removeBoilerplate(docs, col("doc_id"), col("text"),
+        maxRepeat = 2, hashKeys = false)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("clean_text")).toMap
+    assert(exact(2L) == "unique beta content\nmiddle two")
+  }
+
   test("gopherStats: 2-gram repetition rules catch loops the other rules miss") {
     // 60 words of "foo bar" repetition: length/stopword/line rules alone
     // can't see the loop; the top-2-gram fraction is ~0.5
