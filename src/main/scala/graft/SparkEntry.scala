@@ -651,6 +651,11 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
   }
 
+  private def qTextLmScore(s: SparkSession, dir: String): DataFrame =
+    TextOps.bigramLmScore(docs(s, dir).select("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .withColumnRenamed("id", "doc_id")
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
 
@@ -1275,6 +1280,7 @@ object SparkEntry {
     "text_gopher"     -> (qTextGopher _),
     "text_c4"         -> (qTextC4 _),
     "text_boilerplate" -> (qTextBoilerplate _),
+    "text_lm_score"   -> (qTextLmScore _),
     "text_langid"     -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "doc_split_chunks" -> (qDocSplit _),
@@ -1795,6 +1801,26 @@ object SparkEntry {
         |  (contains(lower(text), 'lorem ipsum') OR contains(text, '{')
         |    OR len(kept) = 0) AS c4_drop
         |FROM k""".stripMargin,
+    "text_lm_score" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
+        |      FROM documents),
+        |e AS (SELECT doc_id, UNNEST(toks) AS w, generate_subscripts(toks, 1) AS pos FROM tk),
+        |b AS (SELECT doc_id, pos, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |      w AS w2 FROM e),
+        |bi AS (SELECT * FROM b WHERE w1 IS NOT NULL),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM e),
+        |r AS (SELECT bi.doc_id, bi.pos,
+        |      CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS r
+        |      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |      list_reduce(list(r ORDER BY pos), (p, q) -> p + q) AS s
+        |      FROM r GROUP BY doc_id)
+        |SELECT tk.doc_id AS doc_id,
+        |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  sc.s / sc.n_bigrams AS lm_score
+        |FROM tk LEFT JOIN sc USING (doc_id)""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
         |h AS (SELECT doc_id,

@@ -265,6 +265,58 @@ object TextOps {
           col("_nl")).as("boiler_frac"))
   }
 
+  /** CCNet-style language-model quality score, exact: train a Laplace-
+    * smoothed bigram model on the corpus itself (CCNet trains KenLM on a
+    * reference corpus and filters by perplexity band; the deterministic
+    * in-engine analog scores each document by its MEAN CONDITIONAL BIGRAM
+    * PROBABILITY under corpus counts — monotone in the same signal, free of
+    * transcendental log so both engines agree bit-for-bit).
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁·) + V)
+    *   score(doc) = Σ_positions P / n_bigrams   (left-fold in position order)
+    *
+    * Every quantity is an integer below 2⁵³, each division is one IEEE op,
+    * and the sum is an ordered left fold — the cross-engine-exact float
+    * discipline the cosine oracles established. Returns (id, n_bigrams,
+    * lm_score); n_bigrams = 0 rows carry a NULL score.
+    *
+    * Scale shape: posexplode → lag window per doc (keyed shuffle + sort) →
+    * count aggregations with map-side combine → two equi-joins back on
+    * token keys (frequent-word skew is AQE skew-join territory; the unigram
+    * side is vocabulary-bounded and broadcasts when small) → one per-doc
+    * ordered-fold aggregation. Linear end to end, no all-pairs. */
+  def bigramLmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("id"), wordTokens(text).as("_toks"))
+    val pos = toks.select(col("id"),
+        posexplode(col("_toks")).as(Seq("_pos", "_w")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("_pos")
+    val bi = pos.withColumn("_w1", lag(col("_w"), 1).over(w))
+      .filter(col("_w1").isNotNull)
+      .select(col("id"), col("_pos"), col("_w1"), col("_w").as("_w2"))
+    val biCounts = bi.groupBy("_w1", "_w2").agg(count(lit(1)).as("_c12"))
+    val prefCounts = bi.groupBy("_w1").agg(count(lit(1)).as("_c1"))
+    val vocab = pos.select(countDistinct(col("_w")).as("_v"))
+    val ratios = bi
+      .join(biCounts, Seq("_w1", "_w2"))
+      .join(prefCounts, Seq("_w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), col("_pos"),
+        ((col("_c12") + lit(1)).cast("double") /
+          (col("_c1") + col("_v")).cast("double")).as("_r"))
+    val scored = ratios.groupBy("id").agg(
+      count(lit(1)).as("n_bigrams"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_r")))),
+          x => x.getField("_r")),
+        lit(0.0), (acc, x) => acc + x).as("_sum"))
+    toks.select(col("id"))
+      .join(scored, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("_sum") / col("n_bigrams").cast("double")).as("lm_score"))
+  }
+
   // ── language id (fixed stopword lists, deterministic argmax) ────────────────
   private val LangStops: Seq[(String, Seq[String])] = Seq(
     "en" -> EnStop,

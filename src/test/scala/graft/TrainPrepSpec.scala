@@ -291,6 +291,32 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(exact(2L) == "unique beta content\nmiddle two")
   }
 
+  test("bigramLmScore: exact Laplace bigram probabilities, fluent beats shuffled") {
+    import graft.operators.TextOps
+    // corpus: "a b" appears in both docs (c12=2), vocab = {a, b, c}
+    // doc 1 = "a b a b": bigrams ab, ba, ab -> prefixes: a->2, b->1 (within
+    // corpus: a->3, b->2 counting doc 2's "a b c")
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_bigrams"), Option(r.getAs[java.lang.Double]("lm_score")))).toMap
+    // corpus counts: c(a,b)=3? doc1 has ab twice, doc2 once -> c12(a,b)=3;
+    // c12(b,a)=1; c12(b,c)=1; prefixes: c1(a)=3, c1(b)=2; V=4 (a,b,c,z)
+    val pAB = (3.0 + 1) / (3 + 4); val pBA = (1.0 + 1) / (2 + 4); val pBC = pBA
+    val d1 = (pAB + pBA + pAB) / 3; val d2 = (pAB + pBC) / 2
+    assert(out(1L)._1 == 3 && out(1L)._2.contains(d1))
+    assert(out(2L)._1 == 2 && out(2L)._2.contains(d2))
+    assert(out(3L)._1 == 0 && out(3L)._2.isEmpty, "single-token doc has no score")
+    // a natural-order doc scores above its shuffled twin under its own model
+    val fluent = "the cat sat on the mat and the cat ran to the mat again"
+    val shuffled = "mat the to cat again and sat the ran on mat the cat the"
+    val two = TextOps.bigramLmScore(
+        Seq((10L, fluent), (20L, fluent), (30L, shuffled)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("lm_score")).toMap
+    assert(two(10L) > two(30L), s"fluent ${two(10L)} should beat shuffled ${two(30L)}")
+  }
+
   test("gopherStats: 2-gram repetition rules catch loops the other rules miss") {
     // 60 words of "foo bar" repetition: length/stopword/line rules alone
     // can't see the loop; the top-2-gram fraction is ~0.5
