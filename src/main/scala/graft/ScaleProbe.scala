@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -192,6 +192,30 @@ object ScaleProbe {
       }
       time("dedup_spans_distinct", nd * mult) {
         TrainPrep.duplicateSpans(docs, col("doc_id"), col("text"), k = 10)
+      }
+    }
+
+    if (families("curation")) {
+      // r11 ops on the distinct-doc (Caesar) corpus: grouping adds a CC over
+      // the verified-pair graph (pair count ∝ corpus at constant dup
+      // density), boilerplate/LM are count-agg + equi-join shapes — all
+      // should scale ~linearly with the corpus
+      val docsBase = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+      val nd = docsBase.count()
+      val docs = caesarReplicate(docsBase, nd, "/tmp/graft_docs_cur")
+      time("dedup_groups", nd * mult) {
+        Dedup.dedupGroups(docs, col("doc_id"), col("text"), threshold = 0.7)
+      }
+      val paged = docs.select(col("doc_id"), concat_ws("\n",
+        lit("cookie notice accept all cookies"),
+        substring(col("text"), 1, 60),
+        substring(col("text"), 61, 60),
+        lit("all rights reserved")).as("text"))
+      time("text_boilerplate", nd * mult) {
+        TextOps.removeBoilerplate(paged, col("doc_id"), col("text"))
+      }
+      time("text_lm_score", nd * mult) {
+        TextOps.bigramLmScore(docs, col("doc_id"), col("text"))
       }
     }
 

@@ -325,7 +325,9 @@ object Dedup {
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val (norm, pairs) = minhashCore(df, id, text, k, numHashes, bands, threshold, bucketCap)
-    val comp = dupGroups(pairs)
+    // comp is tiny (pair vertices only) and consumed twice (sizes + the
+    // corpus join) — checkpoint it so the CC pass chain runs once
+    val comp = dupGroups(pairs).localCheckpoint(true)
     val sizes = comp.groupBy("rep_id").agg(count(lit(1)).as("group_size"))
     norm.select(col("id"))
       .join(comp, Seq("id"), "left_outer")
