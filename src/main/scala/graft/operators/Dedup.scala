@@ -111,36 +111,34 @@ object Dedup {
       threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame =
     minhashCore(df, id, text, k, numHashes, bands, threshold, bucketCap)._2
 
-  /** Shared MinHash+LSH pipeline: returns (norm = (id, _n) normalized corpus,
-    * dupPairs = verified (id1, id2) near-dup pairs, eagerly materialized via
-    * localCheckpoint so every intermediate cache is already released). */
-  private def minhashCore(df: DataFrame, id: Column, text: Column,
-      k: Int, numHashes: Int, bands: Int,
-      threshold: Double, bucketCap: Int): (DataFrame, DataFrame) = {
-    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+  /** MinHash signatures as one (id, _mins ARRAY<LONG>) row per doc. The FULL
+    * signature is computed inside one mapPartitions kernel: minhash is
+    * per-doc-local (a doc's grams never leave their row), so exploding grams
+    * into rows and re-aggregating — even with map-side combine — only pays
+    * Tungsten encoding for every gram plus a 32-column hash-aggregate. The
+    * JVM loop folds gram → md5-64 → the 32 Long-wrap mixes → running mins in
+    * registers and emits ONE row per doc. Values are bit-for-bit the old
+    * explode+min() pipeline's (CrossHash.md5Long/mix twins; min is
+    * order-independent), so the DuckDB oracle is unchanged. Earlier shapes,
+    * kept for the record: nested array HOFs are CodegenFallback and
+    * CollapseProject re-evaluates the normalization regex O(hashes×grams)
+    * per row (hung the round-1 verify); explode+codegen'd min() aggs fixed
+    * that but still shipped ~2.5 µs/gram through encode+agg.
+    *
+    * Stateless map — works on BATCH and STREAMING inputs alike (the
+    * streaming near-dup kernel builds on it). */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+      k: Int = 5, numHashes: Int = 32): DataFrame = {
     require(numHashes <= CrossHash.mixers.length,
       s"numHashes=$numHashes exceeds the ${CrossHash.mixers.length} pregenerated mix constants")
-    val rowsPerBand = numHashes / bands
     val norm = df.select(id.cast("long").as("id"),
       regexp_replace(trim(lower(text)), "\\s+", " ").as("_n"))
-    // The FULL signature is computed inside one mapPartitions kernel: minhash
-    // is per-doc-local (a doc's grams never leave their row), so exploding
-    // grams into rows and re-aggregating — even with map-side combine — only
-    // pays Tungsten encoding for every gram plus a 32-column hash-aggregate.
-    // The JVM loop folds gram → md5-64 → the 32 Long-wrap mixes → running
-    // mins in registers and emits ONE row per doc. Values are bit-for-bit
-    // the old explode+min() pipeline's (CrossHash.md5Long/mix twins; min is
-    // order-independent), so the DuckDB oracle is unchanged. Earlier shapes,
-    // kept for the record: nested array HOFs are CodegenFallback and
-    // CollapseProject re-evaluates the normalization regex O(hashes×grams)
-    // per row (hung the round-1 verify); explode+codegen'd min() aggs fixed
-    // that but still shipped ~2.5 µs/gram through encode+agg.
     val sess = df.sparkSession
     import sess.implicits._
     val kk = k
     val mixA = Array.tabulate(numHashes)(s => CrossHash.mixers(s)._1)
     val mixB = Array.tabulate(numHashes)(s => CrossHash.mixers(s)._2)
-    val sigRows = norm.as[(Long, String)].mapPartitions { it =>
+    norm.as[(Long, String)].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { case (docId, n) =>
         if (n == null) Iterator.empty
@@ -172,6 +170,24 @@ object Dedup {
         }
       }
     }.toDF("id", "_mins")
+  }
+
+  /** Shared MinHash+LSH pipeline: returns (norm = (id, _n) normalized corpus,
+    * dupPairs = verified (id1, id2) near-dup pairs, eagerly materialized via
+    * localCheckpoint so every intermediate cache is already released). */
+  private def minhashCore(df: DataFrame, id: Column, text: Column,
+      k: Int, numHashes: Int, bands: Int,
+      threshold: Double, bucketCap: Int): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    require(numHashes <= CrossHash.mixers.length,
+      s"numHashes=$numHashes exceeds the ${CrossHash.mixers.length} pregenerated mix constants")
+    val rowsPerBand = numHashes / bands
+    val norm = df.select(id.cast("long").as("id"),
+      regexp_replace(trim(lower(text)), "\\s+", " ").as("_n"))
+    val sess = df.sparkSession
+    import sess.implicits._
+    val kk = k
+    val sigRows = minhashSignatures(df, id, text, k, numHashes)
     // The signature table feeds bucketing, prefilter and verification; persist
     // AND materialize it eagerly: AQE compiles the downstream broadcast/join
     // subqueries as parallel jobs, and without the eager count they all race

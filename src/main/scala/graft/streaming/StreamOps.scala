@@ -119,6 +119,80 @@ object StreamOps {
       emitted.reverseIterator
     }
 
+  /** Streaming MinHash near-dup detection: every arriving document is checked
+    * against ALL previously seen documents that share an LSH band bucket, and
+    * (min_id, max_id, est_jaccard) candidate pairs are emitted as the stream
+    * flows — the streaming face of Dedup.minhashLsh, for dedup-at-ingest
+    * pipelines that must reject near-copies before they reach the corpus.
+    *
+    * Semantics: pairs carry the SIGNATURE-ESTIMATED jaccard (matching
+    * signature slots / numHashes) ≥ threshold. The batch path verifies
+    * candidates with exact shingle jaccard; a stream cannot re-shingle
+    * history without holding full texts in state, so the streaming contract
+    * is estimate-based (32 hashes ⇒ σ ≈ 0.07; callers needing exactness
+    * route candidates through a batch verify join against the stored corpus).
+    * A pair that shares several bands is emitted once per matching band —
+    * compose with dropDuplicates(id1, id2) downstream (watermark-scoped in
+    * production).
+    *
+    * State: per (band, bucket), up to `bucketCap` (id, signature) members —
+    * the streaming twin of the batch hot-bucket guard: members beyond the cap
+    * still COMPARE against the held ones (so a boilerplate flood keeps
+    * linking to its representatives) but stop expanding state, bounding any
+    * single bucket. Total state ≈ bands × corpus × (8·numHashes + 8) bytes
+    * (~2 KB/doc at 32 hashes × 8 bands) — the full-history footprint any
+    * against-everything-seen dedup carries; use the RocksDB state store
+    * beyond memory scale. NoTimeout by design: near-dup history must not
+    * expire with a watermark.
+    *
+    * Wire as: signatures → band explode → groupByKey((band, bucket)) →
+    * flatMapGroupsWithState(Append, NoTimeout)(minhashDedupKernel(...)), or
+    * use [[minhashDedupStream]] which does exactly that. */
+  def minhashDedupKernel(numHashes: Int, threshold: Double, bucketCap: Int):
+      ((Int, Long), Iterator[(Long, Seq[Long], Int, Long)],
+        GroupState[Seq[(Long, Seq[Long])]]) => Iterator[(Long, Long, Double)] =
+    (_, rows, state) => {
+      var seen = if (state.exists) state.get else Seq.empty[(Long, Seq[Long])]
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+      rows.foreach { case (id, sig, _, _) =>
+        if (!seen.exists(_._1 == id)) {
+          seen.foreach { case (oid, osig) =>
+            var eq = 0; var s = 0
+            while (s < numHashes) { if (sig(s) == osig(s)) eq += 1; s += 1 }
+            val est = eq.toDouble / numHashes
+            if (est >= threshold)
+              out += ((math.min(id, oid), math.max(id, oid), est))
+          }
+          if (seen.size < bucketCap) seen = seen :+ ((id, sig))
+        }
+      }
+      state.update(seen)
+      out.iterator
+    }
+
+  /** [[minhashDedupKernel]] wired end-to-end: streaming (or batch) docs in,
+    * (id1, id2, est_jaccard) candidate stream out. */
+  def minhashDedupStream(df: DataFrame, id: Column, text: Column,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8,
+      bucketCap: Int = graft.operators.Dedup.DefaultBucketCap): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val rpb = numHashes / bands
+    val sigs = graft.operators.Dedup.minhashSignatures(df, id, text, k, numHashes)
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rpb until (b + 1) * rpb).map(s => col("_mins")(s)): _*)
+    }
+    sigs.select(col("id"), col("_mins"),
+        posexplode(array(bandKeys: _*)).as(Seq("_band", "_bucket")))
+      .as[(Long, Seq[Long], Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        minhashDedupKernel(numHashes, threshold, bucketCap))
+      .toDF("id1", "id2", "est_jaccard")
+  }
+
   /** Batch deduplicate with acceptor semantics for an ORDERED replay: fold
     * rows per instance in `orderBy` order through the acceptor, keep the
     * final accepted row. (Batch = replaying the whole stream at one time.) */

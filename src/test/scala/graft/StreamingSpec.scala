@@ -58,6 +58,45 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming minhash near-dup: arrivals match against all history, cap bounds state") {
+    implicit val sql = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronauts deliberate about breakfast in the orbital cafeteria"
+    val input = MemoryStream[(Long, String)]
+    val pairs = StreamOps.minhashDedupStream(input.toDF().toDF("doc_id", "text"),
+      col("doc_id"), col("text"), threshold = 0.7)
+    val q = pairs.writeStream.format("memory").queryName("mh_stream")
+      .outputMode("append").start()
+    input.addData((1L, base), (50L, "an entirely unrelated note about volcano insurance premiums"))
+    q.processAllAvailable()
+    assert(spark.table("mh_stream").count() == 0, "no dups yet")
+    input.addData((2L, base + " tail"))   // near-dup of 1, later batch
+    q.processAllAvailable()
+    input.addData((3L, base))             // exact dup of 1, matches 1 AND 2
+    q.processAllAvailable()
+    val out = spark.table("mh_stream").select("id1", "id2").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $out")
+    q.stop()
+
+    // hot-bucket cap: 4 clones with cap=2 — late clones link to the held
+    // representatives but never pair among themselves (state stays bounded)
+    val input2 = MemoryStream[(Long, String)]
+    val capped = StreamOps.minhashDedupStream(input2.toDF().toDF("doc_id", "text"),
+      col("doc_id"), col("text"), threshold = 0.7, bucketCap = 2)
+    val q2 = capped.writeStream.format("memory").queryName("mh_capped")
+      .outputMode("append").start()
+    input2.addData((1L, base), (2L, base))
+    q2.processAllAvailable()
+    input2.addData((3L, base), (4L, base))
+    q2.processAllAvailable()
+    val got = spark.table("mh_capped").select("id1", "id2").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)),
+      s"star pairs only, got $got")
+    q2.stop()
+  }
+
   test("changelog roundtrip: toStream then streamToTable recovers the snapshot") {
     val t = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val changelog = StreamOps.toStream(t, Some(lit(ts("2024-01-01 00:00:00"))))
