@@ -33,19 +33,37 @@ object TrainDataPipeline {
     * stage. Both off by default: the synthetic corpus is single-line
     * unpunctuated prose, which C4 would drop wholesale. */
   def curate(docs: DataFrame, evalSet: DataFrame, budget: Long = 2048,
-      gopherFilter: Boolean = false, c4Clean: Boolean = false): DataFrame = {
-    // 0. optional C4 page cleaning BEFORE anything reads the text
-    val cleaned = if (!c4Clean) docs else {
+      gopherFilter: Boolean = false, c4Clean: Boolean = false,
+      boilerplateClean: Boolean = false, lmScoreMin: Option[Double] = None): DataFrame = {
+    // 0a. optional corpus-level boilerplate removal (CCNet): lines repeated
+    // across the corpus vanish from every page before any per-doc stage
+    val deboiled = if (!boilerplateClean) docs else
+      TextOps.removeBoilerplate(docs, col("doc_id"), col("text"))
+        .filter(col("n_kept_lines") > 0)
+        .select(col("id").as("doc_id"), col("clean_text").as("text"))
+    // 0b. optional C4 page cleaning BEFORE anything reads the text
+    val cleaned = if (!c4Clean) deboiled else {
       val stats = TextOps.c4Stats(col("text")).toMap
-      docs.select(col("doc_id"), stats("clean_text").as("text"),
+      deboiled.select(col("doc_id"), stats("clean_text").as("text"),
           stats("c4_drop").as("_drop"))
         .filter(!col("_drop")).drop("_drop")
+    }
+    // 0c. optional LM-score floor (CCNet perplexity-band analog): drop docs
+    // whose mean conditional bigram probability under the corpus model is
+    // below the floor
+    val lmKept = lmScoreMin match {
+      case None => cleaned
+      case Some(floor) =>
+        cleaned.join(
+          TextOps.bigramLmScore(cleaned, col("doc_id"), col("text"))
+            .filter(col("lm_score") >= floor)
+            .select(col("id").as("doc_id")), "doc_id")
     }
     // 1. analyze (rowwise, codegen'd — no shuffle). Redact FIRST: lang /
     // quality / token counts must describe the text the pipeline ships,
     // not the pre-redaction original (pack offsets depend on n_tokens)
     val (redacted, nEmails, nPhones) = TrainPrep.piiRedact(col("text"))
-    val analyzed = cleaned
+    val analyzed = lmKept
       .select(col("doc_id"), redacted.as("text"), (nEmails + nPhones).as("pii_hits"))
       .select(col("doc_id"), col("text"), col("pii_hits"),
         TextOps.langId(col("text")).as("lang"),

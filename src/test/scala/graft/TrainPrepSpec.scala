@@ -317,6 +317,39 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(two(10L) > two(30L), s"fluent ${two(10L)} should beat shuffled ${two(30L)}")
   }
 
+  test("curate with boilerplateClean+lmScoreMin: banners strip, gibberish drops") {
+    import graft.examples.TrainDataPipeline
+    val common = "all good things come with the usual words that people write " +
+      "have that with be of and good things end here today"
+    val docs = ((0 until 8).map(i =>
+        (i.toLong, s"cookie banner line\n$common about topic w${i}a w${i}b\nall rights reserved")) ++ Seq(
+        // gibberish: every bigram unique in the corpus, plus enough
+        // stopwords to clear the lang/quality gates
+        (100L, "cookie banner line\nthe of and be have that with " +
+          (0 until 40).map(i => s"zq${i}v").mkString(" ") + "\nall rights reserved"),
+        // pure boilerplate page: nothing survives line cleaning
+        (200L, "cookie banner line\nall rights reserved")))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((999L, "completely unrelated eval text")).toDF("eval_id", "eval_text")
+    // pick the floor between the shared-prose scores and the gibberish score
+    val stripped = graft.operators.TextOps.removeBoilerplate(docs, col("doc_id"), col("text"))
+      .filter(col("n_kept_lines") > 0)
+      .select(col("id").as("doc_id"), col("clean_text").as("text"))
+    val scores = graft.operators.TextOps.bigramLmScore(stripped, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("lm_score")).toMap
+    val fluentMin = (0 until 8).map(i => scores(i.toLong)).min
+    assert(scores(100L) < fluentMin, "gibberish must score below every fluent doc")
+    val floor = (scores(100L) + fluentMin) / 2
+    val out = TrainDataPipeline.curate(docs, evalSet,
+      boilerplateClean = true, lmScoreMin = Some(floor))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.nonEmpty && !ids.contains(100L), s"gibberish dropped, got $ids")
+    assert(!ids.contains(200L), "pure-boilerplate page dropped")
+    val texts = out.select("text").as[String].collect().mkString(" ")
+    assert(!texts.contains("cookie banner") && !texts.contains("rights reserved"),
+      "boilerplate lines stripped from survivors")
+  }
+
   test("gopherStats: 2-gram repetition rules catch loops the other rules miss") {
     // 60 words of "foo bar" repetition: length/stopword/line rules alone
     // can't see the loop; the top-2-gram fraction is ~0.5
