@@ -171,6 +171,26 @@ object StreamBench {
         .writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", ckpt()).start()
 
+    /** Streaming near-dup dedup: ~200-char synthetic docs (md5-block text,
+      * unique per arrival); every 20th arrival collapses onto one of 5 doc
+      * families — steady exact-dup traffic through the match path plus a
+      * bucket pileup the cap must bound. Per-doc cost is ~190 MD5s in the
+      * signature kernel plus 8 stateful-shuffle rows — an order of magnitude
+      * heavier per row than the asof scenarios; the rate source also emits
+      * few partitions, so the signature kernel runs at source parallelism
+      * (a real Kafka ingest arrives already spread across partitions). */
+    def startMinhashDedup(): StreamingQuery = {
+      val seed = when(col("value") % 20 === 0, col("value") % 5 - 10)
+        .otherwise(col("value"))
+      val text = concat_ws(" ",
+        (0 until 6).map(i => md5(concat(lit(s"w$i"), seed))): _*)
+      StreamOps.minhashDedupStream(
+          rateSrc.select(col("value").as("doc_id"), text.as("text")),
+          col("doc_id"), col("text"), threshold = 0.7)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+    }
+
     lazy val derbyUrl: String = {
       Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
       val dir = java.nio.file.Files.createTempDirectory("graft_sb_derby").toString
@@ -413,6 +433,7 @@ object StreamBench {
       "session_window" -> (() => measure("session_window", startSessionWindow _)),
       "tumbling_agg" -> (() => measure("tumbling_agg", startTumblingAgg _)),
       "dedup_acceptor" -> (() => measure("dedup_acceptor", startDedupAcceptor _)),
+      "minhash_dedup" -> (() => measure("minhash_dedup", startMinhashDedup _)),
       "upsert_jdbc" -> (() => measure("upsert_jdbc", startUpsertJdbc _)),
       "changelog_upsert" -> (() => measure("changelog_upsert", startChangelogUpsert _)),
       "interval_join" -> (() => measure("interval_join", startIntervalJoin _)),
