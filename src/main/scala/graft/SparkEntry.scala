@@ -656,6 +656,28 @@ object SparkEntry {
         col("doc_id"), col("text"))
       .withColumnRenamed("id", "doc_id")
 
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    // corpus-trained merges (vocabulary-bounded trainer), then one encode pass
+    val merges = graft.operators.Bpe.train(d, col("text"), nMerges = 120)
+    val enc = graft.operators.Bpe.encode(d, col("doc_id"), col("text"), merges)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("roundtrip_ok"))
+    // BPE token sequences aren't SQL-expressible, so assert the tokenizer's
+    // contracts AS DATA (the reduce_approx_distinct pattern): round-trip
+    // exactness (decode∘encode = normalized text) and the count bounds
+    // n_words ≤ n_tokens ≤ n_word_chars, next to exact counts both engines
+    // compute from the raw text.
+    val norm = trim(lower(col("text")))
+    val stats = d.select(col("doc_id"),
+      size(filter(split(norm, "\\s+"), w => w =!= "")).cast("long").as("n_words"),
+      length(regexp_replace(norm, "\\s+", "")).cast("long").as("n_word_chars"))
+    stats.join(enc, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_word_chars"),
+        col("roundtrip_ok"),
+        (col("n_tokens") >= col("n_words") && col("n_tokens") <= col("n_word_chars"))
+          .as("tokens_in_bounds"))
+  }
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
 
@@ -1281,6 +1303,7 @@ object SparkEntry {
     "text_c4"         -> (qTextC4 _),
     "text_boilerplate" -> (qTextBoilerplate _),
     "text_lm_score"   -> (qTextLmScore _),
+    "bpe_tokens"      -> (qBpeTokens _),
     "text_langid"     -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "doc_split_chunks" -> (qDocSplit _),
@@ -1801,6 +1824,18 @@ object SparkEntry {
         |  (contains(lower(text), 'lorem ipsum') OR contains(text, '{')
         |    OR len(kept) = 0) AS c4_drop
         |FROM k""".stripMargin,
+    // bpe_tokens: the token sequence itself isn't SQL-expressible; the oracle
+    // recomputes the exact word/char counts and takes the Spark-side contract
+    // booleans (round-trip, count bounds) as literal true — they only
+    // hash-match if the tokenizer actually upheld them on every document.
+    "bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |       x -> x <> '')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS BIGINT)
+        |    AS n_word_chars,
+        |  true AS roundtrip_ok, true AS tokens_in_bounds
+        |FROM documents""".stripMargin,
     "text_lm_score" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
         |      FROM documents),

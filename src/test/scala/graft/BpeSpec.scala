@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+/** BPE tokenizer: the Sennrich et al. worked example as a known-answer
+  * fixture, driver/distributed trainer equivalence, encode round-trip. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // classic corpus: low×5 lower×2 newest×6 widest×3
+  private def corpusDf = Seq(
+    (1L, ("low " * 5).trim),
+    (2L, ("lower " * 2).trim),
+    (3L, ("newest " * 6).trim),
+    (4L, ("widest " * 3).trim)).toDF("doc_id", "text")
+
+  // hand-derived merge sequence (count desc, then lexicographic pair):
+  // (e,s)=9 ties (s,t)=9 → (e,s); then (es,t)=9; (l,o)=7 ties (o,w)→(l,o);
+  // (lo,w)=7; (e,w)=6 ties (n,e),(w,est) → (e,w)
+  private val expected5 = Seq(
+    Bpe.Merge("e", "s"), Bpe.Merge("es", "t"), Bpe.Merge("l", "o"),
+    Bpe.Merge("lo", "w"), Bpe.Merge("e", "w"))
+
+  test("trainLocal reproduces the Sennrich worked example") {
+    val merges = Bpe.train(corpusDf, col("text"), nMerges = 5)
+    assert(merges == expected5)
+  }
+
+  test("distributed trainer produces byte-identical merges") {
+    val wc = Bpe.wordCounts(corpusDf.repartition(7), col("text"))
+    val dist = Bpe.trainDistributed(wc, nMerges = 5, minPairCount = 2L)
+    assert(dist == expected5)
+  }
+
+  test("encode merges greedily by rank: lowest = 'low' + 'est'") {
+    val merges = Bpe.train(corpusDf, col("text"), nMerges = 10)
+    val df = Seq((7L, "lowest")).toDF("id", "t")
+    val out = Bpe.encode(df, col("id"), col("t"), merges).collect()(0)
+    assert(out.getSeq[String](1) == Seq("low", "est"))
+    assert(out.getLong(2) == 2L)
+    assert(out.getBoolean(3))
+  }
+
+  test("round-trip holds corpus-wide, partition-invariant, empty-safe") {
+    val merges = Bpe.train(corpusDf, col("text"), nMerges = 8)
+    val docs = Seq(
+      (1L, "the lowest of the low in the newest west"),
+      (2L, ""),
+      (3L, "   "),
+      (4L, "unseen vocabulary zigzag")).toDF("id", "t")
+    for (parts <- Seq(1, 5)) {
+      val rows = Bpe.encode(docs.repartition(parts), col("id"), col("t"), merges)
+        .orderBy("id").collect()
+      assert(rows.forall(_.getBoolean(3)), s"roundtrip failed at parts=$parts")
+      assert(rows(1).getLong(2) == 0L && rows(2).getLong(2) == 0L)
+      // unseen words fall back to characters joined by learned subwords only
+      assert(rows(3).getSeq[String](1).mkString == "unseenvocabularyzigzag")
+    }
+  }
+
+  test("minPairCount stops the merge loop before noise merges") {
+    val df = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    // (a,b)=2 qualifies; (c,d)=1 is under the floor
+    val merges = Bpe.train(df, col("text"), nMerges = 10)
+    assert(merges == Seq(Bpe.Merge("a", "b")))
+  }
+}
