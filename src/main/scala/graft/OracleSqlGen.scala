@@ -238,6 +238,57 @@ r AS (SELECT query_id, nn_id, score,
 SELECT query_id, nn_id, score, rank FROM r WHERE rank <= $k"""
   }
 
+  /** Similarity.pqKnn on embeddings, queries vec_id<10: per-subspace Lloyd
+    * over 2^40-quantized slices (the knnIvf technique keyed by (j, cell)),
+    * PQ code assignment, ADC lookup-table scoring with the ordered
+    * list_reduce sum matching Spark's left-fold over subspaces. */
+  def knnPq(k: Int, dim: Int, m: Int, ksub: Int, refineIters: Int): String = {
+    val dsub = dim / m
+    val quant = s"list_transform(generate_series(1, $dim), " +
+      s"i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1099511627776) AS BIGINT))"
+    def slices(src: String) =
+      s"list_slice($src, g.j * $dsub + 1, (g.j + 1) * $dsub)"
+    val passes = (0 until refineIters).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT nn_id, j, cell, sv FROM (
+  SELECT sub.nn_id, sub.j, ct$i.cell, sub.sv, ROW_NUMBER() OVER (
+    PARTITION BY sub.nn_id, sub.j
+    ORDER BY ${cos("sub.sv", s"ct$i.centroid", dsub)} DESC, ct$i.cell ASC) AS rn
+  FROM sub JOIN ct$i USING (j)) WHERE rn = 1),
+s$i AS (SELECT j, cell, g.i AS idx, SUM(sv[g.i]) AS s
+  FROM a$i CROSS JOIN generate_series(1, $dsub) AS g(i) GROUP BY 1, 2, 3),
+n$i AS (SELECT j, cell, list(CAST(s AS BIGINT) ORDER BY idx) AS nv FROM s$i GROUP BY j, cell),
+ct${i + 1} AS MATERIALIZED (SELECT ct$i.j, ct$i.cell, COALESCE(n$i.nv, ct$i.centroid) AS centroid
+  FROM ct$i LEFT JOIN n$i USING (j, cell))"""
+    }.mkString(",\n")
+    val last = s"ct$refineIters"
+    s"""WITH cq AS MATERIALIZED (SELECT vec_id AS nn_id, $quant AS qv FROM embeddings),
+sub AS MATERIALIZED (SELECT nn_id, g.j AS j, ${slices("qv")} AS sv
+  FROM cq CROSS JOIN generate_series(0, ${m - 1}) AS g(j)),
+seed AS MATERIALIZED (SELECT nn_id AS cell, qv FROM cq
+  ORDER BY ${duckSigned(duckU64("CAST(nn_id AS VARCHAR)"))}, nn_id LIMIT $ksub),
+ct0 AS MATERIALIZED (SELECT g.j AS j, cell, ${slices("qv")} AS centroid
+  FROM seed CROSS JOIN generate_series(0, ${m - 1}) AS g(j)),
+$passes,
+codes AS MATERIALIZED (SELECT nn_id, j, cell FROM (
+  SELECT sub.nn_id, sub.j, $last.cell, ROW_NUMBER() OVER (
+    PARTITION BY sub.nn_id, sub.j
+    ORDER BY ${cos("sub.sv", s"$last.centroid", dsub)} DESC, $last.cell ASC) AS rn
+  FROM sub JOIN $last USING (j)) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, $quant AS qq FROM embeddings WHERE vec_id < 10),
+qsub AS (SELECT query_id, g.j AS j, ${slices("qq")} AS qs
+  FROM q CROSS JOIN generate_series(0, ${m - 1}) AS g(j)),
+dt AS MATERIALIZED (SELECT query_id, j, cell,
+  ${cos("qsub.qs", s"$last.centroid", dsub)} AS d
+  FROM qsub JOIN $last USING (j)),
+sc AS (SELECT query_id, nn_id,
+  list_reduce(list(d ORDER BY j), (p, q) -> p + q) AS score
+  FROM codes JOIN dt USING (j, cell) WHERE query_id <> nn_id
+  GROUP BY query_id, nn_id),
+r AS (SELECT query_id, nn_id, score, ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM sc)
+SELECT query_id, nn_id, score, rank FROM r WHERE rank <= $k"""
+  }
+
   /** Similarity.rrfFusion(brute-force k=5, SRP-LSH k=5), k0=60, topK=5. */
   def rrfFusion(k: Int, dim: Int, nPlanes: Int, nTables: Int, k0: Int, topK: Int): String =
     s"""WITH ${lshScoreCtes(k, dim, nPlanes, nTables)},

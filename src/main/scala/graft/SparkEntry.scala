@@ -856,6 +856,15 @@ object SparkEntry {
       e, col("vec_id"), col("embedding"), k = 5, nCells = 16, nProbe = 4)
   }
 
+  /** PQ/ADC ANN (Jégou et al. 2011) — the compressed-code scan path for
+    * corpora whose raw vectors don't fit the cluster's memory budget. */
+  private def qKnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf
+    val q = e.filter(col("vec_id") < 10)
+    Similarity.pqKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5, dim = 64, m = 4, ksub = 8)
+  }
+
   /** LSH pre-clustering (reference _clustering_via_lsh.py): bucket → cluster
     * representatives (spherical k-means) → majority vote per point. */
   private def qClusteringLsh(s: SparkSession, dir: String): DataFrame = {
@@ -1324,6 +1333,7 @@ object SparkEntry {
     "knn_classify"    -> (qKnnClassify _),
     "classifier_accuracy" -> (qClassifierAccuracy _),
     "knn_ivf"         -> (qKnnIvf _),
+    "knn_pq"          -> (qKnnPq _),
     "clustering_lsh"  -> (qClusteringLsh _),
     "rrf_fusion"      -> (qRrfFusion _),
     "bm25_per_term"   -> (qBm25 _),
@@ -2243,6 +2253,8 @@ object SparkEntry {
       nPlanes = 6, nTables = 12, nClasses = 3),
     "knn_ivf" -> OracleSqlGen.knnIvf(k = 5, dim = 64, nCells = 16, nProbe = 4,
       refineIters = 2, spill = 3),
+    "knn_pq" -> OracleSqlGen.knnPq(k = 5, dim = 64, m = 4, ksub = 8,
+      refineIters = 2),
     "clustering_lsh" -> OracleSqlGen.clusteringLsh(dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2),
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),

@@ -234,6 +234,111 @@ object Similarity {
       .select("id1", "id2", "score")
   }
 
+  /** Product-quantization ANN with asymmetric distance computation (Jégou
+    * et al. 2011, "Product Quantization for Nearest Neighbor Search") — the
+    * 100 TB memory/IO path the reference's index zoo (stdlib/indexing)
+    * stops short of: each corpus vector is stored as `m` small codebook
+    * codes (m·log2(ksub) bits instead of dim·32), and a query scans codes
+    * with per-subspace lookup tables instead of full vectors.
+    *
+    * Engine shape, all deterministic / oracle-replayable:
+    *   - codebooks: per-subspace Lloyd over 2^40-quantized integer
+    *     subvectors (ivfKnn's exact-Long-sum technique), seeds = first
+    *     `ksub` corpus rows in md5 order, one (j, cell)-keyed pass chain —
+    *     the m trainings ride ONE dataframe (posexplode over j), so
+    *     subspace count changes the row count, not the plan.
+    *   - codes: argmax per-subspace cosine, smaller-cell tie-break;
+    *     packed to an m-slot array per vector (the "PQ code").
+    *   - ADC: per query, a (m × ksub) table of subspace similarities against
+    *     the codebooks (tiny: built from a broadcast join, collected into
+    *     one array struct per query), then ONE broadcast join onto the
+    *     packed codes with the score as a fixed-order m-term lookup sum —
+    *     the corpus-side scan reads only the code arrays.
+    *   - score = Σ_j cos(q_j, centroid_{j,code_j}) summed left-to-right
+    *     (IEEE-exact twin of the oracle's ordered list_reduce).
+    *
+    * The `ksub` seed-cell ids are collected to freeze the code→table-index
+    * mapping — bounded by ksub (same bounded-collect contract as
+    * Clustering's LSH reps). Compose with ivfKnn cells for IVFADC when the
+    * corpus also needs coarse pruning. */
+  def pqKnn(queries: DataFrame, qId: Column, qVec: Column,
+      corpus: DataFrame, cId: Column, cVec: Column,
+      k: Int, dim: Int, m: Int = 4, ksub: Int = 8,
+      refineIters: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    def subSlices(v: Column): Column =
+      array((0 until m).map(j => slice(v, j * dsub + 1, dsub)): _*)
+    val cq = corpus.select(cId.as("nn_id"), Clustering.quantize(cVec).as("_qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subs = cq.select(col("nn_id"),
+      posexplode(subSlices(col("_qv"))).as(Seq("_j", "_sv")))
+    val seedRows = cq
+      .orderBy(graft.functions.CrossHash.md5Long(col("nn_id")), col("nn_id"))
+      .limit(ksub)
+      .select(col("nn_id").as("_cell"), col("_qv"))
+    val seeds = seedRows.select(col("_cell"),
+      posexplode(subSlices(col("_qv"))).as(Seq("_j", "_centroid")))
+      .select(col("_j"), col("_cell"), col("_centroid"))
+    // Lloyd, keyed by (subspace, cell); centroid = exact Long component sums
+    // (cosine is scale-invariant, so sums serve as means)
+    val centroids = (0 until refineIters).foldLeft(seeds) { (ct, _) =>
+      val a = subs.join(broadcast(ct), Seq("_j"))
+        .withColumn("_sim", cosine(col("_sv"), col("_centroid")))
+        .groupBy(col("nn_id"), col("_j")).agg(
+          max_by(col("_cell"), struct(col("_sim"), -col("_cell"))).as("_cell"),
+          first(col("_sv")).as("_sv"))
+      val sums = a.select(col("_j"), col("_cell"),
+          posexplode(col("_sv")).as(Seq("_i", "_x")))
+        .groupBy("_j", "_cell", "_i").agg(sum("_x").as("_s"))
+        .groupBy("_j", "_cell").agg(
+          transform(array_sort(collect_list(struct(col("_i"), col("_s")))),
+            e => e("_s")).as("_nv"))
+      ct.join(sums, Seq("_j", "_cell"), "left_outer")
+        .select(col("_j"), col("_cell"),
+          coalesce(col("_nv"), col("_centroid")).as("_centroid"))
+    }
+    // freeze the cell → lookup-table index mapping (ascending seed ids)
+    val cellIds = seedRows.select(col("_cell")).collect()
+      .map(_.getLong(0)).sorted
+    val cellIdx = typedLit(cellIds)
+    // PQ codes: per vector, the m winning cells as table indexes (1-based)
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nn_id"), col("_j")).orderBy(col("_sim").desc, col("_cell"))
+    val codes = subs.join(broadcast(centroids), Seq("_j"))
+      .withColumn("_sim", cosine(col("_sv"), col("_centroid")))
+      .withColumn("_r", row_number().over(aw)).filter(col("_r") === 1)
+      .groupBy(col("nn_id")).agg(
+        transform(array_sort(collect_list(struct(col("_j"), col("_cell")))),
+          e => array_position(cellIdx, e("_cell"))).as("_codes"))
+    // per-query ADC lookup table: dtab[j+1][cellIdx] = cos(q_j, centroid)
+    val qsub = queries.select(qId.as("query_id"),
+        Clustering.quantize(qVec).as("_qq"))
+      .select(col("query_id"), posexplode(subSlices(col("_qq"))).as(Seq("_j", "_qs")))
+    val dtab = qsub.join(broadcast(centroids), Seq("_j"))
+      .withColumn("_d", cosine(col("_qs"), col("_centroid")))
+      .withColumn("_ci", array_position(cellIdx, col("_cell")))
+      .groupBy(col("query_id"), col("_j")).agg(
+        transform(array_sort(collect_list(struct(col("_ci"), col("_d")))),
+          e => e("_d")).as("_row"))
+      .groupBy(col("query_id")).agg(
+        transform(array_sort(collect_list(struct(col("_j"), col("_row")))),
+          e => e("_row")).as("_dtab"))
+    // ADC scan: one broadcast join onto the packed codes; score = ordered
+    // m-term lookup sum (left fold, no 0.0 seed — bit-exact vs list_reduce)
+    val score = (0 until m)
+      .map(j => element_at(element_at(col("_dtab"), j + 1), col("_codes")(j).cast("int")))
+      .reduceLeft(_ + _)
+    val scored = codes.join(broadcast(dtab), col("query_id") =!= col("nn_id"))
+      .withColumn("score", score)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Reciprocal-rank fusion of per-retriever top-k lists
     * (reference stdlib/indexing/hybrid_index.py:14). Inputs share
     * (query_id, nn_id, rank); score = Σ 1/(k0 + rank). */
