@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextOps, TrainPrep}
+import graft.operators.{Bpe, Dedup, TextOps, TrainPrep}
 
 /** End-to-end LLM training-data curation pipeline — the composition a user
   * of the reference would run daily, expressed entirely in this library's
@@ -34,7 +34,8 @@ object TrainDataPipeline {
     * unpunctuated prose, which C4 would drop wholesale. */
   def curate(docs: DataFrame, evalSet: DataFrame, budget: Long = 2048,
       gopherFilter: Boolean = false, c4Clean: Boolean = false,
-      boilerplateClean: Boolean = false, lmScoreMin: Option[Double] = None): DataFrame = {
+      boilerplateClean: Boolean = false, lmScoreMin: Option[Double] = None,
+      bpeMerges: Option[Int] = None): DataFrame = {
     // 0a. optional corpus-level boilerplate removal (CCNet): lines repeated
     // across the corpus vanish from every page before any per-doc stage
     val deboiled = if (!boilerplateClean) docs else
@@ -63,12 +64,23 @@ object TrainDataPipeline {
     // quality / token counts must describe the text the pipeline ships,
     // not the pre-redaction original (pack offsets depend on n_tokens)
     val (redacted, nEmails, nPhones) = TrainPrep.piiRedact(col("text"))
-    val analyzed = lmKept
+    val analyzed0 = lmKept
       .select(col("doc_id"), redacted.as("text"), (nEmails + nPhones).as("pii_hits"))
       .select(col("doc_id"), col("text"), col("pii_hits"),
         TextOps.langId(col("text")).as("lang"),
         TextOps.qualityScore(col("text")).as("quality"),
         TextOps.tokenCount(col("text")).as("n_tokens"))
+    // optional: budget in REAL tokenizer tokens — train a BPE vocabulary on
+    // the corpus the pipeline will ship (post-redaction) and replace the
+    // whitespace estimate, so pack windows match what a trainer tokenizes
+    val analyzed = bpeMerges match {
+      case None => analyzed0
+      case Some(n) =>
+        val merges = Bpe.train(analyzed0, col("text"), nMerges = n)
+        analyzed0.drop("n_tokens").join(
+          Bpe.tokenCount(analyzed0, col("doc_id"), col("text"), merges)
+            .select(col("id").as("doc_id"), col("n_tokens")), "doc_id")
+    }
 
     // 2. filter (+ optional Gopher document rules)
     val kept0 = analyzed.filter(col("lang") === "en" && col("quality") >= 0.3)

@@ -114,6 +114,29 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(run() == out, "pipeline must be deterministic across reruns")
   }
 
+  test("curate with bpeMerges budgets packs in real BPE tokens") {
+    import graft.examples.TrainDataPipeline
+    val base = "the quick brown fox jumps over the lazy dog and then it runs away " +
+      "to the forest where all of the other animals have been waiting for it since morning"
+    val docs = Seq(
+      (1L, base),
+      (4L, "here we have yet another long and quite ordinary piece of english " +
+        "writing about the weather in the north and the people who live there"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "nothing matches this eval text at all"))
+      .toDF("eval_id", "eval_text")
+    val out = TrainDataPipeline.curate(docs, evalSet, budget = 64,
+      bpeMerges = Some(40)).select("doc_id", "n_tokens", "offset_in_pack")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, n, off) => n > 0 && off >= 0 && off < 64 })
+    // same corpus through the whitespace estimator gives DIFFERENT counts —
+    // the option really switched the budget currency
+    val ws = TrainDataPipeline.curate(docs, evalSet, budget = 64)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(out.exists { case (id, n, _) => ws.get(id).exists(_ != n) })
+  }
+
   test("duplicateSpans counts k-token windows occurring >= 2 times corpus-wide") {
     val docs = Seq(
       (1L, "a b c d e"),       // windows (k=3): "a b c","b c d","c d e"
