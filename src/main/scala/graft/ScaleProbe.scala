@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc", "bpe", "pq"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -528,6 +528,61 @@ object ScaleProbe {
         }
         time(s"simhash_sig_${wpd}w", nDocs.toLong) {
           Dedup.simhashSignatures(d, col("doc_id"), col("text"))
+        }
+      }
+    }
+
+    if (families("bpe")) {
+      // BPE scale claims: TRAIN cost = one corpus (word,count) agg + a
+      // VOCABULARY-bounded merge loop (caesar replicas multiply the vocab by
+      // mult, offset replicas don't — probe both); ENCODE = broadcast merges
+      // + one mapPartitions pass, ~linear in corpus size.
+      import graft.operators.Bpe
+      val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val nd = docsBase.count()
+      val sameVocab = replicate(docsBase, Map("doc_id" -> nd), "/tmp/graft_docs_bpe_same")
+      val grownVocab = caesarReplicate(docsBase, nd, "/tmp/graft_docs_bpe_caesar")
+      def clock(name: String, rows: Long)(body: => Unit): Unit = {
+        val t0 = System.nanoTime(); body
+        val cold = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); body
+        val warm = (System.nanoTime() - t1) / 1e9
+        println(f"PROBE $name%-28s rows=$rows%-9d cold=$cold%7.2fs warm=$warm%7.2fs jobs=-")
+      }
+      clock("bpe_train_1x", nd) {
+        Bpe.train(docsBase, col("text"), nMerges = 120) }
+      clock(s"bpe_train_${mult}x_samevocab", nd * mult) {
+        Bpe.train(sameVocab, col("text"), nMerges = 120) }
+      clock(s"bpe_train_${mult}x_grownvocab", nd * mult) {
+        Bpe.train(grownVocab, col("text"), nMerges = 120) }
+      val merges = Bpe.train(docsBase, col("text"), nMerges = 120)
+      time("bpe_encode_1x", nd) {
+        Bpe.encode(docsBase, col("doc_id"), col("text"), merges) }
+      time(s"bpe_encode_${mult}x", nd * mult) {
+        Bpe.encode(sameVocab, col("doc_id"), col("text"), merges) }
+    }
+
+    if (families("pq")) {
+      // PQ/ADC vs raw-vector scans at mult× the embedding table: the ADC
+      // scan reads m-slot code arrays and does m lookups per candidate where
+      // brute force reads dim floats and does dim mults — the constant-factor
+      // memory/arithmetic win that makes exhaustive scoring feasible when raw
+      // vectors outgrow cluster memory. Codebook training cost is corpus-
+      // linear (one assignment scan per Lloyd pass).
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n = base.count()
+      val emb = replicate(base.select("vec_id", "embedding"),
+        Map("vec_id" -> n), "/tmp/graft_emb_pq")
+      for ((df, rows, tag) <- Seq((base, n, "1x"), (emb, n * mult, s"${mult}x"))) {
+        val q = df.filter(col("vec_id") < 10)
+        time(s"knn_pq_$tag", rows) {
+          Similarity.pqKnn(q, col("vec_id"), col("embedding"),
+            df, col("vec_id"), col("embedding"), k = 5, dim = 64, m = 4, ksub = 8)
+        }
+        time(s"knn_brute_$tag", rows) {
+          Similarity.bruteForceKnn(q, col("vec_id"), col("embedding"),
+            df, col("vec_id"), col("embedding"), k = 5)
         }
       }
     }

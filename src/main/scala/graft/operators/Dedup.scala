@@ -317,10 +317,23 @@ object Dedup {
     * connected components (Iterate.fixpoint label propagation) over the pair
     * graph, where minhashLsh's single-pass star-merge stops at direct
     * neighbors. Returns (id, rep_id = min id of the group). */
-  def dupGroups(pairs: DataFrame): DataFrame =
+  def dupGroups(pairs: DataFrame): DataFrame = {
+    // The pair graph is orders of magnitude below the corpus (near-dup
+    // clusters only), but each CC pass pays per-task scheduling across every
+    // shuffle partition — on a few-hundred-vertex graph that fixed cost IS
+    // the operator. Size the CC partitioning by the (already materialized)
+    // pair count: ~50k edges per partition, floor 1, cap = session setting.
+    // At 100 TB the pair graph is large and this degenerates to the session
+    // width; at bench scale it collapses 32-task stages to 1.
+    val sess = pairs.sparkSession
+    val sessParts = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(1, math.min(sessParts, (pairs.count() / 50000L).toInt + 1))
     Graphs.connectedComponents(
-        pairs.select(col("id1").as("src"), col("id2").as("dst")))
+        pairs.select(col("id1").as("src"), col("id2").as("dst"))
+          .repartition(parts),
+        numPartitions = Some(parts))
       .select(col("vertex").as("id"), col("component").as("rep_id"))
+  }
 
   /** Corpus-level near-dup grouping: MinHash+LSH verified pairs →
     * connected components (full transitive closure — a~b and b~c group

@@ -15,12 +15,22 @@ import org.apache.spark.sql.functions._
 object Graphs {
 
   /** Connected components: label = min reachable vertex id (label propagation).
-    * Converges in O(diameter) passes. */
+    * Converges in O(diameter) passes.
+    *
+    * `numPartitions` pins the per-pass aggregation width: a
+    * `repartition(p, vertex)` ahead of the groupBy satisfies the aggregate's
+    * clustered-distribution requirement, so the pass runs p-wide end to end
+    * instead of `spark.sql.shuffle.partitions`-wide. Callers with graphs far
+    * below the session width (Dedup.dupGroups' pair graphs) use it to stop
+    * paying full-width task scheduling per pass — at real scale pass the
+    * session width (or None) back. */
   def connectedComponents(edges: DataFrame, src: String = "src", dst: String = "dst",
-      maxIterations: Int = 50, unroll: Int = 1): DataFrame = {
-    val sym = edges.select(col(src).as("u"), col(dst).as("v"))
+      maxIterations: Int = 50, unroll: Int = 1,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val sym0 = edges.select(col(src).as("u"), col(dst).as("v"))
       .unionByName(edges.select(col(dst).as("u"), col(src).as("v")))
       .distinct()
+    val sym = numPartitions.fold(sym0)(p => sym0.repartition(p, col("v")))
     val vertices = sym.select(col("u").as("vertex")).distinct()
     val initial = vertices.select(col("vertex"), col("vertex").as("component"))
     // labels only ever decrease and the vertex set is fixed, so Σ component is
@@ -30,7 +40,8 @@ object Graphs {
     Iterate.fixpointByFingerprint(initial, labels => {
       val viaNeighbor = sym.join(labels, sym("v") === labels("vertex"))
         .select(col("u").as("vertex"), col("component"))
-      labels.unionByName(viaNeighbor)
+      val unioned = labels.unionByName(viaNeighbor)
+      numPartitions.fold(unioned)(p => unioned.repartition(p, col("vertex")))
         .groupBy("vertex").agg(min("component").as("component"))
     }, df => df.agg(sum("component")).head.getLong(0), maxIterations, unroll = unroll)
   }
