@@ -678,6 +678,25 @@ object SparkEntry {
           .as("tokens_in_bounds"))
   }
 
+  /** RefinedWeb-style URL hygiene over constructed-per-doc URLs: blocked
+    * domains via doc_id % 11 and the src3 source, banned path words via
+    * % 7 / % 13 — a healthy mix of clean and dropped rows. */
+  private def qTextUrlFilter(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"),
+      when(col("doc_id") % 11 === 0, lit("ads.spamzone.net"))
+        .otherwise(concat(col("source"), lit(".example.com"))),
+      lit("/"),
+      when(col("doc_id") % 7 === 0, lit("casino-royale/")).otherwise(lit("docs/")),
+      when(col("doc_id") % 13 === 0, lit("free-download/coupon-")).otherwise(lit("page-")),
+      col("doc_id").cast("string"))
+    val stats = TextOps.urlStats(col("url"),
+      blockedDomains = Seq("spamzone.net", "src3.example.com"))
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id") +: col("url") +:
+        stats.map { case (n, c) => c.as(n) }: _*)
+  }
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
 
@@ -1313,6 +1332,7 @@ object SparkEntry {
     "text_boilerplate" -> (qTextBoilerplate _),
     "text_lm_score"   -> (qTextLmScore _),
     "bpe_tokens"      -> (qBpeTokens _),
+    "text_url_filter" -> (qTextUrlFilter _),
     "text_langid"     -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "doc_split_chunks" -> (qDocSplit _),
@@ -1846,6 +1866,31 @@ object SparkEntry {
         |    AS n_word_chars,
         |  true AS roundtrip_ok, true AS tokens_in_bounds
         |FROM documents""".stripMargin,
+    "text_url_filter" ->
+      """WITH p AS (SELECT doc_id, 'https://' ||
+        |  CASE WHEN doc_id % 11 = 0 THEN 'ads.spamzone.net'
+        |       ELSE source || '.example.com' END || '/' ||
+        |  CASE WHEN doc_id % 7 = 0 THEN 'casino-royale/' ELSE 'docs/' END ||
+        |  CASE WHEN doc_id % 13 = 0 THEN 'free-download/coupon-' ELSE 'page-' END ||
+        |  doc_id AS url FROM documents),
+        |d AS (SELECT doc_id, url, lower(url) AS u,
+        |  regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS domain
+        |  FROM p),
+        |f AS (SELECT doc_id, url, domain,
+        |  (domain = 'spamzone.net' OR ends_with(domain, '.spamzone.net')
+        |    OR domain = 'src3.example.com'
+        |    OR ends_with(domain, '.src3.example.com')) AS blocked_domain,
+        |  CAST(len(regexp_extract_all(u, 'casino')) AS DOUBLE) * 1.0
+        |    + CAST(len(regexp_extract_all(u, 'viagra')) AS DOUBLE) * 1.0
+        |    + CAST(len(regexp_extract_all(u, 'porn')) AS DOUBLE) * 1.0
+        |    + CAST(len(regexp_extract_all(u, 'xxx')) AS DOUBLE) * 1.0
+        |    + CAST(len(regexp_extract_all(u, 'free-download')) AS DOUBLE) * 0.5
+        |    + CAST(len(regexp_extract_all(u, 'coupon')) AS DOUBLE) * 0.5
+        |    + CAST(len(regexp_extract_all(u, 'webcam')) AS DOUBLE) * 0.5 AS url_score,
+        |  regexp_matches(domain, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$') AS ip_host
+        |  FROM d)
+        |SELECT doc_id, url, domain, blocked_domain, url_score, ip_host,
+        |  (blocked_domain OR ip_host OR url_score >= 1.0) AS url_drop FROM f""".stripMargin,
     "text_lm_score" ->
       """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9'']+') AS toks
         |      FROM documents),

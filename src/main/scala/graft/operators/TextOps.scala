@@ -342,6 +342,43 @@ object TextOps {
     }
   }
 
+  // ── URL filtering (RefinedWeb-style source hygiene) ─────────────────────────
+  /** Default banned URL substrings with weights — the RefinedWeb (Penedo et
+    * al. 2023 §3.1) soft-wordlist idea: one strong hit or several weak ones
+    * push the score over the drop threshold. */
+  val UrlBannedDefault: Seq[(String, Double)] = Seq(
+    "casino" -> 1.0, "viagra" -> 1.0, "porn" -> 1.0, "xxx" -> 1.0,
+    "free-download" -> 0.5, "coupon" -> 0.5, "webcam" -> 0.5)
+
+  /** Per-URL hygiene battery: parsed domain, blocklist membership (exact or
+    * parent-domain suffix), weighted banned-substring score, IP-literal
+    * hosts, and the composite drop flag. Everything is rowwise regex/string
+    * work on codegen'd built-ins — no shuffle, no UDF; the blocklist and
+    * wordlist are compile-time literal OR-chains (web-scale blocklists would
+    * broadcast-join a domain table instead — same semantics, one equi-join).
+    */
+  def urlStats(url: Column, blockedDomains: Seq[String],
+      banned: Seq[(String, Double)] = UrlBannedDefault,
+      scoreMax: Double = 1.0): Seq[(String, Column)] = {
+    val u = lower(url)
+    val domain = regexp_extract(u, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    val blocked = blockedDomains.map(d =>
+        domain === lit(d) || domain.endsWith("." + d))
+      .foldLeft(lit(false))(_ || _)
+    // banned words must be regex-metacharacter-free (they're substrings);
+    // counts × dyadic weights make the score sum order-independent-exact
+    val score = banned.map { case (w, wt) =>
+      size(regexp_extract_all(u, lit(w), lit(0))).cast("double") * wt
+    }.reduceLeft(_ + _)
+    val ipHost = domain.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+    Seq(
+      "domain" -> domain,
+      "blocked_domain" -> blocked,
+      "url_score" -> score,
+      "ip_host" -> ipHost,
+      "url_drop" -> (blocked || ipHost || (score >= scoreMax)))
+  }
+
   // ── fingerprinting ───────────────────────────────────────────────────────────
   /** Content fingerprint: md5 over whitespace-normalized lowercase text. */
   def fingerprintMd5(c: Column): Column =

@@ -137,6 +137,32 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.exists { case (id, n, _) => ws.get(id).exists(_ != n) })
   }
 
+  test("urlStats: blocklist suffixes, banned-word score, ip hosts") {
+    import graft.operators.TextOps
+    val rows = Seq(
+      (1L, "https://news.example.com/docs/page-1"),          // clean
+      (2L, "https://ads.spamzone.net/docs/page-2"),          // blocked suffix
+      (3L, "https://spamzone.net/docs/page-3"),              // blocked exact
+      (4L, "https://ok.com/casino-royale/page-4"),           // strong word
+      (5L, "https://ok.com/free-download/coupon-5"),         // two weak words
+      (6L, "https://192.168.10.20/page-6"),                  // ip host
+      (7L, "https://ok.com/free-download/page-7"))           // one weak word
+      .toDF("id", "url")
+    val stats = TextOps.urlStats(col("url"), blockedDomains = Seq("spamzone.net"))
+    val got = rows.select(col("id") +: stats.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("id")
+      .select("id", "blocked_domain", "url_score", "ip_host", "url_drop")
+      .as[(Long, Boolean, Double, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, false, 0.0, false, false),
+      (2L, true, 0.0, false, true),
+      (3L, true, 0.0, false, true),
+      (4L, false, 1.0, false, true),
+      (5L, false, 1.0, false, true),
+      (6L, false, 0.0, true, true),
+      (7L, false, 0.5, false, false)))
+  }
+
   test("duplicateSpans counts k-token windows occurring >= 2 times corpus-wide") {
     val docs = Seq(
       (1L, "a b c d e"),       // windows (k=3): "a b c","b c d","c d e"
