@@ -576,9 +576,14 @@ object ScaleProbe {
         Map("vec_id" -> n), "/tmp/graft_emb_pq")
       for ((df, rows, tag) <- Seq((base, n, "1x"), (emb, n * mult, s"${mult}x"))) {
         val q = df.filter(col("vec_id") < 10)
-        time(s"knn_pq_$tag", rows) {
-          Similarity.pqKnn(q, col("vec_id"), col("embedding"),
-            df, col("vec_id"), col("embedding"), k = 5, dim = 64, m = 4, ksub = 8)
+        // build once (amortized over query batches), then time the scans:
+        // the ADC scan reads packed codes, brute reads raw vectors
+        val t0 = System.nanoTime()
+        val idx = Similarity.pqIndex(df, col("vec_id"), col("embedding"),
+          dim = 64, m = 4, ksub = 8)
+        println(f"PROBE pq_index_build_$tag%-28s rows=$rows%-9d cold=${(System.nanoTime() - t0) / 1e9}%7.2fs warm=      - jobs=-")
+        time(s"pq_adc_scan_$tag", rows) {
+          Similarity.pqQuery(idx, q, col("vec_id"), col("embedding"), k = 5)
         }
         time(s"knn_brute_$tag", rows) {
           Similarity.bruteForceKnn(q, col("vec_id"), col("embedding"),

@@ -261,16 +261,27 @@ object Similarity {
     * mapping — bounded by ksub (same bounded-collect contract as
     * Clustering's LSH reps). Compose with ivfKnn cells for IVFADC when the
     * corpus also needs coarse pruning. */
-  def pqKnn(queries: DataFrame, qId: Column, qVec: Column,
-      corpus: DataFrame, cId: Column, cVec: Column,
-      k: Int, dim: Int, m: Int = 4, ksub: Int = 8,
-      refineIters: Int = 2): DataFrame = {
+  /** A built PQ index: eagerly-materialized codebooks (m × ksub rows) and
+    * packed per-vector codes; `cellIds` freezes the code → lookup-table
+    * index mapping. Build once with [[pqIndex]], serve many query batches
+    * with [[pqQuery]] — the DataIndex contract (index amortizes, scans pay
+    * only the code read). */
+  final case class PqIndex(centroids: DataFrame, codes: DataFrame,
+      cellIds: Array[Long], dim: Int, m: Int, ksub: Int)
+
+  def pqIndex(corpus: DataFrame, cId: Column, cVec: Column,
+      dim: Int, m: Int = 4, ksub: Int = 8, refineIters: Int = 2): PqIndex = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val dsub = dim / m
     def subSlices(v: Column): Column =
       array((0 until m).map(j => slice(v, j * dsub + 1, dsub)): _*)
     val cq = corpus.select(cId.as("nn_id"), Clustering.quantize(cVec).as("_qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // eager materialize: the Lloyd chain and the code assignment both scan
+    // cq — without this, AQE's parallel subquery jobs race to fill the
+    // unpopulated cache (the minhashCore lesson)
+    cq.count()
     val subs = cq.select(col("nn_id"),
       posexplode(subSlices(col("_qv"))).as(Seq("_j", "_sv")))
     val seedRows = cq
@@ -282,7 +293,7 @@ object Similarity {
       .select(col("_j"), col("_cell"), col("_centroid"))
     // Lloyd, keyed by (subspace, cell); centroid = exact Long component sums
     // (cosine is scale-invariant, so sums serve as means)
-    val centroids = (0 until refineIters).foldLeft(seeds) { (ct, _) =>
+    val centroids0 = (0 until refineIters).foldLeft(seeds) { (ct, _) =>
       val a = subs.join(broadcast(ct), Seq("_j"))
         .withColumn("_sim", cosine(col("_sv"), col("_centroid")))
         .groupBy(col("nn_id"), col("_j")).agg(
@@ -298,6 +309,11 @@ object Similarity {
         .select(col("_j"), col("_cell"),
           coalesce(col("_nv"), col("_centroid")).as("_centroid"))
     }
+    // materialize the codebooks ONCE (m × ksub rows): codes and the query
+    // lookup tables both consume them — left lazy, each consumer re-runs
+    // every Lloyd pass over the corpus (measured 3.5 → 1.9 s at 2k vectors,
+    // and the probe's 10× rung stops re-scanning the corpus twice)
+    val centroids = centroids0.localCheckpoint(true)
     // freeze the cell → lookup-table index mapping (ascending seed ids)
     val cellIds = seedRows.select(col("_cell")).collect()
       .map(_.getLong(0)).sorted
@@ -311,11 +327,28 @@ object Similarity {
       .groupBy(col("nn_id")).agg(
         transform(array_sort(collect_list(struct(col("_j"), col("_cell")))),
           e => array_position(cellIdx, e("_cell"))).as("_codes"))
-    // per-query ADC lookup table: dtab[j+1][cellIdx] = cos(q_j, centroid)
+    // the PQ index IS the materialized code table: one eager build, after
+    // which the raw vectors (cq) can be released
+    PqIndex(centroids, codes.localCheckpoint(true), cellIds, dim, m, ksub)
+    } finally cq.unpersist(false)
+  }
+
+  /** ADC query over a built [[PqIndex]]: per query, an (m × ksub) lookup
+    * table of subspace similarities against the codebooks (one broadcast
+    * join, collected to an array struct per query), then ONE broadcast join
+    * onto the packed codes — the corpus-side scan reads only code arrays.
+    * score = ordered m-term lookup sum (left fold, no 0.0 seed — bit-exact
+    * vs the oracle's list_reduce). */
+  def pqQuery(index: PqIndex, queries: DataFrame, qId: Column, qVec: Column,
+      k: Int): DataFrame = {
+    val m = index.m; val dsub = index.dim / m
+    val cellIdx = typedLit(index.cellIds)
+    def subSlices(v: Column): Column =
+      array((0 until m).map(j => slice(v, j * dsub + 1, dsub)): _*)
     val qsub = queries.select(qId.as("query_id"),
         Clustering.quantize(qVec).as("_qq"))
       .select(col("query_id"), posexplode(subSlices(col("_qq"))).as(Seq("_j", "_qs")))
-    val dtab = qsub.join(broadcast(centroids), Seq("_j"))
+    val dtab = qsub.join(broadcast(index.centroids), Seq("_j"))
       .withColumn("_d", cosine(col("_qs"), col("_centroid")))
       .withColumn("_ci", array_position(cellIdx, col("_cell")))
       .groupBy(col("query_id"), col("_j")).agg(
@@ -324,12 +357,10 @@ object Similarity {
       .groupBy(col("query_id")).agg(
         transform(array_sort(collect_list(struct(col("_j"), col("_row")))),
           e => e("_row")).as("_dtab"))
-    // ADC scan: one broadcast join onto the packed codes; score = ordered
-    // m-term lookup sum (left fold, no 0.0 seed — bit-exact vs list_reduce)
     val score = (0 until m)
       .map(j => element_at(element_at(col("_dtab"), j + 1), col("_codes")(j).cast("int")))
       .reduceLeft(_ + _)
-    val scored = codes.join(broadcast(dtab), col("query_id") =!= col("nn_id"))
+    val scored = index.codes.join(broadcast(dtab), col("query_id") =!= col("nn_id"))
       .withColumn("score", score)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
@@ -338,6 +369,14 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("score"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** One-shot build + query (the oracle-checked shape). */
+  def pqKnn(queries: DataFrame, qId: Column, qVec: Column,
+      corpus: DataFrame, cId: Column, cVec: Column,
+      k: Int, dim: Int, m: Int = 4, ksub: Int = 8,
+      refineIters: Int = 2): DataFrame =
+    pqQuery(pqIndex(corpus, cId, cVec, dim, m, ksub, refineIters),
+      queries, qId, qVec, k)
 
   /** Reciprocal-rank fusion of per-retriever top-k lists
     * (reference stdlib/indexing/hybrid_index.py:14). Inputs share
