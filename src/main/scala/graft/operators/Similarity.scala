@@ -339,8 +339,9 @@ object Similarity {
     * onto the packed codes — the corpus-side scan reads only code arrays.
     * score = ordered m-term lookup sum (left fold, no 0.0 seed — bit-exact
     * vs the oracle's list_reduce). */
-  def pqQuery(index: PqIndex, queries: DataFrame, qId: Column, qVec: Column,
-      k: Int): DataFrame = {
+  /** Per-query ADC lookup tables: dtab[j+1][cellIdx] = cos(q_j, centroid). */
+  private def adcTables(index: PqIndex, queries: DataFrame, qId: Column,
+      qVec: Column): DataFrame = {
     val m = index.m; val dsub = index.dim / m
     val cellIdx = typedLit(index.cellIds)
     def subSlices(v: Column): Column =
@@ -348,7 +349,7 @@ object Similarity {
     val qsub = queries.select(qId.as("query_id"),
         Clustering.quantize(qVec).as("_qq"))
       .select(col("query_id"), posexplode(subSlices(col("_qq"))).as(Seq("_j", "_qs")))
-    val dtab = qsub.join(broadcast(index.centroids), Seq("_j"))
+    qsub.join(broadcast(index.centroids), Seq("_j"))
       .withColumn("_d", cosine(col("_qs"), col("_centroid")))
       .withColumn("_ci", array_position(cellIdx, col("_cell")))
       .groupBy(col("query_id"), col("_j")).agg(
@@ -357,17 +358,45 @@ object Similarity {
       .groupBy(col("query_id")).agg(
         transform(array_sort(collect_list(struct(col("_j"), col("_row")))),
           e => e("_row")).as("_dtab"))
-    val score = (0 until m)
-      .map(j => element_at(element_at(col("_dtab"), j + 1), col("_codes")(j).cast("int")))
-      .reduceLeft(_ + _)
-    val scored = index.codes.join(broadcast(dtab), col("query_id") =!= col("nn_id"))
-      .withColumn("score", score)
+  }
+
+  /** score = ordered m-term lookup sum (left fold, no 0.0 seed — bit-exact
+    * vs the oracle's list_reduce). */
+  private def adcScore(m: Int): Column = (0 until m)
+    .map(j => element_at(element_at(col("_dtab"), j + 1), col("_codes")(j).cast("int")))
+    .reduceLeft(_ + _)
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nn_id"), col("score"),
         col("rank").cast("long").as("rank"))
+  }
+
+  def pqQuery(index: PqIndex, queries: DataFrame, qId: Column, qVec: Column,
+      k: Int): DataFrame = {
+    val dtab = adcTables(index, queries, qId, qVec)
+    rankTopK(index.codes.join(broadcast(dtab), col("query_id") =!= col("nn_id"))
+      .withColumn("score", adcScore(index.m)), k)
+  }
+
+  /** ADC rerank over an explicit candidate set (query_id, nn_id) — IVFADC
+    * when candidates come from coarse cells, LSH+ADC when from SRP buckets.
+    * Pure equi-joins: candidates × codes on nn_id, × lookup tables on
+    * query_id — no scan of the full code table, no nested-loop join, so the
+    * shape survives corpora where even the packed codes are too large to
+    * scan per batch. Self-pairs are excluded like every knn here. */
+  def pqRerank(index: PqIndex, queries: DataFrame, qId: Column, qVec: Column,
+      candidates: DataFrame, k: Int): DataFrame = {
+    val dtab = adcTables(index, queries, qId, qVec)
+    val cand = candidates.select(col("query_id"), col("nn_id"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .dropDuplicates("query_id", "nn_id")
+    rankTopK(cand.join(index.codes, Seq("nn_id"))
+      .join(broadcast(dtab), Seq("query_id"))
+      .withColumn("score", adcScore(index.m)), k)
   }
 
   /** One-shot build + query (the oracle-checked shape). */

