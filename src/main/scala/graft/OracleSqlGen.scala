@@ -289,6 +289,46 @@ r AS (SELECT query_id, nn_id, score, ROW_NUMBER() OVER (
 SELECT query_id, nn_id, score, rank FROM r WHERE rank <= $k"""
   }
 
+  /** LinearModel.perceptronClassify on documents: hashed signed bag-of-words
+    * (md5 token hashes, dim must be a power of two so HUGEINT `hu % dim`
+    * equals Java's signed floorMod), `iters` unrolled batch-perceptron
+    * passes as CTEs (all-integer — no float in the whole pipeline), then
+    * classification. Label: n_chars >= threshold. */
+  def perceptron(dim: Int, iters: Int, threshold: Long): String = {
+    require((dim & (dim - 1)) == 0, s"dim=$dim must be a power of two")
+    val passes = (0 until iters).map { p =>
+      s"""d$p AS (SELECT lb.doc_id, lb.y, COALESCE(t.s, 0) + b$p.b AS s
+  FROM lb CROSS JOIN b$p LEFT JOIN (
+    SELECT xf.doc_id, SUM(xf.xi * w$p.wv) AS s FROM xf JOIN w$p USING (i)
+    GROUP BY xf.doc_id) t USING (doc_id)),
+m$p AS (SELECT doc_id, y FROM d$p WHERE y * s <= 0),
+g$p AS (SELECT xf.i, SUM(m.y * xf.xi) AS g FROM m$p m JOIN xf USING (doc_id)
+  GROUP BY xf.i),
+w${p + 1} AS MATERIALIZED (SELECT w$p.i, w$p.wv + COALESCE(g$p.g, 0) AS wv
+  FROM w$p LEFT JOIN g$p USING (i)),
+b${p + 1} AS MATERIALIZED (SELECT b$p.b + (SELECT COALESCE(SUM(y), 0) FROM m$p) AS b FROM b$p)"""
+    }.mkString(",\n")
+    val wl = s"w$iters"; val bl = s"b$iters"
+    s"""WITH tk AS (SELECT doc_id, UNNEST(list_filter(
+    string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t FROM documents),
+hv AS (SELECT doc_id, ${duckU64("t")} AS hu FROM tk),
+xf AS MATERIALIZED (SELECT doc_id, CAST(hu % $dim AS INT) AS i,
+  SUM(CASE WHEN hu >= $Half THEN -1 ELSE 1 END) AS xi FROM hv GROUP BY 1, 2),
+lb AS MATERIALIZED (SELECT doc_id,
+  CASE WHEN n_chars >= $threshold THEN 1 ELSE -1 END AS y FROM documents),
+w0 AS (SELECT g.i AS i, CAST(0 AS BIGINT) AS wv
+  FROM generate_series(0, ${dim - 1}) AS g(i)),
+b0 AS (SELECT CAST(0 AS BIGINT) AS b),
+$passes,
+fin AS (SELECT lb.doc_id, lb.y, COALESCE(t.s, 0) + $bl.b AS score
+  FROM lb CROSS JOIN $bl LEFT JOIN (
+    SELECT xf.doc_id, SUM(xf.xi * $wl.wv) AS s FROM xf JOIN $wl USING (i)
+    GROUP BY xf.doc_id) t USING (doc_id))
+SELECT doc_id, CAST(y AS BIGINT) AS y, CAST(score AS BIGINT) AS score,
+  CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS predicted,
+  (CASE WHEN score > 0 THEN 1 ELSE -1 END) = y AS correct FROM fin"""
+  }
+
   /** Similarity.rrfFusion(brute-force k=5, SRP-LSH k=5), k0=60, topK=5. */
   def rrfFusion(k: Int, dim: Int, nPlanes: Int, nTables: Int, k0: Int, topK: Int): String =
     s"""WITH ${lshScoreCtes(k, dim, nPlanes, nTables)},

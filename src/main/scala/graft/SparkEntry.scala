@@ -697,6 +697,15 @@ object SparkEntry {
         stats.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Trained linear quality classifier (batch perceptron, all-integer):
+    * label = n_chars ≥ 306 (the corpus median), hashed bag-of-words dim 32,
+    * 3 passes — training AND scoring replayed exactly by the oracle. */
+  private def qPerceptronQuality(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LinearModel.perceptronClassify(
+        docs(s, dir), col("doc_id"), col("text"),
+        when(col("n_chars") >= 306, 1L).otherwise(-1L), dim = 32, iters = 3)
+      .withColumnRenamed("id", "doc_id")
+
   private def qTextLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))
 
@@ -1333,6 +1342,7 @@ object SparkEntry {
     "text_lm_score"   -> (qTextLmScore _),
     "bpe_tokens"      -> (qBpeTokens _),
     "text_url_filter" -> (qTextUrlFilter _),
+    "perceptron_quality" -> (qPerceptronQuality _),
     "text_langid"     -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "doc_split_chunks" -> (qDocSplit _),
@@ -2300,6 +2310,8 @@ object SparkEntry {
       refineIters = 2, spill = 3),
     "knn_pq" -> OracleSqlGen.knnPq(k = 5, dim = 64, m = 4, ksub = 8,
       refineIters = 2),
+    "perceptron_quality" -> OracleSqlGen.perceptron(dim = 32, iters = 3,
+      threshold = 306L),
     "clustering_lsh" -> OracleSqlGen.clusteringLsh(dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2),
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.LinearModel
+
+/** Batch perceptron on hashed bag-of-words: convergence on separable data,
+  * determinism, integer exactness. */
+class LinearModelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // linearly separable by construction: positive docs repeat 'good',
+  // negative docs repeat 'bad' (disjoint hashed features)
+  private def separable = (0 until 40).map { i =>
+    if (i % 2 == 0) (i.toLong, "good solid prose " + ("good " * (i % 5 + 1)).trim, 1L)
+    else (i.toLong, "bad noisy junk " + ("bad " * (i % 5 + 1)).trim, -1L)
+  }.toDF("id", "text", "y")
+
+  test("perceptron reaches 100% training accuracy on separable data") {
+    val out = LinearModel.perceptronClassify(separable, col("id"), col("text"),
+      col("y"), dim = 16, iters = 5)
+    val acc = out.filter(col("correct")).count().toDouble / out.count()
+    assert(acc == 1.0, s"expected convergence, got $acc")
+  }
+
+  test("training is deterministic and partition-invariant") {
+    def run(parts: Int) = {
+      val feat = LinearModel.hashedFeatures(separable.repartition(parts),
+        col("id"), col("text"), 16)
+        .join(separable.select(col("id"), col("y")), "id")
+      LinearModel.perceptronTrain(feat, col("x"), col("y"), dim = 16, iters = 3)
+    }
+    val (w2, b2) = run(2)
+    val (w7, b7) = run(7)
+    assert(w2.toSeq == w7.toSeq && b2 == b7)
+  }
+
+  test("hashedFeatures: signed counts, empty-safe") {
+    val df = Seq((1L, "a a b"), (2L, ""), (3L, "   ")).toDF("id", "t")
+    val rows = LinearModel.hashedFeatures(df, col("id"), col("t"), 8)
+      .orderBy("id").collect()
+    val x1 = rows(0).getSeq[Long](1)
+    assert(x1.map(math.abs).sum >= 1) // tokens landed somewhere
+    assert(rows(1).getSeq[Long](1).forall(_ == 0L))
+    assert(rows(2).getSeq[Long](1).forall(_ == 0L))
+    // 'a' appears twice -> its slot has magnitude 2 (same sign accumulates)
+    assert(x1.exists(v => math.abs(v) == 2L))
+  }
+}
