@@ -191,6 +191,31 @@ object StreamBench {
         .option("checkpointLocation", ckpt()).start()
     }
 
+    /** Curation-at-ingest (per-doc stages): rowwise quality + token-count
+      * filter, then real BPE tokenization with merges trained ONCE on a
+      * static sample at startup (the index-at-startup serving contract).
+      * Near-dup detection is the separate stateful `minhash_dedup` scenario
+      * (its output is the pair stream); this one measures whether the
+      * map-side analyze/tokenize stack holds the offered rate. */
+    def startCurationIngest(): StreamingQuery = {
+      import graft.operators.{Bpe, TextOps}
+      val staticSample = spark.range(2000L).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 8).map(i => md5(concat(lit(s"v$i"), col("id") % 97))): _*).as("text"))
+      val merges = Bpe.train(staticSample, col("text"), nMerges = 60)
+      val seed = when(col("value") % 20 === 0, col("value") % 5 - 10)
+        .otherwise(col("value"))
+      val text = concat_ws(" ",
+        (0 until 6).map(i => md5(concat(lit(s"w$i"), seed))): _*)
+      val docs = rateSrc.select(col("value").as("doc_id"), text.as("text"))
+        .filter(TextOps.qualityScore(col("text")) >= 0.0 &&
+          TextOps.tokenCount(col("text")) >= 3)
+      Bpe.encode(docs, col("doc_id"), col("text"), merges)
+        .select(col("id"), col("n_tokens"), col("roundtrip_ok"))
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+    }
+
     lazy val derbyUrl: String = {
       Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
       val dir = java.nio.file.Files.createTempDirectory("graft_sb_derby").toString
@@ -434,6 +459,7 @@ object StreamBench {
       "tumbling_agg" -> (() => measure("tumbling_agg", startTumblingAgg _)),
       "dedup_acceptor" -> (() => measure("dedup_acceptor", startDedupAcceptor _)),
       "minhash_dedup" -> (() => measure("minhash_dedup", startMinhashDedup _)),
+      "curation_ingest" -> (() => measure("curation_ingest", startCurationIngest _)),
       "upsert_jdbc" -> (() => measure("upsert_jdbc", startUpsertJdbc _)),
       "changelog_upsert" -> (() => measure("changelog_upsert", startChangelogUpsert _)),
       "interval_join" -> (() => measure("interval_join", startIntervalJoin _)),
