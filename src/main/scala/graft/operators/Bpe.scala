@@ -234,4 +234,37 @@ object Bpe {
   def tokenCount(df: DataFrame, id: Column, text: Column,
       merges: Seq[Merge]): DataFrame =
     encode(df, id, text, merges).select(col("id"), col("n_tokens"))
+
+  /** Base single-character symbols of the training corpus, sorted — the
+    * char-level floor of the vocabulary (every encodable word decomposes
+    * into these plus merge outputs). */
+  def baseSymbols(df: DataFrame, text: Column): Seq[String] =
+    wordCounts(df, text)
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(col("c") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+
+  /** Token-id vocabulary: base chars first (sorted), then merge outputs in
+    * rank order (duplicates keep the earlier id). Id = position. */
+  def vocabulary(merges: Seq[Merge], base: Seq[String]): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    base.foreach(out += _)
+    merges.foreach(m => out += (m.a + m.b))
+    out.toSeq
+  }
+
+  /** Encode to integer token ids (training-tensor currency): tokens outside
+    * the vocabulary (unseen characters) map to −1, the conventional UNK
+    * sentinel the caller can filter or remap. */
+  def encodeIds(df: DataFrame, id: Column, text: Column, merges: Seq[Merge],
+      vocab: Seq[String]): DataFrame = {
+    // literal-map lookup stays codegen'd (vocab is merge-bounded — a few
+    // hundred entries); no UDF
+    val vmap = typedLit(vocab.zipWithIndex.toMap)
+    encode(df, id, text, merges)
+      .select(col("id"),
+        transform(col("tokens"),
+          t => coalesce(element_at(vmap, t), lit(-1))).as("token_ids"),
+        col("n_tokens"), col("roundtrip_ok"))
+  }
 }

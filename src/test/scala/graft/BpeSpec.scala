@@ -61,6 +61,20 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeIds: vocab-stable ids, UNK=-1 for unseen chars") {
+    val merges = Bpe.train(corpusDf, col("text"), nMerges = 10)
+    val vocab = Bpe.vocabulary(merges, Bpe.baseSymbols(corpusDf, col("text")))
+    // base chars get the low ids; merge outputs follow in rank order
+    assert(vocab.indexOf("es") >= 0 && vocab.indexOf("est") > vocab.indexOf("es"))
+    val out = Bpe.encodeIds(Seq((1L, "lowest"), (2L, "zig?"))
+        .toDF("id", "t"), col("id"), col("t"), merges, vocab)
+      .orderBy("id").collect()
+    val ids1 = out(0).getSeq[Int](1)
+    assert(ids1 == Seq(vocab.indexOf("low"), vocab.indexOf("est")))
+    // '?' and 'z' never appeared in the corpus -> -1 sentinel
+    assert(out(1).getSeq[Int](1).contains(-1))
+  }
+
   test("minPairCount stops the merge loop before noise merges") {
     val df = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     // (a,b)=2 qualifies; (c,d)=1 is under the floor
