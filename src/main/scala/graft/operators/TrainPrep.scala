@@ -55,6 +55,39 @@ object TrainPrep {
       .drop("_off")
   }
 
+  /** Materialized fixed-length context windows — the trainer-facing twin of
+    * [[packSequences]]: documents' token-id arrays are laid end-to-end per
+    * `instance` shard and cut into exact `budget`-length windows, documents
+    * straddling window boundaries as the concat-then-chunk recipe demands.
+    * Returns (instance, pack_id, token_ids, n) with n = budget everywhere
+    * except each shard's final partial window. This is what gets written to
+    * parquet for a data loader.
+    *
+    * Shape: one running-sum window per shard for offsets (the packSequences
+    * agg), one posexplode to (token, global position) rows — linear in total
+    * tokens, the unavoidable cost of materializing windows — and one
+    * per-(shard, window) sorted reassembly agg. No global sort: every stage
+    * is keyed by the shard. */
+  def packTokenWindows(df: DataFrame, instance: Column, order: Column,
+      tokenIds: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val w = Window.partitionBy(col("_inst")).orderBy(col("_ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = df.select(instance.as("_inst"), order.as("_ord"),
+        tokenIds.as("_ids"))
+      .withColumn("_off", coalesce(sum(size(col("_ids"))).over(w), lit(0L)))
+    withOff
+      .select(col("_inst"), posexplode(col("_ids")).as(Seq("_i", "_tok")),
+        col("_off"))
+      .withColumn("_pos", col("_off") + col("_i"))
+      .withColumn("pack_id", floor(col("_pos") / budget))
+      .groupBy(col("_inst").as("instance"), col("pack_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          e => e("_tok")).as("token_ids"))
+      .withColumn("n", size(col("token_ids")).cast("long"))
+  }
+
   /** Email / phone-number patterns shared verbatim with the oracle generator —
     * RE2-safe subset (no lookaround/backrefs), so Java and DuckDB agree. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

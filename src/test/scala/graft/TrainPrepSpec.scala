@@ -137,6 +137,22 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.exists { case (id, n, _) => ws.get(id).exists(_ != n) })
   }
 
+  test("packTokenWindows: exact budget windows, docs straddle, order kept") {
+    val docs = Seq(
+      (0L, 1L, Seq(1, 2, 3)), (0L, 2L, Seq(4, 5)), (0L, 3L, Seq(6, 7, 8, 9)),
+      (1L, 1L, Seq(10, 11))).toDF("shard", "ord", "ids")
+    val out = TrainPrep.packTokenWindows(docs.repartition(3), col("shard"),
+        col("ord"), col("ids"), budget = 4)
+      .select("instance", "pack_id", "token_ids", "n")
+      .as[(Long, Long, Seq[Int], Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (0L, 0L, Seq(1, 2, 3, 4), 4L),   // doc 2 straddles into window 0
+      (0L, 1L, Seq(5, 6, 7, 8), 4L),
+      (0L, 2L, Seq(9), 1L),            // final partial window
+      (1L, 0L, Seq(10, 11), 2L)))
+  }
+
   test("urlStats: blocklist suffixes, banned-word score, ip hosts") {
     import graft.operators.TextOps
     val rows = Seq(
