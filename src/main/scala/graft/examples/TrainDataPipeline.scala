@@ -122,6 +122,24 @@ object TrainDataPipeline {
       nTokens = col("n_tokens"), budget = budget)
   }
 
+  /** The final trainer artifact: curated docs tokenized to stable BPE ids
+    * and packed into exact `budget`-length context windows — the parquet a
+    * data-loader reads. One extra tokenize pass over the curated survivors;
+    * window offsets derive from the ACTUAL id-array sizes, so the output is
+    * internally consistent whatever the curation-time token estimate was. */
+  def curateToTokenWindows(docs: DataFrame, evalSet: DataFrame,
+      budget: Long = 2048, nMerges: Int = 200): DataFrame = {
+    val curated = curate(docs, evalSet, budget, bpeMerges = Some(nMerges))
+    val merges = Bpe.train(curated, col("text"), nMerges)
+    val vocab = Bpe.vocabulary(merges, Bpe.baseSymbols(curated, col("text")))
+    val ids = Bpe.encodeIds(curated, col("doc_id"), col("text"), merges, vocab)
+      .select(col("id").as("doc_id"), col("token_ids"))
+    TrainPrep.packTokenWindows(
+      curated.select(col("doc_id"), col("_shard")).join(ids, "doc_id"),
+      instance = col("_shard"), order = col("doc_id"),
+      tokenIds = col("token_ids"), budget = budget)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder()

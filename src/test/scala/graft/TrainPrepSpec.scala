@@ -153,6 +153,32 @@ class TrainPrepSpec extends AnyFunSuite {
       (1L, 0L, Seq(10, 11), 2L)))
   }
 
+  test("curateToTokenWindows emits exact-budget id windows") {
+    import graft.examples.TrainDataPipeline
+    val base = "the quick brown fox jumps over the lazy dog and then it runs away " +
+      "to the forest where all of the other animals have been waiting for it since morning"
+    val docs = Seq(
+      (1L, base),
+      (4L, "here we have yet another long and quite ordinary piece of english " +
+        "writing about the weather in the north and the people who live there"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "nothing matches this eval text at all"))
+      .toDF("eval_id", "eval_text")
+    val out = TrainDataPipeline.curateToTokenWindows(docs, evalSet,
+      budget = 16, nMerges = 30)
+      .select("instance", "pack_id", "token_ids", "n")
+      .as[(Long, Long, Seq[Int], Long)].collect()
+    assert(out.nonEmpty)
+    // every window is exactly the budget except each shard's last
+    val byShard = out.groupBy(_._1)
+    assert(byShard.values.forall { ws =>
+      val sorted = ws.sortBy(_._2)
+      sorted.init.forall(_._4 == 16L) && sorted.last._4 <= 16L
+    })
+    // ids come from a real vocabulary (no UNKs on the training corpus itself)
+    assert(out.forall(_._3.forall(_ >= 0)))
+  }
+
   test("urlStats: blocklist suffixes, banned-word score, ip hosts") {
     import graft.operators.TextOps
     val rows = Seq(
