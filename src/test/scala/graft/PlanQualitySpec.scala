@@ -34,7 +34,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "interval_join_full", "asof_backward", "asof_forward", "asof_nearest",
     "window_join", "interpolate",
     "text_tokens", "text_quality", "text_gopher", "text_c4", "text_langid",
-    "text_fingerprint", "text_pii", "dedup_exact", "dedup_spans",
+    "text_fingerprint", "text_pii", "text_url_filter",
+    "dedup_exact", "dedup_spans",
     "decontaminate", "sample_weighted", "sample_stratified", "split_train_test",
     "doc_pack", "doc_split_chunks", "doc_parse", "expr_str", "expr_num",
     "expr_cond", "matmul_block")
