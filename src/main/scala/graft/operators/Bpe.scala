@@ -148,11 +148,15 @@ object Bpe {
         val (pa, pb) = (top(0).getString(0), top(0).getString(1))
         merges += Merge(pa, pb)
         val old = vocab
-        val applied = old.as[(Array[String], Long)]
+        val applied0 = old.as[(Array[String], Long)]
           .map { case (s, c) => (applyMerge(s, pa, pb), c) }
-          .toDF("syms", "cnt").persist()
-        if (merges.length % 8 == 0) applied.localCheckpoint(eager = true)
-        else applied.count()
+          .toDF("syms", "cnt")
+        // checkpoint (not just persist) every few merges: the plan nests one
+        // map per merge, and an unbounded lineage makes pass N's ANALYSIS
+        // cost O(N) even when every ancestor is cached
+        val applied =
+          if (merges.length % 8 == 0) applied0.localCheckpoint(eager = true)
+          else { val p = applied0.persist(); p.count(); p }
         old.unpersist()
         vocab = applied
       }

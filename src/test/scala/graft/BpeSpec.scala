@@ -35,6 +35,17 @@ class BpeSpec extends AnyFunSuite {
     assert(dist == expected5)
   }
 
+  test("distributed trainer matches local past the checkpoint cadence") {
+    // >8 merges exercises the localCheckpoint lineage-truncation path
+    val corpus = (corpusDf.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((5L, ("maker " * 4).trim), (6L, ("taken " * 3).trim)))
+      .toSeq.toDF("doc_id", "text")
+    val local = Bpe.train(corpus, col("text"), nMerges = 14)
+    val dist = Bpe.trainDistributed(
+      Bpe.wordCounts(corpus.repartition(5), col("text")), 14, 2L)
+    assert(local.length > 8 && dist == local)
+  }
+
   test("encode merges greedily by rank: lowest = 'low' + 'est'") {
     val merges = Bpe.train(corpusDf, col("text"), nMerges = 10)
     val df = Seq((7L, "lowest")).toDF("id", "t")
