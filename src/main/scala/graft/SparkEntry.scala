@@ -296,6 +296,16 @@ object SparkEntry {
         "last_value" -> Reducers.latest(col("value"), col("ts"), col("event_id")))
       .toDf
 
+  /** Exact per-group heavy hitters with planted hub keys (every 3rd order
+    * folds onto a 7-key hub set, so the top-5 is dominated by real skew). */
+  private def qReduceTopkFreq(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).toDf
+    val v = when(col("o_orderkey") % 3 === 0, col("o_custkey") % 7)
+      .otherwise(col("o_custkey"))
+    Utils.topKFrequent(o.select(col("o_orderstatus"), v.as("v")),
+      Seq(col("o_orderstatus")), col("v"), k = 5)
+  }
+
   private def qReduceApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     // HLL++ sketches can't hash-match a DuckDB oracle directly (different
     // sketches), but Spark's estimate is deterministic for fixed input — so
@@ -1317,6 +1327,7 @@ object SparkEntry {
     "reduce_stateful_sumsq" -> (qReduceStateful _),
     "reduce_earliest_latest" -> (qReduceEarliestLatest _),
     "reduce_approx_distinct" -> (qReduceApproxDistinct _),
+    "reduce_topk_freq" -> (qReduceTopkFreq _),
     "window_tumbling" -> (qWindowTumbling _),
     "window_sliding"  -> (qWindowSliding _),
     "window_session"  -> (qWindowSession _),
@@ -2214,6 +2225,14 @@ object SparkEntry {
     // deterministic end-to-end on the CrossHash md5 family, but need per-seed
     // constants / hyperplane literals / N-way band joins — built from the SAME
     // constants the Spark operators embed.
+    "reduce_topk_freq" ->
+      """WITH b AS (SELECT o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_custkey % 7 ELSE o_custkey END AS v
+        |  FROM orders),
+        |c AS (SELECT o_orderstatus, v, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |r AS (SELECT o_orderstatus, v AS value, cnt, ROW_NUMBER() OVER (
+        |  PARTITION BY o_orderstatus ORDER BY cnt DESC, v ASC) AS rank FROM c)
+        |SELECT o_orderstatus, value, cnt, rank FROM r WHERE rank <= 5""".stripMargin,
     // reduce_approx_distinct: the sketches themselves can't hash-match (Spark
     // HLL++ vs DuckDB's), so the query asserts the 3·rsd error bound as data —
     // exact count (both engines agree) + within_tol, true on both sides as long

@@ -98,4 +98,45 @@ object Reducers {
   }
   /** Column form of [[SumSqAgg]] usable inside agg(). */
   def sumSq(c: Column): Column = udaf(SumSqAgg).apply(c.cast("long"))
+
+  /** Misra-Gries heavy-hitter sketch: a MERGEABLE bounded-state frequency
+    * summary of at most `capacity` (value, weight) counters per group
+    * (Agarwal et al. 2013 "Mergeable Summaries" §3). Update: increment a
+    * tracked value, else fill a free slot, else decrement ALL counters (drop
+    * zeros). Merge: pointwise sum, then subtract the (capacity+1)-largest
+    * weight from every counter and drop ≤0 — the summary-preserving trim.
+    *
+    * Guarantee (order- and partitioning-independent): every value with true
+    * frequency > n/(capacity+1) is among the survivors, and each counter
+    * undercounts by at most n/(capacity+1). The candidate SET itself depends
+    * on encounter order — assert the coverage guarantee, not the set.
+    * State is O(capacity) regardless of distinct-value cardinality — the
+    * scale path when the exact (group, value) count shuffle
+    * (Utils.topKFrequent) is itself too wide. */
+  final class MisraGriesAgg(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      if (b.contains(a)) b.updated(a, b(a) + 1L)
+      else if (b.size < capacity) b.updated(a, 1L)
+      else b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] = {
+      val sum = (b1.keySet ++ b2.keySet).iterator
+        .map(k => k -> (b1.getOrElse(k, 0L) + b2.getOrElse(k, 0L))).toMap
+      if (sum.size <= capacity) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+      }
+    }
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Column form: map<value, estimated weight> per group. */
+  def misraGries(c: Column, capacity: Int): Column =
+    udaf(new MisraGriesAgg(capacity)).apply(c.cast("string"))
 }

@@ -31,6 +31,27 @@ object Utils {
       .select(col("_row.*"))
   }
 
+  /** Exact per-group top-k frequent values (heavy hitters) — [[majority]]
+    * generalized to a ranked list. One keyed count aggregation (map-side
+    * combined; the shuffle is (group, value)-wide, the rank runs over the
+    * much smaller distinct-value counts), ties broken by value ascending.
+    * Returns (group…, value, cnt, rank ≤ k).
+    *
+    * When distinct-value cardinality per group is itself too large to
+    * shuffle, use [[graft.functions.Reducers.misraGries]] — the mergeable
+    * bounded-state sketch whose candidate set provably covers every value
+    * with frequency > n/(capacity+1). */
+  def topKFrequent(df: DataFrame, groupCols: Seq[Column], value: Column,
+      k: Int): DataFrame = {
+    val counted = df.groupBy(groupCols :+ value.as("_v"): _*).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(c => counted(c.toString)): _*)
+      .orderBy(col("cnt").desc, col("_v").asc)
+    counted.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(groupCols.map(c => counted(c.toString)) :+
+        col("_v").as("value") :+ col("cnt") :+ col("rank").cast("long").as("rank"): _*)
+  }
+
   /** groupby_reduce_majority: most frequent `value` per group (ties → smallest
     * value, any orderable type). Count per (group, value) first — the heavy
     * shuffle aggregates map-side — then a rank over the (small) distinct-value

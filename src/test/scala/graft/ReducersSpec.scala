@@ -51,4 +51,33 @@ class ReducersSpec extends AnyFunSuite {
       Reducers.latest(col("v"), col("t"), col("id")).as("l")).head
     assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 3.0)
   }
+
+  test("topKFrequent: exact ranked heavy hitters, value tie-break") {
+    import spark.implicits._
+    import graft.operators.Utils
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
+      .map(("g", _)).toDF("g", "v")
+    val got = Utils.topKFrequent(df, Seq(col("g")), col("v"), k = 3)
+      .select("value", "cnt", "rank").as[(String, Long, Long)]
+      .collect().sortBy(_._3).toSeq
+    assert(got == Seq(("a", 5L, 1L), ("b", 3L, 2L), ("c", 3L, 3L)))
+  }
+
+  test("misraGries: coverage guarantee holds under any partitioning") {
+    import spark.implicits._
+    val n = 2000
+    // 'hub' has freq 600 > n/(cap+1) = 2000/9 ≈ 222 → must survive; the
+    // 1400 junk values are near-distinct noise
+    val vals = Seq.fill(600)("hub") ++ (0 until 1400).map(i => s"junk${i % 700}")
+    for (parts <- Seq(1, 4, 13)) {
+      val df = scala.util.Random.shuffle(vals).map(("g", _)).toDF("g", "v")
+        .repartition(parts)
+      val m = df.groupBy("g").agg(Reducers.misraGries(col("v"), 8).as("mg"))
+        .select("mg").as[Map[String, Long]].head()
+      assert(m.size <= 8, s"capacity violated at parts=$parts: ${m.size}")
+      assert(m.contains("hub"), s"heavy hitter lost at parts=$parts")
+      // undercount bounded: est <= true, true - est <= n/(cap+1)
+      assert(m("hub") <= 600L && 600L - m("hub") <= n / 9 + 1)
+    }
+  }
 }
