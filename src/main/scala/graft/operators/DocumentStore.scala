@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
 object DocumentStore {
 
   /** The built index: one row per chunk with its embedding.
-    * Columns: doc_id, chunk_id, chunk_idx, chunk_text, embedding. */
+    * Columns: doc_id, chunk_id, chunk_idx, chunk_text, embedding
+    * [+ metaCols]. `metaCols` carries document-level metadata (source,
+    * path, timestamps…) onto every chunk so retrieval can pre-filter — the
+    * reference's metadata JSON on each indexed row
+    * (document_store.py `metadata_filter` / `filepath_globpattern`). */
   def build(docs: DataFrame, idCol: Column, textCol: Column,
-      chunkTokens: Int = 50, overlap: Int = 10, dim: Int = 64): DataFrame = {
+      chunkTokens: Int = 50, overlap: Int = 10, dim: Int = 64,
+      metaCols: Seq[Column] = Nil): DataFrame = {
     val chunks = TextOps.splitIntoChunks(
-        docs.select(idCol.as("doc_id"), textCol.as("text")), col("text"),
-        chunkTokens, overlap)
-      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+        docs.select(idCol.as("doc_id") +: textCol.as("text") +: metaCols: _*),
+        col("text"), chunkTokens, overlap)
+      .drop("text", "n_chunk_tokens")
       // chunk id from the CrossHash md5 family (not xxhash64 pointers): the
       // id doubles as the retrieval tie-break, and md5 keeps the whole store
       // — ids included — reproducible by any engine (the DuckDB oracle
@@ -45,17 +50,26 @@ object DocumentStore {
 
   /** Top-k chunks per query by cosine over the store's embeddings.
     * `exact = false` routes through SRP-LSH buckets instead of the
-    * broadcast-queries brute force (the corpus-scale path). */
+    * broadcast-queries brute force (the corpus-scale path).
+    *
+    * `metadataFilter` is the reference's `metadata_filter` /
+    * `filepath_globpattern` (document_store.py:35) re-expressed as a Column
+    * predicate over the store's metadata columns — applied BEFORE candidate
+    * generation, so the KNN scans only the eligible subset (pre-filtered
+    * ANN: the filter prunes the scan instead of discarding ranked results,
+    * and top-k stays exactly k among eligible chunks). */
   def retrieve(store: DataFrame, queries: DataFrame, qId: Column, qText: Column,
-      k: Int = 5, dim: Int = 64, exact: Boolean = true): DataFrame = {
+      k: Int = 5, dim: Int = 64, exact: Boolean = true,
+      metadataFilter: Option[Column] = None): DataFrame = {
+    val corpus = metadataFilter.fold(store)(store.filter)
     val q = Embedders.embed(queries.select(qId.as("query_id"), qText.as("q_text")),
       "q_text", dim = dim)
     val knn =
       if (exact) Similarity.bruteForceKnn(q, col("query_id"), col("embedding"),
-        store, col("chunk_id"), col("embedding"), k)
+        corpus, col("chunk_id"), col("embedding"), k)
       else Similarity.lshKnn(q, col("query_id"), col("embedding"),
-        store, col("chunk_id"), col("embedding"), k, dim)
-    knn.join(store.select(col("chunk_id").as("nn_id"), col("doc_id"),
+        corpus, col("chunk_id"), col("embedding"), k, dim)
+    knn.join(corpus.select(col("chunk_id").as("nn_id"), col("doc_id"),
         col("chunk_idx"), col("chunk_text")), "nn_id")
       .select(col("query_id"), col("nn_id").as("chunk_id"), col("doc_id"),
         col("chunk_idx"), col("chunk_text"), col("score"), col("rank"))

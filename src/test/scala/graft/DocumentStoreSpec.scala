@@ -36,6 +36,29 @@ class DocumentStoreSpec extends AnyFunSuite {
     assert(topDoc(100L) == 2L && topDoc(200L) == 3L)
   }
 
+  test("metadata-filtered retrieve scans only eligible chunks, keeps top-k exact") {
+    val docsMeta = Seq(
+      (1L, "alpha beta gamma delta epsilon " * 12, "wiki", "/a/1.md"),
+      (2L, "spark shuffle partition broadcast join " * 12, "web", "/b/2.md"),
+      (3L, "spark shuffle partition broadcast join " * 12, "wiki", "/a/3.md"))
+      .toDF("id", "body", "source", "path")
+    val store = DocumentStore.build(docsMeta, col("id"), col("body"),
+      chunkTokens = 20, overlap = 5, dim = 16,
+      metaCols = Seq(col("source"), col("path"))).cache()
+    assert(store.columns.contains("source") && store.columns.contains("path"))
+    val queries = Seq((100L, "spark shuffle partition")).toDF("qid", "qtext")
+    // doc 2 is the best match but lives in 'web' — the wiki filter must
+    // surface doc 3's identical chunks instead, still exactly k of them
+    val hits = DocumentStore.retrieve(store, queries, col("qid"), col("qtext"),
+      k = 3, dim = 16, metadataFilter = Some(col("source") === "wiki"))
+    val got = hits.select("doc_id").as[Long].collect()
+    assert(got.length == 3 && got.forall(_ == 3L))
+    // glob-style path filter (filepath_globpattern analog)
+    val byPath = DocumentStore.retrieve(store, queries, col("qid"), col("qtext"),
+      k = 3, dim = 16, metadataFilter = Some(col("path").like("/a/%")))
+    assert(byPath.select("doc_id").as[Long].collect().forall(Set(1L, 3L)))
+  }
+
   test("retrieveReranked returns finalK chunks ranked by lexical overlap") {
     val store = DocumentStore.build(docs, col("id"), col("body"),
       chunkTokens = 20, overlap = 5, dim = 16).cache()
