@@ -306,6 +306,32 @@ object SparkEntry {
       Seq(col("o_orderstatus")), col("v"), k = 5)
   }
 
+  /** Misra-Gries sketch with its guarantees asserted AS DATA (the
+    * approx_distinct pattern): per group, the exact heavy-hitter count both
+    * engines compute, plus Spark-side booleans — every value with
+    * freq·(cap+1) > n is among the sketch keys, and the sketch respects its
+    * capacity — that the oracle takes as literal true. */
+  private def qReduceMisraGries(s: SparkSession, dir: String): DataFrame = {
+    val cap = 8
+    val o = Tables.orders(s, dir).toDf
+    val v = when(col("o_orderkey") % 3 === 0, col("o_custkey") % 7)
+      .otherwise(col("o_custkey")).cast("string")
+    val base = o.select(col("o_orderstatus"), v.as("v"))
+    val mg = base.groupBy("o_orderstatus")
+      .agg(Reducers.misraGries(col("v"), cap).as("mg"), count(lit(1)).as("n"))
+    val counted = base.groupBy("o_orderstatus", "v").agg(count(lit(1)).as("cnt"))
+    val heavy = counted.join(mg.select("o_orderstatus", "n", "mg"), "o_orderstatus")
+      .filter(col("cnt") * (cap + 1) > col("n"))
+      .withColumn("_in", map_contains_key(col("mg"), col("v")))
+    val cov = heavy.groupBy("o_orderstatus").agg(
+      count(lit(1)).as("n_heavy"), min(col("_in")).as("_cov"))
+    mg.join(cov, Seq("o_orderstatus"), "left_outer")
+      .select(col("o_orderstatus"),
+        coalesce(col("n_heavy"), lit(0L)).as("n_heavy"),
+        coalesce(col("_cov"), lit(true)).as("all_covered"),
+        (size(map_keys(col("mg"))) <= cap).as("within_cap"))
+  }
+
   private def qReduceApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     // HLL++ sketches can't hash-match a DuckDB oracle directly (different
     // sketches), but Spark's estimate is deterministic for fixed input — so
@@ -1328,6 +1354,7 @@ object SparkEntry {
     "reduce_earliest_latest" -> (qReduceEarliestLatest _),
     "reduce_approx_distinct" -> (qReduceApproxDistinct _),
     "reduce_topk_freq" -> (qReduceTopkFreq _),
+    "reduce_misra_gries" -> (qReduceMisraGries _),
     "window_tumbling" -> (qWindowTumbling _),
     "window_sliding"  -> (qWindowSliding _),
     "window_session"  -> (qWindowSession _),
@@ -2233,6 +2260,21 @@ object SparkEntry {
         |r AS (SELECT o_orderstatus, v AS value, cnt, ROW_NUMBER() OVER (
         |  PARTITION BY o_orderstatus ORDER BY cnt DESC, v ASC) AS rank FROM c)
         |SELECT o_orderstatus, value, cnt, rank FROM r WHERE rank <= 5""".stripMargin,
+    // reduce_misra_gries: the sketch's candidate SET depends on encounter
+    // order, but its guarantees don't — emit the exact heavy-hitter count
+    // (both engines agree) plus the coverage/capacity booleans, literal true
+    // in the oracle, asserted for real on the Spark side.
+    "reduce_misra_gries" ->
+      """WITH b AS (SELECT o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_custkey % 7
+        |       ELSE o_custkey END AS VARCHAR) AS v FROM orders),
+        |t AS (SELECT o_orderstatus, COUNT(*) AS n FROM b GROUP BY 1),
+        |c AS (SELECT o_orderstatus, v, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+        |h AS (SELECT c.o_orderstatus, COUNT(*) AS n_heavy FROM c
+        |  JOIN t USING (o_orderstatus) WHERE cnt * 9 > n GROUP BY 1)
+        |SELECT t.o_orderstatus, CAST(COALESCE(h.n_heavy, 0) AS BIGINT) AS n_heavy,
+        |  true AS all_covered, true AS within_cap
+        |FROM t LEFT JOIN h USING (o_orderstatus)""".stripMargin,
     // reduce_approx_distinct: the sketches themselves can't hash-match (Spark
     // HLL++ vs DuckDB's), so the query asserts the 3·rsd error bound as data —
     // exact count (both engines agree) + within_tol, true on both sides as long
