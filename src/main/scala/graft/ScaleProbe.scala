@@ -529,6 +529,13 @@ object ScaleProbe {
         time(s"simhash_sig_${wpd}w", nDocs.toLong) {
           Dedup.simhashSignatures(d, col("doc_id"), col("text"))
         }
+        // BPE encode on book-length docs: greedy merge cost is bounded by
+        // WORD length (words re-encoded once per distinct word per
+        // partition), so doc length only adds memo lookups — ~linear
+        time(s"bpe_encode_${wpd}w", nDocs.toLong) {
+          val merges = graft.operators.Bpe.train(d, col("text"), nMerges = 80)
+          graft.operators.Bpe.encode(d, col("doc_id"), col("text"), merges)
+        }
       }
     }
 
