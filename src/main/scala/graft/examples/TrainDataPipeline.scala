@@ -129,15 +129,28 @@ object TrainDataPipeline {
     * internally consistent whatever the curation-time token estimate was. */
   def curateToTokenWindows(docs: DataFrame, evalSet: DataFrame,
       budget: Long = 2048, nMerges: Int = 200): DataFrame = {
-    val curated = curate(docs, evalSet, budget, bpeMerges = Some(nMerges))
-    val merges = Bpe.train(curated, col("text"), nMerges)
-    val vocab = Bpe.vocabulary(merges, Bpe.baseSymbols(curated, col("text")))
-    val ids = Bpe.encodeIds(curated, col("doc_id"), col("text"), merges, vocab)
-      .select(col("id").as("doc_id"), col("token_ids"))
-    TrainPrep.packTokenWindows(
-      curated.select(col("doc_id"), col("_shard")).join(ids, "doc_id"),
-      instance = col("_shard"), order = col("doc_id"),
-      tokenIds = col("token_ids"), budget = budget)
+    // curated feeds four consumers (word counts ×1 shared, encodeIds, the
+    // final join) — materialize it ONCE, and share one word-count pass
+    // between train and baseSymbols, per the eager-persist discipline
+    val curated = curate(docs, evalSet, budget, bpeMerges = Some(nMerges)).persist()
+    try {
+      curated.count()
+      val wc = Bpe.wordCounts(curated, col("text")).persist()
+      val (merges, vocab) =
+        try {
+          val m = Bpe.trainFromCounts(wc, nMerges)
+          (m, Bpe.vocabulary(m, Bpe.baseSymbolsFromCounts(wc)))
+        } finally wc.unpersist(false)
+      val ids = Bpe.encodeIds(curated, col("doc_id"), col("text"), merges, vocab)
+        .select(col("id").as("doc_id"), col("token_ids"))
+      TrainPrep.packTokenWindows(
+        curated.select(col("doc_id"), col("_shard")).join(ids, "doc_id"),
+        instance = col("_shard"), order = col("doc_id"),
+        tokenIds = col("token_ids"), budget = budget)
+        // materialize before releasing curated: the packed frame's plan
+        // still references it
+        .localCheckpoint(true)
+    } finally curated.unpersist(false)
   }
 
   def main(args: Array[String]): Unit = {

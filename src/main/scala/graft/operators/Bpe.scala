@@ -41,9 +41,32 @@ object Bpe {
 
   /** Pre-tokenization shared by train and encode: lower-cased whitespace
     * words (TextOps.tokens' discipline, so BPE composes with the text
-    * battery and the DuckDB oracle's `string_split_regex`). */
+    * battery and the DuckDB oracle's `string_split_regex`). Locale.ROOT so
+    * JVM-side lowercasing is bit-identical to Spark/DuckDB `lower()`
+    * regardless of the host's default locale (Turkish-I hazard). */
   private[graft] def words(text: String): Array[String] =
-    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+
+  /** Symbolize a word by Unicode CODE POINT (not UTF-16 code unit), so
+    * supplementary-plane characters are whole symbols, n_tokens never exceeds
+    * the code-point length bound the oracle asserts, and symbol ordering is
+    * well-defined across engines. */
+  private[graft] def toSymbols(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Code-point lexicographic string order — identical to UTF-8 binary order
+    * (Spark's string comparison), unlike Java's UTF-16 code-unit `<` which
+    * mis-sorts supplementary-plane chars below U+E000..U+FFFF. Keeps the
+    * driver trainer's tie-break bit-identical to the distributed trainer. */
+  private[graft] def cpLt(x: String, y: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return cx < cy
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    i >= x.length && j < y.length
+  }
 
   /** Distributed (word, count) table — the single corpus-scale pass. */
   def wordCounts(df: DataFrame, text: Column): DataFrame =
@@ -57,8 +80,14 @@ object Bpe {
     *
     * minPairCount stops early once no pair repeats enough to matter. */
   def train(df: DataFrame, text: Column, nMerges: Int,
+      minPairCount: Long = 2L, maxDriverVocab: Int = 2000000): Seq[Merge] =
+    trainFromCounts(wordCounts(df, text), nMerges, minPairCount, maxDriverVocab)
+
+  /** Train from a pre-computed (word, count) table — lets a pipeline that
+    * also needs [[baseSymbolsFromCounts]] share ONE corpus word-count pass
+    * (persist the table, consume it twice, unpersist). */
+  def trainFromCounts(wc: DataFrame, nMerges: Int,
       minPairCount: Long = 2L, maxDriverVocab: Int = 2000000): Seq[Merge] = {
-    val wc = wordCounts(df, text)
     val vocabSize = wc.count()
     if (vocabSize <= maxDriverVocab) {
       val local = wc.collect().map(r => (r.getString(0), r.getLong(1)))
@@ -73,7 +102,7 @@ object Bpe {
       minPairCount: Long): Seq[Merge] = {
     // each word as a mutable symbol sequence
     val syms = wordCount.map { case (w, _) =>
-      mutable.ArrayBuffer(w.map(_.toString): _*)
+      mutable.ArrayBuffer(toSymbols(w): _*)
     }
     val counts = wordCount.map(_._2)
     val pairCount = mutable.HashMap.empty[(String, String), Long]
@@ -130,7 +159,7 @@ object Bpe {
     import spark.implicits._
     var vocab = wc.select(col("word"), col("count"))
       .as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .map { case (w, c) => (toSymbols(w), c) }
       .toDF("syms", "cnt")
       .persist()
     vocab.count()
@@ -166,7 +195,7 @@ object Bpe {
   }
 
   private def pairLt(x: (String, String), y: (String, String)): Boolean =
-    x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)
+    cpLt(x._1, y._1) || (x._1 == y._1 && cpLt(x._2, y._2))
 
   private[graft] def applyMerge(s: Array[String], a: String, b: String): Array[String] = {
     val out = mutable.ArrayBuffer.empty[String]
@@ -182,7 +211,7 @@ object Bpe {
     * adjacent pair until none of the pairs present is a known merge. */
   private[graft] def encodeWord(w: String,
       rank: collection.Map[(String, String), Int]): Array[String] = {
-    var s = w.map(_.toString).toArray
+    var s = toSymbols(w)
     var done = false
     while (!done && s.length > 1) {
       var bi = -1; var br = Int.MaxValue
@@ -243,10 +272,20 @@ object Bpe {
     * char-level floor of the vocabulary (every encodable word decomposes
     * into these plus merge outputs). */
   def baseSymbols(df: DataFrame, text: Column): Seq[String] =
-    wordCounts(df, text)
-      .select(explode(split(col("word"), "")).as("c"))
-      .filter(col("c") =!= "").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+    baseSymbolsFromCounts(wordCounts(df, text))
+
+  /** Base symbols from a pre-computed (word, count) table (see
+    * [[trainFromCounts]] for the shared-pass discipline). */
+  def baseSymbolsFromCounts(wc: DataFrame): Seq[String] = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    // code-point symbols (toSymbols), sorted in code-point (= UTF-8 binary)
+    // order so driver and distributed vocabularies agree
+    wc.select(col("word")).as[String]
+      .flatMap(toSymbols(_).toSeq)
+      .distinct()
+      .collect().sortWith(cpLt).toSeq
+  }
 
   /** Token-id vocabulary: base chars first (sorted), then merge outputs in
     * rank order (duplicates keep the earlier id). Id = position. */

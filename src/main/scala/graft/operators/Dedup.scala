@@ -316,7 +316,14 @@ object Dedup {
     * a, b, c in one group even when (a, c) never surfaced as a candidate —
     * connected components (Iterate.fixpoint label propagation) over the pair
     * graph, where minhashLsh's single-pass star-merge stops at direct
-    * neighbors. Returns (id, rep_id = min id of the group). */
+    * neighbors. Returns (id, rep_id = min id of the group).
+    *
+    * Input contract: `pairs` should already be MATERIALIZED (cached /
+    * localCheckpoint'ed) — this method `count()`s it to size the CC
+    * partitioning, then the CC consumes it again; an unmaterialized frame
+    * would re-execute its whole upstream plan for the count. minhashCore's
+    * output satisfies this; callers passing their own frame should
+    * `localCheckpoint(true)` it first. */
   def dupGroups(pairs: DataFrame): DataFrame = {
     // The pair graph is orders of magnitude below the corpus (near-dup
     // clusters only), but each CC pass pays per-task scheduling across every

@@ -25,7 +25,8 @@ object Embedders {
     def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
       texts.map { t =>
         val v = new Array[Float](dim)
-        t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        // Locale.ROOT: bit-identical to SQL lower() on any host locale
+        t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).foreach { tok =>
           val h = graft.functions.CrossHash.md5LongJvm(tok)
           v(math.floorMod(h, dim).toInt) += (if (h < 0) -1f else 1f)
         }

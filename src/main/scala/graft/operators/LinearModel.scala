@@ -35,7 +35,8 @@ object LinearModel {
       it.map { r =>
         val x = new Array[Long](dim)
         val t = Option(r.getString(1)).getOrElse("")
-        t.toLowerCase.split("\\s+").withFilter(_.nonEmpty).foreach { tok =>
+        // Locale.ROOT: bit-identical to SQL lower() on any host locale
+        t.toLowerCase(java.util.Locale.ROOT).split("\\s+").withFilter(_.nonEmpty).foreach { tok =>
           val h = graft.functions.CrossHash.md5LongJvm(tok)
           x(math.floorMod(h, dim).toInt) += (if (h < 0) -1L else 1L)
         }

@@ -43,12 +43,16 @@ object Utils {
     * with frequency > n/(capacity+1). */
   def topKFrequent(df: DataFrame, groupCols: Seq[Column], value: Column,
       k: Int): DataFrame = {
-    val counted = df.groupBy(groupCols :+ value.as("_v"): _*).agg(count(lit(1)).as("cnt"))
+    // group columns aliased to stable _gN names so computed expressions
+    // (e.g. col("a") % 7) partition/resolve cleanly; output keeps the
+    // original names via the final re-alias
+    val gA = groupCols.zipWithIndex.map { case (c, i) => c.as(s"_g$i") }
+    val counted = df.groupBy(gA :+ value.as("_v"): _*).agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(c => counted(c.toString)): _*)
+      .partitionBy(groupCols.indices.map(i => col(s"_g$i")): _*)
       .orderBy(col("cnt").desc, col("_v").asc)
     counted.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(groupCols.map(c => counted(c.toString)) :+
+      .select(groupCols.zipWithIndex.map { case (c, i) => col(s"_g$i").as(c.toString) } :+
         col("_v").as("value") :+ col("cnt") :+ col("rank").cast("long").as("rank"): _*)
   }
 
@@ -57,12 +61,13 @@ object Utils {
     * shuffle aggregates map-side — then a rank over the (small) distinct-value
     * counts picks the winner. */
   def majority(df: DataFrame, groupCols: Seq[Column], value: Column): DataFrame = {
-    val counted = df.groupBy(groupCols :+ value.as("_v"): _*).agg(count(lit(1)).as("_n"))
+    val gA = groupCols.zipWithIndex.map { case (c, i) => c.as(s"_g$i") }
+    val counted = df.groupBy(gA :+ value.as("_v"): _*).agg(count(lit(1)).as("_n"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(c => counted(c.toString)): _*)
+      .partitionBy(groupCols.indices.map(i => col(s"_g$i")): _*)
       .orderBy(col("_n").desc, col("_v").asc)
     counted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(groupCols.map(c => counted(c.toString)) :+
+      .select(groupCols.zipWithIndex.map { case (c, i) => col(s"_g$i").as(c.toString) } :+
         col("_v").as("majority_value") :+ col("_n").as("majority_count"): _*)
   }
 
