@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc", "bpe", "pq"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -568,6 +568,58 @@ object ScaleProbe {
         Bpe.encode(docsBase, col("doc_id"), col("text"), merges) }
       time(s"bpe_encode_${mult}x", nd * mult) {
         Bpe.encode(sameVocab, col("doc_id"), col("text"), merges) }
+    }
+
+    if (families("bpedist")) {
+      // The r12 batched distributed trainer at production merge depth,
+      // FORCED onto the cluster path (the regime a 100 TB corpus makes
+      // mandatory once the word table passes the driver bound). r11 ran one
+      // pair-aggregation job per merge — 2k merges ≈ 4k+ jobs of pure
+      // scheduling; the batched safe-prefix selection amortizes many merges
+      // per job. Reported: wall time, merges trained, Spark jobs issued
+      // (merges/job = the batching efficiency).
+      import graft.operators.Bpe
+      // synthetic Zipf word table: the testdata documents hold only ~31
+      // distinct words — nothing like the multi-million-word vocabulary the
+      // distributed path exists for. trainDistributed consumes only the
+      // (word, count) table, so generate one honestly: 20k·mult distinct
+      // pseudo-random words (md5-hex chars mapped to letters, lengths 3-12)
+      // with counts ~ N/rank (Zipf) — a dense tail-count spectrum, the
+      // regime where batch selection must win.
+      val nWords = 20000L * mult
+      val wc = spark.range(nWords).select(
+          translate(
+            substring(md5(col("id").cast("string")), lit(1),
+              (lit(3) + pmod(col("id"), lit(10))).cast("int")),
+            "0123456789", "qrstuvwxyz").as("word"),
+          greatest(lit(1L), (lit(nWords) / (col("id") + 1)).cast("long"))
+            .as("count"))
+        .groupBy("word").agg(sum("count").as("count"))
+        .persist()
+      val vocabN = wc.count()
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val counter = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(counter)
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val breaks = scala.collection.mutable.HashMap.empty[String, Int]
+        .withDefaultValue(0)
+      val t0 = System.nanoTime()
+      val merges = Bpe.trainDistributed(wc, nMerges = 2000, minPairCount = 2L,
+        onBatch = batches += _, debugBreaks = breaks)
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      spark.sparkContext.removeSparkListener(counter)
+      println(f"PROBE bpe_dist_train            rows=$vocabN%-9d cold=$sec%7.2fs warm=      - jobs=${jobs.get}%d merges=${merges.length} merges_per_job=${merges.length.toDouble / math.max(1, jobs.get)}%.1f")
+      // batch-size trajectory: mean per 10%-decile of super-steps — shows
+      // whether the Zipf tail batches (the production-depth regime)
+      val dec = batches.grouped(math.max(1, batches.length / 10)).toSeq
+        .map(g => f"${g.sum.toDouble / g.length}%.1f").mkString(",")
+      println(s"PROBE bpe_dist_batch_deciles    steps=${batches.length} mean_by_decile=$dec breaks=${breaks.toSeq.sortBy(-_._2).mkString(",")}")
+      wc.unpersist()
     }
 
     if (families("pq")) {

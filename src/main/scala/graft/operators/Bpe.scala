@@ -149,49 +149,201 @@ object Bpe {
     merges.toSeq
   }
 
-  /** Distributed merge loop for vocabularies beyond the driver bound: the
-    * symbolized word table lives in the cluster; each iteration is one pair
-    * aggregation + a 1-row argmax collect + a narrow merge-apply map.
-    * localCheckpoint every few passes keeps lineage flat (Iterate's rule). */
+  /** Distributed merge loop for vocabularies beyond the driver bound — the
+    * merge loop BATCHED so the job count is O(superSteps), not O(merges).
+    *
+    * r11 ran one full pair aggregation + 1-row collect PER MERGE — a
+    * driver-scheduling marathon at a production 30-50k-merge vocabulary
+    * (the regime a 100 TB web corpus forces, since Heaps' law puts its
+    * distinct-word table past the driver fast-path bound). This version
+    * selects MANY merges per aggregation, provably byte-identical to the
+    * sequential trainer:
+    *
+    * Each super-step runs ONE job over the symbolized word table computing,
+    * per adjacent pair (a, b): its exact count AND `max_ctx` = the maximum
+    * count over context triples (x,a,b) / (a,b,y) containing it. Any pair
+    * CREATED by applying the merge (a, b) — (x, a+b), (a+b, y), or the
+    * overlap pair (a+b, a+b) — maps occurrence-injectively into one of
+    * those triples, so its count is ≤ max_ctx(a, b). The driver then takes
+    * the longest PREFIX of the (count desc, pair asc) candidate list such
+    * that each accepted pair (c, d)
+    *   - cannot lose occurrences to any earlier accepted merge (a, b):
+    *     applying (a, b) destroys only pairs (x, a) at positions where that
+    *     `a` is followed by `b`, and (b, y) where that `b` is preceded by
+    *     `a` — so the only interactions are d == a_j or c == b_j (or the
+    *     pair itself). Pairs merely SHARING a symbol in the same position —
+    *     (e, r) and (e, n) — are provably independent and batch together,
+    *     which is what makes dense Zipf-tail count bands batch at all,
+    *   - has count strictly above every earlier member's max_ctx (no
+    *     created pair can outrank it), and
+    *   - fuses to a string absent from the CURRENT symbol vocabulary
+    *     (tracked exactly on the driver: base symbols + all fused outputs)
+    *     — a name collision would let an existing pair GAIN count mid-batch.
+    * Under those conditions, the sequential argmax at each position inside
+    * the batch is exactly the prefix element: all other old pairs only lose
+    * count and already ranked below, and every new pair is bounded below
+    * the member's count. Prefix order = selection order, so merge RANKS
+    * match too. The batch applies in one narrow map (fold over the word's
+    * symbols in batch order — identical application semantics).
+    *
+    * Worst case (every top pair interacting) degenerates to one merge per
+    * job — the r11 behavior. Measured on a 181k-word Zipf table (ScaleProbe
+    * `bpedist`): batches of 3-6 across the whole 2k-merge run, ~0.25 jobs
+    * per merge vs r11's ~2.9 — the scheduling marathon is gone; wall time
+    * is now bounded by per-super-step stage latency. The next rung, if a
+    * deployment needs it, is incremental pair-stat maintenance: keep the
+    * (pair, ctx, count) table as cluster state and delta-update it from
+    * only the words the last batch touched (the apply-map can emit old/new
+    * pair bags), replacing the per-step corpus re-explode with a delta
+    * shuffle + a TakeOrdered scan of the maintained table.
+    *
+    * BpeSpec pins byte-identity vs [[trainLocal]] on the worked example and
+    * on randomized corpora with planted overlap/collision patterns.
+    * localCheckpoint every few super-steps keeps lineage flat (Iterate's
+    * rule). */
   private[graft] def trainDistributed(wc: DataFrame, nMerges: Int,
-      minPairCount: Long): Seq[Merge] = {
+      minPairCount: Long, batchLimit: Int = 512,
+      onBatch: Int => Unit = _ => (),
+      debugBreaks: mutable.Map[String, Int] = null): Seq[Merge] = {
     val spark = wc.sparkSession
     import spark.implicits._
+    // AQE off for the loop: each super-step is a fixed small-table shape
+    // where AQE's per-stage re-planning just multiplies scheduler round
+    // trips (one job per query stage) on a latency-bound sequential loop
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     var vocab = wc.select(col("word"), col("count"))
       .as[(String, Long)]
       .map { case (w, c) => (toSymbols(w), c) }
       .toDF("syms", "cnt")
-      .persist()
-    vocab.count()
+      .localCheckpoint(eager = true)
+    // the loop's aggregations run over the vocabulary-bounded table, not
+    // the corpus — size their shuffle width accordingly (the dupGroups
+    // discipline: ~50k rows/partition, floor 1, cap = session setting) so
+    // each latency-bound super-step doesn't schedule session-width tasks
+    val sessParts = partsWas.toInt
+    val loopParts = math.max(1,
+      math.min(sessParts, (vocab.count() / 50000L).toInt + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    // exact driver-side symbol vocabulary: base symbols now, fused outputs
+    // as merges are accepted (every cluster-side symbol is one of these)
+    val symbolSet = mutable.HashSet.empty[String]
+    vocab.select(explode(col("syms")).as("s")).distinct()
+      .collect().foreach(r => symbolSet += r.getString(0))
+    // previous step's cache, released once the current step materializes
+    var prevVocab: DataFrame = null
     val merges = mutable.ArrayBuffer.empty[Merge]
+    var superSteps = 0
     var continue = true
     while (continue && merges.length < nMerges) {
-      val top = vocab.select(posexplode(col("syms")).as(Seq("_i", "_a")), col("syms"), col("cnt"))
+      // one job: top candidates by (count desc, pair asc) with max_ctx.
+      // Each adjacent position emits its pair row plus up to two context
+      // rows; two-level aggregation separates the exact pair count from
+      // the max triple count.
+      val cands = vocab
+        .select(posexplode(col("syms")).as(Seq("_i", "a")), col("syms"), col("cnt"))
         .filter(col("_i") < size(col("syms")) - 1)
-        .select(col("_a").as("a"), col("syms")(col("_i") + 1).as("b"), col("cnt"))
-        .groupBy("a", "b").agg(sum("cnt").as("c"))
-        .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getLong(2) < minPairCount) continue = false
+        .select(col("a"), col("syms")(col("_i") + 1).as("b"),
+          explode(array(
+            struct(lit(0).as("k"), lit("").as("ctx")),
+            struct(lit(1).as("k"),
+              when(col("_i") > 0, col("syms")(col("_i") - 1)).as("ctx")),
+            struct(lit(2).as("k"),
+              when(col("_i") < size(col("syms")) - 2,
+                col("syms")(col("_i") + 2)).as("ctx")))).as("e"),
+          col("cnt"))
+        .filter(col("e.k") === 0 || col("e.ctx").isNotNull)
+        .groupBy(col("a"), col("b"), col("e.k").as("k"), col("e.ctx").as("ctx"))
+        .agg(sum("cnt").as("c"))
+        .groupBy("a", "b")
+        .agg(sum(when(col("k") === 0, col("c")).otherwise(0L)).as("cnt"),
+          coalesce(max(when(col("k") === 1, col("c"))), lit(0L)).as("max_ctx_l"),
+          coalesce(max(when(col("k") === 2, col("c"))), lit(0L)).as("max_ctx_r"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(batchLimit)
+        .collect()
+      // this collect materialized (and cached) the current vocab — the
+      // previous step's cache is now dead weight
+      if (prevVocab != null) { prevVocab.unpersist(false); prevVocab = null }
+      if (cands.isEmpty || cands(0).getLong(2) < minPairCount) continue = false
       else {
-        val (pa, pb) = (top(0).getString(0), top(0).getString(1))
-        merges += Merge(pa, pb)
-        val old = vocab
-        val applied0 = old.as[(Array[String], Long)]
-          .map { case (s, c) => (applyMerge(s, pa, pb), c) }
+        // longest safe prefix (see scaladoc proof sketch). leftSyms = first
+        // elements of accepted merges, rightSyms = second elements: a later
+        // pair (c, d) is count-stable iff d ∉ leftSyms and c ∉ rightSyms.
+        val batch = mutable.ArrayBuffer.empty[Merge]
+        val leftSyms = mutable.HashSet.empty[String]
+        val rightSyms = mutable.HashSet.empty[String]
+        // per accepted member: (maxCtxL, maxCtxR, fused) — creation bounds.
+        // A later candidate (c, d) with count `cnt` survives member j iff
+        //   cnt > maxCtxL_j                  (created (x, fused_j): x unknown)
+        //   and (cnt > maxCtxR_j, or cnt == maxCtxR_j and c lex< fused_j)
+        //     (created (fused_j, y) starts with the fresh fused symbol, so
+        //      an exact tie resolves by the pair order's first component)
+        val bounds = mutable.ArrayBuffer.empty[(Long, Long, String)]
+        var stop = false
+        var i = 0
+        while (!stop && i < cands.length &&
+            merges.length + batch.length < nMerges) {
+          val (pa, pb) = (cands(i).getString(0), cands(i).getString(1))
+          val cnt = cands(i).getLong(2)
+          val (mctxL, mctxR) = (cands(i).getLong(3), cands(i).getLong(4))
+          val fused = pa + pb
+          val createdBeats = bounds.exists { case (bl, br, f) =>
+            cnt <= bl || cnt < br || (cnt == br && !cpLt(pa, f))
+          }
+          if (cnt < minPairCount) stop = true
+          else if (batch.nonEmpty &&
+              (createdBeats || leftSyms(pb) || rightSyms(pa))) {
+            if (debugBreaks != null) debugBreaks(
+              if (createdBeats) "bound"
+              else if (leftSyms(pb)) "adjL" else "adjR") += 1
+            stop = true
+          }
+          else if (symbolSet(fused)) {
+            // fused-name collision with a live symbol: safe only as the
+            // batch head (the global argmax applied alone is exact)
+            if (batch.isEmpty) { batch += Merge(pa, pb); symbolSet += fused }
+            stop = true
+          } else {
+            batch += Merge(pa, pb)
+            leftSyms += pa; rightSyms += pb
+            symbolSet += fused
+            bounds += ((mctxL, mctxR, fused))
+          }
+          i += 1
+        }
+        merges ++= batch
+        onBatch(batch.length)
+        superSteps += 1
+        val bArr = batch.toArray
+        val bc = spark.sparkContext.broadcast(bArr)
+        val applied = vocab.as[(Array[String], Long)]
+          .map { case (s, c) =>
+            (bc.value.foldLeft(s)((x, m) => applyMerge(x, m.a, m.b)), c) }
           .toDF("syms", "cnt")
-        // checkpoint (not just persist) every few merges: the plan nests one
-        // map per merge, and an unbounded lineage makes pass N's ANALYSIS
-        // cost O(N) even when every ancestor is cached
-        val applied =
-          if (merges.length % 8 == 0) applied0.localCheckpoint(eager = true)
-          else { val p = applied0.persist(); p.count(); p }
-        old.unpersist()
-        vocab = applied
+        // LAZY persist: the next super-step's aggregation materializes the
+        // apply-map and caches its result in the same job — no extra action
+        // per step. localCheckpoint every few steps truncates lineage so
+        // analysis cost stays O(1) per step (Iterate's rule).
+        if (superSteps % 8 == 0) {
+          val cp = applied.localCheckpoint(eager = true)
+          vocab.unpersist(false)
+          vocab = cp
+        } else {
+          prevVocab = vocab
+          vocab = applied.persist()
+        }
       }
     }
-    vocab.unpersist()
+    if (prevVocab != null) prevVocab.unpersist(false)
+    vocab.unpersist(false)
     merges.toSeq
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
+    }
   }
 
   private def pairLt(x: (String, String), y: (String, String)): Boolean =

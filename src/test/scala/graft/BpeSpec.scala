@@ -86,6 +86,57 @@ class BpeSpec extends AnyFunSuite {
     assert(out(1).getSeq[Int](1).contains(-1))
   }
 
+  test("batched distributed trainer matches local on randomized hazard corpora") {
+    // planted hazards: self-overlap runs (aaaa), alternation (ababab) whose
+    // merges create (ab,ab)-style pairs, and convergent derivations that
+    // collide on fused names — exactly the cases the safe-prefix rule must
+    // stop the batch for
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 0 until 6) {
+      val alphabet = "abcde"
+      val words = (0 until 40).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      } ++ Seq("aaaa", "ababab", "abab", "aab", "abc", "bcd")
+      val docs = words.zipWithIndex.map { case (w, i) =>
+        (i.toLong, ((w + " ") * (1 + rnd.nextInt(5))).trim)
+      }.toDF("doc_id", "text")
+      val local = Bpe.train(docs, col("text"), nMerges = 25)
+      val dist = Bpe.trainDistributed(
+        Bpe.wordCounts(docs.repartition(3), col("text")), 25, 2L)
+      assert(dist == local, s"trial $trial diverged:\n dist=$dist\nlocal=$local")
+    }
+    // wider alphabet + more words: counts spread thin, the safe prefix
+    // actually accepts multi-merge batches — pins the batched path itself,
+    // not just its batch-of-1 degenerate case
+    for (trial <- 0 until 2) {
+      val alphabet = "abcdefghijklmnop"
+      val words = (0 until 220).map { _ =>
+        val len = 2 + rnd.nextInt(9)
+        (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val docs = words.zipWithIndex.map { case (w, i) =>
+        (i.toLong, ((w + " ") * (1 + rnd.nextInt(4))).trim)
+      }.toDF("doc_id", "text")
+      val local = Bpe.train(docs, col("text"), nMerges = 40)
+      val dist = Bpe.trainDistributed(
+        Bpe.wordCounts(docs.repartition(4), col("text")), 40, 2L)
+      assert(dist == local, s"wide trial $trial diverged:\n dist=$dist\nlocal=$local")
+    }
+  }
+
+  test("batched trainer is exact even with a tiny candidate list") {
+    // batchLimit=2 forces many small super-steps and exercises the
+    // list-cutoff boundary (outside pairs strictly after in (count, lex))
+    val corpus = (corpusDf.collect().map(r => (r.getLong(0), r.getString(1))) ++
+      Seq((5L, ("maker " * 4).trim), (6L, ("taken " * 3).trim)))
+      .toSeq.toDF("doc_id", "text")
+    val local = Bpe.train(corpus, col("text"), nMerges = 14)
+    val dist = Bpe.trainDistributed(
+      Bpe.wordCounts(corpus.repartition(5), col("text")), 14, 2L, batchLimit = 2)
+    assert(dist == local)
+  }
+
   test("minPairCount stops the merge loop before noise merges") {
     val df = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     // (a,b)=2 qualifies; (c,d)=1 is under the floor
