@@ -289,6 +289,86 @@ r AS (SELECT query_id, nn_id, score, ROW_NUMBER() OVER (
 SELECT query_id, nn_id, score, rank FROM r WHERE rank <= $k"""
   }
 
+  /** Similarity.ivfadcKnn on embeddings, queries vec_id<10: the knnIvf
+    * coarse stage (md5 seeds + quantized Lloyd + spill assignment + probe)
+    * pruned to a DISTINCT candidate set, composed with the knnPq code/ADC
+    * stage scoring ONLY those candidates — CTE-for-CTE the Spark
+    * composition pqIndex + ivfCandidates + pqRerank. IVF chain CTEs carry
+    * an `i` prefix, PQ chain a `p` prefix; both share q/cq. */
+  def knnIvfadc(k: Int, dim: Int, m: Int, ksub: Int, nCells: Int,
+      nProbe: Int, refineIters: Int, spill: Int): String = {
+    val dsub = dim / m
+    val quant = s"list_transform(generate_series(1, $dim), " +
+      s"i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1099511627776) AS BIGINT))"
+    val ivfPasses = (0 until refineIters).map { i =>
+      s"""ia$i AS MATERIALIZED (SELECT nn_id, cell, qv FROM (
+  SELECT cq.nn_id, ict$i.cell, cq.qv, ROW_NUMBER() OVER (PARTITION BY cq.nn_id
+    ORDER BY ${cos("cq.qv", s"ict$i.centroid", dim)} DESC, ict$i.cell ASC) AS rn
+  FROM cq CROSS JOIN ict$i) WHERE rn = 1),
+is$i AS (SELECT cell, g.i AS idx, SUM(qv[g.i]) AS s
+  FROM ia$i CROSS JOIN generate_series(1, $dim) AS g(i) GROUP BY 1, 2),
+in$i AS (SELECT cell, list(CAST(s AS BIGINT) ORDER BY idx) AS nv FROM is$i GROUP BY cell),
+ict${i + 1} AS MATERIALIZED (SELECT ict$i.cell, COALESCE(in$i.nv, ict$i.centroid) AS centroid
+  FROM ict$i LEFT JOIN in$i USING (cell))"""
+    }.mkString(",\n")
+    val ilast = s"ict$refineIters"
+    def slices(src: String) =
+      s"list_slice($src, g.j * $dsub + 1, (g.j + 1) * $dsub)"
+    val pqPasses = (0 until refineIters).map { i =>
+      s"""pa$i AS MATERIALIZED (SELECT nn_id, j, cell, sv FROM (
+  SELECT sub.nn_id, sub.j, pct$i.cell, sub.sv, ROW_NUMBER() OVER (
+    PARTITION BY sub.nn_id, sub.j
+    ORDER BY ${cos("sub.sv", s"pct$i.centroid", dsub)} DESC, pct$i.cell ASC) AS rn
+  FROM sub JOIN pct$i USING (j)) WHERE rn = 1),
+ps$i AS (SELECT j, cell, g.i AS idx, SUM(sv[g.i]) AS s
+  FROM pa$i CROSS JOIN generate_series(1, $dsub) AS g(i) GROUP BY 1, 2, 3),
+pn$i AS (SELECT j, cell, list(CAST(s AS BIGINT) ORDER BY idx) AS nv FROM ps$i GROUP BY j, cell),
+pct${i + 1} AS MATERIALIZED (SELECT pct$i.j, pct$i.cell, COALESCE(pn$i.nv, pct$i.centroid) AS centroid
+  FROM pct$i LEFT JOIN pn$i USING (j, cell))"""
+    }.mkString(",\n")
+    val plast = s"pct$refineIters"
+    s"""WITH q AS (SELECT vec_id AS query_id, $quant AS qq FROM embeddings WHERE vec_id < 10),
+cq AS MATERIALIZED (SELECT vec_id AS nn_id, $quant AS qv FROM embeddings),
+ict0 AS MATERIALIZED (SELECT nn_id AS cell, qv AS centroid FROM cq
+  ORDER BY ${duckSigned(duckU64("CAST(nn_id AS VARCHAR)"))}, nn_id LIMIT $nCells),
+$ivfPasses,
+iasg AS (SELECT nn_id, cell FROM (
+  SELECT cq.nn_id, $ilast.cell, ROW_NUMBER() OVER (PARTITION BY cq.nn_id
+    ORDER BY ${cos("cq.qv", s"$ilast.centroid", dim)} DESC, $ilast.cell ASC) AS rn
+  FROM cq CROSS JOIN $ilast) WHERE rn <= $spill),
+iprobe AS (SELECT query_id, cell FROM (
+  SELECT q.query_id, $ilast.cell, ROW_NUMBER() OVER (PARTITION BY q.query_id
+    ORDER BY ${cos("q.qq", s"$ilast.centroid", dim)} DESC, $ilast.cell ASC) AS rn
+  FROM q CROSS JOIN $ilast) WHERE rn <= $nProbe),
+cand AS (SELECT DISTINCT query_id, nn_id FROM iprobe JOIN iasg USING (cell)
+  WHERE query_id <> nn_id),
+sub AS MATERIALIZED (SELECT nn_id, g.j AS j, ${slices("qv")} AS sv
+  FROM cq CROSS JOIN generate_series(0, ${m - 1}) AS g(j)),
+pseed AS MATERIALIZED (SELECT nn_id AS cell, qv FROM cq
+  ORDER BY ${duckSigned(duckU64("CAST(nn_id AS VARCHAR)"))}, nn_id LIMIT $ksub),
+pct0 AS MATERIALIZED (SELECT g.j AS j, cell, ${slices("qv")} AS centroid
+  FROM pseed CROSS JOIN generate_series(0, ${m - 1}) AS g(j)),
+$pqPasses,
+codes AS MATERIALIZED (SELECT nn_id, j, cell FROM (
+  SELECT sub.nn_id, sub.j, $plast.cell, ROW_NUMBER() OVER (
+    PARTITION BY sub.nn_id, sub.j
+    ORDER BY ${cos("sub.sv", s"$plast.centroid", dsub)} DESC, $plast.cell ASC) AS rn
+  FROM sub JOIN $plast USING (j)) WHERE rn = 1),
+qsub AS (SELECT query_id, g.j AS j, ${slices("qq")} AS qs
+  FROM q CROSS JOIN generate_series(0, ${m - 1}) AS g(j)),
+dt AS MATERIALIZED (SELECT query_id, j, cell,
+  ${cos("qsub.qs", s"$plast.centroid", dsub)} AS d
+  FROM qsub JOIN $plast USING (j)),
+sc AS (SELECT cand.query_id, cand.nn_id,
+  list_reduce(list(d ORDER BY codes.j), (p, q) -> p + q) AS score
+  FROM cand JOIN codes USING (nn_id)
+  JOIN dt ON dt.query_id = cand.query_id AND dt.j = codes.j AND dt.cell = codes.cell
+  GROUP BY cand.query_id, cand.nn_id),
+r AS (SELECT query_id, nn_id, score, ROW_NUMBER() OVER (
+  PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM sc)
+SELECT query_id, nn_id, score, rank FROM r WHERE rank <= $k"""
+  }
+
   /** LinearModel.perceptronClassify on documents: hashed signed bag-of-words
     * (md5 token hashes, dim must be a power of two so HUGEINT `hu % dim`
     * equals Java's signed floorMod), `iters` unrolled batch-perceptron

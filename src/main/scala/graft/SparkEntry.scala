@@ -929,6 +929,17 @@ object SparkEntry {
       e, col("vec_id"), col("embedding"), k = 5, dim = 64, m = 4, ksub = 8)
   }
 
+  /** IVFADC (Jégou et al. 2011 §IV-A): IVF coarse cells prune, ADC scores
+    * only the candidates from packed PQ codes — the memory-bound 100 TB
+    * composition (pqIndex + ivfCandidates + pqRerank). */
+  private def qKnnIvfadc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf
+    val q = e.filter(col("vec_id") < 10)
+    Similarity.ivfadcKnn(q, col("vec_id"), col("embedding"),
+      e, col("vec_id"), col("embedding"), k = 5, dim = 64, m = 4, ksub = 8,
+      nCells = 16, nProbe = 4)
+  }
+
   /** LSH pre-clustering (reference _clustering_via_lsh.py): bucket → cluster
     * representatives (spherical k-means) → majority vote per point. */
   private def qClusteringLsh(s: SparkSession, dir: String): DataFrame = {
@@ -1402,6 +1413,7 @@ object SparkEntry {
     "classifier_accuracy" -> (qClassifierAccuracy _),
     "knn_ivf"         -> (qKnnIvf _),
     "knn_pq"          -> (qKnnPq _),
+    "knn_ivfadc"      -> (qKnnIvfadc _),
     "clustering_lsh"  -> (qClusteringLsh _),
     "rrf_fusion"      -> (qRrfFusion _),
     "bm25_per_term"   -> (qBm25 _),
@@ -2371,6 +2383,8 @@ object SparkEntry {
       refineIters = 2, spill = 3),
     "knn_pq" -> OracleSqlGen.knnPq(k = 5, dim = 64, m = 4, ksub = 8,
       refineIters = 2),
+    "knn_ivfadc" -> OracleSqlGen.knnIvfadc(k = 5, dim = 64, m = 4, ksub = 8,
+      nCells = 16, nProbe = 4, refineIters = 2, spill = 3),
     "perceptron_quality" -> OracleSqlGen.perceptron(dim = 32, iters = 3,
       threshold = 306L),
     "clustering_lsh" -> OracleSqlGen.clusteringLsh(dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2),

@@ -144,6 +144,28 @@ object Similarity {
       corpus: DataFrame, cId: Column, cVec: Column,
       k: Int, nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2,
       spill: Int = 3): DataFrame = {
+    val (probed, assigned) = ivfCoarse(queries, qId, qVec,
+      corpus, cId, cVec, nCells, nProbe, refineIters, spill)
+    // spill-replicated vectors can reach a query through several probed
+    // cells: dedupe the (query, candidate) pair before scoring
+    val scored = probed.join(assigned, Seq("_cell"))
+      .filter(col("query_id") =!= col("nn_id"))
+      .select(col("query_id"), col("_qv"), col("nn_id"), col("_cv"))
+      .dropDuplicates("query_id", "nn_id")
+      .withColumn("score", cosine(col("_qv"), col("_cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nn_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Coarse IVF stage shared by [[ivfKnn]] and [[ivfCandidates]]: returns
+    * (probed(query_id, _qv, _cell), assigned(_cell, nn_id, _cv)). */
+  private def ivfCoarse(queries: DataFrame, qId: Column, qVec: Column,
+      corpus: DataFrame, cId: Column, cVec: Column,
+      nCells: Int, nProbe: Int, refineIters: Int,
+      spill: Int): (DataFrame, DataFrame) = {
     val cq = corpus.select(cId.as("nn_id"), cVec.as("_cv"),
         Clustering.quantize(cVec).as("_qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -191,18 +213,41 @@ object Similarity {
     val probed = qCells.withColumn("_pr", row_number().over(probeW))
       .filter(col("_pr") <= nProbe)
       .select(col("query_id"), col("_qv"), col("_cell"))
-    // spill-replicated vectors can reach a query through several probed
-    // cells: dedupe the (query, candidate) pair before scoring
-    val scored = probed.join(assigned, Seq("_cell"))
+    (probed, assigned)
+  }
+
+  /** IVF coarse pruning only: the deduped (query_id, nn_id) candidate set
+    * from the probed cells, with no exact scoring — feed to [[pqRerank]]
+    * for IVFADC, or to any downstream scorer. */
+  def ivfCandidates(queries: DataFrame, qId: Column, qVec: Column,
+      corpus: DataFrame, cId: Column, cVec: Column,
+      nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2,
+      spill: Int = 3): DataFrame = {
+    val (probed, assigned) = ivfCoarse(queries, qId, qVec,
+      corpus, cId, cVec, nCells, nProbe, refineIters, spill)
+    probed.join(assigned, Seq("_cell"))
       .filter(col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("_qv"), col("nn_id"), col("_cv"))
+      .select(col("query_id"), col("nn_id"))
       .dropDuplicates("query_id", "nn_id")
-      .withColumn("score", cosine(col("_qv"), col("_cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV-A, the FAISS IVFPQ shape): coarse IVF
+    * cells prune the corpus to nProbe cells per query, ADC scores ONLY the
+    * surviving candidates from their packed PQ codes — the composition a
+    * 100 TB corpus actually runs (neither a full raw-vector scan nor a full
+    * code scan; candidate equi-joins all the way down). Index build
+    * (codebooks + codes + coarse centroids) amortizes across query batches
+    * via [[pqIndex]]/[[ivfCandidates]]; this one-shot form is the
+    * oracle-checked shape. */
+  def ivfadcKnn(queries: DataFrame, qId: Column, qVec: Column,
+      corpus: DataFrame, cId: Column, cVec: Column,
+      k: Int, dim: Int, m: Int = 4, ksub: Int = 8,
+      nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2,
+      spill: Int = 3): DataFrame = {
+    val index = pqIndex(corpus, cId, cVec, dim, m, ksub, refineIters)
+    val cand = ivfCandidates(queries, qId, qVec, corpus, cId, cVec,
+      nCells, nProbe, refineIters, spill)
+    pqRerank(index, queries, qId, qVec, cand, k)
   }
 
   /** Embedding near-dup pairs via one shared LSH table (dedup-by-cosine):

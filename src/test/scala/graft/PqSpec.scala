@@ -75,6 +75,41 @@ class PqSpec extends AnyFunSuite {
     assert(rer.groupBy(_._1).forall(_._2.length <= 5))
   }
 
+  test("ivfadc: recall vs brute rises with nProbe, all-cells probe = full ADC scan") {
+    val d = clustered
+    val q = d.filter(col("vec_id") < 6)
+    val brute = Similarity.bruteForceKnn(q, col("vec_id"), col("embedding"),
+        d, col("vec_id"), col("embedding"), k = 5)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+    // same relaxation as the pq recall test above: ADC ranks by a
+    // compressed similarity, so count brute hits OR same-cluster neighbors
+    def recall(nProbe: Int): Double = {
+      val got = Similarity.ivfadcKnn(q, col("vec_id"), col("embedding"),
+          d, col("vec_id"), col("embedding"), k = 5, dim = 8, m = 4, ksub = 8,
+          nCells = 6, nProbe = nProbe)
+        .select("query_id", "nn_id").as[(Long, Long)].collect().toSet
+      got.count { case (qid, nid) =>
+        brute.contains((qid, nid)) || nid % 3 == qid % 3
+      }.toDouble / brute.size
+    }
+    val sweep = Seq(1, 3, 6).map(p => p -> recall(p))
+    // probing every cell makes the candidate set the whole corpus — the
+    // composition must then equal the full ADC scan bit-for-bit
+    val idx = Similarity.pqIndex(d, col("vec_id"), col("embedding"),
+      dim = 8, m = 4, ksub = 8)
+    val full = Similarity.pqQuery(idx, q, col("vec_id"), col("embedding"), k = 5)
+      .select("query_id", "nn_id", "score").as[(Long, Long, Double)].collect().toSet
+    val allProbe = Similarity.ivfadcKnn(q, col("vec_id"), col("embedding"),
+        d, col("vec_id"), col("embedding"), k = 5, dim = 8, m = 4, ksub = 8,
+        nCells = 6, nProbe = 6)
+      .select("query_id", "nn_id", "score").as[(Long, Long, Double)].collect().toSet
+    assert(allProbe == full, "all-cells IVFADC must equal the full ADC scan")
+    // recall is monotone non-decreasing along the sweep and high at full probe
+    assert(sweep.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a },
+      s"recall not monotone: $sweep")
+    assert(sweep.last._2 >= 0.9, s"full-probe recall too low: $sweep")
+  }
+
   test("every query returns exactly k ranked rows, self excluded") {
     val d = clustered
     val q = d.filter(col("vec_id") < 6)
