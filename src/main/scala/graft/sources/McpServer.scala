@@ -134,7 +134,8 @@ object McpServer {
     * The store snapshot collects once at serve time (serving-host memory —
     * the reference's in-process index constraint, see [[QaServer]]). */
   def forDocumentStore(store: DataFrame, dim: Int, port: Int = 0,
-      path: String = "/mcp", defaultK: Int = 3): Served = {
+      path: String = "/mcp", defaultK: Int = 3,
+      chat: Option[graft.operators.Llms.ChatModel] = None): Served = {
     import org.json4s._
     val entries = store.select("chunk_id", "doc_id", "chunk_text", "embedding")
       .collect()
@@ -188,7 +189,30 @@ object McpServer {
           if (top.isEmpty) """{"answer":null,"context":[]}"""
           else s"""{"answer":${esc(top.head._3)},"doc_id":${top.head._2},""" +
             s""""context":${top.map(t => esc(t._3)).mkString("[", ",", "]")}}"""
-        }))
+        }),
+      // reference question_answering.py:404/431 — list_documents and the
+      // summarize MCP tool (the latter needs a chat model)
+      Tool("list_documents",
+        "Indexed-document inventory: doc_id, chunk and char counts.",
+        """{"type":"object","properties":{}}""",
+        _ => entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (did, cs) =>
+          s"""{"doc_id":$did,"n_chunks":${cs.length},"n_chars":${cs.map(_._3.length.toLong).sum}}"""
+        }.mkString("[", ",", "]"))) ++
+      chat.map { model =>
+        Tool("summarize",
+          "Summarize a list of texts into one short summary.",
+          """{"type":"object","properties":{"text_list":{"type":"array",
+            |"items":{"type":"string"}}},"required":["text_list"]}""".stripMargin,
+          args => args \ "text_list" match {
+            case JArray(items) if items.forall(_.isInstanceOf[JString]) =>
+              val texts = items.collect { case JString(s) => s }
+              val out = model.completeBatch(Seq(Seq(graft.operators.Llms
+                .ChatMessage("user", graft.operators.Rag.summarizePrompt(texts))))).head
+              s"""{"summary":${esc(out)}}"""
+            case _ => throw new IllegalArgumentException(
+              "missing required argument: text_list")
+          })
+      }
     serve(tools, port, path)
   }
 }

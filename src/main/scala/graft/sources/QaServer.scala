@@ -5,11 +5,13 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
-import graft.operators.Embedders
+import graft.operators.{Embedders, Llms, Rag}
 
 /** Question-answering REST endpoint (reference xpacks/llm/question_answering
   * .py — `BaseRAGQuestionAnswerer` serves `/v2/answer` over a DataIndex;
-  * routing in xpacks/llm/servers.py).
+  * `AdaptiveRAGQuestionAnswerer` (:819) adds the geometric-escalation
+  * answer path; routing in xpacks/llm/servers.py:146-244, which also
+  * exposes `/v2/list_documents` and `/v2/summarize`).
   *
   * The split mirrors the reference's own architecture: the dataflow side
   * BUILDS and refreshes the index (here: `DocumentStore.build`, a Spark
@@ -74,11 +76,29 @@ object QaServer {
   }
 
   def serve(store: DataFrame, dim: Int, port: Int = 0,
-      path: String = "/v2/answer", defaultK: Int = 3): HttpServer =
-    serveRefreshable(store, dim, port, path, defaultK).server
+      path: String = "/v2/answer", defaultK: Int = 3,
+      chat: Option[Llms.ChatModel] = None,
+      noAnswer: String = Rag.DefaultNoAnswer): HttpServer =
+    serveRefreshable(store, dim, port, path, defaultK, chat, noAnswer).server
 
+  /** Routes (servers.py:146-244 surface):
+    *   - `<path>` (default `/v2/answer`): retrieval — body
+    *     `{"query":…, "k":…}` → ranked chunks (see object scaladoc).
+    *   - `/v2/answer_adaptive` (requires `chat`): the
+    *     AdaptiveRAGQuestionAnswerer geometric loop SERVING-SIDE — body
+    *     `{"query":…, "n_starting":2, "factor":2, "max_iterations":4}`;
+    *     retrieves the max budget from the snapshot once, asks the chat
+    *     with a geometrically growing context prefix until it answers →
+    *     `{"response":…, "answered":…, "n_docs_used":…, "iterations":…}`.
+    *   - `/v2/list_documents`: indexed-document inventory from the
+    *     snapshot → `{"results":[{"doc_id":…, "n_chunks":…, "n_chars":…}]}`.
+    *   - `/v2/summarize` (requires `chat`): body `{"text_list":[…]}` →
+    *     `{"summary":…}` via [[Rag.summarizePrompt]].
+    * Routes needing an absent `chat` answer 501. */
   def serveRefreshable(store: DataFrame, dim: Int, port: Int = 0,
-      path: String = "/v2/answer", defaultK: Int = 3): Served = {
+      path: String = "/v2/answer", defaultK: Int = 3,
+      chat: Option[Llms.ChatModel] = None,
+      noAnswer: String = Rag.DefaultNoAnswer): Served = {
     val indexRef = new java.util.concurrent.atomic.AtomicReference(collectEntries(store, dim))
     val embedder = new Embedders.FakeEmbedder(dim)
 
@@ -142,6 +162,104 @@ object QaServer {
         } finally ex.close()
       }
     })
+    // ranked top-k over the current snapshot — shared by the retrieval
+    // route above and the adaptive loop below
+    def topChunks(query: String, k: Int): Array[(Entry, Double)] = {
+      val qv = embedder.embedBatch(Seq(query)).head
+      indexRef.get().map(e => (e, cosine(qv, e.vec)))
+        .filter { case (_, s) => java.lang.Double.isFinite(s) }
+        .sortBy { case (e, s) => (-s, e.chunkId) }
+        .take(math.max(k, 0))
+    }
+
+    def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+      val bytes = json.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    }
+
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+
+    def parseBody(ex: HttpExchange): Option[JValue] = {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      try Some(JsonMethods.parse(body))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    server.createContext("/v2/list_documents", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val docs = indexRef.get().groupBy(_.docId).toSeq.sortBy(_._1)
+          .map { case (docId, chunks) =>
+            s"""{"doc_id":$docId,"n_chunks":${chunks.length},"n_chars":${chunks.map(_.text.length.toLong).sum}}"""
+          }
+        respond(ex, 200, docs.mkString("""{"results":[""", ",", "]}"))
+      } finally ex.close()
+    })
+
+    server.createContext("/v2/summarize", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        if (ex.getRequestMethod != "POST") { ex.sendResponseHeaders(405, -1); return }
+        chat match {
+          case None => ex.sendResponseHeaders(501, -1)
+          case Some(model) =>
+            parseBody(ex).map(_ \ "text_list") match {
+              case Some(JArray(items)) if items.forall(_.isInstanceOf[JString]) =>
+                val texts = items.collect { case JString(s) => s }
+                val prompt = Rag.summarizePrompt(texts)
+                val out = model.completeBatch(Seq(Seq(
+                  Llms.ChatMessage("user", prompt)))).head
+                respond(ex, 200, s"""{"summary":"${jsonEscape(out)}"}""")
+              case _ => ex.sendResponseHeaders(400, -1)
+            }
+        }
+      } finally ex.close()
+    })
+
+    server.createContext("/v2/answer_adaptive", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        if (ex.getRequestMethod != "POST") { ex.sendResponseHeaders(405, -1); return }
+        chat match {
+          case None => ex.sendResponseHeaders(501, -1)
+          case Some(model) =>
+            val parsed = parseBody(ex).getOrElse { ex.sendResponseHeaders(400, -1); return }
+            val query = parsed \ "query" match {
+              case JString(q) => q
+              case _ => ex.sendResponseHeaders(400, -1); return
+            }
+            def intOr(field: String, dflt: Int): Int = parsed \ field match {
+              case JInt(n) => n.toInt
+              case _ => dflt
+            }
+            val nStart = math.max(1, intOr("n_starting", 2))
+            val factor = math.max(2, intOr("factor", 2))
+            val maxIter = math.max(1, intOr("max_iterations", 4))
+            val kMax = nStart * math.pow(factor.toDouble, (maxIter - 1).toDouble).toInt
+            val ranked = topChunks(query, kMax).map(_._1.text)
+            // the geometric loop (question_answering.py:184): grow the
+            // context prefix until the model stops saying `noAnswer`
+            var n = nStart; var iter = 0
+            var answer: String = null
+            while (answer == null && iter < maxIter) {
+              iter += 1
+              val ctx = ranked.take(n).mkString("\n\n")
+              val prompt = "Answer the question based only on the context. " +
+                s"""If the context does not contain the answer, reply exactly "$noAnswer".""" +
+                s"\nContext:\n$ctx\n\nQuestion: $query\nAnswer:"
+              val out = model.completeBatch(Seq(Seq(
+                Llms.ChatMessage("user", prompt)))).head
+              if (out != noAnswer) answer = out else n *= factor
+            }
+            val used = math.min(if (answer == null) n / factor else n, ranked.length)
+            val answered = answer != null
+            val resp = s"""{"response":"${jsonEscape(if (answered) answer else noAnswer)}",""" +
+              s""""answered":$answered,"n_docs_used":$used,"iterations":$iter}"""
+            respond(ex, 200, resp)
+        }
+      } finally ex.close()
+    })
+
     server.start()
     new Served(server, dim, indexRef, store)
   }

@@ -85,6 +85,39 @@ class McpServerSpec extends AnyFunSuite {
     } finally served.stop()
   }
 
+  test("list_documents + chat-gated summarize tools (reference register_mcp surface)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val store = graft.operators.DocumentStore.build(
+      docs, col("doc_id"), col("text"), chunkTokens = 30, overlap = 5, dim = 32)
+    val chat = new graft.operators.Llms.FakeChat(p =>
+      s"summary of ${p.linesIterator.count(_.nonEmpty)} lines")
+    val served = McpServer.forDocumentStore(store, dim = 32, chat = Some(chat))
+    try {
+      val url = s"http://127.0.0.1:${served.port}/mcp"
+      val (_, list) = post(url, """{"jsonrpc":"2.0","id":1,"method":"tools/list"}""")
+      for (t <- Seq("list_documents", "summarize"))
+        assert(list.contains(s""""name":"$t""""), list)
+      val (c1, inv) = post(url,
+        """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"list_documents","arguments":{}}}""")
+      // tool output rides inside the JSON-escaped text content
+      assert(c1 == 200 && inv.contains("\\\"doc_id\\\":1") &&
+        inv.contains("\\\"n_chunks\\\""), inv)
+      val (c2, sum) = post(url,
+        """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"summarize","arguments":{"text_list":["a","b"]}}}""")
+      assert(c2 == 200 && sum.contains("summary of"), sum)
+      // without a chat, summarize is not registered at all
+      val servedNoChat = McpServer.forDocumentStore(store, dim = 32)
+      try {
+        val (_, l2) = post(s"http://127.0.0.1:${servedNoChat.port}/mcp",
+          """{"jsonrpc":"2.0","id":4,"method":"tools/list"}""")
+        assert(!l2.contains("\"summarize\""), l2)
+        assert(l2.contains("\"list_documents\""), l2)
+      } finally servedNoChat.stop()
+    } finally { served.stop(); store.unpersist() }
+  }
+
   test("error conventions: unknown method/tool are RPC errors, bad args are tool content") {
     val served = buildServed()
     try {
