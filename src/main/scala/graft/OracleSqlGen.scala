@@ -87,24 +87,43 @@ FROM n LEFT JOIN nb ON nb.id = n.id"""
   }
 
   /** Dedup.dedupGroups(plantedChainDocs, ...): verified pairs → EXACT
-    * transitive closure via a recursive reachability CTE (set-semantics
-    * UNION terminates; near-dup components are tiny, so the closure is
-    * cheap) → min-reachable-id labels = Spark's connected-components
-    * fixpoint → group sizes over labeled vertices. */
-  def dedupGroups(k: Int, numHashes: Int, bands: Int, threshold: Double): String =
-    s"""WITH RECURSIVE ${minhashCtes(plantedChain, k, numHashes, bands, threshold)},
-sym AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
-reach(a, b) AS (
-  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b),
-comp AS (SELECT a AS id, MIN(b) AS rep FROM reach GROUP BY a),
+    * transitive closure → min-id labels = Spark's connected-components
+    * fixpoint → group sizes over labeled vertices.
+    *
+    * r11 used a recursive all-pairs reachability CTE — quadratic in
+    * component size, and the sf1 rung timed out in it (>900 s) while the
+    * Spark side finished. r12 unrolls `ccPasses` hybrid label-propagation
+    * passes instead (the louvain-oracle unrolling pattern): each pass takes
+    * the min label over self+neighbors, then POINTER-JUMPS (l ← l[l]) —
+    * label distance to the component minimum at least halves per pass, so
+    * convergence needs O(log diameter) passes; every pass is one linear
+    * aggregation + one join over the pair graph. Labels are always vertex
+    * ids, so the jump join is total. 10 passes covers diameters into the
+    * thousands — orders beyond any near-dup cluster. */
+  def dedupGroups(k: Int, numHashes: Int, bands: Int, threshold: Double,
+      ccPasses: Int = 10): String = {
+    val passes = (0 until ccPasses).map { i =>
+      s"""p${i + 1} AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM (
+    SELECT id, lbl FROM l$i
+    UNION ALL
+    SELECT s.a AS id, l.lbl FROM sym s JOIN l$i l ON l.id = s.b
+  ) GROUP BY id),
+l${i + 1} AS MATERIALIZED (SELECT p.id, LEAST(p.lbl, q.lbl) AS lbl
+  FROM p${i + 1} p JOIN p${i + 1} q ON q.id = p.lbl)"""
+    }.mkString(",\n")
+    val last = s"l$ccPasses"
+    s"""WITH ${minhashCtes(plantedChain, k, numHashes, bands, threshold)},
+sym AS (SELECT id1 AS a, id2 AS b FROM dup UNION ALL SELECT id2, id1 FROM dup),
+l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM sym),
+$passes,
+comp AS (SELECT id, lbl AS rep FROM $last),
 sizes AS (SELECT rep, COUNT(*) AS gs FROM comp GROUP BY rep)
 SELECT n.id AS id, COALESCE(c.rep, n.id) AS rep_id,
   COALESCE(c.rep, n.id) <> n.id AS is_dup,
   CAST(COALESCE(s.gs, 1) AS BIGINT) AS group_size
 FROM n LEFT JOIN comp c ON c.id = n.id
 LEFT JOIN sizes s ON s.rep = COALESCE(c.rep, n.id)"""
+  }
 
   /** Dedup.simhashPairs(plantedDocs, maxDist=3, bands=4). */
   def dedupSimhash(maxDist: Int, bands: Int): String = {

@@ -45,6 +45,29 @@ object LinearModel {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Unrolled-terms threshold: below it the w·x dot product unrolls to
+    * `dim` codegen'd expression terms (fastest at the hashed-feature dims
+    * this classifier ships with); above it the unroll would blow past the
+    * JVM's 64 KB method limit and break whole-stage codegen, so the dot
+    * becomes a single `aggregate(zip_with(...))` array fold — also
+    * codegen'd, Long-exact, and identical in value (integer sums are
+    * order-independent), just with per-element loop overhead. Real
+    * fastText-style classifiers at dim 2^20 run the fold form. */
+  private val UnrollDimLimit = 256
+
+  /** w·x + b as a Column over `x` (array<long>), Long-exact in both forms. */
+  private[graft] def dotExpr(w: Array[Long], b: Long, x: Column): Column = {
+    val wLit = typedLit(w)
+    val dot =
+      if (w.length <= UnrollDimLimit)
+        (0 until w.length).map(i => element_at(wLit, i + 1) * x(i))
+          .reduceLeft(_ + _)
+      else
+        aggregate(zip_with(wLit, x, (wi, xi) => wi * xi),
+          lit(0L), (acc, v) => acc + v)
+    dot + lit(b)
+  }
+
   /** Batch perceptron: `iters` full-batch passes over (x, y ∈ {−1,+1}).
     * Pass p: every row with y·(w·x + b) ≤ 0 contributes (y·x, y) to the
     * (weight, bias) gradient; w += Σ, b += Σ. Deterministic by integer
@@ -56,10 +79,7 @@ object LinearModel {
     var w = Array.fill(dim)(0L)
     var b = 0L
     for (_ <- 0 until iters) {
-      val wLit = typedLit(w)
-      val dot = (0 until dim)
-        .map(i => element_at(wLit, i + 1) * col("x")(i))
-        .reduceLeft(_ + _) + lit(b)
+      val dot = dotExpr(w, b, col("x"))
       val mis = f.filter(col("y") * dot <= 0)
       val grad = mis.select(posexplode(col("x")).as(Seq("i", "xi")), col("y"))
         .groupBy("i").agg(sum(col("y") * col("xi")).as("g"))
@@ -73,11 +93,8 @@ object LinearModel {
 
   /** Classify with a trained (w, b): score = w·x + b (Long-exact),
     * predicted = +1 iff score > 0 (ties → −1, pinned). */
-  def classify(feat: DataFrame, xCol: Column, w: Array[Long], b: Long): Column = {
-    val wLit = typedLit(w)
-    (0 until w.length).map(i => element_at(wLit, i + 1) * xCol(i))
-      .reduceLeft(_ + _) + lit(b)
-  }
+  def classify(feat: DataFrame, xCol: Column, w: Array[Long], b: Long): Column =
+    dotExpr(w, b, xCol)
 
   /** End-to-end: features → train on the labeled frame → score every row.
     * Returns (id, y, score, predicted, correct). */

@@ -47,4 +47,31 @@ class LinearModelSpec extends AnyFunSuite {
     // 'a' appears twice -> its slot has magnitude 2 (same sign accumulates)
     assert(x1.exists(v => math.abs(v) == 2L))
   }
+
+  test("large-dim fold form: dim 4096 trains, converges and matches a driver-side dot") {
+    // above UnrollDimLimit the dot is an aggregate(zip_with) array fold —
+    // whole-stage-codegen-safe where a 4096-term unroll would blow the
+    // 64 KB method limit. Values must be identical (Long-exact either way).
+    val dim = 4096
+    val out = LinearModel.perceptronClassify(separable, col("id"), col("text"),
+      col("y"), dim = dim, iters = 5)
+    val acc = out.filter(col("correct")).count().toDouble / out.count()
+    assert(acc == 1.0, s"expected convergence at dim=$dim, got $acc")
+    // replay the final score on the driver from the features and the
+    // trained weights: the fold expression must agree term-for-term
+    val feat = LinearModel.hashedFeatures(separable, col("id"), col("text"), dim)
+      .join(separable.select(col("id"), col("y")), "id").persist()
+    try {
+      feat.count()
+      val (w, b) = LinearModel.perceptronTrain(feat, col("x"), col("y"), dim, 5)
+      val viaExpr = feat.select(col("id"),
+          LinearModel.classify(feat, col("x"), w, b).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaDriver = feat.select(col("id"), col("x")).collect().map { r =>
+        val x = r.getSeq[Long](1)
+        r.getLong(0) -> ((0 until dim).map(i => w(i) * x(i)).sum + b)
+      }.toMap
+      assert(viaExpr == viaDriver)
+    } finally feat.unpersist(false)
+  }
 }
