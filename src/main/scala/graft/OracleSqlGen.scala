@@ -113,8 +113,8 @@ l${i + 1} AS MATERIALIZED (SELECT p.id, LEAST(p.lbl, q.lbl) AS lbl
     }.mkString(",\n")
     val last = s"l$ccPasses"
     s"""WITH ${minhashCtes(plantedChain, k, numHashes, bands, threshold)},
-sym AS (SELECT id1 AS a, id2 AS b FROM dup UNION ALL SELECT id2, id1 FROM dup),
-l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM sym),
+sym AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM dup UNION ALL SELECT id2, id1 FROM dup),
+l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM sym),
 $passes,
 comp AS (SELECT id, lbl AS rep FROM $last),
 sizes AS (SELECT rep, COUNT(*) AS gs FROM comp GROUP BY rep)

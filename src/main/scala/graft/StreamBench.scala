@@ -184,9 +184,29 @@ object StreamBench {
         .otherwise(col("value"))
       val text = concat_ws(" ",
         (0 until 6).map(i => md5(concat(lit(s"w$i"), seed))): _*)
+      // bench knob: SPARK_GRAFT_MINHASH_BANDS sweeps the bands/recall-vs-
+      // state-rows trade (state rows and stateful groups scale with bands)
+      val bands = sys.env.getOrElse("SPARK_GRAFT_MINHASH_BANDS", "8").toInt
       StreamOps.minhashDedupStream(
           rateSrc.select(col("value").as("doc_id"), text.as("text")),
-          col("doc_id"), col("text"), threshold = 0.7)
+          col("doc_id"), col("text"), bands = bands, threshold = 0.7)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+    }
+
+    /** A/B decomposition for minhash_dedup: the STATELESS signature map
+      * alone (same synthetic docs, same MD5×numHashes kernel, no band
+      * shuffle, no state). If this saturates at ≈ the full kernel's rate,
+      * the per-doc signature CPU is the binding cost and a further
+      * stateless/stateful split cannot win — the r11 open question. */
+    def startMinhashSigOnly(): StreamingQuery = {
+      val seed = when(col("value") % 20 === 0, col("value") % 5 - 10)
+        .otherwise(col("value"))
+      val text = concat_ws(" ",
+        (0 until 6).map(i => md5(concat(lit(s"w$i"), seed))): _*)
+      graft.operators.Dedup.minhashSignatures(
+          rateSrc.select(col("value").as("doc_id"), text.as("text")),
+          col("doc_id"), col("text"), k = 5, numHashes = 32)
         .writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", ckpt()).start()
     }
@@ -459,6 +479,7 @@ object StreamBench {
       "tumbling_agg" -> (() => measure("tumbling_agg", startTumblingAgg _)),
       "dedup_acceptor" -> (() => measure("dedup_acceptor", startDedupAcceptor _)),
       "minhash_dedup" -> (() => measure("minhash_dedup", startMinhashDedup _)),
+      "minhash_sig_only" -> (() => measure("minhash_sig_only", startMinhashSigOnly _)),
       "curation_ingest" -> (() => measure("curation_ingest", startCurationIngest _)),
       "upsert_jdbc" -> (() => measure("upsert_jdbc", startUpsertJdbc _)),
       "changelog_upsert" -> (() => measure("changelog_upsert", startChangelogUpsert _)),
