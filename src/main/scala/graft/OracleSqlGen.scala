@@ -388,6 +388,31 @@ r AS (SELECT query_id, nn_id, score, ROW_NUMBER() OVER (
 SELECT query_id, nn_id, score, rank FROM r WHERE rank <= $k"""
   }
 
+  /** Reducers.countMin + countMinEstimate on orders: the sketch cells are
+    * plain sums over the md5+mix hash family, so the oracle re-derives
+    * every cell and replays the min-over-rows estimates bit-exactly. */
+  def reduceCountMin(depth: Int, width: Int, topK: Int): String = {
+    def bkt(r: Int) = s"((${duckMix("hu", r)}) % $width + $width) % $width"
+    val cases = (0 until depth).map(r => s"WHEN $r THEN ${bkt(r)}").mkString(" ")
+    s"""WITH b AS (SELECT o_orderstatus,
+  CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_custkey % 7 ELSE o_custkey END AS VARCHAR) AS v
+  FROM orders),
+hu AS MATERIALIZED (SELECT o_orderstatus, v, ${duckU64("v")} AS hu FROM b),
+cells AS MATERIALIZED (SELECT o_orderstatus, g.r AS r, CASE g.r $cases END AS bkt, COUNT(*) AS c
+  FROM hu CROSS JOIN generate_series(0, ${depth - 1}) AS g(r) GROUP BY 1, 2, 3),
+cnt AS (SELECT o_orderstatus, v, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+pr AS (SELECT o_orderstatus, v, cnt, rank FROM (
+  SELECT o_orderstatus, v, cnt, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+    ORDER BY cnt DESC, v ASC) AS rank FROM cnt) WHERE rank <= $topK),
+prb AS (SELECT o_orderstatus, v, cnt, rank, g.r AS r, CASE g.r $cases END AS bkt
+  FROM (SELECT pr.*, ${duckU64("v")} AS hu FROM pr)
+  CROSS JOIN generate_series(0, ${depth - 1}) AS g(r)),
+est AS (SELECT o_orderstatus, v, cnt, rank, MIN(COALESCE(c, 0)) AS est
+  FROM prb LEFT JOIN cells USING (o_orderstatus, r, bkt) GROUP BY 1, 2, 3, 4)
+SELECT o_orderstatus, v AS value, cnt, CAST(est AS BIGINT) AS est,
+  CAST(rank AS BIGINT) AS rank, est >= cnt AS overestimates FROM est"""
+  }
+
   /** LinearModel.perceptronClassify on documents: hashed signed bag-of-words
     * (md5 token hashes, dim must be a power of two so HUGEINT `hu % dim`
     * equals Java's signed floorMod), `iters` unrolled batch-perceptron

@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -620,6 +620,23 @@ object ScaleProbe {
         .map(g => f"${g.sum.toDouble / g.length}%.1f").mkString(",")
       println(s"PROBE bpe_dist_batch_deciles    steps=${batches.length} mean_by_decile=$dec breaks=${breaks.toSeq.sortBy(-_._2).mkString(",")}")
       wc.unpersist()
+    }
+
+    if (families("perceptron")) {
+      // trainable quality classifier at mult×: one feature pass (no
+      // shuffle), per-pass dim-bounded gradient aggregations, broadcast-
+      // literal scoring — cost should be ~linear in corpus size with a
+      // fixed pass count.
+      import graft.operators.LinearModel
+      val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+      val nd = docsBase.count()
+      val big = replicate(docsBase, Map("doc_id" -> nd), "/tmp/graft_docs_perceptron")
+      for ((df, rows, tag) <- Seq((docsBase, nd, "1x"), (big, nd * mult, s"${mult}x")))
+        time(s"perceptron_$tag", rows) {
+          LinearModel.perceptronClassify(df, col("doc_id"), col("text"),
+            when(col("n_chars") >= 306, 1L).otherwise(-1L), dim = 32, iters = 3)
+        }
     }
 
     if (families("pq")) {

@@ -311,6 +311,31 @@ object SparkEntry {
     * engines compute, plus Spark-side booleans — every value with
     * freq·(cap+1) > n is among the sketch keys, and the sketch respects its
     * capacity — that the oracle takes as literal true. */
+  /** Count-Min sketch point estimates (Cormode & Muthukrishnan 2005): the
+    * sketch cells are order-independent sums over the shared md5+mix hash
+    * family, so — unlike Misra-Gries — the ESTIMATES themselves replay
+    * bit-exactly in the oracle. Probes = the exact top-5 values per group;
+    * output pins estimate values AND the est ≥ true-count guarantee. */
+  private def qReduceCountMin(s: SparkSession, dir: String): DataFrame = {
+    val (d, w) = (4, 32)
+    val o = Tables.orders(s, dir).toDf
+    val v = when(col("o_orderkey") % 3 === 0, col("o_custkey") % 7)
+      .otherwise(col("o_custkey")).cast("string")
+    val base = o.select(col("o_orderstatus"), v.as("v"))
+    val sk = base.groupBy("o_orderstatus")
+      .agg(Reducers.countMin(col("v"), d, w).as("sk"))
+    val counted = base.groupBy("o_orderstatus", "v").agg(count(lit(1)).as("cnt"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus")).orderBy(col("cnt").desc, col("v").asc)
+    val probes = counted.withColumn("rank", row_number().over(wnd))
+      .filter(col("rank") <= 5)
+    probes.join(sk, "o_orderstatus")
+      .select(col("o_orderstatus"), col("v").as("value"), col("cnt"),
+        Reducers.countMinEstimate(col("sk"), col("v"), d, w).as("est"),
+        col("rank").cast("long").as("rank"))
+      .withColumn("overestimates", col("est") >= col("cnt"))
+  }
+
   private def qReduceMisraGries(s: SparkSession, dir: String): DataFrame = {
     val cap = 8
     val o = Tables.orders(s, dir).toDf
@@ -1366,6 +1391,7 @@ object SparkEntry {
     "reduce_approx_distinct" -> (qReduceApproxDistinct _),
     "reduce_topk_freq" -> (qReduceTopkFreq _),
     "reduce_misra_gries" -> (qReduceMisraGries _),
+    "reduce_countmin" -> (qReduceCountMin _),
     "window_tumbling" -> (qWindowTumbling _),
     "window_sliding"  -> (qWindowSliding _),
     "window_session"  -> (qWindowSession _),
@@ -2387,6 +2413,8 @@ object SparkEntry {
       nCells = 16, nProbe = 4, refineIters = 2, spill = 3),
     "perceptron_quality" -> OracleSqlGen.perceptron(dim = 32, iters = 3,
       threshold = 306L),
+    "reduce_countmin" -> OracleSqlGen.reduceCountMin(depth = 4, width = 32,
+      topK = 5),
     "clustering_lsh" -> OracleSqlGen.clusteringLsh(dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2),
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),

@@ -139,4 +139,59 @@ object Reducers {
   /** Column form: map<value, estimated weight> per group. */
   def misraGries(c: Column, capacity: Int): Column =
     udaf(new MisraGriesAgg(capacity)).apply(c.cast("string"))
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005): a depth×width array
+    * of counters; value v increments cell (r, floorMod(mix_r(md5(v)),
+    * width)) in every row r; the frequency estimate is the MIN over rows of
+    * v's cells. Always an OVERestimate (est ≥ true count), within εn of
+    * truth with probability 1−δ at width = e/ε, depth = ln(1/δ).
+    *
+    * Unlike Misra-Gries, every cell is an order-independent SUM — the
+    * sketch is bit-identical under any partitioning/merge order AND exactly
+    * replayable by the DuckDB oracle (same md5+mix hash family as minhash).
+    * State is O(depth·width) Longs per group regardless of distinct-value
+    * cardinality; merge = elementwise add (a true mergeable summary). Use
+    * over [[MisraGriesAgg]] when you need point-frequency QUERIES against
+    * the summary rather than a heavy-hitter candidate set. */
+  final class CountMinAgg(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Seq[Long]] {
+    require(depth > 0 && depth <= 16 && width > 0)
+    override def zero: Array[Long] = new Array[Long](depth * width)
+    override def reduce(b: Array[Long], v: String): Array[Long] = {
+      val h = graft.functions.CrossHash.md5LongJvm(v)
+      var r = 0
+      while (r < depth) {
+        val (a, c) = graft.functions.CrossHash.mixers(r)
+        b(r * width + math.floorMod(h * a + c, width.toLong).toInt) += 1L
+        r += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Column form: the flattened depth×width cell array per group. */
+  def countMin(c: Column, depth: Int, width: Int): Column =
+    udaf(new CountMinAgg(depth, width)).apply(c.cast("string"))
+
+  /** Point-frequency estimate of `v` from a [[countMin]] sketch column —
+    * min over rows of v's cells, as a codegen'd expression (the mix chain
+    * is the same md5Long family the sketch used). */
+  def countMinEstimate(sketch: Column, v: Column, depth: Int, width: Int): Column = {
+    val h = graft.functions.CrossHash.md5Long(v.cast("string"))
+    (0 until depth).map { r =>
+      element_at(sketch,
+        (lit(r * width) + pmod(graft.functions.CrossHash.mix(h, r), lit(width.toLong))
+          .cast("int") + 1).cast("int"))
+    }.reduceLeft(least(_, _))
+  }
 }

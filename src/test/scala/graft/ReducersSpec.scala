@@ -80,4 +80,40 @@ class ReducersSpec extends AnyFunSuite {
       assert(m("hub") <= 600L && 600L - m("hub") <= n / 9 + 1)
     }
   }
+
+  test("countMin: partition-invariant cells, overestimate guarantee, mass conservation") {
+    import spark.implicits._
+    val (d, w) = (4, 16)
+    val vals = Seq.fill(300)("hot") ++ (0 until 700).map(i => s"v${i % 150}")
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var first: Seq[Long] = null
+    for (parts <- Seq(1, 4, 13)) {
+      val df = scala.util.Random.shuffle(vals).map(("g", _)).toDF("g", "v")
+        .repartition(parts)
+      val sk = df.groupBy("g").agg(Reducers.countMin(col("v"), d, w).as("sk"))
+      val cells = sk.select("sk").as[Seq[Long]].head()
+      // cells are order-independent sums -> bit-identical at any partitioning
+      if (first == null) first = cells else
+        assert(cells == first, s"sketch differs at parts=$parts")
+      // each row conserves total mass
+      for (r <- 0 until d)
+        assert(cells.slice(r * w, (r + 1) * w).sum == vals.size.toLong)
+      // every estimate >= true count (the CMS one-sided guarantee), and the
+      // estimate expression agrees with a driver-side min-over-rows replay
+      val probes = exact.keys.toSeq.sorted
+      val est = sk.select(explode(typedlit(probes)).as("v"), col("sk"))
+        .select(col("v"),
+          Reducers.countMinEstimate(col("sk"), col("v"), d, w).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      for (v <- probes) {
+        assert(est(v) >= exact(v), s"undercount for $v at parts=$parts")
+        val h = graft.functions.CrossHash.md5LongJvm(v)
+        val manual = (0 until d).map { r =>
+          val (a, b) = graft.functions.CrossHash.mixers(r)
+          cells(r * w + math.floorMod(h * a + b, w.toLong).toInt)
+        }.min
+        assert(est(v) == manual, s"expression/driver estimate mismatch for $v")
+      }
+    }
+  }
 }
