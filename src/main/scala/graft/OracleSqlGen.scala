@@ -703,6 +703,24 @@ SELECT cg.doc_id, CAST(COUNT(DISTINCT cg.pos) AS BIGINT) AS n_hit_windows,
   CAST(COUNT(DISTINCT eg.eid) AS BIGINT) AS n_eval_docs
 FROM cg JOIN eg USING (h) GROUP BY cg.doc_id"""
 
+  /** TrainPrep.decontaminateFuzzy(plantedDocs, eval=doc_id<maxEvalId):
+    * window-hash-set Jaccard per candidate pair, replayed exactly (same
+    * md5 window family; list_intersect on DISTINCT hash sets). */
+  def decontaminateFuzzy(k: Int, maxEvalId: Int, threshold: Double): String =
+    s"""WITH $planted,
+cg AS MATERIALIZED (SELECT * FROM ${windowGrams("u", k)} wg),
+eg AS MATERIALIZED (SELECT doc_id AS eid, pos, h FROM
+  ${windowGrams(s"(SELECT doc_id, text FROM documents WHERE doc_id < $maxEvalId) s", k)} e),
+cset AS (SELECT doc_id, list(DISTINCT h) AS hs FROM cg GROUP BY doc_id),
+eset AS (SELECT eid, list(DISTINCT h) AS ehs FROM eg GROUP BY eid),
+cand AS (SELECT DISTINCT cg.doc_id, eg.eid FROM cg JOIN eg USING (h)),
+ver AS (SELECT cand.doc_id, cand.eid,
+  CAST(len(list_intersect(cset.hs, eset.ehs)) AS DOUBLE) /
+  CAST(len(cset.hs) + len(eset.ehs) - len(list_intersect(cset.hs, eset.ehs)) AS DOUBLE) AS jac
+  FROM cand JOIN cset USING (doc_id) JOIN eset USING (eid))
+SELECT doc_id, eid AS eval_id, jac AS jaccard, jac >= $threshold AS contaminated
+FROM ver"""
+
   /** Embedders.embed(documents, dim=32) → Similarity.bruteForceKnn
     * (queries doc_id<5, k=3). Vectors are signed md5-token-hash counts —
     * exact integers, assembled per dimension then cosine'd in DOUBLE. */

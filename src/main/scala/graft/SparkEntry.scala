@@ -859,6 +859,15 @@ object SparkEntry {
       eval, col("doc_id"), col("text"), k = 8)
   }
 
+  /** Graded (fuzzy) decontamination: window-hash-set Jaccard per candidate
+    * (doc, eval) pair. The planted near-dups of eval docs score near 1;
+    * organic partial overlaps grade lower. */
+  private def qDecontaminateFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val eval = docs(s, dir).filter(col("doc_id") < 50)
+    TrainPrep.decontaminateFuzzy(plantedDocs(s, dir), col("doc_id"), col("text"),
+      eval, col("doc_id"), col("text"), k = 8, threshold = 0.5)
+  }
+
   /** Deterministic quality-weighted sampling: keep each doc with probability
     * = its quality score, decided by cross-engine md5(doc_id). */
   private def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
@@ -1429,6 +1438,7 @@ object SparkEntry {
     "dedup_simhash"   -> (qDedupSimhash _),
     "dedup_spans"     -> (qDedupSpans _),
     "decontaminate"   -> (qDecontaminate _),
+    "decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "sample_weighted" -> (qSampleWeighted _),
     "sample_stratified" -> (qSampleStratified _),
     "embedding_cosine_pairs" -> (qEmbCosinePairs _),
@@ -1860,6 +1870,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "dedup_spans" -> OracleSqlGen.duplicateSpans(k = 8),
     "decontaminate" -> OracleSqlGen.decontaminate(k = 8, maxEvalId = 50),
+    "decontaminate_fuzzy" -> OracleSqlGen.decontaminateFuzzy(k = 8,
+      maxEvalId = 50, threshold = 0.5),
     "sample_weighted" -> {
       val slot = "((" + graft.functions.CrossHash.duckSigned(
         graft.functions.CrossHash.duckU64("CAST(doc_id AS VARCHAR)")) +

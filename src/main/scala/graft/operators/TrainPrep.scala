@@ -173,6 +173,37 @@ object TrainPrep {
         countDistinct(col("_eid")).as("n_eval_docs"))
   }
 
+  /** FUZZY benchmark decontamination — the graded variant of
+    * [[decontaminate]]: instead of flagging ANY shared k-token window (the
+    * GPT-3 rule), score each (corpus doc, eval doc) candidate pair by the
+    * exact Jaccard of their k-token-window hash SETS and flag pairs at or
+    * above `threshold` (the n-gram-overlap decontamination used by
+    * Dolma/LLaMA-style cleanups, where partial paraphrase overlap matters).
+    *
+    * Scale shape (the minhash verify discipline): candidates come from the
+    * shared-window equi-join — never corpus × eval — and the per-doc hash
+    * sets ship only for candidate pairs. Eval sets are benchmark-sized
+    * (thousands of docs), so the candidate side is bounded by genuine
+    * overlap. Hashes are the md5 window family, so the DuckDB oracle
+    * replays sets, intersections and the Jaccard division bit-exactly. */
+  def decontaminateFuzzy(corpus: DataFrame, corpusId: Column, corpusText: Column,
+      eval: DataFrame, evalId: Column, evalText: Column,
+      k: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val cg = tokenWindowHashes(corpus, corpusId, corpusText, k)
+    val eg = tokenWindowHashes(eval, evalId, evalText, k)
+    val cset = cg.groupBy("id").agg(collect_set(col("_h")).as("_hs"))
+    val eset = eg.groupBy(col("id").as("_eid"))
+      .agg(collect_set(col("_h")).as("_ehs"))
+    val cand = cg.join(eg.select(col("id").as("_eid"), col("_h")), "_h")
+      .select(col("id"), col("_eid")).distinct()
+    val inter = size(array_intersect(col("_hs"), col("_ehs")))
+    cand.join(cset, "id").join(eset, "_eid")
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("_hs")) + size(col("_ehs")) - inter).cast("double"))
+      .select(col("id").as("doc_id"), col("_eid").as("eval_id"),
+        col("jaccard"), (col("jaccard") >= threshold).as("contaminated"))
+  }
+
   /** Deterministic weighted sampling: keep a row iff
     * pmod(md5(key), resolution) < floor(p · resolution) — i.e. with
     * probability p, but decided by a cross-engine hash of the key, so the
