@@ -51,15 +51,15 @@ object OracleSqlGen {
       .map(s => s"(CASE WHEN sl.h$s = sr.h$s THEN 1 ELSE 0 END)").mkString(" + ")
     val estMin = math.max(0.0, threshold - 0.15)
     s"""$corpus,
-n AS (SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm FROM u),
-g AS (SELECT id, UNNEST($shingle) AS gram FROM n),
-gu AS (SELECT id, ${duckU64("gram")} AS gu FROM g),
-sig AS (SELECT id, $mins FROM gu GROUP BY id),
-cand AS ($bandJoins),
-pref AS (SELECT id1, id2 FROM cand JOIN sig sl ON sl.id = cand.id1 JOIN sig sr ON sr.id = cand.id2
+n AS MATERIALIZED (SELECT doc_id AS id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm FROM u),
+g AS MATERIALIZED (SELECT id, UNNEST($shingle) AS gram FROM n),
+gu AS MATERIALIZED (SELECT id, ${duckU64("gram")} AS gu FROM g),
+sig AS MATERIALIZED (SELECT id, $mins FROM gu GROUP BY id),
+cand AS MATERIALIZED ($bandJoins),
+pref AS MATERIALIZED (SELECT id1, id2 FROM cand JOIN sig sl ON sl.id = cand.id1 JOIN sig sr ON sr.id = cand.id2
   WHERE CAST($est AS DOUBLE) / $numHashes >= $estMin),
-sh AS (SELECT id, list_distinct($shingle) AS sh FROM n),
-dup AS (SELECT id1, id2 FROM pref JOIN sh a ON a.id = pref.id1 JOIN sh b ON b.id = pref.id2
+sh AS MATERIALIZED (SELECT id, list_distinct($shingle) AS sh FROM n),
+dup AS MATERIALIZED (SELECT id1, id2 FROM pref JOIN sh a ON a.id = pref.id1 JOIN sh b ON b.id = pref.id2
   WHERE CAST($inter AS DOUBLE) / CAST(len(a.sh) + len(b.sh) - $inter AS DOUBLE) >= $threshold)"""
   }
 

@@ -67,18 +67,31 @@ object CrossHash {
 
   /** Unsigned md5-64 of a string expression, as HUGEINT in [0, 2^64). */
   def duckU64(expr: String): String =
-    s"list_reduce(list_transform(generate_series(1,16), " +
-      s"i -> CAST(strpos('0123456789abcdef', substr(md5($expr), i, 1)) - 1 AS HUGEINT)), " +
+    // ONE md5 per evaluation: the md5 happens before the per-digit lambda.
+    // The r11 form put md5($expr) inside the 16-digit loop — and when the
+    // hosting CTE inlines into a 32-mixer consumer (minhash `sig`), DuckDB
+    // re-evaluated 16×32 md5s per input row: the dedup oracles spent >95%
+    // of their wall time re-hashing (138 s of a 145 s sf0.1 dedup_groups).
+    s"list_reduce(list_transform(string_split(substr(md5($expr), 1, 16), ''), " +
+      s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS HUGEINT)), " +
       s"(a, b) -> a * 16 + b)"
 
-  /** Two's-complement reinterpretation HUGEINT → BIGINT. */
+  /** Two's-complement reinterpretation HUGEINT → BIGINT, as pure
+    * arithmetic: ((u + 2^63) mod 2^64) − 2^63. Evaluates `uExpr` ONCE —
+    * the r11 CASE form referenced it three times, and DuckDB re-evaluated
+    * each reference (no CSE through the branch), tripling the HUGEINT
+    * work inside every minhash/simhash mix. */
   def duckSigned(uExpr: String): String =
-    s"(CASE WHEN ($uExpr) >= $Half THEN (($uExpr) - $Mod)::BIGINT ELSE ($uExpr)::BIGINT END)"
+    s"CAST((($uExpr) + $Half) % $Mod - $Half AS BIGINT)"
 
   /** Signed mix_s of an unsigned HUGEINT column (matches [[mix]] over Longs). */
   def duckMix(uExpr: String, s: Int): String = {
     val (a, b) = mixers(s)
-    duckSigned(s"(($uExpr) * $a + $b) % $Mod")
+    // fused single-mod form of duckSigned((u*a + b) % 2^64): fold the
+    // +2^63 shift into the additive constant — one HUGEINT multiply and
+    // ONE modulo per evaluation (the 32-mixer minhash signatures are the
+    // oracle's hottest expressions)
+    s"CAST((($uExpr) * $a + ${BigInt(b) + Half}) % $Mod - $Half AS BIGINT)"
   }
 
   /** Bit i (0 = MSB) of an unsigned HUGEINT column — matches Spark
