@@ -887,6 +887,24 @@ object SparkEntry {
       col("doc_id"), col("source"), rates, defaultP = 0.1)
   }
 
+  /** Deterministic per-source document cap (corpus-mixture budget): each
+    * source keeps at most 10 docs, selected in md5(doc_id) order. */
+  private def qSampleGroupCap(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.capPerGroup(docs(s, dir).select("doc_id", "source"),
+      col("doc_id"), col("source"), n = 10)
+
+  /** Best-member dedup representative: dup groups over the chain-planted
+    * corpus, keeper = argmax quality score (ties → smaller id) — the
+    * keep-the-clean-copy policy a real curation pipeline runs. */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedChainDocs(s, dir)
+    val groups = Dedup.dedupGroups(corpus, col("doc_id"), col("text"),
+      k = 5, numHashes = 32, bands = 8, threshold = 0.7)
+    val scores = corpus.select(col("doc_id").as("id"),
+      TextOps.qualityScore(col("text")).as("score"))
+    Dedup.keepBest(groups, scores)
+  }
+
   private def qEmbCosinePairs(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).toDf
     val l = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
@@ -1441,6 +1459,8 @@ object SparkEntry {
     "decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "sample_weighted" -> (qSampleWeighted _),
     "sample_stratified" -> (qSampleStratified _),
+    "sample_group_cap" -> (qSampleGroupCap _),
+    "dedup_keep_best" -> (qDedupKeepBest _),
     "embedding_cosine_pairs" -> (qEmbCosinePairs _),
     "knn_brute_force" -> (qKnnBrute _),
     "knn_hnsw"        -> (qKnnHnsw _),
@@ -2411,6 +2431,15 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
     "dedup_groups" -> OracleSqlGen.dedupGroups(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
+    "dedup_keep_best" -> OracleSqlGen.dedupKeepBest(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
+    "sample_group_cap" -> {
+      val slot = graft.functions.CrossHash.duckSigned(
+        graft.functions.CrossHash.duckU64("CAST(doc_id AS VARCHAR)"))
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY $slot ASC, doc_id ASC) AS rk
+         |  FROM documents) WHERE rk <= 10""".stripMargin
+    },
     "dedup_simhash" -> OracleSqlGen.dedupSimhash(maxDist = 3, bands = 4),
     "knn_lsh" -> OracleSqlGen.knnLsh(k = 5, dim = 64, nPlanes = 6, nTables = 12),
     "knn_classify" -> OracleSqlGen.knnClassify(k = 5, dim = 64, nPlanes = 6,

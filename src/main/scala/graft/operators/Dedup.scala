@@ -357,6 +357,26 @@ object Dedup {
     * over pw tables (see exact/minhash ops above); the transitive grouping
     * matches how Lee et al. 2022 ("Deduplicating Training Data...") cluster
     * near-dup pairs before keeping one representative per cluster. */
+  /** Representative selection POLICY over [[dedupGroups]] output: keep the
+    * best-scoring member of each dup group instead of the min-id one — the
+    * rule real curation pipelines want (drop the truncated/mojibake copy,
+    * keep the clean one; score = quality classifier, length, recency…).
+    * `scores`: (id, score). Keeper = argmax score, ties → smaller id.
+    * Returns (id, rep_id, keeper_id, keep).
+    *
+    * Shape: one per-group max_by aggregation (map-side combined — group
+    * count, not corpus count, flows to the reduce side) + an equi-join
+    * back; no window over the corpus. */
+  def keepBest(groups: DataFrame, scores: DataFrame): DataFrame = {
+    val g = groups.select(col("id"), col("rep_id"))
+      .join(scores.select(col("id"), col("score").as("_s")), "id")
+    val keepers = g.groupBy("rep_id")
+      .agg(max_by(col("id"), struct(col("_s"), -col("id"))).as("keeper_id"))
+    g.join(keepers, "rep_id")
+      .select(col("id"), col("rep_id"), col("keeper_id"),
+        (col("id") === col("keeper_id")).as("keep"))
+  }
+
   def dedupGroups(df: DataFrame, id: Column, text: Column,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame = {

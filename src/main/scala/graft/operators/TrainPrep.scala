@@ -204,6 +204,23 @@ object TrainPrep {
         col("jaccard"), (col("jaccard") >= threshold).as("contaminated"))
   }
 
+  /** Deterministic per-group cap — the per-SOURCE document budget of a
+    * corpus mixture build (cap an over-represented crawl at N docs while
+    * small sources keep everything). Selection order is the cross-engine
+    * md5 hash of `key` (hash order ≈ random order, unbiased; stable under
+    * reruns and repartitioning), ties → smaller key, so the kept set is
+    * exactly reproducible by the DuckDB oracle. One rank window
+    * partitioned by group — the shuffle is the point (grouping), and each
+    * partition streams; no global sort. */
+  def capPerGroup(df: DataFrame, key: Column, group: Column, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group)
+      .orderBy(CrossHash.md5Long(key).asc, key.asc)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+
   /** Deterministic weighted sampling: keep a row iff
     * pmod(md5(key), resolution) < floor(p · resolution) — i.e. with
     * probability p, but decided by a cross-engine hash of the key, so the

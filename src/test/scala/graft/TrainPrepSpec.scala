@@ -473,4 +473,33 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(t.isNullAt(t.fieldIndex("dup_10gram_frac")))
     assert(t.getAs[Double]("top_4gram_frac") == 0.5, "5 words → 2 4-grams, distinct")
   }
+
+  test("capPerGroup: at most n per group, hash-deterministic under repartitioning") {
+    val df = (0 until 120).map(i => (i.toLong, s"src${i % 3}")).toDF("id", "g")
+    def run(parts: Int) = graft.operators.TrainPrep
+      .capPerGroup(df.repartition(parts), col("id"), col("g"), n = 7)
+      .select("id", "g").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = run(2)
+    assert(a == run(9), "kept set depends on partitioning")
+    assert(a.groupBy(_._2).forall(_._2.size == 7))
+    // small groups keep everything
+    val small = (0 until 4).map(i => (i.toLong, "only")).toDF("id", "g")
+    assert(graft.operators.TrainPrep
+      .capPerGroup(small, col("id"), col("g"), n = 7).count() == 4)
+  }
+
+  test("keepBest: per-group argmax-score keeper, ties to smaller id") {
+    val groups = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // group 1
+      (4L, 4L), (5L, 4L),           // group 4: tie on score
+      (6L, 6L)                      // singleton
+    ).toDF("id", "rep_id")
+    val scores = Seq(1L -> 0.2, 2L -> 0.9, 3L -> 0.5,
+      4L -> 0.7, 5L -> 0.7, 6L -> 0.1).toDF("id", "score")
+    val out = graft.operators.Dedup.keepBest(groups, scores)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((2L, false)) && out(2L) == ((2L, true)) && out(3L) == ((2L, false)))
+    assert(out(4L) == ((4L, true)) && out(5L) == ((4L, false)), "tie must keep smaller id")
+    assert(out(6L) == ((6L, true)))
+  }
 }
