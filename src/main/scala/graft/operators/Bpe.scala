@@ -159,14 +159,23 @@ object Bpe {
     * selects MANY merges per aggregation, provably byte-identical to the
     * sequential trainer:
     *
-    * Each super-step runs ONE job over the symbolized word table computing,
-    * per adjacent pair (a, b): its exact count AND `max_ctx` = the maximum
-    * count over context triples (x,a,b) / (a,b,y) containing it. Any pair
-    * CREATED by applying the merge (a, b) — (x, a+b), (a+b, y), or the
-    * overlap pair (a+b, a+b) — maps occurrence-injectively into one of
-    * those triples, so its count is ≤ max_ctx(a, b). The driver then takes
-    * the longest PREFIX of the (count desc, pair asc) candidate list such
-    * that each accepted pair (c, d)
+    * The exact (a, b) → count table is MAINTAINED INCREMENTALLY in the
+    * cluster (trainLocal's pair maintenance, distributed): built by one
+    * corpus-positions aggregation at start, then updated each super-step by
+    * merging only the deltas of words the applied batch TOUCHED (retract
+    * old pair bag, assert new; full-outer join on the pair key, both sides
+    * already hash-partitioned at the loop width — the corpus positions are
+    * never re-exploded after initialization, so per-step shuffle volume is
+    * O(touched pairs), not O(corpus positions)). Each super-step then runs
+    * two small jobs: (A) TakeOrdered top candidates from the maintained
+    * table; (B) a narrow vocab scan computing, ONLY for those candidates,
+    * `max_ctx` = the maximum count over context triples (x,a,b) / (a,b,y)
+    * containing the pair. Any pair CREATED by applying the merge (a, b) —
+    * (x, a+b), (a+b, y), or the overlap pair (a+b, a+b) — maps
+    * occurrence-injectively into one of those triples, so its count is
+    * ≤ max_ctx(a, b). The driver then takes the longest PREFIX of the
+    * (count desc, pair asc) candidate list such that each accepted pair
+    * (c, d)
     *   - cannot lose occurrences to any earlier accepted merge (a, b):
     *     applying (a, b) destroys only pairs (x, a) at positions where that
     *     `a` is followed by `b`, and (b, y) where that `b` is preceded by
@@ -187,15 +196,13 @@ object Bpe {
     * symbols in batch order — identical application semantics).
     *
     * Worst case (every top pair interacting) degenerates to one merge per
-    * job — the r11 behavior. Measured on a 181k-word Zipf table (ScaleProbe
-    * `bpedist`): batches of 3-6 across the whole 2k-merge run, ~0.25 jobs
-    * per merge vs r11's ~2.9 — the scheduling marathon is gone; wall time
-    * is now bounded by per-super-step stage latency. The next rung, if a
-    * deployment needs it, is incremental pair-stat maintenance: keep the
-    * (pair, ctx, count) table as cluster state and delta-update it from
-    * only the words the last batch touched (the apply-map can emit old/new
-    * pair bags), replacing the per-step corpus re-explode with a delta
-    * shuffle + a TakeOrdered scan of the maintained table.
+    * super-step — still two SMALL jobs, vs r11's full pair re-aggregation
+    * per merge. Measured on a 181k-word Zipf table (ScaleProbe `bpedist`):
+    * batches of 3-6 across the whole 2k-merge run, 2k merges ≈ 3 min at
+    * local[32], ~0.5 jobs/merge vs r11's ~2.9; at a production 20M-word
+    * vocabulary the per-step win is the shuffle volume (touched-pair
+    * deltas + candidate contexts ≈ 1-10M rows vs ~500M re-exploded
+    * positions).
     *
     * BpeSpec pins byte-identity vs [[trainLocal]] on the worked example and
     * on randomized corpora with planted overlap/collision patterns.
@@ -232,43 +239,73 @@ object Bpe {
     val symbolSet = mutable.HashSet.empty[String]
     vocab.select(explode(col("syms")).as("s")).distinct()
       .collect().foreach(r => symbolSet += r.getString(0))
-    // previous step's cache, released once the current step materializes
+    // INCREMENTALLY MAINTAINED (a, b) → exact count table — trainLocal's
+    // pair-count maintenance, in the cluster. Built by ONE corpus-positions
+    // aggregation here; every super-step afterwards merges only the DELTAS
+    // of words the applied batch touched (full-outer join on the pair key,
+    // so the maintained side keeps its hash partitioning and only the
+    // delta side shuffles). Candidate selection reads THIS table — the
+    // per-super-step corpus re-explode (3 rows/position, the r12-interim
+    // shape) is gone; per-step shuffle volume is O(|touched pairs|), not
+    // O(corpus positions).
+    def adjacentPairs(s: Array[String]): Iterator[((String, String), Long)] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(i => ((s(i), s(i + 1)), 1L))
+    var pairStats = vocab.as[(Array[String], Long)]
+      .flatMap { case (s, c) => adjacentPairs(s).map { case (p, _) => (p._1, p._2, c) } }
+      .toDF("a", "b", "cnt")
+      .groupBy("a", "b").agg(sum("cnt").as("cnt"))
+      .localCheckpoint(eager = true)
+    // previous step's caches, released once the current step materializes
     var prevVocab: DataFrame = null
+    var prevStats: DataFrame = null
     val merges = mutable.ArrayBuffer.empty[Merge]
     var superSteps = 0
     var continue = true
     while (continue && merges.length < nMerges) {
-      // one job: top candidates by (count desc, pair asc) with max_ctx.
-      // Each adjacent position emits its pair row plus up to two context
-      // rows; two-level aggregation separates the exact pair count from
-      // the max triple count.
-      val cands = vocab
-        .select(posexplode(col("syms")).as(Seq("_i", "a")), col("syms"), col("cnt"))
-        .filter(col("_i") < size(col("syms")) - 1)
-        .select(col("a"), col("syms")(col("_i") + 1).as("b"),
-          explode(array(
-            struct(lit(0).as("k"), lit("").as("ctx")),
-            struct(lit(1).as("k"),
-              when(col("_i") > 0, col("syms")(col("_i") - 1)).as("ctx")),
-            struct(lit(2).as("k"),
-              when(col("_i") < size(col("syms")) - 2,
-                col("syms")(col("_i") + 2)).as("ctx")))).as("e"),
-          col("cnt"))
-        .filter(col("e.k") === 0 || col("e.ctx").isNotNull)
-        .groupBy(col("a"), col("b"), col("e.k").as("k"), col("e.ctx").as("ctx"))
-        .agg(sum("cnt").as("c"))
-        .groupBy("a", "b")
-        .agg(sum(when(col("k") === 0, col("c")).otherwise(0L)).as("cnt"),
-          coalesce(max(when(col("k") === 1, col("c"))), lit(0L)).as("max_ctx_l"),
-          coalesce(max(when(col("k") === 2, col("c"))), lit(0L)).as("max_ctx_r"))
+      // Job A: top candidates by (count desc, pair asc) from the
+      // maintained pair table — a TakeOrdered over distinct pairs, no
+      // corpus pass
+      val top = pairStats
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(batchLimit)
         .collect()
-      // this collect materialized (and cached) the current vocab — the
-      // previous step's cache is now dead weight
-      if (prevVocab != null) { prevVocab.unpersist(false); prevVocab = null }
-      if (cands.isEmpty || cands(0).getLong(2) < minPairCount) continue = false
+      if (prevStats != null) { prevStats.unpersist(false); prevStats = null }
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) continue = false
       else {
+        // Job B: per-side max context-triple counts, computed ONLY for the
+        // candidate pairs — one narrow vocab scan that emits context rows
+        // at candidate positions, then a candidate-bounded aggregation
+        val candSetB = spark.sparkContext.broadcast(
+          top.map(r => (r.getString(0), r.getString(1))).toSet)
+        val ctxBounds = vocab.as[(Array[String], Long)]
+          .flatMap { case (s, c) =>
+            val cs = candSetB.value
+            (0 until s.length - 1).iterator.flatMap { i =>
+              if (!cs((s(i), s(i + 1)))) Iterator.empty
+              else {
+                val lft = if (i > 0)
+                  Iterator((s(i), s(i + 1), 1, s(i - 1), c)) else Iterator.empty
+                val rgt = if (i + 2 < s.length)
+                  Iterator((s(i), s(i + 1), 2, s(i + 2), c)) else Iterator.empty
+                lft ++ rgt
+              }
+            }
+          }
+          .toDF("a", "b", "k", "ctx", "c")
+          .groupBy("a", "b", "k", "ctx").agg(sum("c").as("c"))
+          .groupBy("a", "b")
+          .agg(coalesce(max(when(col("k") === 1, col("c"))), lit(0L)).as("l"),
+            coalesce(max(when(col("k") === 2, col("c"))), lit(0L)).as("r"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        // vocab_t is now materialized — release the previous step's cache
+        if (prevVocab != null) { prevVocab.unpersist(false); prevVocab = null }
+        val cands = top.map { r =>
+          val (ml, mr) = ctxBounds.getOrElse((r.getString(0), r.getString(1)), (0L, 0L))
+          (r.getString(0), r.getString(1), r.getLong(2), ml, mr)
+        }
         // longest safe prefix (see scaladoc proof sketch). leftSyms = first
         // elements of accepted merges, rightSyms = second elements: a later
         // pair (c, d) is count-stable iff d ∉ leftSyms and c ∉ rightSyms.
@@ -286,9 +323,7 @@ object Bpe {
         var i = 0
         while (!stop && i < cands.length &&
             merges.length + batch.length < nMerges) {
-          val (pa, pb) = (cands(i).getString(0), cands(i).getString(1))
-          val cnt = cands(i).getLong(2)
-          val (mctxL, mctxR) = (cands(i).getLong(3), cands(i).getLong(4))
+          val (pa, pb, cnt, mctxL, mctxR) = cands(i)
           val fused = pa + pb
           val createdBeats = bounds.exists { case (bl, br, f) =>
             cnt <= bl || cnt < br || (cnt == br && !cpLt(pa, f))
@@ -323,22 +358,55 @@ object Bpe {
           .map { case (s, c) =>
             (bc.value.foldLeft(s)((x, m) => applyMerge(x, m.a, m.b)), c) }
           .toDF("syms", "cnt")
-        // LAZY persist: the next super-step's aggregation materializes the
-        // apply-map and caches its result in the same job — no extra action
-        // per step. localCheckpoint every few steps truncates lineage so
-        // analysis cost stays O(1) per step (Iterate's rule).
+        // exact pair-count deltas from TOUCHED words only (trainLocal's
+        // incremental maintenance, distributed): a word changed by the fold
+        // retracts its old adjacent-pair bag and asserts the new one
+        val deltas = vocab.as[(Array[String], Long)]
+          .flatMap { case (s, c) =>
+            val ns = bc.value.foldLeft(s)((x, m) => applyMerge(x, m.a, m.b))
+            // merges only fuse — equal length ⟺ untouched
+            if (ns.length == s.length) Iterator.empty
+            else {
+              val d = mutable.HashMap.empty[(String, String), Long]
+              adjacentPairs(s).foreach { case (p, _) =>
+                d.updateWith(p)(v => Some(v.getOrElse(0L) - c)) }
+              adjacentPairs(ns).foreach { case (p, _) =>
+                d.updateWith(p)(v => Some(v.getOrElse(0L) + c)) }
+              d.iterator.filter(_._2 != 0L)
+                .map { case ((da, db), dc) => (da, db, dc) }
+            }
+          }.toDF("a", "b", "dcnt")
+          .groupBy("a", "b").agg(sum("dcnt").as("dcnt"))
+        // full-outer merge on the pair key: both sides are hash-partitioned
+        // on (a, b) at the loop width (the maintained table by its last
+        // aggregation, the delta by its own), so the merge shuffles only
+        // sort-local data — never the corpus
+        val mergedStats = pairStats.join(deltas, Seq("a", "b"), "full_outer")
+          .select(col("a"), col("b"),
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L))).as("cnt"))
+          .filter(col("cnt") > 0)
+        // LAZY persist: the next super-step's Job A materializes the merged
+        // stats (and with them the apply-map) — no extra action per step.
+        // localCheckpoint every few steps truncates lineage (Iterate's rule).
         if (superSteps % 8 == 0) {
-          val cp = applied.localCheckpoint(eager = true)
-          vocab.unpersist(false)
-          vocab = cp
+          // materialize BOTH checkpoints off the old caches before
+          // releasing them — mergedStats' delta plan reads the old vocab
+          val vcp = applied.localCheckpoint(eager = true)
+          val scp = mergedStats.localCheckpoint(eager = true)
+          vocab.unpersist(false); pairStats.unpersist(false)
+          vocab = vcp; pairStats = scp
         } else {
           prevVocab = vocab
           vocab = applied.persist()
+          prevStats = pairStats
+          pairStats = mergedStats.persist()
         }
       }
     }
     if (prevVocab != null) prevVocab.unpersist(false)
+    if (prevStats != null) prevStats.unpersist(false)
     vocab.unpersist(false)
+    pairStats.unpersist(false)
     merges.toSeq
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeWas)

@@ -36,9 +36,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "text_tokens", "text_quality", "text_gopher", "text_c4", "text_langid",
     "text_fingerprint", "text_pii", "text_url_filter",
     "dedup_exact", "dedup_spans",
-    "decontaminate", "sample_weighted", "sample_stratified", "split_train_test",
+    "decontaminate", "decontaminate_fuzzy", "sample_weighted",
+    "sample_stratified", "sample_group_cap", "split_train_test",
     "doc_pack", "doc_split_chunks", "doc_parse", "expr_str", "expr_num",
-    "expr_cond", "matmul_block")
+    "expr_cond", "matmul_block", "reduce_countmin")
 
   /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
     * 1-row scalar cross joins (ignore_late-style max-ts broadcast). */
