@@ -24,6 +24,16 @@ object RagSpecCalls {
     calls.incrementAndGet()
     oracle(prompt)
   }
+  // the first FOUR invocations fail — one more than chatComplete's
+  // in-round attempt budget (1 try + 3 retries), so round 1 exhausts its
+  // retries and fails as an error row. Counter is JVM-static for the same
+  // serialization reason.
+  val flakyCalls = new java.util.concurrent.atomic.AtomicInteger
+  val flakyOracle: String => String = { prompt =>
+    if (flakyCalls.incrementAndGet() <= 4)
+      throw new RuntimeException("transient endpoint failure")
+    oracle(prompt)
+  }
 }
 
 /** Adaptive (geometric) RAG — reference question_answering.py:184
@@ -74,6 +84,20 @@ class RagSpec extends AnyFunSuite {
     assert(RagSpecCalls.calls.get() == 6,
       s"expected 6 calls, got ${RagSpecCalls.calls.get()}")
     assert(out.forall(_.getLong(3) == 2L))
+  }
+
+  test("answerGeometric: a failing chat round becomes a retry, not a job abort") {
+    // round 1 throws (chatComplete converts to error rows -> null response
+    // -> question stays pending); round 2 answers. The flaky-endpoint
+    // contract: transient LLM failures cost one escalation step.
+    RagSpecCalls.flakyCalls.set(0)
+    val qs = Seq((1L, "q", Seq("FACT: ok") ++ filler.take(3))).toDF("qid", "q", "docs")
+    val out = Rag.answerGeometric(qs, col("qid"), col("q"), col("docs"),
+        () => new Llms.FakeChat(RagSpecCalls.flakyOracle),
+        nStarting = 2, factor = 2, maxIterations = 3).collect()
+    assert(out.length == 1 && out(0).getBoolean(5), out.mkString)
+    assert(out(0).getString(2) == "ok")
+    assert(out(0).getLong(4) == 2L, s"expected answer on round 2: ${out(0)}")
   }
 
   test("answerGeometricFromStore: retrieval feeds the escalation loop") {
