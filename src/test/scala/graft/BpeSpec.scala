@@ -125,6 +125,27 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental pair maintenance stays exact over a deep merge run") {
+    // 1500 words / 150 merges / 19 checkpoint cycles: enough super-steps
+    // that any drift in the delta bookkeeping (retract-old/assert-new,
+    // full-outer merge, zero-count pruning) would diverge from the
+    // from-scratch sequential trainer
+    val rnd = new scala.util.Random(424242)
+    val alphabet = "abcdefghij"
+    val words = (0 until 1500).map { _ =>
+      val len = 2 + rnd.nextInt(10)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val docs = words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, ((w + " ") * (1 + rnd.nextInt(3))).trim)
+    }.toDF("doc_id", "text")
+    val local = Bpe.train(docs, col("text"), nMerges = 150)
+    val dist = Bpe.trainDistributed(
+      Bpe.wordCounts(docs.repartition(6), col("text")), 150, 2L)
+    assert(local.length == 150 && dist == local,
+      s"diverged at ${dist.zip(local).indexWhere(p => p._1 != p._2)}")
+  }
+
   test("batched trainer is exact even with a tiny candidate list") {
     // batchLimit=2 forces many small super-steps and exercises the
     // list-cutoff boundary (outside pairs strictly after in (count, lex))
