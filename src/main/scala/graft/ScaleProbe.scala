@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -637,6 +637,33 @@ object ScaleProbe {
           LinearModel.perceptronClassify(df, col("doc_id"), col("text"),
             when(col("n_chars") >= 306, 1L).otherwise(-1L), dim = 32, iters = 3)
         }
+    }
+
+    if (families("groupcap")) {
+      // capPerGroup under a DOMINANT group — the operator's own use case
+      // (cap an over-represented crawl) at mult× the corpus with 90% of
+      // rows in one source. r12's single `row_number over (partition by
+      // group)` funnels the hot source through ONE task's sort; the r13
+      // two-phase shape (count → broadcast hot list → salted sub-rank →
+      // exact rank on ≤ buckets·n survivors) spreads it across
+      // ceil(count/subTarget) salt buckets. Probe both shapes on the same
+      // data: `plain` forces the old plan via hotThreshold=MaxValue.
+      val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id")
+      val nd = docsBase.count()
+      val big = replicate(docsBase, Map("doc_id" -> nd), "/tmp/graft_docs_groupcap")
+        .withColumn("source",
+          when(pmod(col("doc_id"), lit(10)) < 9, lit("hotcrawl"))
+            .otherwise(concat(lit("cold"), pmod(col("doc_id"), lit(997)))))
+      val rows = nd * mult
+      time(s"groupcap_plain_${mult}x", rows) {
+        TrainPrep.capPerGroup(big, col("doc_id"), col("source"), n = 1000,
+          hotThreshold = Long.MaxValue)
+      }
+      time(s"groupcap_salted_${mult}x", rows) {
+        TrainPrep.capPerGroup(big, col("doc_id"), col("source"), n = 1000,
+          hotThreshold = 1L << 20, subTarget = 1L << 16)
+      }
     }
 
     if (families("pq")) {

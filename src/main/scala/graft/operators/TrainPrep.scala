@@ -209,16 +209,41 @@ object TrainPrep {
     * small sources keep everything). Selection order is the cross-engine
     * md5 hash of `key` (hash order ≈ random order, unbiased; stable under
     * reruns and repartitioning), ties → smaller key, so the kept set is
-    * exactly reproducible by the DuckDB oracle. One rank window
-    * partitioned by group — the shuffle is the point (grouping), and each
-    * partition streams; no global sort. */
-  def capPerGroup(df: DataFrame, key: Column, group: Column, n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(group)
-      .orderBy(CrossHash.md5Long(key).asc, key.asc)
-    df.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= n)
-      .drop("_rk")
+    * exactly reproducible by the DuckDB oracle.
+    *
+    * HOT-GROUP-SAFE plan shape: the operator's own use case guarantees a
+    * dominant group (that is what you cap), so a single
+    * `row_number over (partition by group)` would funnel the whole hot
+    * source through one task's sort. Instead:
+    *   1. one map-side-combined count per group; groups over `hotThreshold`
+    *      rows form a broadcastable hot list (pigeonhole: ≤ N/hotThreshold
+    *      groups, ~250k at 10^12 rows with the 4M default);
+    *   2. hot rows are salted into `ceil(count / subTarget)` hash buckets
+    *      and sub-ranked per (group, salt) — any row in the group's true
+    *      top-n is in its bucket's top-n, so keeping bucket-rank ≤ n is an
+    *      EXACT superset (no probabilistic margin, no fallback needed) and
+    *      every sort partition holds ≤ ~subTarget rows;
+    *   3. the exact rank runs per group over the ≤ nBuckets·n survivors.
+    * Cold groups take salt 0, so step 2 already yields their exact rank and
+    * step 3 re-ranks ≤ n rows per group. The kept set is bit-identical to
+    * the single-window form at any threshold. */
+  def capPerGroup(df: DataFrame, key: Column, group: Column, n: Int,
+      hotThreshold: Long = 1L << 22, subTarget: Long = 1L << 20): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val h = CrossHash.md5Long(key)
+    val hot = df.groupBy(group.as("_g")).agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") > hotThreshold)
+    val nBuckets = greatest(lit(1L),
+      ceil(col("_cnt").cast("double") / subTarget.toDouble).cast("long"))
+    val salted = df.join(broadcast(hot), group <=> col("_g"), "left_outer")
+      .withColumn("_salt", pmod(h, coalesce(nBuckets, lit(1L))))
+    val subRank = row_number().over(
+      W.partitionBy(group, col("_salt")).orderBy(h.asc, key.asc))
+    val exactRank = row_number().over(
+      W.partitionBy(group).orderBy(h.asc, key.asc))
+    salted.withColumn("_rk", subRank).filter(col("_rk") <= n)
+      .withColumn("_rk2", exactRank).filter(col("_rk2") <= n)
+      .drop("_g", "_cnt", "_salt", "_rk", "_rk2")
   }
 
   /** Deterministic weighted sampling: keep a row iff

@@ -488,6 +488,32 @@ class TrainPrepSpec extends AnyFunSuite {
       .capPerGroup(small, col("id"), col("g"), n = 7).count() == 4)
   }
 
+  test("capPerGroup: salted hot path is bit-identical to the plain window") {
+    // one dominant group (90% of rows) + two cold groups; force the hot
+    // path with tiny thresholds so the salted sub-rank + exact re-rank
+    // pipeline actually runs multi-bucket, and compare against the
+    // trivially-correct single-window selection.
+    val df = (0 until 2000).map { i =>
+      (i.toLong, if (i % 10 == 0) s"cold${i % 20}" else "hotsrc")
+    }.toDF("id", "g")
+    def keys(out: org.apache.spark.sql.DataFrame) =
+      out.select("id", "g").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = keys(graft.operators.TrainPrep
+      .capPerGroup(df, col("id"), col("g"), n = 13)) // defaults: nothing hot
+    val salted = keys(graft.operators.TrainPrep
+      .capPerGroup(df.repartition(11), col("id"), col("g"), n = 13,
+        hotThreshold = 100L, subTarget = 50L)) // hotsrc → ~36 salt buckets
+    assert(salted == plain, "hot-path selection must match the plain window")
+    assert(plain.count(_._2 == "hotsrc") == 13)
+    // cap larger than a salt bucket: superset property must still hold
+    val wide = keys(graft.operators.TrainPrep
+      .capPerGroup(df, col("id"), col("g"), n = 75,
+        hotThreshold = 100L, subTarget = 10L))
+    val widePlain = keys(graft.operators.TrainPrep
+      .capPerGroup(df, col("id"), col("g"), n = 75))
+    assert(wide == widePlain)
+  }
+
   test("keepBest: per-group argmax-score keeper, ties to smaller id") {
     val groups = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // group 1
@@ -501,5 +527,19 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, false)) && out(2L) == ((2L, true)) && out(3L) == ((2L, false)))
     assert(out(4L) == ((4L, true)) && out(5L) == ((4L, false)), "tie must keep smaller id")
     assert(out(6L) == ((6L, true)))
+  }
+
+  test("keepBest: unscored members are retained with keep=false, never dropped") {
+    val groups = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // group 1: member 3 has no score row
+      (7L, 7L), (8L, 7L)            // group 7: fully unscored
+    ).toDF("id", "rep_id")
+    val scores = Seq(1L -> 0.2, 2L -> 0.9).toDF("id", "score")
+    val out = graft.operators.Dedup.keepBest(groups, scores)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 5, "every group member must appear in the output")
+    assert(out(2L) == ((2L, true)) && out(3L) == ((2L, false)))
+    assert(out(7L) == ((7L, true)) && out(8L) == ((7L, false)),
+      "all-unscored group keeps its smallest id")
   }
 }
