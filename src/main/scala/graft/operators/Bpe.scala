@@ -212,16 +212,23 @@ object Bpe {
       minPairCount: Long, batchLimit: Int = 512,
       onBatch: Int => Unit = _ => (),
       debugBreaks: mutable.Map[String, Int] = null): Seq[Merge] = {
-    val spark = wc.sparkSession
-    import spark.implicits._
+    // The multi-minute loop runs in a CLONED session (`newSession()`:
+    // shared SparkContext and block manager, isolated SQLConf), so its
+    // conf overrides — AQE off, vocab-sized shuffle width — cannot
+    // mis-plan concurrent queries on the caller's session, and two
+    // concurrent trainings cannot clobber each other's restore values.
     // AQE off for the loop: each super-step is a fixed small-table shape
     // where AQE's per-stage re-planning just multiplies scheduler round
-    // trips (one job per query stage) on a latency-bound sequential loop
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsWas = spark.conf.get("spark.sql.shuffle.partitions")
+    // trips (one job per query stage) on a latency-bound sequential loop.
+    val callerParts =
+      wc.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val spark = wc.sparkSession.newSession()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-    var vocab = wc.select(col("word"), col("count"))
+    import spark.implicits._
+    // re-bind the input under the cloned session (RDD + schema hop — the
+    // rows flow through, the plan re-roots in the clone's SQLConf)
+    val wcRows = wc.select(col("word"), col("count"))
+    var vocab = spark.createDataFrame(wcRows.rdd, wcRows.schema)
       .as[(String, Long)]
       .map { case (w, c) => (toSymbols(w), c) }
       .toDF("syms", "cnt")
@@ -230,9 +237,8 @@ object Bpe {
     // the corpus — size their shuffle width accordingly (the dupGroups
     // discipline: ~50k rows/partition, floor 1, cap = session setting) so
     // each latency-bound super-step doesn't schedule session-width tasks
-    val sessParts = partsWas.toInt
     val loopParts = math.max(1,
-      math.min(sessParts, (vocab.count() / 50000L).toInt + 1))
+      math.min(callerParts, (vocab.count() / 50000L).toInt + 1))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts)
     // exact driver-side symbol vocabulary: base symbols now, fused outputs
     // as merges are accepted (every cluster-side symbol is one of these)
@@ -408,10 +414,6 @@ object Bpe {
     vocab.unpersist(false)
     pairStats.unpersist(false)
     merges.toSeq
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", partsWas)
-    }
   }
 
   private def pairLt(x: (String, String), y: (String, String)): Boolean =

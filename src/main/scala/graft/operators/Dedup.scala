@@ -362,14 +362,18 @@ object Dedup {
     * rule real curation pipelines want (drop the truncated/mojibake copy,
     * keep the clean one; score = quality classifier, length, recency…).
     * `scores`: (id, score). Keeper = argmax score, ties → smaller id.
-    * Returns (id, rep_id, keeper_id, keep).
+    * Members with no score row are retained with `keep = false` (they rank
+    * below every scored member; a group that is entirely unscored keeps its
+    * smallest id) — a sparse score table thins selection quality, it never
+    * silently drops rows. Returns (id, rep_id, keeper_id, keep).
     *
     * Shape: one per-group max_by aggregation (map-side combined — group
     * count, not corpus count, flows to the reduce side) + an equi-join
     * back; no window over the corpus. */
   def keepBest(groups: DataFrame, scores: DataFrame): DataFrame = {
     val g = groups.select(col("id"), col("rep_id"))
-      .join(scores.select(col("id"), col("score").as("_s")), "id")
+      .join(scores.select(col("id"), col("score").as("_s")), Seq("id"), "left_outer")
+      .withColumn("_s", coalesce(col("_s"), lit(Double.MinValue)))
     val keepers = g.groupBy("rep_id")
       .agg(max_by(col("id"), struct(col("_s"), -col("id"))).as("keeper_id"))
     g.join(keepers, "rep_id")

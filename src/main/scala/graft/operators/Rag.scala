@@ -56,7 +56,8 @@ object Rag {
     var done: DataFrame = null
     var n = nStarting
     var iter = 0
-    while (iter < maxIterations) {
+    var allAnswered = false
+    while (iter < maxIterations && !allAnswered) {
       iter += 1
       val ctx = concat_ws("\n\n", slice(col("documents"), 1, n))
       val asked = Llms.chatComplete(
@@ -76,6 +77,11 @@ object Rag {
       pending = asked.filter(col("answer").isNull)
         .select(col("query_id"), col("query"), col("documents"))
       n *= factor
+      // `asked` is already materialized by the checkpoint, so this is a
+      // cheap local filter — skip residual rounds (each would otherwise
+      // build a chatComplete plan + force an eager checkpoint job over an
+      // empty frame) once every question is answered
+      allAnswered = pending.isEmpty
     }
     val exhausted = pending
       .withColumn("answer", lit(null).cast("string"))
@@ -98,7 +104,10 @@ object Rag {
       noAnswer: String = DefaultNoAnswer,
       nStarting: Int = 2, factor: Int = 2, maxIterations: Int = 4,
       batchSize: Int = 16): DataFrame = {
-    val kMax = nStarting * math.pow(factor.toDouble, (maxIterations - 1).toDouble).toInt
+    // saturating budget: large factor/maxIterations must not wrap Int
+    // (a wrapped-negative k would silently retrieve nothing and burn
+    // maxIterations LLM calls per question)
+    val kMax = Rag.saturatingBudget(nStarting, factor, maxIterations)
     val retrieved = DocumentStore.retrieve(store, questions, qId, qText,
       k = kMax, dim = dim, exact = exact)
     val docsPerQ = retrieved.groupBy("query_id").agg(
@@ -111,6 +120,13 @@ object Rag {
         coalesce(col("documents"), array().cast("array<string>")))
     answerGeometric(qs, col("query_id"), col("query"), col("documents"),
       chat, noAnswer, nStarting, factor, maxIterations, batchSize)
+  }
+
+  /** `nStarting · factor^(maxIterations−1)` with saturation at
+    * Int.MaxValue instead of two's-complement wrap. */
+  def saturatingBudget(nStarting: Int, factor: Int, maxIterations: Int): Int = {
+    val v = nStarting.toDouble * math.pow(factor.toDouble, (maxIterations - 1).toDouble)
+    if (v >= Int.MaxValue.toDouble) Int.MaxValue else math.max(v.toInt, 1)
   }
 
   /** The reference's `prompt_summarize` role: condense a list of texts. */

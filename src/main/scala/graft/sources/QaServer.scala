@@ -235,7 +235,15 @@ object QaServer {
             val nStart = math.max(1, intOr("n_starting", 2))
             val factor = math.max(2, intOr("factor", 2))
             val maxIter = math.max(1, intOr("max_iterations", 4))
-            val kMax = nStart * math.pow(factor.toDouble, (maxIter - 1).toDouble).toInt
+            // client-supplied budget: reject out-of-range instead of
+            // letting pow/multiply wrap Int (a wrapped-negative kMax
+            // would retrieve nothing and burn maxIter LLM calls)
+            val kMax = graft.operators.Rag.saturatingBudget(nStart, factor, maxIter)
+            if (maxIter > 32 || kMax > 100000) {
+              respond(ex, 400,
+                s"""{"error":"budget out of range: n_starting*factor^(max_iterations-1) must be <= 100000, max_iterations <= 32"}""")
+              return
+            }
             val ranked = topChunks(query, kMax).map(_._1.text)
             // the geometric loop (question_answering.py:184): grow the
             // context prefix until the model stops saying `noAnswer`

@@ -186,6 +186,17 @@ class RagSpec extends AnyFunSuite {
       assert(sum == """{"summary":"condensed"}""", sum)
       // malformed summarize body -> 400
       assert(post(s"$base/v2/summarize", """{"nope": 1}""")._1 == 400)
+      // out-of-range adaptive budget -> 400 BEFORE any retrieval or LLM
+      // call (a wrapped-negative kMax used to burn maxIter calls for an
+      // empty context); the budget guard must not cost a chat call
+      val callsBefore = calls.get()
+      val (cBudget, budgetErr) = post(s"$base/v2/answer_adaptive",
+        """{"query": "x", "max_iterations": 35}""")
+      assert(cBudget == 400, budgetErr)
+      assert(budgetErr.contains("budget out of range"), budgetErr)
+      assert(post(s"$base/v2/answer_adaptive",
+        """{"query": "x", "factor": 1000, "max_iterations": 5}""")._1 == 400)
+      assert(calls.get() == callsBefore, "rejected budgets must not reach the LLM")
     } finally { served.stop(); store.unpersist() }
   }
 
