@@ -605,6 +605,33 @@ object SparkEntry {
       .select(col("event_id"), col("v_interp"))
   }
 
+  /** Input-synchronization-group batch analog (reference
+    * io/_synchronization.py:59): events split into two "sources" — even
+    * ids (full range) and odd ids truncated at the 80% point of the time
+    * span (a source whose feed stopped early). The aligned cut holds the
+    * fast source back to the slow source's max-ts frontier + 1 h, so the
+    * late tail of the even source is genuinely dropped. */
+  private def qSyncGroupCut(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).df.select("event_id", "ts")
+    val a = e.filter(pmod(col("event_id"), lit(2)) === 0)
+    // integer 80%-span cutoff (`div` = exact integer division, matching
+    // DuckDB's `//` — float division would round differently on ns values)
+    val cut = e.agg(min(col("ts")).as("_mn"), max(col("ts")).as("_mx"))
+      .selectExpr("_mn + (_mx - _mn) * 4 div 5 AS _cut")
+    val b = e.filter(pmod(col("event_id"), lit(2)) === 1)
+      .crossJoin(broadcast(cut)).filter(col("ts") <= col("_cut")).drop("_cut")
+    graft.sources.InputSynchronization.alignedCut(
+        Seq("even" -> a, "odd" -> b), "ts", 3600L * 1000000000L)
+      .select(col("source"), col("event_id"), col("ts"))
+  }
+
+  /** Batch analog of `inactivity_detection` (reference
+    * stdlib/temporal/time_utils.py:72): per-user gaps > 2 h in the events
+    * log, open periods cut at the global frontier. */
+  private def qInactivityDetect(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Inactivity.inactivityPeriodsBatch(
+      Tables.events(s, dir).df, col("ts"), 2L * 3600L * 1000000000L, col("user_id"))
+
   // ───────────────────────────────────────────────────────────────────────────
   //  LLM-pipeline operators: text analysis, dedup, similarity, multimodal
   // ───────────────────────────────────────────────────────────────────────────
@@ -1433,6 +1460,8 @@ object SparkEntry {
     "asof_nearest"    -> (qAsofNearest _),
     "window_join"     -> (qWindowJoin _),
     "interpolate"     -> (qInterpolate _),
+    "sync_group_cut"  -> (qSyncGroupCut _),
+    "inactivity_detect" -> (qInactivityDetect _),
     "split_train_test" -> (qSplitTrainTest _),
     "doc_pack"        -> (qDocPack _),
     "text_pii"        -> (qTextPii _),
@@ -1853,6 +1882,27 @@ object SparkEntry {
         |  CASE WHEN v IS NOT NULL THEN v WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
         |       ELSE pv + (nv - pv) * CAST(us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE) END AS v_interp
         |FROM w""".stripMargin,
+    "sync_group_cut" ->
+      """WITH e0 AS (SELECT event_id, epoch_ns(ts) AS tns FROM events),
+        |c AS (SELECT MIN(tns) + (MAX(tns) - MIN(tns)) * 4 // 5 AS cut FROM e0),
+        |e AS (SELECT event_id, tns, 'even' AS source FROM e0 WHERE event_id % 2 = 0
+        |      UNION ALL
+        |      SELECT event_id, tns, 'odd' AS source FROM e0, c
+        |      WHERE event_id % 2 = 1 AND tns <= cut),
+        |f AS (SELECT MIN(mx) AS fmin FROM
+        |  (SELECT source, MAX(tns) AS mx FROM e GROUP BY source))
+        |SELECT source, event_id, tns AS ts FROM e, f
+        |WHERE tns <= fmin + 3600000000000""".stripMargin,
+    "inactivity_detect" ->
+      """WITH e AS (SELECT user_id AS instance, epoch_ns(ts) AS tns FROM events),
+        |f AS (SELECT MAX(tns) AS fmax FROM e),
+        |g AS (SELECT instance, tns,
+        |  LEAD(tns) OVER (PARTITION BY instance ORDER BY tns) AS nt FROM e)
+        |SELECT instance, tns AS inactivity_ts,
+        |  CASE WHEN nt - tns > 7200000000000 THEN nt END AS resumed_ts
+        |FROM g, f
+        |WHERE nt - tns > 7200000000000
+        |   OR (nt IS NULL AND fmax - tns > 7200000000000)""".stripMargin,
     "split_train_test" -> {
       val slot = "((" + graft.functions.CrossHash.duckSigned(
         graft.functions.CrossHash.duckU64("CAST(doc_id AS VARCHAR)")) +

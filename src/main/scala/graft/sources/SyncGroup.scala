@@ -1,0 +1,254 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util
+import scala.collection.mutable
+
+/** Input synchronization groups — reference
+  * `python/pathway/io/_synchronization.py:59`
+  * `register_input_synchronization_group(*columns, max_difference, name)`:
+  * align multiple INPUT sources on a shared (Long-comparable) column so
+  * that no source's read frontier runs ahead of the slowest group member
+  * by more than `max_difference`. Per-member `priority` (a member may not
+  * read values above the highest value already read by any strictly
+  * higher-priority member, `_synchronization.py:33-36`) and
+  * `idle_duration` (a member with no pending data for longer than its
+  * idle duration is temporarily excluded from the group,
+  * `_synchronization.py:38-44`) follow the reference contract.
+  *
+  * Spark shape: admission control in a DataSource V2 MicroBatchStream.
+  * Each member source consults a JVM-shared [[InputSynchronization.Coordinator]]
+  * from `latestOffset(start, limit)` — the planning hook Spark gives a
+  * source to decide how far its offset may advance this micro-batch — and
+  * admits only rows whose sync value passes the group rule. The
+  * granularity is one micro-batch: a member at the group minimum admits
+  * up to one `rowsPerBatch` slice even when its next values jump past the
+  * threshold (that is how a lagging source "catches up" in the reference;
+  * a finer cut would deadlock on data gaps). Like the reference, the
+  * coordinator is single-process state — on a multi-executor cluster the
+  * DRIVER runs all `latestOffset` planning, so the same object
+  * coordinates every source of the session (the reference notes the same
+  * single-process limitation for its implementation).
+  */
+object InputSynchronization {
+
+  /** Per-member admission bookkeeping. `frontier` = highest sync value
+    * admitted; `lastData` = last nanoTime the member had pending rows
+    * (drives idle exclusion). */
+  private final class MemberState(val priority: Int, val idleMs: Option[Long]) {
+    var frontier: Option[Long] = None
+    var lastData: Long = System.nanoTime()
+  }
+
+  /** One admission decision, for specs/monitoring: the member, its new
+    * frontier, the minimum frontier across the OTHER active members at
+    * decision time (None when no other member had started), and whether
+    * this was a laggard catch-up batch (admitted past the threshold to
+    * unblock the group). */
+  final case class Admission(member: String, frontier: Long,
+      minOther: Option[Long], catchUp: Boolean)
+
+  final class Coordinator(val name: String, val maxDifference: Long) {
+    private val members = mutable.LinkedHashMap.empty[String, MemberState]
+    private val auditLog = mutable.ArrayBuffer.empty[Admission]
+
+    def register(member: String, priority: Int = 0,
+        idleMs: Option[Long] = None): Unit = synchronized {
+      if (!members.contains(member))
+        members(member) = new MemberState(priority, idleMs)
+    }
+
+    def frontiers: Map[String, Option[Long]] = synchronized {
+      members.map { case (n, st) => n -> st.frontier }.toMap
+    }
+
+    def audit: Seq[Admission] = synchronized { auditLog.toVector }
+
+    private def satAdd(a: Long, b: Long): Long =
+      if (a > 0 && b > Long.MaxValue - a) Long.MaxValue else a + b
+
+    /** `values`: sync values of the member's next pending rows, ascending
+      * (the member replays in sync order). Returns how many of them may be
+      * admitted in this micro-batch and advances the member's frontier.
+      *
+      * Rule: admit values ≤ min(minActiveFrontier + maxDifference,
+      * highest frontier of strictly-higher-priority active members). A
+      * member AT the group minimum with nothing admissible (bootstrap, or
+      * a data gap wider than maxDifference) admits one full batch instead
+      * — the lagging source must be able to catch up or the group
+      * deadlocks; this is the reference's "read more from the lagging
+      * source to align it". */
+    def admit(member: String, values: Seq[Long]): Int = synchronized {
+      val st = members(member)
+      if (values.isEmpty) return 0 // no pending data: candidate for idle exclusion
+      val now = System.nanoTime()
+      st.lastData = now
+      def active(s: MemberState): Boolean =
+        s.idleMs.forall(ms => (now - s.lastData) / 1000000L <= ms)
+      val others = members.valuesIterator
+        .filter(s => (s ne st) && active(s)).toSeq
+      val (n, catchUp) =
+        if (others.isEmpty) (values.length, false)
+        else {
+          val myF = st.frontier.getOrElse(Long.MinValue)
+          val minOther = others.map(_.frontier.getOrElse(Long.MinValue)).min
+          val minAll = math.min(myF, minOther)
+          val hp = others.filter(_.priority > st.priority)
+          val hpCap = if (hp.isEmpty) Long.MaxValue
+            else hp.map(_.frontier.getOrElse(Long.MinValue)).max
+          val eff = math.min(satAdd(minAll, maxDifference), hpCap)
+          val within = values.count(_ <= eff)
+          // catch-up batch: only the group laggard, and never past a
+          // higher-priority member's frontier (the leader must read first;
+          // the laggard then catches up to it)
+          if (within == 0 && myF == minAll)
+            (if (hp.isEmpty) values.length else values.count(_ <= hpCap), true)
+          else (within, false)
+        }
+      if (n > 0) {
+        val newF = math.max(st.frontier.getOrElse(Long.MinValue), values(n - 1))
+        st.frontier = Some(newF)
+        val minOtherStarted = members.valuesIterator
+          .filter(s => (s ne st) && active(s))
+          .flatMap(_.frontier).minOption
+        auditLog += Admission(member, newF, minOtherStarted, catchUp)
+      }
+      n
+    }
+  }
+
+  private val groups = new java.util.concurrent.ConcurrentHashMap[String, Coordinator]()
+
+  /** Get-or-create the named group — the
+    * `register_input_synchronization_group` analog. All members must agree
+    * on `maxDifference` (same contract as the reference's single
+    * `max_difference` per group). */
+  def group(name: String, maxDifference: Long): Coordinator = {
+    val c = groups.computeIfAbsent(name, _ => new Coordinator(name, maxDifference))
+    require(c.maxDifference == maxDifference,
+      s"sync group '$name' already registered with maxDifference=${c.maxDifference}")
+    c
+  }
+
+  /** Drop a group (test isolation / re-registration). */
+  def reset(name: String): Unit = groups.remove(name)
+
+  /** BATCH analog of the group invariant — the aligned snapshot of a
+    * multi-source backfill: with global frontier F = min over sources of
+    * max(syncCol), a synchronized reader would have admitted exactly the
+    * rows with syncCol ≤ F + maxDifference by the time the slowest source
+    * drained. One tiny per-source max aggregation broadcast back onto the
+    * union — no shuffle of the data side. Output: input columns plus
+    * `source`. */
+  def alignedCut(sources: Seq[(String, DataFrame)], syncCol: String,
+      maxDifference: Long): DataFrame = {
+    require(sources.size >= 2, "a synchronization group needs >= 2 sources")
+    val tagged = sources.map { case (n, df) =>
+      df.withColumn("source", lit(n)) }.reduce(_ unionByName _)
+    val frontier = tagged.groupBy("source")
+      .agg(max(col(syncCol)).as("_mx"))
+      .agg(min(col("_mx")).as("_f"))
+    tagged.crossJoin(broadcast(frontier))
+      .filter(col(syncCol) <= col("_f") + lit(maxDifference))
+      .drop("_f")
+  }
+}
+
+/** `format("graft.sources.SyncedReplaySource")` — the [[ReplaySource]]
+  * deterministic replay source with its offset advance gated by an
+  * [[InputSynchronization.Coordinator]]. Options: `path`, `syncCol`
+  * (Long-castable replay/sync column), `rowsPerBatch`, `group`, `member`,
+  * `maxDifference`, optional `priority`, `idleMs`. */
+class SyncedReplaySource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    org.apache.spark.sql.SparkSession.active.read.parquet(options.get("path")).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SyncedReplayTable(schema, opts.get("path"), opts.get("synccol"),
+      opts.getInt("rowsperbatch", 100), opts.get("group"), opts.get("member"),
+      opts.getLong("maxdifference", Long.MaxValue),
+      opts.getInt("priority", 0),
+      Option(opts.get("idlems")).map(_.toLong))
+  }
+}
+
+private[sources] class SyncedReplayTable(tableSchema: StructType, path: String,
+    syncCol: String, rowsPerBatch: Int, groupName: String, member: String,
+    maxDifference: Long, priority: Int, idleMs: Option[Long])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-synced-replay($path as $member@$groupName)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = tableSchema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new SyncedReplayStream(path, syncCol, rowsPerBatch, groupName, member,
+          maxDifference, priority, idleMs)
+    }
+}
+
+private[sources] class SyncedReplayStream(path: String, syncCol: String,
+    rowsPerBatch: Int, groupName: String, member: String, maxDifference: Long,
+    priority: Int, idleMs: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl {
+  private def spark = org.apache.spark.sql.SparkSession.active
+  private val coordinator = InputSynchronization.group(groupName, maxDifference)
+  coordinator.register(member, priority, idleMs)
+  // the replay table's sync values in admission order (driver-resident —
+  // this source demonstrates the V2 admission surface, like ReplaySource)
+  private lazy val syncVals: Array[Long] = spark.read.parquet(path)
+    .select(org.apache.spark.sql.functions.col(syncCol).cast("long"))
+    .orderBy(syncCol).collect().map(_.getLong(0))
+
+  override def initialOffset(): Offset = ReplayOffset(0L)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("paced via latestOffset(start, limit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ReplayOffset].rank
+    val e = math.min(s + rowsPerBatch, syncVals.length.toLong)
+    val candidates = syncVals.slice(s.toInt, e.toInt)
+    ReplayOffset(s + coordinator.admit(member, candidates.toSeq))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def reportLatestOffset(): Offset = ReplayOffset(syncVals.length.toLong)
+  override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ReplayOffset].rank
+    val e = end.asInstanceOf[ReplayOffset].rank
+    if (e <= s) return Array.empty
+    val rows = spark.read.parquet(path)
+      .withColumn("_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(syncCol))).cast("long"))
+      .filter(col("_rank") > s && col("_rank") <= e)
+      .drop("_rank")
+      .queryExecution.executedPlan.executeCollect()
+      .map(_.copy())
+    Array(ReplaySlice(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val it = partition.asInstanceOf[ReplaySlice].rows.iterator
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = it.hasNext
+        override def get(): InternalRow = it.next()
+        override def close(): Unit = ()
+      }
+    }
+  }
+}

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Processing-time utilities — reference
+  * `python/pathway/stdlib/temporal/time_utils.py`: `utc_now` (:42, a
+  * refresh-rate heartbeat stream of the current UTC time) and
+  * `inactivity_detection` (:72, monitor an append-only stream and report
+  * (instance, inactivity_timestamp_utc, resumed_activity_timestamp_utc)
+  * rows when no data arrives within `allowed_inactivity_period`).
+  *
+  * Spark shape: `utcNow` is the rate source (its `timestamp` column IS a
+  * paced wall-clock heartbeat). `inactivityDetection` is a
+  * flatMapGroupsWithState kernel on ProcessingTimeTimeout — exactly the
+  * engine feature the reference builds by joining its heartbeat table
+  * against per-instance latest-activity reducers: Spark fires the timeout
+  * callback when a group has received nothing for the allowed period
+  * (empty micro-batches still run while stateful timeouts are pending, so
+  * a fully-quiet stream still reports). Detection emits
+  * (instance, last_activity_ts, null); resumption emits the same key with
+  * the resumed timestamp filled — in append mode the pair is a changelog
+  * keyed by (instance, inactivity_timestamp_utc), the reference's own
+  * update sequence for the row (upsert via [[StreamOps.streamToTable]] to
+  * materialize the final table).
+  *
+  * With `instance` given, a null-instance row reports the
+  * since-stream-start case (no data at all in any instance before the
+  * first timeout), mirroring the reference's `None`-instance row; once any
+  * data arrives that group retires (the reference stops producing it the
+  * same way).
+  */
+object Inactivity {
+
+  /** `utc_now`: a heartbeat stream of current UTC timestamps, one column
+    * `timestamp_utc`, refreshed every `refreshRateMs` (reference
+    * time_utils.py:42; its `initial_delay` is the rate source's natural
+    * first-tick latency). */
+  def utcNow(spark: SparkSession, refreshRateMs: Long = 60000L): DataFrame = {
+    val rps = math.max(1, (1000.0 / refreshRateMs).toInt)
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString)
+      .load()
+      .select(col("timestamp").as("timestamp_utc"))
+  }
+
+  /* exposed for the Dataset encoder (name-resolved) */
+  private[streaming] case class InactIn(instance: String, isActivity: Boolean, nowMs: Long)
+  /* primitive-only state (flat codegen'd encoder); openSinceMs = -1 when
+   * no period is open */
+  private[streaming] case class InactState(lastActivityMs: Long, openSinceMs: Long,
+      everActive: Boolean)
+  /** Output row: resumed == null while the period is still open. */
+  case class InactivityEvent(instance: String,
+      inactivity_timestamp_utc: Timestamp,
+      resumed_activity_timestamp_utc: Timestamp)
+
+  private def kernel(allowedMs: Long, globalFromStartOnly: Boolean)(
+      key: String, rows: Iterator[InactIn],
+      state: GroupState[InactState]): Iterator[InactivityEvent] = {
+    val out = Seq.newBuilder[InactivityEvent]
+    if (state.hasTimedOut) {
+      val st = state.get
+      // gap exceeded: report the inactivity period (resumed unknown yet)
+      out += InactivityEvent(key, new Timestamp(st.lastActivityMs), null)
+      state.update(st.copy(openSinceMs = st.lastActivityMs))
+      // no new timeout: the group sleeps until data arrives
+    } else {
+      val batch = rows.toSeq
+      val nowMs = batch.map(_.nowMs).max
+      val anyActivity = batch.exists(_.isActivity)
+      var st = state.getOption.getOrElse(
+        InactState(lastActivityMs = nowMs, openSinceMs = -1L, everActive = false))
+      if (anyActivity) {
+        if (st.openSinceMs >= 0L)
+          out += InactivityEvent(key, new Timestamp(st.openSinceMs), new Timestamp(nowMs))
+        st = InactState(nowMs, -1L, everActive = true)
+      }
+      val retired = globalFromStartOnly && key == null && st.everActive
+      state.update(st)
+      if (st.openSinceMs < 0L && !retired)
+        state.setTimeoutDuration(allowedMs)
+    }
+    out.result().iterator
+  }
+
+  /** BATCH analog of `inactivity_detection` over a finite event log: per
+    * instance, every gap between consecutive events longer than
+    * `allowedNs` is an inactivity period (inactivity_timestamp = the last
+    * event before the gap, resumed = the first after); an instance whose
+    * last event is more than `allowedNs` behind the table's global max
+    * timestamp has an OPEN period (resumed = null) — the batch counterpart
+    * of "not yet ended" at the stream frontier. One window pass per
+    * instance + a broadcast scalar frontier; no driver loop. */
+  def inactivityPeriodsBatch(events: DataFrame, ts: Column, allowedNs: Long,
+      instance: Column): DataFrame = {
+    val frontier = events.agg(max(ts).as("_fmax"))
+    events.select(instance.as("instance"), ts.as("_t"))
+      .withColumn("_nt", lead(col("_t"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("instance")).orderBy(col("_t").asc)))
+      .crossJoin(broadcast(frontier))
+      .filter((col("_nt") - col("_t") > allowedNs) ||
+        (col("_nt").isNull && col("_fmax") - col("_t") > allowedNs))
+      .select(col("instance"),
+        col("_t").as("inactivity_ts"),
+        when(col("_nt") - col("_t") > allowedNs, col("_nt"))
+          .as("resumed_ts"))
+  }
+
+  /** `inactivity_detection`: monitor `events` (an append-only streaming
+    * DataFrame) and emit inactivity periods longer than
+    * `allowedInactivityMs`, optionally per `instance`. `refreshRateMs`
+    * paces the bootstrap heartbeat (the reference's refresh_rate; Spark's
+    * own trigger cadence drives timeout checks). Returns a streaming
+    * DataFrame (instance, inactivity_timestamp_utc,
+    * resumed_activity_timestamp_utc). */
+  def inactivityDetection(events: DataFrame, allowedInactivityMs: Long,
+      refreshRateMs: Long = 1000L, instance: Option[Column] = None): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val inst = instance.getOrElse(lit(null)).cast("string")
+    val acts = events.select(inst.as("instance"), lit(true).as("is_activity"))
+    // with instances, real rows also tick the global (null) group so the
+    // since-start row is cancelled/retired once any data arrives
+    val withGlobal = if (instance.isDefined)
+      acts.unionByName(events.select(lit(null).cast("string").as("instance"),
+        lit(true).as("is_activity")))
+    else acts
+    // heartbeats bootstrap the global group, so a stream with NO data at
+    // all still has one stateful group whose timeout can fire
+    val hb = utcNow(spark, refreshRateMs)
+      .select(lit(null).cast("string").as("instance"), lit(false).as("is_activity"))
+    withGlobal.unionByName(hb)
+      .select(col("instance"), col("is_activity").as("isActivity"),
+        unix_millis(current_timestamp()).as("nowMs"))
+      .as[InactIn]
+      .groupByKey(_.instance)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(
+        kernel(allowedInactivityMs, globalFromStartOnly = instance.isDefined))
+      .toDF()
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Inactivity
+
+/** Inactivity detection + utc_now (reference
+  * stdlib/temporal/time_utils.py:42/72): processing-time heartbeats, a
+  * planted gap produces a detection row then a resumption row, and a
+  * stream with no data at all reports the since-start period. */
+class InactivitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def collectRows(buf: java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Option[Long])])
+      (b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+    b.collect().foreach { r =>
+      buf.add((if (r.isNullAt(0)) null else r.getString(0),
+        r.getTimestamp(1).getTime,
+        if (r.isNullAt(2)) None else Some(r.getTimestamp(2).getTime)))
+    }
+
+  test("utcNow: heartbeat stream of current UTC timestamps") {
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = Inactivity.utcNow(spark, refreshRateMs = 100)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => buf.add(r.getTimestamp(0).getTime))
+      }
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (buf.size < 3 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(buf.size >= 3, "heartbeats must tick")
+      val now = System.currentTimeMillis()
+      buf.forEach(t => assert(math.abs(now - t) < 60000, "ticks are wall-clock"))
+    } finally q.stop()
+  }
+
+  test("planted gap: detection row (resumed=null) then resumption row with the same key") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = Inactivity.inactivityDetection(input.toDF().select(col("value")),
+      allowedInactivityMs = 1200, refreshRateMs = 200,
+      instance = Some(col("value")))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Option[Long])]()
+    val q = out.writeStream
+      .foreachBatch(collectRows(buf) _)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      input.addData("a"); input.addData("a")
+      // wait out the allowed period: a detection row for "a" must appear
+      val deadline = System.currentTimeMillis() + 30000
+      while (!buf.iterator().hasNext && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val detections = buf.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[(String, Long, Option[Long])])
+      assert(detections.exists(e => e._1 == "a" && e._3.isEmpty),
+        s"expected an open inactivity row for 'a', got ${detections.toSeq}")
+      assert(!detections.exists(e => e._1 == null),
+        "global group must retire once data has arrived")
+      val openTs = detections.find(e => e._1 == "a" && e._3.isEmpty).get._2
+      // resume activity: the same (instance, inactivity_ts) key must be
+      // emitted again with resumed set
+      input.addData("a")
+      val deadline2 = System.currentTimeMillis() + 30000
+      while (!buf.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[(String, Long, Option[Long])])
+          .exists(e => e._1 == "a" && e._2 == openTs && e._3.isDefined) &&
+        System.currentTimeMillis() < deadline2) Thread.sleep(100)
+      val all = buf.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[(String, Long, Option[Long])])
+      val resumed = all.find(e => e._1 == "a" && e._2 == openTs && e._3.isDefined)
+      assert(resumed.isDefined, s"expected resumption row for ts=$openTs, got ${all.toSeq}")
+      assert(resumed.get._3.get > openTs, "resumption is after the gap start")
+    } finally q.stop()
+  }
+
+  test("no data at all: the since-start period is reported on the null instance") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = Inactivity.inactivityDetection(input.toDF().select(col("value")),
+      allowedInactivityMs = 800, refreshRateMs = 100,
+      instance = Some(col("value")))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Option[Long])]()
+    val q = out.writeStream
+      .foreachBatch(collectRows(buf) _)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!buf.iterator().hasNext && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val rows = buf.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[(String, Long, Option[Long])])
+      assert(rows.nonEmpty, "a silent stream must still report")
+      assert(rows.exists(e => e._1 == null && e._3.isEmpty),
+        s"expected the null-instance since-start row, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("inactivityPeriodsBatch: exact gaps incl. the open tail at the frontier") {
+    val h = 3600L * 1000000000L // 1h in ns
+    val ev = Seq(
+      ("u1", 0L), ("u1", h / 2), ("u1", 4 * h), ("u1", 5 * h), // gap 0.5h->4h
+      ("u2", 0L), ("u2", h)                                     // last seen at 1h, frontier 5h
+    ).toDF("user", "t")
+    val out = Inactivity.inactivityPeriodsBatch(ev, col("t"), h, col("user"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(out == Set(
+      ("u1", h / 2, Some(4 * h)), // closed period
+      ("u2", h, None)             // open at frontier
+    ))
+  }
+}

@@ -32,7 +32,7 @@ class PlanQualitySpec extends AnyFunSuite {
     "window_tumbling", "window_sliding", "window_session", "intervals_over",
     "interval_join", "interval_join_left", "interval_join_right",
     "interval_join_full", "asof_backward", "asof_forward", "asof_nearest",
-    "window_join", "interpolate",
+    "window_join", "interpolate", "sync_group_cut", "inactivity_detect",
     "text_tokens", "text_quality", "text_gopher", "text_c4", "text_langid",
     "text_fingerprint", "text_pii", "text_url_filter",
     "dedup_exact", "dedup_spans",
@@ -42,8 +42,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "expr_cond", "matmul_block", "reduce_countmin")
 
   /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
-    * 1-row scalar cross joins (ignore_late-style max-ts broadcast). */
-  private val bnljAllowed = Set("ignore_late")
+    * 1-row scalar cross joins (ignore_late-style max-ts broadcast;
+    * sync_group_cut / inactivity_detect broadcast a 1-row frontier). */
+  private val bnljAllowed = Set("ignore_late", "sync_group_cut", "inactivity_detect")
 
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)

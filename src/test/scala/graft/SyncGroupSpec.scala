@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.InputSynchronization
+
+/** Input synchronization groups (reference io/_synchronization.py:59):
+  * coordinator admission semantics (unit) and two deliberately skewed
+  * replay sources proving neither runs ahead (streaming integration). */
+class SyncGroupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("coordinator: fast member blocks at maxDifference until the laggard catches up") {
+    InputSynchronization.reset("unit1")
+    val c = InputSynchronization.group("unit1", maxDifference = 10L)
+    c.register("fast"); c.register("slow")
+    // bootstrap: first batch admits unconditionally (catch-up)
+    assert(c.admit("fast", Seq(0L, 5L, 12L, 18L)) == 4)
+    // slow starts behind; its own catch-up brings it to 2
+    assert(c.admit("slow", Seq(1L, 2L)) == 2)
+    // fast now at 18, slow at 2: fast may admit nothing above 2+10=12
+    assert(c.admit("fast", Seq(20L, 25L)) == 0)
+    // slow advances to 11 -> threshold 21 -> fast admits 20 only
+    assert(c.admit("slow", Seq(7L, 11L)) == 2)
+    assert(c.admit("fast", Seq(20L, 25L)) == 1)
+    // laggard with a data gap: slow's next value jumps to 100 — admitted
+    // as a catch-up batch (otherwise the group deadlocks)
+    assert(c.admit("slow", Seq(100L)) == 1)
+    assert(c.frontiers("slow").contains(100L))
+    // and now fast is the laggard (25 < 100): catch-up applies to IT
+    assert(c.admit("fast", Seq(120L)) == 1)
+  }
+
+  test("coordinator: priority member leads; lower priority never passes its frontier") {
+    InputSynchronization.reset("unit2")
+    val c = InputSynchronization.group("unit2", maxDifference = 100L)
+    c.register("leader", priority = 1); c.register("follower", priority = 0)
+    // follower cannot bootstrap past the leader (no catch-up against a
+    // higher-priority member)
+    assert(c.admit("follower", Seq(5L, 9L)) == 0)
+    assert(c.admit("leader", Seq(0L, 7L)) == 2)
+    // follower may now read values <= leader frontier (7)
+    assert(c.admit("follower", Seq(5L, 9L)) == 1)
+    assert(c.admit("leader", Seq(30L)) == 1)
+    assert(c.admit("follower", Seq(9L, 28L, 31L)) == 2)
+  }
+
+  test("coordinator: idle member is excluded after idleMs and re-included on data") {
+    InputSynchronization.reset("unit3")
+    val c = InputSynchronization.group("unit3", maxDifference = 10L)
+    c.register("a"); c.register("b", idleMs = Some(50L))
+    assert(c.admit("b", Seq(0L)) == 1)
+    assert(c.admit("a", Seq(1L, 2L)) == 2)
+    // b at 0 blocks a above 10
+    assert(c.admit("a", Seq(11L, 50L)) == 0)
+    Thread.sleep(80) // b produces nothing for > idleMs -> excluded
+    assert(c.admit("a", Seq(11L, 50L)) == 2, "idle member must not hold the group")
+    // b returns with data -> re-included (it is now the laggard: catch-up)
+    assert(c.admit("b", Seq(3L)) == 1)
+    // and a is constrained by b again
+    assert(c.admit("a", Seq(60L)) == 0)
+  }
+
+  test("two skewed replay sources: neither runs ahead of the other by more than maxDifference") {
+    InputSynchronization.reset("stream1")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sync").toString
+    (0L until 60L).map(t => (t, s"a$t")).toDF("t", "payload")
+      .write.mode("overwrite").parquet(s"$dir/a")
+    (0L until 60L).map(t => (t, s"b$t")).toDF("t", "payload")
+      .write.mode("overwrite").parquet(s"$dir/b")
+
+    def start(member: String, rowsPerBatch: Int) = spark.readStream
+      .format("graft.sources.SyncedReplaySource")
+      .option("path", s"$dir/$member")
+      .option("syncCol", "t")
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("group", "stream1")
+      .option("member", member)
+      .option("maxDifference", "10")
+      .load()
+      .writeStream
+      .format("noop")
+      .trigger(Trigger.ProcessingTime(25))
+      .start()
+
+    // a reads 30 rows/batch (would drain in 2 batches), b only 5 — without
+    // the group, a finishes while b is at value ~10
+    val qa = start("a", 30)
+    val qb = start("b", 5)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      val c = InputSynchronization.group("stream1", 10L)
+      while (System.currentTimeMillis() < deadline &&
+        !(c.frontiers.get("a").flatten.contains(59L) &&
+          c.frontiers.get("b").flatten.contains(59L))) Thread.sleep(100)
+      val fr = c.frontiers
+      assert(fr("a").contains(59L) && fr("b").contains(59L),
+        s"both sources must drain fully, got $fr")
+      // the invariant: every non-catch-up admission stayed within
+      // maxDifference of the slowest member's frontier at decision time
+      val entries = c.audit.filter(e => !e.catchUp && e.minOther.isDefined)
+      assert(entries.nonEmpty)
+      val offenders = entries.filter(e => e.frontier > e.minOther.get + 10L)
+      assert(offenders.isEmpty, s"frontier ran ahead: $offenders")
+      // and the fast source genuinely interleaved: it cannot have drained
+      // before the slow one started (its non-bootstrap admissions were
+      // throttled to the slow frontier)
+      val aThrottled = c.audit.filter(e => e.member == "a" && e.minOther.isDefined)
+      assert(aThrottled.size >= 2, "fast source must have been paced across batches")
+    } finally { qa.stop(); qb.stop() }
+  }
+
+  test("alignedCut: batch analog admits exactly min-frontier + maxDifference") {
+    val a = Seq((0L, "x"), (5L, "x"), (20L, "x")).toDF("t", "v") // max 20
+    val b = Seq((1L, "y"), (8L, "y"), (12L, "y"), (40L, "y")).toDF("t", "v") // max 40
+    // F = min(20, 40) = 20; maxDiff 5 -> keep t <= 25
+    val out = InputSynchronization.alignedCut(Seq("a" -> a, "b" -> b), "t", 5L)
+      .select("source", "t").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("a", 0L), ("a", 5L), ("a", 20L),
+      ("b", 1L), ("b", 8L), ("b", 12L)))
+  }
+}
