@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap", "docstore"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -608,7 +608,10 @@ object ScaleProbe {
       val breaks = scala.collection.mutable.HashMap.empty[String, Int]
         .withDefaultValue(0)
       val t0 = System.nanoTime()
-      val merges = Bpe.trainDistributed(wc, nMerges = 2000, minPairCount = 2L,
+      // r13 rung: SPARK_GRAFT_BPE_MERGES=10000 with mult=50 probes a ~1M-
+      // distinct-word vocabulary at production merge depth (VERDICT r12 #6)
+      val nMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "2000").toInt
+      val merges = Bpe.trainDistributed(wc, nMerges = nMerges, minPairCount = 2L,
         onBatch = batches += _, debugBreaks = breaks)
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(200)
@@ -664,6 +667,47 @@ object ScaleProbe {
         TrainPrep.capPerGroup(big, col("doc_id"), col("source"), n = 1000,
           hotThreshold = 1L << 20, subTarget = 1L << 16)
       }
+    }
+
+    if (families("docstore")) {
+      // retrieveSharded vs the collected-snapshot serving path at mult× the
+      // chunk count. Snapshot = O(corpus) rows shipped to ONE process per
+      // refresh (the driver-memory bound); sharded = the corpus stays in
+      // executor-held partitions and each query batch ships ≤ shards·k
+      // candidate rows. chunk_id offsets by +i per replica: md5-spread ids
+      // make collisions astronomically unlikely, so ranking ties stay
+      // replica-distinct under the (-score, chunkId) order.
+      import graft.operators.{DocumentStore, Embedders}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val store1 = DocumentStore.build(docs, col("doc_id"), col("text"), dim = 64)
+      val nc = store1.count()
+      val nd = docs.count()
+      val big = replicate(
+        store1.select("chunk_id", "doc_id", "chunk_idx", "chunk_text", "embedding"),
+        Map("chunk_id" -> 1L, "doc_id" -> nd), "/tmp/graft_docstore")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      big.count()
+      val embedder = new Embedders.FakeEmbedder(64)
+      val qs = (0 until 8).map(i =>
+        i.toLong -> embedder.embedBatch(Seq(s"probe query $i shuffle partition topic")).head)
+      def clock(name: String, rows: Long)(body: => Unit): Unit = {
+        val t0 = System.nanoTime(); body
+        val cold = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); body
+        val warm = (System.nanoTime() - t1) / 1e9
+        println(f"PROBE $name%-28s rows=$rows%-9d cold=$cold%7.2fs warm=$warm%7.2fs jobs=-")
+      }
+      clock("docstore_sharded_1x", nc) {
+        DocumentStore.retrieveSharded(store1, qs, k = 5) }
+      clock(s"docstore_sharded_${mult}x", nc * mult) {
+        DocumentStore.retrieveSharded(big, qs, k = 5) }
+      // what the snapshot path must ship/hold per refresh, for the record
+      clock("docstore_snapshot_collect_1x", nc) {
+        store1.select("chunk_id", "doc_id", "chunk_text", "embedding").collect() }
+      println(s"PROBE docstore_candidate_rows shards=${big.rdd.getNumPartitions} " +
+        s"k=5 queries=${qs.size} shipped<=${big.rdd.getNumPartitions * 5 * qs.size} " +
+        s"vs snapshot=$nc×$mult")
+      big.unpersist(); store1.unpersist()
     }
 
     if (families("pq")) {

@@ -75,6 +75,80 @@ object DocumentStore {
         col("chunk_idx"), col("chunk_text"), col("score"), col("rank"))
   }
 
+  /** One merged hit from the sharded serving path. */
+  final case class ShardHit(queryId: Long, chunkId: Long, docId: Long,
+      chunkText: String, score: Double, rank: Int)
+
+  /** Serving-side cosine — shared by the snapshot path (QaServer) and the
+    * sharded path so their scores are bit-identical (same operation order,
+    * Float products widened the same way). */
+  private[graft] def cosineF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sharded serving retrieval (reference document_store.py:35 retrieval
+    * contract at corpus scale): per-partition top-k over the EXECUTOR-HELD
+    * persisted store, merged at the driver. The collected snapshot
+    * (QaServer's default, mirroring the reference's own in-server
+    * usearch/tantivy index) is right while the corpus fits in server
+    * memory; past that, this path keeps the store distributed and ships
+    * only ≤ numPartitions·k candidate rows per query — the store itself
+    * never crosses the wire.
+    *
+    * Ordering is the snapshot path's exact total order ((-score, chunkId),
+    * non-finite scores dropped) and scoring shares [[cosineF]], so per-shard
+    * top-k is a superset of each shard's contribution to the global top-k
+    * and the merged result is bit-for-bit the snapshot answer
+    * (DocumentStoreSpec pins the equivalence). */
+  def retrieveSharded(store: DataFrame, queryVecs: Seq[(Long, Array[Float])],
+      k: Int): Array[ShardHit] = {
+    if (queryVecs.isEmpty || k <= 0) return Array.empty
+    val sp = store.sparkSession
+    import sp.implicits._
+    val qArr = queryVecs.toArray // small serving batch — rides the closure
+    val kk = k
+    val perShard = store.select("chunk_id", "doc_id", "chunk_text", "embedding")
+      .as[(Long, Long, String, Array[Float])]
+      .mapPartitions { rows =>
+        // one bounded worst-at-head heap per query; head = current worst
+        // kept hit under the (-score, chunkId) total order
+        val heaps = Array.fill(qArr.length)(
+          new scala.collection.mutable.PriorityQueue[(Double, Long, Long, String)]()(
+            Ordering.by { t: (Double, Long, Long, String) => (-t._1, t._2) }))
+        rows.foreach { case (chunkId, docId, text, vec) =>
+          var qi = 0
+          while (qi < qArr.length) {
+            val s = cosineF(qArr(qi)._2, vec)
+            if (java.lang.Double.isFinite(s)) {
+              val h = heaps(qi)
+              if (h.size < kk) h.enqueue((s, chunkId, docId, text))
+              else {
+                val (ws, wid, _, _) = h.head
+                if (s > ws || (s == ws && chunkId < wid)) {
+                  h.dequeue(); h.enqueue((s, chunkId, docId, text))
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, cid, did, txt) => (qArr(qi)._1, cid, did, txt, s) }
+        }
+      }
+      .collect()
+    perShard.groupBy(_._1).toArray.flatMap { case (qid, hits) =>
+      hits.sortBy { case (_, cid, _, _, s) => (-s, cid) }
+        .take(k).iterator.zipWithIndex.map { case ((_, cid, did, txt, s), i) =>
+          ShardHit(qid, cid, did, txt, s, i + 1)
+        }
+    }
+  }
+
   /** Retrieve a wider candidate set, then rerank with the lexical scorer
     * (second stage; an LLM scorer swaps in through rerankTopK's `scorer`). */
   def retrieveReranked(store: DataFrame, queries: DataFrame, qId: Column,

@@ -5,7 +5,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 
-import graft.operators.{Embedders, Llms, Rag}
+import graft.operators.{DocumentStore, Embedders, Llms, Rag}
 
 /** Question-answering REST endpoint (reference xpacks/llm/question_answering
   * .py — `BaseRAGQuestionAnswerer` serves `/v2/answer` over a DataIndex;
@@ -33,6 +33,65 @@ object QaServer {
   private final case class Entry(chunkId: Long, docId: Long, text: String,
       vec: Array[Float])
 
+  /** The serving index behind every route: ranked top-k plus the
+    * list_documents inventory. Two implementations — the collected
+    * snapshot (default; the reference's own in-server-memory shape) and
+    * the sharded store ([[DocumentStore.retrieveSharded]]: the corpus
+    * stays distributed, only per-shard top-k rows reach the server). Both
+    * rank under the same (-score, chunkId) order with the same cosine, so
+    * answers are bit-identical (DocumentStoreSpec pins it). */
+  private sealed trait Index {
+    def top(qv: Array[Float], k: Int): Array[(Entry, Double)]
+    /** (docId, nChunks, nChars) sorted by docId. */
+    def docSummary: Seq[(Long, Long, Long)]
+    /** Cache owned by this index to release when superseded. */
+    def backing: Option[DataFrame]
+  }
+
+  private final class SnapshotIndex(entries: Array[Entry],
+      owned: DataFrame) extends Index {
+    def top(qv: Array[Float], k: Int): Array[(Entry, Double)] =
+      entries.map(e => (e, DocumentStore.cosineF(qv, e.vec)))
+        .filter { case (_, s) => java.lang.Double.isFinite(s) }
+        .sortBy { case (e, s) => (-s, e.chunkId) }
+        .take(math.max(k, 0))
+    def docSummary: Seq[(Long, Long, Long)] =
+      entries.groupBy(_.docId).toSeq.sortBy(_._1).map { case (d, cs) =>
+        (d, cs.length.toLong, cs.map(_.text.length.toLong).sum)
+      }
+    def backing: Option[DataFrame] = Option(owned)
+  }
+
+  /** Corpus-scale index: each request runs a short Spark job over the
+    * persisted store's executor-held partitions. Latency trades job
+    * launch (~tens of ms) for removing the driver/server-memory bound —
+    * the store never materializes in one process. */
+  private final class ShardedIndex(store: DataFrame, dim: Int) extends Index {
+    // fail fast on a serve(dim) / store-dim mismatch, same contract as the
+    // snapshot path (truncated-cosine scoring would silently mis-rank)
+    locally {
+      import org.apache.spark.sql.functions.{col, size}
+      val bad = store.filter(size(col("embedding")) =!= dim)
+        .select("chunk_id", "embedding").take(1)
+      bad.foreach { r =>
+        throw new IllegalArgumentException(
+          s"store embedding dim ${r.getSeq[Float](1).length} != serve dim $dim (chunk ${r.getLong(0)})")
+      }
+    }
+    def top(qv: Array[Float], k: Int): Array[(Entry, Double)] =
+      DocumentStore.retrieveSharded(store, Seq(0L -> qv), k)
+        .sortBy(_.rank)
+        .map(h => (Entry(h.chunkId, h.docId, h.chunkText, Array.emptyFloatArray), h.score))
+    def docSummary: Seq[(Long, Long, Long)] = {
+      import org.apache.spark.sql.functions._
+      store.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum(length(col("chunk_text"))).as("c"))
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    def backing: Option[DataFrame] = Some(store)
+  }
+
   /** A served endpoint whose index can be refreshed in place: call
     * `refresh(newStore)` after the Spark side rebuilds the store and the
     * next request answers from the new snapshot — an atomic reference swap,
@@ -44,16 +103,17 @@ object QaServer {
     * supersedes it (including the initial store on the FIRST refresh), it is
     * `unpersist`ed, a no-op if the caller never persisted it. Callers that
     * want to keep using a superseded store's cache must re-persist it. */
-  final class Served private[QaServer] (val server: HttpServer, dim: Int,
-      ref: java.util.concurrent.atomic.AtomicReference[Array[Entry]],
-      initialStore: DataFrame) {
-    private var prev: DataFrame = initialStore
+  final class Served private[QaServer] (val server: HttpServer,
+      ref: java.util.concurrent.atomic.AtomicReference[Index],
+      mkIndex: DataFrame => Index) {
     /** Swap in a rebuilt store; the superseded store's cache is released
-      * (its rows live on in the collected snapshot until this swap). */
+      * after the swap (snapshot mode: its rows lived on in the collected
+      * snapshot; sharded mode: an in-flight request on the old index
+      * recomputes from the plan — slower, never wrong). */
     def refresh(store: DataFrame): Unit = synchronized {
-      ref.set(QaServer.collectEntries(store, dim))
-      if (prev ne null) prev.unpersist(false)
-      prev = store
+      val old = ref.get()
+      ref.set(mkIndex(store))
+      old.backing.foreach(_.unpersist(false))
     }
     def port: Int = server.getAddress.getPort
     def stop(): Unit = server.stop(0)
@@ -78,8 +138,9 @@ object QaServer {
   def serve(store: DataFrame, dim: Int, port: Int = 0,
       path: String = "/v2/answer", defaultK: Int = 3,
       chat: Option[Llms.ChatModel] = None,
-      noAnswer: String = Rag.DefaultNoAnswer): HttpServer =
-    serveRefreshable(store, dim, port, path, defaultK, chat, noAnswer).server
+      noAnswer: String = Rag.DefaultNoAnswer,
+      sharded: Boolean = false): HttpServer =
+    serveRefreshable(store, dim, port, path, defaultK, chat, noAnswer, sharded).server
 
   /** Routes (servers.py:146-244 surface):
     *   - `<path>` (default `/v2/answer`): retrieval — body
@@ -98,17 +159,13 @@ object QaServer {
   def serveRefreshable(store: DataFrame, dim: Int, port: Int = 0,
       path: String = "/v2/answer", defaultK: Int = 3,
       chat: Option[Llms.ChatModel] = None,
-      noAnswer: String = Rag.DefaultNoAnswer): Served = {
-    val indexRef = new java.util.concurrent.atomic.AtomicReference(collectEntries(store, dim))
+      noAnswer: String = Rag.DefaultNoAnswer,
+      sharded: Boolean = false): Served = {
+    def mkIndex(st: DataFrame): Index =
+      if (sharded) new ShardedIndex(st, dim)
+      else new SnapshotIndex(collectEntries(st, dim), st)
+    val indexRef = new java.util.concurrent.atomic.AtomicReference[Index](mkIndex(store))
     val embedder = new Embedders.FakeEmbedder(dim)
-
-    def cosine(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
-      else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
 
     def jsonEscape(s: String): String =
       s.flatMap {
@@ -145,13 +202,9 @@ object QaServer {
             case _ => defaultK
           }
           val qv = embedder.embedBatch(Seq(query)).head
-          val entries = indexRef.get()
           // non-finite scores (zero-norm query or chunk) can't rank and
-          // -Infinity isn't valid JSON - drop them
-          val top = entries.map(e => (e, cosine(qv, e.vec)))
-            .filter { case (_, s) => java.lang.Double.isFinite(s) }
-            .sortBy { case (e, s) => (-s, e.chunkId) }
-            .take(math.max(k, 0))
+          // -Infinity isn't valid JSON - the index drops them
+          val top = indexRef.get().top(qv, k)
           val results = top.map { case (e, s) =>
             s"""{"chunk_id":${e.chunkId},"doc_id":${e.docId},"score":$s,"text":"${jsonEscape(e.text)}"}"""
           }.mkString("[", ",", "]")
@@ -166,10 +219,7 @@ object QaServer {
     // route above and the adaptive loop below
     def topChunks(query: String, k: Int): Array[(Entry, Double)] = {
       val qv = embedder.embedBatch(Seq(query)).head
-      indexRef.get().map(e => (e, cosine(qv, e.vec)))
-        .filter { case (_, s) => java.lang.Double.isFinite(s) }
-        .sortBy { case (e, s) => (-s, e.chunkId) }
-        .take(math.max(k, 0))
+      indexRef.get().top(qv, k)
     }
 
     def respond(ex: HttpExchange, code: Int, json: String): Unit = {
@@ -190,10 +240,9 @@ object QaServer {
 
     server.createContext("/v2/list_documents", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try {
-        val docs = indexRef.get().groupBy(_.docId).toSeq.sortBy(_._1)
-          .map { case (docId, chunks) =>
-            s"""{"doc_id":$docId,"n_chunks":${chunks.length},"n_chars":${chunks.map(_.text.length.toLong).sum}}"""
-          }
+        val docs = indexRef.get().docSummary.map { case (docId, nChunks, nChars) =>
+          s"""{"doc_id":$docId,"n_chunks":$nChunks,"n_chars":$nChars}"""
+        }
         respond(ex, 200, docs.mkString("""{"results":[""", ",", "]}"))
       } finally ex.close()
     })
@@ -269,6 +318,6 @@ object QaServer {
     })
 
     server.start()
-    new Served(server, dim, indexRef, store)
+    new Served(server, indexRef, mkIndex)
   }
 }

@@ -59,6 +59,41 @@ class DocumentStoreSpec extends AnyFunSuite {
     assert(byPath.select("doc_id").as[Long].collect().forall(Set(1L, 3L)))
   }
 
+  test("retrieveSharded ≡ snapshot top-k bit-for-bit (ids, scores, order)") {
+    val store = DocumentStore.build(docs, col("id"), col("body"),
+      chunkTokens = 20, overlap = 5, dim = 16)
+    // many small shards so per-partition top-k + driver merge is exercised
+    val shardedStore = store.repartition(7)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shardedStore.count()
+    val embedder = new graft.operators.Embedders.FakeEmbedder(16)
+    val qVecs = Seq(
+      10L -> "spark shuffle partition", 20L -> "minhash shingle jaccard",
+      30L -> "" /* zero vector: every score non-finite, dropped */)
+      .map { case (id, t) => id -> embedder.embedBatch(Seq(t)).head }
+    val hits = DocumentStore.retrieveSharded(shardedStore, qVecs, k = 4)
+      .groupBy(_.queryId)
+    // driver-side reference = exactly the snapshot path's ranking
+    val entries = store.select("chunk_id", "doc_id", "chunk_text", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getSeq[Float](3).toArray))
+    for ((qid, qv) <- qVecs) {
+      val want = entries
+        .map { case (cid, did, txt, v) => (cid, did, txt, DocumentStore.cosineF(qv, v)) }
+        .filter(t => java.lang.Double.isFinite(t._4))
+        .sortBy(t => (-t._4, t._1)).take(4)
+      val got = hits.getOrElse(qid, Array.empty).sortBy(_.rank)
+      assert(got.length == want.length, s"q$qid count")
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g.rank == i + 1)
+        assert(g.chunkId == w._1 && g.docId == w._2 && g.chunkText == w._3)
+        assert(g.score == w._4, s"q$qid rank ${i + 1}: exact score") // bit-for-bit
+      }
+    }
+    assert(!hits.contains(30L)) // zero-norm query retrieves nothing, cleanly
+    shardedStore.unpersist(); store.unpersist()
+  }
+
   test("retrieveReranked returns finalK chunks ranked by lexical overlap") {
     val store = DocumentStore.build(docs, col("id"), col("body"),
       chunkTokens = 20, overlap = 5, dim = 16).cache()

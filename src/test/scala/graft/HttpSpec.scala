@@ -136,4 +136,42 @@ class HttpSpec extends AnyFunSuite {
       assert(post(url, """{"query": "anything", "k": 1}""").contains("\"doc_id\":2"))
     } finally served.stop()
   }
+
+  test("QaServer sharded mode: byte-identical responses, refresh still swaps") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "spark is a distributed engine for large scale data processing " +
+        "with dataframes and a catalyst optimizer inside"),
+      (2L, "the cat sat on a warm mat in the sun and slept through the whole " +
+        "afternoon without a single care"),
+      (3L, "window functions and joins shuffle data between partitions in a " +
+        "distributed query engine at scale")).toDF("doc_id", "text")
+    def store() = graft.operators.DocumentStore.build(
+      docs, col("doc_id"), col("text"), chunkTokens = 30, overlap = 5, dim = 32)
+      .repartition(5) // several executor-held shards
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val snap = graft.sources.QaServer.serveRefreshable(store(), dim = 32)
+    val shard = graft.sources.QaServer.serveRefreshable(store(), dim = 32,
+      sharded = true)
+    try {
+      for (q <- Seq("""{"query": "distributed data engine", "k": 2}""",
+          """{"query": "cat in the sun", "k": 1}""",
+          """{"query": "", "k": 2}""")) { // zero vector → clean empty result
+        val a = post(s"http://127.0.0.1:${snap.port}/v2/answer", q)
+        val b = post(s"http://127.0.0.1:${shard.port}/v2/answer", q)
+        assert(a == b, s"sharded answer diverges for $q")
+      }
+      val la = post(s"http://127.0.0.1:${snap.port}/v2/list_documents", "{}")
+      val lb = post(s"http://127.0.0.1:${shard.port}/v2/list_documents", "{}")
+      assert(la == lb, "list_documents diverges")
+      // refresh in sharded mode: the new store serves, the old cache releases
+      val v2 = Seq((9L, "entirely new corpus about volcanoes and geology rocks"))
+        .toDF("doc_id", "text")
+      shard.refresh(graft.operators.DocumentStore.build(
+        v2, col("doc_id"), col("text"), chunkTokens = 30, overlap = 5, dim = 32))
+      val after = post(s"http://127.0.0.1:${shard.port}/v2/answer",
+        """{"query": "volcanoes", "k": 1}""")
+      assert(after.contains("\"doc_id\":9"), after)
+    } finally { snap.stop(); shard.stop() }
+  }
 }
