@@ -73,9 +73,15 @@ object StreamBench {
     // production-scale state store (bounded memory + native compaction —
     // what a 1000-executor deployment with large keyed state would run)
     // instead of the default in-memory HDFS-backed provider
-    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: per-batch deltas instead of full SST
+      // uploads — the production posture for large keyed state (the
+      // band-bucket topology grows one row per live (band, bucket))
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
     import spark.implicits._
 
     val nKeys = 256L
@@ -190,6 +196,27 @@ object StreamBench {
       StreamOps.minhashDedupStream(
           rateSrc.select(col("value").as("doc_id"), text.as("text")),
           col("doc_id"), col("text"), bands = bands, threshold = 0.7)
+        .writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt()).start()
+    }
+
+    /** The r13 coarse-state-topology variant of minhash_dedup: state rows
+      * bounded by bands·coarse (SPARK_GRAFT_MINHASH_COARSE, default 4096)
+      * instead of one row per live band-bucket — same emitted pairs
+      * (StreamingSpec). A/B against minhash_dedup isolates whether the
+      * state-store ROW TOPOLOGY (456k rows/60k docs) or the per-row write
+      * size binds throughput. */
+    def startMinhashDedupCoarse(): StreamingQuery = {
+      val seed = when(col("value") % 20 === 0, col("value") % 5 - 10)
+        .otherwise(col("value"))
+      val text = concat_ws(" ",
+        (0 until 6).map(i => md5(concat(lit(s"w$i"), seed))): _*)
+      val bands = sys.env.getOrElse("SPARK_GRAFT_MINHASH_BANDS", "8").toInt
+      val coarse = sys.env.getOrElse("SPARK_GRAFT_MINHASH_COARSE", "4096").toInt
+      StreamOps.minhashDedupStreamCoarse(
+          rateSrc.select(col("value").as("doc_id"), text.as("text")),
+          col("doc_id"), col("text"), bands = bands, threshold = 0.7,
+          coarse = coarse)
         .writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", ckpt()).start()
     }
@@ -479,6 +506,7 @@ object StreamBench {
       "tumbling_agg" -> (() => measure("tumbling_agg", startTumblingAgg _)),
       "dedup_acceptor" -> (() => measure("dedup_acceptor", startDedupAcceptor _)),
       "minhash_dedup" -> (() => measure("minhash_dedup", startMinhashDedup _)),
+      "minhash_dedup_coarse" -> (() => measure("minhash_dedup_coarse", startMinhashDedupCoarse _)),
       "minhash_sig_only" -> (() => measure("minhash_sig_only", startMinhashSigOnly _)),
       "curation_ingest" -> (() => measure("curation_ingest", startCurationIngest _)),
       "upsert_jdbc" -> (() => measure("upsert_jdbc", startUpsertJdbc _)),

@@ -220,6 +220,124 @@ object StreamOps {
       .toDF("id1", "id2", "est_jaccard")
   }
 
+  /** [[minhashDedupKernel]] with COARSE state keys — the r13 state-topology
+    * experiment. The stateful group is (band, floorMod(bucket, coarse))
+    * instead of (band, bucket): state-store ROW COUNT is bounded by
+    * bands·coarse where the fine kernel grows one row per live band-bucket
+    * (456k rows per 60k docs at bands=8 — the measured r12 throughput
+    * binder). Each coarse slot packs the members of every true bucket
+    * hashing to it, the true bucket id stored per member
+    * ([bucket][id][sig×numHashes] entries), so comparisons AND the
+    * bucketCap still apply only within the true bucket — emitted pairs are
+    * identical to the fine kernel's (StreamingSpec pins the equivalence).
+    * The trade: per-arrival scans touch the whole slot (≈ members/coarse
+    * per band) and a touched slot rewrites a larger state value — the
+    * `coarse` knob positions row-count overhead against write
+    * amplification. Appends batch into ONE copy per slot per micro-batch
+    * (the fine kernel re-copies per arrival). */
+  def minhashDedupKernelCoarse(numHashes: Int, threshold: Double, bucketCap: Int):
+      ((Int, Long), Iterator[(Long, Seq[Long], Int, Long)],
+        GroupState[Array[Byte]]) => Iterator[(Long, Long, Double)] =
+    (_, rows, state) => {
+      val entry = 8 * (numHashes + 2)
+      val buf = if (state.exists) state.get else Array.emptyByteArray
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      val n0 = buf.length / entry
+      val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+      val appended = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Long])]
+      rows.foreach { case (id, sigSeq, _, bucket) =>
+        val sig = new Array[Long](numHashes)
+        var s = 0
+        while (s < numHashes) { sig(s) = sigSeq(s); s += 1 }
+        // membership / dup-id scan over this TRUE bucket (state + in-batch)
+        var dup = false
+        var cnt = 0
+        var m = 0
+        while (m < n0 && !dup) {
+          val base = m * entry
+          if (bb.getLong(base) == bucket) {
+            if (bb.getLong(base + 8) == id) dup = true else cnt += 1
+          }
+          m += 1
+        }
+        var a = 0
+        while (a < appended.length && !dup) {
+          if (appended(a)._1 == bucket) {
+            if (appended(a)._2 == id) dup = true else cnt += 1
+          }
+          a += 1
+        }
+        if (!dup) {
+          m = 0
+          while (m < n0) {
+            val base = m * entry
+            if (bb.getLong(base) == bucket) {
+              var eq = 0; s = 0
+              while (s < numHashes) {
+                if (bb.getLong(base + 16 + 8 * s) == sig(s)) eq += 1; s += 1
+              }
+              val est = eq.toDouble / numHashes
+              if (est >= threshold) {
+                val oid = bb.getLong(base + 8)
+                out += ((math.min(id, oid), math.max(id, oid), est))
+              }
+            }
+            m += 1
+          }
+          a = 0
+          while (a < appended.length) {
+            val (ab, aid, asig) = appended(a)
+            if (ab == bucket) {
+              var eq = 0; s = 0
+              while (s < numHashes) { if (asig(s) == sig(s)) eq += 1; s += 1 }
+              val est = eq.toDouble / numHashes
+              if (est >= threshold)
+                out += ((math.min(id, aid), math.max(id, aid), est))
+            }
+            a += 1
+          }
+          if (cnt < bucketCap) appended += ((bucket, id, sig))
+        }
+      }
+      if (appended.nonEmpty) {
+        val nb = java.util.Arrays.copyOf(buf, buf.length + entry * appended.length)
+        val b2 = java.nio.ByteBuffer.wrap(nb)
+        var off = buf.length
+        appended.foreach { case (bk, aid, sig) =>
+          b2.putLong(off, bk); b2.putLong(off + 8, aid)
+          var s = 0
+          while (s < numHashes) { b2.putLong(off + 16 + 8 * s, sig(s)); s += 1 }
+          off += entry
+        }
+        state.update(nb)
+      }
+      out.iterator
+    }
+
+  /** [[minhashDedupKernelCoarse]] wired end-to-end — same contract as
+    * [[minhashDedupStream]], state rows bounded by bands·coarse. */
+  def minhashDedupStreamCoarse(df: DataFrame, id: Column, text: Column,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8,
+      bucketCap: Int = graft.operators.Dedup.DefaultBucketCap,
+      coarse: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val rpb = numHashes / bands
+    val sigs = graft.operators.Dedup.minhashSignatures(df, id, text, k, numHashes)
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rpb until (b + 1) * rpb).map(s => col("_mins")(s)): _*)
+    }
+    sigs.select(col("id"), col("_mins"),
+        posexplode(array(bandKeys: _*)).as(Seq("_band", "_bucket")))
+      .as[(Long, Seq[Long], Int, Long)]
+      .groupByKey(r => (r._3, java.lang.Math.floorMod(r._4, coarse.toLong)))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        minhashDedupKernelCoarse(numHashes, threshold, bucketCap))
+      .toDF("id1", "id2", "est_jaccard")
+  }
+
   /** Batch deduplicate with acceptor semantics for an ORDERED replay: fold
     * rows per instance in `orderBy` order through the acceptor, keep the
     * final accepted row. (Batch = replaying the whole stream at one time.) */

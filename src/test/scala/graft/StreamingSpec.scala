@@ -97,6 +97,52 @@ class StreamingSpec extends AnyFunSuite {
     q2.stop()
   }
 
+  test("coarse-state minhash kernel emits the same pairs as the fine kernel") {
+    implicit val sql = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronauts deliberate about breakfast in the orbital cafeteria"
+    // coarse=1: EVERY band's buckets share one state row per band — the
+    // maximal-collision stress; comparisons must still respect true buckets
+    for (coarse <- Seq(1, 7)) {
+      val input = MemoryStream[(Long, String)]
+      val pairs = StreamOps.minhashDedupStreamCoarse(
+        input.toDF().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), threshold = 0.7, coarse = coarse)
+      val q = pairs.writeStream.format("memory").queryName(s"mh_coarse_$coarse")
+        .outputMode("append").start()
+      input.addData((1L, base),
+        (50L, "an entirely unrelated note about volcano insurance premiums"))
+      q.processAllAvailable()
+      assert(spark.table(s"mh_coarse_$coarse").count() == 0, "no dups yet")
+      input.addData((2L, base + " tail"), (3L, base)) // same-batch + history
+      q.processAllAvailable()
+      input.addData((3L, base)) // re-delivery: dup id must not re-pair
+      q.processAllAvailable()
+      val out = spark.table(s"mh_coarse_$coarse").select("id1", "id2").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"coarse=$coarse got $out")
+      q.stop()
+
+      // cap semantics survive coarse packing: star pairs only
+      val input2 = MemoryStream[(Long, String)]
+      val capped = StreamOps.minhashDedupStreamCoarse(
+        input2.toDF().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), threshold = 0.7, bucketCap = 2,
+        coarse = coarse)
+      val q2 = capped.writeStream.format("memory").queryName(s"mh_coarse_cap_$coarse")
+        .outputMode("append").start()
+      input2.addData((1L, base), (2L, base))
+      q2.processAllAvailable()
+      input2.addData((3L, base), (4L, base))
+      q2.processAllAvailable()
+      val got = spark.table(s"mh_coarse_cap_$coarse").select("id1", "id2").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)),
+        s"coarse=$coarse star pairs only, got $got")
+      q2.stop()
+    }
+  }
+
   test("changelog roundtrip: toStream then streamToTable recovers the snapshot") {
     val t = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val changelog = StreamOps.toStream(t, Some(lit(ts("2024-01-01 00:00:00"))))
