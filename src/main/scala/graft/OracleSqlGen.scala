@@ -134,10 +134,17 @@ LEFT JOIN sizes s ON s.rep = COALESCE(c.rep, n.id)"""
     val packed = (0 until 64)
       .map(i => s"(CASE WHEN c$i > 0 THEN ${BigInt(1) << (63 - i)}::HUGEINT ELSE 0::HUGEINT END)")
       .mkString(" + ")
-    val bandConds = (0 until bands).map { b =>
+    // one EQUI-join per band, UNION-deduped — an OR of band equalities
+    // would force DuckDB onto a nested-loop join (quadratic in corpus
+    // size: >900 s at sf1 where the union of hash joins is seconds).
+    // UNION (not UNION ALL) collapses pairs matching in several bands,
+    // exactly the rows the OR form produced once.
+    val bandJoins = (0 until bands).map { b =>
       val p = BigInt(1) << (b * width)
-      s"(a.us // $p) % ${1L << width} = (b.us // $p) % ${1L << width}"
-    }.mkString(" OR ")
+      s"""SELECT a.id AS id1, b.id AS id2, a.us AS ua, b.us AS ub
+  FROM s a JOIN s b ON a.id < b.id
+   AND (a.us // $p) % ${1L << width} = (b.us // $p) % ${1L << width}"""
+    }.mkString("\n  UNION\n  ")
     val ham = (0 until 64)
       .map(i => s"(CASE WHEN ${duckBit("ua", i)} <> ${duckBit("ub", i)} THEN 1 ELSE 0 END)")
       .mkString(" + ")
@@ -146,8 +153,8 @@ tk AS (SELECT doc_id AS id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9'']+'
 hu AS (SELECT id, ${duckU64("t")} AS hu FROM tk),
 c AS (SELECT id, $sums FROM hu GROUP BY id),
 s AS (SELECT id, ($packed) AS us FROM c),
-cand AS (SELECT a.id AS id1, b.id AS id2, a.us AS ua, b.us AS ub
-  FROM s a JOIN s b ON a.id < b.id AND ($bandConds)),
+cand AS (
+  $bandJoins),
 h AS (SELECT id1, id2, ($ham) AS hamming FROM cand)
 SELECT id1, id2, CAST(hamming AS BIGINT) AS hamming FROM h WHERE hamming <= $maxDist"""
   }
