@@ -132,23 +132,23 @@ object McpServer {
     *     top chunk texts concatenated as context + the top doc id.
     *
     * The store snapshot collects once at serve time (serving-host memory —
-    * the reference's in-process index constraint, see [[QaServer]]). */
+    * the reference's in-process index constraint, see [[QaServer]]);
+    * `sharded = true` keeps the store in executor-held partitions instead
+    * and answers every tool from [[graft.operators.DocumentStore.retrieveSharded]]
+    * / small aggregations — identical results (same cosine, same
+    * (-score, chunkId) order), no corpus in server memory. */
   def forDocumentStore(store: DataFrame, dim: Int, port: Int = 0,
       path: String = "/mcp", defaultK: Int = 3,
-      chat: Option[graft.operators.Llms.ChatModel] = None): Served = {
+      chat: Option[graft.operators.Llms.ChatModel] = None,
+      sharded: Boolean = false): Served = {
     import org.json4s._
-    val entries = store.select("chunk_id", "doc_id", "chunk_text", "embedding")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getSeq[Float](3).toArray))
+    import graft.operators.DocumentStore
+    val snapshot: Option[Array[(Long, Long, String, Array[Float])]] =
+      if (sharded) None
+      else Some(store.select("chunk_id", "doc_id", "chunk_text", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getSeq[Float](3).toArray)))
     val embedder = new Embedders.FakeEmbedder(dim)
-
-    def cosine(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0.0 || nb == 0.0) Double.NegativeInfinity
-      else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
 
     def topK(args: JValue): Seq[(Long, Long, String, Double)] = {
       val query = args \ "query" match {
@@ -157,10 +157,38 @@ object McpServer {
       }
       val k = args \ "k" match { case JInt(n) => n.toInt; case _ => defaultK }
       val qv = embedder.embedBatch(Seq(query)).head
-      entries.map { case (cid, did, text, vec) => (cid, did, text, cosine(qv, vec)) }
-        .filter { case (_, _, _, s) => java.lang.Double.isFinite(s) }
-        .sortBy { case (cid, _, _, s) => (-s, cid) }
-        .take(math.max(k, 0)).toSeq
+      snapshot match {
+        case Some(entries) =>
+          entries.map { case (cid, did, text, vec) =>
+            (cid, did, text, DocumentStore.cosineF(qv, vec)) }
+            .filter { case (_, _, _, s) => java.lang.Double.isFinite(s) }
+            .sortBy { case (cid, _, _, s) => (-s, cid) }
+            .take(math.max(k, 0)).toSeq
+        case None =>
+          DocumentStore.retrieveSharded(store, Seq(0L -> qv), k)
+            .sortBy(_.rank)
+            .map(h => (h.chunkId, h.docId, h.chunkText, h.score)).toSeq
+      }
+    }
+
+    def docInventory(): Seq[(Long, Long, Long)] = snapshot match {
+      case Some(entries) =>
+        entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (did, cs) =>
+          (did, cs.length.toLong, cs.map(_._3.length.toLong).sum) }
+      case None =>
+        import org.apache.spark.sql.functions.{col, count, length, lit, sum}
+        store.groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), sum(length(col("chunk_text"))).as("c"))
+          .orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+
+    def stats(): (Long, Long) = snapshot match {
+      case Some(entries) => (entries.length.toLong, entries.map(_._2).distinct.length.toLong)
+      case None =>
+        import org.apache.spark.sql.functions.{countDistinct, count, lit, col}
+        val r = store.agg(count(lit(1)), countDistinct(col("doc_id"))).head()
+        (r.getLong(0), r.getLong(1))
     }
 
     def esc(s: String): String =
@@ -180,7 +208,8 @@ object McpServer {
       Tool("statistics_query",
         "Index statistics: chunk and document counts of the served snapshot.",
         """{"type":"object","properties":{}}""",
-        _ => s"""{"chunk_count":${entries.length},"doc_count":${entries.map(_._2).distinct.length}}"""),
+        _ => { val (nc, ndoc) = stats()
+          s"""{"chunk_count":$nc,"doc_count":$ndoc}""" }),
       Tool("answer_query",
         "Answer a query from the document store: top chunk texts as context plus the best-matching doc id.",
         querySchema,
@@ -195,8 +224,8 @@ object McpServer {
       Tool("list_documents",
         "Indexed-document inventory: doc_id, chunk and char counts.",
         """{"type":"object","properties":{}}""",
-        _ => entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (did, cs) =>
-          s"""{"doc_id":$did,"n_chunks":${cs.length},"n_chars":${cs.map(_._3.length.toLong).sum}}"""
+        _ => docInventory().map { case (did, nChunks, nChars) =>
+          s"""{"doc_id":$did,"n_chunks":$nChunks,"n_chars":$nChars}"""
         }.mkString("[", ",", "]"))) ++
       chat.map { model =>
         Tool("summarize",

@@ -85,6 +85,38 @@ class McpServerSpec extends AnyFunSuite {
     } finally served.stop()
   }
 
+  test("sharded document-store tools: byte-identical to the snapshot server") {
+    val docs = Seq(
+      (1L, "spark is a distributed engine for large scale data processing " +
+        "with dataframes and a catalyst optimizer inside"),
+      (2L, "the cat sat on a warm mat in the sun and slept through the whole " +
+        "afternoon without a single care"),
+      (3L, "window functions and joins shuffle data between partitions in a " +
+        "distributed query engine at scale")).toDF("doc_id", "text")
+    def store() = graft.operators.DocumentStore.build(
+        docs, col("doc_id"), col("text"), chunkTokens = 30, overlap = 5, dim = 32)
+      .repartition(5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val snap = McpServer.forDocumentStore(store(), dim = 32)
+    val shard = McpServer.forDocumentStore(store(), dim = 32, sharded = true)
+    try {
+      val calls = Seq(
+        """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{
+          |"name":"retrieve_query","arguments":{"query":"distributed data engine","k":2}}}""".stripMargin,
+        """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{
+          |"name":"statistics_query","arguments":{}}}""".stripMargin,
+        """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{
+          |"name":"answer_query","arguments":{"query":"cat in the sun","k":1}}}""".stripMargin,
+        """{"jsonrpc":"2.0","id":6,"method":"tools/call","params":{
+          |"name":"list_documents","arguments":{}}}""".stripMargin)
+      for (c <- calls) {
+        val (_, a) = post(s"http://127.0.0.1:${snap.port}/mcp", c)
+        val (_, b) = post(s"http://127.0.0.1:${shard.port}/mcp", c)
+        assert(a == b, s"sharded MCP diverges for $c:\n$a\nvs\n$b")
+      }
+    } finally { snap.stop(); shard.stop() }
+  }
+
   test("list_documents + chat-gated summarize tools (reference register_mcp surface)") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
