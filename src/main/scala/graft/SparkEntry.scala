@@ -920,6 +920,15 @@ object SparkEntry {
     TrainPrep.capPerGroup(docs(s, dir).select("doc_id", "source"),
       col("doc_id"), col("source"), n = 10)
 
+  /** The same cap FORCED onto the hot-group two-phase plan (tiny
+    * hotThreshold/subTarget: every source salts into ≥4 sub-rank buckets
+    * at sf0.01). Selection is bit-identical to [[qSampleGroupCap]] by
+    * construction — this row pins that claim with the SAME oracle SQL,
+    * so the scale-safe plan shape carries its own correctness row. */
+  private def qSampleGroupCapHot(s: SparkSession, dir: String): DataFrame =
+    TrainPrep.capPerGroup(docs(s, dir).select("doc_id", "source"),
+      col("doc_id"), col("source"), n = 10, hotThreshold = 20L, subTarget = 8L)
+
   /** Best-member dedup representative: dup groups over the chain-planted
     * corpus, keeper = argmax quality score (ties → smaller id) — the
     * keep-the-clean-copy policy a real curation pipeline runs. */
@@ -1489,6 +1498,7 @@ object SparkEntry {
     "sample_weighted" -> (qSampleWeighted _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_group_cap" -> (qSampleGroupCap _),
+    "sample_group_cap_hot" -> (qSampleGroupCapHot _),
     "dedup_keep_best" -> (qDedupKeepBest _),
     "embedding_cosine_pairs" -> (qEmbCosinePairs _),
     "knn_brute_force" -> (qKnnBrute _),
@@ -2483,6 +2493,16 @@ object SparkEntry {
     "dedup_groups" -> OracleSqlGen.dedupGroups(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
     "dedup_keep_best" -> OracleSqlGen.dedupKeepBest(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
     "sample_group_cap" -> {
+      val slot = graft.functions.CrossHash.duckSigned(
+        graft.functions.CrossHash.duckU64("CAST(doc_id AS VARCHAR)"))
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY $slot ASC, doc_id ASC) AS rk
+         |  FROM documents) WHERE rk <= 10""".stripMargin
+    },
+    // deliberately the SAME oracle as sample_group_cap: the salted two-phase
+    // plan must select the bit-identical set
+    "sample_group_cap_hot" -> {
       val slot = graft.functions.CrossHash.duckSigned(
         graft.functions.CrossHash.duckU64("CAST(doc_id AS VARCHAR)"))
       s"""SELECT doc_id, source FROM (
