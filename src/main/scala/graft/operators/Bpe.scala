@@ -223,6 +223,15 @@ object Bpe {
     val callerParts =
       wc.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val spark = wc.sparkSession.newSession()
+    // newSession() starts from SparkConf DEFAULTS, not the caller's runtime
+    // conf — carry the caller's SQL settings (ANSI mode, session timezone,
+    // codegen flags…) over so the loop's queries keep the caller's
+    // semantics; only then apply the loop-local overrides. Static/immutable
+    // entries reject the set — skip them.
+    wc.sparkSession.conf.getAll.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     import spark.implicits._
     // re-bind the input under the cloned session (RDD + schema hop — the

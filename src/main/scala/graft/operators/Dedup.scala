@@ -371,11 +371,15 @@ object Dedup {
     * count, not corpus count, flows to the reduce side) + an equi-join
     * back; no window over the corpus. */
   def keepBest(groups: DataFrame, scores: DataFrame): DataFrame = {
+    // an explicit scored/unscored rank, NOT a Double.MinValue sentinel: the
+    // sentinel would rank an unscored member ABOVE a scored -Infinity (a
+    // quality classifier's hard reject) and tie with an exact MinValue score
     val g = groups.select(col("id"), col("rep_id"))
       .join(scores.select(col("id"), col("score").as("_s")), Seq("id"), "left_outer")
-      .withColumn("_s", coalesce(col("_s"), lit(Double.MinValue)))
     val keepers = g.groupBy("rep_id")
-      .agg(max_by(col("id"), struct(col("_s"), -col("id"))).as("keeper_id"))
+      .agg(max_by(col("id"), struct(
+        col("_s").isNotNull.cast("int"), coalesce(col("_s"), lit(0.0)), -col("id")))
+        .as("keeper_id"))
     g.join(keepers, "rep_id")
       .select(col("id"), col("rep_id"), col("keeper_id"),
         (col("id") === col("keeper_id")).as("keep"))

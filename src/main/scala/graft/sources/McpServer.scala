@@ -173,8 +173,10 @@ object McpServer {
 
     def docInventory(): Seq[(Long, Long, Long)] = snapshot match {
       case Some(entries) =>
+        // code points — parity with the sharded SQL length() on non-BMP text
         entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (did, cs) =>
-          (did, cs.length.toLong, cs.map(_._3.length.toLong).sum) }
+          (did, cs.length.toLong,
+            cs.map(t => t._3.codePointCount(0, t._3.length).toLong).sum) }
       case None =>
         import org.apache.spark.sql.functions.{col, count, length, lit, sum}
         store.groupBy("doc_id")

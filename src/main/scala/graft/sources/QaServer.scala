@@ -57,7 +57,10 @@ object QaServer {
         .take(math.max(k, 0))
     def docSummary: Seq[(Long, Long, Long)] =
       entries.groupBy(_.docId).toSeq.sortBy(_._1).map { case (d, cs) =>
-        (d, cs.length.toLong, cs.map(_.text.length.toLong).sum)
+        // code points, not UTF-16 units: matches the sharded path's SQL
+        // length() (and the reference's Python len()) on non-BMP text
+        (d, cs.length.toLong,
+          cs.map(c => c.text.codePointCount(0, c.text.length).toLong).sum)
       }
     def backing: Option[DataFrame] = Option(owned)
   }

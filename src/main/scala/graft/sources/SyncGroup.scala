@@ -120,6 +120,9 @@ object InputSynchronization {
           .filter(s => (s ne st) && active(s))
           .flatMap(_.frontier).minOption
         auditLog += Admission(member, newF, minOtherStarted, catchUp)
+        // bounded audit: one admission per member per micro-batch forever
+        // would leak driver memory on a long-running stream
+        if (auditLog.length > 16384) auditLog.remove(0, auditLog.length - 8192)
       }
       n
     }
@@ -231,9 +234,16 @@ private[sources] class SyncedReplayStream(path: String, syncCol: String,
     val s = start.asInstanceOf[ReplayOffset].rank
     val e = end.asInstanceOf[ReplayOffset].rank
     if (e <= s) return Array.empty
-    val rows = spark.read.parquet(path)
+    // rank must be STABLE across planInputPartitions calls or a batch
+    // boundary splitting equal sync values could emit a row twice and drop
+    // its sibling — tie-break equal sync values by a full-row hash (rows
+    // are assumed distinct, the replay-table contract)
+    val src = spark.read.parquet(path)
+    val tieBreak = xxhash64(src.columns.map(col).toIndexedSeq: _*)
+    val rows = src
       .withColumn("_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(syncCol))).cast("long"))
+        org.apache.spark.sql.expressions.Window.orderBy(col(syncCol), tieBreak))
+        .cast("long"))
       .filter(col("_rank") > s && col("_rank") <= e)
       .drop("_rank")
       .queryExecution.executedPlan.executeCollect()

@@ -39,11 +39,23 @@ object Inactivity {
     * time_utils.py:42; its `initial_delay` is the rate source's natural
     * first-tick latency). */
   def utcNow(spark: SparkSession, refreshRateMs: Long = 60000L): DataFrame = {
-    val rps = math.max(1, (1000.0 / refreshRateMs).toInt)
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", rps.toString)
-      .load()
-      .select(col("timestamp").as("timestamp_utc"))
+    if (refreshRateMs <= 1000L) {
+      val rps = math.max(1, math.round(1000.0 / refreshRateMs).toInt)
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rps.toString)
+        .load()
+        .select(col("timestamp").as("timestamp_utc"))
+    } else {
+      // sub-1Hz is inexpressible via rowsPerSecond (it floors to 1 row/s —
+      // 60× the contracted cadence at the 60 s default); tick at 1 Hz and
+      // keep every ceil(refreshRateMs/1000)-th row
+      val every = (refreshRateMs + 999L) / 1000L
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", "1")
+        .load()
+        .filter(pmod(col("value"), lit(every)) === 0)
+        .select(col("timestamp").as("timestamp_utc"))
+    }
   }
 
   /* exposed for the Dataset encoder (name-resolved) */
@@ -63,7 +75,8 @@ object Inactivity {
     val out = Seq.newBuilder[InactivityEvent]
     if (state.hasTimedOut) {
       val st = state.get
-      // gap exceeded: report the inactivity period (resumed unknown yet)
+      // gap exceeded with no rows at all (instanced groups, which see no
+      // heartbeats): report the inactivity period (resumed unknown yet)
       out += InactivityEvent(key, new Timestamp(st.lastActivityMs), null)
       state.update(st.copy(openSinceMs = st.lastActivityMs))
       // no new timeout: the group sleeps until data arrives
@@ -78,10 +91,26 @@ object Inactivity {
           out += InactivityEvent(key, new Timestamp(st.openSinceMs), new Timestamp(nowMs))
         st = InactState(nowMs, -1L, everActive = true)
       }
+      // in instanced mode the null group only reports the SINCE-START case;
+      // once any data has arrived it stays permanently silent
       val retired = globalFromStartOnly && key == null && st.everActive
+      if (!anyActivity && !retired &&
+          st.openSinceMs < 0L && nowMs - st.lastActivityMs > allowedMs) {
+        // heartbeat tick revealed the gap — the detection clock for groups
+        // that DO receive heartbeats (the null/global group; in default
+        // mode every event shares it). Spark's timeout callback only fires
+        // for groups with no rows at all, so a heartbeat-fed group must
+        // check the gap itself — exactly the reference's design of joining
+        // latest-activity against the utc_now table (time_utils.py:112).
+        out += InactivityEvent(key, new Timestamp(st.lastActivityMs), null)
+        st = st.copy(openSinceMs = st.lastActivityMs)
+      }
       state.update(st)
       if (st.openSinceMs < 0L && !retired)
-        state.setTimeoutDuration(allowedMs)
+        // re-arm to the ABSOLUTE deadline lastActivity + allowed: arming
+        // `allowedMs` from now would let each heartbeat batch push the
+        // deadline forever forward and the fallback timeout never fire
+        state.setTimeoutDuration(math.max(1L, st.lastActivityMs + allowedMs - nowMs))
     }
     out.result().iterator
   }

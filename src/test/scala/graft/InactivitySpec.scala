@@ -77,6 +77,40 @@ class InactivitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("default mode (no instance): heartbeat ticks detect the gap despite sharing the group") {
+    // REGRESSION: in default mode every event AND every heartbeat share the
+    // single null group, so Spark's timeout callback never fires for it
+    // (rows keep arriving); the kernel must detect the gap on heartbeat
+    // ticks itself, the reference's utc_now-join design
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = Inactivity.inactivityDetection(input.toDF().select(col("value")),
+      allowedInactivityMs = 1200, refreshRateMs = 200)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Option[Long])]()
+    val q = out.writeStream
+      .foreachBatch(collectRows(buf) _)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      input.addData("e1"); input.addData("e2")
+      val deadline = System.currentTimeMillis() + 30000
+      while (!buf.iterator().hasNext && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val detections = buf.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[(String, Long, Option[Long])])
+      assert(detections.exists(e => e._1 == null && e._3.isEmpty),
+        s"expected a detection row in default mode, got ${detections.toSeq}")
+      val openTs = detections.find(e => e._1 == null && e._3.isEmpty).get._2
+      input.addData("e3") // resume
+      val deadline2 = System.currentTimeMillis() + 30000
+      while (!buf.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[(String, Long, Option[Long])])
+          .exists(e => e._1 == null && e._2 == openTs && e._3.isDefined) &&
+        System.currentTimeMillis() < deadline2) Thread.sleep(100)
+      val all = buf.toArray(Array.empty[AnyRef]).map(_.asInstanceOf[(String, Long, Option[Long])])
+      assert(all.exists(e => e._1 == null && e._2 == openTs && e._3.isDefined),
+        s"expected resumption for ts=$openTs, got ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("no data at all: the since-start period is reported on the null instance") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[String]
