@@ -79,6 +79,24 @@ object DocumentStore {
   final case class ShardHit(queryId: Long, chunkId: Long, docId: Long,
       chunkText: String, score: Double, rank: Int)
 
+  /** Per-doc inventory (docId, nChunks, nChars) over in-memory (docId,
+    * chunkText) pairs — nChars in CODE POINTS (parity with the distributed
+    * form's SQL length() and the reference's Python len()). One shared
+    * implementation for the QA/MCP servers' list_documents surfaces. */
+  private[graft] def docSummary(chunks: Iterator[(Long, String)]): Seq[(Long, Long, Long)] =
+    chunks.toSeq.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, cs) =>
+      (d, cs.length.toLong,
+        cs.map(t => t._2.codePointCount(0, t._2.length).toLong).sum)
+    }
+
+  /** Distributed twin of [[docSummary]] over a store DataFrame — one small
+    * aggregation, ships one row per document. */
+  private[graft] def docSummaryDistributed(store: DataFrame): Seq[(Long, Long, Long)] =
+    store.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(length(col("chunk_text"))).as("c"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
   /** Serving-side cosine — shared by the snapshot path (QaServer) and the
     * sharded path so their scores are bit-identical (same operation order,
     * Float products widened the same way). */
@@ -105,12 +123,13 @@ object DocumentStore {
     * and the merged result is bit-for-bit the snapshot answer
     * (DocumentStoreSpec pins the equivalence). */
   def retrieveSharded(store: DataFrame, queryVecs: Seq[(Long, Array[Float])],
-      k: Int): Array[ShardHit] = {
+      k: Int, expectDim: Option[Int] = None): Array[ShardHit] = {
     if (queryVecs.isEmpty || k <= 0) return Array.empty
     val sp = store.sparkSession
     import sp.implicits._
     val qArr = queryVecs.toArray // small serving batch — rides the closure
     val kk = k
+    val dimCheck = expectDim.getOrElse(-1)
     val perShard = store.select("chunk_id", "doc_id", "chunk_text", "embedding")
       .as[(Long, Long, String, Array[Float])]
       .mapPartitions { rows =>
@@ -120,6 +139,12 @@ object DocumentStore {
           new scala.collection.mutable.PriorityQueue[(Double, Long, Long, String)]()(
             Ordering.by { t: (Double, Long, Long, String) => (-t._1, t._2) }))
         rows.foreach { case (chunkId, docId, text, vec) =>
+          // fail fast on a store/serve dim mismatch DURING the scan we run
+          // anyway (truncated-cosine scoring would silently mis-rank) —
+          // no dedicated validation pass over the corpus-scale store
+          if (dimCheck >= 0 && vec.length != dimCheck)
+            throw new IllegalArgumentException(
+              s"store embedding dim ${vec.length} != serve dim $dimCheck (chunk $chunkId)")
           var qi = 0
           while (qi < qArr.length) {
             val s = cosineF(qArr(qi)._2, vec)

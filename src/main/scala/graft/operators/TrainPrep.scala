@@ -231,6 +231,12 @@ object TrainPrep {
       hotThreshold: Long = 1L << 22, subTarget: Long = 1L << 20): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val h = CrossHash.md5Long(key)
+    if (hotThreshold == Long.MaxValue) {
+      // explicit opt-out (and the ScaleProbe A/B's honest "plain" arm):
+      // the bare single window, none of the two-phase scaffolding
+      val rk = row_number().over(W.partitionBy(group).orderBy(h.asc, key.asc))
+      return df.withColumn("_rk", rk).filter(col("_rk") <= n).drop("_rk")
+    }
     val hot = df.groupBy(group.as("_g")).agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") > hotThreshold)
     val nBuckets = greatest(lit(1L),

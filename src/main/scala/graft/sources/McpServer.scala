@@ -165,7 +165,7 @@ object McpServer {
             .sortBy { case (cid, _, _, s) => (-s, cid) }
             .take(math.max(k, 0)).toSeq
         case None =>
-          DocumentStore.retrieveSharded(store, Seq(0L -> qv), k)
+          DocumentStore.retrieveSharded(store, Seq(0L -> qv), k, expectDim = Some(dim))
             .sortBy(_.rank)
             .map(h => (h.chunkId, h.docId, h.chunkText, h.score)).toSeq
       }
@@ -173,16 +173,8 @@ object McpServer {
 
     def docInventory(): Seq[(Long, Long, Long)] = snapshot match {
       case Some(entries) =>
-        // code points — parity with the sharded SQL length() on non-BMP text
-        entries.groupBy(_._2).toSeq.sortBy(_._1).map { case (did, cs) =>
-          (did, cs.length.toLong,
-            cs.map(t => t._3.codePointCount(0, t._3.length).toLong).sum) }
-      case None =>
-        import org.apache.spark.sql.functions.{col, count, length, lit, sum}
-        store.groupBy("doc_id")
-          .agg(count(lit(1)).as("n"), sum(length(col("chunk_text"))).as("c"))
-          .orderBy("doc_id")
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        DocumentStore.docSummary(entries.iterator.map(t => (t._2, t._3)))
+      case None => DocumentStore.docSummaryDistributed(store)
     }
 
     def stats(): (Long, Long) = snapshot match {

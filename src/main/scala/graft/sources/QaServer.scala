@@ -56,12 +56,7 @@ object QaServer {
         .sortBy { case (e, s) => (-s, e.chunkId) }
         .take(math.max(k, 0))
     def docSummary: Seq[(Long, Long, Long)] =
-      entries.groupBy(_.docId).toSeq.sortBy(_._1).map { case (d, cs) =>
-        // code points, not UTF-16 units: matches the sharded path's SQL
-        // length() (and the reference's Python len()) on non-BMP text
-        (d, cs.length.toLong,
-          cs.map(c => c.text.codePointCount(0, c.text.length).toLong).sum)
-      }
+      DocumentStore.docSummary(entries.iterator.map(e => (e.docId, e.text)))
     def backing: Option[DataFrame] = Option(owned)
   }
 
@@ -70,28 +65,15 @@ object QaServer {
     * launch (~tens of ms) for removing the driver/server-memory bound —
     * the store never materializes in one process. */
   private final class ShardedIndex(store: DataFrame, dim: Int) extends Index {
-    // fail fast on a serve(dim) / store-dim mismatch, same contract as the
-    // snapshot path (truncated-cosine scoring would silently mis-rank)
-    locally {
-      import org.apache.spark.sql.functions.{col, size}
-      val bad = store.filter(size(col("embedding")) =!= dim)
-        .select("chunk_id", "embedding").take(1)
-      bad.foreach { r =>
-        throw new IllegalArgumentException(
-          s"store embedding dim ${r.getSeq[Float](1).length} != serve dim $dim (chunk ${r.getLong(0)})")
-      }
-    }
+    // dim mismatch fails fast INSIDE the first retrieval scan (expectDim),
+    // not via a dedicated validation pass per refresh — at the corpus
+    // scale this index exists for, a full extra job per refresh is real
     def top(qv: Array[Float], k: Int): Array[(Entry, Double)] =
-      DocumentStore.retrieveSharded(store, Seq(0L -> qv), k)
+      DocumentStore.retrieveSharded(store, Seq(0L -> qv), k, expectDim = Some(dim))
         .sortBy(_.rank)
         .map(h => (Entry(h.chunkId, h.docId, h.chunkText, Array.emptyFloatArray), h.score))
-    def docSummary: Seq[(Long, Long, Long)] = {
-      import org.apache.spark.sql.functions._
-      store.groupBy("doc_id")
-        .agg(count(lit(1)).as("n"), sum(length(col("chunk_text"))).as("c"))
-        .orderBy("doc_id")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    }
+    def docSummary: Seq[(Long, Long, Long)] =
+      DocumentStore.docSummaryDistributed(store)
     def backing: Option[DataFrame] = Some(store)
   }
 

@@ -85,10 +85,17 @@ private[sources] class ReplayStream(path: String, orderCol: String,
     val s = start.asInstanceOf[ReplayOffset].rank
     val e = end.asInstanceOf[ReplayOffset].rank
     if (e <= s) return Array.empty
-    // driver-side slice: rank deterministically, keep (s, e], ship the rows
-    val rows = spark.read.parquet(path)
+    // driver-side slice: rank deterministically, keep (s, e], ship the rows.
+    // Equal orderCol values tie-break on a full-row hash so the rank is
+    // STABLE across planInputPartitions calls — a batch boundary splitting
+    // a tie group must not emit a row twice / drop its sibling (rows are
+    // assumed distinct, the replay-table contract).
+    val src = spark.read.parquet(path)
+    val tieBreak = xxhash64(src.columns.map(col).toIndexedSeq: _*)
+    val rows = src
       .withColumn("_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))).cast("long"))
+        org.apache.spark.sql.expressions.Window.orderBy(col(orderCol), tieBreak))
+        .cast("long"))
       .filter(col("_rank") > s && col("_rank") <= e)
       .drop("_rank")
       .queryExecution.executedPlan.executeCollect()

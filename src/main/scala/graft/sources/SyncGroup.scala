@@ -59,11 +59,32 @@ object InputSynchronization {
   final class Coordinator(val name: String, val maxDifference: Long) {
     private val members = mutable.LinkedHashMap.empty[String, MemberState]
     private val auditLog = mutable.ArrayBuffer.empty[Admission]
+    private var expectedSize = 0
 
     def register(member: String, priority: Int = 0,
         idleMs: Option[Long] = None): Unit = synchronized {
       if (!members.contains(member))
         members(member) = new MemberState(priority, idleMs)
+    }
+
+    /** Declare how many members the group will have (the reference
+      * registers all group columns atomically; V2 sources construct
+      * asynchronously, so a declared size keeps the first-started member
+      * from draining unsynchronized before its peers exist). admit()
+      * returns 0 until the group is fully assembled. */
+    def expectGroupSize(n: Int): Unit = synchronized {
+      expectedSize = math.max(expectedSize, n)
+    }
+
+    /** Reset one member's admission state — called on a FRESH query start
+      * (no checkpoint): the JVM-global coordinator otherwise carries the
+      * previous run's high frontiers and admission gating would be
+      * silently disabled for the whole replay. */
+    def resetMember(member: String): Unit = synchronized {
+      members.get(member).foreach { st =>
+        st.frontier = None
+        st.lastData = System.nanoTime()
+      }
     }
 
     def frontiers: Map[String, Option[Long]] = synchronized {
@@ -87,6 +108,7 @@ object InputSynchronization {
       * deadlocks; this is the reference's "read more from the lagging
       * source to align it". */
     def admit(member: String, values: Seq[Long]): Int = synchronized {
+      if (members.size < expectedSize) return 0 // group not fully assembled
       val st = members(member)
       if (values.isEmpty) return 0 // no pending data: candidate for idle exclusion
       val now = System.nanoTime()
@@ -169,7 +191,9 @@ object InputSynchronization {
   * deterministic replay source with its offset advance gated by an
   * [[InputSynchronization.Coordinator]]. Options: `path`, `syncCol`
   * (Long-castable replay/sync column), `rowsPerBatch`, `group`, `member`,
-  * `maxDifference`, optional `priority`, `idleMs`. */
+  * `maxDifference`, optional `priority`, `idleMs`, and `groupSize` (the
+  * declared member count — set it so the first-constructed member cannot
+  * drain unsynchronized before its peers' streams initialize). */
 class SyncedReplaySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     org.apache.spark.sql.SparkSession.active.read.parquet(options.get("path")).schema
@@ -181,13 +205,14 @@ class SyncedReplaySource extends TableProvider {
       opts.getInt("rowsperbatch", 100), opts.get("group"), opts.get("member"),
       opts.getLong("maxdifference", Long.MaxValue),
       opts.getInt("priority", 0),
-      Option(opts.get("idlems")).map(_.toLong))
+      Option(opts.get("idlems")).map(_.toLong),
+      opts.getInt("groupsize", 0))
   }
 }
 
 private[sources] class SyncedReplayTable(tableSchema: StructType, path: String,
     syncCol: String, rowsPerBatch: Int, groupName: String, member: String,
-    maxDifference: Long, priority: Int, idleMs: Option[Long])
+    maxDifference: Long, priority: Int, idleMs: Option[Long], groupSize: Int)
     extends Table with SupportsRead {
   override def name(): String = s"graft-synced-replay($path as $member@$groupName)"
   override def schema(): StructType = tableSchema
@@ -198,24 +223,39 @@ private[sources] class SyncedReplayTable(tableSchema: StructType, path: String,
       override def readSchema(): StructType = tableSchema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new SyncedReplayStream(path, syncCol, rowsPerBatch, groupName, member,
-          maxDifference, priority, idleMs)
+          maxDifference, priority, idleMs, groupSize)
     }
 }
 
 private[sources] class SyncedReplayStream(path: String, syncCol: String,
     rowsPerBatch: Int, groupName: String, member: String, maxDifference: Long,
-    priority: Int, idleMs: Option[Long])
+    priority: Int, idleMs: Option[Long], groupSize: Int)
     extends MicroBatchStream with SupportsAdmissionControl {
   private def spark = org.apache.spark.sql.SparkSession.active
   private val coordinator = InputSynchronization.group(groupName, maxDifference)
   coordinator.register(member, priority, idleMs)
+  if (groupSize > 0) coordinator.expectGroupSize(groupSize)
   // the replay table's sync values in admission order (driver-resident —
   // this source demonstrates the V2 admission surface, like ReplaySource)
   private lazy val syncVals: Array[Long] = spark.read.parquet(path)
     .select(org.apache.spark.sql.functions.col(syncCol).cast("long"))
     .orderBy(syncCol).collect().map(_.getLong(0))
 
-  override def initialOffset(): Offset = ReplayOffset(0L)
+  // ONCE per stream instance: the engine may consult initialOffset again
+  // while batch 0's offset commit is in flight, and a second reset would
+  // wipe this member's LIVE frontier mid-replay — the peer then sees a
+  // never-started member and catch-up-drains unsynchronized (observed
+  // under load in SyncGroupSpec before the guard).
+  private var didReset = false
+  override def initialOffset(): Offset = {
+    // a FRESH query (no checkpoint) starts its replay from rank 0: clear
+    // this member's frontier so a previous run's admissions (the
+    // coordinator is JVM-global) can't disable gating for the new replay.
+    // Checkpoint recovery does NOT call initialOffset — the carried
+    // frontier then matches the recovered offsets.
+    if (!didReset) { coordinator.resetMember(member); didReset = true }
+    ReplayOffset(0L)
+  }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("paced via latestOffset(start, limit)")
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {

@@ -58,8 +58,13 @@ object Inactivity {
     }
   }
 
-  /* exposed for the Dataset encoder (name-resolved) */
-  private[streaming] case class InactIn(instance: String, isActivity: Boolean, nowMs: Long)
+  /* exposed for the Dataset encoder (name-resolved). `synthetic` marks the
+   * heartbeat-fed global group's rows — keyed SEPARATELY from real rows so
+   * a genuinely-NULL instance value stays an ordinary monitored group
+   * instead of being conflated with (and retired by) the since-start
+   * bookkeeping. */
+  private[streaming] case class InactIn(instance: String, synthetic: Boolean,
+      isActivity: Boolean, nowMs: Long)
   /* primitive-only state (flat codegen'd encoder); openSinceMs = -1 when
    * no period is open */
   private[streaming] case class InactState(lastActivityMs: Long, openSinceMs: Long,
@@ -70,14 +75,15 @@ object Inactivity {
       resumed_activity_timestamp_utc: Timestamp)
 
   private def kernel(allowedMs: Long, globalFromStartOnly: Boolean)(
-      key: String, rows: Iterator[InactIn],
+      key: (Boolean, String), rows: Iterator[InactIn],
       state: GroupState[InactState]): Iterator[InactivityEvent] = {
     val out = Seq.newBuilder[InactivityEvent]
+    val inst = key._2
     if (state.hasTimedOut) {
       val st = state.get
       // gap exceeded with no rows at all (instanced groups, which see no
       // heartbeats): report the inactivity period (resumed unknown yet)
-      out += InactivityEvent(key, new Timestamp(st.lastActivityMs), null)
+      out += InactivityEvent(inst, new Timestamp(st.lastActivityMs), null)
       state.update(st.copy(openSinceMs = st.lastActivityMs))
       // no new timeout: the group sleeps until data arrives
     } else {
@@ -88,12 +94,13 @@ object Inactivity {
         InactState(lastActivityMs = nowMs, openSinceMs = -1L, everActive = false))
       if (anyActivity) {
         if (st.openSinceMs >= 0L)
-          out += InactivityEvent(key, new Timestamp(st.openSinceMs), new Timestamp(nowMs))
+          out += InactivityEvent(inst, new Timestamp(st.openSinceMs), new Timestamp(nowMs))
         st = InactState(nowMs, -1L, everActive = true)
       }
-      // in instanced mode the null group only reports the SINCE-START case;
-      // once any data has arrived it stays permanently silent
-      val retired = globalFromStartOnly && key == null && st.everActive
+      // in instanced mode the SYNTHETIC group only reports the SINCE-START
+      // case; once any data has arrived it stays permanently silent (a
+      // real null-instance group is keyed (false, null) and unaffected)
+      val retired = globalFromStartOnly && key._1 && st.everActive
       if (!anyActivity && !retired &&
           st.openSinceMs < 0L && nowMs - st.lastActivityMs > allowedMs) {
         // heartbeat tick revealed the gap — the detection clock for groups
@@ -102,7 +109,7 @@ object Inactivity {
         // for groups with no rows at all, so a heartbeat-fed group must
         // check the gap itself — exactly the reference's design of joining
         // latest-activity against the utc_now table (time_utils.py:112).
-        out += InactivityEvent(key, new Timestamp(st.lastActivityMs), null)
+        out += InactivityEvent(inst, new Timestamp(st.lastActivityMs), null)
         st = st.copy(openSinceMs = st.lastActivityMs)
       }
       state.update(st)
@@ -150,23 +157,30 @@ object Inactivity {
       refreshRateMs: Long = 1000L, instance: Option[Column] = None): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // default mode: every event joins the heartbeat-fed SYNTHETIC group
+    // (the heartbeats are its gap-detection clock). Instanced mode: real
+    // rows keep their instance — a genuinely-NULL instance value is an
+    // ordinary monitored group of its own, NOT conflated with the
+    // since-start bookkeeping — while shadow rows tick the synthetic
+    // group so the since-start row retires once any data arrives.
     val inst = instance.getOrElse(lit(null)).cast("string")
-    val acts = events.select(inst.as("instance"), lit(true).as("is_activity"))
-    // with instances, real rows also tick the global (null) group so the
-    // since-start row is cancelled/retired once any data arrives
+    val acts = events.select(inst.as("instance"),
+      lit(instance.isEmpty).as("synthetic"), lit(true).as("is_activity"))
     val withGlobal = if (instance.isDefined)
       acts.unionByName(events.select(lit(null).cast("string").as("instance"),
-        lit(true).as("is_activity")))
+        lit(true).as("synthetic"), lit(true).as("is_activity")))
     else acts
-    // heartbeats bootstrap the global group, so a stream with NO data at
-    // all still has one stateful group whose timeout can fire
+    // heartbeats bootstrap the synthetic group, so a stream with NO data
+    // at all still has one stateful group whose clock can fire
     val hb = utcNow(spark, refreshRateMs)
-      .select(lit(null).cast("string").as("instance"), lit(false).as("is_activity"))
+      .select(lit(null).cast("string").as("instance"),
+        lit(true).as("synthetic"), lit(false).as("is_activity"))
     withGlobal.unionByName(hb)
-      .select(col("instance"), col("is_activity").as("isActivity"),
+      .select(col("instance"), col("synthetic"),
+        col("is_activity").as("isActivity"),
         unix_millis(current_timestamp()).as("nowMs"))
       .as[InactIn]
-      .groupByKey(_.instance)
+      .groupByKey(r => (r.synthetic, r.instance))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.ProcessingTimeTimeout)(
         kernel(allowedInactivityMs, globalFromStartOnly = instance.isDefined))

@@ -50,12 +50,14 @@ class SyncGroupSpec extends AnyFunSuite {
   test("coordinator: idle member is excluded after idleMs and re-included on data") {
     InputSynchronization.reset("unit3")
     val c = InputSynchronization.group("unit3", maxDifference = 10L)
-    c.register("a"); c.register("b", idleMs = Some(50L))
+    // generous idle window: a tighter one (e.g. 50 ms) flakes when the
+    // test thread is descheduled between admits under parallel-suite load
+    c.register("a"); c.register("b", idleMs = Some(2000L))
     assert(c.admit("b", Seq(0L)) == 1)
     assert(c.admit("a", Seq(1L, 2L)) == 2)
     // b at 0 blocks a above 10
     assert(c.admit("a", Seq(11L, 50L)) == 0)
-    Thread.sleep(80) // b produces nothing for > idleMs -> excluded
+    Thread.sleep(2500) // b produces nothing for > idleMs -> excluded
     assert(c.admit("a", Seq(11L, 50L)) == 2, "idle member must not hold the group")
     // b returns with data -> re-included (it is now the laggard: catch-up)
     assert(c.admit("b", Seq(3L)) == 1)
@@ -79,6 +81,9 @@ class SyncGroupSpec extends AnyFunSuite {
       .option("group", "stream1")
       .option("member", member)
       .option("maxDifference", "10")
+      // declared membership: the first-constructed member must not drain
+      // unsynchronized before its peer's stream initializes
+      .option("groupSize", "2")
       .load()
       .writeStream
       .format("noop")
@@ -108,7 +113,8 @@ class SyncGroupSpec extends AnyFunSuite {
       // before the slow one started (its non-bootstrap admissions were
       // throttled to the slow frontier)
       val aThrottled = c.audit.filter(e => e.member == "a" && e.minOther.isDefined)
-      assert(aThrottled.size >= 2, "fast source must have been paced across batches")
+      assert(aThrottled.size >= 2,
+        s"fast source must have been paced across batches; audit=${c.audit}")
     } finally { qa.stop(); qb.stop() }
   }
 
