@@ -65,9 +65,21 @@ object QaServer {
     * launch (~tens of ms) for removing the driver/server-memory bound —
     * the store never materializes in one process. */
   private final class ShardedIndex(store: DataFrame, dim: Int) extends Index {
-    // dim mismatch fails fast INSIDE the first retrieval scan (expectDim),
-    // not via a dedicated validation pass per refresh — at the corpus
-    // scale this index exists for, a full extra job per refresh is real
+    // CHEAP construction-time probe (first row only, one short job): a
+    // uniformly mis-dimensioned store — the common operator error — must
+    // fail INSIDE refresh(), before the healthy index is unpersisted and
+    // every request starts 500ing. Mixed per-row corruption still fails
+    // fast inside the retrieval scan itself (expectDim below); a full
+    // validation pass per refresh is NOT run — at the corpus scale this
+    // index exists for, that would be a whole extra job.
+    locally {
+      import org.apache.spark.sql.functions.col
+      store.select(col("chunk_id"), col("embedding")).head(1).foreach { r =>
+        val n = r.getSeq[Float](1).length
+        if (n != dim) throw new IllegalArgumentException(
+          s"store embedding dim $n != serve dim $dim (chunk ${r.getLong(0)})")
+      }
+    }
     def top(qv: Array[Float], k: Int): Array[(Entry, Double)] =
       DocumentStore.retrieveSharded(store, Seq(0L -> qv), k, expectDim = Some(dim))
         .sortBy(_.rank)

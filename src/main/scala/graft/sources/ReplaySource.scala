@@ -81,26 +81,10 @@ private[sources] class ReplayStream(path: String, orderCol: String,
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    import org.apache.spark.sql.functions._
     val s = start.asInstanceOf[ReplayOffset].rank
     val e = end.asInstanceOf[ReplayOffset].rank
     if (e <= s) return Array.empty
-    // driver-side slice: rank deterministically, keep (s, e], ship the rows.
-    // Equal orderCol values tie-break on a full-row hash so the rank is
-    // STABLE across planInputPartitions calls — a batch boundary splitting
-    // a tie group must not emit a row twice / drop its sibling (rows are
-    // assumed distinct, the replay-table contract).
-    val src = spark.read.parquet(path)
-    val tieBreak = xxhash64(src.columns.map(col).toIndexedSeq: _*)
-    val rows = src
-      .withColumn("_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(orderCol), tieBreak))
-        .cast("long"))
-      .filter(col("_rank") > s && col("_rank") <= e)
-      .drop("_rank")
-      .queryExecution.executedPlan.executeCollect()
-      .map(_.copy())
-    Array(ReplaySlice(rows))
+    Array(ReplaySlice(ReplayUtil.rankedSlice(spark, path, orderCol, s, e)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
@@ -116,3 +100,29 @@ private[sources] class ReplayStream(path: String, orderCol: String,
 }
 
 private[sources] case class ReplaySlice(rows: Array[InternalRow]) extends InputPartition
+
+/** Shared driver-side ranked slicing for the replay-style sources. */
+private[sources] object ReplayUtil {
+  /** Rank the table deterministically and collect rows with rank in (s, e].
+    * Equal orderCol values tie-break on a hash of the JSON-rendered row so
+    * the rank is STABLE across calls — a batch boundary splitting a tie
+    * group must not emit a row twice / drop its sibling. to_json (a) makes
+    * map/array/binary columns hashable (raw xxhash64 rejects MapType) and
+    * (b) renders null fields distinct by OMITTING them, so rows with
+    * symmetric null patterns don't collide the way positionless hash
+    * folding would. Rows are assumed distinct — the replay-table contract. */
+  def rankedSlice(spark: org.apache.spark.sql.SparkSession, path: String,
+      orderCol: String, lo: Long, hi: Long): Array[InternalRow] = {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(path)
+    val tieBreak = xxhash64(to_json(struct(src.columns.map(col).toIndexedSeq: _*)))
+    src
+      .withColumn("_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(orderCol), tieBreak))
+        .cast("long"))
+      .filter(col("_rank") > lo && col("_rank") <= hi)
+      .drop("_rank")
+      .queryExecution.executedPlan.executeCollect()
+      .map(_.copy())
+  }
+}

@@ -42,10 +42,13 @@ object InputSynchronization {
 
   /** Per-member admission bookkeeping. `frontier` = highest sync value
     * admitted; `lastData` = last nanoTime the member had pending rows
-    * (drives idle exclusion). */
+    * (drives idle exclusion); `epoch` = the group epoch this member last
+    * proved liveness in — a frontier from an older epoch belongs to a
+    * previous query run and must not be trusted (see resetMember). */
   private final class MemberState(val priority: Int, val idleMs: Option[Long]) {
     var frontier: Option[Long] = None
     var lastData: Long = System.nanoTime()
+    var epoch: Long = 0L
   }
 
   /** One admission decision, for specs/monitoring: the member, its new
@@ -60,6 +63,10 @@ object InputSynchronization {
     private val members = mutable.LinkedHashMap.empty[String, MemberState]
     private val auditLog = mutable.ArrayBuffer.empty[Admission]
     private var expectedSize = 0
+    private var groupEpoch = 0L
+    /** A frontier is trusted only from a member current in this epoch. */
+    private def trusted(s: MemberState): Option[Long] =
+      if (s.epoch == groupEpoch) s.frontier else None
 
     def register(member: String, priority: Int = 0,
         idleMs: Option[Long] = None): Unit = synchronized {
@@ -79,10 +86,16 @@ object InputSynchronization {
     /** Reset one member's admission state — called on a FRESH query start
       * (no checkpoint): the JVM-global coordinator otherwise carries the
       * previous run's high frontiers and admission gating would be
-      * silently disabled for the whole replay. */
+      * silently disabled for the whole replay. Bumps the group EPOCH: every
+      * OTHER member's frontier is distrusted until that member proves
+      * liveness with its next admit (a stale end-of-run frontier from a
+      * previous query would otherwise let the restarting member pace only
+      * against itself; a live peer re-validates within one trigger). */
     def resetMember(member: String): Unit = synchronized {
+      groupEpoch += 1
       members.get(member).foreach { st =>
         st.frontier = None
+        st.epoch = groupEpoch
         st.lastData = System.nanoTime()
       }
     }
@@ -108,11 +121,19 @@ object InputSynchronization {
       * deadlocks; this is the reference's "read more from the lagging
       * source to align it". */
     def admit(member: String, values: Seq[Long]): Int = synchronized {
-      if (members.size < expectedSize) return 0 // group not fully assembled
+      if (members.size < expectedSize) {
+        // a member waiting out assembly is NOT idle — keep lastData fresh
+        // or its peer would idle-exclude it right after assembly completes
+        members.get(member).foreach { st =>
+          if (values.nonEmpty) st.lastData = System.nanoTime()
+        }
+        return 0 // group not fully assembled
+      }
       val st = members(member)
       if (values.isEmpty) return 0 // no pending data: candidate for idle exclusion
       val now = System.nanoTime()
       st.lastData = now
+      st.epoch = groupEpoch // liveness proven: this member's frontier is current
       def active(s: MemberState): Boolean =
         s.idleMs.forall(ms => (now - s.lastData) / 1000000L <= ms)
       val others = members.valuesIterator
@@ -121,11 +142,11 @@ object InputSynchronization {
         if (others.isEmpty) (values.length, false)
         else {
           val myF = st.frontier.getOrElse(Long.MinValue)
-          val minOther = others.map(_.frontier.getOrElse(Long.MinValue)).min
+          val minOther = others.map(trusted(_).getOrElse(Long.MinValue)).min
           val minAll = math.min(myF, minOther)
           val hp = others.filter(_.priority > st.priority)
           val hpCap = if (hp.isEmpty) Long.MaxValue
-            else hp.map(_.frontier.getOrElse(Long.MinValue)).max
+            else hp.map(trusted(_).getOrElse(Long.MinValue)).max
           val eff = math.min(satAdd(minAll, maxDifference), hpCap)
           val within = values.count(_ <= eff)
           // catch-up batch: only the group laggard, and never past a
@@ -140,7 +161,7 @@ object InputSynchronization {
         st.frontier = Some(newF)
         val minOtherStarted = members.valuesIterator
           .filter(s => (s ne st) && active(s))
-          .flatMap(_.frontier).minOption
+          .flatMap(trusted).minOption
         auditLog += Admission(member, newF, minOtherStarted, catchUp)
         // bounded audit: one admission per member per micro-batch forever
         // would leak driver memory on a long-running stream
@@ -274,21 +295,7 @@ private[sources] class SyncedReplayStream(path: String, syncCol: String,
     val s = start.asInstanceOf[ReplayOffset].rank
     val e = end.asInstanceOf[ReplayOffset].rank
     if (e <= s) return Array.empty
-    // rank must be STABLE across planInputPartitions calls or a batch
-    // boundary splitting equal sync values could emit a row twice and drop
-    // its sibling — tie-break equal sync values by a full-row hash (rows
-    // are assumed distinct, the replay-table contract)
-    val src = spark.read.parquet(path)
-    val tieBreak = xxhash64(src.columns.map(col).toIndexedSeq: _*)
-    val rows = src
-      .withColumn("_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(syncCol), tieBreak))
-        .cast("long"))
-      .filter(col("_rank") > s && col("_rank") <= e)
-      .drop("_rank")
-      .queryExecution.executedPlan.executeCollect()
-      .map(_.copy())
-    Array(ReplaySlice(rows))
+    Array(ReplaySlice(ReplayUtil.rankedSlice(spark, path, syncCol, s, e)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {

@@ -30,7 +30,11 @@ import java.sql.Timestamp
   * since-stream-start case (no data at all in any instance before the
   * first timeout), mirroring the reference's `None`-instance row; once any
   * data arrives that group retires (the reference stops producing it the
-  * same way).
+  * same way). A row whose instance VALUE is genuinely null is monitored as
+  * its own ordinary group (never retired); its output rows also carry
+  * instance=null — the same presentation ambiguity the reference's
+  * `None`-instance column has. Disambiguate by lifecycle if needed:
+  * since-start rows can only precede the first datum.
   */
 object Inactivity {
 
@@ -95,6 +99,12 @@ object Inactivity {
       if (anyActivity) {
         if (st.openSinceMs >= 0L)
           out += InactivityEvent(inst, new Timestamp(st.openSinceMs), new Timestamp(nowMs))
+        else if (nowMs - st.lastActivityMs > allowedMs)
+          // gap revealed AND resumed within one micro-batch (the resuming
+          // event arrived in the same trigger the timeout/tick would have
+          // fired in): emit the complete closed period — dropping it would
+          // diverge from the batch analog, which reports every gap
+          out += InactivityEvent(inst, new Timestamp(st.lastActivityMs), new Timestamp(nowMs))
         st = InactState(nowMs, -1L, everActive = true)
       }
       // in instanced mode the SYNTHETIC group only reports the SINCE-START
