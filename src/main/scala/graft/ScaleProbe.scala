@@ -646,11 +646,11 @@ object ScaleProbe {
       // capPerGroup under a DOMINANT group — the operator's own use case
       // (cap an over-represented crawl) at mult× the corpus with 90% of
       // rows in one source. r12's single `row_number over (partition by
-      // group)` funnels the hot source through ONE task's sort; the r13
-      // two-phase shape (count → broadcast hot list → salted sub-rank →
-      // exact rank on ≤ buckets·n survivors) spreads it across
-      // ceil(count/subTarget) salt buckets. Probe both shapes on the same
-      // data: `plain` forces the old plan via hotThreshold=MaxValue.
+      // group)` funnels the hot source through ONE task's sort; the r14
+      // threshold-selection shape (count → broadcast hot list → two-level
+      // h-range histogram → exact rank on the ~count/2^20-row boundary
+      // sliver) never shuffles the hot group's rows at all. Probe both
+      // shapes on the same data: `plain` = hotThreshold=MaxValue opt-out.
       val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id")
       val nd = docsBase.count()
@@ -663,9 +663,22 @@ object ScaleProbe {
         TrainPrep.capPerGroup(big, col("doc_id"), col("source"), n = 1000,
           hotThreshold = Long.MaxValue)
       }
-      time(s"groupcap_salted_${mult}x", rows) {
+      time(s"groupcap_hist_${mult}x", rows) {
         TrainPrep.capPerGroup(big, col("doc_id"), col("source"), n = 1000,
-          hotThreshold = 1L << 20, subTarget = 1L << 16)
+          hotThreshold = 1L << 20)
+      }
+      // LARGE-n regime (the r13 caveat): n at half the hot group's size
+      // would have blown the salted plan's survivor set back into one
+      // exact-rank task; threshold selection keeps only the boundary
+      // sliver in the final window regardless of n.
+      val bigN = (rows * 9 / 10 / 2).toInt
+      time(s"groupcap_plain_bign_${mult}x", rows) {
+        TrainPrep.capPerGroup(big, col("doc_id"), col("source"), n = bigN,
+          hotThreshold = Long.MaxValue)
+      }
+      time(s"groupcap_hist_bign_${mult}x", rows) {
+        TrainPrep.capPerGroup(big, col("doc_id"), col("source"), n = bigN,
+          hotThreshold = 1L << 20)
       }
     }
 

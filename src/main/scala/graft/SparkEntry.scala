@@ -920,14 +920,15 @@ object SparkEntry {
     TrainPrep.capPerGroup(docs(s, dir).select("doc_id", "source"),
       col("doc_id"), col("source"), n = 10)
 
-  /** The same cap FORCED onto the hot-group two-phase plan (tiny
-    * hotThreshold/subTarget: every source salts into ≥4 sub-rank buckets
-    * at sf0.01). Selection is bit-identical to [[qSampleGroupCap]] by
-    * construction — this row pins that claim with the SAME oracle SQL,
-    * so the scale-safe plan shape carries its own correctness row. */
+  /** The same cap FORCED onto the hot-group threshold-selection plan
+    * (tiny hotThreshold: every source runs the full two-level histogram
+    * boundary refinement at sf0.01). Selection is bit-identical to
+    * [[qSampleGroupCap]] by construction — this row pins that claim with
+    * the SAME oracle SQL, so the scale-safe plan shape carries its own
+    * correctness row. */
   private def qSampleGroupCapHot(s: SparkSession, dir: String): DataFrame =
     TrainPrep.capPerGroup(docs(s, dir).select("doc_id", "source"),
-      col("doc_id"), col("source"), n = 10, hotThreshold = 20L, subTarget = 8L)
+      col("doc_id"), col("source"), n = 10, hotThreshold = 20L)
 
   /** Best-member dedup representative: dup groups over the chain-planted
     * corpus, keeper = argmax quality score (ties → smaller id) — the

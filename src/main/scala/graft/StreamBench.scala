@@ -294,6 +294,18 @@ object StreamBench {
       * range join — the path intervalJoin lowers to): two independent rate
       * streams joined on key with a 2 s look-back window. 100k keys keep
       * the match fan-out ~O(1) per left row at the default rate. */
+    /** inactivityDetection in default mode over the full-rate stream — the
+      * r14 funnel rung: every event used to shuffle onto the ONE synthetic
+      * state key; the per-partition pre-reduce must keep the kernel's input
+      * at O(partitions·batches) while sustaining the input rate. */
+    def startInactivity(): StreamingQuery =
+      graft.streaming.Inactivity.inactivityDetection(
+        rateSrc.select(col("value").cast("string").as("v")),
+        allowedInactivityMs = 30000, refreshRateMs = 1000)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt())
+        .start()
+
     def startIntervalJoin(): StreamingQuery = {
       val l = rateSrc.select(col("timestamp").as("lt"),
           (col("value") % 100000L).as("lk"), col("value").as("lv"))
@@ -512,6 +524,13 @@ object StreamBench {
       "upsert_jdbc" -> (() => measure("upsert_jdbc", startUpsertJdbc _)),
       "changelog_upsert" -> (() => measure("changelog_upsert", startChangelogUpsert _)),
       "interval_join" -> (() => measure("interval_join", startIntervalJoin _)),
+      "inactivity" -> (() => {
+        val adder = graft.streaming.Inactivity.kernelRowsSeen
+        adder.reset()
+        val m = measure("inactivity", startInactivity _)
+        println(s"""{"probe":"inactivity_funnel","kernel_rows":${adder.sum()},"input_rows":${m.rows}}""")
+        m
+      }),
       "asof_backward_e2e" -> (() => measureAsofE2e()),
       "wordcount_convergence" -> (() => wordcountConvergence()),
       "recovery" -> (() => measureRecovery()),

@@ -214,42 +214,91 @@ object TrainPrep {
     * HOT-GROUP-SAFE plan shape: the operator's own use case guarantees a
     * dominant group (that is what you cap), so a single
     * `row_number over (partition by group)` would funnel the whole hot
-    * source through one task's sort. Instead:
+    * source through one task's sort. Hot groups instead go through
+    * distributed THRESHOLD SELECTION — find the n-th smallest (h, key) by
+    * histogram refinement, then rank only the boundary sliver:
     *   1. one map-side-combined count per group; groups over `hotThreshold`
     *      rows form a broadcastable hot list (pigeonhole: ≤ N/hotThreshold
-    *      groups, ~250k at 10^12 rows with the 4M default);
-    *   2. hot rows are salted into `ceil(count / subTarget)` hash buckets
-    *      and sub-ranked per (group, salt) — any row in the group's true
-    *      top-n is in its bucket's top-n, so keeping bucket-rank ≤ n is an
-    *      EXACT superset (no probabilistic margin, no fallback needed) and
-    *      every sort partition holds ≤ ~subTarget rows;
-    *   3. the exact rank runs per group over the ≤ nBuckets·n survivors.
-    * Cold groups take salt 0, so step 2 already yields their exact rank and
-    * step 3 re-ranks ≤ n rows per group. The kept set is bit-identical to
-    * the single-window form at any threshold. */
+    *      groups, ~250k at 10^12 rows with the 4M default). Cold groups
+    *      take the plain per-group window (≤ hotThreshold rows per task).
+    *   2. histogram hot rows by the top 10 bits of h (`h >> 54` is
+    *      monotone in signed h, so buckets are RANGES of the selection
+    *      order); a per-group running sum over ≤1024 cells locates the
+    *      bucket where the cumulative count crosses n. Rows in lower
+    *      buckets are kept outright by a broadcast-joined filter — the hot
+    *      group's data is never shuffled, only its count cells are.
+    *   3. repeat once inside the boundary bucket with the next 10 bits
+    *      (`(h >> 44) & 1023`, monotone within a fixed `h >> 54` prefix):
+    *      the surviving sliver is ~count/2^20 rows (≈1M at a 10^12-row
+    *      group), and only IT takes the exact per-group (h, key) rank.
+    * The kept set is bit-identical to the single-window form: bucket
+    * boundaries are monotone in h (equal h values always share a bucket,
+    * so ties resolve inside the final exact rank), and every n up to the
+    * group size is in-regime — no parameter coupling between n and a task
+    * budget. The one remaining single-task tail is pathological key
+    * duplication (> ~budget rows sharing one 20-bit h prefix means that
+    * many DUPLICATE keys, since md5 spreads distinct keys).
+    *
+    * `hotThreshold = Long.MaxValue` opts out of the scaffolding entirely
+    * (no extra count pass) — the right choice for inputs known small. */
   def capPerGroup(df: DataFrame, key: Column, group: Column, n: Int,
-      hotThreshold: Long = 1L << 22, subTarget: Long = 1L << 20): DataFrame = {
+      hotThreshold: Long = 1L << 22): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val h = CrossHash.md5Long(key)
-    if (hotThreshold == Long.MaxValue) {
-      // explicit opt-out (and the ScaleProbe A/B's honest "plain" arm):
-      // the bare single window, none of the two-phase scaffolding
-      val rk = row_number().over(W.partitionBy(group).orderBy(h.asc, key.asc))
-      return df.withColumn("_rk", rk).filter(col("_rk") <= n).drop("_rk")
-    }
-    val hot = df.groupBy(group.as("_g")).agg(count(lit(1)).as("_cnt"))
-      .filter(col("_cnt") > hotThreshold)
-    val nBuckets = greatest(lit(1L),
-      ceil(col("_cnt").cast("double") / subTarget.toDouble).cast("long"))
-    val salted = df.join(broadcast(hot), group <=> col("_g"), "left_outer")
-      .withColumn("_salt", pmod(h, coalesce(nBuckets, lit(1L))))
-    val subRank = row_number().over(
-      W.partitionBy(group, col("_salt")).orderBy(h.asc, key.asc))
-    val exactRank = row_number().over(
-      W.partitionBy(group).orderBy(h.asc, key.asc))
-    salted.withColumn("_rk", subRank).filter(col("_rk") <= n)
-      .withColumn("_rk2", exactRank).filter(col("_rk2") <= n)
-      .drop("_g", "_cnt", "_salt", "_rk", "_rk2")
+    val rkPlain = row_number().over(W.partitionBy(group).orderBy(h.asc, key.asc))
+    val P = "_graft_cap_" // reserved internals: collision-checked, all dropped
+    require(!df.columns.exists(_.toLowerCase.startsWith(P)),
+      s"capPerGroup reserves the column-name prefix '$P'")
+    if (hotThreshold == Long.MaxValue)
+      return df.withColumn(s"${P}rk", rkPlain)
+        .filter(col(s"${P}rk") <= n).drop(s"${P}rk")
+    val outCols = df.columns.toSeq.map(col)
+    // 1. hot list (tiny by pigeonhole) broadcast back as a tag
+    val hot = broadcast(df.groupBy(group.as(s"${P}g"))
+      .agg(count(lit(1)).as(s"${P}cnt"))
+      .filter(col(s"${P}cnt") > hotThreshold)
+      .select(col(s"${P}g"), lit(true).as(s"${P}hot")))
+    val tagged = df.join(hot, group <=> col(s"${P}g"), "left_outer")
+    val cold = tagged.filter(col(s"${P}hot").isNull)
+      .withColumn(s"${P}rk", rkPlain).filter(col(s"${P}rk") <= n)
+      .select(outCols: _*)
+    val hotRows = tagged.filter(col(s"${P}hot").isNotNull)
+      .withColumn(s"${P}h", h)
+      .withColumn(s"${P}b1", shiftright(col(s"${P}h"), 54))
+      .withColumn(s"${P}b2", shiftright(col(s"${P}h"), 44).bitwiseAND(lit(1023L)))
+    // 2. level-1 boundary: the h>>54 range bucket where the per-group
+    // cumulative count crosses n (none when the whole group fits under n)
+    val cells1 = hotRows.groupBy(col(s"${P}g"), col(s"${P}b1"))
+      .agg(count(lit(1)).as(s"${P}c"))
+      .withColumn(s"${P}cum", sum(col(s"${P}c")).over(
+        W.partitionBy(col(s"${P}g")).orderBy(col(s"${P}b1").asc)))
+    val bd1 = broadcast(cells1
+      .filter(col(s"${P}cum") - col(s"${P}c") < n && col(s"${P}cum") >= n)
+      .select(col(s"${P}g").as(s"${P}g1"), col(s"${P}b1").as(s"${P}bb1"),
+        (col(s"${P}cum") - col(s"${P}c")).as(s"${P}below1")))
+    val j1 = hotRows.join(bd1, col(s"${P}g") <=> col(s"${P}g1"), "left_outer")
+    val keep1 = j1.filter(col(s"${P}bb1").isNull || col(s"${P}b1") < col(s"${P}bb1"))
+      .select(outCols: _*)
+    val ref1 = j1.filter(col(s"${P}b1") === col(s"${P}bb1"))
+    // 3. level-2 boundary inside the level-1 bucket, then the exact rank
+    // over only the final sliver (~count/2^20 rows per group)
+    val cells2 = ref1.groupBy(col(s"${P}g"), col(s"${P}b2"))
+      .agg(count(lit(1)).as(s"${P}c"), min(col(s"${P}below1")).as(s"${P}bl"))
+      .withColumn(s"${P}cum", sum(col(s"${P}c")).over(
+        W.partitionBy(col(s"${P}g")).orderBy(col(s"${P}b2").asc)))
+    val bd2 = broadcast(cells2
+      .filter(col(s"${P}cum") - col(s"${P}c") < lit(n) - col(s"${P}bl") &&
+        col(s"${P}cum") >= lit(n) - col(s"${P}bl"))
+      .select(col(s"${P}g").as(s"${P}g2"), col(s"${P}b2").as(s"${P}bb2"),
+        (col(s"${P}bl") + col(s"${P}cum") - col(s"${P}c")).as(s"${P}below2")))
+    val j2 = ref1.join(bd2, col(s"${P}g") <=> col(s"${P}g2"), "inner")
+    val keep2 = j2.filter(col(s"${P}b2") < col(s"${P}bb2")).select(outCols: _*)
+    val keep3 = j2.filter(col(s"${P}b2") === col(s"${P}bb2"))
+      .withColumn(s"${P}rk", row_number().over(
+        W.partitionBy(col(s"${P}g")).orderBy(col(s"${P}h").asc, key.asc)))
+      .filter(col(s"${P}rk") <= lit(n) - col(s"${P}below2"))
+      .select(outCols: _*)
+    cold.unionByName(keep1).unionByName(keep2).unionByName(keep3)
   }
 
   /** Deterministic weighted sampling: keep a row iff

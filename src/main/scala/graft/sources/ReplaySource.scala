@@ -110,7 +110,14 @@ private[sources] object ReplayUtil {
     * map/array/binary columns hashable (raw xxhash64 rejects MapType) and
     * (b) renders null fields distinct by OMITTING them, so rows with
     * symmetric null patterns don't collide the way positionless hash
-    * folding would. Rows are assumed distinct — the replay-table contract. */
+    * folding would. Rows are assumed distinct — the replay-table contract.
+    *
+    * CHECKPOINT COMPATIBILITY: this tie-break (r13) changed the rank order
+    * relative to offsets checkpointed by earlier builds — resuming an OLD
+    * checkpoint whose batch boundary split a tie group can re-emit one tied
+    * row and drop its sibling, once, at that boundary. Discard pre-r13
+    * checkpoints. (Acceptable for a demonstration/replay source; the
+    * per-batch global window + to_json cost is likewise demo-scale.) */
   def rankedSlice(spark: org.apache.spark.sql.SparkSession, path: String,
       orderCol: String, lo: Long, hi: Long): Array[InternalRow] = {
     import org.apache.spark.sql.functions._

@@ -121,6 +121,16 @@ object InputSynchronization {
       * deadlocks; this is the reference's "read more from the lagging
       * source to align it". */
     def admit(member: String, values: Seq[Long]): Int = synchronized {
+      // Liveness is proven by the CALL, not by pending data: admit is only
+      // invoked from a live stream's latestOffset planning, so even an
+      // empty-handed member (drained, or recovered with nothing pending) is
+      // current in the group epoch. Refreshing the epoch here keeps a
+      // drained member's REAL frontier pacing its peers after a peer's
+      // resetMember bumps groupEpoch — an un-refreshed epoch would distrust
+      // that frontier forever (treated as MinValue), letting the restarted
+      // peer admit one bootstrap batch and then zero rows every trigger:
+      // the group would stall instead of aligning to the drained member.
+      members.get(member).foreach(_.epoch = groupEpoch)
       if (members.size < expectedSize) {
         // a member waiting out assembly is NOT idle — keep lastData fresh
         // or its peer would idle-exclude it right after assembly completes
@@ -133,7 +143,6 @@ object InputSynchronization {
       if (values.isEmpty) return 0 // no pending data: candidate for idle exclusion
       val now = System.nanoTime()
       st.lastData = now
-      st.epoch = groupEpoch // liveness proven: this member's frontier is current
       def active(s: MemberState): Boolean =
         s.idleMs.forall(ms => (now - s.lastData) / 1000000L <= ms)
       val others = members.valuesIterator

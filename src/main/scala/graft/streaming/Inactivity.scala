@@ -41,25 +41,26 @@ object Inactivity {
   /** `utc_now`: a heartbeat stream of current UTC timestamps, one column
     * `timestamp_utc`, refreshed every `refreshRateMs` (reference
     * time_utils.py:42; its `initial_delay` is the rate source's natural
-    * first-tick latency). */
+    * first-tick latency).
+    *
+    * Cadence: the rate source ticks at a fine base granularity (10 ms, or
+    * `refreshRateMs` itself when finer) and a tick is kept iff it crosses a
+    * `refreshRateMs` boundary — the delivered interval tracks the contract
+    * to within one base tick for ANY refresh rate (1 Hz quantization would
+    * deliver up to 2× off for rates like 1500 ms or 700 ms). The discarded
+    * base ticks are ≤100 tiny rows/s of overhead. */
   def utcNow(spark: SparkSession, refreshRateMs: Long = 60000L): DataFrame = {
-    if (refreshRateMs <= 1000L) {
-      val rps = math.max(1, math.round(1000.0 / refreshRateMs).toInt)
-      spark.readStream.format("rate")
-        .option("rowsPerSecond", rps.toString)
-        .load()
-        .select(col("timestamp").as("timestamp_utc"))
-    } else {
-      // sub-1Hz is inexpressible via rowsPerSecond (it floors to 1 row/s —
-      // 60× the contracted cadence at the 60 s default); tick at 1 Hz and
-      // keep every ceil(refreshRateMs/1000)-th row
-      val every = (refreshRateMs + 999L) / 1000L
-      spark.readStream.format("rate")
-        .option("rowsPerSecond", "1")
-        .load()
-        .filter(pmod(col("value"), lit(every)) === 0)
-        .select(col("timestamp").as("timestamp_utc"))
-    }
+    require(refreshRateMs > 0, s"refreshRateMs must be positive, got $refreshRateMs")
+    val baseMs = math.min(10L, refreshRateMs)
+    val rps = math.max(1, (1000L / baseMs).toInt)
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rps.toString)
+      .load()
+      // tick k covers wall-time [k·baseMs, (k+1)·baseMs): keep it iff a
+      // multiple of refreshRateMs falls inside, i.e. k·baseMs mod refresh
+      // wraps below baseMs
+      .filter(pmod(col("value") * baseMs, lit(refreshRateMs)) < baseMs)
+      .select(col("timestamp").as("timestamp_utc"))
   }
 
   /* exposed for the Dataset encoder (name-resolved). `synthetic` marks the
@@ -78,6 +79,12 @@ object Inactivity {
       inactivity_timestamp_utc: Timestamp,
       resumed_activity_timestamp_utc: Timestamp)
 
+  /** Rows actually reaching the stateful kernel (all groups), for the
+    * StreamBench funnel rung and specs. Local-mode instrumentation: a plain
+    * JVM adder only aggregates across tasks when executors share the
+    * driver's JVM (local[n]) — exactly where the benches run. */
+  private[graft] val kernelRowsSeen = new java.util.concurrent.atomic.LongAdder
+
   private def kernel(allowedMs: Long, globalFromStartOnly: Boolean)(
       key: (Boolean, String), rows: Iterator[InactIn],
       state: GroupState[InactState]): Iterator[InactivityEvent] = {
@@ -92,6 +99,7 @@ object Inactivity {
       // no new timeout: the group sleeps until data arrives
     } else {
       val batch = rows.toSeq
+      kernelRowsSeen.add(batch.size)
       val nowMs = batch.map(_.nowMs).max
       val anyActivity = batch.exists(_.isActivity)
       var st = state.getOption.getOrElse(
@@ -167,29 +175,39 @@ object Inactivity {
       refreshRateMs: Long = 1000L, instance: Option[Column] = None): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    // default mode: every event joins the heartbeat-fed SYNTHETIC group
-    // (the heartbeats are its gap-detection clock). Instanced mode: real
-    // rows keep their instance — a genuinely-NULL instance value is an
-    // ordinary monitored group of its own, NOT conflated with the
-    // since-start bookkeeping — while shadow rows tick the synthetic
-    // group so the since-start row retires once any data arrives.
+    // The heartbeat-fed SYNTHETIC group is ONE state-store key, so it must
+    // never receive the full stream (a 100×-rate scale killer: every event
+    // shuffled onto one task). The kernel only needs existence + max(nowMs)
+    // per trigger, and current_timestamp() is constant within a micro-batch,
+    // so a stateless per-partition pre-reduce to ≤ ONE row per partition per
+    // trigger is bit-equivalent: the synthetic key receives O(partitions)
+    // rows, not O(events). Used as the whole input in default mode (every
+    // event would otherwise key to the synthetic group) and as the shadow
+    // tick in instanced mode (retires the since-start row on first data).
+    val shadow: org.apache.spark.sql.Dataset[InactIn] = events
+      .select(unix_millis(current_timestamp()).as("nowMs")).as[Long]
+      .mapPartitions { it =>
+        if (it.hasNext) Iterator.single(InactIn(null, synthetic = true,
+          isActivity = true, nowMs = it.max))
+        else Iterator.empty
+      }
+    // instanced mode: real rows keep their instance — a genuinely-NULL
+    // instance value is an ordinary monitored group of its own, NOT
+    // conflated with the since-start bookkeeping
     val inst = instance.getOrElse(lit(null)).cast("string")
-    val acts = events.select(inst.as("instance"),
-      lit(instance.isEmpty).as("synthetic"), lit(true).as("is_activity"))
-    val withGlobal = if (instance.isDefined)
-      acts.unionByName(events.select(lit(null).cast("string").as("instance"),
-        lit(true).as("synthetic"), lit(true).as("is_activity")))
-    else acts
+    val acts = if (instance.isDefined)
+      events.select(inst.as("instance"), lit(false).as("synthetic"),
+        lit(true).as("isActivity"),
+        unix_millis(current_timestamp()).as("nowMs")).as[InactIn]
+        .unionByName(shadow)
+    else shadow
     // heartbeats bootstrap the synthetic group, so a stream with NO data
     // at all still has one stateful group whose clock can fire
     val hb = utcNow(spark, refreshRateMs)
       .select(lit(null).cast("string").as("instance"),
-        lit(true).as("synthetic"), lit(false).as("is_activity"))
-    withGlobal.unionByName(hb)
-      .select(col("instance"), col("synthetic"),
-        col("is_activity").as("isActivity"),
-        unix_millis(current_timestamp()).as("nowMs"))
-      .as[InactIn]
+        lit(true).as("synthetic"), lit(false).as("isActivity"),
+        unix_millis(current_timestamp()).as("nowMs")).as[InactIn]
+    acts.unionByName(hb)
       .groupByKey(r => (r.synthetic, r.instance))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.ProcessingTimeTimeout)(

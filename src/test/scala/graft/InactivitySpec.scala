@@ -133,6 +133,32 @@ class InactivitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel guard: default mode pre-reduces events — kernel sees O(partitions), not O(events)") {
+    // the r13 scale finding: every default-mode event keyed to the ONE
+    // synthetic state group (a full shuffle onto one task). The stateless
+    // per-partition pre-reduce must keep the kernel's input at ≤ one row
+    // per partition per trigger plus heartbeats.
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = Inactivity.inactivityDetection(input.toDF().select(col("value")),
+      allowedInactivityMs = 60000, refreshRateMs = 1000)
+    Inactivity.kernelRowsSeen.reset()
+    val q = out.writeStream.format("noop")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      input.addData((0 until 20000).map(i => s"e$i"))
+      val deadline = System.currentTimeMillis() + 30000
+      def processed: Long = q.recentProgress.map(_.numInputRows).sum
+      while (processed < 20000 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(processed >= 20000, "input batch was not processed in time")
+      val seen = Inactivity.kernelRowsSeen.sum()
+      assert(seen > 0, "kernel must have run")
+      assert(seen < 1000,
+        s"kernel received $seen rows for 20000 events — the synthetic-group funnel is back")
+    } finally q.stop()
+  }
+
   test("inactivityPeriodsBatch: exact gaps incl. the open tail at the frontier") {
     val h = 3600L * 1000000000L // 1h in ns
     val ev = Seq(

@@ -65,6 +65,30 @@ class SyncGroupSpec extends AnyFunSuite {
     assert(c.admit("a", Seq(60L)) == 0)
   }
 
+  test("coordinator: drained member's frontier stays trusted across a peer restart") {
+    InputSynchronization.reset("unit4")
+    val c = InputSynchronization.group("unit4", maxDifference = 10L)
+    c.register("d"); c.register("r")
+    assert(c.admit("d", Seq(0L, 20L, 50L)) == 3) // d reads everything it has
+    assert(c.admit("r", Seq(0L, 5L)) == 2)
+    // d is drained: from here it only ever plans empty-handed
+    assert(c.admit("d", Seq.empty) == 0)
+    // r restarts fresh (no checkpoint): resetMember bumps the group epoch,
+    // distrusting every frontier until its member proves liveness
+    c.resetMember("r")
+    // d is still LIVE (its stream plans every trigger) but has no pending
+    // rows — the empty-handed admit alone must re-validate d's epoch so
+    // its real frontier (50) keeps pacing the group
+    assert(c.admit("d", Seq.empty) == 0)
+    assert(c.admit("r", Seq(0L, 5L)) == 2) // bootstrap catch-up batch
+    // the regression: with d's frontier distrusted (MinValue), r would
+    // admit 0 here forever (not the laggard vs MinValue, nothing within
+    // MinValue+maxDifference) — the group stalls. Trusted, min(5,50)+10=15
+    // admits the first two values.
+    assert(c.admit("r", Seq(7L, 12L, 30L)) == 2,
+      "group stalled: drained peer's frontier was distrusted after restart")
+  }
+
   test("two skewed replay sources: neither runs ahead of the other by more than maxDifference") {
     InputSynchronization.reset("stream1")
     val dir = java.nio.file.Files.createTempDirectory("graft-sync").toString

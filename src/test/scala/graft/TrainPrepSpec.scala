@@ -488,11 +488,11 @@ class TrainPrepSpec extends AnyFunSuite {
       .capPerGroup(small, col("id"), col("g"), n = 7).count() == 4)
   }
 
-  test("capPerGroup: salted hot path is bit-identical to the plain window") {
-    // one dominant group (90% of rows) + two cold groups; force the hot
-    // path with tiny thresholds so the salted sub-rank + exact re-rank
-    // pipeline actually runs multi-bucket, and compare against the
-    // trivially-correct single-window selection.
+  test("capPerGroup: histogram hot path is bit-identical to the plain window") {
+    // one dominant group (90% of rows) + cold groups; force the hot path
+    // with a tiny threshold so the two-level boundary refinement actually
+    // runs, and compare against the trivially-correct single-window
+    // selection.
     val df = (0 until 2000).map { i =>
       (i.toLong, if (i % 10 == 0) s"cold${i % 20}" else "hotsrc")
     }.toDF("id", "g")
@@ -500,18 +500,26 @@ class TrainPrepSpec extends AnyFunSuite {
       out.select("id", "g").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val plain = keys(graft.operators.TrainPrep
       .capPerGroup(df, col("id"), col("g"), n = 13)) // defaults: nothing hot
-    val salted = keys(graft.operators.TrainPrep
+    val hist = keys(graft.operators.TrainPrep
       .capPerGroup(df.repartition(11), col("id"), col("g"), n = 13,
-        hotThreshold = 100L, subTarget = 50L)) // hotsrc → ~36 salt buckets
-    assert(salted == plain, "hot-path selection must match the plain window")
+        hotThreshold = 100L))
+    assert(hist == plain, "hot-path selection must match the plain window")
     assert(plain.count(_._2 == "hotsrc") == 13)
-    // cap larger than a salt bucket: superset property must still hold
-    val wide = keys(graft.operators.TrainPrep
-      .capPerGroup(df, col("id"), col("g"), n = 75,
-        hotThreshold = 100L, subTarget = 10L))
-    val widePlain = keys(graft.operators.TrainPrep
-      .capPerGroup(df, col("id"), col("g"), n = 75))
-    assert(wide == widePlain)
+    // LARGE n (the r13 out-of-regime caveat, now in-regime): n comparable
+    // to the group size still selects the bit-identical set
+    for (wideN <- Seq(75, 1700, 1800, 5000)) {
+      val wide = keys(graft.operators.TrainPrep
+        .capPerGroup(df, col("id"), col("g"), n = wideN, hotThreshold = 100L))
+      val widePlain = keys(graft.operators.TrainPrep
+        .capPerGroup(df, col("id"), col("g"), n = wideN))
+      assert(wide == widePlain, s"n=$wideN selection diverged")
+    }
+    // reserved-prefix guard: a user column colliding with the internals
+    // must fail loudly, not get clobbered
+    val bad = df.withColumn("_graft_cap_h", lit(1))
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainPrep.capPerGroup(bad, col("id"), col("g"), n = 3)
+    }
   }
 
   test("keepBest: per-group argmax-score keeper, ties to smaller id") {
