@@ -632,6 +632,65 @@ object SparkEntry {
     graft.streaming.Inactivity.inactivityPeriodsBatch(
       Tables.events(s, dir).df, col("ts"), 2L * 3600L * 1000000000L, col("user_id"))
 
+  /** The STREAMING inactivity kernel replayed deterministically over the
+    * same log (event-time micro-batches through the real
+    * flatMapGroupsWithState path, frontier probe closes the tail) — this
+    * row pins stream ≡ batch against the SAME oracle as
+    * [[qInactivityDetect]]. */
+  private def qInactivityStreamReplay(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Inactivity.inactivityDetectionReplay(
+      Tables.events(s, dir).df, col("ts"), col("user_id"),
+      allowedTicks = 2L * 3600L * 1000000000L,
+      batchTicks = 0L) // auto: ~8 event-time chunks
+
+  /** The STREAMING input-synchronization group replayed to its
+    * deterministic fixed point: two [[graft.sources.SyncedReplaySource]]
+    * members over derived feeds — `a` the full 500-doc feed, `b` the same
+    * feed truncated at rank 400 (a source that stopped early) — run as
+    * REAL micro-batch streams until stable. With dense rank-valued sync
+    * columns no mid-stream catch-up can overshoot, so the terminal admitted
+    * set is exactly the batch analog's aligned cut: F = min of member
+    * maxes (399), every member admits sync ≤ F + maxDifference (449) —
+    * `b` drains fully, `a` provably stalls there (its threshold is pinned
+    * to the drained member's trusted frontier). Stream ≡ batch, pinned
+    * against the alignedCut oracle formula. */
+  private def qSyncGroupStream(s: SparkSession, dir: String): DataFrame = {
+    val grp = s"board_sync_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sync-board").toString
+    val d = docs(s, dir).select("doc_id").orderBy("doc_id").limit(500)
+      .withColumn("t", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")).cast("long") - 1)
+    d.write.mode("overwrite").parquet(s"$tmp/a")
+    d.filter(col("t") < 400).write.mode("overwrite").parquet(s"$tmp/b")
+    def start(member: String, rowsPerBatch: Int) = s.readStream
+      .format("graft.sources.SyncedReplaySource")
+      .option("path", s"$tmp/$member")
+      .option("syncCol", "t")
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("group", grp).option("member", member)
+      .option("maxDifference", "50").option("groupSize", "2")
+      .load()
+      .writeStream.format("memory").queryName(s"${grp}_$member")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(25))
+      .start()
+    val qa = start("a", 30)
+    val qb = start("b", 10)
+    try {
+      // fixed point: a admits exactly ranks <= 449, b drains its 400 rows.
+      // Wait on SINK row counts (not frontiers) so in-flight batches are
+      // fully written before collecting. processAllAvailable would hang
+      // here by design: a's source still reports 50 admissible-never rows.
+      val deadline = System.currentTimeMillis() + 120000
+      def cnt(m: String) = s.table(s"${grp}_$m").count()
+      while (System.currentTimeMillis() < deadline &&
+        !(cnt("a") == 450L && cnt("b") == 400L)) Thread.sleep(50)
+      val u = s.table(s"${grp}_a").select(lit("a").as("source"), col("doc_id"), col("t"))
+        .unionByName(s.table(s"${grp}_b").select(lit("b").as("source"), col("doc_id"), col("t")))
+      val rows = u.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), u.schema)
+    } finally { qa.stop(); qb.stop(); graft.sources.InputSynchronization.reset(grp) }
+  }
+
   // ───────────────────────────────────────────────────────────────────────────
   //  LLM-pipeline operators: text analysis, dedup, similarity, multimodal
   // ───────────────────────────────────────────────────────────────────────────
@@ -940,6 +999,20 @@ object SparkEntry {
     val scores = corpus.select(col("doc_id").as("id"),
       TextOps.qualityScore(col("text")).as("score"))
     Dedup.keepBest(groups, scores)
+  }
+
+  /** The COMPOSED curation pipeline (pairs → groups → keepBest from ONE
+    * minhash pass) as its own board row: dedup_groups and dedup_keep_best
+    * measure the operators independently (each recomputing the signature
+    * pipeline); this row measures the amortized composition the library
+    * actually ships — warm time ≈ dedup_groups alone, pinned against a
+    * composed oracle. */
+  private def qDedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedChainDocs(s, dir)
+    val scores = corpus.select(col("doc_id").as("id"),
+      TextOps.qualityScore(col("text")).as("score"))
+    Dedup.dedupPipeline(corpus, col("doc_id"), col("text"), scores,
+      k = 5, numHashes = 32, bands = 8, threshold = 0.7)
   }
 
   private def qEmbCosinePairs(s: SparkSession, dir: String): DataFrame = {
@@ -1471,7 +1544,9 @@ object SparkEntry {
     "window_join"     -> (qWindowJoin _),
     "interpolate"     -> (qInterpolate _),
     "sync_group_cut"  -> (qSyncGroupCut _),
+    "sync_group_stream" -> (qSyncGroupStream _),
     "inactivity_detect" -> (qInactivityDetect _),
+    "inactivity_stream_replay" -> (qInactivityStreamReplay _),
     "split_train_test" -> (qSplitTrainTest _),
     "doc_pack"        -> (qDocPack _),
     "text_pii"        -> (qTextPii _),
@@ -1501,6 +1576,7 @@ object SparkEntry {
     "sample_group_cap" -> (qSampleGroupCap _),
     "sample_group_cap_hot" -> (qSampleGroupCapHot _),
     "dedup_keep_best" -> (qDedupKeepBest _),
+    "dedup_pipeline" -> (qDedupPipeline _),
     "embedding_cosine_pairs" -> (qEmbCosinePairs _),
     "knn_brute_force" -> (qKnnBrute _),
     "knn_hnsw"        -> (qKnnHnsw _),
@@ -1914,6 +1990,29 @@ object SparkEntry {
         |FROM g, f
         |WHERE nt - tns > 7200000000000
         |   OR (nt IS NULL AND fmax - tns > 7200000000000)""".stripMargin,
+    // the streaming kernel's deterministic replay must equal the batch
+    // analog — SAME oracle as inactivity_detect
+    "inactivity_stream_replay" ->
+      """WITH e AS (SELECT user_id AS instance, epoch_ns(ts) AS tns FROM events),
+        |f AS (SELECT MAX(tns) AS fmax FROM e),
+        |g AS (SELECT instance, tns,
+        |  LEAD(tns) OVER (PARTITION BY instance ORDER BY tns) AS nt FROM e)
+        |SELECT instance, tns AS inactivity_ts,
+        |  CASE WHEN nt - tns > 7200000000000 THEN nt END AS resumed_ts
+        |FROM g, f
+        |WHERE nt - tns > 7200000000000
+        |   OR (nt IS NULL AND fmax - tns > 7200000000000)""".stripMargin,
+    // the streaming admission fixed point must equal the alignedCut
+    // formula over the same derived feeds (F = min of member maxes)
+    "sync_group_stream" ->
+      """WITH d AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS t
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 500)),
+        |a AS (SELECT doc_id, t FROM d),
+        |b AS (SELECT doc_id, t FROM d WHERE t < 400),
+        |f AS (SELECT LEAST((SELECT MAX(t) FROM a), (SELECT MAX(t) FROM b)) AS fv)
+        |SELECT 'a' AS source, doc_id, t FROM a, f WHERE t <= fv + 50
+        |UNION ALL
+        |SELECT 'b' AS source, doc_id, t FROM b, f WHERE t <= fv + 50""".stripMargin,
     "split_train_test" -> {
       val slot = "((" + graft.functions.CrossHash.duckSigned(
         graft.functions.CrossHash.duckU64("CAST(doc_id AS VARCHAR)")) +
@@ -2493,6 +2592,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
     "dedup_groups" -> OracleSqlGen.dedupGroups(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
     "dedup_keep_best" -> OracleSqlGen.dedupKeepBest(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
+    "dedup_pipeline" -> OracleSqlGen.dedupPipeline(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
     "sample_group_cap" -> {
       val slot = graft.functions.CrossHash.duckSigned(
         graft.functions.CrossHash.duckU64("CAST(doc_id AS VARCHAR)"))

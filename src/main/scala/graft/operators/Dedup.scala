@@ -370,19 +370,43 @@ object Dedup {
     * Shape: one per-group max_by aggregation (map-side combined — group
     * count, not corpus count, flows to the reduce side) + an equi-join
     * back; no window over the corpus. */
-  def keepBest(groups: DataFrame, scores: DataFrame): DataFrame = {
+  def keepBest(groups: DataFrame, scores: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     // an explicit scored/unscored rank, NOT a Double.MinValue sentinel: the
     // sentinel would rank an unscored member ABOVE a scored -Infinity (a
     // quality classifier's hard reject) and tie with an exact MinValue score
-    val g = groups.select(col("id"), col("rep_id"))
+    val g = groups.select((Seq("id", "rep_id") ++ carry).map(col): _*)
       .join(scores.select(col("id"), col("score").as("_s")), Seq("id"), "left_outer")
     val keepers = g.groupBy("rep_id")
       .agg(max_by(col("id"), struct(
         col("_s").isNotNull.cast("int"), coalesce(col("_s"), lit(0.0)), -col("id")))
         .as("keeper_id"))
     g.join(keepers, "rep_id")
-      .select(col("id"), col("rep_id"), col("keeper_id"),
-        (col("id") === col("keeper_id")).as("keep"))
+      .select(Seq(col("id"), col("rep_id")) ++ carry.map(col) ++ Seq(
+        col("keeper_id"), (col("id") === col("keeper_id")).as("keep")): _*)
+  }
+
+  /** The COMPOSED corpus-curation pipeline as the library ships it:
+    * MinHash+LSH verified pairs → transitive groups (+sizes) → best-member
+    * selection, sharing ONE signature/pair computation end to end — the
+    * amortization [[dedupGroups]] + [[keepBest]] run as independent board
+    * queries cannot show (each recomputes minhashCore). Output:
+    * (id, rep_id, is_dup, group_size, keeper_id, keep) — the union of both
+    * operators' columns from a single pass. */
+  def dedupPipeline(df: DataFrame, id: Column, text: Column, scores: DataFrame,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val (norm, pairs) = minhashCore(df, id, text, k, numHashes, bands, threshold, bucketCap)
+    val comp = dupGroups(pairs).localCheckpoint(true)
+    val sizes = comp.groupBy("rep_id").agg(count(lit(1)).as("group_size"))
+    val groups = norm.select(col("id"))
+      .join(comp, Seq("id"), "left_outer")
+      .withColumn("rep_id", coalesce(col("rep_id"), col("id")))
+      .join(sizes, Seq("rep_id"), "left_outer")
+      .select(col("id"), col("rep_id"),
+        (col("rep_id") =!= col("id")).as("is_dup"),
+        coalesce(col("group_size"), lit(1L)).as("group_size"))
+    keepBest(groups, scores, carry = Seq("is_dup", "group_size"))
   }
 
   def dedupGroups(df: DataFrame, id: Column, text: Column,

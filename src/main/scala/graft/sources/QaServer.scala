@@ -30,6 +30,21 @@ import graft.operators.{DocumentStore, Embedders, Llms, Rag}
   */
 object QaServer {
 
+  /** Embedding cells (rows × dim) above which `serve`/`serveRefreshable`
+    * pick the sharded index when `sharded` is not overridden: 64M float
+    * cells ≈ 256 MB of raw embeddings (text payload on top) — past that a
+    * collected snapshot stops being a safe "fits the serving host"
+    * assumption and [[DocumentStore.retrieveSharded]]'s distributed path
+    * wins. The decision re-runs on every `refresh`, so a growing corpus
+    * crosses over without the operator knowing the bound exists; the
+    * sizing count is one cheap job against the (normally persisted)
+    * store. */
+  val DefaultAutoShardCells: Long = 64L * 1024L * 1024L
+
+  private def pickSharded(store: DataFrame, dim: Int,
+      sharded: Option[Boolean], autoShardCells: Long): Boolean =
+    sharded.getOrElse(store.count() * dim > autoShardCells)
+
   private final case class Entry(chunkId: Long, docId: Long, text: String,
       vec: Array[Float])
 
@@ -112,6 +127,9 @@ object QaServer {
       ref.set(mkIndex(store))
       old.backing.foreach(_.unpersist(false))
     }
+    /** Whether the CURRENT index is the sharded one (auto-selection or
+      * override outcome — specs pin the switchover through this). */
+    def isSharded: Boolean = ref.get().isInstanceOf[ShardedIndex]
     def port: Int = server.getAddress.getPort
     def stop(): Unit = server.stop(0)
   }
@@ -136,8 +154,10 @@ object QaServer {
       path: String = "/v2/answer", defaultK: Int = 3,
       chat: Option[Llms.ChatModel] = None,
       noAnswer: String = Rag.DefaultNoAnswer,
-      sharded: Boolean = false): HttpServer =
-    serveRefreshable(store, dim, port, path, defaultK, chat, noAnswer, sharded).server
+      sharded: Option[Boolean] = None,
+      autoShardCells: Long = DefaultAutoShardCells): HttpServer =
+    serveRefreshable(store, dim, port, path, defaultK, chat, noAnswer,
+      sharded, autoShardCells).server
 
   /** Routes (servers.py:146-244 surface):
     *   - `<path>` (default `/v2/answer`): retrieval — body
@@ -152,14 +172,21 @@ object QaServer {
     *     snapshot → `{"results":[{"doc_id":…, "n_chunks":…, "n_chars":…}]}`.
     *   - `/v2/summarize` (requires `chat`): body `{"text_list":[…]}` →
     *     `{"summary":…}` via [[Rag.summarizePrompt]].
-    * Routes needing an absent `chat` answer 501. */
+    * Routes needing an absent `chat` answer 501.
+    *
+    * `sharded = None` (default) AUTO-selects per store: snapshot below
+    * [[DefaultAutoShardCells]] embedding cells, sharded above — both paths
+    * answer byte-identically (HttpSpec pins it), so the choice is purely a
+    * memory/latency trade the endpoint makes for the operator. Pass
+    * `Some(true/false)` to override. */
   def serveRefreshable(store: DataFrame, dim: Int, port: Int = 0,
       path: String = "/v2/answer", defaultK: Int = 3,
       chat: Option[Llms.ChatModel] = None,
       noAnswer: String = Rag.DefaultNoAnswer,
-      sharded: Boolean = false): Served = {
+      sharded: Option[Boolean] = None,
+      autoShardCells: Long = DefaultAutoShardCells): Served = {
     def mkIndex(st: DataFrame): Index =
-      if (sharded) new ShardedIndex(st, dim)
+      if (pickSharded(st, dim, sharded, autoShardCells)) new ShardedIndex(st, dim)
       else new SnapshotIndex(collectEntries(st, dim), st)
     val indexRef = new java.util.concurrent.atomic.AtomicReference[Index](mkIndex(store))
     val embedder = new Embedders.FakeEmbedder(dim)

@@ -1,0 +1,203 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util
+import scala.collection.mutable
+
+/** `format("graft.sources.SyncedSpoolSource")` — input-synchronization-group
+  * admission (reference `python/pathway/io/_synchronization.py:59`) over a
+  * spool DIRECTORY of JSON-lines files: the [[Http.restConnector]] spool
+  * contract, and the group's NON-COLLECTED member shape. Unlike
+  * [[SyncedReplaySource]] (which demonstrates the admission surface over a
+  * driver-resident sorted value array), no row data ever touches the
+  * driver here:
+  *
+  *   - planning (`latestOffset`) lists the spool and computes each NEW
+  *     file's sync frontier — `max(syncCol)` over that file — ONCE, via a
+  *     single aggregate-only Spark job per trigger batched across the new
+  *     files (`input_file_name()` grouping). The cache holds one Long per
+  *     file, O(files) driver memory, never the table;
+  *   - the coordinator admits whole files (the group granularity: a
+  *     lagging member "reads more to catch up" one file at a time, the
+  *     reference's batch-granular alignment), so the member's advanced
+  *     frontier IS the max of syncCol over the slice it just committed;
+  *   - executors read the admitted files' bytes directly (Hadoop
+  *     FileSystem, so any shared-FS spool works) and emit raw lines as a
+  *     single `value: string` column — parse with `from_json` downstream.
+  *
+  * Contract (documented, checked loudly): spool file names are
+  * lexicographically monotone in arrival order (sequence or timestamp
+  * prefixes — the atomic write-then-rename spool pattern), and arrival
+  * order is sync order, the same "member replays in sync order" contract
+  * [[InputSynchronization.Coordinator.admit]] states. A late file sorting
+  * below the committed frontier would corrupt rank offsets; it throws
+  * rather than silently reordering.
+  *
+  * Options: `path` (spool dir), `syncCol` (Long-castable field inside the
+  * JSON), `filesPerBatch`, `group`, `member`, `maxDifference`, optional
+  * `priority`, `idleMs`, `groupSize`.
+  */
+class SyncedSpoolSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyncedSpool.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SyncedSpoolTable(opts.get("path"), opts.get("synccol"),
+      opts.getInt("filesperbatch", 10), opts.get("group"), opts.get("member"),
+      opts.getLong("maxdifference", Long.MaxValue),
+      opts.getInt("priority", 0),
+      Option(opts.get("idlems")).map(_.toLong),
+      opts.getInt("groupsize", 0))
+  }
+}
+
+private[sources] object SyncedSpool {
+  val schema: StructType = new StructType().add("value", StringType)
+}
+
+private[sources] class SyncedSpoolTable(path: String, syncCol: String,
+    filesPerBatch: Int, groupName: String, member: String,
+    maxDifference: Long, priority: Int, idleMs: Option[Long], groupSize: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-synced-spool($path as $member@$groupName)"
+  override def schema(): StructType = SyncedSpool.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = SyncedSpool.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new SyncedSpoolStream(path, syncCol, filesPerBatch, groupName, member,
+          maxDifference, priority, idleMs, groupSize)
+    }
+}
+
+private[sources] class SyncedSpoolStream(path: String, syncCol: String,
+    filesPerBatch: Int, groupName: String, member: String, maxDifference: Long,
+    priority: Int, idleMs: Option[Long], groupSize: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+  private def spark = org.apache.spark.sql.SparkSession.active
+  private val coordinator = InputSynchronization.group(groupName, maxDifference)
+  coordinator.register(member, priority, idleMs)
+  if (groupSize > 0) coordinator.expectGroupSize(groupSize)
+
+  /** fileName -> max(syncCol) in that file; one Long per file ever seen. */
+  private val frontierCache = mutable.HashMap.empty[String, Long]
+  /** Names admitted so far in rank order (rebuilt from the sorted listing
+    * on checkpoint recovery — the monotone-naming contract makes sorted
+    * order == admission order). Guards against late under-frontier files. */
+  private val admittedNames = mutable.ArrayBuffer.empty[String]
+
+  private def fs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Visible spool files, sorted by name. Hidden/tmp files (`.`-prefixed,
+    * the write-then-rename staging names) are excluded. */
+  private def listSorted(): Array[String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val f = fs
+    if (!f.exists(dir)) return Array.empty
+    f.listStatus(dir).iterator
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString).toArray.sorted
+  }
+
+  /** Compute (once) and cache `max(syncCol)` for each of `files` — one
+    * aggregate-only job batched across the uncached ones. A file whose rows
+    * yield no sync value (empty, or the field missing/null throughout)
+    * fails loudly: admitting it blind would break the group invariant. */
+  private def frontiersOf(files: Seq[String]): Seq[Long] = {
+    val missing = files.filterNot(frontierCache.contains)
+    if (missing.nonEmpty) {
+      import org.apache.spark.sql.functions._
+      val st = new StructType().add(syncCol, LongType)
+      spark.read.schema(st).json(missing: _*)
+        .groupBy(input_file_name().as("_f"))
+        .agg(max(col(syncCol)).as("_mx"))
+        .collect().foreach { r =>
+          // input_file_name renders `file:///…`, the listing `file:/…` —
+          // Hadoop Path canonicalizes both to one form
+          if (!r.isNullAt(1))
+            frontierCache(new org.apache.hadoop.fs.Path(r.getString(0)).toString) =
+              r.getLong(1)
+        }
+      val unresolved = missing.filterNot(frontierCache.contains)
+      require(unresolved.isEmpty,
+        s"spool file(s) without a '$syncCol' sync value: ${unresolved.mkString(", ")}")
+    }
+    files.map(frontierCache)
+  }
+
+  private var didReset = false
+  override def initialOffset(): Offset = {
+    // fresh query (no checkpoint): clear this member's JVM-global frontier
+    // exactly once (see SyncedReplayStream.initialOffset)
+    if (!didReset) { coordinator.resetMember(member); didReset = true }
+    ReplayOffset(0L)
+  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("paced via latestOffset(start, limit)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[ReplayOffset].rank.toInt
+    val files = listSorted()
+    if (admittedNames.isEmpty && s > 0) admittedNames ++= files.take(s) // recovery
+    require(files.length >= s && files.take(s).sameElements(admittedNames.take(s)),
+      s"spool $path changed under the committed frontier (rank $s): file names " +
+        "must be lexicographically monotone in arrival order and never removed")
+    val pending = files.slice(s, s + filesPerBatch).toSeq
+    val n = coordinator.admit(member, frontiersOf(pending))
+    admittedNames ++= pending.take(n)
+    ReplayOffset(s + n.toLong)
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(filesPerBatch)
+  override def reportLatestOffset(): Offset = ReplayOffset(listSorted().length.toLong)
+  override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ReplayOffset].rank.toInt
+    val e = end.asInstanceOf[ReplayOffset].rank.toInt
+    if (e <= s) return Array.empty
+    // recovery replan of a committed batch may arrive before any
+    // latestOffset call: the sorted listing IS rank order by contract
+    val files = if (admittedNames.length >= e) admittedNames else listSorted().toSeq
+    files.slice(s, e).map(SpoolFilePartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = new org.apache.hadoop.fs.Path(
+        partition.asInstanceOf[SpoolFilePartition].file)
+      // executor-side: read THIS file's bytes from the shared FS — the
+      // driver never sees row data
+      val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(f.open(p), java.nio.charset.StandardCharsets.UTF_8))
+      new PartitionReader[InternalRow] {
+        private var line: String = _
+        override def next(): Boolean = {
+          line = reader.readLine()
+          while (line != null && line.isEmpty) line = reader.readLine()
+          line != null
+        }
+        override def get(): InternalRow =
+          new GenericInternalRow(Array[Any](UTF8String.fromString(line)))
+        override def close(): Unit = reader.close()
+      }
+    }
+  }
+}
+
+private[sources] case class SpoolFilePartition(file: String) extends InputPartition

@@ -78,6 +78,10 @@ object Inactivity {
   case class InactivityEvent(instance: String,
       inactivity_timestamp_utc: Timestamp,
       resumed_activity_timestamp_utc: Timestamp)
+  /* kernel-internal output in raw clock ticks (ms live, any unit in
+   * replay); the live API renders Timestamps downstream */
+  private[streaming] case class InactRaw(instance: String, start: Long,
+      resumed: Option[Long])
 
   /** Rows actually reaching the stateful kernel (all groups), for the
     * StreamBench funnel rung and specs. Local-mode instrumentation: a plain
@@ -85,41 +89,58 @@ object Inactivity {
     * driver's JVM (local[n]) — exactly where the benches run. */
   private[graft] val kernelRowsSeen = new java.util.concurrent.atomic.LongAdder
 
-  private def kernel(allowedMs: Long, globalFromStartOnly: Boolean)(
+  /** `armTimeouts = false` (event-time replay): never call
+    * setTimeoutDuration — with ProcessingTimeTimeout registered Spark
+    * re-triggers batches CONTINUOUSLY to re-check pending timeouts, a
+    * busy loop that piles up state-store versions; the replay detects
+    * every gap on data, so it runs under NoTimeout and batches fire only
+    * when chunks arrive. */
+  private def kernel(allowedMs: Long, globalFromStartOnly: Boolean,
+      armTimeouts: Boolean = true)(
       key: (Boolean, String), rows: Iterator[InactIn],
-      state: GroupState[InactState]): Iterator[InactivityEvent] = {
-    val out = Seq.newBuilder[InactivityEvent]
+      state: GroupState[InactState]): Iterator[InactRaw] = {
+    val out = Seq.newBuilder[InactRaw]
     val inst = key._2
     if (state.hasTimedOut) {
       val st = state.get
       // gap exceeded with no rows at all (instanced groups, which see no
       // heartbeats): report the inactivity period (resumed unknown yet)
-      out += InactivityEvent(inst, new Timestamp(st.lastActivityMs), null)
+      out += InactRaw(inst, st.lastActivityMs, None)
       state.update(st.copy(openSinceMs = st.lastActivityMs))
       // no new timeout: the group sleeps until data arrives
     } else {
       val batch = rows.toSeq
       kernelRowsSeen.add(batch.size)
       val nowMs = batch.map(_.nowMs).max
-      val anyActivity = batch.exists(_.isActivity)
-      var st = state.getOption.getOrElse(
-        InactState(lastActivityMs = nowMs, openSinceMs = -1L, everActive = false))
-      if (anyActivity) {
+      // activity timestamps SORTED ascending: live batches carry one
+      // constant clock value (the loop runs once — bit-identical to the
+      // old single-step), but an event-time REPLAY batch can span several
+      // gaps; scanning in order detects each one with its exact resume
+      // timestamp, independent of how the replay chunks into micro-batches
+      val acts = batch.iterator.filter(_.isActivity).map(_.nowMs).toArray
+      java.util.Arrays.sort(acts)
+      // fresh group: baseline at the FIRST activity (not the batch max —
+      // that would swallow every gap inside this batch's scan); with no
+      // activity at all, at the heartbeat that bootstrapped the group
+      var st = state.getOption.getOrElse(InactState(
+        lastActivityMs = if (acts.nonEmpty) acts(0) else nowMs,
+        openSinceMs = -1L, everActive = false))
+      for (t <- acts) {
         if (st.openSinceMs >= 0L)
-          out += InactivityEvent(inst, new Timestamp(st.openSinceMs), new Timestamp(nowMs))
-        else if (nowMs - st.lastActivityMs > allowedMs)
+          out += InactRaw(inst, st.openSinceMs, Some(t))
+        else if (t - st.lastActivityMs > allowedMs)
           // gap revealed AND resumed within one micro-batch (the resuming
           // event arrived in the same trigger the timeout/tick would have
           // fired in): emit the complete closed period — dropping it would
           // diverge from the batch analog, which reports every gap
-          out += InactivityEvent(inst, new Timestamp(st.lastActivityMs), new Timestamp(nowMs))
-        st = InactState(nowMs, -1L, everActive = true)
+          out += InactRaw(inst, st.lastActivityMs, Some(t))
+        st = InactState(math.max(t, st.lastActivityMs), -1L, everActive = true)
       }
       // in instanced mode the SYNTHETIC group only reports the SINCE-START
       // case; once any data has arrived it stays permanently silent (a
       // real null-instance group is keyed (false, null) and unaffected)
       val retired = globalFromStartOnly && key._1 && st.everActive
-      if (!anyActivity && !retired &&
+      if (acts.isEmpty && !retired &&
           st.openSinceMs < 0L && nowMs - st.lastActivityMs > allowedMs) {
         // heartbeat tick revealed the gap — the detection clock for groups
         // that DO receive heartbeats (the null/global group; in default
@@ -127,11 +148,11 @@ object Inactivity {
         // for groups with no rows at all, so a heartbeat-fed group must
         // check the gap itself — exactly the reference's design of joining
         // latest-activity against the utc_now table (time_utils.py:112).
-        out += InactivityEvent(inst, new Timestamp(st.lastActivityMs), null)
+        out += InactRaw(inst, st.lastActivityMs, None)
         st = st.copy(openSinceMs = st.lastActivityMs)
       }
       state.update(st)
-      if (st.openSinceMs < 0L && !retired)
+      if (armTimeouts && st.openSinceMs < 0L && !retired)
         // re-arm to the ABSOLUTE deadline lastActivity + allowed: arming
         // `allowedMs` from now would let each heartbeat batch push the
         // deadline forever forward and the fallback timeout never fire
@@ -212,6 +233,80 @@ object Inactivity {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.ProcessingTimeTimeout)(
         kernel(allowedInactivityMs, globalFromStartOnly = instance.isDefined))
+      .select(col("instance"),
+        timestamp_millis(col("start")).as("inactivity_timestamp_utc"),
+        timestamp_millis(col("resumed")).as("resumed_activity_timestamp_utc"))
+  }
+
+  /** Deterministic EVENT-TIME replay of the streaming kernel over a finite
+    * log — the verification harness that pins stream ≡ batch: the SAME
+    * `flatMapGroupsWithState` kernel the live path runs, driven through
+    * real micro-batches (MemoryStream chunks in timestamp order) with the
+    * clock taken from each event's own timestamp instead of
+    * `current_timestamp()`. After the last chunk, one non-activity probe
+    * row per instance at the global max timestamp closes the frontier —
+    * the batch analog's open-tail rule — so the emitted changelog equals
+    * [[inactivityPeriodsBatch]] exactly (closed gaps with exact resume
+    * timestamps via the kernel's sorted within-batch scan, plus open
+    * tails), for ANY `batchTicks` chunking.
+    *
+    * The log is collected driver-side to feed the MemoryStream — this is
+    * a bounded verification rig (like the replay demo sources), not the
+    * production ingest path. Timeouts never fire: tick units are opaque to
+    * Spark's processing-time clock, and every gap is detected on data.
+    * Returns a STATIC DataFrame (instance, inactivity_ts, resumed_ts) in
+    * the input's tick units. */
+  def inactivityDetectionReplay(events: DataFrame, ts: Column, instance: Column,
+      allowedTicks: Long, batchTicks: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // kernel keys are strings; remember the input column's real type so
+    // the result casts back (batch-analog / oracle schema parity)
+    val instType = events.select(instance.as("i")).schema.head.dataType
+    val log = events.select(instance.cast("string").as("i"), ts.cast("long").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    require(log.nonEmpty, "empty event log")
+    val t0 = log.head._2
+    val frontier = log.last._2
+    // batchTicks <= 0 → auto: ~8 event-time chunks. Chunk count is a pure
+    // exercise knob (the sorted scan makes results chunking-independent),
+    // but each micro-batch pays fixed state-store/shuffle overhead, so a
+    // span-proportional chunk width keeps replay wall-time flat across SFs
+    val width = if (batchTicks > 0) batchTicks
+      else math.max(1L, (frontier - t0) / 8 + 1)
+    val chunks = log.groupBy { case (_, t) => (t - t0) / width }
+      .toSeq.sortBy(_._1).map(_._2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[InactIn]
+    val outName = s"inact_replay_${java.util.UUID.randomUUID().toString.take(8)}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-inact-replay").toString
+    val q = input.toDS()
+      .groupByKey(r => (r.synthetic, r.instance))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        kernel(allowedTicks, globalFromStartOnly = false, armTimeouts = false))
       .toDF()
+      .writeStream.format("memory").queryName(outName)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      chunks.foreach { c =>
+        input.addData(c.toSeq.map { case (i, t) =>
+          InactIn(i, synthetic = false, isActivity = true, nowMs = t) })
+        q.processAllAvailable()
+      }
+      // frontier probe: one NON-activity row per instance at the global
+      // max — instances more than allowedTicks behind it report their
+      // open period, exactly the batch analog's open-tail rule
+      input.addData(log.map(_._1).distinct.toSeq.map(i =>
+        InactIn(i, synthetic = false, isActivity = false, nowMs = frontier)))
+      q.processAllAvailable()
+      val rows = spark.table(outName).collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          spark.table(outName).schema)
+        .select(col("instance").cast(instType).as("instance"),
+          col("start").as("inactivity_ts"),
+          col("resumed").as("resumed_ts"))
+    } finally q.stop()
   }
 }

@@ -152,7 +152,7 @@ class HttpSpec extends AnyFunSuite {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val snap = graft.sources.QaServer.serveRefreshable(store(), dim = 32)
     val shard = graft.sources.QaServer.serveRefreshable(store(), dim = 32,
-      sharded = true)
+      sharded = Some(true))
     try {
       for (q <- Seq("""{"query": "distributed data engine", "k": 2}""",
           """{"query": "cat in the sun", "k": 1}""",
@@ -173,5 +173,35 @@ class HttpSpec extends AnyFunSuite {
         """{"query": "volcanoes", "k": 1}""")
       assert(after.contains("\"doc_id\":9"), after)
     } finally { snap.stop(); shard.stop() }
+  }
+
+  test("QaServer auto-shard: store size picks the index, override wins, refresh re-decides") {
+    import org.apache.spark.sql.functions.col
+    def store(ids: Long*) = graft.operators.DocumentStore.build(
+      ids.map(i => (i, s"document number $i about spark engines and data"))
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text"), chunkTokens = 30, overlap = 5, dim = 32)
+    // small store, default threshold → snapshot
+    val auto = graft.sources.QaServer.serveRefreshable(store(1L), dim = 32)
+    // tiny threshold → the SAME store auto-selects sharded
+    val tiny = graft.sources.QaServer.serveRefreshable(store(1L), dim = 32,
+      autoShardCells = 1L)
+    // override beats the threshold in both directions
+    val forced = graft.sources.QaServer.serveRefreshable(store(1L), dim = 32,
+      sharded = Some(false), autoShardCells = 1L)
+    try {
+      assert(!auto.isSharded, "small store under the default threshold must snapshot")
+      assert(tiny.isSharded, "store above the threshold must auto-shard")
+      assert(!forced.isSharded, "explicit override must beat the threshold")
+      // refresh re-runs the decision (a grown corpus crosses over without
+      // the operator knowing the bound exists) — and still answers
+      auto.refresh(store(1L, 2L, 3L))
+      assert(!auto.isSharded)
+      tiny.refresh(store(1L, 2L, 3L))
+      assert(tiny.isSharded)
+      val r = post(s"http://127.0.0.1:${tiny.port}/v2/answer",
+        """{"query": "spark engines", "k": 1}""")
+      assert(r.contains("chunk_id"), r)
+    } finally { auto.stop(); tiny.stop(); forced.stop() }
   }
 }

@@ -159,6 +159,24 @@ class InactivitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("inactivityDetectionReplay: streaming kernel over a finite log equals the batch analog") {
+    val h = 3600L
+    // two instances, gaps of 5h (closed), 1h (no), and an open 6h tail on u2
+    val ev = Seq(
+      ("u1", 0L), ("u1", 1L * h), ("u1", 6L * h), ("u1", 7L * h), ("u1", 20L * h),
+      ("u2", 0L), ("u2", 10L * h), ("u2", 14L * h)).toDF("u", "t")
+    val batch = Inactivity.inactivityPeriodsBatch(ev, col("t"), 2L * h, col("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    for (chunk <- Seq(0L, 1L, 3L * h, 100L * h)) { // chunking must not matter
+      val replay = Inactivity.inactivityDetectionReplay(ev, col("t"), col("u"),
+        allowedTicks = 2L * h, batchTicks = chunk)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(replay == batch, s"chunk=$chunk: $replay vs $batch")
+    }
+  }
+
   test("inactivityPeriodsBatch: exact gaps incl. the open tail at the frontier") {
     val h = 3600L * 1000000000L // 1h in ns
     val ev = Seq(

@@ -142,6 +142,68 @@ class SyncGroupSpec extends AnyFunSuite {
     } finally { qa.stop(); qb.stop() }
   }
 
+  test("two skewed SPOOL sources: non-collected member shape holds the same invariant") {
+    // the r13 watch item: SyncedReplaySource holds the full sync array
+    // driver-resident. The spool-backed member computes per-file frontiers
+    // incrementally and ships FILE PATHS to executors — no row data on the
+    // driver — and must hold the identical neither-runs-ahead invariant.
+    InputSynchronization.reset("spool1")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spool").toString
+    for (m <- Seq("a", "b")) {
+      val d = java.nio.file.Paths.get(dir, m)
+      java.nio.file.Files.createDirectories(d)
+      for (k <- 0 until 20) { // file k holds sync values 3k..3k+2, ascending
+        val lines = (0 until 3).map(i => s"""{"t":${3 * k + i},"payload":"$m${3 * k + i}"}""")
+        java.nio.file.Files.write(d.resolve(f"f$k%05d.json"),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      }
+    }
+    def start(member: String, filesPerBatch: Int) = spark.readStream
+      .format("graft.sources.SyncedSpoolSource")
+      .option("path", s"$dir/$member")
+      .option("syncCol", "t")
+      .option("filesPerBatch", filesPerBatch.toString)
+      .option("group", "spool1")
+      .option("member", member)
+      .option("maxDifference", "10")
+      .option("groupSize", "2")
+      .load()
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL("t LONG, payload STRING")).as("r"))
+      .select(col("r.t").as("t"), col("r.payload").as("payload"))
+      .writeStream
+      .format("memory")
+      .queryName(s"spool_$member")
+      .trigger(Trigger.ProcessingTime(25))
+      .start()
+    // a reads 8 files/batch (would drain in 3 triggers), b only 1
+    val qa = start("a", 8)
+    val qb = start("b", 1)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      val c = InputSynchronization.group("spool1", 10L)
+      while (System.currentTimeMillis() < deadline &&
+        !(c.frontiers.get("a").flatten.contains(59L) &&
+          c.frontiers.get("b").flatten.contains(59L))) Thread.sleep(100)
+      assert(c.frontiers("a").contains(59L) && c.frontiers("b").contains(59L),
+        s"both spools must drain fully, got ${c.frontiers}")
+      val entries = c.audit.filter(e => !e.catchUp && e.minOther.isDefined)
+      assert(entries.nonEmpty)
+      val offenders = entries.filter(e => e.frontier > e.minOther.get + 10L)
+      assert(offenders.isEmpty, s"frontier ran ahead: $offenders")
+      val aThrottled = c.audit.filter(e => e.member == "a" && e.minOther.isDefined)
+      assert(aThrottled.size >= 2,
+        s"fast spool must have been paced across batches; audit=${c.audit}")
+      // and the rows really flowed through the executor-side readers
+      val deadline2 = System.currentTimeMillis() + 20000
+      def rows(m: String) = spark.table(s"spool_$m").count()
+      while (System.currentTimeMillis() < deadline2 &&
+        (rows("a") < 60 || rows("b") < 60)) Thread.sleep(100)
+      assert(rows("a") == 60 && rows("b") == 60)
+      assert(spark.table("spool_a").where(col("payload") === "a59").count() == 1)
+    } finally { qa.stop(); qb.stop() }
+  }
+
   test("alignedCut: batch analog admits exactly min-frontier + maxDifference") {
     val a = Seq((0L, "x"), (5L, "x"), (20L, "x")).toDF("t", "v") // max 20
     val b = Seq((1L, "y"), (8L, "y"), (12L, "y"), (40L, "y")).toDF("t", "v") // max 40

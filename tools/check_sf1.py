@@ -45,6 +45,7 @@ def materialize_ctes(sql: str) -> str:
 # oracles whose CTE chains DuckDB re-derives multiplicatively at sf1 even
 # under MATERIALIZED — stage their CTEs as temp tables instead
 STAGED = {
+    "dedup_pipeline",
     "dedup_minhash_lsh", "dedup_groups", "dedup_keep_best", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_spans", "decontaminate",
     "decontaminate_fuzzy", "embedding_cosine_pairs",

@@ -37,11 +37,45 @@ def main(mult=10, src="/root/testdata/sf0.1", dst="/tmp/graft_sf1"):
                    c_acctbal, c_mktsegment
             FROM read_parquet('{src}/customer.parquet'), {reps})
       TO '{dst}/customer.parquet' (FORMAT PARQUET)""")
-    for t in "region nation supplier part orders lineitem events".split():
+    # fact tables replicate with offsets CONSISTENT with customer's, so the
+    # c_custkey = o_custkey = ... join chains stay 1:1 per replica; dims
+    # (supplier/part/nation/region) stay fixed — each replica's lineitems
+    # join the same dim rows, like TPC-H's sub-linear dim growth.
+    # lineitem: 600k -> 6M at mult=10 (TPC-H sf1 size).
+    con.execute(f"""
+      COPY (SELECT o_orderkey + r*{STRIDE} AS o_orderkey,
+                   o_custkey + r*{STRIDE} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+            FROM read_parquet('{src}/orders.parquet'), {reps})
+      TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (SELECT l_orderkey + r*{STRIDE} AS l_orderkey, l_partkey, l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM read_parquet('{src}/lineitem.parquet'), {reps})
+      TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
+    # events: replica users repeat the same activity pattern on the same
+    # timeline — per-user window/gap/session structure is preserved, the
+    # row count and user count scale by mult. Replicated via pyarrow, NOT
+    # DuckDB: the driver writes ts as TIMESTAMP(NANOS) in some rounds and
+    # MICROS in others, and DuckDB coerces either to µs on read — pyarrow
+    # round-trips the source's logical type exactly, so the Spark read
+    # path (Tables.normalizeEventTs) sees the same type at every SF.
+    import pyarrow as pa, pyarrow.parquet as pq, pyarrow.compute as pc
+    ev = pq.read_table(f"{src}/events.parquet")
+    parts = []
+    for r in range(mult):
+        t = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
+                          pc.add(ev["event_id"], r * STRIDE))
+        t = t.set_column(t.schema.get_field_index("user_id"), "user_id",
+                         pc.add(ev["user_id"], r * STRIDE))
+        parts.append(t)
+    pq.write_table(pa.concat_tables(parts), f"{dst}/events.parquet", version="2.6")
+    for t in "region nation supplier part".split():
         p = f"{src}/{t}.parquet"
         if os.path.exists(p):
             shutil.copy(p, f"{dst}/{t}.parquet")
-    for t in "documents embeddings customer".split():
+    for t in "documents embeddings customer orders lineitem events".split():
         n = con.sql(f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
         print(f"{t}: {n} rows")
 
