@@ -100,8 +100,13 @@ FROM n LEFT JOIN nb ON nb.id = n.id"""
     * aggregation + one join over the pair graph. Labels are always vertex
     * ids, so the jump join is total. 10 passes covers diameters into the
     * thousands — orders beyond any near-dup cluster. */
-  def dedupGroups(k: Int, numHashes: Int, bands: Int, threshold: Double,
-      ccPasses: Int = 10): String = {
+  /** Shared CTE prefix of the minhash-dedup family: minhash pairs over the
+    * planted-chain corpus, then `ccPasses` unrolled label-propagation +
+    * pointer-jump passes down to `comp(id, rep)` — ONE source of truth, so
+    * a CC/quality fix can't silently diverge between the standalone
+    * operator oracles and the composed-pipeline oracle. */
+  private def minhashComponentCtes(k: Int, numHashes: Int, bands: Int,
+      threshold: Double, ccPasses: Int): String = {
     val passes = (0 until ccPasses).map { i =>
       s"""p${i + 1} AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM (
     SELECT id, lbl FROM l$i
@@ -111,19 +116,38 @@ FROM n LEFT JOIN nb ON nb.id = n.id"""
 l${i + 1} AS MATERIALIZED (SELECT p.id, LEAST(p.lbl, q.lbl) AS lbl
   FROM p${i + 1} p JOIN p${i + 1} q ON q.id = p.lbl)"""
     }.mkString(",\n")
-    val last = s"l$ccPasses"
-    s"""WITH ${minhashCtes(plantedChain, k, numHashes, bands, threshold)},
+    s"""${minhashCtes(plantedChain, k, numHashes, bands, threshold)},
 sym AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM dup UNION ALL SELECT id2, id1 FROM dup),
 l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM sym),
 $passes,
-comp AS (SELECT id, lbl AS rep FROM $last),
+comp AS (SELECT id, lbl AS rep FROM l$ccPasses)"""
+  }
+
+  /** TextOps.qualityScore replay + per-group keeper pick (quality DESC,
+    * id ASC) over a `grp(id, rep_id)` CTE — shared by [[dedupKeepBest]]
+    * and [[dedupPipeline]]. */
+  private def qualityKeeperCtes: String =
+    s"""tq AS (SELECT doc_id AS id, text,
+  string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u),
+q AS (SELECT id, LEAST(1.0, GREATEST(0.0,
+    0.4 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+    + 0.3 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','you','that'], x))) AS DOUBLE) / len(toks))
+    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)))) AS score
+  FROM tq),
+keeper AS (SELECT rep_id, id AS keeper_id FROM (
+  SELECT grp.rep_id, grp.id, ROW_NUMBER() OVER (PARTITION BY grp.rep_id
+    ORDER BY q.score DESC, grp.id ASC) AS rn FROM grp JOIN q USING (id))
+  WHERE rn = 1)"""
+
+  def dedupGroups(k: Int, numHashes: Int, bands: Int, threshold: Double,
+      ccPasses: Int = 10): String =
+    s"""WITH ${minhashComponentCtes(k, numHashes, bands, threshold, ccPasses)},
 sizes AS (SELECT rep, COUNT(*) AS gs FROM comp GROUP BY rep)
 SELECT n.id AS id, COALESCE(c.rep, n.id) AS rep_id,
   COALESCE(c.rep, n.id) <> n.id AS is_dup,
   CAST(COALESCE(s.gs, 1) AS BIGINT) AS group_size
 FROM n LEFT JOIN comp c ON c.id = n.id
 LEFT JOIN sizes s ON s.rep = COALESCE(c.rep, n.id)"""
-  }
 
   /** Dedup.simhashPairs(plantedDocs, maxDist=3, bands=4). */
   def dedupSimhash(maxDist: Int, bands: Int): String = {
@@ -714,79 +738,29 @@ FROM cg JOIN eg USING (h) GROUP BY cg.doc_id"""
     * TextOps.qualityScore: same CC chain as [[dedupGroups]], keeper =
     * argmax (quality DESC, id ASC) per group. */
   def dedupKeepBest(k: Int, numHashes: Int, bands: Int, threshold: Double,
-      ccPasses: Int = 10): String = {
-    val passes = (0 until ccPasses).map { i =>
-      s"""p${i + 1} AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM (
-    SELECT id, lbl FROM l$i
-    UNION ALL
-    SELECT s.a AS id, l.lbl FROM sym s JOIN l$i l ON l.id = s.b
-  ) GROUP BY id),
-l${i + 1} AS MATERIALIZED (SELECT p.id, LEAST(p.lbl, q.lbl) AS lbl
-  FROM p${i + 1} p JOIN p${i + 1} q ON q.id = p.lbl)"""
-    }.mkString(",\n")
-    val last = s"l$ccPasses"
-    s"""WITH ${minhashCtes(plantedChain, k, numHashes, bands, threshold)},
-sym AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM dup UNION ALL SELECT id2, id1 FROM dup),
-l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM sym),
-$passes,
-comp AS (SELECT id, lbl AS rep FROM $last),
+      ccPasses: Int = 10): String =
+    s"""WITH ${minhashComponentCtes(k, numHashes, bands, threshold, ccPasses)},
 grp AS (SELECT n.id AS id, COALESCE(c.rep, n.id) AS rep_id
   FROM n LEFT JOIN comp c ON c.id = n.id),
-tq AS (SELECT doc_id AS id, text,
-  string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u),
-q AS (SELECT id, LEAST(1.0, GREATEST(0.0,
-    0.4 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-    + 0.3 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','you','that'], x))) AS DOUBLE) / len(toks))
-    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)))) AS score
-  FROM tq),
-keeper AS (SELECT rep_id, id AS keeper_id FROM (
-  SELECT grp.rep_id, grp.id, ROW_NUMBER() OVER (PARTITION BY grp.rep_id
-    ORDER BY q.score DESC, grp.id ASC) AS rn FROM grp JOIN q USING (id))
-  WHERE rn = 1)
+$qualityKeeperCtes
 SELECT grp.id, grp.rep_id, keeper.keeper_id, grp.id = keeper.keeper_id AS keep
 FROM grp JOIN keeper USING (rep_id)"""
-  }
 
   /** Dedup.dedupPipeline(plantedChainDocs, qualityScore scores): the
     * composed groups→sizes→keepBest output from ONE shared minhash pass —
     * the union of dedupGroups' and dedupKeepBest's columns. */
   def dedupPipeline(k: Int, numHashes: Int, bands: Int, threshold: Double,
-      ccPasses: Int = 10): String = {
-    val passes = (0 until ccPasses).map { i =>
-      s"""p${i + 1} AS MATERIALIZED (SELECT id, MIN(lbl) AS lbl FROM (
-    SELECT id, lbl FROM l$i
-    UNION ALL
-    SELECT s.a AS id, l.lbl FROM sym s JOIN l$i l ON l.id = s.b
-  ) GROUP BY id),
-l${i + 1} AS MATERIALIZED (SELECT p.id, LEAST(p.lbl, q.lbl) AS lbl
-  FROM p${i + 1} p JOIN p${i + 1} q ON q.id = p.lbl)"""
-    }.mkString(",\n")
-    val last = s"l$ccPasses"
-    s"""WITH ${minhashCtes(plantedChain, k, numHashes, bands, threshold)},
-sym AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM dup UNION ALL SELECT id2, id1 FROM dup),
-l0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS lbl FROM sym),
-$passes,
-comp AS (SELECT id, lbl AS rep FROM $last),
+      ccPasses: Int = 10): String =
+    s"""WITH ${minhashComponentCtes(k, numHashes, bands, threshold, ccPasses)},
 sizes AS (SELECT rep, COUNT(*) AS gs FROM comp GROUP BY rep),
 grp AS (SELECT n.id AS id, COALESCE(c.rep, n.id) AS rep_id
   FROM n LEFT JOIN comp c ON c.id = n.id),
-tq AS (SELECT doc_id AS id, text,
-  string_split_regex(trim(lower(text)), '\\s+') AS toks FROM u),
-q AS (SELECT id, LEAST(1.0, GREATEST(0.0,
-    0.4 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-    + 0.3 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','you','that'], x))) AS DOUBLE) / len(toks))
-    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text)))) AS score
-  FROM tq),
-keeper AS (SELECT rep_id, id AS keeper_id FROM (
-  SELECT grp.rep_id, grp.id, ROW_NUMBER() OVER (PARTITION BY grp.rep_id
-    ORDER BY q.score DESC, grp.id ASC) AS rn FROM grp JOIN q USING (id))
-  WHERE rn = 1)
+$qualityKeeperCtes
 SELECT grp.id, grp.rep_id, grp.id <> grp.rep_id AS is_dup,
   CAST(COALESCE(s.gs, 1) AS BIGINT) AS group_size,
   keeper.keeper_id, grp.id = keeper.keeper_id AS keep
 FROM grp JOIN keeper USING (rep_id)
 LEFT JOIN sizes s ON s.rep = grp.rep_id"""
-  }
 
   /** TrainPrep.decontaminateFuzzy(plantedDocs, eval=doc_id<maxEvalId):
     * window-hash-set Jaccard per candidate pair, replayed exactly (same

@@ -290,10 +290,6 @@ object StreamBench {
             .write.mode("overwrite").format("noop").save()
         }.option("checkpointLocation", ckpt()).start()
 
-    /** Native stream-stream interval join (Spark's built-in watermarked
-      * range join — the path intervalJoin lowers to): two independent rate
-      * streams joined on key with a 2 s look-back window. 100k keys keep
-      * the match fan-out ~O(1) per left row at the default rate. */
     /** inactivityDetection in default mode over the full-rate stream — the
       * r14 funnel rung: every event used to shuffle onto the ONE synthetic
       * state key; the per-partition pre-reduce must keep the kernel's input
@@ -306,6 +302,10 @@ object StreamBench {
         .option("checkpointLocation", ckpt())
         .start()
 
+    /** Native stream-stream interval join (Spark's built-in watermarked
+      * range join — the path intervalJoin lowers to): two independent rate
+      * streams joined on key with a 2 s look-back window. 100k keys keep
+      * the match fan-out ~O(1) per left row at the default rate. */
     def startIntervalJoin(): StreamingQuery = {
       val l = rateSrc.select(col("timestamp").as("lt"),
           (col("value") % 100000L).as("lk"), col("value").as("lv"))

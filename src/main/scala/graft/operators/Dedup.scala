@@ -397,22 +397,14 @@ object Dedup {
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame = {
     val (norm, pairs) = minhashCore(df, id, text, k, numHashes, bands, threshold, bucketCap)
-    val comp = dupGroups(pairs).localCheckpoint(true)
-    val sizes = comp.groupBy("rep_id").agg(count(lit(1)).as("group_size"))
-    val groups = norm.select(col("id"))
-      .join(comp, Seq("id"), "left_outer")
-      .withColumn("rep_id", coalesce(col("rep_id"), col("id")))
-      .join(sizes, Seq("rep_id"), "left_outer")
-      .select(col("id"), col("rep_id"),
-        (col("rep_id") =!= col("id")).as("is_dup"),
-        coalesce(col("group_size"), lit(1L)).as("group_size"))
-    keepBest(groups, scores, carry = Seq("is_dup", "group_size"))
+    keepBest(groupsFromPairs(norm, pairs), scores,
+      carry = Seq("is_dup", "group_size"))
   }
 
-  def dedupGroups(df: DataFrame, id: Column, text: Column,
-      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val (norm, pairs) = minhashCore(df, id, text, k, numHashes, bands, threshold, bucketCap)
+  /** Transitive groups + sizes over the whole corpus from a verified pair
+    * set: (id, rep_id, is_dup, group_size), singletons rep'd by themselves
+    * — the shared composition of [[dedupGroups]] and [[dedupPipeline]]. */
+  private def groupsFromPairs(norm: DataFrame, pairs: DataFrame): DataFrame = {
     // comp is tiny (pair vertices only) and consumed twice (sizes + the
     // corpus join) — checkpoint it so the CC pass chain runs once
     val comp = dupGroups(pairs).localCheckpoint(true)
@@ -424,6 +416,13 @@ object Dedup {
       .select(col("id"), col("rep_id"),
         (col("rep_id") =!= col("id")).as("is_dup"),
         coalesce(col("group_size"), lit(1L)).as("group_size"))
+  }
+
+  def dedupGroups(df: DataFrame, id: Column, text: Column,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val (norm, pairs) = minhashCore(df, id, text, k, numHashes, bands, threshold, bucketCap)
+    groupsFromPairs(norm, pairs)
   }
 
   /** 64-bit SimHash of a token-hash table (id, _h): per doc, bit i (MSB first)

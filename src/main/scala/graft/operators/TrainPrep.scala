@@ -249,12 +249,25 @@ object TrainPrep {
     val P = "_graft_cap_" // reserved internals: collision-checked, all dropped
     require(!df.columns.exists(_.toLowerCase.startsWith(P)),
       s"capPerGroup reserves the column-name prefix '$P'")
+    // cap 0 = keep nothing; the hot path's boundary search has no bucket
+    // where the cumulative count crosses 0, which would pass every hot row
+    if (n <= 0) return df.limit(0)
     if (hotThreshold == Long.MaxValue)
       return df.withColumn(s"${P}rk", rkPlain)
         .filter(col(s"${P}rk") <= n).drop(s"${P}rk")
     val outCols = df.columns.toSeq.map(col)
+    // The tiny frames (hot list, boundary buckets) are eagerly
+    // localCheckpoint'ed: they appear under every union branch below, and
+    // without pinning, each branch would recompute their full-corpus
+    // aggregation subtrees (exchange reuse helps but is plan-shape
+    // fragile). Pinned, the result is exactly 7 corpus scans for any n and
+    // any group skew — and the branches provably select from ONE
+    // materialization of each boundary (df itself is still scanned per
+    // branch: like every multi-pass operator here, df must be
+    // deterministic under rescan).
+    def pin(d: DataFrame): DataFrame = broadcast(d.localCheckpoint(true))
     // 1. hot list (tiny by pigeonhole) broadcast back as a tag
-    val hot = broadcast(df.groupBy(group.as(s"${P}g"))
+    val hot = pin(df.groupBy(group.as(s"${P}g"))
       .agg(count(lit(1)).as(s"${P}cnt"))
       .filter(col(s"${P}cnt") > hotThreshold)
       .select(col(s"${P}g"), lit(true).as(s"${P}hot")))
@@ -272,7 +285,7 @@ object TrainPrep {
       .agg(count(lit(1)).as(s"${P}c"))
       .withColumn(s"${P}cum", sum(col(s"${P}c")).over(
         W.partitionBy(col(s"${P}g")).orderBy(col(s"${P}b1").asc)))
-    val bd1 = broadcast(cells1
+    val bd1 = pin(cells1
       .filter(col(s"${P}cum") - col(s"${P}c") < n && col(s"${P}cum") >= n)
       .select(col(s"${P}g").as(s"${P}g1"), col(s"${P}b1").as(s"${P}bb1"),
         (col(s"${P}cum") - col(s"${P}c")).as(s"${P}below1")))
@@ -286,7 +299,7 @@ object TrainPrep {
       .agg(count(lit(1)).as(s"${P}c"), min(col(s"${P}below1")).as(s"${P}bl"))
       .withColumn(s"${P}cum", sum(col(s"${P}c")).over(
         W.partitionBy(col(s"${P}g")).orderBy(col(s"${P}b2").asc)))
-    val bd2 = broadcast(cells2
+    val bd2 = pin(cells2
       .filter(col(s"${P}cum") - col(s"${P}c") < lit(n) - col(s"${P}bl") &&
         col(s"${P}cum") >= lit(n) - col(s"${P}bl"))
       .select(col(s"${P}g").as(s"${P}g2"), col(s"${P}b2").as(s"${P}bb2"),

@@ -113,12 +113,25 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
       .map(_.getPath.toString).toArray.sorted
   }
 
+  /** Decoded absolute path — the one spelling a file has regardless of
+    * which API produced the string: `input_file_name()` renders a
+    * percent-ENCODED `file:///…` URI, the listing's `Path.toString` a
+    * decoded `file:/…` one; keying the cache on either raw form misses the
+    * other (and a space in a file name would abort the query). */
+  private def canonPath(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getPath != null) u.getPath
+      else new org.apache.hadoop.fs.Path(s).toUri.getPath
+    } catch { case _: java.net.URISyntaxException =>
+      new org.apache.hadoop.fs.Path(s).toUri.getPath }
+
   /** Compute (once) and cache `max(syncCol)` for each of `files` — one
     * aggregate-only job batched across the uncached ones. A file whose rows
     * yield no sync value (empty, or the field missing/null throughout)
     * fails loudly: admitting it blind would break the group invariant. */
   private def frontiersOf(files: Seq[String]): Seq[Long] = {
-    val missing = files.filterNot(frontierCache.contains)
+    val missing = files.filterNot(f => frontierCache.contains(canonPath(f)))
     if (missing.nonEmpty) {
       import org.apache.spark.sql.functions._
       val st = new StructType().add(syncCol, LongType)
@@ -126,17 +139,13 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
         .groupBy(input_file_name().as("_f"))
         .agg(max(col(syncCol)).as("_mx"))
         .collect().foreach { r =>
-          // input_file_name renders `file:///…`, the listing `file:/…` —
-          // Hadoop Path canonicalizes both to one form
-          if (!r.isNullAt(1))
-            frontierCache(new org.apache.hadoop.fs.Path(r.getString(0)).toString) =
-              r.getLong(1)
+          if (!r.isNullAt(1)) frontierCache(canonPath(r.getString(0))) = r.getLong(1)
         }
-      val unresolved = missing.filterNot(frontierCache.contains)
+      val unresolved = missing.filterNot(f => frontierCache.contains(canonPath(f)))
       require(unresolved.isEmpty,
         s"spool file(s) without a '$syncCol' sync value: ${unresolved.mkString(", ")}")
     }
-    files.map(frontierCache)
+    files.map(f => frontierCache(canonPath(f)))
   }
 
   private var didReset = false
@@ -148,16 +157,34 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("paced via latestOffset(start, limit)")
+  /** Max sync frontier over files admitted so far — the other half of the
+    * "arrival order is sync order" contract: names monotone AND per-file
+    * frontiers non-decreasing. A producer that writes f2 (max t=50) after
+    * f1 (max t=100) would otherwise slip rows past the group's pacing
+    * (admit counts values ≤ eff anywhere in the window, but files commit
+    * as a prefix). Rebuilt from the last committed file on recovery. */
+  private var lastFrontier = Long.MinValue
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ReplayOffset].rank.toInt
     val files = listSorted()
-    if (admittedNames.isEmpty && s > 0) admittedNames ++= files.take(s) // recovery
+    if (admittedNames.isEmpty && s > 0) { // checkpoint recovery
+      admittedNames ++= files.take(s)
+      lastFrontier = frontiersOf(Seq(admittedNames.last)).head
+    }
     require(files.length >= s && files.take(s).sameElements(admittedNames.take(s)),
       s"spool $path changed under the committed frontier (rank $s): file names " +
         "must be lexicographically monotone in arrival order and never removed")
     val pending = files.slice(s, s + filesPerBatch).toSeq
-    val n = coordinator.admit(member, frontiersOf(pending))
+    val fronts = frontiersOf(pending)
+    fronts.foldLeft(lastFrontier) { (prev, f) =>
+      require(f >= prev, s"spool $path violates the sync-order contract: a " +
+        s"later file's max($syncCol)=$f undercuts an earlier file's $prev — " +
+        "arrival (name) order must be sync order")
+      f
+    }
+    val n = coordinator.admit(member, fronts)
     admittedNames ++= pending.take(n)
+    if (n > 0) lastFrontier = fronts(n - 1)
     ReplayOffset(s + n.toLong)
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(filesPerBatch)
@@ -177,12 +204,25 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    // driver-side capture of the session's Hadoop conf (spark.hadoop.*
+    // credentials, endpoints, custom FS schemes) as a plain serializable
+    // map — a bare `new Configuration()` on the executor would only see
+    // classpath defaults and fail on any configured remote FS
+    private val hadoopConfEntries: Array[(String, String)] = {
+      val c = spark.sessionState.newHadoopConf()
+      val it = c.iterator()
+      val buf = mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.toArray
+    }
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
       val p = new org.apache.hadoop.fs.Path(
         partition.asInstanceOf[SpoolFilePartition].file)
       // executor-side: read THIS file's bytes from the shared FS — the
       // driver never sees row data
-      val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      hadoopConfEntries.foreach { case (k, v) => conf.set(k, v) }
+      val f = p.getFileSystem(conf)
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(f.open(p), java.nio.charset.StandardCharsets.UTF_8))
       new PartitionReader[InternalRow] {

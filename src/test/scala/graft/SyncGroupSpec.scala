@@ -204,6 +204,35 @@ class SyncGroupSpec extends AnyFunSuite {
     } finally { qa.stop(); qb.stop() }
   }
 
+  test("spool that violates sync order fails loudly instead of slipping rows past the group") {
+    // names monotone but file 2's sync values UNDERCUT file 1's — the
+    // "arrival order is sync order" contract is broken; the source must
+    // abort, not admit rows the coordinator never paced
+    InputSynchronization.reset("spoolbad")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spool-bad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f00000.json"),
+      "{\"t\":100}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f00001.json"),
+      "{\"t\":50}\n".getBytes("UTF-8"))
+    val q = spark.readStream
+      .format("graft.sources.SyncedSpoolSource")
+      .option("path", dir).option("syncCol", "t")
+      .option("filesPerBatch", "2")
+      .option("group", "spoolbad").option("member", "solo")
+      .option("maxDifference", "10").option("groupSize", "1")
+      .load()
+      .writeStream.format("memory").queryName("spool_bad")
+      .trigger(Trigger.ProcessingTime(25)).start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("sync-order contract") ||
+        Option(e.getCause).exists(_.getMessage.contains("sync-order contract")),
+        s"expected the sync-order require, got: ${e.getMessage}")
+    } finally q.stop()
+  }
+
   test("alignedCut: batch analog admits exactly min-frontier + maxDifference") {
     val a = Seq((0L, "x"), (5L, "x"), (20L, "x")).toDF("t", "v") // max 20
     val b = Seq((1L, "y"), (8L, "y"), (12L, "y"), (40L, "y")).toDF("t", "v") // max 40

@@ -520,6 +520,12 @@ class TrainPrepSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.operators.TrainPrep.capPerGroup(bad, col("id"), col("g"), n = 3)
     }
+    // n = 0 keeps NOTHING on both paths (the hot boundary search has no
+    // crossing bucket at 0 — without the guard it kept every hot row)
+    assert(graft.operators.TrainPrep
+      .capPerGroup(df, col("id"), col("g"), n = 0, hotThreshold = 100L).count() == 0)
+    assert(graft.operators.TrainPrep
+      .capPerGroup(df, col("id"), col("g"), n = 0).count() == 0)
   }
 
   test("keepBest: per-group argmax-score keeper, ties to smaller id") {
