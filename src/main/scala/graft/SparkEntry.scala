@@ -671,10 +671,14 @@ object SparkEntry {
       .option("maxDifference", "50").option("groupSize", "2")
       .load()
       .writeStream.format("memory").queryName(s"${grp}_$member")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(25))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(5))
       .start()
-    val qa = start("a", 30)
-    val qb = start("b", 10)
+    // batch sizes chosen so the fixed point needs ~5 admission rounds
+    // (b: 400/80; a skewed 3× faster, provably throttled at the cut) —
+    // each round is a full micro-batch, so this is the board row's
+    // wall-clock floor; SyncGroupSpec exercises fine-grained pacing
+    val qa = start("a", 240)
+    val qb = start("b", 80)
     try {
       // fixed point: a admits exactly ranks <= 449, b drains its 400 rows.
       // Wait on SINK row counts (not frontiers) so in-flight batches are
