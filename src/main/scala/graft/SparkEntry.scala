@@ -688,11 +688,24 @@ object SparkEntry {
       def cnt(m: String) = s.table(s"${grp}_$m").count()
       while (System.currentTimeMillis() < deadline &&
         !(cnt("a") == 450L && cnt("b") == 400L)) Thread.sleep(50)
+      // fail loudly rather than collect a partial sink: a deadline
+      // fall-through would surface as a baffling oracle row-diff
+      val (ca, cb) = (cnt("a"), cnt("b"))
+      Predef.require(ca == 450L && cb == 400L, // graft Exprs.require shadows
+        s"sync-group fixed point not reached in 120s: a=$ca/450 b=$cb/400")
       val u = s.table(s"${grp}_a").select(lit("a").as("source"), col("doc_id"), col("t"))
         .unionByName(s.table(s"${grp}_b").select(lit("b").as("source"), col("doc_id"), col("t")))
       val rows = u.collect().toSeq
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), u.schema)
-    } finally { qa.stop(); qb.stop(); graft.sources.InputSynchronization.reset(grp) }
+    } finally {
+      try qa.stop() finally try qb.stop() finally {
+        graft.sources.InputSynchronization.reset(grp)
+        // memory sinks pin their rows in the driver for the session's
+        // lifetime; the spool parquet is run-local scratch
+        s.catalog.dropTempView(s"${grp}_a"); s.catalog.dropTempView(s"${grp}_b")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      }
+    }
   }
 
   // ───────────────────────────────────────────────────────────────────────────

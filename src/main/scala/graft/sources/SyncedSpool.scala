@@ -102,15 +102,19 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
     .getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Visible spool files, sorted by name. Hidden/tmp files (`.`-prefixed,
-    * the write-then-rename staging names) are excluded. */
+    * the write-then-rename staging names) are excluded. The last listing
+    * is kept for same-trigger reuse (reportLatestOffset). */
+  private var lastListing: Array[String] = _
   private def listSorted(): Array[String] = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val f = fs
-    if (!f.exists(dir)) return Array.empty
-    f.listStatus(dir).iterator
-      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
-        !s.getPath.getName.startsWith("_"))
-      .map(_.getPath.toString).toArray.sorted
+    lastListing =
+      if (!f.exists(dir)) Array.empty
+      else f.listStatus(dir).iterator
+        .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+        .map(_.getPath.toString).toArray.sorted
+    lastListing
   }
 
   /** Decoded absolute path — the one spelling a file has regardless of
@@ -188,7 +192,11 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
     ReplayOffset(s + n.toLong)
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(filesPerBatch)
-  override def reportLatestOffset(): Offset = ReplayOffset(listSorted().length.toLong)
+  /** Progress-metrics probe only — reuses the trigger's listing instead of
+    * a second full listStatus per micro-batch (an object-store spool with
+    * thousands of files would pay double planning I/O otherwise). */
+  override def reportLatestOffset(): Offset = ReplayOffset(
+    (if (lastListing != null) lastListing else listSorted()).length.toLong)
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -199,7 +207,17 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
     if (e <= s) return Array.empty
     // recovery replan of a committed batch may arrive before any
     // latestOffset call: the sorted listing IS rank order by contract
-    val files = if (admittedNames.length >= e) admittedNames else listSorted().toSeq
+    val files = if (admittedNames.length >= e) admittedNames else {
+      val listed = listSorted().toSeq
+      // a shrunk spool means committed files were deleted/renamed — replay
+      // would silently read DIFFERENT bytes into an already-committed
+      // batch; fail loudly instead. (A rename preserving sort position is
+      // undetectable from a rank offset — the never-remove contract.)
+      require(listed.length >= e,
+        s"spool $path lists ${listed.length} files but batch [$s,$e) was " +
+          "committed: files must never be removed or renamed")
+      listed
+    }
     files.slice(s, e).map(SpoolFilePartition(_): InputPartition).toArray
   }
 

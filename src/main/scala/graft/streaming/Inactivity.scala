@@ -307,6 +307,14 @@ object Inactivity {
         .select(col("instance").cast(instType).as("instance"),
           col("start").as("inactivity_ts"),
           col("resumed").as("resumed_ts"))
-    } finally q.stop()
+    } finally {
+      // the memory sink pins all output rows in the driver until dropped,
+      // and the checkpoint dir is run-local scratch — repeated replays
+      // (specs run 4 per suite) would otherwise accumulate both
+      try q.stop() finally {
+        spark.catalog.dropTempView(outName)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      }
+    }
   }
 }
