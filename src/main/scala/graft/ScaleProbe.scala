@@ -671,7 +671,10 @@ object ScaleProbe {
       // would have blown the salted plan's survivor set back into one
       // exact-rank task; threshold selection keeps only the boundary
       // sliver in the final window regardless of n.
-      val bigN = (rows * 9 / 10 / 2).toInt
+      // exact Int conversion: a silent .toInt wrap at huge mult would turn
+      // n negative → capPerGroup's n<=0 guard → an empty no-op "rung"
+      // recorded as large-n evidence
+      val bigN = math.toIntExact(rows / 2L * 9L / 10L)
       time(s"groupcap_plain_bign_${mult}x", rows) {
         TrainPrep.capPerGroup(big, col("doc_id"), col("source"), n = bigN,
           hotThreshold = Long.MaxValue)

@@ -271,6 +271,13 @@ object TrainPrep {
       .agg(count(lit(1)).as(s"${P}cnt"))
       .filter(col(s"${P}cnt") > hotThreshold)
       .select(col(s"${P}g"), lit(true).as(s"${P}hot")))
+    // No hot group: every group fits under hotThreshold, so the plain
+    // per-group window is already bounded (≤ hotThreshold rows per task) —
+    // skip the 4-branch scaffolding and its extra corpus scans. `hot` is
+    // materialized by pin() at this point, so the emptiness check is free.
+    if (hot.isEmpty)
+      return df.withColumn(s"${P}rk", rkPlain)
+        .filter(col(s"${P}rk") <= n).drop(s"${P}rk")
     val tagged = df.join(hot, group <=> col(s"${P}g"), "left_outer")
     val cold = tagged.filter(col(s"${P}hot").isNull)
       .withColumn(s"${P}rk", rkPlain).filter(col(s"${P}rk") <= n)

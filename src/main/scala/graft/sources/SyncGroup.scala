@@ -49,6 +49,12 @@ object InputSynchronization {
     var frontier: Option[Long] = None
     var lastData: Long = System.nanoTime()
     var epoch: Long = 0L
+    /** Lease of the CURRENT stream instance for this member: re-registering
+      * (a new run's stream construction) supersedes older instances, whose
+      * admit calls are then ignored — a not-yet-stopped previous-run stream
+      * planning one last empty trigger must not re-validate its stale
+      * end-of-run frontier after a peer's resetMember distrusted it. */
+    var lease: Long = 0L
   }
 
   /** One admission decision, for specs/monitoring: the member, its new
@@ -68,10 +74,19 @@ object InputSynchronization {
     private def trusted(s: MemberState): Option[Long] =
       if (s.epoch == groupEpoch) s.frontier else None
 
+    private var leaseCounter = 0L
+    /** Register (or re-register) a member's stream instance; returns the
+      * instance's lease token to pass to [[admit]]. Each registration
+      * supersedes the member's previous stream: a zombie instance from an
+      * earlier run holding an older lease gets `admit == 0` with no state
+      * mutation (see [[MemberState.lease]]). */
     def register(member: String, priority: Int = 0,
-        idleMs: Option[Long] = None): Unit = synchronized {
+        idleMs: Option[Long] = None): Long = synchronized {
       if (!members.contains(member))
         members(member) = new MemberState(priority, idleMs)
+      leaseCounter += 1
+      members(member).lease = leaseCounter
+      leaseCounter
     }
 
     /** Declare how many members the group will have (the reference
@@ -120,9 +135,16 @@ object InputSynchronization {
       * — the lagging source must be able to catch up or the group
       * deadlocks; this is the reference's "read more from the lagging
       * source to align it". */
-    def admit(member: String, values: Seq[Long]): Int = synchronized {
+    def admit(member: String, values: Seq[Long], lease: Long = -1L): Int = synchronized {
+      // A superseded stream instance (an older lease — e.g. a previous run's
+      // drained stream planning one last trigger while its replacement
+      // constructs) is ignored entirely: letting it through would re-prove
+      // "liveness" for a dead stream and re-trust its stale end-of-run
+      // frontier right after a peer's resetMember distrusted it. lease < 0
+      // (direct coordinator use, specs) bypasses the check.
+      if (lease >= 0 && members.get(member).exists(_.lease != lease)) return 0
       // Liveness is proven by the CALL, not by pending data: admit is only
-      // invoked from a live stream's latestOffset planning, so even an
+      // invoked from a CURRENT stream's latestOffset planning, so even an
       // empty-handed member (drained, or recovered with nothing pending) is
       // current in the group epoch. Refreshing the epoch here keeps a
       // drained member's REAL frontier pacing its peers after a peer's
@@ -263,7 +285,7 @@ private[sources] class SyncedReplayStream(path: String, syncCol: String,
     extends MicroBatchStream with SupportsAdmissionControl {
   private def spark = org.apache.spark.sql.SparkSession.active
   private val coordinator = InputSynchronization.group(groupName, maxDifference)
-  coordinator.register(member, priority, idleMs)
+  private val lease = coordinator.register(member, priority, idleMs)
   if (groupSize > 0) coordinator.expectGroupSize(groupSize)
   // the replay table's sync values in admission order (driver-resident —
   // this source demonstrates the V2 admission surface, like ReplaySource)
@@ -292,7 +314,7 @@ private[sources] class SyncedReplayStream(path: String, syncCol: String,
     val s = start.asInstanceOf[ReplayOffset].rank
     val e = math.min(s + rowsPerBatch, syncVals.length.toLong)
     val candidates = syncVals.slice(s.toInt, e.toInt)
-    ReplayOffset(s + coordinator.admit(member, candidates.toSeq))
+    ReplayOffset(s + coordinator.admit(member, candidates.toSeq, lease))
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
   override def reportLatestOffset(): Offset = ReplayOffset(syncVals.length.toLong)

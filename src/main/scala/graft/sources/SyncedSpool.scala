@@ -88,7 +88,7 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
     extends MicroBatchStream with SupportsAdmissionControl {
   private def spark = org.apache.spark.sql.SparkSession.active
   private val coordinator = InputSynchronization.group(groupName, maxDifference)
-  coordinator.register(member, priority, idleMs)
+  private val lease = coordinator.register(member, priority, idleMs)
   if (groupSize > 0) coordinator.expectGroupSize(groupSize)
 
   /** fileName -> max(syncCol) in that file; one Long per file ever seen. */
@@ -131,9 +131,11 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
       new org.apache.hadoop.fs.Path(s).toUri.getPath }
 
   /** Compute (once) and cache `max(syncCol)` for each of `files` — one
-    * aggregate-only job batched across the uncached ones. A file whose rows
-    * yield no sync value (empty, or the field missing/null throughout)
-    * fails loudly: admitting it blind would break the group invariant. */
+    * aggregate-only job batched across the uncached ones. ANY row without a
+    * sync value (empty file, missing/null field, or a corrupt/mistyped line
+    * that PERMISSIVE parsing nulls out) fails loudly: every raw line is
+    * emitted downstream, so a null-sync row would slip past the group's
+    * pacing while max() over the parseable rows understates the frontier. */
   private def frontiersOf(files: Seq[String]): Seq[Long] = {
     val missing = files.filterNot(f => frontierCache.contains(canonPath(f)))
     if (missing.nonEmpty) {
@@ -141,9 +143,12 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
       val st = new StructType().add(syncCol, LongType)
       spark.read.schema(st).json(missing: _*)
         .groupBy(input_file_name().as("_f"))
-        .agg(max(col(syncCol)).as("_mx"))
+        .agg(max(col(syncCol)).as("_mx"),
+          count_if(col(syncCol).isNull).as("_bad"))
         .collect().foreach { r =>
-          if (!r.isNullAt(1)) frontierCache(canonPath(r.getString(0))) = r.getLong(1)
+          require(r.getLong(2) == 0L, s"spool file ${r.getString(0)} has " +
+            s"${r.getLong(2)} row(s) without a parseable '$syncCol' sync value")
+          frontierCache(canonPath(r.getString(0))) = r.getLong(1)
         }
       val unresolved = missing.filterNot(f => frontierCache.contains(canonPath(f)))
       require(unresolved.isEmpty,
@@ -172,6 +177,9 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
     val s = start.asInstanceOf[ReplayOffset].rank.toInt
     val files = listSorted()
     if (admittedNames.isEmpty && s > 0) { // checkpoint recovery
+      require(files.length >= s,
+        s"spool $path lists ${files.length} files but rank $s was committed: " +
+          "files must never be removed or renamed")
       admittedNames ++= files.take(s)
       lastFrontier = frontiersOf(Seq(admittedNames.last)).head
     }
@@ -186,7 +194,7 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
         "arrival (name) order must be sync order")
       f
     }
-    val n = coordinator.admit(member, fronts)
+    val n = coordinator.admit(member, fronts, lease)
     admittedNames ++= pending.take(n)
     if (n > 0) lastFrontier = fronts(n - 1)
     ReplayOffset(s + n.toLong)
