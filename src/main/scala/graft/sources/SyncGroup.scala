@@ -45,7 +45,7 @@ object InputSynchronization {
     * (drives idle exclusion); `epoch` = the group epoch this member last
     * proved liveness in — a frontier from an older epoch belongs to a
     * previous query run and must not be trusted (see resetMember). */
-  private final class MemberState(val priority: Int, val idleMs: Option[Long]) {
+  private final class MemberState(var priority: Int, var idleMs: Option[Long]) {
     var frontier: Option[Long] = None
     var lastData: Long = System.nanoTime()
     var epoch: Long = 0L
@@ -79,14 +79,45 @@ object InputSynchronization {
       * instance's lease token to pass to [[admit]]. Each registration
       * supersedes the member's previous stream: a zombie instance from an
       * earlier run holding an older lease gets `admit == 0` with no state
-      * mutation (see [[MemberState.lease]]). */
+      * mutation (see [[MemberState.lease]]). Re-registering also adopts the
+      * NEW run's priority/idleMs — the JVM-global coordinator must not pin
+      * a member to its first run's options forever. Superseding a lease
+      * that was never [[deregister]]ed is logged: it is normal after a
+      * crash (the dead stream never reached stop()) but means a silent
+      * zero-admission hang if the old instance is in fact still running
+      * (two live streams must not share a member name). */
     def register(member: String, priority: Int = 0,
         idleMs: Option[Long] = None): Long = synchronized {
       if (!members.contains(member))
         members(member) = new MemberState(priority, idleMs)
+      val st = members(member)
+      st.priority = priority
+      st.idleMs = idleMs
+      if (st.lease > 0)
+        InputSynchronization.log.warn(
+          s"sync group '$name': superseding live lease ${st.lease} of member " +
+            s"'$member' (previous stream crashed, or two streams share the name)")
       leaseCounter += 1
-      members(member).lease = leaseCounter
+      st.lease = leaseCounter
       leaseCounter
+    }
+
+    /** Invalidate a stream instance's lease at query stop: a stopped
+      * stream must neither prove liveness nor keep pacing peers with its
+      * final frontier — the frontier is distrusted until the member's
+      * successor (checkpoint recovery or a fresh start) registers and
+      * proves liveness with its first admit. Together with the lease guard
+      * this closes the zombie window for every ORDERLY stop-then-restart;
+      * only a stream that keeps planning concurrently with its replacement
+      * run (misuse: two live runs at once) can still slip one stale-epoch
+      * refresh in before its stop. No-op for superseded leases. */
+    def deregister(member: String, lease: Long): Unit = synchronized {
+      members.get(member).foreach { st =>
+        if (st.lease == lease) {
+          st.lease = 0L
+          st.epoch = groupEpoch - 1
+        }
+      }
     }
 
     /** Declare how many members the group will have (the reference
@@ -201,6 +232,8 @@ object InputSynchronization {
       n
     }
   }
+
+  private[sources] val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private val groups = new java.util.concurrent.ConcurrentHashMap[String, Coordinator]()
 
@@ -320,7 +353,7 @@ private[sources] class SyncedReplayStream(path: String, syncCol: String,
   override def reportLatestOffset(): Offset = ReplayOffset(syncVals.length.toLong)
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = coordinator.deregister(member, lease)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ReplayOffset].rank

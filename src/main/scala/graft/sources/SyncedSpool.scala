@@ -176,14 +176,18 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ReplayOffset].rank.toInt
     val files = listSorted()
+    // length check hoisted above the recovery rebuild: an emptied/shrunk
+    // spool must hit the contract message, not admittedNames.last's
+    // NoSuchElementException inside the rebuild (the prefix check must stay
+    // BELOW it — before the rebuild admittedNames is legitimately empty)
+    require(files.length >= s,
+      s"spool $path lists ${files.length} files but rank $s was committed: " +
+        "files must never be removed or renamed")
     if (admittedNames.isEmpty && s > 0) { // checkpoint recovery
-      require(files.length >= s,
-        s"spool $path lists ${files.length} files but rank $s was committed: " +
-          "files must never be removed or renamed")
       admittedNames ++= files.take(s)
       lastFrontier = frontiersOf(Seq(admittedNames.last)).head
     }
-    require(files.length >= s && files.take(s).sameElements(admittedNames.take(s)),
+    require(files.take(s).sameElements(admittedNames.take(s)),
       s"spool $path changed under the committed frontier (rank $s): file names " +
         "must be lexicographically monotone in arrival order and never removed")
     val pending = files.slice(s, s + filesPerBatch).toSeq
