@@ -450,6 +450,82 @@ object StreamBench {
         maxMs = ds.last)
     }
 
+    /** Two skewed spool members draining a generated JSON-lines spool under
+      * input-synchronization-group admission (the NON-COLLECTED member shape,
+      * sources/SyncedSpool.scala) — the scale rung for the r14 sync source:
+      * wall-clock to drain, per-trigger planning cost (p50/p99 of
+      * triggerExecution — dominated by the batched per-file frontier job and
+      * the listing), and the neither-runs-ahead audit invariant asserted as
+      * part of the measurement (a violation records err, not a silent pass).
+      * `rate` in this row = FILES PER MEMBER (SPARK_GRAFT_SPOOL_FILES,
+      * default 300); state_rows = total files. Comparing two rung sizes
+      * shows drain time scaling ~linearly in files with flat per-trigger
+      * planning — the O(files) driver cost is one Long per file, never rows. */
+    def measureSpoolDrain(): M = {
+      val nFiles = sys.env.getOrElse("SPARK_GRAFT_SPOOL_FILES", "300").toInt
+      val rowsPerFile = 20
+      val maxDiff = 4L * rowsPerFile
+      var t0 = System.nanoTime()
+      try {
+        graft.sources.InputSynchronization.reset("sb_spool")
+        val dir = java.nio.file.Files.createTempDirectory("graft_sb_spool")
+        for (m <- Seq("a", "b")) {
+          val d = dir.resolve(m)
+          java.nio.file.Files.createDirectories(d)
+          for (k <- 0 until nFiles) { // file k holds sync values k*R .. k*R+R-1
+            val lines = (0 until rowsPerFile)
+              .map(i => s"""{"t":${k.toLong * rowsPerFile + i},"p":"$m"}""")
+            java.nio.file.Files.write(d.resolve(f"f$k%06d.json"),
+              (lines.mkString("\n") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+        def start(member: String, fpb: Int): StreamingQuery = spark.readStream
+          .format("graft.sources.SyncedSpoolSource")
+          .option("path", dir.resolve(member).toString)
+          .option("syncCol", "t").option("filesPerBatch", fpb.toString)
+          .option("group", "sb_spool").option("member", member)
+          .option("maxDifference", maxDiff.toString)
+          .option("groupSize", "2")
+          .load()
+          .writeStream.format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10))
+          .option("checkpointLocation", ckpt()).start()
+        t0 = System.nanoTime() // drain clock starts after spool generation
+        val qa = start("a", 16) // would drain in nFiles/16 triggers unpaced
+        val qb = start("b", 4)  // the laggard: 4× the triggers
+        val lastT = nFiles.toLong * rowsPerFile - 1
+        val c = graft.sources.InputSynchronization.group("sb_spool", maxDiff)
+        val deadline = System.nanoTime() + 300L * 1000000000L
+        try {
+          while (System.nanoTime() < deadline &&
+            !(c.frontiers.get("a").flatten.contains(lastT) &&
+              c.frontiers.get("b").flatten.contains(lastT))) Thread.sleep(50)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val drained = c.frontiers.get("a").flatten.contains(lastT) &&
+            c.frontiers.get("b").flatten.contains(lastT)
+          val ps = (qa.recentProgress ++ qb.recentProgress).filter(_.numInputRows > 0)
+          val durs = ps.flatMap(p => Option(p.durationMs.get("triggerExecution"))
+            .map(_.toLong)).sorted
+          def pct(p: Double): Long =
+            if (durs.isEmpty) -1L else durs(math.min(durs.length - 1, (p * durs.length).toInt))
+          val rows = ps.map(_.numInputRows).sum
+          val busySecs = durs.sum / 1000.0
+          val offenders = c.audit.filter(e =>
+            !e.catchUp && e.minOther.isDefined && e.frontier > e.minOther.get + maxDiff)
+          M("sync_spool_drain", nFiles, wall, rows, rows / wall,
+            if (busySecs > 0) rows / busySecs else 0, pct(0.5), pct(0.99),
+            durs.lastOption.getOrElse(-1L), durs.length, 2L * nFiles,
+            err = if (!drained) "not_drained_300s"
+              else if (offenders.nonEmpty) s"invariant_violated_${offenders.length}"
+              else null)
+        } finally { qa.stop(); qb.stop() }
+      } catch {
+        case e: Throwable =>
+          M("sync_spool_drain", nFiles, (System.nanoTime() - t0) / 1e9, 0, 0, 0,
+            -1, -1, -1, 0, 0, err = e.getClass.getSimpleName)
+      }
+    }
+
     /** Kill-and-recover (reference integration_tests/wordcount kill-and-
       * recover matrix, test_new_data.py:22): run the tumbling wordcount at
       * `rate` against a FIXED checkpoint, stop it mid-run, stay down 5 s
@@ -534,6 +610,7 @@ object StreamBench {
       "asof_backward_e2e" -> (() => measureAsofE2e()),
       "wordcount_convergence" -> (() => wordcountConvergence()),
       "recovery" -> (() => measureRecovery()),
+      "sync_spool_drain" -> (() => measureSpoolDrain()),
       // same kernel as asof_backward but with the LevelAll monitoring
       // dashboard attached + a 1 Hz console reporter (frames rendered,
       // output discarded). Not in the default set — run alongside
