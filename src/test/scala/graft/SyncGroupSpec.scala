@@ -89,6 +89,44 @@ class SyncGroupSpec extends AnyFunSuite {
       "group stalled: drained peer's frontier was distrusted after restart")
   }
 
+  test("coordinator: superseded and deregistered leases neither admit nor pace peers") {
+    InputSynchronization.reset("unit5")
+    val c = InputSynchronization.group("unit5", maxDifference = 10L)
+    val l1a = c.register("a"); val lb = c.register("b")
+    assert(c.admit("a", Seq(0L, 50L), l1a) == 2)
+    assert(c.admit("b", Seq(0L, 5L), lb) == 2)
+    // a restarts in place: the new registration supersedes l1a — the old
+    // stream's admits are ignored outright (no frontier advance, no
+    // liveness proof)
+    val l2a = c.register("a")
+    assert(c.admit("a", Seq(60L), l1a) == 0, "zombie lease must admit nothing")
+    assert(c.frontiers("a").contains(50L), "zombie admit must not move the frontier")
+    // orderly stop of a's current stream: deregister distrusts its final
+    // frontier — b must NOT keep pacing against it (stall, not run-ahead)
+    c.deregister("a", l2a)
+    assert(c.admit("b", Seq(7L), lb) == 0,
+      "stopped member's stale frontier must not pace peers")
+    // a's successor registers and proves liveness (its first planning call,
+    // even one that admits nothing) — b unstalls against the real frontier
+    val l3a = c.register("a")
+    assert(c.admit("a", Seq(55L), l3a) == 0) // b at 5: 55 > 5+10, not laggard
+    assert(c.admit("b", Seq(7L), lb) == 1,
+      "peer must unstall once the successor proves liveness")
+  }
+
+  test("coordinator: re-registration adopts the new run's priority") {
+    InputSynchronization.reset("unit6")
+    val c = InputSynchronization.group("unit6", maxDifference = 100L)
+    c.register("m") // first run: priority 0
+    c.register("f")
+    // m restarts with priority 1: the JVM-global coordinator must adopt it —
+    // f can then no longer bootstrap past m (the higher-priority-leads rule)
+    c.register("m", priority = 1)
+    assert(c.admit("f", Seq(5L)) == 0, "re-registered priority must apply")
+    assert(c.admit("m", Seq(0L, 7L)) == 2)
+    assert(c.admit("f", Seq(5L)) == 1)
+  }
+
   test("two skewed replay sources: neither runs ahead of the other by more than maxDifference") {
     InputSynchronization.reset("stream1")
     val dir = java.nio.file.Files.createTempDirectory("graft-sync").toString
@@ -230,6 +268,33 @@ class SyncGroupSpec extends AnyFunSuite {
       assert(e.getMessage.contains("sync-order contract") ||
         Option(e.getCause).exists(_.getMessage.contains("sync-order contract")),
         s"expected the sync-order require, got: ${e.getMessage}")
+    } finally q.stop()
+  }
+
+  test("spool file with an unparseable sync row fails loudly instead of understating the frontier") {
+    // one corrupt line among parseable ones: max() over the good rows would
+    // silently understate the file's frontier while the raw corrupt line
+    // still flows downstream unpaced — the source must abort instead
+    InputSynchronization.reset("spoolcorrupt")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spool-corrupt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f00000.json"),
+      "{\"t\":0}\n{\"t\":120}\nnot-json-at-all\n".getBytes("UTF-8"))
+    val q = spark.readStream
+      .format("graft.sources.SyncedSpoolSource")
+      .option("path", dir).option("syncCol", "t")
+      .option("filesPerBatch", "1")
+      .option("group", "spoolcorrupt").option("member", "solo")
+      .option("maxDifference", "10").option("groupSize", "1")
+      .load()
+      .writeStream.format("memory").queryName("spool_corrupt")
+      .trigger(Trigger.ProcessingTime(25)).start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def hit(m: String) = m != null && m.contains("without a parseable")
+      assert(hit(e.getMessage) || Option(e.getCause).exists(c => hit(c.getMessage)),
+        s"expected the null-sync-row require, got: ${e.getMessage}")
     } finally q.stop()
   }
 
