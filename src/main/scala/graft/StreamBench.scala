@@ -492,17 +492,27 @@ object StreamBench {
           .option("checkpointLocation", ckpt()).start()
         t0 = System.nanoTime() // drain clock starts after spool generation
         val qa = start("a", 16) // would drain in nFiles/16 triggers unpaced
-        val qb = start("b", 4)  // the laggard: 4× the triggers
-        val lastT = nFiles.toLong * rowsPerFile - 1
-        val c = graft.sources.InputSynchronization.group("sb_spool", maxDiff)
-        val deadline = System.nanoTime() + 300L * 1000000000L
         try {
+          val qb = start("b", 4) // the laggard: 4× the triggers
+          try {
+          val lastT = nFiles.toLong * rowsPerFile - 1
+          val c = graft.sources.InputSynchronization.group("sb_spool", maxDiff)
+          val deadline = System.nanoTime() + 300L * 1000000000L
           while (System.nanoTime() < deadline &&
             !(c.frontiers.get("a").flatten.contains(lastT) &&
               c.frontiers.get("b").flatten.contains(lastT))) Thread.sleep(50)
           val wall = (System.nanoTime() - t0) / 1e9
           val drained = c.frontiers.get("a").flatten.contains(lastT) &&
             c.frontiers.get("b").flatten.contains(lastT)
+          // the frontier advances during PLANNING — the final batches are
+          // still executing and have not published progress yet; grace-wait
+          // until every generated row shows up (or 10 s) so rows/batches/
+          // latency cover the whole drain, not the drain minus its tail
+          val expect = 2L * nFiles * rowsPerFile
+          def progRows = (qa.recentProgress ++ qb.recentProgress)
+            .filter(_.numInputRows > 0).map(_.numInputRows).sum
+          val grace = System.nanoTime() + 10L * 1000000000L
+          while (System.nanoTime() < grace && progRows < expect) Thread.sleep(50)
           val ps = (qa.recentProgress ++ qb.recentProgress).filter(_.numInputRows > 0)
           val durs = ps.flatMap(p => Option(p.durationMs.get("triggerExecution"))
             .map(_.toLong)).sorted
@@ -518,7 +528,8 @@ object StreamBench {
             err = if (!drained) "not_drained_300s"
               else if (offenders.nonEmpty) s"invariant_violated_${offenders.length}"
               else null)
-        } finally { qa.stop(); qb.stop() }
+          } finally qb.stop()
+        } finally qa.stop()
       } catch {
         case e: Throwable =>
           M("sync_spool_drain", nFiles, (System.nanoTime() - t0) / 1e9, 0, 0, 0,

@@ -211,7 +211,7 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
     (if (lastListing != null) lastListing else listSorted()).length.toLong)
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = coordinator.deregister(member, lease)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ReplayOffset].rank.toInt
