@@ -343,6 +343,23 @@ object StreamBench {
     def r1(v: Double): String =
       BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
 
+    /** Trigger-duration stats shared by every scenario: one definition of
+      * p50/p99 (rank-high on the sorted triggerExecution times), busy-time
+      * and batch count, so the bench rows cannot disagree on what a
+      * percentile means. */
+    final case class DurStats(durs: Array[Long]) {
+      def pct(p: Double): Long =
+        if (durs.isEmpty) -1L
+        else durs(math.min(durs.length - 1, (p * durs.length).toInt))
+      def busySecs: Double = durs.sum / 1000.0
+      def last: Long = if (durs.isEmpty) -1L else durs(durs.length - 1)
+      def n: Int = durs.length
+    }
+    def durStats(ps: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
+        : DurStats = DurStats(
+      ps.flatMap(p => Option(p.durationMs.get("triggerExecution"))
+        .map(_.toLong)).sorted.toArray)
+
     def measure(name: String, start: () => StreamingQuery): M = {
       val t0 = System.nanoTime()
       try {
@@ -351,10 +368,7 @@ object StreamBench {
         q.stop()
         val wall = (System.nanoTime() - t0) / 1e9
         val ps = q.recentProgress.filter(_.numInputRows > 0)
-        val durs = ps.flatMap(p => Option(p.durationMs.get("triggerExecution"))
-          .map(_.toLong)).sorted
-        def pct(p: Double): Long =
-          if (durs.isEmpty) -1L else durs(math.min(durs.length - 1, (p * durs.length).toInt))
+        val ds = durStats(ps.toSeq)
         val rows = ps.map(_.numInputRows).sum
         val stateRows = ps.lastOption
           .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
@@ -370,10 +384,9 @@ object StreamBench {
         // wall-clock throughput charges query startup + trigger idle time;
         // processing throughput (rows / Σ triggerExecution) is the kernel's
         // sustained capacity — what a saturated stream would see
-        val busySecs = durs.sum / 1000.0
         M(name, rate, wall, rows, rows / wall,
-          if (busySecs > 0) rows / busySecs else 0, pct(0.5), pct(0.99),
-          durs.lastOption.getOrElse(-1L), durs.length, stateRows,
+          if (ds.busySecs > 0) rows / ds.busySecs else 0, ds.pct(0.5), ds.pct(0.99),
+          ds.last, ds.n, stateRows,
           stateBytes = stateBytes)
       } catch {
         case e: Throwable =>
@@ -417,15 +430,10 @@ object StreamBench {
         }.toMap
         val wall = (System.nanoTime() - t0) / 1e9
         val converged = got == expected && System.nanoTime() < deadline
-        val ps = q.recentProgress.filter(_.numInputRows > 0)
-        val durs = ps.flatMap(p => Option(p.durationMs.get("triggerExecution"))
-          .map(_.toLong)).sorted
-        def pct(p: Double): Long =
-          if (durs.isEmpty) -1L else durs(math.min(durs.length - 1, (p * durs.length).toInt))
-        val busySecs = durs.sum / 1000.0
+        val ds = durStats(q.recentProgress.filter(_.numInputRows > 0).toSeq)
         M("wordcount_convergence", 0, wall, total, total / wall,
-          if (busySecs > 0) total / busySecs else 0, pct(0.5),
-          pct(0.99), durs.lastOption.getOrElse(-1L), durs.length, vocab,
+          if (ds.busySecs > 0) total / ds.busySecs else 0, ds.pct(0.5),
+          ds.pct(0.99), ds.last, ds.n, vocab,
           err = if (converged) null else "not_converged")
       } catch {
         case e: Throwable =>
@@ -466,9 +474,9 @@ object StreamBench {
       val rowsPerFile = 20
       val maxDiff = 4L * rowsPerFile
       var t0 = System.nanoTime()
+      val dir = java.nio.file.Files.createTempDirectory("graft_sb_spool")
       try {
         graft.sources.InputSynchronization.reset("sb_spool")
-        val dir = java.nio.file.Files.createTempDirectory("graft_sb_spool")
         for (m <- Seq("a", "b")) {
           val d = dir.resolve(m)
           java.nio.file.Files.createDirectories(d)
@@ -497,7 +505,11 @@ object StreamBench {
           try {
           val lastT = nFiles.toLong * rowsPerFile - 1
           val c = graft.sources.InputSynchronization.group("sb_spool", maxDiff)
-          val deadline = System.nanoTime() + 300L * 1000000000L
+          // the laggard needs nFiles/4 triggers at ~200 ms planning each, so
+          // a fixed deadline falsely fails large rungs — scale the cap with
+          // file count (300 s floor covers startup noise at small rungs)
+          val deadlineSecs = math.max(300L, nFiles.toLong / 4)
+          val deadline = System.nanoTime() + deadlineSecs * 1000000000L
           while (System.nanoTime() < deadline &&
             !(c.frontiers.get("a").flatten.contains(lastT) &&
               c.frontiers.get("b").flatten.contains(lastT))) Thread.sleep(50)
@@ -507,26 +519,33 @@ object StreamBench {
           // the frontier advances during PLANNING — the final batches are
           // still executing and have not published progress yet; grace-wait
           // until every generated row shows up (or 10 s) so rows/batches/
-          // latency cover the whole drain, not the drain minus its tail
+          // latency cover the whole drain, not the drain minus its tail.
+          // recentProgress retains only the last numRecentProgressUpdates
+          // batches per query (set to 10k in the session): past that the
+          // row count can never reach expect — stop waiting and report the
+          // truncation as err rather than a silently-low rows figure
           val expect = 2L * nFiles * rowsPerFile
+          val progCap = spark.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+          def saturated = qa.recentProgress.length >= progCap ||
+            qb.recentProgress.length >= progCap
           def progRows = (qa.recentProgress ++ qb.recentProgress)
             .filter(_.numInputRows > 0).map(_.numInputRows).sum
           val grace = System.nanoTime() + 10L * 1000000000L
-          while (System.nanoTime() < grace && progRows < expect) Thread.sleep(50)
+          while (System.nanoTime() < grace && progRows < expect && !saturated)
+            Thread.sleep(50)
           val ps = (qa.recentProgress ++ qb.recentProgress).filter(_.numInputRows > 0)
-          val durs = ps.flatMap(p => Option(p.durationMs.get("triggerExecution"))
-            .map(_.toLong)).sorted
-          def pct(p: Double): Long =
-            if (durs.isEmpty) -1L else durs(math.min(durs.length - 1, (p * durs.length).toInt))
+          val ds = durStats(ps.toSeq)
           val rows = ps.map(_.numInputRows).sum
-          val busySecs = durs.sum / 1000.0
-          val offenders = c.audit.filter(e =>
-            !e.catchUp && e.minOther.isDefined && e.frontier > e.minOther.get + maxDiff)
+          // the coordinator's lifetime counter, not the (trimmed) audit log:
+          // at large rungs auditLog drops its head, this never forgets
+          val violations = c.violationCount
           M("sync_spool_drain", nFiles, wall, rows, rows / wall,
-            if (busySecs > 0) rows / busySecs else 0, pct(0.5), pct(0.99),
-            durs.lastOption.getOrElse(-1L), durs.length, 2L * nFiles,
-            err = if (!drained) "not_drained_300s"
-              else if (offenders.nonEmpty) s"invariant_violated_${offenders.length}"
+            if (ds.busySecs > 0) rows / ds.busySecs else 0, ds.pct(0.5), ds.pct(0.99),
+            ds.last, ds.n, 2L * nFiles,
+            err = if (!drained) s"not_drained_${deadlineSecs}s"
+              else if (violations > 0) s"invariant_violated_$violations"
+              else if (rows < expect && saturated) "progress_window_saturated"
               else null)
           } finally qb.stop()
         } finally qa.stop()
@@ -534,6 +553,10 @@ object StreamBench {
         case e: Throwable =>
           M("sync_spool_drain", nFiles, (System.nanoTime() - t0) / 1e9, 0, 0, 0,
             -1, -1, -1, 0, 0, err = e.getClass.getSimpleName)
+      } finally { // 2·nFiles tiny JSON files — don't leak them into /tmp
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
 

@@ -152,6 +152,14 @@ object InputSynchronization {
 
     def audit: Seq[Admission] = synchronized { auditLog.toVector }
 
+    /** Lifetime count of non-catch-up admissions whose new frontier exceeded
+      * min(other frontiers) + maxDifference. Unlike [[audit]] (bounded, trims
+      * its head on long runs) this never forgets: an invariant check over an
+      * arbitrarily long drain can assert `violationCount == 0` without racing
+      * the audit trim. Always 0 unless the admission logic is broken. */
+    def violationCount: Long = synchronized { violationCnt }
+    private var violationCnt = 0L
+
     private def satAdd(a: Long, b: Long): Long =
       if (a > 0 && b > Long.MaxValue - a) Long.MaxValue else a + b
 
@@ -225,6 +233,8 @@ object InputSynchronization {
           .filter(s => (s ne st) && active(s))
           .flatMap(trusted).minOption
         auditLog += Admission(member, newF, minOtherStarted, catchUp)
+        if (!catchUp && minOtherStarted.exists(m => newF > satAdd(m, maxDifference)))
+          violationCnt += 1
         // bounded audit: one admission per member per micro-batch forever
         // would leak driver memory on a long-running stream
         if (auditLog.length > 16384) auditLog.remove(0, auditLog.length - 8192)

@@ -171,6 +171,9 @@ class SyncGroupSpec extends AnyFunSuite {
       assert(entries.nonEmpty)
       val offenders = entries.filter(e => e.frontier > e.minOther.get + 10L)
       assert(offenders.isEmpty, s"frontier ran ahead: $offenders")
+      // the coordinator's own lifetime tripwire agrees with the audit scan
+      // (the counter is what long-running rungs assert after audit trims)
+      assert(c.violationCount == 0L)
       // and the fast source genuinely interleaved: it cannot have drained
       // before the slow one started (its non-bootstrap admissions were
       // throttled to the slow frontier)
@@ -229,6 +232,7 @@ class SyncGroupSpec extends AnyFunSuite {
       assert(entries.nonEmpty)
       val offenders = entries.filter(e => e.frontier > e.minOther.get + 10L)
       assert(offenders.isEmpty, s"frontier ran ahead: $offenders")
+      assert(c.violationCount == 0L)
       val aThrottled = c.audit.filter(e => e.member == "a" && e.minOther.isDefined)
       assert(aThrottled.size >= 2,
         s"fast spool must have been paced across batches; audit=${c.audit}")
