@@ -449,13 +449,10 @@ object StreamBench {
       val base = measure("asof_backward_e2e", () => startAsofBackwardE2e(lat))
       val ds = {
         import scala.jdk.CollectionConverters._
-        lat.asScala.toArray.sorted
+        DurStats(lat.asScala.toArray.sorted)
       }
-      if (ds.isEmpty) base
-      else base.copy(
-        p50Ms = ds(math.min(ds.length - 1, ds.length / 2)),
-        p99Ms = ds(math.min(ds.length - 1, (0.99 * ds.length).toInt)),
-        maxMs = ds.last)
+      if (ds.n == 0) base
+      else base.copy(p50Ms = ds.pct(0.5), p99Ms = ds.pct(0.99), maxMs = ds.last)
     }
 
     /** Two skewed spool members draining a generated JSON-lines spool under
@@ -474,8 +471,9 @@ object StreamBench {
       val rowsPerFile = 20
       val maxDiff = 4L * rowsPerFile
       var t0 = System.nanoTime()
-      val dir = java.nio.file.Files.createTempDirectory("graft_sb_spool")
+      var dir: java.nio.file.Path = null
       try {
+        dir = java.nio.file.Files.createTempDirectory("graft_sb_spool")
         graft.sources.InputSynchronization.reset("sb_spool")
         for (m <- Seq("a", "b")) {
           val d = dir.resolve(m)
@@ -505,10 +503,14 @@ object StreamBench {
           try {
           val lastT = nFiles.toLong * rowsPerFile - 1
           val c = graft.sources.InputSynchronization.group("sb_spool", maxDiff)
-          // the laggard needs nFiles/4 triggers at ~200 ms planning each, so
-          // a fixed deadline falsely fails large rungs — scale the cap with
-          // file count (300 s floor covers startup noise at small rungs)
-          val deadlineSecs = math.max(300L, nFiles.toLong / 4)
+          // the laggard needs nFiles/4 mandatory triggers, and per-trigger
+          // cost itself grows with file count (the directory listing term:
+          // measured p50 ≈ 0.18 s + 15 µs/file across the 300→7500 rungs) —
+          // so drain time is QUADRATIC in nFiles and a linear deadline would
+          // eventually falsely fail a correct drain. Model triggers × cost
+          // with 3× margin; 300 s floor covers startup noise at small rungs
+          val deadlineSecs = math.max(300L,
+            (nFiles.toLong / 4 * (0.25 + 3e-5 * nFiles) * 3).toLong)
           val deadline = System.nanoTime() + deadlineSecs * 1000000000L
           while (System.nanoTime() < deadline &&
             !(c.frontiers.get("a").flatten.contains(lastT) &&
@@ -553,10 +555,18 @@ object StreamBench {
         case e: Throwable =>
           M("sync_spool_drain", nFiles, (System.nanoTime() - t0) / 1e9, 0, 0, 0,
             -1, -1, -1, 0, 0, err = e.getClass.getSimpleName)
-      } finally { // 2·nFiles tiny JSON files — don't leak them into /tmp
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverseIterator
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally { // 2·nFiles tiny JSON files — don't leak them into /tmp.
+        // Best-effort: a cleanup IO error must not replace the measurement
+        // result already computed in the try, and the walk stream must close
+        try if (dir != null) {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(dir)
+          val all = try w.iterator().asScala.toSeq finally w.close()
+          all.reverseIterator.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch {
+          case e: Exception =>
+            System.err.println(s"spool cleanup failed (ignored): $e")
+        }
       }
     }
 
@@ -602,14 +612,10 @@ object StreamBench {
                 catchup = elapsed
             }
           }
-          val durs = q2.recentProgress.filter(_.numInputRows > 0)
-            .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-            .sorted
+          val ds = durStats(q2.recentProgress.filter(_.numInputRows > 0).toSeq)
           M("recovery_catchup", rate, catchup, cum,
             if (catchup > 0) cum / catchup else 0, 0,
-            if (durs.isEmpty) -1 else durs(durs.length / 2),
-            if (durs.isEmpty) -1 else durs(math.min(durs.length - 1, (0.99 * durs.length).toInt)),
-            durs.lastOption.getOrElse(-1L), batches, 0,
+            ds.pct(0.5), ds.pct(0.99), ds.last, batches, 0,
             err = if (catchup < 0) "not_caught_up_120s" else null)
         } finally q2.stop()
       } catch {
