@@ -126,6 +126,11 @@ object InputSynchronization {
       * from draining unsynchronized before its peers exist). admit()
       * returns 0 until the group is fully assembled. */
     def expectGroupSize(n: Int): Unit = synchronized {
+      // mirrors the reference's registration check (test_io.py:3841 "At
+      // least two columns must participate in a connector group"): a
+      // 1-member group would trivially never pace and is a user error
+      require(n >= 2,
+        s"a synchronization group needs at least 2 members, got groupSize=$n")
       expectedSize = math.max(expectedSize, n)
     }
 
@@ -331,10 +336,22 @@ private[sources] class SyncedReplayStream(path: String, syncCol: String,
   private val lease = coordinator.register(member, priority, idleMs)
   if (groupSize > 0) coordinator.expectGroupSize(groupSize)
   // the replay table's sync values in admission order (driver-resident —
-  // this source demonstrates the V2 admission surface, like ReplaySource)
-  private lazy val syncVals: Array[Long] = spark.read.parquet(path)
-    .select(org.apache.spark.sql.functions.col(syncCol).cast("long"))
-    .orderBy(syncCol).collect().map(_.getLong(0))
+  // this source demonstrates the V2 admission surface, like ReplaySource).
+  // A non-numeric sync column casts to null and Row.getLong would silently
+  // read 0 — frontiers all-zero, admission gating disabled with no symptom;
+  // the reference rejects such columns at registration (test_io.py:3849
+  // "Fields of type str are not supported in connector groups"), so fail
+  // loudly here too
+  private lazy val syncVals: Array[Long] = {
+    val rows = spark.read.parquet(path)
+      .select(org.apache.spark.sql.functions.col(syncCol).cast("long"))
+      .orderBy(syncCol).collect()
+    val bad = rows.count(_.isNullAt(0))
+    require(bad == 0, s"sync column '$syncCol' of $path has $bad value(s) " +
+      "that do not cast to long — synchronization groups need a numeric " +
+      "(or epoch-time) sync column")
+    rows.map(_.getLong(0))
+  }
 
   // ONCE per stream instance: the engine may consult initialOffset again
   // while batch 0's offset commit is in flight, and a second reset would

@@ -77,6 +77,30 @@ class InactivitySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("no alert: activity within the allowed period never reports (reference test_no_alert)") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    // generous allowed period vs the 200 ms feed cadence so a slow trigger
+    // on a loaded host cannot fake a gap
+    val out = Inactivity.inactivityDetection(input.toDF().select(col("value")),
+      allowedInactivityMs = 5000, refreshRateMs = 200,
+      instance = Some(col("value")))
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Option[Long])]()
+    val q = out.writeStream
+      .foreachBatch(collectRows(buf) _)
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      val stopAt = System.currentTimeMillis() + 6000 // > allowed period
+      while (System.currentTimeMillis() < stopAt) {
+        input.addData("a")
+        Thread.sleep(200)
+      }
+      assert(buf.isEmpty,
+        s"continuous activity must produce no inactivity rows, got ${buf.toArray.toSeq}")
+    } finally q.stop()
+  }
+
   test("default mode (no instance): heartbeat ticks detect the gap despite sharing the group") {
     // REGRESSION: in default mode every event AND every heartbeat share the
     // single null group, so Spark's timeout callback never fires for it

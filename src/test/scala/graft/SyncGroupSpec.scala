@@ -261,7 +261,7 @@ class SyncGroupSpec extends AnyFunSuite {
       .option("path", dir).option("syncCol", "t")
       .option("filesPerBatch", "2")
       .option("group", "spoolbad").option("member", "solo")
-      .option("maxDifference", "10").option("groupSize", "1")
+      .option("maxDifference", "10") // groupSize omitted: solo demo member
       .load()
       .writeStream.format("memory").queryName("spool_bad")
       .trigger(Trigger.ProcessingTime(25)).start()
@@ -288,7 +288,7 @@ class SyncGroupSpec extends AnyFunSuite {
       .option("path", dir).option("syncCol", "t")
       .option("filesPerBatch", "1")
       .option("group", "spoolcorrupt").option("member", "solo")
-      .option("maxDifference", "10").option("groupSize", "1")
+      .option("maxDifference", "10") // groupSize omitted: solo demo member
       .load()
       .writeStream.format("memory").queryName("spool_corrupt")
       .trigger(Trigger.ProcessingTime(25)).start()
@@ -299,6 +299,40 @@ class SyncGroupSpec extends AnyFunSuite {
       def hit(m: String) = m != null && m.contains("without a parseable")
       assert(hit(e.getMessage) || Option(e.getCause).exists(c => hit(c.getMessage)),
         s"expected the null-sync-row require, got: ${e.getMessage}")
+    } finally q.stop()
+  }
+
+  test("registration rejects a group of fewer than 2 members (reference test_io.py:3841)") {
+    InputSynchronization.reset("tiny")
+    val e = intercept[IllegalArgumentException] {
+      InputSynchronization.group("tiny", 10L).expectGroupSize(1)
+    }
+    assert(e.getMessage.contains("at least 2 members"))
+  }
+
+  test("non-numeric sync column fails loudly instead of zeroing frontiers (reference test_io.py:3849)") {
+    // a string syncCol casts to null; without the guard Row.getLong reads 0
+    // silently and admission gating is disabled with no symptom
+    InputSynchronization.reset("strsync")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sync-str").toString
+    Seq(("not-a-number", 1), ("also-not", 2)).toDF("t", "v")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.readStream
+      .format("graft.sources.SyncedReplaySource")
+      .option("path", dir).option("syncCol", "t")
+      .option("rowsPerBatch", "10")
+      .option("group", "strsync").option("member", "solo")
+      .option("maxDifference", "10")
+      .load()
+      .writeStream.format("memory").queryName("str_sync")
+      .trigger(Trigger.ProcessingTime(25)).start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def hit(m: String) = m != null && m.contains("do not cast to long")
+      assert(hit(e.getMessage) || Option(e.getCause).exists(c => hit(c.getMessage)),
+        s"expected the non-numeric sync-column require, got: ${e.getMessage}")
     } finally q.stop()
   }
 
