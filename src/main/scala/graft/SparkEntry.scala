@@ -648,12 +648,13 @@ object SparkEntry {
     * members over derived feeds — `a` the full 500-doc feed, `b` the same
     * feed truncated at rank 400 (a source that stopped early) — run as
     * REAL micro-batch streams until stable. With dense rank-valued sync
-    * columns no mid-stream catch-up can overshoot, so the terminal admitted
-    * set is exactly the batch analog's aligned cut: F = min of member
-    * maxes (399), every member admits sync ≤ F + maxDifference (449) —
-    * `b` drains fully, `a` provably stalls there (its threshold is pinned
-    * to the drained member's trusted frontier). Stream ≡ batch, pinned
-    * against the alignedCut oracle formula. */
+    * columns the pending-anticipating window can never overshoot, so the
+    * terminal admitted set is exactly the batch analog's aligned cut:
+    * F = min of member maxes (399), every member admits sync ≤ F +
+    * maxDifference (449) — `b` drains fully, `a` provably stalls there
+    * (its window is pinned to the drained member's trusted frontier, 399,
+    * since a drained member reports no pending head). Stream ≡ batch,
+    * pinned against the alignedCut oracle formula. */
   private def qSyncGroupStream(s: SparkSession, dir: String): DataFrame = {
     val grp = s"board_sync_${java.util.UUID.randomUUID().toString.take(8)}"
     val tmp = java.nio.file.Files.createTempDirectory("graft-sync-board").toString

@@ -28,11 +28,11 @@ import scala.collection.mutable
   * Each member source consults a JVM-shared [[InputSynchronization.Coordinator]]
   * from `latestOffset(start, limit)` — the planning hook Spark gives a
   * source to decide how far its offset may advance this micro-batch — and
-  * admits only rows whose sync value passes the group rule. The
-  * granularity is one micro-batch: a member at the group minimum admits
-  * up to one `rowsPerBatch` slice even when its next values jump past the
-  * threshold (that is how a lagging source "catches up" in the reference;
-  * a finer cut would deadlock on data gaps). Like the reference, the
+  * admits only rows whose sync value passes the group rule (see [[
+  * Coordinator.admit]] for the rule, derived from and replayed against
+  * the reference's own test plans; windows anticipate peers' PENDING
+  * units, so a group-wide data gap passes while a one-sided jump is held
+  * — exactly the reference's observable behavior). Like the reference, the
   * coordinator is single-process state — on a multi-executor cluster the
   * DRIVER runs all `latestOffset` planning, so the same object
   * coordinates every source of the session (the reference notes the same
@@ -47,6 +47,14 @@ object InputSynchronization {
     * previous query run and must not be trusted (see resetMember). */
   private final class MemberState(var priority: Int, var idleMs: Option[Long]) {
     var frontier: Option[Long] = None
+    /** Sync value of the member's next still-PENDING (unadmitted) unit as
+      * of its last admit call; None once drained. Peers' admission windows
+      * anticipate it (see [[Coordinator.admit]]): a member that has read
+      * nothing but has a unit pending at v lets peers advance to
+      * v + maxDifference — exactly how the reference lets a source read
+      * while its peer's first (large-valued) unit is still held
+      * (test_io.py test_synchronization_group plans). */
+    var pendingHead: Option[Long] = None
     var lastData: Long = System.nanoTime()
     var epoch: Long = 0L
     /** Lease of the CURRENT stream instance for this member: re-registering
@@ -58,12 +66,13 @@ object InputSynchronization {
   }
 
   /** One admission decision, for specs/monitoring: the member, its new
-    * frontier, the minimum frontier across the OTHER active members at
-    * decision time (None when no other member had started), and whether
-    * this was a laggard catch-up batch (admitted past the threshold to
-    * unblock the group). */
+    * frontier, and the window base used — the minimum CONTRIBUTION
+    * (max(frontier, pendingHead)) across the other active same-or-higher-
+    * priority members at decision time (None when the member was
+    * window-uncapped: no such peers). Every admission satisfies
+    * frontier ≤ minOther + maxDifference by construction. */
   final case class Admission(member: String, frontier: Long,
-      minOther: Option[Long], catchUp: Boolean)
+      minOther: Option[Long])
 
   final class Coordinator(val name: String, val maxDifference: Long) {
     private val members = mutable.LinkedHashMap.empty[String, MemberState]
@@ -146,6 +155,7 @@ object InputSynchronization {
       groupEpoch += 1
       members.get(member).foreach { st =>
         st.frontier = None
+        st.pendingHead = None
         st.epoch = groupEpoch
         st.lastData = System.nanoTime()
       }
@@ -157,11 +167,12 @@ object InputSynchronization {
 
     def audit: Seq[Admission] = synchronized { auditLog.toVector }
 
-    /** Lifetime count of non-catch-up admissions whose new frontier exceeded
-      * min(other frontiers) + maxDifference. Unlike [[audit]] (bounded, trims
-      * its head on long runs) this never forgets: an invariant check over an
-      * arbitrarily long drain can assert `violationCount == 0` without racing
-      * the audit trim. Always 0 unless the admission logic is broken. */
+    /** Lifetime count of admissions whose new frontier exceeded the window
+      * base (min same-or-higher-priority peer contribution) + maxDifference.
+      * Unlike [[audit]] (bounded, trims its head on long runs) this never
+      * forgets: an invariant check over an arbitrarily long drain can assert
+      * `violationCount == 0` without racing the audit trim. Always 0 unless
+      * the admission logic is broken. */
     def violationCount: Long = synchronized { violationCnt }
     private var violationCnt = 0L
 
@@ -172,13 +183,30 @@ object InputSynchronization {
       * (the member replays in sync order). Returns how many of them may be
       * admitted in this micro-batch and advances the member's frontier.
       *
-      * Rule: admit values ≤ min(minActiveFrontier + maxDifference,
-      * highest frontier of strictly-higher-priority active members). A
-      * member AT the group minimum with nothing admissible (bootstrap, or
-      * a data gap wider than maxDifference) admits one full batch instead
-      * — the lagging source must be able to catch up or the group
-      * deadlocks; this is the reference's "read more from the lagging
-      * source to align it". */
+      * Rule (derived from the reference's test plans — test_io.py
+      * test_synchronization_group / _respect_atomicity, all replayed in
+      * SyncGroupSpec): a value v is admissible iff
+      *
+      *  1. v ≤ min over other ACTIVE members with priority ≥ mine of
+      *     CONTRIBUTION + maxDifference, where a member's contribution is
+      *     max(admitted frontier, pending head) — pending data counts:
+      *     a peer whose next (large-valued) unit is held still lets this
+      *     member advance toward it. A peer that has reported NOTHING this
+      *     epoch contributes MinValue and blocks (it reports on its first
+      *     planning call, so the block lasts one trigger — or forever for
+      *     a member with no data and no idleMs, matching the reference's
+      *     "the source ... may block values that try to advance too far");
+      *  2. v ≤ the highest admitted frontier among strictly-higher-priority
+      *     active members, if any exist (the leader reads first;
+      *     reference: "does not exceed the maximum of values already read
+      *     from all sources with higher priority").
+      *
+      * There is NO laggard catch-up exception: a one-sided value jump past
+      * every peer's reach stays held (reference holds it too — plans
+      * [50,10,100]/[10,1000] and [0,100]/[0,1] keep 1000 and 100 back
+      * forever); a group-wide gap passes because both members' pending
+      * heads anticipate it. Higher-priority members are never window-
+      * capped by lower-priority ones (plan [0,100]p1/[0,1]p0 admits 100). */
     def admit(member: String, values: Seq[Long], lease: Long = -1L): Int = synchronized {
       // A superseded stream instance (an older lease — e.g. a previous run's
       // drained stream planning one last trigger while its replacement
@@ -196,7 +224,14 @@ object InputSynchronization {
       // that frontier forever (treated as MinValue), letting the restarted
       // peer admit one bootstrap batch and then zero rows every trigger:
       // the group would stall instead of aligning to the drained member.
-      members.get(member).foreach(_.epoch = groupEpoch)
+      members.get(member).foreach { st =>
+        st.epoch = groupEpoch
+        // report the pending head even during assembly / before the
+        // early-outs below: peers' windows anticipate it, and a drained
+        // member (empty values) must DROP its stale head so its
+        // contribution falls back to its admitted frontier
+        st.pendingHead = values.headOption
+      }
       if (members.size < expectedSize) {
         // a member waiting out assembly is NOT idle — keep lastData fresh
         // or its peer would idle-exclude it right after assembly completes
@@ -211,34 +246,34 @@ object InputSynchronization {
       st.lastData = now
       def active(s: MemberState): Boolean =
         s.idleMs.forall(ms => (now - s.lastData) / 1000000L <= ms)
+      // a member's contribution to peers' windows: where it is (admitted
+      // frontier) or where its next pending unit will take it, whichever
+      // is higher; nothing reported this epoch -> distrust entirely
+      def contribution(s: MemberState): Long =
+        if (s.epoch != groupEpoch) Long.MinValue
+        else math.max(s.frontier.getOrElse(Long.MinValue),
+          s.pendingHead.getOrElse(Long.MinValue))
       val others = members.valuesIterator
         .filter(s => (s ne st) && active(s)).toSeq
-      val (n, catchUp) =
-        if (others.isEmpty) (values.length, false)
+      val n =
+        if (others.isEmpty) values.length
         else {
-          val myF = st.frontier.getOrElse(Long.MinValue)
-          val minOther = others.map(trusted(_).getOrElse(Long.MinValue)).min
-          val minAll = math.min(myF, minOther)
+          val windowPeers = others.filter(_.priority >= st.priority)
+          val capA = if (windowPeers.isEmpty) Long.MaxValue
+            else satAdd(windowPeers.map(contribution).min, maxDifference)
           val hp = others.filter(_.priority > st.priority)
-          val hpCap = if (hp.isEmpty) Long.MaxValue
+          val capB = if (hp.isEmpty) Long.MaxValue
             else hp.map(trusted(_).getOrElse(Long.MinValue)).max
-          val eff = math.min(satAdd(minAll, maxDifference), hpCap)
-          val within = values.count(_ <= eff)
-          // catch-up batch: only the group laggard, and never past a
-          // higher-priority member's frontier (the leader must read first;
-          // the laggard then catches up to it)
-          if (within == 0 && myF == minAll)
-            (if (hp.isEmpty) values.length else values.count(_ <= hpCap), true)
-          else (within, false)
+          values.count(_ <= math.min(capA, capB))
         }
       if (n > 0) {
         val newF = math.max(st.frontier.getOrElse(Long.MinValue), values(n - 1))
         st.frontier = Some(newF)
-        val minOtherStarted = members.valuesIterator
-          .filter(s => (s ne st) && active(s))
-          .flatMap(trusted).minOption
-        auditLog += Admission(member, newF, minOtherStarted, catchUp)
-        if (!catchUp && minOtherStarted.exists(m => newF > satAdd(m, maxDifference)))
+        st.pendingHead = if (n < values.length) Some(values(n)) else None
+        val minOtherWindow = others.filter(_.priority >= st.priority)
+          .map(contribution).filter(_ != Long.MinValue).minOption
+        auditLog += Admission(member, newF, minOtherWindow)
+        if (minOtherWindow.exists(m => newF > satAdd(m, maxDifference)))
           violationCnt += 1
         // bounded audit: one admission per member per micro-batch forever
         // would leak driver memory on a long-running stream

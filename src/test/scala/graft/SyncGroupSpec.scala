@@ -12,25 +12,43 @@ class SyncGroupSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
-  test("coordinator: fast member blocks at maxDifference until the laggard catches up") {
+  test("coordinator: window paces the fast member; a one-sided jump is held forever") {
     InputSynchronization.reset("unit1")
     val c = InputSynchronization.group("unit1", maxDifference = 10L)
     c.register("fast"); c.register("slow")
-    // bootstrap: first batch admits unconditionally (catch-up)
-    assert(c.admit("fast", Seq(0L, 5L, 12L, 18L)) == 4)
-    // slow starts behind; its own catch-up brings it to 2
+    // a member's first call reports its pending head and admits nothing
+    // while a peer has reported nothing yet (one planning round)
+    assert(c.admit("fast", Seq(0L, 5L, 12L, 18L)) == 0)
+    // slow's window anticipates fast's reported pending head (0): cap 10
     assert(c.admit("slow", Seq(1L, 2L)) == 2)
-    // fast now at 18, slow at 2: fast may admit nothing above 2+10=12
-    assert(c.admit("fast", Seq(20L, 25L)) == 0)
-    // slow advances to 11 -> threshold 21 -> fast admits 20 only
+    // fast: window = max(slow frontier 2, no pending) + 10 = 12
+    assert(c.admit("fast", Seq(0L, 5L, 12L, 18L)) == 3)
+    // slow may advance toward fast's pending 18: cap max(12,18)+10
     assert(c.admit("slow", Seq(7L, 11L)) == 2)
-    assert(c.admit("fast", Seq(20L, 25L)) == 1)
-    // laggard with a data gap: slow's next value jumps to 100 — admitted
-    // as a catch-up batch (otherwise the group deadlocks)
-    assert(c.admit("slow", Seq(100L)) == 1)
-    assert(c.frontiers("slow").contains(100L))
-    // and now fast is the laggard (25 < 100): catch-up applies to IT
-    assert(c.admit("fast", Seq(120L)) == 1)
+    // slow at 11 -> fast admits 18, 20; 25 stays out (cap 21)
+    assert(c.admit("fast", Seq(18L, 20L, 25L)) == 2)
+    // one-sided jump: slow's 100 exceeds everything fast will ever have
+    // (fast pending tops out at 25) — held, like the reference holds it
+    // (test_io.py plan [1]/[...,11,12]: 12 stays out forever)
+    assert(c.admit("slow", Seq(100L)) == 0)
+    assert(c.admit("fast", Seq(25L)) == 1)
+    assert(c.admit("fast", Seq.empty) == 0) // fast drained
+    assert(c.admit("slow", Seq(100L)) == 0) // cap 25+10: held forever
+    assert(c.frontiers("slow").contains(11L))
+  }
+
+  test("coordinator: a group-wide data gap passes — pending heads anticipate it") {
+    InputSynchronization.reset("gap")
+    val c = InputSynchronization.group("gap", maxDifference = 10L)
+    c.register("a"); c.register("b")
+    assert(c.admit("a", Seq(0L)) == 0) // b unreported
+    assert(c.admit("b", Seq(0L)) == 1) // a's pending 0 -> cap 10
+    assert(c.admit("a", Seq(0L)) == 1)
+    // both feeds jump past 1000 together: the first call reports the jump
+    // (admitting nothing), then each window anticipates the other's head
+    assert(c.admit("a", Seq(1000L)) == 0)
+    assert(c.admit("b", Seq(1002L)) == 1) // cap max(0, a-pending 1000)+10
+    assert(c.admit("a", Seq(1000L)) == 1) // cap max(1002, none)+10
   }
 
   test("coordinator: priority member leads; lower priority never passes its frontier") {
@@ -53,13 +71,14 @@ class SyncGroupSpec extends AnyFunSuite {
     // generous idle window: a tighter one (e.g. 50 ms) flakes when the
     // test thread is descheduled between admits under parallel-suite load
     c.register("a"); c.register("b", idleMs = Some(2000L))
+    assert(c.admit("b", Seq(0L)) == 0) // a unreported
+    assert(c.admit("a", Seq(1L, 2L)) == 2) // b's pending 0 -> cap 10
     assert(c.admit("b", Seq(0L)) == 1)
-    assert(c.admit("a", Seq(1L, 2L)) == 2)
-    // b at 0 blocks a above 10
+    // b at 0 (nothing pending) blocks a above 10
     assert(c.admit("a", Seq(11L, 50L)) == 0)
     Thread.sleep(2500) // b produces nothing for > idleMs -> excluded
     assert(c.admit("a", Seq(11L, 50L)) == 2, "idle member must not hold the group")
-    // b returns with data -> re-included (it is now the laggard: catch-up)
+    // b returns with data -> re-included; 3 is within a's window max(50)+10
     assert(c.admit("b", Seq(3L)) == 1)
     // and a is constrained by b again
     assert(c.admit("a", Seq(60L)) == 0)
@@ -69,8 +88,10 @@ class SyncGroupSpec extends AnyFunSuite {
     InputSynchronization.reset("unit4")
     val c = InputSynchronization.group("unit4", maxDifference = 10L)
     c.register("d"); c.register("r")
-    assert(c.admit("d", Seq(0L, 20L, 50L)) == 3) // d reads everything it has
-    assert(c.admit("r", Seq(0L, 5L)) == 2)
+    assert(c.admit("r", Seq(0L, 5L)) == 0) // d unreported
+    assert(c.admit("d", Seq(0L, 8L, 12L)) == 2) // r's pending 0 -> cap 10
+    assert(c.admit("r", Seq(0L, 5L)) == 2) // d contributes max(8, pending 12)
+    assert(c.admit("d", Seq(12L)) == 1) // r at 5 -> cap 15
     // d is drained: from here it only ever plans empty-handed
     assert(c.admit("d", Seq.empty) == 0)
     // r restarts fresh (no checkpoint): resetMember bumps the group epoch,
@@ -78,13 +99,12 @@ class SyncGroupSpec extends AnyFunSuite {
     c.resetMember("r")
     // d is still LIVE (its stream plans every trigger) but has no pending
     // rows — the empty-handed admit alone must re-validate d's epoch so
-    // its real frontier (50) keeps pacing the group
+    // its real frontier (12) keeps pacing the group
     assert(c.admit("d", Seq.empty) == 0)
-    assert(c.admit("r", Seq(0L, 5L)) == 2) // bootstrap catch-up batch
+    assert(c.admit("r", Seq(0L, 5L)) == 2) // d's 12 trusted -> cap 22
     // the regression: with d's frontier distrusted (MinValue), r would
-    // admit 0 here forever (not the laggard vs MinValue, nothing within
-    // MinValue+maxDifference) — the group stalls. Trusted, min(5,50)+10=15
-    // admits the first two values.
+    // admit 0 here forever (nothing within MinValue+maxDifference) — the
+    // group stalls. Trusted, 12+10=22 admits the first two values.
     assert(c.admit("r", Seq(7L, 12L, 30L)) == 2,
       "group stalled: drained peer's frontier was distrusted after restart")
   }
@@ -93,23 +113,24 @@ class SyncGroupSpec extends AnyFunSuite {
     InputSynchronization.reset("unit5")
     val c = InputSynchronization.group("unit5", maxDifference = 10L)
     val l1a = c.register("a"); val lb = c.register("b")
-    assert(c.admit("a", Seq(0L, 50L), l1a) == 2)
-    assert(c.admit("b", Seq(0L, 5L), lb) == 2)
+    assert(c.admit("a", Seq(0L, 8L), l1a) == 0) // b unreported
+    assert(c.admit("b", Seq(0L, 5L), lb) == 2) // a's pending 0 -> cap 10
+    assert(c.admit("a", Seq(0L, 8L), l1a) == 2) // b at 5 -> cap 15
     // a restarts in place: the new registration supersedes l1a — the old
     // stream's admits are ignored outright (no frontier advance, no
     // liveness proof)
     val l2a = c.register("a")
     assert(c.admit("a", Seq(60L), l1a) == 0, "zombie lease must admit nothing")
-    assert(c.frontiers("a").contains(50L), "zombie admit must not move the frontier")
+    assert(c.frontiers("a").contains(8L), "zombie admit must not move the frontier")
     // orderly stop of a's current stream: deregister distrusts its final
     // frontier — b must NOT keep pacing against it (stall, not run-ahead)
     c.deregister("a", l2a)
     assert(c.admit("b", Seq(7L), lb) == 0,
       "stopped member's stale frontier must not pace peers")
     // a's successor registers and proves liveness (its first planning call,
-    // even one that admits nothing) — b unstalls against the real frontier
+    // even one that admits nothing) — b unstalls against the real state
     val l3a = c.register("a")
-    assert(c.admit("a", Seq(55L), l3a) == 0) // b at 5: 55 > 5+10, not laggard
+    assert(c.admit("a", Seq(55L), l3a) == 0) // b at max(5, pending 7): cap 17
     assert(c.admit("b", Seq(7L), lb) == 1,
       "peer must unstall once the successor proves liveness")
   }
@@ -165,9 +186,9 @@ class SyncGroupSpec extends AnyFunSuite {
       val fr = c.frontiers
       assert(fr("a").contains(59L) && fr("b").contains(59L),
         s"both sources must drain fully, got $fr")
-      // the invariant: every non-catch-up admission stayed within
-      // maxDifference of the slowest member's frontier at decision time
-      val entries = c.audit.filter(e => !e.catchUp && e.minOther.isDefined)
+      // the invariant: every windowed admission stayed within maxDifference
+      // of the slowest peer's contribution at decision time
+      val entries = c.audit.filter(_.minOther.isDefined)
       assert(entries.nonEmpty)
       val offenders = entries.filter(e => e.frontier > e.minOther.get + 10L)
       assert(offenders.isEmpty, s"frontier ran ahead: $offenders")
@@ -228,7 +249,7 @@ class SyncGroupSpec extends AnyFunSuite {
           c.frontiers.get("b").flatten.contains(59L))) Thread.sleep(100)
       assert(c.frontiers("a").contains(59L) && c.frontiers("b").contains(59L),
         s"both spools must drain fully, got ${c.frontiers}")
-      val entries = c.audit.filter(e => !e.catchUp && e.minOther.isDefined)
+      val entries = c.audit.filter(_.minOther.isDefined)
       assert(entries.nonEmpty)
       val offenders = entries.filter(e => e.frontier > e.minOther.get + 10L)
       assert(offenders.isEmpty, s"frontier ran ahead: $offenders")
@@ -300,6 +321,74 @@ class SyncGroupSpec extends AnyFunSuite {
       assert(hit(e.getMessage) || Option(e.getCause).exists(c => hit(c.getMessage)),
         s"expected the null-sync-row require, got: ${e.getMessage}")
     } finally q.stop()
+  }
+
+  /** Replays a reference test plan at the coordinator level: each member's
+    * units (file-per-row in the reference fixture; a multi-row file is
+    * modeled by its frontier, since spool admission is whole-file) are
+    * offered head-first in arrival order; rounds continue until two full
+    * rounds admit nothing (reports only change on admission, so that is
+    * the fixed point). Returns what each member admitted, in order. */
+  private def replayPlan(name: String, maxDiff: Long,
+      feeds: Seq[(String, Int, List[Long])]): Map[String, List[Long]] = {
+    InputSynchronization.reset(name)
+    val c = InputSynchronization.group(name, maxDiff)
+    feeds.foreach { case (m, p, _) => c.register(m, priority = p) }
+    val pending = scala.collection.mutable.Map(
+      feeds.map { case (m, _, vs) => m -> scala.collection.mutable.Queue(vs: _*) }: _*)
+    val admitted = scala.collection.mutable.Map(
+      feeds.map { case (m, _, _) => m -> List.newBuilder[Long] }: _*)
+    var idleRounds = 0
+    while (idleRounds < 2) {
+      var any = false
+      for ((m, _, _) <- feeds) {
+        val q = pending(m)
+        if (c.admit(m, q.headOption.toSeq) > 0) { admitted(m) += q.dequeue(); any = true }
+      }
+      idleRounds = if (any) 0 else idleRounds + 1
+    }
+    admitted.map { case (m, b) => m -> b.result() }.toMap
+  }
+
+  test("reference plans (test_io.py test_synchronization_group) replay bit-exactly") {
+    // plan: s1=[1,2,3,10], s2=[1,2,5,30] -> 30 held (expected_entries 7)
+    assert(replayPlan("planA", 10, Seq(("s1", 0, List(1L, 2, 3, 10)), ("s2", 0, List(1L, 2, 5, 30))))
+      == Map("s1" -> List(1L, 2, 3, 10), "s2" -> List(1L, 2, 5)))
+    // plan: s1=[1], s2=[1,2,3,11,12] -> 12 held by the drained peer (5)
+    assert(replayPlan("planB", 10, Seq(("s1", 0, List(1L)), ("s2", 0, List(1L, 2, 3, 11, 12))))
+      == Map("s1" -> List(1L), "s2" -> List(1L, 2, 3, 11)))
+    // plan: s1=[1,2,3,4,5], s2=[1,15] -> all pass once s1 reaches 5 (7)
+    assert(replayPlan("planD", 10, Seq(("s1", 0, List(1L, 2, 3, 4, 5)), ("s2", 0, List(1L, 15))))
+      == Map("s1" -> List(1L, 2, 3, 4, 5), "s2" -> List(1L, 15)))
+    // plan: s1=[50,10,100] (out of order — max-frontier admission),
+    // s2=[10,1000] -> 1000 held forever (4). s1's 50 passes because s2's
+    // PENDING 1000 anticipates it — the behavior the catch-up-free window
+    // rule exists for
+    assert(replayPlan("planE", 10, Seq(("s1", 0, List(50L, 10, 100)), ("s2", 0, List(10L, 1000))))
+      == Map("s1" -> List(50L, 10, 100), "s2" -> List(10L)))
+    // priority plan: s1=[1,2]@p1, s2=[1..7] -> s2 capped at the leader's
+    // read max (4)
+    assert(replayPlan("planF", 10, Seq(("s1", 1, List(1L, 2)), ("s2", 0, List(1L, 2, 3, 4, 5, 6, 7))))
+      == Map("s1" -> List(1L, 2), "s2" -> List(1L, 2)))
+    // priority plan: s1=[0,100]@p1, s2=[0,1] -> the leader is never
+    // window-capped by the follower; everything passes (4)
+    assert(replayPlan("planG", 10, Seq(("s1", 1, List(0L, 100)), ("s2", 0, List(0L, 1))))
+      == Map("s1" -> List(0L, 100), "s2" -> List(0L, 1)))
+    // equal priority: s1=[0,100], s2=[0,1] -> 100 held forever (3)
+    assert(replayPlan("planH", 10, Seq(("s1", 0, List(0L, 100)), ("s2", 0, List(0L, 1))))
+      == Map("s1" -> List(0L), "s2" -> List(0L, 1)))
+  }
+
+  test("reference atomicity plans: a straddling file is held whole (test_io.py:4164)") {
+    // file units modeled by their frontier (whole-file admission): s1's one
+    // file holds k=1 and k=20 -> unit 20; maxDifference 10
+    // plan 1: s2=[1] only -> s1's file NEVER passes (expected_entries 1)
+    assert(replayPlan("atom1", 10, Seq(("s1", 0, List(20L)), ("s2", 0, List(1L))))
+      == Map("s1" -> Nil, "s2" -> List(1L)))
+    // plan 2: s2 gets a second file [15] -> everything passes (4 rows):
+    // s2's 15 rides s1's pending 20; s1's file then fits under 15+10
+    assert(replayPlan("atom2", 10, Seq(("s1", 0, List(20L)), ("s2", 0, List(1L, 15))))
+      == Map("s1" -> List(20L), "s2" -> List(1L, 15)))
   }
 
   test("registration rejects a group of fewer than 2 members (reference test_io.py:3841)") {
