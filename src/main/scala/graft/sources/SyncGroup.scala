@@ -66,11 +66,10 @@ object InputSynchronization {
   }
 
   /** One admission decision, for specs/monitoring: the member, its new
-    * frontier, and the window base used — the minimum CONTRIBUTION
-    * (max(frontier, pendingHead)) across the other active same-or-higher-
-    * priority members at decision time (None when the member was
-    * window-uncapped: no such peers). Every admission satisfies
-    * frontier ≤ minOther + maxDifference by construction. */
+    * frontier, and the EFFECTIVE BOUND the admission was checked against
+    * (min of the group threshold and the caller's higher-priority gate;
+    * None when the member was uncapped — no active peers). Every admission
+    * satisfies frontier ≤ minOther by construction. */
   final case class Admission(member: String, frontier: Long,
       minOther: Option[Long])
 
@@ -167,12 +166,12 @@ object InputSynchronization {
 
     def audit: Seq[Admission] = synchronized { auditLog.toVector }
 
-    /** Lifetime count of admissions whose new frontier exceeded the window
-      * base (min same-or-higher-priority peer contribution) + maxDifference.
-      * Unlike [[audit]] (bounded, trims its head on long runs) this never
-      * forgets: an invariant check over an arbitrarily long drain can assert
-      * `violationCount == 0` without racing the audit trim. Always 0 unless
-      * the admission logic is broken. */
+    /** Lifetime count of admissions whose new frontier exceeded the
+      * effective bound they were checked against. Unlike [[audit]] (bounded,
+      * trims its head on long runs) this never forgets: an invariant check
+      * over an arbitrarily long drain can assert `violationCount == 0`
+      * without racing the audit trim. Always 0 unless the admission logic
+      * is broken. */
     def violationCount: Long = synchronized { violationCnt }
     private var violationCnt = 0L
 
@@ -183,30 +182,31 @@ object InputSynchronization {
       * (the member replays in sync order). Returns how many of them may be
       * admitted in this micro-batch and advances the member's frontier.
       *
-      * Rule (derived from the reference's test plans — test_io.py
-      * test_synchronization_group / _respect_atomicity, all replayed in
-      * SyncGroupSpec): a value v is admissible iff
+      * Rule — the reference's `max_possible_value` recalculation ported
+      * verbatim (synchronization.rs:19-49,548-661; its observable behavior
+      * is replayed plan-by-plan in SyncGroupSpec): a value v is admissible
+      * iff v ≤ bound and v ≤ every active strictly-higher-priority member's
+      * confirmed frontier (an unconfirmed leader blocks — the leader reads
+      * first), where
       *
-      *  1. v ≤ min over other ACTIVE members with priority ≥ mine of
-      *     CONTRIBUTION + maxDifference, where a member's contribution is
-      *     max(admitted frontier, pending head) — pending data counts:
-      *     a peer whose next (large-valued) unit is held still lets this
-      *     member advance toward it. A peer that has reported NOTHING this
-      *     epoch contributes MinValue and blocks (it reports on its first
-      *     planning call, so the block lasts one trigger — or forever for
-      *     a member with no data and no idleMs, matching the reference's
-      *     "the source ... may block values that try to advance too far");
-      *  2. v ≤ the highest admitted frontier among strictly-higher-priority
-      *     active members, if any exist (the leader reads first;
-      *     reference: "does not exceed the maximum of values already read
-      *     from all sources with higher priority").
+      *   term(peer)  = max(frontier + maxDifference, pending head)
+      *                 — a peer that has reported NEITHER this epoch makes
+      *                 admission undecidable: block (one trigger for a live
+      *                 peer; forever for a no-data member without idleMs,
+      *                 the reference's documented idle-blocking)
+      *   bound       = max( min over active peers of term,
+      *                      max confirmed frontier of ALL members )
+      *   deadlock    : if every active member (caller included) has a
+      *                 pending head and none is admissible under the global
+      *                 threshold, raise bound to the TOP-priority members'
+      *                 smallest pending head — the leaders advance and
+      *                 unblock the rest (this is how the reference passes
+      *                 its [0,100]p1/[0,1]p0 plan)
       *
-      * There is NO laggard catch-up exception: a one-sided value jump past
-      * every peer's reach stays held (reference holds it too — plans
-      * [50,10,100]/[10,1000] and [0,100]/[0,1] keep 1000 and 100 back
-      * forever); a group-wide gap passes because both members' pending
-      * heads anticipate it. Higher-priority members are never window-
-      * capped by lower-priority ones (plan [0,100]p1/[0,1]p0 admits 100). */
+      * There is no unbounded laggard catch-up: a one-sided value jump past
+      * every peer's reach stays held (reference holds 1000 in plan
+      * [50,10,100]/[10,1000] and 100 in [0,100]/[0,1] forever); a
+      * group-wide gap passes because both pending heads anticipate it. */
     def admit(member: String, values: Seq[Long], lease: Long = -1L): Int = synchronized {
       // A superseded stream instance (an older lease — e.g. a previous run's
       // drained stream planning one last trigger while its replacement
@@ -246,35 +246,68 @@ object InputSynchronization {
       st.lastData = now
       def active(s: MemberState): Boolean =
         s.idleMs.forall(ms => (now - s.lastData) / 1000000L <= ms)
-      // a member's contribution to peers' windows: where it is (admitted
-      // frontier) or where its next pending unit will take it, whichever
-      // is higher; nothing reported this epoch -> distrust entirely
-      def contribution(s: MemberState): Long =
-        if (s.epoch != groupEpoch) Long.MinValue
-        else math.max(s.frontier.getOrElse(Long.MinValue),
-          s.pendingHead.getOrElse(Long.MinValue))
       val others = members.valuesIterator
         .filter(s => (s ne st) && active(s)).toSeq
-      val n =
-        if (others.isEmpty) values.length
+      // a member's bound contribution: where its confirmed frontier allows
+      // peers to go, or where its next pending unit will take it — the
+      // higher of the two (reference `source_threshold`); None = nothing
+      // reported this epoch, admission undecidable
+      def term(s: MemberState): Option[Long] = {
+        val lrv = trusted(s).map(satAdd(_, maxDifference))
+        val npv = if (s.epoch == groupEpoch) s.pendingHead else None
+        (lrv ++ npv).maxOption
+      }
+      val activeAll = st +: others
+      // strictly-higher-priority gate FOR member s: blocked while ANY
+      // active leader of s has not confirmed up to the candidate
+      // (reference higher_prioritized_source_is_behind — an unconfirmed
+      // leader blocks). Evaluated against s's own peer set: the caller can
+      // be another member's leader
+      def hpGate(s: MemberState): Long = {
+        val hp = activeAll.filter(o => (o ne s) && o.priority > s.priority)
+        if (hp.isEmpty) Long.MaxValue
+        else hp.map(trusted(_).getOrElse(Long.MinValue)).min
+      }
+      val (n, boundUsed) =
+        if (others.isEmpty) (values.length, None)
         else {
-          val windowPeers = others.filter(_.priority >= st.priority)
-          val capA = if (windowPeers.isEmpty) Long.MaxValue
-            else satAdd(windowPeers.map(contribution).min, maxDifference)
-          val hp = others.filter(_.priority > st.priority)
-          val capB = if (hp.isEmpty) Long.MaxValue
-            else hp.map(trusted(_).getOrElse(Long.MinValue)).max
-          values.count(_ <= math.min(capA, capB))
+          val terms = others.map(term)
+          if (terms.exists(_.isEmpty)) (0, None)
+          else {
+            // never below any confirmed frontier, idle members included
+            // (reference: max_possible_value never contradicts already
+            // confirmed entries)
+            val floor = members.valuesIterator.flatMap(trusted)
+              .maxOption.getOrElse(Long.MinValue)
+            var bound = math.max(terms.flatten.min, floor)
+            // deadlock resolution: every active member has a pending head
+            // and none passes the GLOBAL threshold (own terms included) —
+            // raise to the top-priority group's smallest pending head
+            val ownTerm = math.max(
+              trusted(st).map(satAdd(_, maxDifference)).getOrElse(Long.MinValue),
+              values.head)
+            val tGlobal = math.max(math.min(terms.flatten.min, ownTerm), floor)
+            def headOf(s: MemberState): Option[Long] =
+              if (s eq st) Some(values.head)
+              else if (s.epoch == groupEpoch) s.pendingHead else None
+            val allHavePending = activeAll.forall(headOf(_).isDefined)
+            val anyAdmissible = activeAll.exists(s =>
+              headOf(s).exists(h => h <= tGlobal && h <= hpGate(s)))
+            if (allHavePending && !anyAdmissible) {
+              val maxPrio = activeAll.map(_.priority).max
+              activeAll.filter(_.priority == maxPrio).flatMap(headOf)
+                .minOption.foreach(raise => bound = math.max(bound, raise))
+            }
+            val eff = math.min(bound, hpGate(st))
+            (values.count(_ <= eff), Some(eff))
+          }
         }
       if (n > 0) {
         val newF = math.max(st.frontier.getOrElse(Long.MinValue), values(n - 1))
         st.frontier = Some(newF)
         st.pendingHead = if (n < values.length) Some(values(n)) else None
-        val minOtherWindow = others.filter(_.priority >= st.priority)
-          .map(contribution).filter(_ != Long.MinValue).minOption
-        auditLog += Admission(member, newF, minOtherWindow)
-        if (minOtherWindow.exists(m => newF > satAdd(m, maxDifference)))
-          violationCnt += 1
+        auditLog += Admission(member, newF, boundUsed)
+        if (boundUsed.exists(newF > _)) violationCnt += 1
         // bounded audit: one admission per member per micro-batch forever
         // would leak driver memory on a long-running stream
         if (auditLog.length > 16384) auditLog.remove(0, auditLog.length - 8192)

@@ -19,13 +19,18 @@ class SyncGroupSpec extends AnyFunSuite {
     // a member's first call reports its pending head and admits nothing
     // while a peer has reported nothing yet (one planning round)
     assert(c.admit("fast", Seq(0L, 5L, 12L, 18L)) == 0)
-    // slow's window anticipates fast's reported pending head (0): cap 10
+    // slow is bounded by fast's pending head (0): the lower head advances
+    // first — the reference's lockstep bootstrap
+    assert(c.admit("slow", Seq(1L, 2L)) == 0)
+    // fast: bound = max(None, slow's pending 1) = 1 -> only 0 passes
+    assert(c.admit("fast", Seq(0L, 5L, 12L, 18L)) == 1)
+    // slow: bound = max(fast frontier 0 + 10, fast pending 5) = 10
     assert(c.admit("slow", Seq(1L, 2L)) == 2)
-    // fast: window = max(slow frontier 2, no pending) + 10 = 12
-    assert(c.admit("fast", Seq(0L, 5L, 12L, 18L)) == 3)
-    // slow may advance toward fast's pending 18: cap max(12,18)+10
+    // fast: bound = max(2 + 10, nothing pending) = 12
+    assert(c.admit("fast", Seq(5L, 12L, 18L)) == 2)
+    // slow advances toward fast's pending 18: bound max(12+10, 18) = 22
     assert(c.admit("slow", Seq(7L, 11L)) == 2)
-    // slow at 11 -> fast admits 18, 20; 25 stays out (cap 21)
+    // slow at 11, nothing pending -> fast admits 18, 20; 25 out (bound 21)
     assert(c.admit("fast", Seq(18L, 20L, 25L)) == 2)
     // one-sided jump: slow's 100 exceeds everything fast will ever have
     // (fast pending tops out at 25) — held, like the reference holds it
@@ -33,7 +38,7 @@ class SyncGroupSpec extends AnyFunSuite {
     assert(c.admit("slow", Seq(100L)) == 0)
     assert(c.admit("fast", Seq(25L)) == 1)
     assert(c.admit("fast", Seq.empty) == 0) // fast drained
-    assert(c.admit("slow", Seq(100L)) == 0) // cap 25+10: held forever
+    assert(c.admit("slow", Seq(100L)) == 0) // bound 25+10: held forever
     assert(c.frontiers("slow").contains(11L))
   }
 
@@ -42,23 +47,33 @@ class SyncGroupSpec extends AnyFunSuite {
     val c = InputSynchronization.group("gap", maxDifference = 10L)
     c.register("a"); c.register("b")
     assert(c.admit("a", Seq(0L)) == 0) // b unreported
-    assert(c.admit("b", Seq(0L)) == 1) // a's pending 0 -> cap 10
-    assert(c.admit("a", Seq(0L)) == 1)
-    // both feeds jump past 1000 together: the first call reports the jump
-    // (admitting nothing), then each window anticipates the other's head
-    assert(c.admit("a", Seq(1000L)) == 0)
-    assert(c.admit("b", Seq(1002L)) == 1) // cap max(0, a-pending 1000)+10
-    assert(c.admit("a", Seq(1000L)) == 1) // cap max(1002, none)+10
+    assert(c.admit("b", Seq(0L)) == 1) // a's pending head 0 -> bound 0
+    assert(c.admit("a", Seq(0L)) == 1) // b frontier 0 -> bound 10
+    // both feeds jump past 1000 together: each side first REPORTS its jump
+    // (admitting nothing), then the lower head passes, then the higher
+    assert(c.admit("a", Seq(1000L)) == 0) // b's term max(0+10, none) = 10
+    assert(c.admit("b", Seq(1002L)) == 0) // a's term max(10, 1000) = 1000
+    assert(c.admit("a", Seq(1000L)) == 1) // b's term max(10, 1002) = 1002
+    assert(c.admit("b", Seq(1002L)) == 1) // a's term max(1010, none)
   }
 
   test("coordinator: priority member leads; lower priority never passes its frontier") {
     InputSynchronization.reset("unit2")
     val c = InputSynchronization.group("unit2", maxDifference = 100L)
     c.register("leader", priority = 1); c.register("follower", priority = 0)
-    // follower cannot bootstrap past the leader (no catch-up against a
-    // higher-priority member)
+    // follower cannot bootstrap before the leader reports/confirms
     assert(c.admit("follower", Seq(5L, 9L)) == 0)
-    assert(c.admit("leader", Seq(0L, 7L)) == 2)
+    // the leader is also bounded by the follower's pending head (5): the
+    // global threshold applies to everyone — its lead comes from the
+    // deadlock raise below
+    assert(c.admit("leader", Seq(0L, 7L)) == 1)
+    // follower's 5 needs the leader CONFIRMED to 5 first: blocked
+    assert(c.admit("follower", Seq(5L, 9L)) == 0)
+    // nobody passes the plain threshold now -> the top-priority group's
+    // smallest pending head (7) raises the bound: the leader advances
+    // (reference synchronization.rs:629-661, proven by its [0,100]p1/[0,1]
+    // plan where 100 passes only this way)
+    assert(c.admit("leader", Seq(7L)) == 1)
     // follower may now read values <= leader frontier (7)
     assert(c.admit("follower", Seq(5L, 9L)) == 1)
     assert(c.admit("leader", Seq(30L)) == 1)
@@ -72,15 +87,16 @@ class SyncGroupSpec extends AnyFunSuite {
     // test thread is descheduled between admits under parallel-suite load
     c.register("a"); c.register("b", idleMs = Some(2000L))
     assert(c.admit("b", Seq(0L)) == 0) // a unreported
-    assert(c.admit("a", Seq(1L, 2L)) == 2) // b's pending 0 -> cap 10
-    assert(c.admit("b", Seq(0L)) == 1)
+    assert(c.admit("a", Seq(1L, 2L)) == 0) // b's pending head 0 bounds
+    assert(c.admit("b", Seq(0L)) == 1) // a's pending 1 -> bound 1
+    assert(c.admit("a", Seq(1L, 2L)) == 2) // b frontier 0 -> bound 10
     // b at 0 (nothing pending) blocks a above 10
     assert(c.admit("a", Seq(11L, 50L)) == 0)
     Thread.sleep(2500) // b produces nothing for > idleMs -> excluded
     assert(c.admit("a", Seq(11L, 50L)) == 2, "idle member must not hold the group")
-    // b returns with data -> re-included; 3 is within a's window max(50)+10
+    // b returns with data -> re-included; 3 ≤ a's term max(50+10, none)
     assert(c.admit("b", Seq(3L)) == 1)
-    // and a is constrained by b again
+    // and a is constrained by b again: bound max(3+10, none) = 13
     assert(c.admit("a", Seq(60L)) == 0)
   }
 
@@ -89,9 +105,9 @@ class SyncGroupSpec extends AnyFunSuite {
     val c = InputSynchronization.group("unit4", maxDifference = 10L)
     c.register("d"); c.register("r")
     assert(c.admit("r", Seq(0L, 5L)) == 0) // d unreported
-    assert(c.admit("d", Seq(0L, 8L, 12L)) == 2) // r's pending 0 -> cap 10
-    assert(c.admit("r", Seq(0L, 5L)) == 2) // d contributes max(8, pending 12)
-    assert(c.admit("d", Seq(12L)) == 1) // r at 5 -> cap 15
+    assert(c.admit("d", Seq(0L, 8L, 12L)) == 1) // r's pending head 0 bounds
+    assert(c.admit("r", Seq(0L, 5L)) == 2) // d's term max(0+10, pending 8)
+    assert(c.admit("d", Seq(8L, 12L)) == 2) // r at 5 -> bound 15
     // d is drained: from here it only ever plans empty-handed
     assert(c.admit("d", Seq.empty) == 0)
     // r restarts fresh (no checkpoint): resetMember bumps the group epoch,
@@ -114,8 +130,9 @@ class SyncGroupSpec extends AnyFunSuite {
     val c = InputSynchronization.group("unit5", maxDifference = 10L)
     val l1a = c.register("a"); val lb = c.register("b")
     assert(c.admit("a", Seq(0L, 8L), l1a) == 0) // b unreported
-    assert(c.admit("b", Seq(0L, 5L), lb) == 2) // a's pending 0 -> cap 10
-    assert(c.admit("a", Seq(0L, 8L), l1a) == 2) // b at 5 -> cap 15
+    assert(c.admit("b", Seq(0L, 5L), lb) == 1) // a's pending head 0 bounds
+    assert(c.admit("a", Seq(0L, 8L), l1a) == 2) // b's term max(0+10, 5)
+    assert(c.admit("b", Seq(5L), lb) == 1) // a's term max(8+10, none)
     // a restarts in place: the new registration supersedes l1a — the old
     // stream's admits are ignored outright (no frontier advance, no
     // liveness proof)
@@ -130,8 +147,8 @@ class SyncGroupSpec extends AnyFunSuite {
     // a's successor registers and proves liveness (its first planning call,
     // even one that admits nothing) — b unstalls against the real state
     val l3a = c.register("a")
-    assert(c.admit("a", Seq(55L), l3a) == 0) // b at max(5, pending 7): cap 17
-    assert(c.admit("b", Seq(7L), lb) == 1,
+    assert(c.admit("a", Seq(55L), l3a) == 0) // b's term max(5+10, 7) = 15
+    assert(c.admit("b", Seq(7L), lb) == 1, // a's term max(8+10, 55) = 55
       "peer must unstall once the successor proves liveness")
   }
 
@@ -141,11 +158,17 @@ class SyncGroupSpec extends AnyFunSuite {
     c.register("m") // first run: priority 0
     c.register("f")
     // m restarts with priority 1: the JVM-global coordinator must adopt it —
-    // f can then no longer bootstrap past m (the higher-priority-leads rule)
+    // f can then no longer pass m's confirmed frontier (leader-reads-first)
     c.register("m", priority = 1)
+    assert(c.admit("f", Seq(5L)) == 0) // m unreported
+    assert(c.admit("m", Seq(0L, 7L)) == 1) // f's pending head 5 bounds
+    // THE discriminating assert: with adopted priority 1, f's 5 is gated
+    // on m confirming 5 (m is at 0) -> 0; were adoption broken (m still
+    // p0), f's bound would be m's term max(0+100, 7) and 5 would pass
     assert(c.admit("f", Seq(5L)) == 0, "re-registered priority must apply")
-    assert(c.admit("m", Seq(0L, 7L)) == 2)
-    assert(c.admit("f", Seq(5L)) == 1)
+    assert(c.admit("m", Seq(7L)) == 1) // via the top-priority deadlock raise
+    assert(c.admit("f", Seq(5L)) == 1) // leader confirmed to 7
+    assert(c.admit("f", Seq(50L)) == 0) // still gated at the leader's 7
   }
 
   test("two skewed replay sources: neither runs ahead of the other by more than maxDifference") {
@@ -190,7 +213,7 @@ class SyncGroupSpec extends AnyFunSuite {
       // of the slowest peer's contribution at decision time
       val entries = c.audit.filter(_.minOther.isDefined)
       assert(entries.nonEmpty)
-      val offenders = entries.filter(e => e.frontier > e.minOther.get + 10L)
+      val offenders = entries.filter(e => e.frontier > e.minOther.get)
       assert(offenders.isEmpty, s"frontier ran ahead: $offenders")
       // the coordinator's own lifetime tripwire agrees with the audit scan
       // (the counter is what long-running rungs assert after audit trims)
@@ -251,7 +274,7 @@ class SyncGroupSpec extends AnyFunSuite {
         s"both spools must drain fully, got ${c.frontiers}")
       val entries = c.audit.filter(_.minOther.isDefined)
       assert(entries.nonEmpty)
-      val offenders = entries.filter(e => e.frontier > e.minOther.get + 10L)
+      val offenders = entries.filter(e => e.frontier > e.minOther.get)
       assert(offenders.isEmpty, s"frontier ran ahead: $offenders")
       assert(c.violationCount == 0L)
       val aThrottled = c.audit.filter(e => e.member == "a" && e.minOther.isDefined)
@@ -357,6 +380,9 @@ class SyncGroupSpec extends AnyFunSuite {
     // plan: s1=[1], s2=[1,2,3,11,12] -> 12 held by the drained peer (5)
     assert(replayPlan("planB", 10, Seq(("s1", 0, List(1L)), ("s2", 0, List(1L, 2, 3, 11, 12))))
       == Map("s1" -> List(1L), "s2" -> List(1L, 2, 3, 11)))
+    // plan: s1=[1,12], s2=[1,12] -> a group-wide jump passes on both (4)
+    assert(replayPlan("planC", 10, Seq(("s1", 0, List(1L, 12)), ("s2", 0, List(1L, 12))))
+      == Map("s1" -> List(1L, 12), "s2" -> List(1L, 12)))
     // plan: s1=[1,2,3,4,5], s2=[1,15] -> all pass once s1 reaches 5 (7)
     assert(replayPlan("planD", 10, Seq(("s1", 0, List(1L, 2, 3, 4, 5)), ("s2", 0, List(1L, 15))))
       == Map("s1" -> List(1L, 2, 3, 4, 5), "s2" -> List(1L, 15)))
