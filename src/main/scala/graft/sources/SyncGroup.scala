@@ -17,9 +17,13 @@ import scala.collection.mutable
   * `register_input_synchronization_group(*columns, max_difference, name)`:
   * align multiple INPUT sources on a shared (Long-comparable) column so
   * that no source's read frontier runs ahead of the slowest group member
-  * by more than `max_difference`. Per-member `priority` (a member may not
-  * read values above the highest value already read by any strictly
-  * higher-priority member, `_synchronization.py:33-36`) and
+  * by more than `max_difference`. Per-member `priority` (a member is
+  * blocked while ANY strictly-higher-priority member has not confirmed up
+  * to the candidate — the gate is the SLOWEST leader's confirmed
+  * frontier; reference `higher_prioritized_source_is_behind`,
+  * synchronization.rs:403-420 — the Python docstring's "highest value
+  * already read" reads like a max but the engine code is a
+  * blocked-if-any-behind loop) and
   * `idle_duration` (a member with no pending data for longer than its
   * idle duration is temporarily excluded from the group,
   * `_synchronization.py:38-44`) follow the reference contract.
@@ -167,11 +171,17 @@ object InputSynchronization {
     def audit: Seq[Admission] = synchronized { auditLog.toVector }
 
     /** Lifetime count of admissions whose new frontier exceeded the
-      * effective bound they were checked against. Unlike [[audit]] (bounded,
-      * trims its head on long runs) this never forgets: an invariant check
-      * over an arbitrarily long drain can assert `violationCount == 0`
-      * without racing the audit trim. Always 0 unless the admission logic
-      * is broken. */
+      * effective bound they were checked against. NOT an independent oracle
+      * of the admission rule (the bound is the one the count used — a
+      * mis-computed bound passes its own check): it trips on the
+      * state-corruption classes a rule-level check can't see — a member
+      * violating the ascending-`values` contract (count(_ <= eff) admits
+      * n values but values(n-1) lands past eff), or a future edit deriving
+      * the count from a different variable than the recorded bound. The
+      * rule itself is pinned independently by the replayed reference plans
+      * in SyncGroupSpec. Unlike [[audit]] (bounded, trims its head on long
+      * runs) this never forgets: drain rungs assert `violationCount == 0`
+      * without racing the audit trim. */
     def violationCount: Long = synchronized { violationCnt }
     private var violationCnt = 0L
 
@@ -274,22 +284,23 @@ object InputSynchronization {
           val terms = others.map(term)
           if (terms.exists(_.isEmpty)) (0, None)
           else {
+            val minPeerTerm = terms.flatten.min
             // never below any confirmed frontier, idle members included
             // (reference: max_possible_value never contradicts already
             // confirmed entries)
             val floor = members.valuesIterator.flatMap(trusted)
               .maxOption.getOrElse(Long.MinValue)
-            var bound = math.max(terms.flatten.min, floor)
+            var bound = math.max(minPeerTerm, floor)
             // deadlock resolution: every active member has a pending head
             // and none passes the GLOBAL threshold (own terms included) —
-            // raise to the top-priority group's smallest pending head
-            val ownTerm = math.max(
-              trusted(st).map(satAdd(_, maxDifference)).getOrElse(Long.MinValue),
-              values.head)
-            val tGlobal = math.max(math.min(terms.flatten.min, ownTerm), floor)
+            // raise to the top-priority group's smallest pending head.
+            // headOf(st) and term(st) read the pendingHead/epoch recorded
+            // at entry, so the caller needs no special case
             def headOf(s: MemberState): Option[Long] =
-              if (s eq st) Some(values.head)
-              else if (s.epoch == groupEpoch) s.pendingHead else None
+              if (s.epoch == groupEpoch) s.pendingHead else None
+            // term(st) is always defined here: the caller's pendingHead
+            // was just recorded and values is non-empty
+            val tGlobal = math.max(math.min(minPeerTerm, term(st).get), floor)
             val allHavePending = activeAll.forall(headOf(_).isDefined)
             val anyAdmissible = activeAll.exists(s =>
               headOf(s).exists(h => h <= tGlobal && h <= hpGate(s)))

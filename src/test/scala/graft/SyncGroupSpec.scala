@@ -80,6 +80,28 @@ class SyncGroupSpec extends AnyFunSuite {
     assert(c.admit("follower", Seq(9L, 28L, 31L)) == 2)
   }
 
+  test("coordinator: two leaders — the follower is gated on the SLOWEST leader's frontier") {
+    // reference higher_prioritized_source_is_behind (synchronization.rs:
+    // 403-420): blocked if ANY higher-priority member is behind — the gate
+    // is the min over leaders, not the max
+    InputSynchronization.reset("unit7")
+    val c = InputSynchronization.group("unit7", maxDifference = 1000L)
+    c.register("l1", priority = 1); c.register("l2", priority = 1)
+    c.register("f", priority = 0)
+    assert(c.admit("l1", Seq(100L)) == 0) // peers unreported
+    assert(c.admit("l2", Seq(5L, 7L, 120L)) == 0) // f unreported
+    assert(c.admit("f", Seq(50L)) == 0) // both leaders unconfirmed
+    assert(c.admit("l2", Seq(5L, 7L, 120L)) == 2) // bound: f's pending 50
+    // nobody passes the plain threshold (l1's 100 > min term 50; f's 50 is
+    // leader-gated; l2's 120 > 50) -> top-priority raise to min(100, 120)
+    assert(c.admit("l1", Seq(100L)) == 1)
+    // THE min-gate assert: l1 confirmed 100 but l2 only 7 — under a
+    // max-of-leaders gate f's 50 would pass; the reference blocks it
+    assert(c.admit("f", Seq(50L)) == 0,
+      "follower must be gated on the slowest leader")
+    assert(c.admit("f", Seq(6L)) == 1) // within the slowest leader's 7
+  }
+
   test("coordinator: idle member is excluded after idleMs and re-included on data") {
     InputSynchronization.reset("unit3")
     val c = InputSynchronization.group("unit3", maxDifference = 10L)
