@@ -578,6 +578,21 @@ object SparkEntry {
       .select(col("l_id"), col("r_id"))
   }
 
+  /** asof_join how=FULL over the events log (reference JoinMode.OUTER,
+    * tests/temporal/test_asof_joins.py test_asof_full): one row per
+    * purchase (side=false, paired with the strictly-earlier click — the
+    * reference's merged order puts lefts before rights at an exact tie)
+    * and one per click (side=true, paired with the latest purchase at or
+    * before it, tie inclusive). */
+  private def qAsofFull(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = asofSides(s, dir)
+    Temporal.asofJoinFull(l, r, col("l_t"), col("r_t"), col("l_user"),
+        col("r_user"), Seq("l_id" -> col("l_id")), Seq("r_id" -> col("r_id")))
+      .select(col("side"),
+        when(col("side"), col("r_id")).otherwise(col("l_id")).as("id"),
+        when(col("side"), col("l_id")).otherwise(col("r_id")).as("peer"))
+  }
+
   private def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
     val (l, r) = asofSides(s, dir)
     Temporal.asofNearest(l, r, "l_t", "r_t", "l_user", "r_user",
@@ -1559,6 +1574,7 @@ object SparkEntry {
     "asof_backward"   -> (qAsofBackward _),
     "asof_forward"    -> (qAsofForward _),
     "asof_nearest"    -> (qAsofNearest _),
+    "asof_full"       -> (qAsofFull _),
     "window_join"     -> (qWindowJoin _),
     "interpolate"     -> (qInterpolate _),
     "sync_group_cut"  -> (qSyncGroupCut _),
@@ -1960,9 +1976,20 @@ object SparkEntry {
         |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
         |SELECT b.l_id,
         |  CASE WHEN bt IS NOT NULL AND (ft IS NULL
-        |         OR (epoch_ns(lt) - epoch_ns(bt)) <= (epoch_ns(ft) - epoch_ns(lt)))
+        |         OR (epoch_ns(lt) - epoch_ns(bt)) < (epoch_ns(ft) - epoch_ns(lt)))
         |       THEN b_id ELSE f_id END AS r_id
         |FROM b JOIN f USING (l_id)""".stripMargin,
+    // FULL/OUTER asof: the left-driven match is STRICTLY earlier (merged
+    // order puts lefts before rights at an exact tie) while the
+    // right-driven match is inclusive — reference test_asof_full semantics
+    "asof_full" ->
+      """WITH l AS (SELECT event_id AS l_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     r AS (SELECT event_id AS r_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |ld AS (SELECT false AS side, l_id AS id, r_id AS peer
+        |       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts),
+        |rd AS (SELECT true AS side, r_id AS id, l_id AS peer
+        |       FROM r ASOF LEFT JOIN l ON r.user_id = l.user_id AND r.ts >= l.ts)
+        |SELECT side, id, peer FROM ld UNION ALL SELECT side, id, peer FROM rd""".stripMargin,
     "window_join" ->
       """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS us FROM events),
         |c AS (SELECT user_id, us - us % 3600000000 AS w FROM e WHERE event_type = 'click'),

@@ -138,10 +138,16 @@ object Temporal {
     *
     * @param rPayload right columns to carry (renamed as given)
     * @param how inner = drop unmatched left rows; left = keep (nulls)
+    * @param tiesInclusive whether a right row AT the left's exact time
+    *   matches (the reference's merged-order tie is MODE-dependent:
+    *   right-before-left for how=LEFT — inclusive, the default — but
+    *   left-before-right for how=FULL, where a left-driven backward match
+    *   is strictly earlier; _asof_join.py:124 make_sort_key right_first)
     */
   def asofJoin(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
       lKey: Column, rKey: Column, rPayload: Seq[(String, Column)],
-      direction: String = "backward", how: String = "left"): DataFrame = {
+      direction: String = "backward", how: String = "left",
+      tiesInclusive: Boolean = true): DataFrame = {
     val lStruct = struct(l.columns.map(l(_)): _*)
     val lType = l.select(lStruct.as("s")).schema("s").dataType
     val rStruct = struct(rPayload.map { case (n, c) => c.as(n) }: _*)
@@ -152,7 +158,7 @@ object Temporal {
     val rSide = r.select(rKey.as("_k"), usOf(rt).as("_t"), lit(0).as("_isL"),
       lit(null).cast(lType).as("_lrow"), rStruct.as("_rrow"))
 
-    // backward: rights sort before lefts at equal t (inclusive match);
+    // backward inclusive: rights sort before lefts at equal t;
     // forward: mirror time so the same running-last kernel applies
     val unioned = lSide.unionByName(rSide)
     val tOrd = direction match {
@@ -160,7 +166,8 @@ object Temporal {
       case "forward" => col("_t") * -1
       case d => throw new IllegalArgumentException(s"direction $d (nearest: asofNearest)")
     }
-    val w = Window.partitionBy(col("_k")).orderBy(tOrd, col("_isL"))
+    val tieOrd = if (tiesInclusive) col("_isL") else col("_isL") * -1
+    val w = Window.partitionBy(col("_k")).orderBy(tOrd, tieOrd)
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = unioned
       .withColumn("_rmatch", last(col("_rrow"), ignoreNulls = true).over(w))
@@ -171,8 +178,52 @@ object Temporal {
       .drop("_rmatch")
   }
 
-  /** direction=NEAREST: backward + forward pass, keep the closer match (tie →
-    * backward, pinned; the reference resolves ties by internal order).
+  /** asof_join how=RIGHT (reference JoinMode.RIGHT, pinned by its
+    * test_more_asof_right vector): one row per RIGHT row, paired with the
+    * latest (backward) / earliest (forward) LEFT at its sync time, ties
+    * inclusive; unmatched rights kept with null left payload. A pure
+    * mirror of [[asofJoin]] with the roles swapped. */
+  def asofJoinRight(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
+      lKey: Column, rKey: Column, lPayload: Seq[(String, Column)],
+      direction: String = "backward"): DataFrame =
+    asofJoin(r, l, rt, lt, rKey, lKey, lPayload, direction, "left")
+
+  /** asof_join how=FULL/OUTER (reference JoinMode.OUTER, pinned by its
+    * test_asof_full vector): every row from BOTH sides, each paired with
+    * the nearest other-side row in its direction within the merged
+    * (t, side, id) order — lefts precede rights at an exact tie
+    * (make_sort_key right_first=False), so a backward LEFT-driven match is
+    * strictly earlier while the RIGHT-driven row sees the equal-time left
+    * (and mirrored for forward). Output: `side` (false = left-driven row,
+    * true = right-driven), `_k` (instance), `_t` (the driving row's sync
+    * value, original type — [[asofJoin]] does the time normalization, so
+    * no pre-conversion here: a double conversion would overflow real
+    * microsecond-scale epochs), and lPayload ∪ rPayload with nulls where
+    * the driving side had no match. */
+  def asofJoinFull(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
+      lKey: Column, rKey: Column, lPayload: Seq[(String, Column)],
+      rPayload: Seq[(String, Column)],
+      direction: String = "backward"): DataFrame = {
+    val lp = l.select(lKey.as("_k") +: lt.as("_t") +:
+      lPayload.map { case (n, c) => c.as(n) }: _*)
+    val rp = r.select(rKey.as("_k") +: rt.as("_t") +:
+      rPayload.map { case (n, c) => c.as(n) }: _*)
+    val ld = asofJoin(lp, rp, col("_t"), col("_t"), col("_k"), rp("_k"),
+        rPayload.map { case (n, _) => n -> col(n) }, direction, "left",
+        tiesInclusive = direction == "forward")
+      .withColumn("side", lit(false))
+    val rd = asofJoin(rp, lp, col("_t"), col("_t"), col("_k"), lp("_k"),
+        lPayload.map { case (n, _) => n -> col(n) }, direction, "left",
+        tiesInclusive = direction == "backward")
+      .withColumn("side", lit(true))
+    ld.unionByName(rd)
+  }
+
+  /** direction=NEAREST: backward + forward pass, keep the closer match. An
+    * exact-distance tie goes FORWARD: the reference picks prev only on
+    * strict `cur_t - prev_t < next_t - cur_t` (_asof_join.py:312, pinned by
+    * its test_asof_left_nearest vector — left 80 with rights {70, 90} at
+    * distance 10 each resolves to 90).
     * Name-based args: the second pass runs on the first pass's output, so
     * resolved attributes from `l` would not survive. */
   def asofNearest(l: DataFrame, r: DataFrame, ltName: String, rtName: String,
@@ -184,7 +235,7 @@ object Temporal {
     val both = asofJoin(back, r, col(ltName), col(rtName), col(lKeyName), r(rKeyName),
       payloadF, "forward", "left")
     val lt = col(ltName); val bt = col(s"_b_$rtName"); val ft = col(s"_f_$rtName")
-    val useBack = bt.isNotNull && (ft.isNull || (usOf(lt) - usOf(bt)) <= (usOf(ft) - usOf(lt)))
+    val useBack = bt.isNotNull && (ft.isNull || (usOf(lt) - usOf(bt)) < (usOf(ft) - usOf(lt)))
     val out = rPayload.foldLeft(both)((d, nc) =>
       d.withColumn(nc._1, when(useBack, col(s"_b_${nc._1}")).otherwise(col(s"_f_${nc._1}"))))
     out.drop((payloadB.map(_._1) ++ payloadF.map(_._1)): _*)

@@ -547,11 +547,12 @@ object StreamOps {
       lefts: List[(Long, L, Option[(Long, R)])], rights: List[(Long, R)])
 
   /** flatMapGroupsWithState kernel for a per-key NEAREST asof join: a left
-    * at t matches the right minimizing |rt − t|, ties to the BACKWARD side
-    * (same rule as the batch [[graft.operators.Temporal.asofNearest]]). A
+    * at t matches the right minimizing |rt − t|, ties to the FORWARD side
+    * (same rule as the batch [[graft.operators.Temporal.asofNearest]] and
+    * the reference's _asof_join.py:312 strict-`<` prev selection). A
     * left with best-so-far distance d is final once the watermark passes
-    * t + d: every right in [t−d, t+d] has then arrived and an exact-tie
-    * late forward row would lose to the held backward candidate anyway.
+    * t + d: a row arriving later has time > wm ≥ t + d, strictly farther,
+    * and an exact-tie forward row at t + d ≤ wm would be dropped as late.
     * Each left folds its best candidate into its own state, so rights
     * behind the watermark compact to the single latest (the backward seed
     * for future lefts) exactly like the backward kernel. A left that has
@@ -567,9 +568,9 @@ object StreamOps {
            Option.empty[(Long, R)])),
          st0.rights ++ evs.filter(!_.isLeft).map(e => e.timeMs -> e.right.get))
       }
-      // (distance, forward?) orders candidates: smaller distance wins, ties
-      // prefer backward; equal-time rights keep the first-listed (arrival)
-      def rank(lt: Long)(c: (Long, R)) = (math.abs(c._1 - lt), if (c._1 > lt) 1 else 0)
+      // (distance, backward?) orders candidates: smaller distance wins, ties
+      // prefer FORWARD; equal-time rights keep the first-listed (arrival)
+      def rank(lt: Long)(c: (Long, R)) = (math.abs(c._1 - lt), if (c._1 > lt) 0 else 1)
       val updated = lefts0.map { case (lt, lv, best) =>
         val cands = best.toList ++ rights0
         val nb = if (cands.isEmpty) None else Some(cands.minBy(rank(lt)))

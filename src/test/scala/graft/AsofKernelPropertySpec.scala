@@ -160,7 +160,7 @@ class AsofKernelPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("nearest kernel == brute-force nearest (ties backward) over 20 random sequences") {
+  test("nearest kernel == brute-force nearest (ties forward) over 20 random sequences") {
     (1L to 20L).foreach { seed =>
       val evs = gen(seed + 2000, 30)
       val lefts = evs.filter(_.isLeft).map(e => e.timeMs -> e.left.get)
@@ -172,7 +172,7 @@ class AsofKernelPropertySpec extends AnyFunSuite {
         if (rights.isEmpty) None
         else {
           val best = rights.minBy { case (rt, _) =>
-            (math.abs(rt - lt), if (rt > lt) 1 else 0) }
+            (math.abs(rt - lt), if (rt > lt) 0 else 1) }
           Some((lt, lv, Some(best._2)))
         }
       }.toSet

@@ -32,6 +32,7 @@ class PlanQualitySpec extends AnyFunSuite {
     "window_tumbling", "window_sliding", "window_session", "intervals_over",
     "interval_join", "interval_join_left", "interval_join_right",
     "interval_join_full", "asof_backward", "asof_forward", "asof_nearest",
+    "asof_full",
     "window_join", "interpolate", "sync_group_cut", "inactivity_detect",
     "sample_group_cap_hot",
     "text_tokens", "text_quality", "text_gopher", "text_c4", "text_langid",

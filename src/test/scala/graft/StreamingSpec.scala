@@ -383,7 +383,7 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
-  test("stream-stream NEAREST asof join: closest right wins, ties to backward") {
+  test("stream-stream NEAREST asof join: closest right wins, ties to forward") {
     implicit val sql = spark.sqlContext
     import StreamOps.{AsofEvent, AsofNearestState}
     val input = MemoryStream[(java.sql.Timestamp, Long, Boolean, String)]
@@ -403,7 +403,8 @@ class StreamingSpec extends AnyFunSuite {
     val q = joined.toDF("k", "lt", "lv", "rv").writeStream.format("memory")
       .queryName("asof_near_out").outputMode("append").start()
     // rights a@00:02 b@00:10; lefts l0@00:00 (a d=2) l1@00:05 (a d=3 beats
-    // b d=5) l2@00:07 (b d=3) l3@00:06 (d=4 both: tie -> backward a);
+    // b d=5) l2@00:07 (b d=3) l3@00:06 (d=4 both: tie -> FORWARD b, the
+    // reference's strict-< prev rule);
     // l4@00:20 sees b (d=10) in batch 1, improved by c@00:22 (d=2) in batch 2
     input.addData(
       (ts("2024-01-01 00:02:00"), 1L, false, "a"),
@@ -423,7 +424,7 @@ class StreamingSpec extends AnyFunSuite {
     val out = spark.table("asof_near_out").filter(col("k") === 1L)
       .select("lv", "rv").as[(String, Option[String])].collect().toMap
     assert(out == Map("l0" -> Some("a"), "l1" -> Some("a"), "l2" -> Some("b"),
-      "l3" -> Some("a"), "l4" -> Some("c")))
+      "l3" -> Some("b"), "l4" -> Some("c")))
     q.stop()
   }
 
