@@ -196,27 +196,50 @@ object Temporal {
     * strictly earlier while the RIGHT-driven row sees the equal-time left
     * (and mirrored for forward). Output: `side` (false = left-driven row,
     * true = right-driven), `_k` (instance), `_t` (the driving row's sync
-    * value, original type — [[asofJoin]] does the time normalization, so
-    * no pre-conversion here: a double conversion would overflow real
-    * microsecond-scale epochs), and lPayload ∪ rPayload with nulls where
-    * the driving side had no match. */
+    * value, original type), and lPayload ∪ rPayload with nulls where the
+    * driving side had no match.
+    *
+    * ONE union + ONE per-key sort, like the reference's single merged
+    * table: in the (t, lefts-before-rights) order a running
+    * last-non-null of each side's payload simultaneously yields the
+    * left-driven match (equal-time rights sort after the left — strictly
+    * earlier for backward) and the right-driven match (equal-time lefts
+    * sort before the right — inclusive); every input row emits exactly
+    * one output row. Forward mirrors both the time and the tie order. */
   def asofJoinFull(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
       lKey: Column, rKey: Column, lPayload: Seq[(String, Column)],
       rPayload: Seq[(String, Column)],
       direction: String = "backward"): DataFrame = {
-    val lp = l.select(lKey.as("_k") +: lt.as("_t") +:
-      lPayload.map { case (n, c) => c.as(n) }: _*)
-    val rp = r.select(rKey.as("_k") +: rt.as("_t") +:
-      rPayload.map { case (n, c) => c.as(n) }: _*)
-    val ld = asofJoin(lp, rp, col("_t"), col("_t"), col("_k"), rp("_k"),
-        rPayload.map { case (n, _) => n -> col(n) }, direction, "left",
-        tiesInclusive = direction == "forward")
-      .withColumn("side", lit(false))
-    val rd = asofJoin(rp, lp, col("_t"), col("_t"), col("_k"), lp("_k"),
-        lPayload.map { case (n, _) => n -> col(n) }, direction, "left",
-        tiesInclusive = direction == "backward")
-      .withColumn("side", lit(true))
-    ld.unionByName(rd)
+    val lNames = lPayload.map(_._1); val rNames = rPayload.map(_._1)
+    require((lNames ++ rNames).distinct.size == lNames.size + rNames.size &&
+      (lNames ++ rNames).forall(n => n != "_k" && n != "_t" && n != "side"),
+      s"asofJoinFull payload names must be distinct and not _k/_t/side: " +
+        s"left=$lNames right=$rNames")
+    val lStruct = struct(lPayload.map { case (n, c) => c.as(n) }: _*)
+    val rStruct = struct(rPayload.map { case (n, c) => c.as(n) }: _*)
+    val lType = l.select(lStruct.as("s")).schema("s").dataType
+    val rType = r.select(rStruct.as("s")).schema("s").dataType
+    val lSide = l.select(lKey.as("_k"), lt.as("_traw"), usOf(lt).as("_t"),
+      lit(1).as("_isL"), lStruct.as("_lrow"), lit(null).cast(rType).as("_rrow"))
+    val rSide = r.select(rKey.as("_k"), rt.as("_traw"), usOf(rt).as("_t"),
+      lit(0).as("_isL"), lit(null).cast(lType).as("_lrow"), rStruct.as("_rrow"))
+    val (tOrd, tieOrd) = direction match {
+      case "backward" => (col("_t"), col("_isL") * -1) // lefts first at ties
+      case "forward" => (col("_t") * -1, col("_isL")) // mirrored: rights first
+      case d => throw new IllegalArgumentException(s"direction $d")
+    }
+    val w = Window.partitionBy(col("_k")).orderBy(tOrd, tieOrd)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val matched = lSide.unionByName(rSide)
+      .withColumn("_lm", last(col("_lrow"), ignoreNulls = true).over(w))
+      .withColumn("_rm", last(col("_rrow"), ignoreNulls = true).over(w))
+      .select(col("_k"), col("_traw").as("_t"), (col("_isL") === 0).as("side"),
+        when(col("_isL") === 1, col("_lrow")).otherwise(col("_lm")).as("_lv"),
+        when(col("_isL") === 0, col("_rrow")).otherwise(col("_rm")).as("_rv"))
+    val withL = lPayload.foldLeft(matched)((d, nc) =>
+      d.withColumn(nc._1, col(s"_lv.${nc._1}")))
+    rPayload.foldLeft(withL)((d, nc) => d.withColumn(nc._1, col(s"_rv.${nc._1}")))
+      .drop("_lv", "_rv")
   }
 
   /** direction=NEAREST: backward + forward pass, keep the closer match. An

@@ -66,15 +66,18 @@ class TemporalSpec extends AnyFunSuite {
         .select(col("k"), col("t"), coalesce(col("rv"), lit(default)).as("vr"),
           (col("lv") * 2 + coalesce(col("rv"), lit(default))).as("e"))
         .collect().map(x => (x.getInt(0), x.getLong(1), x.getInt(2), x.getInt(3)))
-        .toSet
+    }
+    def asSet(rows: Array[(Int, Long, Int, Int)], n: Int) = {
+      assert(rows.length == n, s"expected $n rows, got ${rows.length}") // no dup/drop
+      rows.toSet
     }
     // test_asof_left (backward, defaults {val: -1})
-    assert(run(l0, "backward", -1) == Set(
+    assert(asSet(run(l0, "backward", -1), 9) == Set(
       (0, 2L, -1, 1), (0, 8L, 6, 10), (0, 10L, 6, 12), (0, 12L, 6, 14),
       (0, 14L, 2, 12), (0, 22L, 9, 21), (0, 24L, 9, 23),
       (1, 10L, 7, 23), (1, 14L, 7, 25)))
     // test_asof_left_forward (extra left (1,10,20), defaults {val: 100})
-    assert(run(l0 :+ ((1, 10, 20)), "forward", 100) == Set(
+    assert(asSet(run(l0 :+ ((1, 10, 20)), "forward", 100), 10) == Set(
       (0, 2L, 0, 2), (0, 8L, 2, 6), (0, 10L, 2, 8), (0, 12L, 2, 10),
       (0, 14L, 2, 12), (0, 22L, 7, 19), (0, 24L, 7, 21),
       (1, 10L, 3, 19), (1, 14L, 3, 21), (1, 40L, 100, 120)))
@@ -86,8 +89,9 @@ class TemporalSpec extends AnyFunSuite {
       .withColumn("rt", col("rt0").cast("long") * 2).withColumn("k", lit(1))
     val near = Temporal.asofNearest(ln, rn, "t", "rt", "k", "k",
         Seq("rt0" -> col("rt0")))
-      .select("t", "rt0").collect().map(x => (x.getLong(0), x.getInt(1))).toSet
-    assert(near == Set((2L, 10), (40L, 10), (80L, 45), (120L, 50), (160L, 50)))
+      .select("t", "rt0").collect().map(x => (x.getLong(0), x.getInt(1)))
+    assert(near.length == 5)
+    assert(near.toSet == Set((2L, 10), (40L, 10), (80L, 45), (120L, 50), (160L, 50)))
   }
 
   test("reference asof RIGHT vector (test_more_asof_right) replays bit-exactly") {
@@ -99,8 +103,9 @@ class TemporalSpec extends AnyFunSuite {
         col("k1"), r("k1"), Seq("lk" -> col("k1"), "lt" -> col("t")))
       .select("lk", "lt", "t").collect()
       .map(x => (if (x.isNullAt(0)) -99 else x.getInt(0),
-        if (x.isNullAt(1)) -99 else x.getInt(1), x.getInt(2))).toSet
-    assert(out == Set((-99, -99, 1), (1, 3, 4), (2, 2, 3), (3, 11, 12),
+        if (x.isNullAt(1)) -99 else x.getInt(1), x.getInt(2)))
+    assert(out.length == 6)
+    assert(out.toSet == Set((-99, -99, 1), (1, 3, 4), (2, 2, 3), (3, 11, 12),
       (4, -4, -3), (4, -4, -2)))
   }
 
@@ -115,8 +120,9 @@ class TemporalSpec extends AnyFunSuite {
       .select(col("_k"), col("side"), col("_t").cast("int").as("t"),
         coalesce(col("lval"), lit(0)).as("v1"), coalesce(col("rval"), lit(0)).as("v2"))
       .collect().map(x => (x.getInt(0), x.getBoolean(1), x.getInt(2),
-        x.getInt(3), x.getInt(4), x.getInt(3) + x.getInt(4))).toSet
-    assert(out == Set(
+        x.getInt(3), x.getInt(4), x.getInt(3) + x.getInt(4)))
+    assert(out.length == 18)
+    assert(out.toSet == Set(
       (0, false, 1, 1, 0, 1), (0, false, 4, 2, 6, 8), (0, false, 5, 3, 6, 9),
       (0, false, 6, 4, 6, 10), (0, false, 7, 5, 6, 11),
       (0, false, 11, 6, 9, 15), (0, false, 12, 7, 9, 16),
