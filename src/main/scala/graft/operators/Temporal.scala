@@ -138,16 +138,10 @@ object Temporal {
     *
     * @param rPayload right columns to carry (renamed as given)
     * @param how inner = drop unmatched left rows; left = keep (nulls)
-    * @param tiesInclusive whether a right row AT the left's exact time
-    *   matches (the reference's merged-order tie is MODE-dependent:
-    *   right-before-left for how=LEFT — inclusive, the default — but
-    *   left-before-right for how=FULL, where a left-driven backward match
-    *   is strictly earlier; _asof_join.py:124 make_sort_key right_first)
     */
   def asofJoin(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
       lKey: Column, rKey: Column, rPayload: Seq[(String, Column)],
-      direction: String = "backward", how: String = "left",
-      tiesInclusive: Boolean = true): DataFrame = {
+      direction: String = "backward", how: String = "left"): DataFrame = {
     val lStruct = struct(l.columns.map(l(_)): _*)
     val lType = l.select(lStruct.as("s")).schema("s").dataType
     val rStruct = struct(rPayload.map { case (n, c) => c.as(n) }: _*)
@@ -158,7 +152,9 @@ object Temporal {
     val rSide = r.select(rKey.as("_k"), usOf(rt).as("_t"), lit(0).as("_isL"),
       lit(null).cast(lType).as("_lrow"), rStruct.as("_rrow"))
 
-    // backward inclusive: rights sort before lefts at equal t;
+    // ties inclusive: rights sort before lefts at equal t (the reference's
+    // make_sort_key right_first for how=LEFT; FULL-mode asymmetric ties
+    // live in [[asofJoinFull]]'s own merged pass);
     // forward: mirror time so the same running-last kernel applies
     val unioned = lSide.unionByName(rSide)
     val tOrd = direction match {
@@ -166,8 +162,7 @@ object Temporal {
       case "forward" => col("_t") * -1
       case d => throw new IllegalArgumentException(s"direction $d (nearest: asofNearest)")
     }
-    val tieOrd = if (tiesInclusive) col("_isL") else col("_isL") * -1
-    val w = Window.partitionBy(col("_k")).orderBy(tOrd, tieOrd)
+    val w = Window.partitionBy(col("_k")).orderBy(tOrd, col("_isL"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = unioned
       .withColumn("_rmatch", last(col("_rrow"), ignoreNulls = true).over(w))
@@ -211,9 +206,10 @@ object Temporal {
       rPayload: Seq[(String, Column)],
       direction: String = "backward"): DataFrame = {
     val lNames = lPayload.map(_._1); val rNames = rPayload.map(_._1)
+    val reserved = Set("_k", "_t", "side", "_lv", "_rv")
     require((lNames ++ rNames).distinct.size == lNames.size + rNames.size &&
-      (lNames ++ rNames).forall(n => n != "_k" && n != "_t" && n != "side"),
-      s"asofJoinFull payload names must be distinct and not _k/_t/side: " +
+      (lNames ++ rNames).forall(!reserved(_)),
+      s"asofJoinFull payload names must be distinct and not $reserved: " +
         s"left=$lNames right=$rNames")
     val lStruct = struct(lPayload.map { case (n, c) => c.as(n) }: _*)
     val rStruct = struct(rPayload.map { case (n, c) => c.as(n) }: _*)
@@ -230,15 +226,17 @@ object Temporal {
     }
     val w = Window.partitionBy(col("_k")).orderBy(tOrd, tieOrd)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // the frame includes the current row and own-side structs are never
+    // null, so at an own-side row the running last IS the row's own
+    // payload — no conditional needed
     val matched = lSide.unionByName(rSide)
-      .withColumn("_lm", last(col("_lrow"), ignoreNulls = true).over(w))
-      .withColumn("_rm", last(col("_rrow"), ignoreNulls = true).over(w))
       .select(col("_k"), col("_traw").as("_t"), (col("_isL") === 0).as("side"),
-        when(col("_isL") === 1, col("_lrow")).otherwise(col("_lm")).as("_lv"),
-        when(col("_isL") === 0, col("_rrow")).otherwise(col("_rm")).as("_rv"))
+        last(col("_lrow"), ignoreNulls = true).over(w).as("_lv"),
+        last(col("_rrow"), ignoreNulls = true).over(w).as("_rv"))
     val withL = lPayload.foldLeft(matched)((d, nc) =>
-      d.withColumn(nc._1, col(s"_lv.${nc._1}")))
-    rPayload.foldLeft(withL)((d, nc) => d.withColumn(nc._1, col(s"_rv.${nc._1}")))
+      d.withColumn(nc._1, col("_lv").getField(nc._1)))
+    rPayload.foldLeft(withL)((d, nc) =>
+      d.withColumn(nc._1, col("_rv").getField(nc._1)))
       .drop("_lv", "_rv")
   }
 
