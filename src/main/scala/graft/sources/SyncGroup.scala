@@ -57,8 +57,17 @@ object InputSynchronization {
       * nothing but has a unit pending at v lets peers advance to
       * v + maxDifference — exactly how the reference lets a source read
       * while its peer's first (large-valued) unit is still held
-      * (test_io.py test_synchronization_group plans). */
+      * (test_io.py test_synchronization_group plans). This is the
+      * reference's `next_proposed_value` — the next SINGLE value the
+      * member would send (for a multi-row unit like a spool file, the
+      * unit's MIN, reported via [[Coordinator.admit]]'s `heads`). */
     var pendingHead: Option[Long] = None
+    /** ADMISSION value of the member's next pending unit — the value the
+      * whole unit must pass the bound with (= the unit's MAX; equals
+      * [[pendingHead]] for single-value units). Drives the deadlock
+      * raise: raising only to a unit's head (min) could not actually
+      * admit a multi-row unit, so the group would stay stuck. */
+    var pendingUnit: Option[Long] = None
     var lastData: Long = System.nanoTime()
     var epoch: Long = 0L
     /** Lease of the CURRENT stream instance for this member: re-registering
@@ -159,8 +168,32 @@ object InputSynchronization {
       members.get(member).foreach { st =>
         st.frontier = None
         st.pendingHead = None
+        st.pendingUnit = None
         st.epoch = groupEpoch
         st.lastData = System.nanoTime()
+      }
+    }
+
+    /** Seed a member's CONFIRMED frontier recovered from a checkpoint —
+      * called on checkpoint recovery in a FRESH process, where the
+      * JVM-global coordinator starts empty. Without the seed, a member
+      * that recovers drained (or over a quiet spool) only ever calls
+      * [[admit]] with empty `values`: its frontier stays None, its term
+      * is undecidable, and every peer admits nothing forever — a
+      * cross-process-restart deadlock the reference never hits because
+      * its `last_reported_value` lives in one continuous process. The
+      * seeded value is genuinely confirmed (those offsets were committed
+      * by the recovered checkpoint), so treating it as current-epoch is
+      * exact, not a heuristic. Monotone: never lowers a live frontier
+      * (a same-process restart may already be ahead). */
+    def seed(member: String, frontier: Long, lease: Long = -1L): Unit = synchronized {
+      members.get(member).foreach { st =>
+        if (lease < 0 || st.lease == lease) {
+          val cur = if (st.epoch == groupEpoch) st.frontier else None
+          st.frontier = Some(math.max(cur.getOrElse(Long.MinValue), frontier))
+          st.epoch = groupEpoch
+          st.lastData = System.nanoTime()
+        }
       }
     }
 
@@ -188,9 +221,16 @@ object InputSynchronization {
     private def satAdd(a: Long, b: Long): Long =
       if (a > 0 && b > Long.MaxValue - a) Long.MaxValue else a + b
 
-    /** `values`: sync values of the member's next pending rows, ascending
-      * (the member replays in sync order). Returns how many of them may be
-      * admitted in this micro-batch and advances the member's frontier.
+    /** `values`: sync values of the member's next pending UNITS, ascending
+      * (the member replays in sync order). For a multi-row unit (a spool
+      * file) a unit's value is its MAX — the value the whole unit must
+      * pass the bound with. `heads` (optional, same length) carries each
+      * unit's PROPOSED value — its MIN, the reference's
+      * `next_proposed_value` = the next single value the member would
+      * send; omitted means single-value units (heads == values). Peers'
+      * anticipation windows use heads; admission counting and the
+      * deadlock raise use values. Returns how many units may be admitted
+      * in this micro-batch and advances the member's frontier.
       *
       * Rule — the reference's `max_possible_value` recalculation ported
       * verbatim (synchronization.rs:19-49,548-661; its observable behavior
@@ -217,7 +257,11 @@ object InputSynchronization {
       * every peer's reach stays held (reference holds 1000 in plan
       * [50,10,100]/[10,1000] and 100 in [0,100]/[0,1] forever); a
       * group-wide gap passes because both pending heads anticipate it. */
-    def admit(member: String, values: Seq[Long], lease: Long = -1L): Int = synchronized {
+    def admit(member: String, values: Seq[Long], lease: Long = -1L,
+        heads: Option[Seq[Long]] = None): Int = synchronized {
+      val hd = heads.getOrElse(values)
+      require(hd.length == values.length,
+        s"heads (${hd.length}) and values (${values.length}) must align")
       // A superseded stream instance (an older lease — e.g. a previous run's
       // drained stream planning one last trigger while its replacement
       // constructs) is ignored entirely: letting it through would re-prove
@@ -240,7 +284,8 @@ object InputSynchronization {
         // early-outs below: peers' windows anticipate it, and a drained
         // member (empty values) must DROP its stale head so its
         // contribution falls back to its admitted frontier
-        st.pendingHead = values.headOption
+        st.pendingHead = hd.headOption
+        st.pendingUnit = values.headOption
       }
       if (members.size < expectedSize) {
         // a member waiting out assembly is NOT idle — keep lastData fresh
@@ -291,23 +336,31 @@ object InputSynchronization {
             val floor = members.valuesIterator.flatMap(trusted)
               .maxOption.getOrElse(Long.MinValue)
             var bound = math.max(minPeerTerm, floor)
-            // deadlock resolution: every active member has a pending head
+            // deadlock resolution: every active member has a pending unit
             // and none passes the GLOBAL threshold (own terms included) —
-            // raise to the top-priority group's smallest pending head.
-            // headOf(st) and term(st) read the pendingHead/epoch recorded
-            // at entry, so the caller needs no special case
-            def headOf(s: MemberState): Option[Long] =
-              if (s.epoch == groupEpoch) s.pendingHead else None
+            // raise to the whole next UNIT of the top-priority member
+            // with the smallest proposed HEAD. The reference recalculates
+            // from the highest-priority group's next_proposed_value; with
+            // single-value units head == unit and this is that rule
+            // verbatim, while for multi-row units the laggard's (smallest
+            // head's) whole unit must clear the bound or nothing can
+            // actually move — a min-of-unit-maxes raise could admit a
+            // NON-laggard past the laggard's head and then wedge.
+            // unitOf(st) and term(st) read the state recorded at entry,
+            // so the caller needs no special case
+            def unitOf(s: MemberState): Option[Long] =
+              if (s.epoch == groupEpoch) s.pendingUnit else None
             // term(st) is always defined here: the caller's pendingHead
             // was just recorded and values is non-empty
             val tGlobal = math.max(math.min(minPeerTerm, term(st).get), floor)
-            val allHavePending = activeAll.forall(headOf(_).isDefined)
+            val allHavePending = activeAll.forall(unitOf(_).isDefined)
             val anyAdmissible = activeAll.exists(s =>
-              headOf(s).exists(h => h <= tGlobal && h <= hpGate(s)))
+              unitOf(s).exists(u => u <= tGlobal && u <= hpGate(s)))
             if (allHavePending && !anyAdmissible) {
               val maxPrio = activeAll.map(_.priority).max
-              activeAll.filter(_.priority == maxPrio).flatMap(headOf)
-                .minOption.foreach(raise => bound = math.max(bound, raise))
+              activeAll.filter(s => s.priority == maxPrio && unitOf(s).isDefined)
+                .minByOption(s => (s.pendingHead.get, s.pendingUnit.get))
+                .foreach(s => bound = math.max(bound, s.pendingUnit.get))
             }
             val eff = math.min(bound, hpGate(st))
             (values.count(_ <= eff), Some(eff))
@@ -316,7 +369,8 @@ object InputSynchronization {
       if (n > 0) {
         val newF = math.max(st.frontier.getOrElse(Long.MinValue), values(n - 1))
         st.frontier = Some(newF)
-        st.pendingHead = if (n < values.length) Some(values(n)) else None
+        st.pendingHead = if (n < values.length) Some(hd(n)) else None
+        st.pendingUnit = if (n < values.length) Some(values(n)) else None
         auditLog += Admission(member, newF, boundUsed)
         if (boundUsed.exists(newF > _)) violationCnt += 1
         // bounded audit: one admission per member per micro-batch forever
@@ -449,8 +503,18 @@ private[sources] class SyncedReplayStream(path: String, syncCol: String,
   }
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("paced via latestOffset(start, limit)")
+  private var seeded = false
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ReplayOffset].rank
+    // checkpoint recovery in a fresh process (initialOffset not called,
+    // start > 0, coordinator empty): seed the recovered confirmed
+    // frontier — syncVals(s-1) IS the last committed sync value — so a
+    // member that recovers drained still paces its peers (see
+    // Coordinator.seed). A fresh query passes here with s == 0.
+    if (!seeded) {
+      if (s > 0) coordinator.seed(member, syncVals((s - 1).toInt), lease)
+      seeded = true
+    }
     val e = math.min(s + rowsPerBatch, syncVals.length.toLong)
     val candidates = syncVals.slice(s.toInt, e.toInt)
     ReplayOffset(s + coordinator.admit(member, candidates.toSeq, lease))

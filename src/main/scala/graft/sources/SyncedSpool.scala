@@ -21,10 +21,10 @@ import scala.collection.mutable
   * driver here:
   *
   *   - planning (`latestOffset`) lists the spool and computes each NEW
-  *     file's sync frontier — `max(syncCol)` over that file — ONCE, via a
-  *     single aggregate-only Spark job per trigger batched across the new
-  *     files (`input_file_name()` grouping). The cache holds one Long per
-  *     file, O(files) driver memory, never the table;
+  *     file's sync range — `(min, max)` of `syncCol` over that file —
+  *     ONCE, via a single aggregate-only Spark job per trigger batched
+  *     across the new files (`input_file_name()` grouping). The cache
+  *     holds two Longs per file, O(files) driver memory, never the table;
   *   - the coordinator admits whole files (the group granularity: a
   *     lagging member "reads more to catch up" one file at a time, the
   *     reference's batch-granular alignment), so the member's advanced
@@ -91,8 +91,14 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
   private val lease = coordinator.register(member, priority, idleMs)
   if (groupSize > 0) coordinator.expectGroupSize(groupSize)
 
-  /** fileName -> max(syncCol) in that file; one Long per file ever seen. */
-  private val frontierCache = mutable.HashMap.empty[String, Long]
+  /** fileName -> (min, max) of syncCol in that file; two Longs per file
+    * ever seen. The MAX is the file's admission value (the whole file
+    * must pass the bound) and the committed frontier; the MIN is the
+    * file's proposed head — the next single value this member would
+    * send, the reference's `next_proposed_value` — reported to the
+    * coordinator so peers' anticipation windows do not run past this
+    * member's confirmed frontier by the file's internal span. */
+  private val frontierCache = mutable.HashMap.empty[String, (Long, Long)]
   /** Names admitted so far in rank order (rebuilt from the sorted listing
     * on checkpoint recovery — the monotone-naming contract makes sorted
     * order == admission order). Guards against late under-frontier files. */
@@ -135,20 +141,22 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
     * sync value (empty file, missing/null field, or a corrupt/mistyped line
     * that PERMISSIVE parsing nulls out) fails loudly: every raw line is
     * emitted downstream, so a null-sync row would slip past the group's
-    * pacing while max() over the parseable rows understates the frontier. */
-  private def frontiersOf(files: Seq[String]): Seq[Long] = {
+    * pacing while the aggregates over the parseable rows misstate the
+    * frontier. Returns each file's (min, max): max = admission value +
+    * committed frontier, min = proposed head (see [[frontierCache]]). */
+  private def frontiersOf(files: Seq[String]): Seq[(Long, Long)] = {
     val missing = files.filterNot(f => frontierCache.contains(canonPath(f)))
     if (missing.nonEmpty) {
       import org.apache.spark.sql.functions._
       val st = new StructType().add(syncCol, LongType)
       spark.read.schema(st).json(missing: _*)
         .groupBy(input_file_name().as("_f"))
-        .agg(max(col(syncCol)).as("_mx"),
+        .agg(min(col(syncCol)).as("_mn"), max(col(syncCol)).as("_mx"),
           count_if(col(syncCol).isNull).as("_bad"))
         .collect().foreach { r =>
-          require(r.getLong(2) == 0L, s"spool file ${r.getString(0)} has " +
-            s"${r.getLong(2)} row(s) without a parseable '$syncCol' sync value")
-          frontierCache(canonPath(r.getString(0))) = r.getLong(1)
+          require(r.getLong(3) == 0L, s"spool file ${r.getString(0)} has " +
+            s"${r.getLong(3)} row(s) without a parseable '$syncCol' sync value")
+          frontierCache(canonPath(r.getString(0))) = (r.getLong(1), r.getLong(2))
         }
       val unresolved = missing.filterNot(f => frontierCache.contains(canonPath(f)))
       require(unresolved.isEmpty,
@@ -185,7 +193,12 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
         "files must never be removed or renamed")
     if (admittedNames.isEmpty && s > 0) { // checkpoint recovery
       admittedNames ++= files.take(s)
-      lastFrontier = frontiersOf(Seq(admittedNames.last)).head
+      lastFrontier = frontiersOf(Seq(admittedNames.last)).head._2
+      // fresh-process recovery: the JVM-global coordinator starts empty,
+      // and a member recovering over a drained/quiet spool would never
+      // report a frontier — seed the recovered confirmed frontier so it
+      // keeps pacing its peers (see Coordinator.seed)
+      coordinator.seed(member, lastFrontier, lease)
     }
     require(files.take(s).sameElements(admittedNames.take(s)),
       s"spool $path changed under the committed frontier (rank $s): file names " +
@@ -193,14 +206,17 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
     val pending = files.slice(s, s + filesPerBatch).toSeq
     val fronts = frontiersOf(pending)
     fronts.foldLeft(lastFrontier) { (prev, f) =>
-      require(f >= prev, s"spool $path violates the sync-order contract: a " +
-        s"later file's max($syncCol)=$f undercuts an earlier file's $prev — " +
+      require(f._2 >= prev, s"spool $path violates the sync-order contract: a " +
+        s"later file's max($syncCol)=${f._2} undercuts an earlier file's $prev — " +
         "arrival (name) order must be sync order")
-      f
+      f._2
     }
-    val n = coordinator.admit(member, fronts, lease)
+    // values = per-file max (whole-file admission), heads = per-file min
+    // (the next single value this member would send — peers anticipate
+    // the head, not the file's far edge)
+    val n = coordinator.admit(member, fronts.map(_._2), lease, Some(fronts.map(_._1)))
     admittedNames ++= pending.take(n)
-    if (n > 0) lastFrontier = fronts(n - 1)
+    if (n > 0) lastFrontier = fronts(n - 1)._2
     ReplayOffset(s + n.toLong)
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(filesPerBatch)

@@ -551,8 +551,12 @@ object StreamOps {
     * (same rule as the batch [[graft.operators.Temporal.asofNearest]] and
     * the reference's _asof_join.py:312 strict-`<` prev selection). A
     * left with best-so-far distance d is final once the watermark passes
-    * t + d: a row arriving later has time > wm ≥ t + d, strictly farther,
-    * and an exact-tie forward row at t + d ≤ wm would be dropped as late.
+    * STRICTLY beyond t + d: an exact-tie forward row at t + d WINS the
+    * tie, so the left may only finalize once such a row is provably late
+    * under ANY late-filter convention (`<= wm` or `< wm` drop) — with
+    * ripeness at `t + d <= wm` the guarantee held only because the entry
+    * filter happens to drop at `<= wm`, one edit away from a silent
+    * boundary divergence from the batch tie rule (r14 ADVICE).
     * Each left folds its best candidate into its own state, so rights
     * behind the watermark compact to the single latest (the backward seed
     * for future lefts) exactly like the backward kernel. A left that has
@@ -577,7 +581,7 @@ object StreamOps {
         (lt, lv, nb)
       }
       val (ripe, hold) = updated.partition { case (lt, _, best) =>
-        best.exists(b => lt + math.abs(b._1 - lt) <= wm) }
+        best.exists(b => lt + math.abs(b._1 - lt) < wm) }
       val out = ripe.sortBy(_._1).map { case (lt, lv, best) =>
         (key, lt, lv, best.map(_._2)) }
       val (future, past) = rights0.partition(_._1 > wm)

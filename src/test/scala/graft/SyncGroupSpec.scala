@@ -193,6 +193,73 @@ class SyncGroupSpec extends AnyFunSuite {
     assert(c.admit("f", Seq(50L)) == 0) // still gated at the leader's 7
   }
 
+  test("coordinator: a seeded recovery frontier unblocks peers in a fresh process") {
+    // cross-process checkpoint recovery: a fresh JVM's coordinator starts
+    // empty, and a member that recovers DRAINED only ever admits empty
+    // values — without the seed its term is undecidable forever and every
+    // peer admits nothing (r15 ADVICE deadlock)
+    InputSynchronization.reset("seed1")
+    val c = InputSynchronization.group("seed1", maxDifference = 10L)
+    c.register("drained"); c.register("live")
+    assert(c.admit("drained", Seq.empty) == 0)
+    assert(c.admit("live", Seq(5L, 20L, 30L)) == 0,
+      "an unseeded drained member must block (term undecidable)")
+    // the recovered stream seeds its checkpoint-confirmed frontier
+    c.seed("drained", 12L)
+    assert(c.admit("drained", Seq.empty) == 0) // still drained — but paces
+    assert(c.admit("live", Seq(5L, 20L, 30L)) == 2) // bound 12 + 10 = 22
+    assert(c.admit("live", Seq(30L)) == 0) // past the window: held
+    // seeding is monotone: a stale lower seed must not drag the frontier back
+    c.seed("drained", 3L)
+    assert(c.frontiers("drained").contains(12L))
+  }
+
+  test("coordinator: a multi-row unit's HEAD paces peers; its MAX gates its own admission") {
+    // spool-file units report (values = per-file max, heads = per-file
+    // min): peers must anticipate the member's next single value (the
+    // head), not the file's far edge (r15 ADVICE — with max-based heads a
+    // peer could run past the member's confirmed frontier by
+    // maxDifference plus the file's internal span)
+    InputSynchronization.reset("heads1")
+    val c = InputSynchronization.group("heads1", maxDifference = 10L)
+    c.register("spool"); c.register("done"); c.register("probe")
+    c.seed("done", 55L) // recovered at 55, drained: term caps the group at 65
+    assert(c.admit("probe", Seq(58L, 62L)) == 0) // spool unreported
+    // spool's pending file spans [60, 100]: whole-file admission needs
+    // 100 ≤ bound, and the drained member caps the bound at 65 — held
+    // (the reference would walk the file partially; whole-file
+    // granularity holds it, the documented tradeoff)
+    assert(c.admit("spool", Seq(100L), heads = Some(Seq(60L))) == 0)
+    // THE discriminating assert: probe's window is spool's HEAD (60), so
+    // 58 passes and 62 waits for spool to confirm ≥ 52. Under max-based
+    // heads spool's term would be 100, the bound min(100, 65) = 65, and
+    // 62 would run 2 past spool's actual next row
+    assert(c.admit("probe", Seq(58L, 62L)) == 1)
+  }
+
+  test("coordinator: deadlock raise admits the laggard's whole unit (head-selected)") {
+    // two spool members with file-sized units and maxDifference smaller
+    // than a file span: progress requires raising to the WHOLE next unit
+    // of the member with the smallest head (for single-value units this
+    // degenerates to the reference's next_proposed_value raise)
+    InputSynchronization.reset("heads2")
+    val c = InputSynchronization.group("heads2", maxDifference = 5L)
+    c.register("a"); c.register("b")
+    assert(c.admit("a", Seq(9L, 19L), heads = Some(Seq(0L, 10L))) == 0) // b unreported
+    // b: both files out of the naive window (a's head 0) — the raise
+    // targets a's first unit (head 0, max 9), so b's [0..9] file passes
+    assert(c.admit("b", Seq(9L, 19L), heads = Some(Seq(0L, 10L))) == 1)
+    // a: bound = max(b frontier 9 + 5, b head 10) = 14 — its [0..9]
+    // file passes plainly (no raise: a's own unit is admissible)
+    assert(c.admit("a", Seq(9L, 19L), heads = Some(Seq(0L, 10L))) == 1)
+    // a's second file [10..19]: 19 > 14, b's symmetric file equally stuck
+    // — the raise targets the smallest-head member's whole unit (19)
+    assert(c.admit("a", Seq(19L), heads = Some(Seq(10L))) == 1)
+    // b follows within the confirmed window: bound = max(19 + 5, none)
+    assert(c.admit("b", Seq(19L), heads = Some(Seq(10L))) == 1)
+    assert(c.violationCount == 0)
+  }
+
   test("two skewed replay sources: neither runs ahead of the other by more than maxDifference") {
     InputSynchronization.reset("stream1")
     val dir = java.nio.file.Files.createTempDirectory("graft-sync").toString
