@@ -612,6 +612,49 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  private def clicksViews(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = eventsT(s, dir)
+    (e.filter(col("event_type") === "click")
+       .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts_t").as("l_t")),
+     e.filter(col("event_type") === "view")
+       .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts_t").as("r_t")))
+  }
+
+  /** window_join over SLIDING windows (reference window_join with
+    * pw.temporal.sliding; fixture-pinned in TemporalFixtureSpec): every
+    * click×view pair per user counted once per shared 1h window on a 30m
+    * hop — each row lands in exactly 2 windows. */
+  private def qWindowJoinSliding(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, views) = clicksViews(s, dir)
+    Temporal.slidingWindowJoin(clicks, views, col("l_t"), col("r_t"), H1, M30,
+        col("l_user") === col("r_user"), "inner")
+      .groupBy(col("w_start"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** window_join over SESSION windows (reference _window.py:186; sessions
+    * computed over the UNION of both sides per user, strict 30m gap). */
+  private def qWindowJoinSession(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, views) = clicksViews(s, dir)
+    Temporal.sessionWindowJoin(clicks, views, col("l_t"), col("r_t"), M30,
+        col("l_user"), col("r_user"),
+        Seq("l_id" -> col("l_id")), Seq("r_id" -> col("r_id")), "inner")
+      .groupBy(col("_k").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** intervals_over(is_outer=false): probes with an empty window are
+    * OMITTED (reference default keeps them — the `intervals_over` row). */
+  private def qIntervalsOverInner(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsT(s, dir)
+    val at = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("at_id"), col("user_id").as("at_user"), col("ts_t").as("at_t"))
+    Temporal.intervalsOver(at, e, col("at_t"), col("ts_t"),
+        -M10, 0L, col("at_user") === col("user_id"), isOuter = false)
+      .groupBy(col("at_id"))
+      .agg(count(col("event_id")).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
   private def qInterpolate(s: SparkSession, dir: String): DataFrame = {
     val e = eventsT(s, dir)
       .withColumn("v", when(col("event_type") === "view", col("value")))
@@ -676,27 +719,38 @@ object SparkEntry {
     val d = docs(s, dir).select("doc_id").orderBy("doc_id").limit(500)
       .withColumn("t", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("doc_id")).cast("long") - 1)
-    d.write.mode("overwrite").parquet(s"$tmp/a")
-    d.filter(col("t") < 400).write.mode("overwrite").parquet(s"$tmp/b")
-    def start(member: String, rowsPerBatch: Int) = s.readStream
-      .format("graft.sources.SyncedReplaySource")
+    // JSON-lines spools in the PRODUCTION source shape (r15: the board row
+    // runs on the non-collected SyncedSpoolSource; the driver-resident
+    // SyncedReplaySource is @deprecated demo surface). repartitionByRange
+    // makes part-file name order == sync order, the spool contract —
+    // 25-row files, so whole-FILE admission reaches the same fixed point.
+    d.repartitionByRange(20, col("t")).sortWithinPartitions("t")
+      .write.mode("overwrite").json(s"$tmp/a")
+    d.filter(col("t") < 400).repartitionByRange(16, col("t")).sortWithinPartitions("t")
+      .write.mode("overwrite").json(s"$tmp/b")
+    def start(member: String, filesPerBatch: Int) = s.readStream
+      .format("graft.sources.SyncedSpoolSource")
       .option("path", s"$tmp/$member")
       .option("syncCol", "t")
-      .option("rowsPerBatch", rowsPerBatch.toString)
+      .option("filesPerBatch", filesPerBatch.toString)
       .option("group", grp).option("member", member)
       .option("maxDifference", "50").option("groupSize", "2")
       .load()
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, t LONG")).as("j"))
+      .select(col("j.doc_id").as("doc_id"), col("j.t").as("t"))
       .writeStream.format("memory").queryName(s"${grp}_$member")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(5))
       .start()
-    // batch sizes chosen so the fixed point needs ~5 admission rounds
-    // (b: 400/80; a skewed 3× faster, provably throttled at the cut) —
-    // each round is a full micro-batch, so this is the board row's
-    // wall-clock floor; SyncGroupSpec exercises fine-grained pacing
-    val qa = start("a", 240)
-    val qb = start("b", 80)
+    // file batch sizes chosen so the fixed point needs ~5 admission rounds
+    // (b: 16 files / 4 per batch; a skewed 3× faster, provably throttled
+    // at the cut) — each round is a full micro-batch, so this is the board
+    // row's wall-clock floor; SyncGroupSpec exercises fine-grained pacing
+    val qa = start("a", 12)
+    val qb = start("b", 4)
     try {
-      // fixed point: a admits exactly ranks <= 449, b drains its 400 rows.
+      // fixed point: a admits exactly the files with max(t) <= 399 + 50
+      // (18 of 20 -> 450 rows), b drains its 400 rows.
       // Wait on SINK row counts (not frontiers) so in-flight batches are
       // fully written before collecting. processAllAvailable would hang
       // here by design: a's source still reports 50 admissible-never rows.
@@ -1576,6 +1630,9 @@ object SparkEntry {
     "asof_nearest"    -> (qAsofNearest _),
     "asof_full"       -> (qAsofFull _),
     "window_join"     -> (qWindowJoin _),
+    "window_join_sliding" -> (qWindowJoinSliding _),
+    "window_join_session" -> (qWindowJoinSession _),
+    "intervals_over_inner" -> (qIntervalsOverInner _),
     "interpolate"     -> (qInterpolate _),
     "sync_group_cut"  -> (qSyncGroupCut _),
     "sync_group_stream" -> (qSyncGroupStream _),
@@ -1857,7 +1914,7 @@ object SparkEntry {
       """WITH mx AS (
         |  SELECT l_returnflag, l_orderkey AS argmax_key FROM (
         |    SELECT l_returnflag, l_orderkey, ROW_NUMBER() OVER
-        |      (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey DESC) rn
+        |      (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey ASC) rn
         |    FROM lineitem) WHERE rn = 1),
         |mn AS (
         |  SELECT l_returnflag, l_orderkey AS argmin_key FROM (
@@ -1913,7 +1970,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
         |f AS (SELECT user_id, us,
         |  CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
-        |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
         |       THEN 1 ELSE 0 END AS brk FROM e),
         |g AS (SELECT user_id, us, SUM(brk) OVER
         |  (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f)
@@ -1997,6 +2054,42 @@ object SparkEntry {
         |SELECT make_timestamp(c.w) AS w_start, COUNT(*) AS n_pairs
         |FROM c JOIN v ON c.user_id = v.user_id AND c.w = v.w
         |GROUP BY 1""".stripMargin,
+    "window_join_sliding" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS us FROM events),
+        |c AS (SELECT user_id, UNNEST([us - us % 1800000000 - 1800000000,
+        |                              us - us % 1800000000]) AS w
+        |      FROM e WHERE event_type = 'click'),
+        |v AS (SELECT user_id, UNNEST([us - us % 1800000000 - 1800000000,
+        |                              us - us % 1800000000]) AS w
+        |      FROM e WHERE event_type = 'view')
+        |SELECT make_timestamp(c.w) AS w_start, COUNT(*) AS n_pairs
+        |FROM c JOIN v ON c.user_id = v.user_id AND c.w = v.w
+        |GROUP BY 1""".stripMargin,
+    "window_join_session" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |           FROM events WHERE event_type IN ('click', 'view')),
+        |f AS (SELECT user_id, event_type, us,
+        |  CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, event_type, SUM(brk) OVER
+        |  (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |c AS (SELECT user_id, sid, COUNT(*) AS n FROM g
+        |      WHERE event_type = 'click' GROUP BY 1, 2),
+        |v AS (SELECT user_id, sid, COUNT(*) AS n FROM g
+        |      WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.user_id, CAST(SUM(c.n * v.n) AS BIGINT) AS n_pairs
+        |FROM c JOIN v ON c.user_id = v.user_id AND c.sid = v.sid
+        |GROUP BY 1""".stripMargin,
+    "intervals_over_inner" ->
+      """WITH e AS (SELECT *, epoch_ns(ts) // 1000 AS us FROM events),
+        |at AS (SELECT event_id AS at_id, user_id AS at_user, us AS at_us FROM e
+        |       WHERE event_type = 'error')
+        |SELECT at_id, COUNT(e.event_id) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM at JOIN e ON at_user = e.user_id
+        |  AND e.us BETWEEN at_us - 600000000 AND at_us
+        |GROUP BY at_id""".stripMargin,
     "interpolate" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
         |    CASE WHEN event_type = 'view' THEN value END AS v FROM events),

@@ -38,11 +38,20 @@ object Reducers {
   /** Exact median = [[quantileCont]] at 0.5. */
   def median(c: Column): Column = percentile(c, lit(0.5))
 
-  // ── argmin/argmax (reducers.py:406/463): deterministic via lexicographic tie-break ──
+  // ── argmin/argmax (reducers.py:406/463; tie rules reduce.rs:469/504) ──
+  /** argmin: lexicographic min of (value, tieBreak) — exactly the
+    * reference's ArgMinState replacement rule `(value, key) > (rhs)`. */
   def argmin(arg: Column, value: Column, tieBreak: Column): Column =
     min_by(arg, struct(value, tieBreak))
+  /** argmax: max `value`, and a value tie resolves to the SMALLEST
+    * tieBreak — the reference keeps max by `(value, Reverse(key))`
+    * (reduce.rs:504; pinned by test_argmin_argmax_different_column, where
+    * argmax(age, name) over an age tie returns the alphabetically FIRST
+    * name). Implemented as min over (−value, tieBreak), so `value` must
+    * be numeric — callers with time values pass the epoch number
+    * (r15 decode: the previous max-tieBreak tie diverged). */
   def argmax(arg: Column, value: Column, tieBreak: Column): Column =
-    max_by(arg, struct(value, tieBreak))
+    min_by(arg, struct(-value, tieBreak))
 
   // ── unique (reducers.py:520, reduce.rs:34): all values equal, else error ────
   def unique(c: Column): Column =
@@ -56,9 +65,20 @@ object Reducers {
   // ── tuple-valued reducers (reducers.py:579/610/700) ─────────────────────────
   /** sorted_tuple(skip_nones=true): collect_list already drops nulls. */
   def sortedTuple(c: Column): Column = sort_array(collect_list(c))
-  /** tuple in groupby-sort order: reducers see rows ordered by `sortKey`. */
+  /** sorted_tuple(skip_nones=false): nulls are KEPT and sort FIRST — the
+    * reference's None orders below every value (test_tuple_reducer vector
+    * `(None, -1, 1)`). Null-bearing rows survive collect_list inside a
+    * struct wrapper. */
+  def sortedTupleKeepNones(c: Column): Column =
+    transform(sort_array(collect_list(struct(c.as("v")))), x => x.getField("v"))
+  /** tuple in groupby-sort order: reducers see rows ordered by `sortKey`.
+    * Null values are kept in place (reference tuple(skip_nones=False));
+    * compose with [[tupleInOrderSkipNones]] to drop them. */
   def tupleInOrder(sortKey: Column, v: Column): Column =
     transform(array_sort(collect_list(struct(sortKey.as("k"), v.as("v")))), x => x.getField("v"))
+  /** tuple(skip_nones=true): row order kept, null values dropped. */
+  def tupleInOrderSkipNones(sortKey: Column, v: Column): Column =
+    filter(tupleInOrder(sortKey, v), x => x.isNotNull)
   /** ndarray reducer (reducers.py:700): dense vector of the group's values. */
   def ndarray(sortKey: Column, v: Column): Column = tupleInOrder(sortKey, v)
 

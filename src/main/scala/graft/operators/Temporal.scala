@@ -32,35 +32,87 @@ object Temporal {
   // ───────────────────────── windowby (reference _window.py) ─────────────────────────
 
   /** Tumbling windows (_window.py:768): adds `w_start`/`w_end`. Native `window()`
-    * — codegen'd assignment, no shuffle until the downstream groupBy. */
-  def tumble(df: DataFrame, t: Column, durNs: Long, originNs: Long = 0L): DataFrame = {
-    val w = window(t, interval(durNs), interval(durNs), s"${originNs / 1000L} microseconds")
-    df.withColumn("_w", w)
+    * — codegen'd assignment, no shuffle until the downstream groupBy.
+    *
+    * `origin` both ALIGNS windows (starts at origin + k·duration) and
+    * TRUNCATES on the left: the reference drops windows starting before
+    * the origin (_window.py:836 `filter(_pw_window_start >= origin)` —
+    * pinned by test_tumbling_origin, where t=3 with origin=7 joins no
+    * window); None (the default) aligns to epoch with no truncation. */
+  def tumble(df: DataFrame, t: Column, durNs: Long, originNs: Option[Long] = None): DataFrame = {
+    val dUs = durNs / 1000L
+    val offUs = originNs.map(o => ((o / 1000L % dUs) + dUs) % dUs).getOrElse(0L)
+    val w = window(t, interval(durNs), interval(durNs), s"$offUs microseconds")
+    val base = df.withColumn("_w", w)
       .withColumn("w_start", col("_w.start").cast("timestamp_ntz"))
       .withColumn("w_end", col("_w.end").cast("timestamp_ntz"))
       .drop("_w")
+    originNs.fold(base)(o => base.filter(usOf(col("w_start")) >= lit(o / 1000L)))
   }
 
-  /** Sliding windows (_window.py:565): one row per (row, window) pair. */
-  def slide(df: DataFrame, t: Column, durNs: Long, hopNs: Long): DataFrame = {
-    val w = window(t, interval(durNs), interval(hopNs))
-    df.withColumn("_w", w)
-      .withColumn("w_start", col("_w.start").cast("timestamp_ntz"))
-      .withColumn("w_end", col("_w.end").cast("timestamp_ntz"))
-      .drop("_w")
+  /** Start times of every sliding window [s, s+dur) containing `t`, for
+    * arbitrary hop/duration/origin — including hop > duration, where a row
+    * can fall in ZERO windows (the reference's sliding(hop=2, duration=1)
+    * drops off-window rows entirely, even from outer window_joins —
+    * test_window_joins.py sliding(2,1) vector). Microsecond longs. */
+  private def windowStartsUs(t: Column, durNs: Long, hopNs: Long,
+      originNs: Option[Long]): Column = {
+    val us = usOf(t)
+    val h = hopNs / 1000L; val d = durNs / 1000L
+    val o = originNs.getOrElse(0L) / 1000L
+    val sMax = us - pmod(us - lit(o), lit(h)) // largest start ≤ t (pmod ≥ 0)
+    val n = (durNs + hopNs - 1) / hopNs // candidate windows per row
+    val all = filter(sequence(sMax - lit((n - 1) * h), sMax, lit(h)),
+      s => us < s + lit(d))
+    // reference origin semantics: windows starting before it do not exist
+    originNs.fold(all)(_ => filter(all, s => s >= lit(o)))
+  }
+
+  /** Sliding windows (_window.py:565): one row per (row, window) pair.
+    * Native `window()` for overlapping windows (the codegen'd,
+    * streaming-compatible path); the explicit start-enumeration when
+    * hop > duration — Spark's native function rejects it, while the
+    * reference allows it (rows between windows belong to NO window).
+    * `origin` aligns and left-truncates exactly like [[tumble]]. */
+  def slide(df: DataFrame, t: Column, durNs: Long, hopNs: Long,
+      originNs: Option[Long] = None): DataFrame = {
+    val base = if (hopNs <= durNs) {
+      val hUs = hopNs / 1000L
+      val offUs = originNs.map(o => ((o / 1000L % hUs) + hUs) % hUs).getOrElse(0L)
+      val w = window(t, interval(durNs), interval(hopNs), s"$offUs microseconds")
+      df.withColumn("_w", w)
+        .withColumn("w_start", col("_w.start").cast("timestamp_ntz"))
+        .withColumn("w_end", col("_w.end").cast("timestamp_ntz"))
+        .drop("_w")
+    } else {
+      df.withColumn("_ws",
+          explode(windowStartsUs(t, durNs, hopNs, originNs)))
+        .withColumn("w_start", usToTs(col("_ws")))
+        .withColumn("w_end", usToTs(col("_ws") + lit(durNs / 1000L)))
+        .drop("_ws")
+    }
+    if (hopNs <= durNs)
+      originNs.fold(base)(o => base.filter(usOf(col("w_start")) >= lit(o / 1000L)))
+    else base // the explicit path already truncated at the origin
   }
 
   /** Session windows (_window.py:501, gap-based): adds `s_start`/`s_end` per
     * instance. Batch formulation: boundary flag + running sum = session id —
     * two window passes over one (instance, t) sort; no native session_window
-    * dependency so the same code path works for the custom-predicate variant. */
+    * dependency so the same code path works for the custom-predicate variant.
+    *
+    * Gap boundary is STRICT: adjacent entries merge iff `next − cur <
+    * max_gap` (_window.py:77), so a gap exactly equal to `max_gap` SPLITS —
+    * the same rule as Spark's own streaming `session_window` (a session
+    * spans [t, t + gap)). r15 decode: this code previously merged at
+    * `gap == max_gap` and its spec pinned the divergence. */
   def sessionize(df: DataFrame, t: Column, gapNs: Long, instance: Seq[Column],
       predicate: Option[(Column, Column) => Column] = None): DataFrame = {
     val sortW = Window.partitionBy(instance: _*).orderBy(t)
     val prevT = lag(t, 1).over(sortW)
     val isBreak = predicate match {
       case Some(p) => !p(prevT, t) // custom merge predicate (reference predicate sessions)
-      case None => (usOf(t) - usOf(prevT)) > lit(gapNs / 1000L)
+      case None => (usOf(t) - usOf(prevT)) >= lit(gapNs / 1000L)
     }
     val flagged = df.withColumn("_brk",
       when(prevT.isNull, lit(1)).otherwise(isBreak.cast("int")))
@@ -70,12 +122,16 @@ object Temporal {
 
   /** intervals_over (_window.py:699): for each row of `at`, aggregate `data` rows
     * with data.t ∈ [at.t + loNs, at.t + hiNs] (and equal instance keys). Plain
-    * range join — with the instance equi-key the planner shuffles on it. */
+    * range join — with the instance equi-key the planner shuffles on it.
+    * `isOuter` (reference default true) keeps probes with an empty window
+    * (null data side); false omits them (test_intervals_over vector drops
+    * the probe at t=6 entirely). */
   def intervalsOver(at: DataFrame, data: DataFrame, atT: Column, dataT: Column,
-      loNs: Long, hiNs: Long, cond: Column): DataFrame = {
+      loNs: Long, hiNs: Long, cond: Column, isOuter: Boolean = true): DataFrame = {
     val lo = usOf(atT) + lit(loNs / 1000L)
     val hi = usOf(atT) + lit(hiNs / 1000L)
-    at.join(data, cond && usOf(dataT).between(lo, hi), "left_outer")
+    at.join(data, cond && usOf(dataT).between(lo, hi),
+      if (isOuter) "left_outer" else "inner")
   }
 
   // ───────────────────── interval_join (_interval_join.py:577) ─────────────────────
@@ -86,6 +142,10 @@ object Temporal {
     * key-less use at scale, bucket both sides first (bucketizeForIntervalJoin). */
   def intervalJoin(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
       loNs: Long, hiNs: Long, keys: Column, how: String = "inner"): DataFrame = {
+    // the reference rejects an empty interval at construction (ValueError
+    // for interval(1, 0) — test_interval_join_negative_time_errors)
+    require(loNs <= hiNs,
+      s"interval lower bound ($loNs ns) must not exceed upper bound ($hiNs ns)")
     val cond = keys &&
       (usOf(rt) >= usOf(lt) + lit(loNs / 1000L)) &&
       (usOf(rt) <= usOf(lt) + lit(hiNs / 1000L))
@@ -224,7 +284,13 @@ object Temporal {
       case "forward" => (col("_t") * -1, col("_isL")) // mirrored: rights first
       case d => throw new IllegalArgumentException(s"direction $d")
     }
-    val w = Window.partitionBy(col("_k")).orderBy(tOrd, tieOrd)
+    // deterministic final key among SAME-side rows sharing a timestamp:
+    // without it, last(..., ignoreNulls) picks a partition-order-dependent
+    // payload for the matched peer (the reference's make_sort_key ends in
+    // the row id). A value hash is stable across runs/partitionings; rows
+    // it still ties on carry identical payloads, where the pick is moot.
+    val dupOrd = xxhash64(col("_lrow"), col("_rrow"))
+    val w = Window.partitionBy(col("_k")).orderBy(tOrd, tieOrd, dupOrd)
       .rowsBetween(Window.unboundedPreceding, 0)
     // the frame includes the current row and own-side structs are never
     // null, so at an own-side row the running last IS the row's own
@@ -272,6 +338,87 @@ object Temporal {
       .withColumnRenamed("w_start", "w_start_r").withColumnRenamed("w_end", "w_end_r")
     lw.join(rw, keys && col("w_start") === col("w_start_r"), how)
       .drop("w_start_r", "w_end_r")
+  }
+
+  private def joinMode(how: String): String = how match {
+    case "left" => "left_outer"; case "right" => "right_outer"
+    case "full" | "outer" => "full_outer"; case h => h
+  }
+
+  /** window_join over SLIDING windows (reference window_join with
+    * pw.temporal.sliding, _window.py:256 _SlidingWindow._join): each row
+    * expands to one row per containing window, and the sides equi-join on
+    * (window start, keys) — so a pair matching in k overlapping windows
+    * yields k output rows, unmatched (row, window) pairs survive outer
+    * modes per WINDOW, and with hop > duration a row between windows is
+    * dropped even from outer joins (all pinned by the reference's
+    * test_window_join_time_only vectors). Shuffles on (window, keys) —
+    * the window replication factor is ⌈duration/hop⌉, a constant. */
+  def slidingWindowJoin(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
+      durNs: Long, hopNs: Long, keys: Column, how: String = "inner",
+      originNs: Option[Long] = None): DataFrame = {
+    val lw = l.withColumn("_ws", explode(windowStartsUs(lt, durNs, hopNs, originNs)))
+    val rw = r.withColumn("_ws_r", explode(windowStartsUs(rt, durNs, hopNs, originNs)))
+    lw.join(rw, keys && col("_ws") === col("_ws_r"), joinMode(how))
+      .withColumn("w_start", usToTs(coalesce(col("_ws"), col("_ws_r"))))
+      .withColumn("w_end", usToTs(coalesce(col("_ws"), col("_ws_r")) + lit(durNs / 1000L)))
+      .drop("_ws", "_ws_r")
+  }
+
+  /** window_join over SESSION windows (reference _window.py:186
+    * _SessionWindow._join, pinned by test_session_window_join_time_only):
+    * session groups are computed over the UNION of both sides' times per
+    * join key (strict `next − cur < max_gap` merge, or a custom
+    * predicate), each row is assigned its merged session, and the sides
+    * equi-join on (key, session) with the requested mode. Output: `_k`,
+    * `s_start`/`s_end` (the merged session's min/max time), and the
+    * payloads (nulls on the unmatched side in outer modes).
+    *
+    * Scale shape: one (key, t) sort for the union sessionization, then a
+    * shuffled equi-join on (key, session) — session windows are
+    * inherently sequential per key (the reference sorts per instance the
+    * same way); keyless use puts everything in one sort partition, same
+    * as the reference's instance-less sessions. */
+  def sessionWindowJoin(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
+      gapNs: Long, lKey: Column, rKey: Column,
+      lPayload: Seq[(String, Column)], rPayload: Seq[(String, Column)],
+      how: String = "inner",
+      predicate: Option[(Column, Column) => Column] = None): DataFrame = {
+    val lNames = lPayload.map(_._1); val rNames = rPayload.map(_._1)
+    val reserved = Set("_k", "_sid", "s_start", "s_end", "_lrow", "_rrow")
+    require((lNames ++ rNames).distinct.size == lNames.size + rNames.size &&
+      (lNames ++ rNames).forall(!reserved(_)),
+      s"sessionWindowJoin payload names must be distinct and not $reserved: " +
+        s"left=$lNames right=$rNames")
+    val lStruct = struct(lPayload.map { case (n, c) => c.as(n) }: _*)
+    val rStruct = struct(rPayload.map { case (n, c) => c.as(n) }: _*)
+    val lType = l.select(lStruct.as("s")).schema("s").dataType
+    val rType = r.select(rStruct.as("s")).schema("s").dataType
+    val lSide = l.select(lKey.as("_k"), lt.as("_t"), lit(1).as("_isL"),
+      lStruct.as("_lrow"), lit(null).cast(rType).as("_rrow"))
+    val rSide = r.select(rKey.as("_k"), rt.as("_t"), lit(0).as("_isL"),
+      lit(null).cast(lType).as("_lrow"), rStruct.as("_rrow"))
+    val sess = sessionize(lSide.unionByName(rSide), col("_t"), gapNs,
+      Seq(col("_k")), predicate)
+    val bounds = Window.partitionBy(col("_k"), col("_sid"))
+    val withB = sess
+      .withColumn("s_start", min(col("_t")).over(bounds))
+      .withColumn("s_end", max(col("_t")).over(bounds))
+    val ls = withB.filter(col("_isL") === 1)
+      .select(col("_k"), col("_sid"), col("s_start"), col("s_end"), col("_lrow"))
+    val rs = withB.filter(col("_isL") === 0)
+      .select(col("_k").as("_kr"), col("_sid").as("_sidr"),
+        col("s_start").as("_ss_r"), col("s_end").as("_se_r"), col("_rrow"))
+    val joined = ls.join(rs,
+      col("_k") === col("_kr") && col("_sid") === col("_sidr"), joinMode(how))
+    val withL = lPayload.foldLeft(joined)((d, nc) =>
+      d.withColumn(nc._1, col("_lrow").getField(nc._1)))
+    rPayload.foldLeft(withL)((d, nc) =>
+      d.withColumn(nc._1, col("_rrow").getField(nc._1)))
+      .withColumn("_k", coalesce(col("_k"), col("_kr")))
+      .withColumn("s_start", coalesce(col("s_start"), col("_ss_r")))
+      .withColumn("s_end", coalesce(col("s_end"), col("_se_r")))
+      .drop("_kr", "_sidr", "_sid", "_lrow", "_rrow", "_ss_r", "_se_r")
   }
 
   // ───────────── interpolate (stdlib/statistical/_interpolate.py:56) ─────────────

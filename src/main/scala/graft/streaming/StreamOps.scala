@@ -197,12 +197,127 @@ object StreamOps {
       out.iterator
     }
 
+  /** [[minhashDedupKernel]] with PER-MICRO-BATCH candidate pre-aggregation
+    * (r15 item 7): a batch's arrivals are grouped by IDENTICAL signature
+    * first, so the held-member scan runs once per DISTINCT signature and
+    * the intra-batch comparison runs once per distinct-signature PAIR —
+    * each result expands to every carrier id. Compare count never exceeds
+    * the fine kernel's (distinct ≤ arrivals), and collapses when a batch
+    * floods a bucket with byte-identical content; the cost is one
+    * hash-grouping pass per batch. Emitted pair SET is identical to the
+    * fine kernel's (order may differ; StreamingSpec pins the equivalence).
+    * A capped invocation (state + batch past bucketCap) delegates to the
+    * sequential fine kernel, whose arrival-interleaved cap semantics are
+    * the contract. */
+  def minhashDedupKernelPreAgg(numHashes: Int, threshold: Double, bucketCap: Int):
+      ((Int, Long), Iterator[(Long, Seq[Long], Int, Long)],
+        GroupState[Array[Byte]]) => Iterator[(Long, Long, Double)] =
+    (key, rows, state) => {
+      val entry = 8 * (numHashes + 1)
+      val buf0 = if (state.exists) state.get else Array.emptyByteArray
+      val n0 = buf0.length / entry
+      val batch = rows.toArray
+      if (n0 + batch.length > bucketCap)
+        minhashDedupKernel(numHashes, threshold, bucketCap)(key, batch.iterator, state)
+      else {
+        val bb = java.nio.ByteBuffer.wrap(buf0)
+        val held = scala.collection.mutable.HashSet.empty[Long]
+        var i = 0
+        while (i < n0) { held += bb.getLong(i * entry); i += 1 }
+        // distinct signatures in first-arrival order + their carrier ids
+        val order = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        val carriers = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        val index = scala.collection.mutable.HashMap.empty[Seq[Long], Int]
+        batch.foreach { case (id, sigSeq, _, _) =>
+          if (!held(id)) {
+            held += id
+            index.get(sigSeq) match {
+              case Some(gi) => carriers(gi) += id
+              case None =>
+                index(sigSeq) = order.length
+                order += sigSeq.toArray
+                carriers += scala.collection.mutable.ArrayBuffer(id)
+            }
+          }
+        }
+        val d = order.length
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double)]
+        var g = 0
+        while (g < d) { // one held-member scan per DISTINCT signature
+          val sig = order(g)
+          var m = 0
+          while (m < n0) {
+            val base = m * entry
+            var eq = 0; var s = 0
+            while (s < numHashes) {
+              if (bb.getLong(base + 8 + 8 * s) == sig(s)) eq += 1; s += 1
+            }
+            val est = eq.toDouble / numHashes
+            if (est >= threshold) {
+              val oid = bb.getLong(base)
+              carriers(g).foreach(id =>
+                out += ((math.min(id, oid), math.max(id, oid), est)))
+            }
+            m += 1
+          }
+          g += 1
+        }
+        g = 0
+        while (g < d) { // intra-batch: distinct-signature pairs (+ 1.0 clusters)
+          val cg = carriers(g)
+          var j = 0
+          while (j < cg.length) {
+            var l = j + 1
+            while (l < cg.length) {
+              out += ((math.min(cg(j), cg(l)), math.max(cg(j), cg(l)), 1.0)); l += 1
+            }
+            j += 1
+          }
+          var h = g + 1
+          while (h < d) {
+            val a = order(g); val b = order(h)
+            var eq = 0; var s = 0
+            while (s < numHashes) { if (a(s) == b(s)) eq += 1; s += 1 }
+            val est = eq.toDouble / numHashes
+            if (est >= threshold)
+              for (x <- carriers(g); y <- carriers(h))
+                out += ((math.min(x, y), math.max(x, y), est))
+            h += 1
+          }
+          g += 1
+        }
+        // cap is not binding on this path: append every new id
+        val newIds = carriers.iterator.map(_.length).sum
+        if (newIds > 0) {
+          val nb = java.util.Arrays.copyOf(buf0, buf0.length + newIds * entry)
+          val b2 = java.nio.ByteBuffer.wrap(nb)
+          var off = buf0.length
+          g = 0
+          while (g < d) {
+            val sig = order(g)
+            carriers(g).foreach { id =>
+              b2.putLong(off, id)
+              var s = 0
+              while (s < numHashes) { b2.putLong(off + 8 + 8 * s, sig(s)); s += 1 }
+              off += entry
+            }
+            g += 1
+          }
+          state.update(nb)
+        } else state.update(buf0)
+        out.iterator
+      }
+    }
+
   /** [[minhashDedupKernel]] wired end-to-end: streaming (or batch) docs in,
-    * (id1, id2, est_jaccard) candidate stream out. */
+    * (id1, id2, est_jaccard) candidate stream out. `preAggregate` selects
+    * the per-batch distinct-signature kernel (r15 A/B). */
   def minhashDedupStream(df: DataFrame, id: Column, text: Column,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8,
-      bucketCap: Int = graft.operators.Dedup.DefaultBucketCap): DataFrame = {
+      bucketCap: Int = graft.operators.Dedup.DefaultBucketCap,
+      preAggregate: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
     val sess = df.sparkSession
     import sess.implicits._
@@ -216,7 +331,8 @@ object StreamOps {
       .as[(Long, Seq[Long], Int, Long)]
       .groupByKey(r => (r._3, r._4))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        minhashDedupKernel(numHashes, threshold, bucketCap))
+        if (preAggregate) minhashDedupKernelPreAgg(numHashes, threshold, bucketCap)
+        else minhashDedupKernel(numHashes, threshold, bucketCap))
       .toDF("id1", "id2", "est_jaccard")
   }
 
@@ -598,6 +714,68 @@ object StreamOps {
           next.rights.map(_._1)
         if (wake.nonEmpty) state.setTimeoutTimestamp(math.max(wake.min, wm) + 1)
       }
+      out.iterator
+    }
+
+  // ── exactly-once joins (reference `Table.join(left_exactly_once,
+  //    right_exactly_once)`; engine dataflow.rs:2796) ───────────────────────
+
+  /** One event of the unioned (left ∪ right) stream feeding
+    * [[exactlyOnceJoinKernel]]. */
+  final case class JoinEvent[L, R](isLeft: Boolean, left: Option[L], right: Option[R])
+
+  final case class XOnceJoinState[L, R](lefts: List[L], rights: List[R])
+
+  /** flatMapGroupsWithState kernel for an INNER equi-join where either
+    * side may be declared EXACTLY-ONCE: a row on such a side joins at
+    * most once and is then retired (reference dataflow.rs:2796 — the
+    * matched rows feed back as retractions at the next timestamp, so
+    * they cannot match again; replayed against all four
+    * test_inner_join_exactly_once vectors in JoinFixtureSpec).
+    *
+    * Batch-arrival translation of the timestamp semantics: within one
+    * micro-batch, new rows match ALL available counterparts (held state
+    * plus same-batch arrivals — the reference emits every pair at the
+    * arrival timestamp before the retraction lands at t+ε), then each
+    * exactly-once side drops its matched rows. Two same-key rows in ONE
+    * batch on an exactly-once side are rejected exactly like the
+    * reference's `assert_distinct_batch` ("Repeated entry in a batch.").
+    *
+    * State is the unmatched rows only: on an exactly-once side it can
+    * hold at most one row per key between batches; a non-exactly-once
+    * side accumulates like any stream-stream inner join (bound it
+    * upstream with a watermark filter if the other side can lag
+    * unboundedly). Use as `union.groupByKey(key)
+    * .flatMapGroupsWithState(Append, NoTimeout)(
+    *    exactlyOnceJoinKernel[K, L, R](leftOnce, rightOnce))`. */
+  def exactlyOnceJoinKernel[K, L, R](leftOnce: Boolean, rightOnce: Boolean):
+      (K, Iterator[JoinEvent[L, R]], GroupState[XOnceJoinState[L, R]]) => Iterator[(K, L, R)] =
+    (key: K, rows: Iterator[JoinEvent[L, R]], state: GroupState[XOnceJoinState[L, R]]) => {
+      val st = state.getOption.getOrElse(XOnceJoinState[L, R](Nil, Nil))
+      val evs = rows.toList
+      val nl = evs.filter(_.isLeft).map(_.left.get)
+      val nr = evs.filter(!_.isLeft).map(_.right.get)
+      if (leftOnce && nl.length > 1)
+        throw new IllegalStateException(
+          s"Repeated entry in a batch: ${nl.length} left rows for key $key " +
+            "with left_exactly_once=true")
+      if (rightOnce && nr.length > 1)
+        throw new IllegalStateException(
+          s"Repeated entry in a batch: ${nr.length} right rows for key $key " +
+            "with right_exactly_once=true")
+      val availR = st.rights ++ nr
+      // pairs with at least one NEW participant (old × old already emitted)
+      val out = (for (l <- nl; r <- availR) yield (key, l, r)) ++
+        (for (l <- st.lefts; r <- nr) yield (key, l, r))
+      val keepL =
+        if (!leftOnce) st.lefts ++ nl
+        else (if (nr.nonEmpty) Nil else st.lefts) ++ (if (availR.nonEmpty) Nil else nl)
+      val keepR =
+        if (!rightOnce) availR
+        else (if (nl.nonEmpty) Nil else st.rights) ++
+          (if ((st.lefts ++ nl).nonEmpty) Nil else nr)
+      if (keepL.isEmpty && keepR.isEmpty) state.remove()
+      else state.update(XOnceJoinState(keepL, keepR))
       out.iterator
     }
 

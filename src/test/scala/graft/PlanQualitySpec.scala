@@ -33,7 +33,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "interval_join", "interval_join_left", "interval_join_right",
     "interval_join_full", "asof_backward", "asof_forward", "asof_nearest",
     "asof_full",
-    "window_join", "interpolate", "sync_group_cut", "inactivity_detect",
+    "window_join", "window_join_sliding", "window_join_session",
+    "intervals_over_inner", "interpolate", "sync_group_cut", "inactivity_detect",
     "sample_group_cap_hot",
     "text_tokens", "text_quality", "text_gopher", "text_c4", "text_langid",
     "text_fingerprint", "text_pii", "text_url_filter",

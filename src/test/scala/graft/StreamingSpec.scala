@@ -97,6 +97,52 @@ class StreamingSpec extends AnyFunSuite {
     q2.stop()
   }
 
+  test("pre-aggregated minhash kernel emits the same pair set as the fine kernel") {
+    implicit val sql = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronauts deliberate about breakfast in the orbital cafeteria"
+    def run(preAgg: Boolean): Set[(Long, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamOps.minhashDedupStream(input.toDF().toDF("doc_id", "text"),
+          col("doc_id"), col("text"), threshold = 0.7, preAggregate = preAgg)
+        .writeStream.format("memory").queryName(s"mh_pa_$preAgg")
+        .outputMode("append").start()
+      // batch 1: an identical-signature flood plus an unrelated doc
+      input.addData((1L, base), (2L, base), (3L, base),
+        (50L, "an entirely unrelated note about volcano insurance premiums"))
+      q.processAllAvailable()
+      // batch 2: near-dup (distinct sig) + more of the flood + id re-delivery
+      input.addData((4L, base + " tail"), (5L, base), (3L, base))
+      q.processAllAvailable()
+      val out = spark.table(s"mh_pa_$preAgg").select("id1", "id2").distinct()
+        .as[(Long, Long)].collect().toSet
+      q.stop()
+      out
+    }
+    val fine = run(preAgg = false)
+    val pre = run(preAgg = true)
+    assert(fine == pre && fine.nonEmpty, s"fine=$fine preAgg=$pre")
+    // the flood must actually have linked: 1-2-3-5 clique plus 4 via near-dup
+    assert(pre.contains((1L, 2L)) && pre.contains((1L, 5L)))
+
+    // capped invocation delegates to the fine kernel: star pairs only
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamOps.minhashDedupStream(input2.toDF().toDF("doc_id", "text"),
+        col("doc_id"), col("text"), threshold = 0.7, bucketCap = 2,
+        preAggregate = true)
+      .writeStream.format("memory").queryName("mh_pa_capped")
+      .outputMode("append").start()
+    input2.addData((1L, base), (2L, base))
+    q2.processAllAvailable()
+    input2.addData((3L, base), (4L, base))
+    q2.processAllAvailable()
+    val got = spark.table("mh_pa_capped").select("id1", "id2").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)),
+      s"star pairs only, got $got")
+    q2.stop()
+  }
+
   test("coarse-state minhash kernel emits the same pairs as the fine kernel") {
     implicit val sql = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog while seventeen " +

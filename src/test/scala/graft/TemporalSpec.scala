@@ -133,6 +133,33 @@ class TemporalSpec extends AnyFunSuite {
       (1, true, 2, 0, 7, 7), (1, true, 8, 9, 3, 12)))
   }
 
+  test("asofJoinFull: equal-time same-side duplicates match deterministically") {
+    import spark.implicits._
+    // three rights share one timestamp with distinct payloads: the
+    // left-driven match must be the same payload regardless of input
+    // partitioning (r15 ADVICE: last() over a (t, side)-only order picked
+    // a partition-order-dependent peer; the reference's make_sort_key
+    // ends in the row id)
+    val l = Seq((0, 1, 10)).toDF("k", "lval", "t")
+    def run(parts: Int): Set[(Boolean, Int, Int, Int)] =
+      Temporal.asofJoinFull(l,
+          Seq((0, 101, 5), (0, 102, 5), (0, 103, 5)).toDF("k", "rval", "t")
+            .repartition(parts),
+          col("t"), col("t"), col("k"), col("k"),
+          Seq("lval" -> col("lval")), Seq("rval" -> col("rval")))
+        .select(col("side"), col("_t").cast("int"),
+          coalesce(col("lval"), lit(-1)), coalesce(col("rval"), lit(-1)))
+        .collect()
+        .map(x => (x.getBoolean(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+        .toSet
+    val runs = Seq(1, 3, 7, 32).map(run)
+    assert(runs.distinct.size == 1,
+      s"matched peers must not depend on partitioning: $runs")
+    // every right-driven row sees the equal-time group's running state;
+    // the single left must match exactly one deterministic right payload
+    assert(runs.head.count(_._1 == false) == 1)
+  }
+
   test("sessionize: strict gap boundary") {
     import spark.implicits._
     val df = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:30:00"),
@@ -140,8 +167,9 @@ class TemporalSpec extends AnyFunSuite {
       .toDF("k", "t").withColumn("t", col("t").cast("timestamp_ntz"))
     val sess = Temporal.sessionize(df, col("t"), Duration.minutes(30), Seq(col("k")))
     val n = sess.select("k", "_sid").distinct().count()
-    // user1: rows at 0 and 30min merge (gap == 30min not > 30min); 1:00:01 splits
-    assert(n == 3)
+    // reference _window.py:77 merges on next − cur < max_gap (STRICT): user1's
+    // gap of exactly 30min SPLITS, so user1 has 3 sessions and user2 has 1
+    assert(n == 4)
   }
 
   test("custom-predicate session merge") {
