@@ -93,7 +93,14 @@ object Bench {
       .mkString("{", ",", "}")
     val warmTotal = results.values.map(_._2).filter(_ > 0).sum
     val coldTotal = results.values.map(_._1).filter(_ > 0).sum
-    val line = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}"""
+    // real-streaming rows are WALL-CLOCK FLOORS (live micro-batches run to
+    // an admission fixed point / state-store replay), not compute —
+    // compute_total excludes them so cross-round board ratios track engine
+    // work (BASELINE.md explains the split once)
+    val streamingFloor = Set("sync_group_stream", "inactivity_stream_replay")
+    val computeTotal = results.collect {
+      case (k, (_, w, _)) if w > 0 && !streamingFloor(k) => w }.sum
+    val line = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","compute_total":${r3(computeTotal)},"cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the tail of stdout (~2000 chars, BENCH_r*.json
     // "tail"), so the full line above gets its head cut off once the query map
@@ -102,12 +109,13 @@ object Bench {
     // tail-side parser always finds one complete {"metric":...} JSON line.
     val top = results.toSeq.sortBy(-_._2._2).take(15)
       .map { case (k, (_, w, _)) => s"\"" + k + "\":" + r3(w) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","cold_total":${r3(coldTotal)},"n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","compute_total":${r3(computeTotal)},"cold_total":${r3(coldTotal)},"n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
     try {
       val full = results.map { case (k, (c, w, n)) =>
         s"""    "$k": {"cold": ${r3(c)}, "warm": ${r3(w)}, "reps": $n}""" }
         .mkString("{\n  \"metric\": \"total\",\n  \"value\": " + r3(warmTotal) +
-          ",\n  \"unit\": \"sec\",\n  \"cold_total\": " + r3(coldTotal) +
+          ",\n  \"unit\": \"sec\",\n  \"compute_total\": " + r3(computeTotal) +
+          ",\n  \"cold_total\": " + r3(coldTotal) +
           ",\n  \"sf\": \"" + sfDir + "\",\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -193,9 +193,12 @@ object StreamBench {
       // bench knob: SPARK_GRAFT_MINHASH_BANDS sweeps the bands/recall-vs-
       // state-rows trade (state rows and stateful groups scale with bands)
       val bands = sys.env.getOrElse("SPARK_GRAFT_MINHASH_BANDS", "8").toInt
+      // r15 A/B lever: per-batch distinct-signature pre-aggregation
+      val preAgg = sys.env.getOrElse("SPARK_GRAFT_MINHASH_PREAGG", "false").toBoolean
       StreamOps.minhashDedupStream(
           rateSrc.select(col("value").as("doc_id"), text.as("text")),
-          col("doc_id"), col("text"), bands = bands, threshold = 0.7)
+          col("doc_id"), col("text"), bands = bands, threshold = 0.7,
+          preAggregate = preAgg)
         .writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", ckpt()).start()
     }
@@ -492,6 +495,9 @@ object StreamBench {
           .option("group", "sb_spool").option("member", member)
           .option("maxDifference", maxDiff.toString)
           .option("groupSize", "2")
+          // A/B lever for the r15 compaction item: with compaction on, the
+          // per-trigger listing term shrinks as the drain proceeds
+          .option("compact", sys.env.getOrElse("SPARK_GRAFT_SPOOL_COMPACT", "false"))
           .load()
           .writeStream.format("noop")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10))

@@ -426,7 +426,14 @@ object InputSynchronization {
   * (Long-castable replay/sync column), `rowsPerBatch`, `group`, `member`,
   * `maxDifference`, optional `priority`, `idleMs`, and `groupSize` (the
   * declared member count — set it so the first-constructed member cannot
-  * drain unsynchronized before its peers' streams initialize). */
+  * drain unsynchronized before its peers' streams initialize).
+  *
+  * DEMO source: it holds the table's whole sync-value array on the driver
+  * (the one unbounded-by-contract collect in the codebase — r14 audit) to
+  * demonstrate the V2 admission surface at row granularity. Production
+  * code and the board row use [[SyncedSpoolSource]], which plans from
+  * per-file aggregates and never collects row data. */
+@deprecated("demo source (driver-resident sync array); use SyncedSpoolSource", "r15")
 class SyncedReplaySource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     org.apache.spark.sql.SparkSession.active.read.parquet(options.get("path")).schema

@@ -43,7 +43,10 @@ import scala.collection.mutable
   *
   * Options: `path` (spool dir), `syncCol` (Long-castable field inside the
   * JSON), `filesPerBatch`, `group`, `member`, `maxDifference`, optional
-  * `priority`, `idleMs`, `groupSize`.
+  * `priority`, `idleMs`, `groupSize`, and `compact` (default false: move
+  * each committed file into `_processed/` after its batch commits, so the
+  * per-trigger directory listing — the one O(files) planning term — scans
+  * only the unprocessed tail; see [[SyncedSpoolStream.commit]]).
   */
 class SyncedSpoolSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -57,7 +60,8 @@ class SyncedSpoolSource extends TableProvider {
       opts.getLong("maxdifference", Long.MaxValue),
       opts.getInt("priority", 0),
       Option(opts.get("idlems")).map(_.toLong),
-      opts.getInt("groupsize", 0))
+      opts.getInt("groupsize", 0),
+      opts.getBoolean("compact", false))
   }
 }
 
@@ -67,7 +71,8 @@ private[sources] object SyncedSpool {
 
 private[sources] class SyncedSpoolTable(path: String, syncCol: String,
     filesPerBatch: Int, groupName: String, member: String,
-    maxDifference: Long, priority: Int, idleMs: Option[Long], groupSize: Int)
+    maxDifference: Long, priority: Int, idleMs: Option[Long], groupSize: Int,
+    compact: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft-synced-spool($path as $member@$groupName)"
   override def schema(): StructType = SyncedSpool.schema
@@ -78,13 +83,13 @@ private[sources] class SyncedSpoolTable(path: String, syncCol: String,
       override def readSchema(): StructType = SyncedSpool.schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new SyncedSpoolStream(path, syncCol, filesPerBatch, groupName, member,
-          maxDifference, priority, idleMs, groupSize)
+          maxDifference, priority, idleMs, groupSize, compact)
     }
 }
 
 private[sources] class SyncedSpoolStream(path: String, syncCol: String,
     filesPerBatch: Int, groupName: String, member: String, maxDifference: Long,
-    priority: Int, idleMs: Option[Long], groupSize: Int)
+    priority: Int, idleMs: Option[Long], groupSize: Int, compact: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
   private def spark = org.apache.spark.sql.SparkSession.active
   private val coordinator = InputSynchronization.group(groupName, maxDifference)
@@ -101,11 +106,58 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
   private val frontierCache = mutable.HashMap.empty[String, (Long, Long)]
   /** Names admitted so far in rank order (rebuilt from the sorted listing
     * on checkpoint recovery — the monotone-naming contract makes sorted
-    * order == admission order). Guards against late under-frontier files. */
+    * order == admission order). Guards against late under-frontier files.
+    * Entries of COMPACTED files point into `_processed/`. */
   private val admittedNames = mutable.ArrayBuffer.empty[String]
 
   private def fs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def processedDir = new org.apache.hadoop.fs.Path(path, "_processed")
+
+  /** Files already moved to `_processed/`, in rank order (the compacted
+    * PREFIX of the spool — compaction only ever moves committed ranks, and
+    * names keep their sort position, so the `_processed` listing sorted by
+    * name IS ranks [0, compactedNames.length)). Read regardless of the
+    * `compact` option: a spool compacted by a previous run must keep its
+    * rank mapping even if this run turns compaction off. */
+  private lazy val compactedNames: mutable.ArrayBuffer[String] = {
+    val buf = mutable.ArrayBuffer.empty[String]
+    val f = fs
+    if (f.exists(processedDir))
+      buf ++= f.listStatus(processedDir).iterator
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).toArray.sorted
+    buf
+  }
+
+  /** Processed-file compaction (`compact=true`): after a batch's offset
+    * commit, its files move into `_processed/` (same-FS rename), so the
+    * per-trigger `listStatus` of the spool dir — the one O(files) planning
+    * term (BASELINE r14: p50 177→291 ms at 300→7500 files) — scans only
+    * the UNPROCESSED tail. Committed ranks resolve through
+    * [[compactedNames]]; recovery and committed-batch replans read the
+    * moved bytes from `_processed/` (names, order, and content are
+    * preserved — the never-remove contract holds, relocated). */
+  override def commit(end: Offset): Unit = if (compact) {
+    val e = math.min(end.asInstanceOf[ReplayOffset].rank,
+      admittedNames.length.toLong).toInt
+    if (compactedNames.length < e) {
+      val f = fs
+      if (!f.exists(processedDir)) f.mkdirs(processedDir)
+      while (compactedNames.length < e) {
+        val i = compactedNames.length
+        val src = new org.apache.hadoop.fs.Path(admittedNames(i))
+        val dst = new org.apache.hadoop.fs.Path(processedDir, src.getName)
+        // a failed rename leaves the file in place — rank mapping stays
+        // consistent (the file is still found in the main listing); stop
+        // compacting this round rather than leaving a gap in the prefix
+        if (!f.rename(src, dst)) return
+        admittedNames(i) = dst.toString
+        compactedNames += dst.toString
+      }
+    }
+  }
 
   /** Visible spool files, sorted by name. Hidden/tmp files (`.`-prefixed,
     * the write-then-rename staging names) are excluded. The last listing
@@ -184,15 +236,17 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ReplayOffset].rank.toInt
     val files = listSorted()
+    val nc = compactedNames.length // compacted PREFIX: global ranks [0, nc)
     // length check hoisted above the recovery rebuild: an emptied/shrunk
     // spool must hit the contract message, not admittedNames.last's
     // NoSuchElementException inside the rebuild (the prefix check must stay
     // BELOW it — before the rebuild admittedNames is legitimately empty)
-    require(files.length >= s,
-      s"spool $path lists ${files.length} files but rank $s was committed: " +
-        "files must never be removed or renamed")
+    require(nc + files.length >= s,
+      s"spool $path lists ${files.length} files (+$nc compacted) but rank $s " +
+        "was committed: files must never be removed or renamed")
     if (admittedNames.isEmpty && s > 0) { // checkpoint recovery
-      admittedNames ++= files.take(s)
+      admittedNames ++= compactedNames
+      admittedNames ++= files.take(s - nc)
       lastFrontier = frontiersOf(Seq(admittedNames.last)).head._2
       // fresh-process recovery: the JVM-global coordinator starts empty,
       // and a member recovering over a drained/quiet spool would never
@@ -200,10 +254,10 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
       // keeps pacing its peers (see Coordinator.seed)
       coordinator.seed(member, lastFrontier, lease)
     }
-    require(files.take(s).sameElements(admittedNames.take(s)),
+    require(files.take(s - nc).sameElements(admittedNames.view.slice(nc, s).toSeq),
       s"spool $path changed under the committed frontier (rank $s): file names " +
         "must be lexicographically monotone in arrival order and never removed")
-    val pending = files.slice(s, s + filesPerBatch).toSeq
+    val pending = files.slice(s - nc, s - nc + filesPerBatch).toSeq
     val fronts = frontiersOf(pending)
     fronts.foldLeft(lastFrontier) { (prev, f) =>
       require(f._2 >= prev, s"spool $path violates the sync-order contract: a " +
@@ -223,10 +277,9 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
   /** Progress-metrics probe only — reuses the trigger's listing instead of
     * a second full listStatus per micro-batch (an object-store spool with
     * thousands of files would pay double planning I/O otherwise). */
-  override def reportLatestOffset(): Offset = ReplayOffset(
+  override def reportLatestOffset(): Offset = ReplayOffset(compactedNames.length +
     (if (lastListing != null) lastListing else listSorted()).length.toLong)
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = coordinator.deregister(member, lease)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -234,9 +287,10 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
     val e = end.asInstanceOf[ReplayOffset].rank.toInt
     if (e <= s) return Array.empty
     // recovery replan of a committed batch may arrive before any
-    // latestOffset call: the sorted listing IS rank order by contract
-    val files = if (admittedNames.length >= e) admittedNames else {
-      val listed = listSorted().toSeq
+    // latestOffset call: compacted prefix + sorted listing IS rank order
+    // by contract (compaction only moves a committed name-ordered prefix)
+    val files = if (admittedNames.length >= e) admittedNames.toSeq else {
+      val listed = compactedNames.toSeq ++ listSorted()
       // a shrunk spool means committed files were deleted/renamed — replay
       // would silently read DIFFERENT bytes into an already-committed
       // batch; fail loudly instead. (A rename preserving sort position is

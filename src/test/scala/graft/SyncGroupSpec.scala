@@ -379,6 +379,77 @@ class SyncGroupSpec extends AnyFunSuite {
     } finally { qa.stop(); qb.stop() }
   }
 
+  test("spool compaction: committed files move to _processed/; ranks survive recovery") {
+    // r15 item 4: the per-trigger listStatus was the one O(files) planning
+    // term; with compact=true each committed file moves to _processed/, so
+    // steady-state listing is O(unprocessed). Ranks must keep resolving
+    // through the moved prefix — including checkpoint recovery over a
+    // FULLY compacted spool followed by a new arrival.
+    InputSynchronization.reset("spoolc")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spoolc").toString
+    def writeFile(m: String, k: Int): Unit = {
+      val d = java.nio.file.Paths.get(dir, m)
+      java.nio.file.Files.createDirectories(d)
+      val lines = (0 until 3).map(i => s"""{"t":${3 * k + i}}""")
+      java.nio.file.Files.write(d.resolve(f"f$k%05d.json"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    }
+    for (m <- Seq("a", "b"); k <- 0 until 10) writeFile(m, k)
+    val ck = java.nio.file.Files.createTempDirectory("graft-spoolc-ck").toString
+    def start(member: String) = spark.readStream
+      .format("graft.sources.SyncedSpoolSource")
+      .option("path", s"$dir/$member").option("syncCol", "t")
+      .option("filesPerBatch", "2").option("group", "spoolc")
+      .option("member", member).option("maxDifference", "10")
+      .option("groupSize", "2").option("compact", "true")
+      .load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$ck/$member")
+      .trigger(Trigger.ProcessingTime(25)).start()
+    def visible(m: String) = new java.io.File(s"$dir/$m").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    def processed(m: String) = {
+      val d = new java.io.File(s"$dir/$m/_processed")
+      if (d.exists) d.listFiles().count(_.isFile) else 0
+    }
+    val c = InputSynchronization.group("spoolc", 10L)
+    val qa = start("a"); val qb = start("b")
+    try {
+      var deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        !(c.frontiers.get("a").flatten.contains(29L) &&
+          c.frontiers.get("b").flatten.contains(29L))) Thread.sleep(50)
+      assert(c.frontiers("a").contains(29L) && c.frontiers("b").contains(29L),
+        s"both spools must drain, got ${c.frontiers}")
+      // compaction follows the batch commits — Spark invokes commit(N)
+      // only once a LATER batch runs, so the final batch's files (≤
+      // filesPerBatch of them) legitimately stay in the main dir until
+      // the next arrival: steady-state listing is O(unprocessed + 1 batch)
+      deadline = System.currentTimeMillis() + 20000
+      while (System.currentTimeMillis() < deadline &&
+        (visible("a") > 2 || visible("b") > 2)) Thread.sleep(50)
+      for (m <- Seq("a", "b")) {
+        assert(visible(m) <= 2 && visible(m) + processed(m) == 10,
+          s"$m main=${visible(m)} processed=${processed(m)}")
+        assert(processed(m) >= 8, s"$m compacted only ${processed(m)}")
+      }
+    } finally { qa.stop(); qb.stop() }
+    // recovery over the fully-compacted spool: ranks resolve through
+    // _processed, the recovered frontier seeds the coordinator, and a NEW
+    // file is admitted on top
+    for (m <- Seq("a", "b")) writeFile(m, 10)
+    val qa2 = start("a"); val qb2 = start("b")
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        !(c.frontiers.get("a").flatten.contains(32L) &&
+          c.frontiers.get("b").flatten.contains(32L))) Thread.sleep(50)
+      assert(c.frontiers("a").contains(32L) && c.frontiers("b").contains(32L),
+        s"recovered spools must admit the new file: ${c.frontiers}")
+      assert(c.violationCount == 0L)
+    } finally { qa2.stop(); qb2.stop() }
+  }
+
   test("spool that violates sync order fails loudly instead of slipping rows past the group") {
     // names monotone but file 2's sync values UNDERCUT file 1's — the
     // "arrival order is sync order" contract is broken; the source must
