@@ -601,11 +601,7 @@ object SparkEntry {
   }
 
   private def qWindowJoin(s: SparkSession, dir: String): DataFrame = {
-    val e = eventsT(s, dir)
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("event_id").as("l_id"), col("user_id").as("l_user"), col("ts_t").as("l_t"))
-    val views = e.filter(col("event_type") === "view")
-      .select(col("event_id").as("r_id"), col("user_id").as("r_user"), col("ts_t").as("r_t"))
+    val (clicks, views) = clicksViews(s, dir)
     Temporal.windowJoin(clicks, views, col("l_t"), col("r_t"), H1,
         col("l_user") === col("r_user"), "inner")
       .groupBy(col("w_start"))

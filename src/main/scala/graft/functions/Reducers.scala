@@ -47,11 +47,18 @@ object Reducers {
     * tieBreak — the reference keeps max by `(value, Reverse(key))`
     * (reduce.rs:504; pinned by test_argmin_argmax_different_column, where
     * argmax(age, name) over an age tie returns the alphabetically FIRST
-    * name). Implemented as min over (−value, tieBreak), so `value` must
+    * name). Implemented as min over an inverted sort key, so `value` must
     * be numeric — callers with time values pass the epoch number
-    * (r15 decode: the previous max-tieBreak tie diverged). */
+    * (r15 decode: the previous max-tieBreak tie diverged). Ordering
+    * guards (a bare `-value` would invert them): NULL values never win
+    * unless the whole group is null, and NaN counts as the LARGEST value
+    * — both what `max_by` did and what the reference's total value order
+    * does. The one unguarded sentinel: `-Long.MinValue` overflows back
+    * onto itself, so a group containing exactly Long.MinValue ranks it
+    * as if it were the maximum. */
   def argmax(arg: Column, value: Column, tieBreak: Column): Column =
-    min_by(arg, struct(-value, tieBreak))
+    min_by(arg, struct(value.isNull,
+      not(coalesce(isnan(value.cast("double")), lit(false))), -value, tieBreak))
 
   // ── unique (reducers.py:520, reduce.rs:34): all values equal, else error ────
   def unique(c: Column): Column =

@@ -75,26 +75,23 @@ object Temporal {
     * reference allows it (rows between windows belong to NO window).
     * `origin` aligns and left-truncates exactly like [[tumble]]. */
   def slide(df: DataFrame, t: Column, durNs: Long, hopNs: Long,
-      originNs: Option[Long] = None): DataFrame = {
-    val base = if (hopNs <= durNs) {
+      originNs: Option[Long] = None): DataFrame =
+    if (hopNs <= durNs) {
       val hUs = hopNs / 1000L
       val offUs = originNs.map(o => ((o / 1000L % hUs) + hUs) % hUs).getOrElse(0L)
       val w = window(t, interval(durNs), interval(hopNs), s"$offUs microseconds")
-      df.withColumn("_w", w)
+      val base = df.withColumn("_w", w)
         .withColumn("w_start", col("_w.start").cast("timestamp_ntz"))
         .withColumn("w_end", col("_w.end").cast("timestamp_ntz"))
         .drop("_w")
-    } else {
+      originNs.fold(base)(o => base.filter(usOf(col("w_start")) >= lit(o / 1000L)))
+    } else { // explicit enumeration truncates at the origin itself
       df.withColumn("_ws",
           explode(windowStartsUs(t, durNs, hopNs, originNs)))
         .withColumn("w_start", usToTs(col("_ws")))
         .withColumn("w_end", usToTs(col("_ws") + lit(durNs / 1000L)))
         .drop("_ws")
     }
-    if (hopNs <= durNs)
-      originNs.fold(base)(o => base.filter(usOf(col("w_start")) >= lit(o / 1000L)))
-    else base // the explicit path already truncated at the origin
-  }
 
   /** Session windows (_window.py:501, gap-based): adds `s_start`/`s_end` per
     * instance. Batch formulation: boundary flag + running sum = session id —
@@ -330,13 +327,17 @@ object Temporal {
 
   // ───────────────────── window_join (_window_join.py:156) ─────────────────────
 
-  /** window_join: both sides assigned tumbling windows; join on (window, keys). */
+  /** window_join: both sides assigned tumbling windows; join on (window, keys).
+    * `w_start`/`w_end` survive for BOTH sides' rows — an unmatched right in
+    * right/outer modes carries its own window, not nulls (r15 review). */
   def windowJoin(l: DataFrame, r: DataFrame, lt: Column, rt: Column,
       durNs: Long, keys: Column, how: String = "inner"): DataFrame = {
     val lw = tumble(l, lt, durNs)
     val rw = tumble(r, rt, durNs)
       .withColumnRenamed("w_start", "w_start_r").withColumnRenamed("w_end", "w_end_r")
-    lw.join(rw, keys && col("w_start") === col("w_start_r"), how)
+    lw.join(rw, keys && col("w_start") === col("w_start_r"), joinMode(how))
+      .withColumn("w_start", coalesce(col("w_start"), col("w_start_r")))
+      .withColumn("w_end", coalesce(col("w_end"), col("w_end_r")))
       .drop("w_start_r", "w_end_r")
   }
 

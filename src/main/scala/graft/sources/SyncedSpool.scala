@@ -235,18 +235,21 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
   private var lastFrontier = Long.MinValue
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ReplayOffset].rank.toInt
-    val files = listSorted()
-    val nc = compactedNames.length // compacted PREFIX: global ranks [0, nc)
+    // GLOBAL rank order = compacted prefix (already-moved, name-sorted)
+    // then the live listing: every rank computation below uses this one
+    // view, so a FRESH query (or an older checkpoint, s < compacted) over
+    // a previously-compacted spool reprocesses the moved files from
+    // _processed/ instead of silently skipping the prefix (r15 review)
+    val all: IndexedSeq[String] = (compactedNames ++ listSorted()).toIndexedSeq
     // length check hoisted above the recovery rebuild: an emptied/shrunk
     // spool must hit the contract message, not admittedNames.last's
     // NoSuchElementException inside the rebuild (the prefix check must stay
     // BELOW it — before the rebuild admittedNames is legitimately empty)
-    require(nc + files.length >= s,
-      s"spool $path lists ${files.length} files (+$nc compacted) but rank $s " +
+    require(all.length >= s,
+      s"spool $path lists ${all.length} files (incl. compacted) but rank $s " +
         "was committed: files must never be removed or renamed")
     if (admittedNames.isEmpty && s > 0) { // checkpoint recovery
-      admittedNames ++= compactedNames
-      admittedNames ++= files.take(s - nc)
+      admittedNames ++= all.take(s)
       lastFrontier = frontiersOf(Seq(admittedNames.last)).head._2
       // fresh-process recovery: the JVM-global coordinator starts empty,
       // and a member recovering over a drained/quiet spool would never
@@ -254,10 +257,10 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
       // keeps pacing its peers (see Coordinator.seed)
       coordinator.seed(member, lastFrontier, lease)
     }
-    require(files.take(s - nc).sameElements(admittedNames.view.slice(nc, s).toSeq),
+    require(all.take(s).sameElements(admittedNames.take(s)),
       s"spool $path changed under the committed frontier (rank $s): file names " +
         "must be lexicographically monotone in arrival order and never removed")
-    val pending = files.slice(s - nc, s - nc + filesPerBatch).toSeq
+    val pending = all.slice(s, s + filesPerBatch).toSeq
     val fronts = frontiersOf(pending)
     fronts.foldLeft(lastFrontier) { (prev, f) =>
       require(f._2 >= prev, s"spool $path violates the sync-order contract: a " +

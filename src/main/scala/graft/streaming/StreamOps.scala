@@ -312,7 +312,12 @@ object StreamOps {
 
   /** [[minhashDedupKernel]] wired end-to-end: streaming (or batch) docs in,
     * (id1, id2, est_jaccard) candidate stream out. `preAggregate` selects
-    * the per-batch distinct-signature kernel (r15 A/B). */
+    * the per-batch distinct-signature kernel (r15 A/B: 1.38× capacity on
+    * the synthetic ingest — real, but the regime stays compare-CPU +
+    * commit bound at a few thousand docs/s per 8 cores; BASELINE.md r15).
+    * For CORPUS-scale dedup use the batch path
+    * ([[graft.operators.Dedup.dedupPipeline]]) — this kernel is for
+    * live-ingest near-dup flagging at ingest rates. */
   def minhashDedupStream(df: DataFrame, id: Column, text: Column,
       k: Int = 5, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8,
@@ -736,17 +741,20 @@ object StreamOps {
     * Batch-arrival translation of the timestamp semantics: within one
     * micro-batch, new rows match ALL available counterparts (held state
     * plus same-batch arrivals — the reference emits every pair at the
-    * arrival timestamp before the retraction lands at t+ε), then each
-    * exactly-once side drops its matched rows. Two same-key rows in ONE
-    * batch on an exactly-once side are rejected exactly like the
-    * reference's `assert_distinct_batch` ("Repeated entry in a batch.").
+    * arrival timestamp before the retraction lands at t+ε). An
+    * exactly-once side's row that participates in MORE THAN ONE pair at
+    * one timestamp is rejected — in the reference that row appears twice
+    * in the retraction batch and `assert_distinct_batch` raises
+    * "Repeated entry in a batch." (so the error fires when the repeats
+    * MATCH, not when they arrive — test_inner_join_exactly_once_with_
+    * repeats errors only once the left shows up); then each exactly-once
+    * side drops its matched rows.
     *
-    * State is the unmatched rows only: on an exactly-once side it can
-    * hold at most one row per key between batches; a non-exactly-once
-    * side accumulates like any stream-stream inner join (bound it
-    * upstream with a watermark filter if the other side can lag
-    * unboundedly). Use as `union.groupByKey(key)
-    * .flatMapGroupsWithState(Append, NoTimeout)(
+    * State is the unmatched rows only; unmatched rows accumulate on
+    * either side until a counterpart arrives (same as the reference's
+    * arrangement — bound a non-exactly-once side upstream with a
+    * watermark filter if its counterpart can lag unboundedly). Use as
+    * `union.groupByKey(key).flatMapGroupsWithState(Append, NoTimeout)(
     *    exactlyOnceJoinKernel[K, L, R](leftOnce, rightOnce))`. */
   def exactlyOnceJoinKernel[K, L, R](leftOnce: Boolean, rightOnce: Boolean):
       (K, Iterator[JoinEvent[L, R]], GroupState[XOnceJoinState[L, R]]) => Iterator[(K, L, R)] =
@@ -755,15 +763,19 @@ object StreamOps {
       val evs = rows.toList
       val nl = evs.filter(_.isLeft).map(_.left.get)
       val nr = evs.filter(!_.isLeft).map(_.right.get)
-      if (leftOnce && nl.length > 1)
-        throw new IllegalStateException(
-          s"Repeated entry in a batch: ${nl.length} left rows for key $key " +
-            "with left_exactly_once=true")
-      if (rightOnce && nr.length > 1)
-        throw new IllegalStateException(
-          s"Repeated entry in a batch: ${nr.length} right rows for key $key " +
-            "with right_exactly_once=true")
+      // per-row pair multiplicities this batch: a new left matches every
+      // available right (held + same-batch), a held left only the new ones
       val availR = st.rights ++ nr
+      if (leftOnce && ((nl.nonEmpty && availR.length > 1) ||
+          (st.lefts.nonEmpty && nr.length > 1)))
+        throw new IllegalStateException(
+          s"Repeated entry in a batch: a left row for key $key would match " +
+            "multiple rights at once with left_exactly_once=true")
+      if (rightOnce && ((nr.nonEmpty && st.lefts.length + nl.length > 1) ||
+          (st.rights.nonEmpty && nl.length > 1)))
+        throw new IllegalStateException(
+          s"Repeated entry in a batch: a right row for key $key would match " +
+            "multiple lefts at once with right_exactly_once=true")
       // pairs with at least one NEW participant (old × old already emitted)
       val out = (for (l <- nl; r <- availR) yield (key, l, r)) ++
         (for (l <- st.lefts; r <- nr) yield (key, l, r))

@@ -79,15 +79,47 @@ class JoinFixtureSpec extends AnyFunSuite {
     val q = flat.map { case (k, l, r) => (k, l._2, r._2) }
       .toDF("a", "b", "c").writeStream.format("memory").queryName("xonce_repeat")
       .outputMode("append").start()
+    // the reference errors when the repeats MATCH (the doubled retraction
+    // trips assert_distinct_batch), not when they arrive: the two rights
+    // at __time__ 2 pass, the left at __time__ 4 raises
     input.addData(
       JoinEvent[(Int, Int), (Int, Int)](false, None, Some((2, 200))),
       JoinEvent[(Int, Int), (Int, Int)](false, None, Some((2, 500))))
+    q.processAllAvailable() // no match yet — no error
+    input.addData(JoinEvent[(Int, Int), (Int, Int)](true, Some((2, 20)), None))
     val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q.processAllAvailable()
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(err).exists(_.contains("Repeated entry in a batch")))
+    q.stop()
+  }
+
+  test("exactly_once: unmatched rows accumulate; a multi-match on an exactly-once side errors") {
+    implicit val sql = spark.sqlContext
+    // leftOnce only: two lefts held across batches both legitimately match
+    // one arriving right (each joins once; the right is reusable)
+    val input = MemoryStream[JoinEvent[(Int, Int), (Int, Int)]]
+    val flat = input.toDS()
+      .groupByKey(e => if (e.isLeft) e.left.get._1 else e.right.get._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        StreamOps.exactlyOnceJoinKernel[Int, (Int, Int), (Int, Int)](true, false))
+    val q = flat.map { case (k, l, r) => (k, l._2, r._2) }
+      .toDF("a", "b", "c").writeStream.format("memory").queryName("xonce_accum")
+      .outputMode("append").start()
+    input.addData(JoinEvent[(Int, Int), (Int, Int)](true, Some((7, 10)), None))
+    q.processAllAvailable()
+    input.addData(JoinEvent[(Int, Int), (Int, Int)](true, Some((7, 40)), None))
+    q.processAllAvailable()
+    input.addData(JoinEvent[(Int, Int), (Int, Int)](false, None, Some((7, 100))))
+    q.processAllAvailable()
+    assert(spark.table("xonce_accum").as[(Int, Int, Int)].collect().toSeq.sorted ==
+      Seq((7, 10, 100), (7, 40, 100)))
+    // and nothing re-matches: both lefts are retired
+    input.addData(JoinEvent[(Int, Int), (Int, Int)](false, None, Some((7, 200))))
+    q.processAllAvailable()
+    assert(spark.table("xonce_accum").count() == 2)
     q.stop()
   }
 }

@@ -41,6 +41,22 @@ class ReducerFixtureSpec extends AnyFunSuite {
     assert(mx19 == "David")
   }
 
+  test("argmax ordering guards: null values never win, NaN counts as largest") {
+    // r15 review: a bare min_by over -value would invert null ordering
+    // (nulls-first would WIN) and lose NaN-is-largest
+    val withNull = Seq((1, "a", Some(5.0)), (2, "b", None), (3, "c", Some(3.0)))
+      .toDF("id", "name", "v")
+    assert(withNull.agg(Reducers.argmax(col("name"), col("v"), col("name")))
+      .head.getString(0) == "a")
+    val allNull = Seq((1, "a", None: Option[Double]), (2, "b", None)).toDF("id", "name", "v")
+    assert(allNull.agg(Reducers.argmax(col("name"), col("v"), col("name")))
+      .head.getString(0) == "a") // whole-group null: smallest tieBreak
+    val withNan = Seq((1, "a", 5.0), (2, "b", Double.NaN), (3, "c", 3.0))
+      .toDF("id", "name", "v")
+    assert(withNan.agg(Reducers.argmax(col("name"), col("v"), col("name")))
+      .head.getString(0) == "b") // NaN ranks largest, like max_by and the Rust order
+  }
+
   test("unique: single value per group passes, mixed group errors (test_unique)") {
     val pets = Seq(("dog", "Bob", 10), ("cat", "Alice", 9), ("cat", "Alice", 8),
       ("dog", "Bob", 7), ("foo", "Charlie", 6)).toDF("pet", "owner", "age")

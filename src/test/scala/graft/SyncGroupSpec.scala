@@ -448,6 +448,29 @@ class SyncGroupSpec extends AnyFunSuite {
         s"recovered spools must admit the new file: ${c.frontiers}")
       assert(c.violationCount == 0L)
     } finally { qa2.stop(); qb2.stop() }
+    // FRESH query (new checkpoint) over the compacted spool: the global
+    // rank view must serve the moved prefix from _processed/ for
+    // reprocessing instead of silently skipping it (r15 review finding)
+    val ck2 = java.nio.file.Files.createTempDirectory("graft-spoolc-ck2").toString
+    def startFresh(member: String) = spark.readStream
+      .format("graft.sources.SyncedSpoolSource")
+      .option("path", s"$dir/$member").option("syncCol", "t")
+      .option("filesPerBatch", "4").option("group", "spoolc")
+      .option("member", member).option("maxDifference", "10")
+      .option("groupSize", "2").option("compact", "false")
+      .load()
+      .writeStream.format("memory").queryName(s"spoolc_$member")
+      .option("checkpointLocation", s"$ck2/$member")
+      .trigger(Trigger.ProcessingTime(25)).start()
+    val qa3 = startFresh("a"); val qb3 = startFresh("b")
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def rows(m: String) = spark.table(s"spoolc_$m").count()
+      while (System.currentTimeMillis() < deadline &&
+        (rows("a") < 33 || rows("b") < 33)) Thread.sleep(50)
+      assert(rows("a") == 33 && rows("b") == 33,
+        s"fresh replay must reprocess the compacted prefix: a=${rows("a")} b=${rows("b")}")
+    } finally { qa3.stop(); qb3.stop() }
   }
 
   test("spool that violates sync order fails loudly instead of slipping rows past the group") {
