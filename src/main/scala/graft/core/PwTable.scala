@@ -106,19 +106,48 @@ final class PwTable private (val df: DataFrame) extends Serializable {
   }
 
   /** Pathway `ix` / `ix_ref` (table.py:1416, 2662): row lookup by pointer.
-    * `optional=true` → left join (missing → nulls); strict → inner. */
+    * `optional=true` → left join (null/missing pointers → nulls,
+    * test_ix_none); strict → a DANGLING pointer fails loudly, like the
+    * reference's runtime KeyError (test_ix_missing_key) — an inner join
+    * would silently shrink the universe instead (r15 decode). */
   def ix(other: PwTable, keyExpr: Column, optional: Boolean = false): PwTable = {
     val r = other.df.withColumnRenamed(IdCol, "_pw_ix_id")
-    val joined = df.join(r, keyExpr === col("_pw_ix_id"),
-      if (optional) "left_outer" else "inner")
-    wrap(joined.drop("_pw_ix_id"))
+    val joined = df.join(r, keyExpr === col("_pw_ix_id"), "left_outer")
+    val checked =
+      if (optional) joined
+      else joined.where(when(col("_pw_ix_id").isNull,
+        raise_error(concat_ws(" ", lit("ix: missing key"), keyExpr.cast("string"))))
+        .otherwise(lit(true)))
+    wrap(checked.drop("_pw_ix_id"))
   }
 
   // ─────────────────────────────── set operations ───────────────────────────────
 
-  /** Pathway `concat` (table.py:1586): union of disjoint key-spaces. */
+  /** Pathway `concat` (table.py:1586): union of disjoint key-spaces.
+    * Disjointness is the caller's contract here — the reference checks it
+    * at runtime for free from its universe bookkeeping, but a distributed
+    * check costs a shuffle, so the fast path trusts the contract and
+    * [[concatStrict]] carries the reference-faithful runtime error. */
   def concat(others: PwTable*): PwTable =
     wrap(others.foldLeft(df)((a, b) => a.unionByName(b.df)))
+
+  /** Reference-faithful `concat`: intersecting key universes fail loudly
+    * at runtime (test_concat_errors_on_intersecting_universes — the
+    * reference raises; silently keeping both rows would corrupt every
+    * downstream id-keyed op). One count-over-id window = one shuffle on
+    * the union; prefer [[concat]] when ids are disjoint by construction
+    * (e.g. [[concatReindex]] output). */
+  def concatStrict(others: PwTable*): PwTable = {
+    val u = others.foldLeft(df)((a, b) => a.unionByName(b.df))
+    // window result materialized first: Spark rejects window functions
+    // directly inside WHERE
+    val flagged = u.withColumn("_pw_dup",
+      count(lit(1)).over(Window.partitionBy(col(IdCol))))
+    wrap(flagged.where(when(col("_pw_dup") > 1,
+      raise_error(concat_ws(" ", lit("concat: intersecting universes at id"),
+        col(IdCol).cast("string"))))
+      .otherwise(lit(true))).drop("_pw_dup"))
+  }
 
   /** Pathway `concat_reindex` (table.py:315): union with fresh ids (side-tagged hash). */
   def concatReindex(others: PwTable*): PwTable = {
@@ -179,10 +208,21 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     wrap(df.withColumn(IdCol, Keys.pointerFrom(cols: _*)))
 
   /** Pathway `flatten` (table.py:2341): explode an iterable column; id = hash(origin, pos).
-    * `withOrigin` keeps the pre-explosion id as `origin_id`. */
+    * `withOrigin` keeps the pre-explosion id as `origin_id`. Rows with an
+    * EMPTY iterable disappear (reference test_flatten); a STRING column
+    * flattens into single characters (test_flatten_string); any other
+    * type is rejected like the reference's "Cannot flatten column of
+    * type INT." TypeError (r15 decode). */
   def flatten(colName: String, withOrigin: Boolean = false): PwTable = {
+    val iterable: Column = df.schema(colName).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => col(colName)
+      case org.apache.spark.sql.types.StringType =>
+        regexp_extract_all(col(colName), lit("(?s)."), lit(0))
+      case other => throw new IllegalArgumentException(
+        s"Cannot flatten column of type ${other.sql}.")
+    }
     val exploded = df
-      .select(col(IdCol).as("_pw_origin"), posexplode(col(colName)).as(Seq("_pw_pos", colName)),
+      .select(col(IdCol).as("_pw_origin"), posexplode(iterable).as(Seq("_pw_pos", colName)),
         struct(columns.filterNot(_ == colName).map(col): _*).as("_rest"))
       .select(Keys.pointerFrom(col("_pw_origin"), col("_pw_pos")).as(IdCol),
         col("_pw_origin"), col(colName), col("_rest.*"))

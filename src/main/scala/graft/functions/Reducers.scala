@@ -53,9 +53,14 @@ object Reducers {
     * guards (a bare `-value` would invert them): NULL values never win
     * unless the whole group is null, and NaN counts as the LARGEST value
     * — both what `max_by` did and what the reference's total value order
-    * does. The one unguarded sentinel: `-Long.MinValue` overflows back
-    * onto itself, so a group containing exactly Long.MinValue ranks it
-    * as if it were the maximum. */
+    * does. The one unguarded sentinel: negating an integral type's
+    * MinValue (Long/Int/Short/Byte alike) overflows back onto itself, so
+    * a group containing exactly that sentinel ranks it as if it were the
+    * maximum — and under `spark.sql.ansi.enabled=true` the negation
+    * throws ARITHMETIC_OVERFLOW instead (this engine runs non-ANSI).
+    * Callers with sentinel-bearing data should widen first
+    * (`value.cast("decimal(20,0)")`); the library cannot widen
+    * unconditionally without breaking exactness for large doubles. */
   def argmax(arg: Column, value: Column, tieBreak: Column): Column =
     min_by(arg, struct(value.isNull,
       not(coalesce(isnan(value.cast("double")), lit(false))), -value, tieBreak))

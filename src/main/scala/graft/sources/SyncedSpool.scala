@@ -236,20 +236,24 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ReplayOffset].rank.toInt
     // GLOBAL rank order = compacted prefix (already-moved, name-sorted)
-    // then the live listing: every rank computation below uses this one
-    // view, so a FRESH query (or an older checkpoint, s < compacted) over
-    // a previously-compacted spool reprocesses the moved files from
-    // _processed/ instead of silently skipping the prefix (r15 review)
-    val all: IndexedSeq[String] = (compactedNames ++ listSorted()).toIndexedSeq
+    // then the live listing — so a FRESH query (or an older checkpoint,
+    // s < compacted) over a previously-compacted spool reprocesses the
+    // moved files from _processed/ instead of silently skipping the
+    // prefix (r15 review). The two parts are sliced lazily, never
+    // concatenated: per-trigger work must stay O(unprocessed), not
+    // O(spool age) — that term is what compaction flattens.
+    val listed = listSorted()
+    val nc = compactedNames.length
     // length check hoisted above the recovery rebuild: an emptied/shrunk
     // spool must hit the contract message, not admittedNames.last's
     // NoSuchElementException inside the rebuild (the prefix check must stay
     // BELOW it — before the rebuild admittedNames is legitimately empty)
-    require(all.length >= s,
-      s"spool $path lists ${all.length} files (incl. compacted) but rank $s " +
-        "was committed: files must never be removed or renamed")
-    if (admittedNames.isEmpty && s > 0) { // checkpoint recovery
-      admittedNames ++= all.take(s)
+    require(nc + listed.length >= s,
+      s"spool $path lists ${nc + listed.length} files (incl. compacted) but " +
+        s"rank $s was committed: files must never be removed or renamed")
+    if (admittedNames.isEmpty && s > 0) { // checkpoint recovery (one-time)
+      admittedNames ++= compactedNames.take(math.min(s, nc))
+      admittedNames ++= listed.take(s - nc) // s < nc: take(neg) is empty
       lastFrontier = frontiersOf(Seq(admittedNames.last)).head._2
       // fresh-process recovery: the JVM-global coordinator starts empty,
       // and a member recovering over a drained/quiet spool would never
@@ -257,10 +261,18 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
       // keeps pacing its peers (see Coordinator.seed)
       coordinator.seed(member, lastFrontier, lease)
     }
-    require(all.take(s).sameElements(admittedNames.take(s)),
+    // prefix check on the LIVE portion only: admittedNames' compacted
+    // prefix IS compactedNames by construction (commit updates both in
+    // step; recovery copies it), so re-comparing it every trigger would
+    // be O(committed) self-comparison that can never fail
+    require(listed.take(s - nc)
+        .sameElements(admittedNames.view.slice(math.min(s, nc), s)),
       s"spool $path changed under the committed frontier (rank $s): file names " +
         "must be lexicographically monotone in arrival order and never removed")
-    val pending = all.slice(s, s + filesPerBatch).toSeq
+    val pending: Seq[String] =
+      if (s >= nc) listed.slice(s - nc, s - nc + filesPerBatch).toSeq
+      else (compactedNames.view.slice(s, math.min(nc, s + filesPerBatch)) ++
+        listed.take(math.max(0, s + filesPerBatch - nc))).toSeq
     val fronts = frontiersOf(pending)
     fronts.foldLeft(lastFrontier) { (prev, f) =>
       require(f._2 >= prev, s"spool $path violates the sync-order contract: a " +
