@@ -292,6 +292,17 @@ object ScaleProbe {
         Temporal.intervalJoin(clicks, purchases, col("l_t"), col("r_t"),
           0L, M10, col("l_user") === col("r_user"), "inner")
       }
+      time("window_join_sliding", ne * mult) {
+        Temporal.slidingWindowJoin(clicks, purchases, col("l_t"), col("r_t"),
+            H1, M30, col("l_user") === col("r_user"), "inner")
+          .groupBy(col("w_start")).agg(count(lit(1)).as("n"))
+      }
+      time("window_join_session", ne * mult) {
+        Temporal.sessionWindowJoin(clicks, purchases, col("l_t"), col("r_t"),
+            M30, col("l_user"), col("r_user"),
+            Seq("l_id" -> col("l_id")), Seq("r_id" -> col("r_id")), "inner")
+          .groupBy(col("_k")).agg(count(lit(1)).as("n"))
+      }
       time("asof_backward", ne * mult) {
         Temporal.asofJoin(
           purchases.select(col("r_id").as("l_id"), col("r_user").as("l_user"),

@@ -116,7 +116,8 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     val checked =
       if (optional) joined
       else joined.where(when(col("_pw_ix_id").isNull,
-        raise_error(concat_ws(" ", lit("ix: missing key"), keyExpr.cast("string"))))
+        raise_error(concat_ws(" ", lit("ix: missing key"),
+          coalesce(keyExpr.cast("string"), lit("null")))))
         .otherwise(lit(true)))
     wrap(checked.drop("_pw_ix_id"))
   }
@@ -139,6 +140,8 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     * (e.g. [[concatReindex]] output). */
   def concatStrict(others: PwTable*): PwTable = {
     val u = others.foldLeft(df)((a, b) => a.unionByName(b.df))
+    require(!u.columns.contains("_pw_dup"),
+      "concatStrict reserves the column name _pw_dup")
     // window result materialized first: Spark rejects window functions
     // directly inside WHERE
     val flagged = u.withColumn("_pw_dup",
@@ -214,7 +217,9 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     * type is rejected like the reference's "Cannot flatten column of
     * type INT." TypeError (r15 decode). */
   def flatten(colName: String, withOrigin: Boolean = false): PwTable = {
-    val iterable: Column = df.schema(colName).dataType match {
+    // resolve through the analyzer (case-insensitivity etc.), not
+    // StructType.apply's exact top-level lookup (r15 review)
+    val iterable: Column = df.select(col(colName)).schema.head.dataType match {
       case _: org.apache.spark.sql.types.ArrayType => col(colName)
       case org.apache.spark.sql.types.StringType =>
         regexp_extract_all(col(colName), lit("(?s)."), lit(0))

@@ -250,10 +250,13 @@ object Inactivity {
     * timestamps via the kernel's sorted within-batch scan, plus open
     * tails), for ANY `batchTicks` chunking.
     *
-    * The log is collected driver-side to feed the MemoryStream — this is
-    * a bounded verification rig (like the replay demo sources), not the
-    * production ingest path. Timeouts never fire: tick units are opaque to
-    * Spark's processing-time clock, and every gap is detected on data.
+    * The log feeds the MemoryStream through a sorted `toLocalIterator`,
+    * so the driver holds ONE event-time chunk (plus one fetched shuffle
+    * partition) at a time instead of the whole log — the r14 watch item
+    * for scaling the rig past sf1; committed MemoryStream batches purge
+    * on commit, so the feed side stays bounded too. Timeouts never fire:
+    * tick units are opaque to Spark's processing-time clock, and every
+    * gap is detected on data.
     * Returns a STATIC DataFrame (instance, inactivity_ts, resumed_ts) in
     * the input's tick units. */
   def inactivityDetectionReplay(events: DataFrame, ts: Column, instance: Column,
@@ -263,19 +266,17 @@ object Inactivity {
     // kernel keys are strings; remember the input column's real type so
     // the result casts back (batch-analog / oracle schema parity)
     val instType = events.select(instance.as("i")).schema.head.dataType
-    val log = events.select(instance.cast("string").as("i"), ts.cast("long").as("t"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
-    require(log.nonEmpty, "empty event log")
-    val t0 = log.head._2
-    val frontier = log.last._2
+    val proj = events.select(instance.cast("string").as("i"), ts.cast("long").as("t"))
+    val span = proj.agg(min(col("t")), max(col("t"))).head()
+    require(!span.isNullAt(0), "empty event log")
+    val t0 = span.getLong(0)
+    val frontier = span.getLong(1)
     // batchTicks <= 0 → auto: ~8 event-time chunks. Chunk count is a pure
     // exercise knob (the sorted scan makes results chunking-independent),
     // but each micro-batch pays fixed state-store/shuffle overhead, so a
     // span-proportional chunk width keeps replay wall-time flat across SFs
     val width = if (batchTicks > 0) batchTicks
       else math.max(1L, (frontier - t0) / 8 + 1)
-    val chunks = log.groupBy { case (_, t) => (t - t0) / width }
-      .toSeq.sortBy(_._1).map(_._2)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[InactIn]
     val outName = s"inact_replay_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -290,15 +291,30 @@ object Inactivity {
       .option("checkpointLocation", ckpt)
       .start()
     try {
-      chunks.foreach { c =>
-        input.addData(c.toSeq.map { case (i, t) =>
-          InactIn(i, synthetic = false, isActivity = true, nowMs = t) })
+      // globally time-sorted pull: toLocalIterator fetches one shuffle
+      // partition at a time; the buffer holds one event-time chunk
+      val it = proj.orderBy(col("t")).toLocalIterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[InactIn]
+      var curChunk = Long.MinValue
+      def flush(): Unit = if (buf.nonEmpty) {
+        input.addData(buf.toSeq)
         q.processAllAvailable()
+        buf.clear()
       }
+      while (it.hasNext) {
+        val r = it.next()
+        val chunk = (r.getLong(1) - t0) / width
+        if (chunk != curChunk) { flush(); curChunk = chunk }
+        buf += InactIn(r.getString(0), synthetic = false,
+          isActivity = true, nowMs = r.getLong(1))
+      }
+      flush()
       // frontier probe: one NON-activity row per instance at the global
       // max — instances more than allowedTicks behind it report their
       // open period, exactly the batch analog's open-tail rule
-      input.addData(log.map(_._1).distinct.toSeq.map(i =>
+      val instances = proj.select("i").distinct()
+        .collect().map(_.getString(0)).toSeq // O(instances), not O(events)
+      input.addData(instances.map(i =>
         InactIn(i, synthetic = false, isActivity = false, nowMs = frontier)))
       q.processAllAvailable()
       val rows = spark.table(outName).collect().toSeq

@@ -16,6 +16,9 @@ class CoreFixtureSpec extends AnyFunSuite {
   private def pw(df: org.apache.spark.sql.DataFrame, idFrom: String): PwTable =
     PwTable.fromPrimaryKey(df, idFrom)
 
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
   test("flatten: empty lists vanish, payload duplicates per element (test_flatten)") {
     val t = Seq((1, Seq(1, 2), -1), (2, Seq.empty[Int], -2), (3, Seq(3, 4), -3),
       (4, Seq(10, 11, 12), -4), (5, Seq(4, 5, 6, 1, 2), -5))
@@ -58,8 +61,6 @@ class CoreFixtureSpec extends AnyFunSuite {
     val err = intercept[Exception] {
       pw(birds, "bk").ix(animals, col("ptr")).toDf.collect()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(err).exists(_.contains("ix: missing key")))
     // and a RESOLVABLE strict lookup passes rows through untouched
     val ok = Seq((1, "hoopoe", 1), (2, "owl", 2)).toDF("bk", "desc", "ptr")
@@ -71,8 +72,6 @@ class CoreFixtureSpec extends AnyFunSuite {
     val a = pw(Seq((1, "a"), (2, "b")).toDF("k", "v"), "k")
     val b = pw(Seq((2, "c"), (3, "d")).toDF("k", "v"), "k") // id 2 collides
     val err = intercept[Exception] { a.concatStrict(b).toDf.collect() }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(err).exists(_.contains("intersecting universes")))
     // disjoint ids pass with every row kept
     val c = pw(Seq((3, "c"), (4, "d")).toDF("k", "v"), "k")
