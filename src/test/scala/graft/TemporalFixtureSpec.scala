@@ -323,6 +323,23 @@ class TemporalFixtureSpec extends AnyFunSuite {
     assert(outer.keySet == Set(2, 4, 6, 8, 10) && outer(6) == Nil)
   }
 
+  test("interpolate: multi-column reference vector replays bit-exactly (test_interpolate_multiple_columns)") {
+    val t = Seq(
+      (1, Some(1.0), Option.empty[Double]), (2, None, Some(10.0)),
+      (3, Some(3.0), Some(40.0)), (4, None, None), (5, Some(5.0), Some(50.0)),
+      (6, None, None), (7, None, None), (8, None, Some(80.0)), (9, Some(9.0), None))
+      .toDF("ti", "v1", "v2").withColumn("t", tsSec(col("ti")))
+    val out = t.select(col("ti"),
+        Temporal.interpolate(col("t"), col("v1"), Seq(lit(1))).as("v1"),
+        Temporal.interpolate(col("t"), col("v2"), Seq(lit(1))).as("v2"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet
+    // interior gaps interpolate linearly in t; both ends clamp to the
+    // nearest known value (reference mode=LINEAR)
+    assert(out == Set((1, 1.0, 10.0), (2, 2.0, 10.0), (3, 3.0, 40.0),
+      (4, 4.0, 45.0), (5, 5.0, 50.0), (6, 6.0, 60.0), (7, 7.0, 70.0),
+      (8, 8.0, 80.0), (9, 9.0, 80.0)))
+  }
+
   test("intervals_over with instances and over its own table replay bit-exactly") {
     val data = Seq((1, 10, 1), (2, 1, 1), (4, 3, 1), (8, 2, 1), (9, 4, 2),
       (10, 8, 2), (1, 9, 2), (2, 16, 2))
