@@ -217,20 +217,30 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     * type is rejected like the reference's "Cannot flatten column of
     * type INT." TypeError (r15 decode). */
   def flatten(colName: String, withOrigin: Boolean = false): PwTable = {
-    // resolve through the analyzer (case-insensitivity etc.), not
-    // StructType.apply's exact top-level lookup (r15 review)
-    val iterable: Column = df.select(col(colName)).schema.head.dataType match {
-      case _: org.apache.spark.sql.types.ArrayType => col(colName)
+    // resolve the CANONICAL top-level column name once and use it
+    // throughout: a case-insensitive session must not type-check against
+    // one spelling and explode/drop against another (r15 review — the
+    // mismatch kept the unexploded array inside _rest.* and made every
+    // downstream reference ambiguous), and a nested path must hit the
+    // clean error, not a late unresolved-column failure
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    val resolved = df.columns
+      .find(c => if (caseSensitive) c == colName else c.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Cannot flatten $colName: no such top-level column."))
+    val iterable: Column = df.schema(resolved).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => col(resolved)
       case org.apache.spark.sql.types.StringType =>
-        regexp_extract_all(col(colName), lit("(?s)."), lit(0))
+        regexp_extract_all(col(resolved), lit("(?s)."), lit(0))
       case other => throw new IllegalArgumentException(
         s"Cannot flatten column of type ${other.sql}.")
     }
     val exploded = df
-      .select(col(IdCol).as("_pw_origin"), posexplode(iterable).as(Seq("_pw_pos", colName)),
-        struct(columns.filterNot(_ == colName).map(col): _*).as("_rest"))
+      .select(col(IdCol).as("_pw_origin"), posexplode(iterable).as(Seq("_pw_pos", resolved)),
+        struct(columns.filterNot(_ == resolved).map(col): _*).as("_rest"))
       .select(Keys.pointerFrom(col("_pw_origin"), col("_pw_pos")).as(IdCol),
-        col("_pw_origin"), col(colName), col("_rest.*"))
+        col("_pw_origin"), col(resolved), col("_rest.*"))
     val out = if (withOrigin) exploded.withColumnRenamed("_pw_origin", "origin_id")
               else exploded.drop("_pw_origin")
     wrap(out)

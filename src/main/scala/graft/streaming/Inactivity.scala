@@ -266,7 +266,11 @@ object Inactivity {
     // kernel keys are strings; remember the input column's real type so
     // the result casts back (batch-analog / oracle schema parity)
     val instType = events.select(instance.as("i")).schema.head.dataType
+    // persisted: the rig reads the projection three times (span agg, the
+    // sort's range-partition sampling, the sorted pull) — one source scan,
+    // and no consistency hazard if `events` embeds nondeterminism
     val proj = events.select(instance.cast("string").as("i"), ts.cast("long").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val span = proj.agg(min(col("t")), max(col("t"))).head()
     require(!span.isNullAt(0), "empty event log")
     val t0 = span.getLong(0)
@@ -295,6 +299,7 @@ object Inactivity {
       // partition at a time; the buffer holds one event-time chunk
       val it = proj.orderBy(col("t")).toLocalIterator()
       val buf = scala.collection.mutable.ArrayBuffer.empty[InactIn]
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String] // O(instances)
       var curChunk = Long.MinValue
       def flush(): Unit = if (buf.nonEmpty) {
         input.addData(buf.toSeq)
@@ -305,16 +310,16 @@ object Inactivity {
         val r = it.next()
         val chunk = (r.getLong(1) - t0) / width
         if (chunk != curChunk) { flush(); curChunk = chunk }
+        seen += r.getString(0)
         buf += InactIn(r.getString(0), synthetic = false,
           isActivity = true, nowMs = r.getLong(1))
       }
       flush()
       // frontier probe: one NON-activity row per instance at the global
       // max — instances more than allowedTicks behind it report their
-      // open period, exactly the batch analog's open-tail rule
-      val instances = proj.select("i").distinct()
-        .collect().map(_.getString(0)).toSeq // O(instances), not O(events)
-      input.addData(instances.map(i =>
+      // open period, exactly the batch analog's open-tail rule (the
+      // instance set was accumulated during the pull — no extra scan)
+      input.addData(seen.toSeq.map(i =>
         InactIn(i, synthetic = false, isActivity = false, nowMs = frontier)))
       q.processAllAvailable()
       val rows = spark.table(outName).collect().toSeq
@@ -328,6 +333,7 @@ object Inactivity {
       // and the checkpoint dir is run-local scratch — repeated replays
       // (specs run 4 per suite) would otherwise accumulate both
       try q.stop() finally {
+        proj.unpersist(false)
         spark.catalog.dropTempView(outName)
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
       }

@@ -16,9 +16,6 @@ class CoreFixtureSpec extends AnyFunSuite {
   private def pw(df: org.apache.spark.sql.DataFrame, idFrom: String): PwTable =
     PwTable.fromPrimaryKey(df, idFrom)
 
-  private def messages(t: Throwable): Seq[String] =
-    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-
   test("flatten: empty lists vanish, payload duplicates per element (test_flatten)") {
     val t = Seq((1, Seq(1, 2), -1), (2, Seq.empty[Int], -2), (3, Seq(3, 4), -3),
       (4, Seq(10, 11, 12), -4), (5, Seq(4, 5, 6, 1, 2), -5))
@@ -42,6 +39,20 @@ class CoreFixtureSpec extends AnyFunSuite {
     assert(err.getMessage.contains("Cannot flatten column of type"))
   }
 
+  test("flatten resolves case-insensitively as one canonical name; nested paths error cleanly") {
+    // r15 review: resolving the type through the analyzer but exploding by
+    // the literal spelling kept the unexploded array inside _rest.*
+    val t = Seq((1, Seq(1, 2))).toDF("k", "array")
+    val out = pw(t, "k").flatten("ARRAY").toDf
+    assert(out.columns.count(_.equalsIgnoreCase("array")) == 1)
+    assert(out.select(col("ARRAY")).as[Int].collect().sorted.toSeq == Seq(1, 2))
+    val nested = Seq((1, (Seq(1), "x"))).toDF("k", "rec")
+    val err = intercept[IllegalArgumentException] {
+      pw(nested, "k").flatten("rec._1")
+    }
+    assert(err.getMessage.contains("no such top-level column"))
+  }
+
   test("ix: optional=true yields nulls for null/missing pointers (test_ix_none)") {
     val animals = pw(Seq((1, "upupa"), (2, "acherontia"), (3, "bubo"),
       (4, "dynastes")).toDF("k", "genus"), "k")
@@ -61,7 +72,7 @@ class CoreFixtureSpec extends AnyFunSuite {
     val err = intercept[Exception] {
       pw(birds, "bk").ix(animals, col("ptr")).toDf.collect()
     }
-    assert(messages(err).exists(_.contains("ix: missing key")))
+    assert(SparkTestBase.causeMessages(err).exists(_.contains("ix: missing key")))
     // and a RESOLVABLE strict lookup passes rows through untouched
     val ok = Seq((1, "hoopoe", 1), (2, "owl", 2)).toDF("bk", "desc", "ptr")
       .withColumn("ptr", Keys.pointerFrom(col("ptr")))
@@ -72,7 +83,7 @@ class CoreFixtureSpec extends AnyFunSuite {
     val a = pw(Seq((1, "a"), (2, "b")).toDF("k", "v"), "k")
     val b = pw(Seq((2, "c"), (3, "d")).toDF("k", "v"), "k") // id 2 collides
     val err = intercept[Exception] { a.concatStrict(b).toDf.collect() }
-    assert(messages(err).exists(_.contains("intersecting universes")))
+    assert(SparkTestBase.causeMessages(err).exists(_.contains("intersecting universes")))
     // disjoint ids pass with every row kept
     val c = pw(Seq((3, "c"), (4, "d")).toDF("k", "v"), "k")
     assert(a.concatStrict(c).toDf.count() == 4)

@@ -90,9 +90,7 @@ class JoinFixtureSpec extends AnyFunSuite {
     val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       q.processAllAvailable()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(err).exists(_.contains("Repeated entry in a batch")))
+    assert(SparkTestBase.causeMessages(err).exists(_.contains("Repeated entry in a batch")))
     q.stop()
   }
 

@@ -48,4 +48,9 @@ object SparkTestBase {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Flattened messages of a throwable's cause chain — specs assert on
+    * error text that Spark wraps in several execution layers. */
+  def causeMessages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ causeMessages(t.getCause)
 }
