@@ -221,6 +221,19 @@ object SparkEntry {
   //  Reducers (SURVEY §2.4)
   // ───────────────────────────────────────────────────────────────────────────
 
+  /** r16 decode of tests/test_reducers.py: multi/zero-column count_distinct
+    * (test_distinct) and the sort_by custom-reducer fold
+    * (test_custom_sorting) as oracle rows. */
+  private def qReduceDistinctFold(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).groupbyCols("o_custkey")
+      .reduce(
+        "cd2" -> Reducers.countDistinct_(col("o_orderstatus"), col("o_orderpriority")),
+        "cd0" -> Reducers.countDistinct_(),
+        "decayed" -> Reducers.foldInOrder(
+          struct(col("o_orderdate"), col("o_orderkey")), col("o_totalprice"))(
+          identity)((acc, v) => acc / lit(2) + v))
+      .toDf
+
   private def qReduceMinMax(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).groupbyCols("l_returnflag")
       .reduce(
@@ -401,9 +414,27 @@ object SparkEntry {
       "m" -> col("o_orderdate").dt.month,
       "d" -> col("o_orderdate").dt.day,
       "wd" -> col("o_orderdate").dt.weekday,
-      "ym" -> col("o_orderdate").dt.strftime("yyyy-MM"),
+      "ym" -> col("o_orderdate").dt.strftime("%Y-%m"),
+      "iso" -> col("o_orderdate").dt.strftime("%G-W%V-%u"),
+      "rt" -> col("o_orderdate").dt.strftime("%Y-%m-%d %H:%M:%S")
+        .dt.strptime("%Y-%m-%d %H:%M:%S"),
       "mon_start" -> col("o_orderdate").dt.floorTo("month"),
       "epoch_s" -> col("o_orderdate").dt.timestampSec).toDf
+
+  /** python-semantics string kernels (r16 decode of tests/expressions/
+    * test_string.py): slice-bounded count/find/rfind, char-set strip, and
+    * the trim+guard parse family — each with a DuckDB replica oracle. */
+  private def qExprStrPy(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      "p_partkey" -> col("p_partkey"),
+      "f_bounded" -> col("p_type").str.find(lit("ED"), lit(2)),
+      "rf" -> col("p_type").str.rfind(lit("ED")),
+      "cnt_sliced" -> col("p_type").str.count(lit("ED"), lit(1), lit(15)),
+      "strip_set" -> col("p_type").str.strip("SDN"),
+      "pi" -> concat(lit(" "), col("p_size").cast("string"), lit(" ")).str.parseInt,
+      "pf" -> col("p_retailprice").cast("string").str.parseFloat,
+      "pb" -> when(col("p_size") % 2 === 0, lit("yes")).otherwise(lit("nope")).str.parseBool)
+      .toDf
 
   private def qExprDtRound(s: SparkSession, dir: String): DataFrame = {
     // events.ts arrives as Long ns (parquet TIMESTAMP(NANOS) via nanosAsLong);
@@ -1593,6 +1624,7 @@ object SparkEntry {
     "sort_prev_next"  -> (qSortPrevNext _),
     "expr_str"        -> (qExprStr _),
     "expr_dt"         -> (qExprDt _),
+    "expr_str_py"     -> (qExprStrPy _),
     "expr_dt_round"   -> (qExprDtRound _),
     "expr_num"        -> (qExprNum _),
     "expr_json"       -> (qExprJson _),
@@ -1600,6 +1632,7 @@ object SparkEntry {
     "expr_tuple"      -> (qExprTuple _),
     "cast_rename"     -> (qCastRename _),
     "reduce_min_max"  -> (qReduceMinMax _),
+    "reduce_distinct_fold" -> (qReduceDistinctFold _),
     "reduce_argminmax" -> (qReduceArgMinMax _),
     "reduce_unique_any" -> (qReduceUniqueAny _),
     "reduce_sorted_tuple" -> (qReduceSortedTuple _),
@@ -1785,7 +1818,7 @@ object SparkEntry {
     "select_project" ->
       """SELECT c_custkey, UPPER(c_name) AS name_upper,
         |  CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS bal_sign,
-        |  ROUND(c_acctbal, 0) AS bal_rounded
+        |  round_even(c_acctbal, 0) AS bal_rounded
         |FROM customer""".stripMargin,
     "filter_rows" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -1867,9 +1900,33 @@ object SparkEntry {
       """SELECT o_orderkey, YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
         |  DAY(o_orderdate) AS d, ISODOW(o_orderdate) - 1 AS wd,
         |  STRFTIME(o_orderdate, '%Y-%m') AS ym,
+        |  STRFTIME(o_orderdate, '%G-W%V-%u') AS iso,
+        |  STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+        |           '%Y-%m-%d %H:%M:%S') AS rt,
         |  DATE_TRUNC('month', o_orderdate) AS mon_start,
         |  CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
         |FROM orders""".stripMargin,
+    "expr_str_py" ->
+      """SELECT p_partkey,
+        |  CASE WHEN strpos(substr(p_type, 3), 'ED') = 0 THEN -1
+        |       ELSE 1 + strpos(substr(p_type, 3), 'ED') END AS f_bounded,
+        |  CASE WHEN strpos(reverse(p_type), 'DE') = 0 THEN -1
+        |       ELSE length(p_type) - strpos(reverse(p_type), 'DE') - 1 END AS rf,
+        |  CAST((length(substr(p_type, 2, 14))
+        |        - length(replace(substr(p_type, 2, 14), 'ED', ''))) // 2 AS BIGINT)
+        |    AS cnt_sliced,
+        |  TRIM(p_type, 'SDN') AS strip_set,
+        |  CASE WHEN regexp_matches(trim(' ' || CAST(p_size AS VARCHAR) || ' '),
+        |                           '^[+-]?[0-9]+$')
+        |       THEN CAST(trim(' ' || CAST(p_size AS VARCHAR) || ' ') AS BIGINT)
+        |  END AS pi,
+        |  TRY_CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE) AS pf,
+        |  CASE WHEN CASE WHEN p_size % 2 = 0 THEN 'yes' ELSE 'nope' END
+        |            IN ('on', 'true', 'yes', '1') THEN TRUE
+        |       WHEN CASE WHEN p_size % 2 = 0 THEN 'yes' ELSE 'nope' END
+        |            IN ('off', 'false', 'no', '0') THEN FALSE
+        |  END AS pb
+        |FROM part""".stripMargin,
     "expr_dt_round" ->
       """WITH e AS (SELECT event_id, epoch_ns(ts) // 1000 AS us FROM events)
         |SELECT event_id, make_timestamp(us) AS t,
@@ -1906,6 +1963,13 @@ object SparkEntry {
       """SELECT l_returnflag, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
         |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "reduce_distinct_fold" ->
+      """SELECT o_custkey,
+        |  COUNT(DISTINCT (o_orderstatus, o_orderpriority)) AS cd2,
+        |  CAST(1 AS BIGINT) AS cd0,
+        |  list_reduce(list(o_totalprice ORDER BY o_orderdate, o_orderkey),
+        |              (x, y) -> x / 2 + y) AS decayed
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "reduce_argminmax" ->
       """WITH mx AS (
         |  SELECT l_returnflag, l_orderkey AS argmax_key FROM (

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftExprBridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataType
 
@@ -78,6 +78,7 @@ object Exprs {
     def str: StrOps = new StrOps(c)
     def dt: DtOps = new DtOps(c)
     def num: NumOps = new NumOps(c)
+    def dur: DurOps = new DurOps(c)
     /** integer floor-division `//` (expression.rs IntDiv). */
     def floorDiv(other: Column): Column = floor(c / other).cast("long")
     /** `**` */
@@ -106,23 +107,104 @@ object Exprs {
                    org.apache.spark.sql.functions.upper(ch))
               .otherwise(org.apache.spark.sql.functions.lower(ch))), "")
     }
+    /** str.strip([chars]) — python semantics: no argument strips whitespace,
+      * an argument is a SET of characters (string.py:396 lowers to
+      * `str.strip`). */
     def strip: Column = trim(c)
+    def strip(chars: String): Column = trim(c, chars)
     def title: Column = initcap(org.apache.spark.sql.functions.lower(c))
-    def count(sub: Column): Column =
-      when(length(sub) === 0, lit(null))
-        .otherwise(((length(c) - length(org.apache.spark.sql.functions.replace(c, sub, lit("")))) / length(sub)).cast("long"))
-    def find(sub: Column): Column = (instr(c, sub.cast("string")) - 1).cast("long")
+
+    // python slice-notation [start, end) clamping shared by count/find/rfind
+    // (string.py:473/526/580 lower to str.count/str.find/str.rfind verbatim)
+    private def clampIdx(idx: Column, len: Column): Column =
+      least(greatest(when(idx < 0, len + idx).otherwise(idx), lit(0)), len)
+    private def bounds(start: Column, end: Column): (Column, Column) = {
+      val len = length(c)
+      (clampIdx(coalesce(start, lit(0)), len), clampIdx(coalesce(end, len), len))
+    }
+    private def sliceBy(s: Column, e: Column): Column =
+      c.substr(s + 1, greatest(e - s, lit(0)))
+
+    /** str.count(sub, start, end): non-overlapping occurrences in the
+      * [start, end) slice; an empty sub counts len+1 like python. */
+    def count(sub: Column, start: Column = lit(null), end: Column = lit(null)): Column = {
+      val (s, e) = bounds(start, end)
+      val sl = sliceBy(s, e)
+      when(length(sub) === 0,
+        when(e < s, lit(0L)).otherwise((e - s + 1).cast("long")))
+      .otherwise(((length(sl) -
+        length(org.apache.spark.sql.functions.replace(sl, sub, lit("")))) / length(sub))
+        .cast("long"))
+    }
+    /** str.find(sub, start, end): lowest ABSOLUTE index, −1 if absent. */
+    def find(sub: Column, start: Column = lit(null), end: Column = lit(null)): Column = {
+      val (s, e) = bounds(start, end)
+      val pos = instr(sliceBy(s, e), sub.cast("string"))
+      when(length(sub) === 0,
+        when(coalesce(start, lit(0)) > length(c), lit(-1L)).otherwise(s.cast("long")))
+      .otherwise(when(pos === 0, lit(-1L)).otherwise((s + pos - 1).cast("long")))
+    }
+    /** str.rfind(sub, start, end): highest ABSOLUTE index, −1 if absent —
+      * found by locating the reversed sub in the reversed slice. */
+    def rfind(sub: Column, start: Column = lit(null), end: Column = lit(null)): Column = {
+      val (s, e) = bounds(start, end)
+      val sl = sliceBy(s, e)
+      val pos = instr(reverse(sl), reverse(sub.cast("string")))
+      when(length(sub) === 0,
+        when(coalesce(start, lit(0)) > length(c) || e < s, lit(-1L))
+          .otherwise(e.cast("long")))
+      .otherwise(when(pos === 0, lit(-1L))
+        .otherwise((s + (length(sl) - (pos - 1) - length(sub))).cast("long")))
+    }
     def removeprefix(p: Column): Column =
       when(c.startsWith(p), c.substr(length(p) + 1, length(c))).otherwise(c)
     def removesuffix(s: Column): Column =
       when(c.endsWith(s), c.substr(lit(1), length(c) - length(s))).otherwise(c)
     /** python-style [start, end) slice, 0-based. */
     def slice(start: Int, end: Int): Column = c.substr(lit(start + 1), lit(end - start))
-    def parseInt: Column = c.cast("long")
-    def parseFloat: Column = c.cast("double")
-    def parseBool: Column = org.apache.spark.sql.functions.lower(c).isin("true", "1", "yes", "on")
+
+    // str.parse_int/parse_float/parse_bool (expression.rs:719/731/743:
+    // trim, then Rust parse; optional=true → None, else ParseError with the
+    // reference's message). Spark's string→long CAST truncates "10.5" to 10,
+    // which the reference rejects — hence the integral-shape guard.
+    def parseInt: Column = parseInt(optional = true)
+    def parseInt(optional: Boolean): Column = {
+      val t = trim(c)
+      val ok = t.rlike("^[+-]?[0-9]+$")
+      val parsed = when(ok, t.cast("long"))
+      if (optional) parsed
+      else coalesce(parsed, when(c.isNull, lit(null).cast("long")).otherwise(
+        raise_error(concat(lit("cannot parse \""), c, lit("\" to int"))).cast("long")))
+    }
+    def parseFloat: Column = parseFloat(optional = true)
+    def parseFloat(optional: Boolean): Column = {
+      val parsed = trim(c).cast("double")
+      if (optional) parsed
+      else coalesce(parsed, when(c.isNull, lit(null).cast("double")).otherwise(
+        raise_error(concat(lit("cannot parse \""), c, lit("\" to float"))).cast("double")))
+    }
+    /** parse_bool with the reference's default true/false vocabularies
+      * (string.py:869) — lowercase-trimmed membership; unmatched → None
+      * (optional) or the reference error. */
+    def parseBool: Column = parseBool(optional = true)
+    def parseBool(optional: Boolean): Column =
+      parseBool(StrOps.DefaultTrue, StrOps.DefaultFalse, optional)
+    def parseBool(trueValues: Seq[String], falseValues: Seq[String], optional: Boolean): Column = {
+      val lc = org.apache.spark.sql.functions.lower(trim(c))
+      val base = when(lc.isin(trueValues.map(_.toLowerCase): _*), lit(true))
+        .when(lc.isin(falseValues.map(_.toLowerCase): _*), lit(false))
+      if (optional) base.otherwise(lit(null).cast("boolean"))
+      else base.otherwise(when(c.isNull, lit(null).cast("boolean")).otherwise(
+        raise_error(concat(lit("cannot parse \""), c, lit("\" to bool"))).cast("boolean")))
+    }
     def splitBy(sep: String): Column =
       org.apache.spark.sql.functions.split(c, java.util.regex.Pattern.quote(sep))
+  }
+
+  object StrOps {
+    /** Reference defaults (string.py:869-870). */
+    val DefaultTrue: Seq[String] = Seq("on", "true", "yes", "1")
+    val DefaultFalse: Seq[String] = Seq("off", "false", "no", "0")
   }
 
   /** `dt.*` namespace (internals/expressions/date_time.py:41-1605).
@@ -144,13 +226,60 @@ object Exprs {
     def timestampSec: Column = unix_seconds(c.cast("timestamp_ltz"))
     def timestampMs: Column = unix_millis(c.cast("timestamp_ltz"))
     def timestampUs: Column = unix_micros(c.cast("timestamp_ltz"))
-    def strftime(fmt: String): Column = date_format(c, fmt)
-    /** dt.strptime (date_time.py strptime): parse a string column. */
-    def strptime(fmt: String): Column = to_timestamp(c, fmt).cast("timestamp_ntz")
+    /** dt.timestamp(unit) (time.rs:81 timestamp_in_unit): FLOAT ns/mult —
+      * the reference divides the i64 ns timestamp as f64, keeping the
+      * fraction (timestamp(unit="s") of 1.5s is 1.5, not 1). */
+    def timestampInUnit(unit: String): Column = {
+      val mult = ChronoFormat.unitMultiplierNs(unit)
+      (unix_micros(c.cast("timestamp_ltz")) * lit(1000L)).cast("double") / lit(mult.toDouble)
+    }
+
+    /** Chrono-format strftime (reference dt.strftime — %-directives, NOT
+      * Java patterns; the format may come from a column). `%z/%Z` require a
+      * zoned (timestamp_ltz) input, like the reference's naive/utc split
+      * (time.rs:219/320). */
+    def strftime(fmt: String): Column = strftime(lit(fmt))
+    def strftime(fmt: Column): Column =
+      GraftExprBridge.column(ChronoStrftime(
+        GraftExprBridge.expression(c), GraftExprBridge.expression(fmt)))
+
+    /** Chrono-format strptime → DateTimeNaive (timestamp_ntz), with the
+      * reference's datetime→date→time-on-1900-01-01 fallback chain
+      * (time.rs:152). */
+    def strptime(fmt: String): Column = strptime(lit(fmt))
+    def strptime(fmt: Column): Column =
+      GraftExprBridge.column(ChronoStrptime(
+        GraftExprBridge.expression(c), GraftExprBridge.expression(fmt), zoned = false))
+    /** strptime requiring %z → DateTimeUtc (an instant; time.rs:270). */
+    def strptimeUtc(fmt: String): Column = strptimeUtc(lit(fmt))
+    def strptimeUtc(fmt: Column): Column =
+      GraftExprBridge.column(ChronoStrptime(
+        GraftExprBridge.expression(c), GraftExprBridge.expression(fmt), zoned = true))
+
+    /** The reference's Display form (time.rs:256/360): ISO, 9-digit
+      * fraction; `+0000` suffix on the zoned variant. */
+    def toDisplayString: Column = strftime("%Y-%m-%dT%H:%M:%S%.9f")
+    def toDisplayStringUtc: Column = strftime("%Y-%m-%dT%H:%M:%S%.9f%z")
+
     /** dt.from_timestamp(unit): epoch number → timestamp (date_time.py from_timestamp). */
     def fromTimestampSec: Column = timestamp_seconds(c).cast("timestamp_ntz")
     def fromTimestampMs: Column = timestamp_millis(c.cast("long")).cast("timestamp_ntz")
     def fromTimestampUs: Column = timestamp_micros(c.cast("long")).cast("timestamp_ntz")
+    /** dt.from_timestamp(unit) for any reference alias (time.rs:187: value ×
+      * unit multiplier, ns); sub-µs floors to the µs grid (documented ns→µs
+      * mapping). */
+    def fromTimestamp(unit: String): Column = {
+      val mult = ChronoFormat.unitMultiplierNs(unit)
+      if (mult >= 1000L)
+        timestamp_micros(c.cast("long") * lit(mult / 1000L)).cast("timestamp_ntz")
+      else { // ns: floor the ns count onto µs ("div" truncates, remainder pre-removed)
+        val ns = c.cast("long") * lit(mult)
+        timestamp_micros(call_function("div", ns - pmod(ns, lit(1000L)), lit(1000L)))
+          .cast("timestamp_ntz")
+      }
+    }
+    /** dt.utc_from_timestamp(unit): same arithmetic, zoned result. */
+    def utcFromTimestamp(unit: String): Column = fromTimestamp(unit).cast("timestamp_ltz")
     def floorTo(unit: String): Column = date_trunc(unit, c).cast("timestamp_ntz")
     /** true round-to-duration (reference dt.round, date_time.py): duration in ns.
       * Integer µs arithmetic throughout — double math would lose precision on
@@ -166,15 +295,107 @@ object Exprs {
       val dUs = durationNs / 1000L
       timestamp_micros((us - pmod(us, lit(dUs))).cast("long")).cast("timestamp_ntz")
     }
-    def toUtc(tz: String): Column = to_utc_timestamp(c, tz)
-    def toNaiveInTimezone(tz: String): Column = from_utc_timestamp(c, tz)
+    /** dt.round/floor with a pandas-style offset string ("D", "2H3T",
+      * "14L22ms14us" — the reference's round_to str form). Sub-µs spans are
+      * identity on the µs grid; a span that is neither µs-aligned nor sub-µs
+      * cannot be represented and errors. */
+    def roundToOffset(spec: String): Column = offsetRound(spec, roundToNs)
+    def floorToOffset(spec: String): Column = offsetRound(spec, floorToNs)
+    private def offsetRound(spec: String, f: Long => Column): Column = {
+      val ns = ChronoFormat.pandasOffsetNs(spec)
+      if (ns < 1000L) c // µs grid: every value is already a multiple
+      else {
+        Predef.require(ns % 1000L == 0,
+          s"offset $spec ($ns ns) is not representable on the µs grid")
+        f(ns)
+      }
+    }
+
+    /** DateTimeNaive.to_utc(tz) with the reference's DST rules (time.rs:558,
+      * via [[ToUtcTz]]): fold → LATER instant, gap → (t+30min) rounded to the
+      * nearest hour then localized. NOT Spark's to_utc_timestamp, which
+      * resolves both differently on every transition. */
+    def toUtc(tz: String): Column = toUtc(lit(tz))
+    def toUtc(tz: Column): Column =
+      GraftExprBridge.column(ToUtcTz(
+        GraftExprBridge.expression(c.cast("timestamp_ntz")), GraftExprBridge.expression(tz)))
+    def toNaiveInTimezone(tz: String): Column =
+      from_utc_timestamp(c, tz).cast("timestamp_ntz")
+
+    /** dt.add_duration_in_timezone (date_time.py): interpret the naive time
+      * in `tz`, add the duration in ABSOLUTE time, convert back to naive —
+      * composition pinned by test_add_sub_in_timezone (crossing both DST
+      * transitions). */
+    def addDurationInTimezone(durNs: Column, tz: String): Column = {
+      val utcUs = unix_micros(toUtc(tz)) + call_function("div", durNs, lit(1000L))
+      timestamp_micros(utcUs).dt.toNaiveInTimezone(tz)
+    }
+    def subtractDurationInTimezone(durNs: Column, tz: String): Column =
+      addDurationInTimezone(-durNs, tz)
+    /** dt.subtract_date_time_in_timezone → Duration (Long ns). */
+    def subtractDateTimeInTimezone(other: Column, tz: String): Column =
+      (unix_micros(toUtc(tz)) - unix_micros(other.dt.toUtc(tz))) * lit(1000L)
+
+    /** dt.to_duration(unit): value × unit multiplier → Duration (Long ns);
+      * unit may be a column (reference alias set, time.rs:125; bad units
+      * error like the reference ValueError). */
+    def toDuration(unit: Column): Column = {
+      val aliases = Seq(
+        "W" -> 604800000000000L,
+        "D" -> 86400000000000L, "day" -> 86400000000000L, "days" -> 86400000000000L,
+        "h" -> 3600000000000L, "hr" -> 3600000000000L, "hour" -> 3600000000000L,
+        "hours" -> 3600000000000L,
+        "m" -> 60000000000L, "min" -> 60000000000L, "minute" -> 60000000000L,
+        "minutes" -> 60000000000L,
+        "s" -> 1000000000L, "sec" -> 1000000000L, "second" -> 1000000000L,
+        "seconds" -> 1000000000L,
+        "ms" -> 1000000L, "milli" -> 1000000L, "millis" -> 1000000L,
+        "millisecond" -> 1000000L, "milliseconds" -> 1000000L,
+        "us" -> 1000L, "micro" -> 1000L, "micros" -> 1000L,
+        "microsecond" -> 1000L, "microseconds" -> 1000L,
+        "ns" -> 1L, "nano" -> 1L, "nanos" -> 1L,
+        "nanosecond" -> 1L, "nanoseconds" -> 1L)
+      aliases.foldLeft(when(lit(false), lit(0L))) { case (acc, (a, mult)) =>
+        acc.when(unit === lit(a), c.cast("long") * lit(mult))
+      }.otherwise(raise_error(
+        concat(lit("unit has to be a valid time unit but is "), unit)).cast("long"))
+    }
+  }
+
+  /** Duration accessors (time.rs:388-418: chrono num_* — integer division
+    * truncating toward ZERO, pinned by test_duration's negative vectors).
+    * Durations are Long nanoseconds; `div` is Catalyst IntegralDivide, which
+    * truncates toward zero and stays exact on the full i64 range (a double
+    * division would corrupt |ns| > 2^53). */
+  final class DurOps(private val c: Column) extends AnyVal {
+    private def in(unit: Long): Column = call_function("div", c, lit(unit))
+    def nanoseconds: Column = c.cast("long")
+    def microseconds: Column = in(1000L)
+    def milliseconds: Column = in(1000000L)
+    def seconds: Column = in(1000000000L)
+    def minutes: Column = in(60L * 1000000000L)
+    def hours: Column = in(3600L * 1000000000L)
+    def days: Column = in(86400L * 1000000000L)
+    def weeks: Column = in(7L * 86400L * 1000000000L)
   }
 
   /** `num.*` namespace (internals/expressions/numerical.py:30-144). */
   final class NumOps(private val c: Column) extends AnyVal {
     def abs: Column = org.apache.spark.sql.functions.abs(c)
-    def round(decimals: Int): Column = org.apache.spark.sql.functions.round(c, decimals)
-    def fillNa(v: Column): Column = coalesce(nanvl(c, lit(null)), v)
+    /** num.round: the reference lowers to python's builtin `round`
+      * (numerical.py:121) — half-to-even on the EXACT binary value
+      * ([[PyRound]]). Spark's `round` (half-up) and `bround` (half-even on
+      * the shortest decimal repr) both differ on representation edges like
+      * 2.675. Decimals may come from a column. */
+    def round(decimals: Int): Column = round(lit(decimals))
+    def round(decimals: Column): Column =
+      GraftExprBridge.column(PyRound(
+        GraftExprBridge.expression(c.cast("double")),
+        GraftExprBridge.expression(decimals.cast("int"))))
+    /** num.fill_na: None or NaN → default, INPUT TYPE KEPT (the reference's
+      * int fill stays int — an `nanvl`-based form would coerce to double). */
+    def fillNa(v: Column): Column =
+      when(c.isNull || coalesce(isnan(c.cast("double")), lit(false)), v).otherwise(c)
   }
 
   // ── durations as Long ns ─────────────────────────────────────────────────────

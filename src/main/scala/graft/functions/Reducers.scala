@@ -1,8 +1,30 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder, Encoders, GraftExprBridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, RuntimeReplaceable, UnaryMinus}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
+
+/** Overflow-safe negation for [[Reducers.argmax]]'s inverted sort key: once
+  * the child resolves, integral inputs (Long/Int/Short/Byte) are widened to
+  * decimal(20,0) — which holds −Long.MinValue exactly — before negating, so
+  * the MinValue sentinel can no longer overflow back onto itself and
+  * silently rank as the maximum. Non-integral types (double/float/decimal)
+  * negate unchanged, keeping large-double exactness. Rewritten by the
+  * optimizer's ReplaceExpressions rule, so the executed plan is plain
+  * codegen'd Cast+UnaryMinus. */
+private[graft] case class WidenedNeg(child: Expression)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      UnaryMinus(Cast(child, DecimalType(20, 0)), failOnError = false)
+    case _ => UnaryMinus(child, failOnError = false)
+  }
+  override protected def withNewChildInternal(newChild: Expression): WidenedNeg =
+    copy(child = newChild)
+}
 
 /** Pathway's reducer set (SURVEY §2.4; reference src/engine/reduce.rs:27-45,
   * python/pathway/internals/reducers.py) as Spark aggregate Columns.
@@ -19,11 +41,60 @@ object Reducers {
   def max_(c: Column): Column = max(c)
   def sum_(c: Column): Column = sum(c)
   def count_(): Column = count(lit(1))
-  def countDistinct_(c: Column): Column = countDistinct(c)
+  /** count_distinct over any number of columns (reducers.py count_distinct;
+    * r16 decode of test_distinct): zero columns counts the distinct empty
+    * tuple — 1 for any non-empty group. */
+  def countDistinct_(cols: Column*): Column =
+    if (cols.isEmpty) countDistinct(lit(0))
+    else countDistinct(cols.head, cols.tail: _*)
   /** count_distinct_approximate(precision) (reducers.py:837, HLL in reduce.rs:30). */
   def countDistinctApprox(c: Column, rsd: Double = 0.05): Column =
     approx_count_distinct(c, rsd)
+  /** The reference's `precision` form (2^precision HLL registers; its test
+    * bound is err < 1.8/2^(p/2), test_reducers.py:658): mapped to Spark
+    * HLL++'s rsd via the standard σ ≈ 1.04/√m. Multi-column inputs hash as a
+    * struct, like the reference's tuple key. Zero columns = exact 1. */
+  def countDistinctApproxPrecision(precision: Int, cols: Column*): Column =
+    if (cols.isEmpty) countDistinct(lit(0))
+    else {
+      val rsd = 1.04 / math.sqrt(math.pow(2.0, precision.toDouble))
+      val in = if (cols.size == 1) cols.head else struct(cols: _*)
+      approx_count_distinct(in, rsd)
+    }
   def avg_(c: Column): Column = avg(c)
+
+  /** Float sum with Neumaier compensation — the reference's FloatSumState
+    * (reduce.rs:210-236; r16 decode of test_float_sum_precision: BOTH strict
+    * and non-strict float sums are compensated there, so ±10.1²¹ + 1 + 1
+    * sums to exactly 2.0). Spark's plain `sum` keeps uncompensated partials
+    * and loses the small addends on such cancellation — use [[sumFloat]]
+    * where that matters; `sum_` remains the uncompensated performance
+    * default (documented, SEMANTICS.md). Same update/merge shape as the
+    * reference's plus_equals, so map-side combine applies. */
+  def sumFloat(c: Column): Column = udaf(FloatSumAgg).apply(c.cast("double"))
+
+  object FloatSumAgg extends Aggregator[Double, (Long, Double, Double), Double] {
+    // (sum', comp') after adding v to (sum, comp) — reduce.rs:210
+    private def step(sum: Double, comp: Double, v: Double): (Double, Double) = {
+      val t = sum + v
+      val dc = if (math.abs(sum) > math.abs(v)) (sum - t) + v else (v - t) + sum
+      (t, comp + dc)
+    }
+    override def zero: (Long, Double, Double) = (0L, 0.0, 0.0)
+    override def reduce(b: (Long, Double, Double), a: Double): (Long, Double, Double) = {
+      val (s, comp) = step(b._2, b._3, a)
+      (b._1 + 1, s, comp)
+    }
+    override def merge(b1: (Long, Double, Double), b2: (Long, Double, Double)): (Long, Double, Double) = {
+      val (s, comp) = step(b1._2, b1._3 + b2._3, b2._2)
+      (b1._1 + b2._1, s, comp)
+    }
+    override def finish(r: (Long, Double, Double)): Double =
+      if (r._1 == 0L) 0.0 else r._2 + r._3
+    override def bufferEncoder: Encoder[(Long, Double, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
 
   /** Exact continuous quantile (R-7 linear interpolation — the rule Spark's
     * `percentile` and DuckDB's `quantile_cont` share): h = (n−1)·p,
@@ -53,17 +124,15 @@ object Reducers {
     * guards (a bare `-value` would invert them): NULL values never win
     * unless the whole group is null, and NaN counts as the LARGEST value
     * — both what `max_by` did and what the reference's total value order
-    * does. The one unguarded sentinel: negating an integral type's
-    * MinValue (Long/Int/Short/Byte alike) overflows back onto itself, so
-    * a group containing exactly that sentinel ranks it as if it were the
-    * maximum — and under `spark.sql.ansi.enabled=true` the negation
-    * throws ARITHMETIC_OVERFLOW instead (this engine runs non-ANSI).
-    * Callers with sentinel-bearing data should widen first
-    * (`value.cast("decimal(20,0)")`); the library cannot widen
-    * unconditionally without breaking exactness for large doubles. */
+    * does. Integral inputs are widened to decimal(20,0) before negation
+    * ([[WidenedNeg]] dispatches on the resolved type), so an integral
+    * MinValue sentinel (whose bare negation overflows back onto itself
+    * under non-ANSI mode) ranks correctly; doubles negate unchanged,
+    * keeping large-double exactness. */
   def argmax(arg: Column, value: Column, tieBreak: Column): Column =
     min_by(arg, struct(value.isNull,
-      not(coalesce(isnan(value.cast("double")), lit(false))), -value, tieBreak))
+      not(coalesce(isnan(value.cast("double")), lit(false))),
+      GraftExprBridge.column(WidenedNeg(GraftExprBridge.expression(value))), tieBreak))
 
   // ── unique (reducers.py:520, reduce.rs:34): all values equal, else error ────
   def unique(c: Column): Column =
@@ -93,6 +162,22 @@ object Reducers {
     filter(tupleInOrder(sortKey, v), x => x.isNotNull)
   /** ndarray reducer (reducers.py:700): dense vector of the group's values. */
   def ndarray(sortKey: Column, v: Column): Column = tupleInOrder(sortKey, v)
+
+  /** Order-sensitive custom reducer — the reference's
+    * `udf_reducer(Accumulator)` with a `sort_by` row key
+    * (custom_reducers.py; r16 decode of test_custom_sorting): rows reach the
+    * fold sorted by `sortKey` regardless of arrival/partition order. `init`
+    * builds the accumulator from the FIRST row (reference `from_row`), and
+    * `step` folds each later row in (`update`). Collects the group into an
+    * array first — the price of order-sensitivity under parallel input, the
+    * same materialize-then-sort the reference's sorting path performs. */
+  def foldInOrder(sortKey: Column, row: Column)(init: Column => Column)(
+      step: (Column, Column) => Column): Column = {
+    val arr = transform(
+      array_sort(collect_list(struct(sortKey.as("k"), row.as("v")))), x => x.getField("v"))
+    aggregate(slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+      init(element_at(arr, 1)), step)
+  }
 
   // ── earliest / latest (reducers.py:735/769) over event time ────────────────
   // (the reference uses processing time — reduce.rs:43/44; we substitute event

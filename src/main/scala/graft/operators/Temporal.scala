@@ -410,8 +410,15 @@ object Temporal {
     val rs = withB.filter(col("_isL") === 0)
       .select(col("_k").as("_kr"), col("_sid").as("_sidr"),
         col("s_start").as("_ss_r"), col("s_end").as("_se_r"), col("_rrow"))
+    // Null-safe on the key: sessionize groups null-key rows from BOTH sides
+    // into one merged session (Window.partitionBy puts nulls in one
+    // partition), and the reference's engine joins None instances by value
+    // equality — a plain `===` would sessionize them together yet never
+    // match them, leaving outer-mode rows carrying session bounds merged
+    // with counterparts they could not join. `<=>` keys still plan as a
+    // shuffled equi-join (EqualNullSafe is a supported hash-join key).
     val joined = ls.join(rs,
-      col("_k") === col("_kr") && col("_sid") === col("_sidr"), joinMode(how))
+      col("_k") <=> col("_kr") && col("_sid") === col("_sidr"), joinMode(how))
     val withL = lPayload.foldLeft(joined)((d, nc) =>
       d.withColumn(nc._1, col("_lrow").getField(nc._1)))
     rPayload.foldLeft(withL)((d, nc) =>

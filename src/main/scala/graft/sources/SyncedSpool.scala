@@ -163,6 +163,12 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
     * the write-then-rename staging names) are excluded. The last listing
     * is kept for same-trigger reuse (reportLatestOffset). */
   private var lastListing: Array[String] = _
+  /** compactedNames.length at the moment [[lastListing]] was taken — the
+    * two must be read as a PAIR: commit moves a batch's files into
+    * _processed/ (growing compactedNames) while a stale listing still
+    * contains them, so `compactedNames.length + lastListing.length` mixed
+    * across triggers transiently overcounts by up to filesPerBatch. */
+  private var lastListingCompacted: Int = 0
   private def listSorted(): Array[String] = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val f = fs
@@ -172,6 +178,7 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
         .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
           !s.getPath.getName.startsWith("_"))
         .map(_.getPath.toString).toArray.sorted
+    lastListingCompacted = compactedNames.length
     lastListing
   }
 
@@ -292,8 +299,10 @@ private[sources] class SyncedSpoolStream(path: String, syncCol: String,
   /** Progress-metrics probe only — reuses the trigger's listing instead of
     * a second full listStatus per micro-batch (an object-store spool with
     * thousands of files would pay double planning I/O otherwise). */
-  override def reportLatestOffset(): Offset = ReplayOffset(compactedNames.length +
-    (if (lastListing != null) lastListing else listSorted()).length.toLong)
+  override def reportLatestOffset(): Offset = {
+    if (lastListing == null) listSorted()
+    ReplayOffset(lastListingCompacted + lastListing.length.toLong)
+  }
   override def deserializeOffset(json: String): Offset = ReplayOffset(json.toLong)
   override def stop(): Unit = coordinator.deregister(member, lease)
 

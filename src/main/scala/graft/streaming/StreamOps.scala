@@ -324,6 +324,9 @@ object StreamOps {
       bucketCap: Int = graft.operators.Dedup.DefaultBucketCap,
       preAggregate: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    // preAgg emits identical-signature pairs at est 1.0 unconditionally; a
+    // threshold > 1.0 would make the two kernels' pair sets diverge.
+    require(threshold <= 1.0, s"threshold=$threshold must be <= 1.0")
     val sess = df.sparkSession
     import sess.implicits._
     val rpb = numHashes / bands
@@ -443,6 +446,7 @@ object StreamOps {
       bucketCap: Int = graft.operators.Dedup.DefaultBucketCap,
       coarse: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    require(threshold <= 1.0, s"threshold=$threshold must be <= 1.0")
     val sess = df.sparkSession
     import sess.implicits._
     val rpb = numHashes / bands

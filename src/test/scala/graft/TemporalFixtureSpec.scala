@@ -209,6 +209,32 @@ class TemporalFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("session_window_join: null keys co-session AND join (value equality, like None instances)") {
+    // r15 ADVICE: null-key rows from both sides sessionized together but a
+    // plain === join never matched them, so outer modes emitted rows whose
+    // session bounds were merged with counterparts they could never join.
+    // The reference's engine joins None instances by value equality; the
+    // join key is now null-safe (<=>).
+    val l = Seq((1, Some(0), 0), (2, None, 0), (3, None, 10))
+      .toDF("a", "k", "ti").withColumn("lt", tsSec(col("ti"))).drop("ti")
+    val r = Seq((10, None, 1), (20, Some(0), 2))
+      .toDF("b", "k", "ti").withColumn("rt", tsSec(col("ti"))).drop("ti")
+    def run(how: String) = Temporal.sessionWindowJoin(l, r, col("lt"), col("rt"),
+      3 * S, l("k"), r("k"), Seq("a" -> col("a")), Seq("b" -> col("b")), how)
+    // null-key session 1 = {L:2@0s, R:10@1s}; null-key session 2 = {L:3@10s};
+    // key-0 session = {L:1@0s, R:20@2s}
+    assert(pairs(run("inner").select("a", "b")) ==
+      withModes(Seq((1, 20), (2, 10)), Seq(3), Nil)("inner"))
+    val left = run("left")
+    assert(pairs(left.select("a", "b")) ==
+      withModes(Seq((1, 20), (2, 10)), Seq(3), Nil)("left"))
+    // the unmatched null-key left row's session bounds cover ONLY itself
+    val lone = left.filter(col("a") === 3)
+      .select(unix_micros(col("s_start").cast("timestamp_ltz")),
+        unix_micros(col("s_end").cast("timestamp_ltz"))).head
+    assert(lone.getLong(0) == 10_000_000L && lone.getLong(1) == 10_000_000L)
+  }
+
   // ─────────────── test_windows.py (windowby) ───────────────
 
   test("session_simple: predicate sessions with instances replay bit-exactly") {

@@ -1,0 +1,199 @@
+#!/usr/bin/env python3
+"""Golden generator for ExpressionFixtureSpec.
+
+Reproduces the expected values of the reference's expression fixtures
+(reference python/pathway/tests/expressions/test_datetimes.py) using the SAME
+comparator those tests use (pandas), at the engine's documented µs precision:
+inputs are truncated ns→µs BEFORE computing expectations, so the goldens pin
+the µs-grid contract of the Spark kernels.
+
+Driver-side tooling only (like tools/check.py): the library itself never
+imports pandas.
+"""
+import os
+import pandas as pd
+import numpy as np
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "expr_goldens")
+os.makedirs(OUT, exist_ok=True)
+
+
+def us_of(ts: pd.Timestamp) -> int:
+    v = ts.value  # ns since epoch (UTC for tz-aware)
+    return v // 1000 if v >= 0 else -((-v + 999) // 1000)  # floor toward -inf
+
+
+def floor_us(ts: pd.Timestamp) -> pd.Timestamp:
+    return pd.Timestamp(us_of(ts) * 1000, tz=ts.tz)
+
+
+# ── test_date_time / test_weekday field accessors ───────────────────────────
+DT_DATA = [
+    "1960-02-03 08:00:00.000000000",
+    "1960-02-03 08:00:00.123456789",
+    "2008-02-29 08:00:00.000000000",
+    "2023-03-25 12:00:00.000000000",
+    "2023-03-25 12:00:00.000000001",
+    "2023-03-25 12:00:00.123456789",
+    "2023-03-25 16:43:21.000123000",
+    "2023-03-25 17:00:01.987000000",
+    "2023-03-25 22:59:59.999999999",
+    "2023-03-25 23:00:00.000000001",
+    "2023-03-25 23:59:59.999999999",
+    "2023-03-26 00:00:00.000000001",
+    "2023-03-26 12:00:00.000000001",
+    "2123-03-26 12:00:00.000000001",
+    "2123-03-31 23:00:00.000000001",
+]
+
+rows = []
+for kind in ("naive", "utc"):
+    data = DT_DATA if kind == "naive" else [d + "-02:00" for d in DT_DATA[:-2]]
+    fmt = "%Y-%m-%d %H:%M:%S.%f" + ("%z" if kind == "utc" else "")
+    for s in data:
+        ts = pd.to_datetime(s, format=fmt)
+        if kind == "utc":
+            ts = ts.tz_convert("UTC")
+        t = floor_us(ts)
+        fields = {
+            "nanosecond": t.nanosecond + t.microsecond * 1000,
+            "microsecond": t.microsecond,
+            "millisecond": t.microsecond // 1000,
+            "second": t.second, "minute": t.minute, "hour": t.hour,
+            "day": t.day, "month": t.month, "year": t.year,
+            "weekday": t.weekday(),
+        }
+        for f, v in fields.items():
+            rows.append((kind, us_of(ts), f, v))
+with open(os.path.join(OUT, "dt_fields.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+# ── test_strftime ────────────────────────────────────────────────────────────
+SF_DATA = [
+    "1960-02-03 08:00:00.000000000",
+    "2008-02-29 08:00:00.000000000",
+    "2023-03-25 12:00:00.000000000",
+    "2023-03-25 12:00:00.000000001",
+    "2023-03-25 12:00:00.123456789",
+    "2023-03-25 16:43:21.000123000",
+    "2023-03-25 17:00:01.987000000",
+    "2023-03-25 23:59:59.999999999",
+    "2023-03-26 01:59:59.999999999",
+    "2023-03-26 03:00:00.000000001",
+    "2023-03-26 04:00:00.000000001",
+    "2023-03-26 12:00:00.000000001",
+    "2123-03-26 12:00:00.000000001",
+]
+FMTS = ["%a", "%A", "%w", "%d", "%b", "%B", "%m", "%y", "%Y", "%H", "%I", "%p",
+        "%M", "%S", "%f", "%z", "%j", "%U", "%W", "%c", "%x", "%X", "%%%Y",
+        "%G", "%u", "%V", "%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S.%%f",
+        "%%H:%%M:%%S"]
+
+rows = []
+for kind in ("naive", "utc"):
+    data = SF_DATA if kind == "naive" else [d + "-02:00" for d in SF_DATA]
+    fmt_in = "%Y-%m-%d %H:%M:%S.%f" + ("%z" if kind == "utc" else "")
+    for s in data:
+        ts = pd.to_datetime(s, format=fmt_in)
+        if kind == "utc":
+            ts = ts.tz_convert("UTC")
+        t = floor_us(ts)
+        for fmt_out in FMTS:
+            if "%z" in fmt_out and kind == "naive":
+                continue  # reference xfail
+            expected = t.strftime(fmt_out)
+            fmt_pw = fmt_out.replace("%f", "%6f").replace("%%6f", "%%f")
+            rows.append((kind, us_of(ts), fmt_pw, expected))
+with open(os.path.join(OUT, "strftime.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+# ── test_strptime_naive ──────────────────────────────────────────────────────
+SP_NAIVE = [
+    (["1960-02-03", "2023-03-25", "2023-03-26", "2123-03-26"], "%Y-%m-%d"),
+    (["03.02.1960", "25.03.2023", "26.03.2023", "26.03.2123"], "%d.%m.%Y"),
+    (["02.03.1960", "03.25.2023", "03.26.2023", "03.26.2123"], "%m.%d.%Y"),
+    (["12:34:00", "01:22:12", "13:00:34", "23:59:59"], "%H:%M:%S"),
+    (["12:34:00 PM", "01:22:12 AM", "01:00:34 PM", "11:59:59 PM"], "%I:%M:%S %p"),
+    (["12:34:00.000000000", "01:22:12.123456789", "13:00:34.111111111"], "%H:%M:%S.%f"),
+    (["2023-03-25 16:43:21", "2023-03-26 16:43:21"], "%Y-%m-%d %H:%M:%S"),
+    (["2023-03-25T16:43:21", "2023-03-26T16:43:21"], "%Y-%m-%dT%H:%M:%S"),
+    (["2023-03-25 04:43:21 AM", "2023-03-26 04:43:21 PM"], "%Y-%m-%d %I:%M:%S %p"),
+    (["1900-01-01 00:00:00.396", "1900-01-01 00:00:00.396093123",
+      "2023-03-25 16:43:21.123456789", "2023-03-26 16:43:21.123456789",
+      "2023-03-26 16:43:21.12"], "%Y-%m-%d %H:%M:%S.%f"),
+    (["1900-01-01 %f00:00:00.396", "1900-01-01 %f00:00:00.396093123",
+      "2023-03-25 %f16:43:21.123456789", "2023-03-26 %f16:43:21.123456789",
+      "2023-03-26 %f16:43:21.12"], "%Y-%m-%d %%f%H:%M:%S.%f"),
+]
+rows = []
+for data, fmt in SP_NAIVE:
+    for s in data:
+        ts = pd.to_datetime(s, format=fmt)
+        rows.append((s, fmt, us_of(ts)))
+with open(os.path.join(OUT, "strptime_naive.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+# ── test_strptime_time_zone_aware ────────────────────────────────────────────
+SP_UTC = [
+    (["2023-03-25 16:43:21+0123", "2023-03-26 16:43:21+0123"], "%Y-%m-%d %H:%M:%S%z"),
+    (["2023-03-25 16:43:21+01:23", "2023-03-26 16:43:21+01:23"], "%Y-%m-%d %H:%M:%S%:z"),
+    (["2023-03-25T16:43:21+01:23", "2023-03-26T16:43:21+01:23"], "%Y-%m-%dT%H:%M:%S%z"),
+    (["2023-03-25 04:43:21 AM +01:23", "2023-03-26 04:43:21 PM +01:23"],
+     "%Y-%m-%d %I:%M:%S %p %z"),
+    (["1900-01-01 00:00:00.396-11:05", "1900-01-01 00:00:00.396093123-11:05",
+      "2023-03-25 16:43:21.123456789-11:05", "2023-03-26 16:43:21.123456789-11:05",
+      "2023-03-26 16:43:21.12-11:05"], "%Y-%m-%d %H:%M:%S.%f%z"),
+    (["1900%f01-01 00:00:00.396-11:05", "1900%f01-01 00:00:00.396093123-11:05",
+      "2023%f03-25 16:43:21.123456789-11:05", "2023%f03-26 16:43:21.123456789-11:05",
+      "2023%f03-26 16:43:21.12-11:05"], "%Y%%f%m-%d %H:%M:%S.%f%z"),
+]
+rows = []
+for data, fmt in SP_UTC:
+    pandas_fmt = fmt.replace("%:z", "%z")
+    for s in data:
+        ts = pd.to_datetime(s, format=pandas_fmt)
+        rows.append((s, fmt, us_of(ts.tz_convert("UTC"))))
+with open(os.path.join(OUT, "strptime_utc.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+# ── test_date_time_round (round/floor, µs-truncated inputs) ──────────────────
+RD_DATA = [
+    "2020-03-04 11:13:00.345612",
+    "2020-03-04 12:13:00.345612",
+    "2020-03-04 12:00:00.0",
+    "2020-03-04 11:59:59.999999999",
+    "2020-03-04 13:22:23.0",
+    "2023-05-19 13:56:23.0",
+    "2023-05-19 13:56:23.123456789",
+    "2023-05-01 09:10:11.121314",
+]
+ROUND_TOS = [
+    ("ns:%d" % pd.Timedelta(days=1).value, pd.Timedelta(days=1)),
+    ("ns:%d" % pd.Timedelta(hours=2).value, pd.Timedelta(hours=2)),
+    ("ns:%d" % pd.Timedelta(hours=1).value, pd.Timedelta(hours=1)),
+    ("ns:%d" % pd.Timedelta(minutes=20).value, pd.Timedelta(minutes=20)),
+    ("ns:%d" % pd.Timedelta(minutes=1).value, pd.Timedelta(minutes=1)),
+    ("ns:%d" % pd.Timedelta(seconds=1).value, pd.Timedelta(seconds=1)),
+    ("ns:%d" % pd.Timedelta(minutes=43).value, pd.Timedelta(minutes=43)),
+    ("ns:%d" % pd.Timedelta(seconds=19).value, pd.Timedelta(seconds=19)),
+    ("D", pd.Timedelta("1D")), ("2H3T", pd.Timedelta(hours=2, minutes=3)),
+    ("min", pd.Timedelta("1min")), ("S", pd.Timedelta("1s")),
+    ("14L22ms14us", pd.Timedelta(microseconds=36014)),
+    ("U", pd.Timedelta("1us")), ("N", pd.Timedelta("1ns")),
+]
+rows = []
+for s in RD_DATA:
+    ts = floor_us(pd.to_datetime(s, format="%Y-%m-%d %H:%M:%S.%f"))
+    for spec, freq in ROUND_TOS:
+        for method in ("round", "floor"):
+            expected = getattr(ts, method)(freq)
+            rows.append((method, us_of(ts), spec, us_of(expected)))
+with open(os.path.join(OUT, "round_floor.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+print("goldens written to", OUT)
