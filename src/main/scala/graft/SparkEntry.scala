@@ -457,12 +457,16 @@ object SparkEntry {
       "q_pow" -> (col("l_quantity") ** lit(2)),
       "disc_round" -> col("l_discount").num.round(1)).toDf
 
-  private def qExprJson(s: SparkSession, dir: String): DataFrame =
+  private def qExprJson(s: SparkSession, dir: String): DataFrame = {
+    // r16: strict VARIANT path (Exprs.PwJson — serde_json-faithful as_*);
+    // missing key = SQL null, json text of a present value round-trips
+    val v = Exprs.PwJson.parse(col("props"))
     Tables.events(s, dir).select(
       "event_id" -> col("event_id"),
-      "k" -> Exprs.Json.getInt(col("props"), "k"),
-      "k_str" -> Exprs.Json.getStr(col("props"), "k"),
-      "missing" -> Exprs.Json.getStr(col("props"), "nope")).toDf
+      "k" -> Exprs.PwJson.asInt(Exprs.PwJson.item(v, "k")),
+      "k_f" -> Exprs.PwJson.asFloat(Exprs.PwJson.item(v, "k")),
+      "missing" -> to_json(Exprs.PwJson.getField(v, "nope"))).toDf
+  }
 
   private def qExprCond(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir); val o = Tables.orders(s, dir)
@@ -1144,6 +1148,18 @@ object SparkEntry {
       e, col("vec_id"), col("embedding"), k = 5)
   }
 
+  /** r16 decode of tests/ml/test_index.py (knnQuery): L2² metric, PER-QUERY
+    * k (incl. k=0 → no rows), and a corpus metadata filter applied before
+    * top-k. */
+  private def qKnnL2K(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), (col("vec_id") % 4).as("k"))
+    Similarity.knnQuery(q, col("vec_id"), col("embedding"), col("k"),
+      e.filter(col("vec_id") >= 50), col("vec_id"), col("embedding"),
+      corpusFilter = Some(col("label") % 2 === 0))
+  }
+
   private def qKnnHnsw(s: SparkSession, dir: String): DataFrame = {
     // Deterministic construction (id-hash levels, hash-fixed shards, sorted
     // inserts) makes HNSW oracle-able at all: the output is a pure function
@@ -1699,6 +1715,7 @@ object SparkEntry {
     "dedup_pipeline" -> (qDedupPipeline _),
     "embedding_cosine_pairs" -> (qEmbCosinePairs _),
     "knn_brute_force" -> (qKnnBrute _),
+    "knn_l2_variablek" -> (qKnnL2K _),
     "knn_hnsw"        -> (qKnnHnsw _),
     "knn_lsh"         -> (qKnnLsh _),
     "knn_classify"    -> (qKnnClassify _),
@@ -1942,7 +1959,7 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     "expr_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_f,
         |  json_extract_string(props, '$.nope') AS missing
         |FROM events""".stripMargin,
     "expr_cond" ->
@@ -2467,6 +2484,21 @@ object SparkEntry {
         |   * SQRT(list_reduce(list_transform(generate_series(1, 64),
         |      i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)), (a, b) -> a + b))) AS score
         |FROM e l JOIN e r ON r.vec_id = l.vec_id + 1""".stripMargin,
+    "knn_l2_variablek" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, vec_id % 4 AS k
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id >= 50 AND label % 2 = 0),
+        |s AS (SELECT query_id, nn_id, k,
+        |  list_reduce(list_transform(generate_series(1, 64),
+        |    i -> (CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+        |       * (CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))), (a, b) -> a + b)
+        |    AS dist
+        |  FROM q CROSS JOIN c),
+        |r AS (SELECT query_id, nn_id, dist, k,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, nn_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, nn_id, dist, rank FROM r WHERE rank <= k""".stripMargin,
     "knn_brute_force" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS nn_id, embedding AS cv FROM embeddings),

@@ -267,6 +267,16 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     val w = Window.partitionBy(instance).orderBy(keys: _*)
     wrap(df.withColumn("diff", valueCol - lag(valueCol, k).over(w)))
   }
+
+  /** Multi-column `pw.stdlib.ordered.diff(timestamp, *values)` — one window
+    * pass producing `diff_<name>` per value column, the reference's output
+    * shape (r16 decode of tests/ordered/test_diff.py). */
+  def diffAll(keys: Seq[Column], values: Seq[(String, Column)], instance: Column): PwTable = {
+    val w = Window.partitionBy(instance).orderBy(keys: _*)
+    wrap(values.foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(s"diff_$name", c - lag(c, 1).over(w))
+    })
+  }
 }
 
 object PwTable {

@@ -418,4 +418,73 @@ object Exprs {
     def getStr(c: Column, path: String): Column = getItem(c, path)
     def parse(c: Column, schemaDdl: String): Column = from_json(c, schemaDdl, Map.empty[String, String])
   }
+
+  /** pw.Json on Spark VARIANT (r16 decode of tests/test_json.py against the
+    * engine's JsonToValue, expression.rs:780): a JSON value is a variant;
+    * "missing" is SQL NULL; a JSON null is a variant whose `is_variant_null`
+    * holds — the distinction the reference's get/default matrix pins. The
+    * string-path [[Json]] helpers above stay for lenient extraction; this
+    * namespace is the reference-faithful one (STRICT `as_*`: an int is not a
+    * float is not a string — serde_json as_i64/as_f64/as_bool/as_str
+    * semantics, errors included). */
+  object PwJson {
+    def parse(c: Column): Column = parse_json(c)
+    /** JSON null — NOT SQL null (pw.Json(None)). */
+    def jsonNull: Column = parse_json(lit("null"))
+
+    /** `.get(key, default)` (test_json_get_default matrix): the key's value
+      * when v is an object containing it — a JSON-null VALUE passes through —
+      * else `default` (arrays, scalars, JSON null, missing key, missing
+      * value all take the default). */
+    def getField(v: Column, key: String, default: Column): Column = {
+      val got = try_variant_get(v, s"$$.$key", "variant")
+      when(got.isNotNull, got).otherwise(default)
+    }
+    def getField(v: Column, key: String): Column =
+      getField(v, key, lit(null).cast(org.apache.spark.sql.types.VariantType))
+    /** `[key]` (test_json_get_item): like get but the default is JSON null. */
+    def item(v: Column, key: String): Column = getField(v, key, jsonNull)
+    /** `.get(i)` / `[i]` on arrays: out-of-bounds INCLUDING negative indices
+      * yields the default (the reference does NOT wrap pythonically —
+      * test_json_get_array_index_out_of_bounds pins −1 → null). */
+    def itemIndex(v: Column, i: Int): Column =
+      if (i < 0) jsonNull
+      else coalesce(try_variant_get(v, s"$$[$i]", "variant"), jsonNull)
+    /** index from a column: via a variant→array cast (dynamic paths are not
+      * foldable). */
+    def itemIndex(v: Column, i: Column): Column = {
+      val arr = v.cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.VariantType))
+      coalesce(when(i >= 0 && i < size(arr), element_at(arr, i.cast("int") + 1)), jsonNull)
+    }
+
+    private def conv(v: Column, ok: Column => Column, target: String,
+        typeName: String): Column =
+      when(v.isNull || is_variant_null(v), lit(null).cast(target))
+        .when(ok(schema_of_variant(v)), variant_get(v, "$", target))
+        .otherwise(raise_error(concat(
+          lit("Cannot convert json "), to_json(v), lit(s" to $typeName"))).cast(target))
+
+    /** STRICT conversions (serde_json as_* through JsonToValue): JSON null /
+      * missing → SQL null; wrong runtime type → the reference's
+      * `Cannot convert json … to …` error (1.5 is not an Int, "42" is not an
+      * Int, true is not an Int; ints widen to Float; nothing coerces to
+      * Bool/String). */
+    def asInt(v: Column): Column = conv(v, _ === "BIGINT", "long", "Int")
+    def asFloat(v: Column): Column =
+      conv(v, t => t === "BIGINT" || t === "DOUBLE" || t.startsWith("DECIMAL"),
+        "double", "Float")
+    def asStr(v: Column): Column = conv(v, _ === "STRING", "string", "String")
+    def asBool(v: Column): Column = conv(v, _ === "BOOLEAN", "boolean", "Bool")
+
+    /** Array elements for `flatten` (dataflow.rs:2274): non-arrays error with
+      * the reference message. Explode the result. */
+    def elements(v: Column): Column =
+      when(v.isNull || !schema_of_variant(v).startsWith("ARRAY"),
+        raise_error(concat(lit("Pathway can't flatten this Json: "), to_json(v)))
+          .cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.VariantType)))
+        .otherwise(v.cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.VariantType)))
+  }
 }

@@ -172,6 +172,66 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared euclidean distance — the reference index family's default metric
+  * (tests/ml/test_index.py pins get_distances to SQUARED L2: (0,0)→(-1,0) is
+  * 1, (−2,−3)→(1,−4) is 10; USearchMetricKind.L2SQ). Same codegen shape as
+  * [[DotProduct]]. */
+case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_sq"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprs.numericArray(left.dataType) && VectorExprs.numericArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires numeric array inputs, got ${left.dataType} / ${right.dataType}")
+
+  @transient private lazy val etL = left.dataType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val etR = right.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = VectorExprs.getD(a, i, etL) - VectorExprs.getD(b, i, etR)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val bad = ctx.freshName("bad")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $d = ${VectorExprs.getCode(a, i.toString, etL)} -
+         |      ${VectorExprs.getCode(b, i.toString, etR)};
+         |    $acc += $d * $d;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Floor-quantize a numeric array to exact Longs: element → floor(x·scale)
   * (the `transform(vec, x => floor(x*Q).cast("long"))` HOF without the
   * interpreted per-element dispatch; null elements stay null). */

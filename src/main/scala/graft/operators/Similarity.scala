@@ -40,6 +40,57 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("score"), col("rank").cast("long").as("rank"))
   }
 
+  /** Squared euclidean distance — the reference index default (L2SQ); native
+    * codegen'd left-to-right fold ([[graft.functions.L2Sq]]). */
+  def l2sq(a: Column, b: Column): Column =
+    GraftExprBridge.column(
+      graft.functions.L2Sq(GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
+
+  /** The reference index-query kernel (DataIndex.query / query_as_of_now —
+    * r16 decode of tests/ml/test_index.py): top-k per query by a distance
+    * metric, with the three axes those fixtures pin:
+    *   - `k` is PER QUERY (a column; k=0 yields no rows for that query —
+    *     the reference's empty result list),
+    *   - `corpusFilter` drops candidates BEFORE ranking (metadata_filter),
+    *   - `asofNow = Some((qTime, cTime))` makes each query see only corpus
+    *     rows that arrived STRICTLY before it (get_nearest_items_asof_now /
+    *     query_as_of_now stream semantics, replayed in batch) — the
+    *     update-old mode is simply None.
+    * Long form out: (query_id, nn_id, dist, rank), rank 1 = nearest, ties →
+    * smaller nn_id (deterministic; the reference's tie order is engine
+    * internal). Scale shape: queries broadcast, one corpus scan, per-query
+    * window top-k — same plan family as [[bruteForceKnn]]. */
+  def knnQuery(queries: DataFrame, qId: Column, qVec: Column, k: Column,
+      corpus: DataFrame, cId: Column, cVec: Column,
+      metric: String = "l2sq",
+      corpusFilter: Option[Column] = None,
+      asofNow: Option[(Column, Column)] = None): DataFrame = {
+    val q = asofNow match {
+      case Some((qt, _)) =>
+        queries.select(qId.as("query_id"), qVec.as("_qv"), k.as("_k"), qt.as("_qt"))
+      case None => queries.select(qId.as("query_id"), qVec.as("_qv"), k.as("_k"))
+    }
+    val base = corpusFilter.fold(corpus)(corpus.filter)
+    val c = asofNow match {
+      case Some((_, ct)) => base.select(cId.as("nn_id"), cVec.as("_cv"), ct.as("_ct"))
+      case None => base.select(cId.as("nn_id"), cVec.as("_cv"))
+    }
+    val joined = c.join(broadcast(q),
+      asofNow.fold(lit(true))(_ => col("_ct") < col("_qt")))
+    val dist = metric match {
+      case "l2sq" => l2sq(col("_qv"), col("_cv"))
+      case "cosine" => lit(1.0) - cosine(col("_qv"), col("_cv"))
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col("nn_id"))
+    joined.withColumn("dist", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= col("_k"))
+      .select(col("query_id"), col("nn_id"), col("dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Sign-random-projection LSH bucket for one table: `nPlanes` Rademacher (±1)
     * hyperplanes from a seeded PRNG, embedded as a literal 2-D array — zero
     * runtime hashing, identical on every executor/run, and the expression tree

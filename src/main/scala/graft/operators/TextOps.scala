@@ -414,9 +414,13 @@ object TextOps {
     * are engine-portable. At scale: one groupBy over exploded tokens, then a
     * broadcast join of the tiny per-term df table back onto docs. */
   def bm25PerTerm(docs: DataFrame, id: Column, text: Column, terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenize: Column => Column = tokens): DataFrame = {
     val spark = docs.sparkSession
-    val toks = tokens(text)
+    // default = whitespace tokens (the oracle-pinned shape); pass
+    // [[wordTokens]] for tantivy-style alphanumeric-run tokenization
+    // (punctuation stripped), which test_full_text_search assumes
+    val toks = tokenize(text)
     // no cache: tokenization is codegen'd regexp, so the three consumers
     // (scalars, df, tf) just rescan — cheaper than pinning the tokenized
     // corpus in memory at scale, and nothing is left persisted behind

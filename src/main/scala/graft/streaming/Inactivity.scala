@@ -170,8 +170,20 @@ object Inactivity {
     * of "not yet ended" at the stream frontier. One window pass per
     * instance + a broadcast scalar frontier; no driver loop. */
   def inactivityPeriodsBatch(events: DataFrame, ts: Column, allowedNs: Long,
-      instance: Column): DataFrame = {
-    val frontier = events.agg(max(ts).as("_fmax"))
+      instance: Column): DataFrame =
+    inactivityPeriodsBatch(events, ts, allowedNs, instance, None)
+
+  /** As above with an EXPLICIT frontier ("now"): the reference's wall clock
+    * keeps ticking past the last event, so an instance quiet for longer than
+    * `allowedNs` before `frontier` has an open period even when it holds the
+    * table's max timestamp (r16 decode of tests/temporal/test_time_utils.py —
+    * the (1000, null) rows exist only because utc_now ran to 1400). The
+    * boundary is STRICT (gap > allowed), pinned by test_no_alert where the
+    * whole run is exactly `allowed` long. */
+  def inactivityPeriodsBatch(events: DataFrame, ts: Column, allowedNs: Long,
+      instance: Column, frontierAt: Option[Long]): DataFrame = {
+    val frontier = frontierAt.fold(events.agg(max(ts).as("_fmax")))(f =>
+      events.sparkSession.range(1).select(lit(f).as("_fmax")))
     events.select(instance.as("instance"), ts.as("_t"))
       .withColumn("_nt", lead(col("_t"), 1).over(
         org.apache.spark.sql.expressions.Window
@@ -184,6 +196,15 @@ object Inactivity {
         when(col("_nt") - col("_t") > allowedNs, col("_nt"))
           .as("resumed_ts"))
   }
+
+  /** `add_update_timestamp_utc` (reference stdlib/temporal/time_utils.py),
+    * event-time translation: each row is stamped with the latest heartbeat
+    * tick at or before its update time — its time floored to the
+    * `refreshRate` grid (test_add_update_timestamp_utc: rows at 0 → 0, an
+    * update at 130 with refresh 100 → 100). Units follow `updateTime`. */
+  def addUpdateTimestamp(df: DataFrame, updateTime: Column, refreshRate: Long): DataFrame =
+    df.withColumn("updated_timestamp_utc",
+      updateTime.cast("long") - pmod(updateTime.cast("long"), lit(refreshRate)))
 
   /** `inactivity_detection`: monitor `events` (an append-only streaming
     * DataFrame) and emit inactivity periods longer than

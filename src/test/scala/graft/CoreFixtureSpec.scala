@@ -88,4 +88,60 @@ class CoreFixtureSpec extends AnyFunSuite {
     val c = pw(Seq((3, "c"), (4, "d")).toDF("k", "v"), "k")
     assert(a.concatStrict(c).toDf.count() == 4)
   }
+
+  // ───────── tests/test_sorting.py + tests/ordered/test_diff.py (r16 decode) ─────────
+
+  test("sort → prev/next replays test_prevnext_single_instance / _many_instance") {
+    def check(rows: Seq[(Int, Int, Int)],
+        expected: Map[Int, (Option[Int], Option[Int])]): Unit = {
+      val df = rows.toDF("rid", "key", "instance")
+      val idToRid = df.select(Keys.pointerFrom(col("rid")).as("id"), col("rid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val out = PwTable.fromPrimaryKey(df, "rid")
+        .sortWithPrevNext(Seq(col("key")), col("instance")).toDf
+        .select(col("rid"), col("prev"), col("next")).collect()
+      val got = out.map { r =>
+        r.getInt(0) -> ((
+          if (r.isNullAt(1)) None else Some(idToRid(r.getLong(1))),
+          if (r.isNullAt(2)) None else Some(idToRid(r.getLong(2)))))
+      }.toMap
+      assert(got == expected)
+    }
+    check(Seq((1, 1, 42), (2, 5, 42), (3, 3, 42), (4, 8, 42), (5, 2, 42)), Map(
+      1 -> ((None, Some(5))), 2 -> ((Some(3), Some(4))), 3 -> ((Some(5), Some(2))),
+      4 -> ((Some(2), None)), 5 -> ((Some(1), Some(3)))))
+    check(Seq((1, 1, 42), (2, 1, 28), (3, 5, 42), (4, 5, 28), (5, 3, 42),
+      (6, 3, 28), (7, 8, 42), (8, 8, 28), (9, 2, 42), (10, 2, 28)), Map(
+      1 -> ((None, Some(9))), 2 -> ((None, Some(10))), 3 -> ((Some(5), Some(7))),
+      4 -> ((Some(6), Some(8))), 5 -> ((Some(9), Some(3))), 6 -> ((Some(10), Some(4))),
+      7 -> ((Some(3), None)), 8 -> ((Some(4), None)), 9 -> ((Some(1), Some(5))),
+      10 -> ((Some(2), Some(6)))))
+  }
+
+  test("ordered diff replays test_diff_single_column / _multiple_columns / _instance") {
+    def opts(rows: Array[org.apache.spark.sql.Row], i: Int): Seq[Option[Int]] =
+      rows.map(r => if (r.isNullAt(i)) None else Some(r.getInt(i))).toSeq
+    val t1 = Seq((1, 1), (2, 2), (3, 4), (4, 7), (5, 11), (6, 16), (7, 22),
+      (8, 29), (9, 37)).toDF("t", "v")
+    val d1 = PwTable.fromPrimaryKey(t1, "t")
+      .diff(Seq(col("t")), col("v"), 1, lit(0)).toDf.orderBy("t").select("diff").collect()
+    assert(opts(d1, 0) == Seq(None) ++ (1 to 8).map(Some(_)))
+
+    val t2 = Seq((1, 1, 0), (2, 2, 10), (3, 4, 54), (4, 7, 64), (5, 11, 12),
+      (6, 16, 24), (7, 22, 18), (8, 29, -45), (9, 37, 100)).toDF("t", "v1", "v2")
+    val d2 = PwTable.fromPrimaryKey(t2, "t")
+      .diffAll(Seq(col("t")), Seq("v1" -> col("v1"), "v2" -> col("v2")), lit(0)).toDf
+      .orderBy("t").select("diff_v1", "diff_v2").collect()
+    assert(opts(d2, 0) == Seq(None) ++ (1 to 8).map(Some(_)))
+    assert(opts(d2, 1) == Seq(None, Some(10), Some(44), Some(10), Some(-52),
+      Some(12), Some(-6), Some(-63), Some(145)))
+
+    val t3 = Seq((1, 0, 1), (2, 1, 2), (3, 1, 4), (3, 0, 7), (5, 1, 11),
+      (5, 0, 16), (7, 0, 22), (8, 1, 29), (9, 0, 37)).toDF("t", "i", "v")
+    val d3 = PwTable.fromAllColumns(t3)
+      .diff(Seq(col("t")), col("v"), 1, col("i")).toDf
+      .orderBy("t", "v").select("diff").collect()
+    assert(opts(d3, 0) == Seq(None, None, Some(2), Some(6), Some(7), Some(9),
+      Some(6), Some(18), Some(15)))
+  }
 }

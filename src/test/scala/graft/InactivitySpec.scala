@@ -215,4 +215,45 @@ class InactivitySpec extends AnyFunSuite {
       ("u2", h, None)             // open at frontier
     ))
   }
+
+  // ───── tests/temporal/test_time_utils.py replays (r16 decode; event-time
+  //       translation: ticks are ms, the frontier is the mocked clock's end) ─────
+
+  private def periods(rows: Seq[(String, Long)], allowed: Long,
+      frontier: Long): Set[(String, Long, Option[Long])] = {
+    val df = rows.toDF("i", "t")
+    Inactivity.inactivityPeriodsBatch(df, col("t"), allowed, col("i"), Some(frontier))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+  }
+
+  test("test_inactivity_detection vector: (200, resumed 900) then the open (1000, -)") {
+    val events = Seq("a" -> 0L, "a" -> 50L, "a" -> 150L, "a" -> 200L,
+      "a" -> 900L, "a" -> 1000L)
+    assert(periods(events, 300L, 1400L) ==
+      Set(("a", 200L, Some(900L)), ("a", 1000L, None)))
+  }
+
+  test("test_inactivity_detection_instance vector: per-instance periods incl. open tails") {
+    val events = Seq("A" -> 0L, "A" -> 50L, "A" -> 150L, "A" -> 200L,
+      "A" -> 900L, "A" -> 1000L,
+      "B" -> 0L, "B" -> 200L, "B" -> 400L, "B" -> 1000L)
+    assert(periods(events, 300L, 1400L) == Set(
+      ("A", 200L, Some(900L)), ("A", 1000L, None),
+      ("B", 400L, Some(1000L)), ("B", 1000L, None)))
+  }
+
+  test("test_no_alert boundary: a run exactly allowed_inactivity long raises nothing (strict >)") {
+    assert(periods(Seq("a" -> 0L), 1000L, 1000L) == Set.empty)
+    // one tick longer and the open period appears
+    assert(periods(Seq("a" -> 0L), 1000L, 1001L) == Set(("a", 0L, None)))
+  }
+
+  test("add_update_timestamp_utc stamps rows with the last tick at/before the update (130 → 100)") {
+    val t = Seq((1L, 0L), (2L, 0L), (3L, 0L), (1L, 130L)).toDF("value", "updated_at")
+    val out = Inactivity.addUpdateTimestamp(t, col("updated_at"), 100L)
+      .select("value", "updated_timestamp_utc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 0L), (2L, 0L), (3L, 0L), (1L, 100L)))
+  }
 }
