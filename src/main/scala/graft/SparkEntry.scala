@@ -453,7 +453,7 @@ object SparkEntry {
       "l_linenumber" -> col("l_linenumber"),
       "qabs" -> (col("l_quantity") - 25.0).num.abs,
       "q_div" -> col("l_quantity").cast("long").floorDiv(lit(7)),
-      "q_mod" -> (col("l_quantity").cast("long") % 7),
+      "q_mod" -> col("l_quantity").cast("long").pyMod(lit(7)),
       "q_pow" -> (col("l_quantity") ** lit(2)),
       "disc_round" -> col("l_discount").num.round(1)).toDf
 

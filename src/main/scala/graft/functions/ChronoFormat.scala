@@ -201,8 +201,12 @@ object ChronoFormat {
 
   // ─────────────────────────── strptime ───────────────────────────
 
-  /** One compiled parse format: anchored regex + per-group field tags. */
-  private final case class ParseFmt(pattern: Pattern, fields: Array[String])
+  /** One compiled parse format: anchored regex + per-group field tags +
+    * the sanitized text (for the reference's error messages). Cached by the
+    * RAW format string so the hot path pays one hash lookup — sanitize's
+    * replace+count scans run only on a compile miss. */
+  private final case class ParseFmt(pattern: Pattern, fields: Array[String],
+      sanitized: String)
   private val strptimeCache = new ConcurrentHashMap[String, ParseFmt]()
 
   private def compileStrptime(sanitized: String): ParseFmt = {
@@ -239,6 +243,12 @@ object ChronoFormat {
             re.append("([+-]\\d{2}:?\\d{2}|Z)"); fields += "z"; consumed = 3
           case '.' if i + 2 < sanitized.length && sanitized.charAt(i + 2) == 'f' =>
             re.append("(?:\\.(\\d{1,9}))?"); fields += "f"; consumed = 3
+          case '.' if i + 3 < sanitized.length && "369".indexOf(sanitized.charAt(i + 2)) >= 0 &&
+              sanitized.charAt(i + 3) == 'f' =>
+            // chrono %.3f/%.6f/%.9f: OPTIONAL dot + EXACTLY N digits
+            // (scan::nanosecond_fixed requires the full width when present)
+            re.append(s"(?:\\.(\\d{${sanitized.charAt(i + 2) - '0'}}))?")
+            fields += "f"; consumed = 4
           case '3' | '6' | '9' if i + 2 < sanitized.length && sanitized.charAt(i + 2) == 'f' =>
             // fixed-width fraction without the dot (chrono %3f/%6f/%9f)
             re.append(s"(\\d{1,${c1 - '0'}})"); fields += "f"; consumed = 3
@@ -250,7 +260,7 @@ object ChronoFormat {
         i += consumed
       }
     }
-    ParseFmt(Pattern.compile(re.toString), fields.toArray)
+    ParseFmt(Pattern.compile(re.toString), fields.toArray, sanitized)
   }
 
   private def parseError(s: String, fmt: String): Nothing =
@@ -269,12 +279,12 @@ object ChronoFormat {
     parseFields(s, format, requireOffset = true)
 
   private def parseFields(s: String, format: String, requireOffset: Boolean): Long = {
-    val sanitized = sanitize(format)
-    var pf = strptimeCache.get(sanitized)
+    var pf = strptimeCache.get(format)
     if (pf == null) {
-      pf = compileStrptime(sanitized)
-      if (strptimeCache.size < 4096) strptimeCache.put(sanitized, pf)
+      pf = compileStrptime(sanitize(format))
+      if (strptimeCache.size < 4096) strptimeCache.put(format, pf)
     }
+    val sanitized = pf.sanitized
     val m: Matcher = pf.pattern.matcher(s)
     if (!m.matches()) parseError(s, sanitized)
     var year = Int.MinValue; var month = -1; var day = -1; var yday = -1
@@ -309,6 +319,10 @@ object ChronoFormat {
       g += 1
     }
     if (hour12 >= 0) {
+      // chrono requires BOTH halves of a 12-hour time (%I without %p leaves
+      // hour_div_12 unset → NotEnough) and set_hour12 rejects values
+      // outside 1..=12 (OUT_OF_RANGE)
+      if (pm < 0 || hour12 < 1 || hour12 > 12) parseError(s, sanitized)
       val base = hour12 % 12
       hour = if (pm == 1) base + 12 else base
     }
@@ -334,19 +348,27 @@ object ChronoFormat {
 
   // ─────────────── unit multipliers (time.rs:125 get_unit_multiplier) ───────────────
 
-  /** ns multiplier for the reference's duration/timestamp unit aliases. */
-  def unitMultiplierNs(unit: String): Long = unit match {
-    case "W" => 7L * 24 * 60 * 60 * 1000 * 1000 * 1000
-    case "D" | "days" | "day" => 24L * 60 * 60 * 1000 * 1000 * 1000
-    case "h" | "hr" | "hour" | "hours" => 60L * 60 * 1000 * 1000 * 1000
-    case "m" | "min" | "minute" | "minutes" => 60L * 1000 * 1000 * 1000
-    case "s" | "sec" | "second" | "seconds" => 1000L * 1000 * 1000
-    case "ms" | "milli" | "millis" | "millisecond" | "milliseconds" => 1000L * 1000
-    case "us" | "micro" | "micros" | "microsecond" | "microseconds" => 1000L
-    case "ns" | "nano" | "nanos" | "nanosecond" | "nanoseconds" => 1L
-    case other => throw new IllegalArgumentException(
-      s"""unit has to be a valid time unit but is "$other"""")
+  /** The reference's unit alias → ns multiplier table, exposed as data so
+    * Column-level consumers (Exprs.DtOps.toDuration's when-chain) derive from
+    * the SAME source instead of copying it. */
+  val unitAliases: Seq[(String, Long)] = {
+    val groups = Seq(
+      Seq("W") -> 7L * 24 * 60 * 60 * 1000 * 1000 * 1000,
+      Seq("D", "days", "day") -> 24L * 60 * 60 * 1000 * 1000 * 1000,
+      Seq("h", "hr", "hour", "hours") -> 60L * 60 * 1000 * 1000 * 1000,
+      Seq("m", "min", "minute", "minutes") -> 60L * 1000 * 1000 * 1000,
+      Seq("s", "sec", "second", "seconds") -> 1000L * 1000 * 1000,
+      Seq("ms", "milli", "millis", "millisecond", "milliseconds") -> 1000L * 1000,
+      Seq("us", "micro", "micros", "microsecond", "microseconds") -> 1000L,
+      Seq("ns", "nano", "nanos", "nanosecond", "nanoseconds") -> 1L)
+    groups.flatMap { case (as, mult) => as.map(_ -> mult) }
   }
+  private val unitMap = unitAliases.toMap
+
+  /** ns multiplier for the reference's duration/timestamp unit aliases. */
+  def unitMultiplierNs(unit: String): Long =
+    unitMap.getOrElse(unit, throw new IllegalArgumentException(
+      s"""unit has to be a valid time unit but is "$unit""""))
 
   /** Parse a pandas-style offset string ("D", "2H3T", "14L22ms14us", "min",
     * "S", "U", "N") into ns — the `round_to` argument form of the reference's

@@ -79,10 +79,36 @@ object Exprs {
     def dt: DtOps = new DtOps(c)
     def num: NumOps = new NumOps(c)
     def dur: DurOps = new DurOps(c)
-    /** integer floor-division `//` (expression.rs IntDiv). */
-    def floorDiv(other: Column): Column = floor(c / other).cast("long")
-    /** `**` */
-    def **(other: Column): Column = pow(c, other)
+    private def arith(other: Column, kind: String): Column =
+      GraftExprBridge.column(PyArithOp(
+        GraftExprBridge.expression(c), GraftExprBridge.expression(other), kind))
+    /** `//` with the reference's semantics (expression.rs:1061/1161, r16
+      * decode of tests/test_operators.py): int//int = Integer::div_floor
+      * (exact on the full i64 range — the previous double-floor form lost
+      * precision past 2^53), float path = floor(a/b), any mix widens to
+      * double, and /0 errors with "division by zero" instead of Spark's
+      * silent non-ANSI null. */
+    def floorDiv(other: Column): Column = arith(other, "floordiv")
+    /** python `%`: floor-mod — the DIVISOR's sign (Integer::mod_floor /
+      * CPython float_mod; Spark's `%` keeps the dividend's sign). */
+    def pyMod(other: Column): Column = arith(other, "mod")
+    /** python `/`: always float, /0 errors like the reference. */
+    def pyDiv(other: Column): Column = arith(other, "truediv")
+    /** int ** int: i64 wrapping pow (expression.rs:1077 `l.pow(r as u32)`) —
+      * Spark's double `pow` loses exactness past 2^53. */
+    def intPow(other: Column): Column =
+      GraftExprBridge.column(PyIntPow(
+        GraftExprBridge.expression(c.cast("long")),
+        GraftExprBridge.expression(other.cast("long"))))
+    /** `**` type-routed like the reference: two integral operands → the i64
+      * wrapping pow (IntExpression::Pow — exact past 2^53 where double pow
+      * is not), anything with a float → powf (FloatExpression::Pow). */
+    def **(other: Column): Column = arith(other, "pow")
+    /** `<<` / `>>` (expression.rs:1078: Rust i64 shifts = JVM longs). */
+    def <<(other: Column): Column =
+      call_function("shiftleft", c.cast("long"), other.cast("int"))
+    def >>(other: Column): Column =
+      call_function("shiftright", c.cast("long"), other.cast("int"))
   }
 
   /** `str.*` namespace (internals/expressions/string.py:33-872) — all native. */
@@ -130,8 +156,11 @@ object Exprs {
     def count(sub: Column, start: Column = lit(null), end: Column = lit(null)): Column = {
       val (s, e) = bounds(start, end)
       val sl = sliceBy(s, e)
+      // empty sub: python returns 0 when the RAW start exceeds the length or
+      // the slice is inverted (stringlib ADJUST_INDICES), else sliceLen+1
       when(length(sub) === 0,
-        when(e < s, lit(0L)).otherwise((e - s + 1).cast("long")))
+        when(coalesce(start, lit(0)) > length(c) || e < s, lit(0L))
+          .otherwise((e - s + 1).cast("long")))
       .otherwise(((length(sl) -
         length(org.apache.spark.sql.functions.replace(sl, sub, lit("")))) / length(sub))
         .cast("long"))
@@ -141,7 +170,8 @@ object Exprs {
       val (s, e) = bounds(start, end)
       val pos = instr(sliceBy(s, e), sub.cast("string"))
       when(length(sub) === 0,
-        when(coalesce(start, lit(0)) > length(c), lit(-1L)).otherwise(s.cast("long")))
+        when(coalesce(start, lit(0)) > length(c) || e < s, lit(-1L))
+          .otherwise(s.cast("long")))
       .otherwise(when(pos === 0, lit(-1L)).otherwise((s + pos - 1).cast("long")))
     }
     /** str.rfind(sub, start, end): highest ABSOLUTE index, −1 if absent —
@@ -339,27 +369,13 @@ object Exprs {
     /** dt.to_duration(unit): value × unit multiplier → Duration (Long ns);
       * unit may be a column (reference alias set, time.rs:125; bad units
       * error like the reference ValueError). */
-    def toDuration(unit: Column): Column = {
-      val aliases = Seq(
-        "W" -> 604800000000000L,
-        "D" -> 86400000000000L, "day" -> 86400000000000L, "days" -> 86400000000000L,
-        "h" -> 3600000000000L, "hr" -> 3600000000000L, "hour" -> 3600000000000L,
-        "hours" -> 3600000000000L,
-        "m" -> 60000000000L, "min" -> 60000000000L, "minute" -> 60000000000L,
-        "minutes" -> 60000000000L,
-        "s" -> 1000000000L, "sec" -> 1000000000L, "second" -> 1000000000L,
-        "seconds" -> 1000000000L,
-        "ms" -> 1000000L, "milli" -> 1000000L, "millis" -> 1000000L,
-        "millisecond" -> 1000000L, "milliseconds" -> 1000000L,
-        "us" -> 1000L, "micro" -> 1000L, "micros" -> 1000L,
-        "microsecond" -> 1000L, "microseconds" -> 1000L,
-        "ns" -> 1L, "nano" -> 1L, "nanos" -> 1L,
-        "nanosecond" -> 1L, "nanoseconds" -> 1L)
-      aliases.foldLeft(when(lit(false), lit(0L))) { case (acc, (a, mult)) =>
-        acc.when(unit === lit(a), c.cast("long") * lit(mult))
-      }.otherwise(raise_error(
-        concat(lit("unit has to be a valid time unit but is "), unit)).cast("long"))
-    }
+    def toDuration(unit: Column): Column =
+      // when-chain derived from the single alias table in ChronoFormat; the
+      // error replicates the reference's quoted ValueError text
+      ChronoFormat.unitAliases.foldLeft(when(lit(false), lit(0L))) {
+        case (acc, (a, mult)) => acc.when(unit === lit(a), c.cast("long") * lit(mult))
+      }.otherwise(raise_error(concat(
+        lit("unit has to be a valid time unit but is \""), unit, lit("\""))).cast("long"))
   }
 
   /** Duration accessors (time.rs:388-418: chrono num_* — integer division
@@ -436,8 +452,24 @@ object Exprs {
       * when v is an object containing it — a JSON-null VALUE passes through —
       * else `default` (arrays, scalars, JSON null, missing key, missing
       * value all take the default). */
+    /** Variant path for an arbitrary object key: plain `$.key` for
+      * identifier-shaped keys, bracket-quoted for everything else (the
+      * parser accepts `['name']` / `["name"]` but no escapes, so pick the
+      * quote the key does not contain). */
+    private def keyPath(key: String): Option[String] =
+      if (key.matches("[A-Za-z_][A-Za-z0-9_]*")) Some(s"$$.$key")
+      else if (!key.contains("'")) Some(s"$$['$key']")
+      else if (!key.contains("\"")) Some(s"""$$["$key"]""")
+      else None // both quote kinds: no expressible path — map-cast fallback
+
     def getField(v: Column, key: String, default: Column): Column = {
-      val got = try_variant_get(v, s"$$.$key", "variant")
+      val got = keyPath(key) match {
+        case Some(p) => try_variant_get(v, p, "variant")
+        case None => // any key at all: object → map<string, variant> lookup
+          element_at(v.cast(org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.VariantType)), lit(key))
+      }
       when(got.isNotNull, got).otherwise(default)
     }
     def getField(v: Column, key: String): Column =

@@ -71,9 +71,16 @@ object Reducers {
     * where that matters; `sum_` remains the uncompensated performance
     * default (documented, SEMANTICS.md). Same update/merge shape as the
     * reference's plus_equals, so map-side combine applies. */
-  def sumFloat(c: Column): Column = udaf(FloatSumAgg).apply(c.cast("double"))
+  /** Null handling matches Spark `sum` with ONE aggregate: each input row
+    * arrives as (value-or-0, isNotNull); the buffer's own count tracks valid
+    * rows and `finish` returns NULL (boxed) for an empty/all-null group. */
+  def sumFloat(c: Column): Column = {
+    val d = c.cast("double")
+    udaf(FloatSumAgg).apply(coalesce(d, lit(0.0)), d.isNotNull)
+  }
 
-  object FloatSumAgg extends Aggregator[Double, (Long, Double, Double), Double] {
+  object FloatSumAgg
+      extends Aggregator[(Double, Boolean), (Long, Double, Double), java.lang.Double] {
     // (sum', comp') after adding v to (sum, comp) — reduce.rs:210
     private def step(sum: Double, comp: Double, v: Double): (Double, Double) = {
       val t = sum + v
@@ -81,19 +88,21 @@ object Reducers {
       (t, comp + dc)
     }
     override def zero: (Long, Double, Double) = (0L, 0.0, 0.0)
-    override def reduce(b: (Long, Double, Double), a: Double): (Long, Double, Double) = {
-      val (s, comp) = step(b._2, b._3, a)
-      (b._1 + 1, s, comp)
-    }
+    override def reduce(b: (Long, Double, Double), a: (Double, Boolean)): (Long, Double, Double) =
+      if (!a._2) b // SQL-null input row: skipped, like Spark sum
+      else {
+        val (s, comp) = step(b._2, b._3, a._1)
+        (b._1 + 1, s, comp)
+      }
     override def merge(b1: (Long, Double, Double), b2: (Long, Double, Double)): (Long, Double, Double) = {
       val (s, comp) = step(b1._2, b1._3 + b2._3, b2._2)
       (b1._1 + b2._1, s, comp)
     }
-    override def finish(r: (Long, Double, Double)): Double =
-      if (r._1 == 0L) 0.0 else r._2 + r._3
+    override def finish(r: (Long, Double, Double)): java.lang.Double =
+      if (r._1 == 0L) null else java.lang.Double.valueOf(r._2 + r._3)
     override def bufferEncoder: Encoder[(Long, Double, Double)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble)
-    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
   /** Exact continuous quantile (R-7 linear interpolation — the rule Spark's

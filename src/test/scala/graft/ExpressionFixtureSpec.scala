@@ -443,6 +443,43 @@ class ExpressionFixtureSpec extends AnyFunSuite {
     assert(strVec(_.str.rfind(lit("o"), end = lit(2))) == Seq(-1L, 0L, -1L, 1L, 1L))
   }
 
+  test("empty-substring edge cases match CPython exactly (start beyond length, inverted slice)") {
+    // review fixes: "abc".count("", 4) == 0, "abc".find("", 2, 1) == -1,
+    // "abc".count("", 2, 1) == 0, and the in-range empty-sub values
+    val abc = Seq("abc").toDF("a")
+    def one(c: Column): Long = abc.select(c).head.getLong(0)
+    assert(one(col("a").str.count(lit(""), lit(4))) == 0L)
+    assert(one(col("a").str.count(lit(""), lit(2), lit(1))) == 0L)
+    assert(one(col("a").str.count(lit(""), lit(3))) == 1L)
+    assert(one(col("a").str.count(lit(""))) == 4L)
+    assert(one(col("a").str.find(lit(""), lit(2), lit(1))) == -1L)
+    assert(one(col("a").str.find(lit(""), lit(4))) == -1L)
+    assert(one(col("a").str.find(lit(""), lit(3))) == 3L)
+    assert(one(col("a").str.rfind(lit(""), lit(2), lit(1))) == -1L)
+  }
+
+  test("strptime: %I needs %p and 1..12 (chrono set_hour12); %.6f is optional but exact-width") {
+    def fails(s: String, fmt: String): Unit = {
+      val e = intercept[Exception] {
+        Seq(s).toDF("a").select(col("a").dt.strptime(fmt)).collect()
+      }
+      assert(e.getMessage.contains("parse error: cannot parse date"), s"$s: ${e.getMessage}")
+    }
+    fails("01:22:12", "%I:%M:%S") // no %p → NotEnough
+    fails("13:30:00 PM", "%I:%M:%S %p") // out of 1..12
+    fails("00:30:00 AM", "%I:%M:%S %p")
+    // %.6f when present needs EXACTLY 6 digits; when absent it is elided
+    val us = Seq("2023-03-25T16:43:21.567891").toDF("a")
+      .select(unix_micros(col("a").dt.strptime("%Y-%m-%dT%H:%M:%S%.6f")
+        .cast("timestamp_ltz"))).head.getLong(0)
+    assert(us % 1000000L == 567891L)
+    val noFrac = Seq("2023-03-25T16:43:21").toDF("a")
+      .select(unix_micros(col("a").dt.strptime("%Y-%m-%dT%H:%M:%S%.6f")
+        .cast("timestamp_ltz"))).head.getLong(0)
+    assert(noFrac % 1000000L == 0L)
+    fails("2023-03-25T16:43:21.56", "%Y-%m-%dT%H:%M:%S%.6f") // 2 digits ≠ 6
+  }
+
   test("str.strip replays test_strip (whitespace + char-set forms)") {
     val vecs = Seq("   abc", "   def   ", "ab   cd  ", "xy  zt", "zy  ")
     val out = vecs.toDF("a").select(col("a").str.strip.as("v"))

@@ -71,6 +71,15 @@ class JsonFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("object keys with dots/spaces/quotes resolve (bracket paths + map fallback)") {
+    val in = J("""{"a.b": 1, "with space": 2, "it's": 3, "b\"q'x": 4}""")
+    assert(strings(in, PwJson.item(col("data"), "a.b")) == Seq("1"))
+    assert(strings(in, PwJson.item(col("data"), "with space")) == Seq("2"))
+    assert(strings(in, PwJson.item(col("data"), "it's")) == Seq("3"))
+    assert(strings(in, PwJson.item(col("data"), "b\"q'x")) == Seq("4"))
+    assert(strings(in, PwJson.item(col("data"), "no.pe")) == Seq("null"))
+  }
+
   test("as_int/as_float/as_str/as_bool replay the strict typing matrix (test_json_as_type)") {
     val ints = J("""{"field": 42}""", """{"field": -1}""", """{"field": null}""", "{}")
       .select(PwJson.asInt(PwJson.item(col("data"), "field")).as("v"))

@@ -206,6 +206,14 @@ class ReducerFixtureSpec extends AnyFunSuite {
     assert(big.agg(Reducers.sumFloat(col("v"))).head.getDouble(0) == 2.0)
   }
 
+  test("sumFloat null semantics match Spark sum: nulls skipped, all-null group is NULL") {
+    val df = Seq(Some(1.5), None, Some(2.5), None).toDF("v")
+    assert(df.agg(Reducers.sumFloat(col("v"))).head.getDouble(0) == 4.0)
+    val allNull = Seq(None: Option[Double], None).toDF("v")
+    assert(allNull.agg(Reducers.sumFloat(col("v"))).head.isNullAt(0))
+    assert(allNull.agg(sum(col("v"))).head.isNullAt(0)) // parity with Spark sum
+  }
+
   test("non-append-only final state replays test_non_append_only_reducers (batch mapping)") {
     // after all retractions: instance 1 = {3(src 2), 10(src 5)}, instance 2 = {1(src 4)}
     val t = Seq((1, 3L, 2L), (2, 1L, 4L), (1, 10L, 5L)).toDF("instance", "value", "source")

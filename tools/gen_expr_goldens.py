@@ -197,3 +197,73 @@ with open(os.path.join(OUT, "round_floor.tsv"), "w") as fh:
         fh.write("\t".join(map(str, r)) + "\n")
 
 print("goldens written to", OUT)
+
+# ── tests/test_operators.py matrices (r16): int / float / mixed arithmetic ──
+INT_PAIRS = [
+    (-2, 0), (-1, 3), (0, 1), (1, 10), (2, -9), (3, 8), (4, -7), (5, 6),
+    (-331399, -227463), (253173, -207184), (-741012, -856821),
+    (-935893, 341112), (-284786, -559808), (825347, 802488),
+    (-778696, 740473), (-763723, 431098), (-980333, 562122),
+    (12035, 846654), (490378, -106109), (-93465, -348397),
+    (262849, -473516), (908064, 450927), (217134, 217134), (10, 10),
+    (-10, -3), (-10, 3), (10, -3), (10, 3),
+]
+POW_SHIFT_PAIRS = [
+    (0, 1), (0, 2), (0, 63), (1, 0), (1, 1), (1, 2), (1, 3), (1, 62),
+    (2, 0), (2, 1), (2, 2), (2, 61), (3, 0), (3, 1), (3, 2), (3, 39),
+    (4, 0), (4, 1), (4, 31), (9, 18), (10, 18), (14, 16), (23, 13),
+    (-1, 0), (-1, 1), (-1, 2), (-1, 3), (-1, 62), (-1, 63),
+    (-2, 0), (-2, 1), (-2, 2),
+]
+FLOAT_PAIRS = [
+    (-2.0, 1.0), (-1.0, 3.0), (0.0, 1.0), (1.0, 10.0), (2.0, -9.0),
+    (3.0, 8.0), (4.0, -7.0),
+    (-0.90912489, -0.16098464), (-0.52092329, -0.21976854),
+    (-0.33810194, -0.52811729), (-0.57169316, -0.02546098),
+    (1.5, 1.0), (1.5, -1.0), (1.5, -2.0), (1.5, 2.0), (0.69213224, -10.3),
+]  # zero divisors pre-masked to 1.0 like the reference test does for div ops
+
+
+def bits(x: float) -> int:
+    return int(np.float64(x).view(np.int64))
+
+
+rows = []
+for a, b in INT_PAIRS:
+    bb = 1 if b == 0 else b  # reference masks zero divisors for div ops
+    a64, b64 = np.int64(a), np.int64(bb)
+    rows.append((a, bb, "floordiv", int(a64 // b64)))
+    rows.append((a, bb, "mod", int(a64 % b64)))
+    rows.append((a, bb, "truediv_bits", bits(a64 / b64)))
+    rows.append((a, b, "and", int(np.int64(a) & np.int64(b))))
+    rows.append((a, b, "or", int(np.int64(a) | np.int64(b))))
+    rows.append((a, b, "xor", int(np.int64(a) ^ np.int64(b))))
+for a, b in POW_SHIFT_PAIRS:
+    with np.errstate(all="ignore"):
+        rows.append((a, b, "pow", int(np.int64(a) ** np.int64(b))))
+        rows.append((a, b, "lshift", int(np.int64(a) << np.int64(b))))
+        rows.append((a, b, "rshift", int(np.int64(a) >> np.int64(b))))
+with open(os.path.join(OUT, "ops_int.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+rows = []
+for a, b in FLOAT_PAIRS:
+    af, bf = np.float64(a), np.float64(b)
+    # reference float floordiv is (l/r).floor() (expression.rs:1161) — NOT
+    # numpy's divmod-corrected //; identical on these pairs, but generate
+    # from the decoded formula so extreme-ratio additions stay faithful
+    rows.append((bits(a), bits(b), "floordiv", bits(np.floor(af / bf))))
+    rows.append((bits(a), bits(b), "mod", bits(af % bf)))
+    rows.append((bits(a), bits(b), "truediv", bits(af / bf)))
+    # mixed int/float: int(a) op float(b), both directions — the reference's
+    # widening route (test_mixed_int_float)
+    ai = np.int64(int(a))
+    rows.append((int(ai), bits(b), "mixed_floordiv", bits(np.floor(ai / bf))))
+    rows.append((int(ai), bits(b), "mixed_mod", bits(ai % bf)))
+    rows.append((int(ai), bits(b), "mixed_truediv", bits(ai / bf)))
+with open(os.path.join(OUT, "ops_float.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+print("operator goldens written")
