@@ -1398,6 +1398,14 @@ object SparkEntry {
   private def qPagerank(s: SparkSession, dir: String): DataFrame =
     Graphs.pagerank(nationEdges(s, dir).select("src", "dst"), iters = 3)
 
+  /** The reference's EXACT integer pagerank (r16 decode — see
+    * Graphs.pagerankRef) over the customer→nation graph, 3 steps; DuckDB
+    * replays the identical unrolled integer recursion. */
+  private def qPagerankRef(s: SparkSession, dir: String): DataFrame =
+    Graphs.pagerankRef(Tables.customer(s, dir).toDf
+      .select(col("c_custkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst")), steps = 3)
+
   private def qLouvain(s: SparkSession, dir: String): DataFrame =
     Graphs.louvain(nationEdges(s, dir).select("src", "dst"), iters = 4)
 
@@ -1738,6 +1746,7 @@ object SparkEntry {
     "iterate_cc"      -> (qIterateCc _),
     "bellman_ford"    -> (qBellmanFord _),
     "pagerank"        -> (qPagerank _),
+    "pagerank_ref"    -> (qPagerankRef _),
     "louvain"         -> (qLouvain _),
     "louvain_multilevel" -> (qLouvainMultilevel _),
     "sql_bridge"      -> (qSqlBridge _),
@@ -2600,6 +2609,36 @@ object SparkEntry {
         |  SELECT e.dst, walk.d + e.w, steps + 1
         |  FROM walk JOIN edges e ON e.src = walk.v WHERE steps < 15)
         |SELECT v AS vertex, MIN(d) AS dist FROM walk GROUP BY v""".stripMargin,
+    "pagerank_ref" ->
+      """WITH e AS (SELECT CAST(c_custkey AS BIGINT) AS u,
+        |                  CAST(c_nationkey AS BIGINT) AS v FROM customer),
+        |outdeg AS (SELECT u AS vertex, COUNT(*) AS degree FROM e GROUP BY 1),
+        |inv AS (SELECT DISTINCT v AS vertex FROM e),
+        |degrees AS (SELECT COALESCE(i.vertex, o.vertex) AS vertex,
+        |                   COALESCE(o.degree, 0) AS degree
+        |            FROM inv i FULL OUTER JOIN outdeg o ON i.vertex = o.vertex),
+        |base AS (SELECT vertex, CAST(1000 AS BIGINT) AS rank FROM
+        |         (SELECT vertex FROM outdeg EXCEPT ALL SELECT vertex FROM inv)),
+        |r0 AS (SELECT vertex, CAST(6000 AS BIGINT) AS rank FROM degrees),
+        |f1 AS (SELECT d.vertex, CASE WHEN degree = 0 THEN 0
+        |         ELSE (rank * 5) // (degree * 6) END AS flow
+        |       FROM degrees d JOIN r0 USING (vertex)),
+        |r1 AS (SELECT * FROM base UNION ALL
+        |       SELECT e.v AS vertex, SUM(flow) + 1000 AS rank
+        |       FROM e JOIN f1 ON e.u = f1.vertex GROUP BY e.v),
+        |f2 AS (SELECT d.vertex, CASE WHEN degree = 0 THEN 0
+        |         ELSE (rank * 5) // (degree * 6) END AS flow
+        |       FROM degrees d JOIN r1 USING (vertex)),
+        |r2 AS (SELECT * FROM base UNION ALL
+        |       SELECT e.v AS vertex, SUM(flow) + 1000 AS rank
+        |       FROM e JOIN f2 ON e.u = f2.vertex GROUP BY e.v),
+        |f3 AS (SELECT d.vertex, CASE WHEN degree = 0 THEN 0
+        |         ELSE (rank * 5) // (degree * 6) END AS flow
+        |       FROM degrees d JOIN r2 USING (vertex)),
+        |r3 AS (SELECT * FROM base UNION ALL
+        |       SELECT e.v AS vertex, SUM(flow) + 1000 AS rank
+        |       FROM e JOIN f3 ON e.u = f3.vertex GROUP BY e.v)
+        |SELECT vertex, rank FROM r3""".stripMargin,
     "pagerank" ->
       """WITH nn AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
         |ed0 AS (SELECT k AS src, (k+1)%25 AS dst FROM nn

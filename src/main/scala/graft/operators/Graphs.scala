@@ -361,6 +361,38 @@ object Graphs {
     * would make the result depend on rounding modes. Dangling nodes keep the
     * base (1-d)/n mass (contributions only flow along edges; matches the
     * reference's simple formulation, stdlib/graphs/pagerank/impl.py:18). */
+  /** The reference's EXACT pagerank (stdlib/graphs/pagerank/impl.py, r16
+    * decode of tests/test_graphs.py): integer ranks, init 6000, damping as
+    * `rank*5 // (degree*6)` floor division, each in-vertex gets Σ inflow +
+    * 1000, and vertices with outgoing-but-no-incoming edges are PINNED at
+    * 1000. [[pagerank]] below stays the scale-tuned high-precision variant
+    * (its own oracle row); this one replays the reference vectors
+    * bit-exactly (3896/7142/6951 etc., GraphFixtureSpec). Same plan shape:
+    * `steps` joined rounds over (vertex, rank). */
+  def pagerankRef(edges: DataFrame, steps: Int = 5,
+      src: String = "src", dst: String = "dst"): DataFrame = {
+    import graft.functions.Exprs._
+    val e = edges.select(col(src).as("u"), col(dst).as("v"))
+    val outDeg = e.groupBy(col("u").as("vertex")).agg(count(lit(1)).as("degree"))
+    val inV = e.select(col("v").as("vertex")).distinct()
+    // update_rows(in-vertices@0, out-vertices@outdeg): union universe,
+    // out-degree wins where present
+    val degrees = inV.join(outDeg, Seq("vertex"), "full_outer")
+      .select(col("vertex"), coalesce(col("degree"), lit(0L)).as("degree"))
+    val base = outDeg.select("vertex").exceptAll(inV).withColumn("rank", lit(1000L))
+    val initial = degrees.select(col("vertex"), lit(6000L).as("rank"))
+    (1 to steps).foldLeft(initial) { (ranks, _) =>
+      val outflow = degrees.join(ranks, "vertex")
+        .select(col("vertex").as("ovx"),
+          when(col("degree") === 0, lit(0L))
+            .otherwise((col("rank") * 5).floorDiv(col("degree") * 6)).as("flow"))
+      val inflows = e.join(outflow, e("u") === col("ovx"))
+        .groupBy(col("v").as("vertex"))
+        .agg((sum(col("flow")) + lit(1000L)).as("rank"))
+      base.unionByName(inflows)
+    }
+  }
+
   def pagerank(edges: DataFrame, iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
       scale: Long = 1000000000000L, unroll: Int = 1): DataFrame = {
     val e = edges.select(col("src").as("u"), col("dst").as("v")).distinct()

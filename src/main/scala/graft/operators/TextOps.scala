@@ -477,6 +477,85 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** The reference's EXACT fuzzy_match / fuzzy_self_match
+    * (stdlib/ml/smart_table_ops/_fuzzy_join.py, r16 decode of
+    * tests/test_fuzzy_join.py).
+    *
+    * Inputs: per-side edges (node, feature, weight) and a feature table
+    * (feature, weight, norm_type ∈ weight|logweight|none). Semantics:
+    *   - feature popularity cnt = edge count over BOTH sides; the effective
+    *     feature weight is `weight × norm(cnt)` with WEIGHT = 1/2^⌈log2 cnt⌉,
+    *     LOGWEIGHT = 1/⌈log2(cnt+1)⌉, NONE = cnt;
+    *   - pair score = Σ over shared features of wL·wR·effective;
+    *   - HEAVY features (cnt ≥ threshold, default 100) never GENERATE pairs —
+    *     the hot-key quadratic blowup guard — but their contributions are
+    *     added to pairs the light features already produced (the reference's
+    *     node_node_heavy join): at 100 TB this is exactly the hot-bucket
+    *     discipline the dedup family uses;
+    *   - selection: per-left argmax then per-right argmax over the
+    *     pseudoweight (weight, min(ids), max(ids)) — mutual-best pairs
+    *     survive; self-match feeds one edge set, drops the diagonal, and
+    *     keeps left < right.
+    * Output: (left, right, weight). */
+  def fuzzyMatch(edgesLeft: DataFrame, edgesRight: DataFrame, features: DataFrame,
+      heavyLightThreshold: Long = 100L, selfMatch: Boolean = false): DataFrame = {
+    val eL = edgesLeft.select(col("node").as("ln"), col("feature").as("f"),
+      col("weight").as("lw"))
+    val eR = edgesRight.select(col("node").as("rn"), col("feature").as("f"),
+      col("weight").as("rw"))
+    // popularity over BOTH sides (the reference concats; self-match uses one set)
+    val cntSrc = if (selfMatch) eL.select("f")
+      else eL.select("f").unionAll(eR.select("f"))
+    val cnt = cntSrc.groupBy("f").agg(count(lit(1)).as("cnt"))
+    val norm = when(col("cnt") === 0, lit(0.0))
+      .when(lower(col("norm_type")) === "weight",
+        lit(1.0) / pow(lit(2.0), ceil(log2(col("cnt")))))
+      .when(lower(col("norm_type")) === "logweight",
+        lit(1.0) / ceil(log2(col("cnt") + 1)))
+      .otherwise(col("cnt").cast("double"))
+    val fEff = features.select(col("feature").as("f"), col("weight").as("fw"),
+        col("norm_type"))
+      .join(cnt, Seq("f"), "left")
+      .select(col("f"),
+        (col("fw") * when(col("cnt").isNull, lit(0.0)).otherwise(norm)).as("eff"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val lightF = fEff.filter(col("cnt") < heavyLightThreshold)
+    val heavyF = fEff.filter(col("cnt") >= heavyLightThreshold)
+    val lLight = eL.join(lightF.select("f", "eff"), "f")
+    val rLight = eR.join(lightF.select("f", "eff"), "f")
+    val lightPairsRaw = lLight.join(rLight.withColumnRenamed("eff", "effr"), "f")
+      .filter(if (selfMatch) col("ln") =!= col("rn") else lit(true))
+      .select(col("ln"), col("rn"), (col("lw") * col("rw") * col("eff")).as("w"))
+    val lightPairs = lightPairsRaw.groupBy("ln", "rn").agg(sum("w").as("w"))
+    // heavy contributions attach to EXISTING light pairs only
+    val heavyAdd = lightPairs.select(col("ln").as("pl"), col("rn").as("pr"))
+      .join(eL.join(heavyF.select("f", "eff"), "f")
+        .select(col("ln").as("pl"), col("f"), col("lw")), "pl")
+      .join(eR.select(col("rn").as("pr"), col("f"), col("rw")), Seq("pr", "f"))
+      .join(heavyF.select("f", "eff").withColumnRenamed("eff", "heff"), "f")
+      .select(col("pl").as("ln"), col("pr").as("rn"),
+        (col("lw") * col("rw") * col("heff")).as("w"))
+    val all = lightPairs.select("ln", "rn", "w").unionByName(heavyAdd)
+      .groupBy("ln", "rn").agg(sum("w").as("w"))
+    // pseudoweight (w, min(ids), max(ids)); mutual argmax, ties deterministic
+    val pseudo = struct(col("w"),
+      least(col("ln"), col("rn")), greatest(col("ln"), col("rn")))
+    val byLeft = all.groupBy("ln").agg(
+      max_by(struct(col("rn"), col("w")), pseudo).as("best"))
+      .select(col("ln"), col("best.rn").as("rn"), col("best.w").as("w"))
+    val byRight = byLeft.groupBy("rn").agg(
+      max_by(struct(col("ln"), col("w")),
+        struct(col("w"), least(col("ln"), col("rn")), greatest(col("ln"), col("rn"))))
+        .as("best"))
+      .select(col("best.ln").as("left"), col("rn").as("right"), col("best.w").as("weight"))
+    if (selfMatch) byRight.filter(col("left") < col("right")) else byRight
+  }
+
+  /** fuzzy_self_match: one edge set against itself. */
+  def fuzzySelfMatch(edges: DataFrame, features: DataFrame,
+      heavyLightThreshold: Long = 100L): DataFrame =
+    fuzzyMatch(edges, edges, features, heavyLightThreshold, selfMatch = true)
+
   // ── fuzzy join (stdlib/ml/smart_table_ops/_fuzzy_join.py:43) ─────────────────
   /** Token-overlap fuzzy join: for each left row, the right row sharing the most
     * distinct tokens (tie → smallest right id). Explode-join-reaggregate — the

@@ -43,7 +43,8 @@ class PlanQualitySpec extends AnyFunSuite {
     "sample_stratified", "sample_group_cap", "split_train_test",
     "doc_pack", "doc_split_chunks", "doc_parse", "expr_str", "expr_num",
     "expr_cond", "matmul_block", "reduce_countmin",
-    "expr_str_py", "expr_json", "expr_dt", "reduce_distinct_fold")
+    "expr_str_py", "expr_json", "expr_dt", "reduce_distinct_fold",
+    "pagerank_ref")
 
   /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
     * 1-row scalar cross joins (ignore_late-style max-ts broadcast;
