@@ -354,13 +354,6 @@ object Graphs {
       .select(sum(coalesce(col("in2"), lit(0L)) / m2 - pow(col("vol") / m2, 2)).as("q"))
   }
 
-  /** PageRank with `iters` fixed passes, damping dampNum/dampDen. Ranks are
-    * 64-bit FIXED-POINT integers (units of 1/scale): every operation is exact
-    * integer arithmetic (floor div), so results are bit-identical across
-    * engines, shuffle orders, and partition counts — float or decimal division
-    * would make the result depend on rounding modes. Dangling nodes keep the
-    * base (1-d)/n mass (contributions only flow along edges; matches the
-    * reference's simple formulation, stdlib/graphs/pagerank/impl.py:18). */
   /** The reference's EXACT pagerank (stdlib/graphs/pagerank/impl.py, r16
     * decode of tests/test_graphs.py): integer ranks, init 6000, damping as
     * `rank*5 // (degree*6)` floor division, each in-vertex gets Σ inflow +
@@ -393,6 +386,13 @@ object Graphs {
     }
   }
 
+  /** PageRank with `iters` fixed passes, damping dampNum/dampDen. Ranks are
+    * 64-bit FIXED-POINT integers (units of 1/scale): every operation is exact
+    * integer arithmetic (floor div), so results are bit-identical across
+    * engines, shuffle orders, and partition counts — float or decimal division
+    * would make the result depend on rounding modes. Dangling nodes keep the
+    * base (1-d)/n mass (contributions only flow along edges; matches the
+    * reference's simple formulation, stdlib/graphs/pagerank/impl.py:18). */
   def pagerank(edges: DataFrame, iters: Int = 3, dampNum: Long = 85, dampDen: Long = 100,
       scale: Long = 1000000000000L, unroll: Int = 1): DataFrame = {
     val e = edges.select(col("src").as("u"), col("dst").as("v")).distinct()

@@ -507,11 +507,16 @@ object TextOps {
     val cntSrc = if (selfMatch) eL.select("f")
       else eL.select("f").unionAll(eR.select("f"))
     val cnt = cntSrc.groupBy("f").agg(count(lit(1)).as("cnt"))
+    // EXACT integer ⌈log2 n⌉ = bit length of n−1 (floating log2 overshoots
+    // at powers of two: JVM log2(2^29) = 29.000000000000004, whose ceil
+    // halves the weight — the reference's math.log2 is exact there)
+    def ceilLog2(n: Column): Column =
+      when(n <= 1, lit(0)).otherwise(length(bin(n - 1)))
     val norm = when(col("cnt") === 0, lit(0.0))
       .when(lower(col("norm_type")) === "weight",
-        lit(1.0) / pow(lit(2.0), ceil(log2(col("cnt")))))
+        lit(1.0) / pow(lit(2.0), ceilLog2(col("cnt"))))
       .when(lower(col("norm_type")) === "logweight",
-        lit(1.0) / ceil(log2(col("cnt") + 1)))
+        lit(1.0) / ceilLog2(col("cnt") + 1)) // = bit length of cnt
       .otherwise(col("cnt").cast("double"))
     val fEff = features.select(col("feature").as("f"), col("weight").as("fw"),
         col("norm_type"))
@@ -530,9 +535,8 @@ object TextOps {
     // heavy contributions attach to EXISTING light pairs only
     val heavyAdd = lightPairs.select(col("ln").as("pl"), col("rn").as("pr"))
       .join(eL.join(heavyF.select("f", "eff"), "f")
-        .select(col("ln").as("pl"), col("f"), col("lw")), "pl")
+        .select(col("ln").as("pl"), col("f"), col("lw"), col("eff").as("heff")), "pl")
       .join(eR.select(col("rn").as("pr"), col("f"), col("rw")), Seq("pr", "f"))
-      .join(heavyF.select("f", "eff").withColumnRenamed("eff", "heff"), "f")
       .select(col("pl").as("ln"), col("pr").as("rn"),
         (col("lw") * col("rw") * col("heff")).as("w"))
     val all = lightPairs.select("ln", "rn", "w").unionByName(heavyAdd)
@@ -544,9 +548,7 @@ object TextOps {
       max_by(struct(col("rn"), col("w")), pseudo).as("best"))
       .select(col("ln"), col("best.rn").as("rn"), col("best.w").as("w"))
     val byRight = byLeft.groupBy("rn").agg(
-      max_by(struct(col("ln"), col("w")),
-        struct(col("w"), least(col("ln"), col("rn")), greatest(col("ln"), col("rn"))))
-        .as("best"))
+      max_by(struct(col("ln"), col("w")), pseudo).as("best"))
       .select(col("best.ln").as("left"), col("rn").as("right"), col("best.w").as("weight"))
     if (selfMatch) byRight.filter(col("left") < col("right")) else byRight
   }
