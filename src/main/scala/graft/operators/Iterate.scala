@@ -53,6 +53,9 @@ object Iterate {
       fingerprint: DataFrame => Any, maxIterations: Int = 50,
       reliable: Boolean = false, unroll: Int = 1): DataFrame = {
     require(unroll >= 1, s"unroll=$unroll must be >= 1")
+    // reference pw.iterate raises ValueError on a non-positive
+    // iteration_limit (tests/test_common.py test_iterate_with_wrong_limit)
+    require(maxIterations >= 1, s"iteration limit $maxIterations must be >= 1")
     var current = materialize(initial, reliable)
     var fp = fingerprint(current)
     var i = 0
@@ -84,6 +87,7 @@ object Iterate {
       maxIterations: Int = 50,
       converged: (DataFrame, DataFrame) => Boolean = defaultConverged,
       reliable: Boolean = false): DataFrame = {
+    require(maxIterations >= 1, s"iteration limit $maxIterations must be >= 1")
     var current = materialize(initial, reliable)
     var i = 0
     var done = false
@@ -108,6 +112,7 @@ object Iterate {
   def nTimes(initial: DataFrame, step: DataFrame => DataFrame, n: Int,
       reliable: Boolean = false, unroll: Int = 1): DataFrame = {
     require(unroll >= 1, s"unroll=$unroll must be >= 1")
+    require(n >= 1, s"iteration limit $n must be >= 1")
     var current = materialize(initial, reliable)
     var i = 0
     while (i < n) {

@@ -89,6 +89,26 @@ class CoreFixtureSpec extends AnyFunSuite {
     assert(a.concatStrict(c).toDf.count() == 4)
   }
 
+  test("iterate limit semantics: exactly `limit` step applications; non-positive limits error (test_iterate_with_limit)") {
+    import graft.operators.Iterate
+    for (limit <- Seq(1, 2, 10)) {
+      val out = Iterate.fixpoint(Seq(0L).toDF("foo"),
+        df => df.select((col("foo") + 1).as("foo")), maxIterations = limit)
+        .head.getLong(0)
+      assert(out == limit.toLong, s"limit=$limit")
+    }
+    for (bad <- Seq(0, -1)) {
+      intercept[IllegalArgumentException] {
+        Iterate.fixpoint(Seq(0L).toDF("foo"),
+          df => df.select((col("foo") + 1).as("foo")), maxIterations = bad)
+      }
+      intercept[IllegalArgumentException] {
+        Iterate.nTimes(Seq(0L).toDF("foo"),
+          df => df.select((col("foo") + 1).as("foo")), n = bad)
+      }
+    }
+  }
+
   // ───────── tests/test_sorting.py + tests/ordered/test_diff.py (r16 decode) ─────────
 
   test("sort → prev/next replays test_prevnext_single_instance / _many_instance") {
