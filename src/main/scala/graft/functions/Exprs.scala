@@ -104,6 +104,10 @@ object Exprs {
       * wrapping pow (IntExpression::Pow — exact past 2^53 where double pow
       * is not), anything with a float → powf (FloatExpression::Pow). */
     def **(other: Column): Column = arith(other, "pow")
+    /** pw.cast(bool, x): python truthiness — "" / 0 / 0.0 are false,
+      * EVERYTHING else (incl. "False") is true ([[PyCastBool]]). */
+    def castBoolPy: Column =
+      GraftExprBridge.column(PyCastBool(GraftExprBridge.expression(c)))
     /** `<<` / `>>` (expression.rs:1078: Rust i64 shifts = JVM longs). */
     def <<(other: Column): Column =
       call_function("shiftleft", c.cast("long"), other.cast("int"))

@@ -122,6 +122,25 @@ private[graft] case class PyArithOp(left: Expression, right: Expression, kind: S
     copy(left = l, right = r)
 }
 
+/** pw.cast(bool, x): python TRUTHINESS (expression.rs CastFromInt/Float/
+  * String at the BoolExpression tail: `v != 0`, `v != 0.0`, `!v.is_empty()`)
+  * — NOT Spark's "true"/"false" string parsing: cast(bool, "False") is TRUE
+  * (non-empty), cast(bool, "") is false (r16 decode of test_common test_cast).
+  * RuntimeReplaceable → rewrites to plain codegen'd comparisons. */
+private[graft] case class PyCastBool(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions._
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType => GreaterThan(Length(child), Literal(0))
+    case DoubleType | FloatType => Not(EqualTo(child, Cast(Literal(0.0d), child.dataType)))
+    case BooleanType => child
+    case _ => Not(EqualTo(child, Cast(Literal(0L), child.dataType)))
+  }
+  override protected def withNewChildInternal(newChild: Expression): PyCastBool =
+    copy(child = newChild)
+}
+
 /** int ** int with i64 wrapping semantics. */
 private[graft] case class PyIntPow(left: Expression, right: Expression)
     extends BinaryExpression {

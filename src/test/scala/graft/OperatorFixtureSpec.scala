@@ -95,6 +95,27 @@ class OperatorFixtureSpec extends AnyFunSuite {
     assert(big == 4503599627370497L)
   }
 
+  test("coalesce is LAZY: the error branch never evaluates when the first arg is non-null (test_lazy_coalesce)") {
+    // pw.coalesce(col, col // 0) must not raise — with floorDiv now erroring
+    // on zero divisors, this pins Coalesce's short-circuit contract
+    val t = Seq(1L, 2L, 3L).toDF("c")
+    val out = t.select(coalesce(col("c"), col("c").floorDiv(lit(0L))).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("cast to bool is python truthiness: empty/zero false, EVERYTHING else true (test_cast)") {
+    val strs = Seq("", "False", "True", "12", "abc").toDF("a")
+      .select(col("a").castBoolPy).collect().map(_.getBoolean(0)).toSeq
+    assert(strs == Seq(false, true, true, true, true)) // "False" is TRUE (non-empty)
+    val ints = Seq(0L, 1L, -2L).toDF("a")
+      .select(col("a").castBoolPy).collect().map(_.getBoolean(0)).toSeq
+    assert(ints == Seq(false, true, true))
+    val dbls = Seq(0.0, -0.0, 0.5).toDF("a")
+      .select(col("a").castBoolPy).collect().map(_.getBoolean(0)).toSeq
+    assert(dbls == Seq(false, false, true))
+  }
+
   test("** type-routes: integral ** integral is exact wrapping i64 pow, float path is powf") {
     val ints = Seq((23L, 13L)).toDF("a", "b")
       .select((col("a") ** col("b")).as("p")).head
