@@ -1523,6 +1523,21 @@ object SparkEntry {
         |FROM orders_v WHERE o_totalprice > 150000 GROUP BY o_orderpriority""".stripMargin,
       "orders_v" -> Tables.orders(s, dir).toDf)
 
+  /** pw.sql dialect row (r16 decode of tests/test_sql.py): the clause order
+    * is sqlglot-scrambled (HAVING before GROUP BY), `DIV`/`%` are the
+    * reference's floor-div / divisor-sign mod on a SIGNED derived column
+    * (so trunc-semantics would hash-mismatch), and `/` + the decimal-looking
+    * literal take the always-float route. The oracle spells the floor
+    * formulas out for DuckDB, whose native `//`/`%` are C-style. */
+  private def qSqlDialect(s: SparkSession, dir: String): DataFrame =
+    graft.core.GraftSql.sql(s,
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  SUM((CAST(l_quantity AS BIGINT) - 25) DIV 7) AS fdiv,
+        |  SUM((CAST(l_quantity AS BIGINT) - 25) % 7) AS fmod,
+        |  SUM(l_quantity / 64.0) AS qd
+        |FROM lineitem_v HAVING COUNT(*) > 1 GROUP BY l_returnflag""".stripMargin,
+      "lineitem_v" -> Tables.lineitem(s, dir).toDf)
+
   private def qApplyUdf(s: SparkSession, dir: String): DataFrame = {
     val tier = graft.functions.Udfs.apply1[java.lang.Double, String] { bal =>
       if (bal == null) "none"
@@ -1750,6 +1765,7 @@ object SparkEntry {
     "louvain"         -> (qLouvain _),
     "louvain_multilevel" -> (qLouvainMultilevel _),
     "sql_bridge"      -> (qSqlBridge _),
+    "sql_dialect"     -> (qSqlDialect _),
     "apply_udf"       -> (qApplyUdf _),
     "unpack_col"      -> (qUnpackCol _),
     "argmax_rows"     -> (qArgmaxRows _),
@@ -2669,6 +2685,14 @@ object SparkEntry {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_totalprice > 150000 GROUP BY o_orderpriority""".stripMargin,
+    // canonical clause order; floor-div / floor-mod spelled out because
+    // DuckDB's native `//` and `%` are C-style (trunc, dividend-sign)
+    "sql_dialect" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+        |  SUM(CAST(floor((CAST(l_quantity AS BIGINT) - 25) / 7.0) AS BIGINT)) AS fdiv,
+        |  SUM((((CAST(l_quantity AS BIGINT) - 25) % 7) + 7) % 7) AS fmod,
+        |  SUM(l_quantity / 64.0) AS qd
+        |FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 1""".stripMargin,
     "apply_udf" ->
       """SELECT c_custkey,
         |  CASE WHEN c_acctbal > 5000 THEN 'gold'
