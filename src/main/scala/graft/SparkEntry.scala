@@ -1432,6 +1432,37 @@ object SparkEntry {
     graft.functions.Errors.tryCast(withDiv, "clerk_id", prioNum, "bigint")
   }
 
+  /** Decoded groupby error semantics (tests/test_errors.py:858, r16):
+    * `_skip_errors=True` (the reference default) — errored inputs are
+    * skipped per-reducer while count(*) still counts every row. The error
+    * source is a floor-div whose divisor (l_linenumber − 3) hits zero. */
+  private def qErrorSkipReduce(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ErrorOps
+    val t = graft.functions.Errors.init(Tables.lineitem(s, dir).toDf)
+    val t2 = ErrorOps.floorDivChecked(t, "x",
+      col("l_quantity").cast("bigint"), col("l_linenumber") - 3)
+    ErrorOps.reduceChecked(t2, Seq("l_returnflag"), Seq(
+      ErrorOps.Agg("sx", sum("x"), Seq("x")),
+      ErrorOps.Agg("cnt", count(lit(1)), Nil)), skipErrors = true)
+      .table.select("l_returnflag", "sx", "cnt")
+  }
+
+  /** Decoded groupby error semantics (tests/test_errors.py:915, r16):
+    * `_skip_errors=False` — ONE errored input poisons the reducer's output
+    * for the whole group (here: exactly the l_linenumber=3 group, where
+    * the divisor is zero), recovered via fill_error(−1). */
+  private def qErrorPropagateReduce(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ErrorOps
+    val t = graft.functions.Errors.init(Tables.lineitem(s, dir).toDf)
+    val t2 = ErrorOps.floorDivChecked(t, "x",
+      col("l_quantity").cast("bigint"), col("l_linenumber") - 3)
+    val red = ErrorOps.reduceChecked(t2, Seq("l_linenumber"), Seq(
+      ErrorOps.Agg("sx", sum("x"), Seq("x")),
+      ErrorOps.Agg("cnt", count(lit(1)), Nil)), skipErrors = false)
+    graft.functions.Errors.fillError(red.table, "sx", lit(-1L))
+      .select("l_linenumber", "sx", "cnt")
+  }
+
   private def qErrorHandling(s: SparkSession, dir: String): DataFrame =
     graft.functions.Errors.removeErrors(
         graft.functions.Errors.fillError(checkedOrders(s, dir), "price_per", lit(-1.0)))
@@ -1777,6 +1808,8 @@ object SparkEntry {
     "hmm_decode"      -> (qHmmDecode _),
     "error_handling"  -> (qErrorHandling _),
     "error_table"     -> (qErrorTable _),
+    "error_skip_reduce" -> (qErrorSkipReduce _),
+    "error_propagate_reduce" -> (qErrorPropagateReduce _),
     "dedup_acceptor"  -> (qDedupAcceptor _),
     "asof_now_join"   -> (qAsofNow _),
     "stream_upsert"   -> (qStreamUpsert _),
@@ -2882,6 +2915,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, 'clerk_id', 'invalid cast to bigint'
         |FROM orders WHERE o_orderkey % 3 <> 0""".stripMargin,
+    // _skip_errors=True: errored inputs (divisor zero at l_linenumber=3)
+    // vanish from the reducer, count(*) still counts them
+    "error_skip_reduce" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linenumber <> 3 THEN
+        |    CAST(floor(CAST(l_quantity AS BIGINT) / CAST(l_linenumber - 3 AS DOUBLE)) AS BIGINT)
+        |  END) AS sx,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // _skip_errors=False: one errored input poisons the group's reducer
+    // (exactly the l_linenumber=3 group), fill_error recovers with -1
+    "error_propagate_reduce" ->
+      """SELECT l_linenumber,
+        |  CASE WHEN l_linenumber = 3 THEN -1 ELSE
+        |    SUM(CAST(floor(CAST(l_quantity AS BIGINT) / CAST(l_linenumber - 3 AS DOUBLE)) AS BIGINT))
+        |  END AS sx,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_linenumber""".stripMargin,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
     "dedup_groups" -> OracleSqlGen.dedupGroups(k = 5, numHashes = 32, bands = 8, threshold = 0.7),
     "dedup_keep_best" -> OracleSqlGen.dedupKeepBest(k = 5, numHashes = 32, bands = 8, threshold = 0.7),

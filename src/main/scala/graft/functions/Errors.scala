@@ -30,7 +30,7 @@ object Errors {
 
   val ErrCol = "_pw_errors"
 
-  private def emptyErrors: Column =
+  private[graft] def emptyErrors: Column =
     expr("CAST(array() AS ARRAY<STRUCT<col: STRING, msg: STRING>>)")
 
   /** Attach the (empty) error accumulator to a table. */
