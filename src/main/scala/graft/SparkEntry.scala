@@ -481,11 +481,15 @@ object SparkEntry {
       .toDf
   }
 
+  /** pathway sequence get (r16 decode): 0-based indices, negative wraps
+    * once, checked get → default on overflow. DuckDB's list indexing is
+    * 1-based with negative-from-end, hence the shifted oracle indices. */
   private def qExprTuple(s: SparkSession, dir: String): DataFrame =
     Tables.part(s, dir).select(
       "p_partkey" -> col("p_partkey"),
-      "first_tok" -> Exprs.get(col("p_type").str.splitBy(" "), lit(1)),
-      "third_tok" -> Exprs.tryGet(col("p_type").str.splitBy(" "), lit(3)),
+      "first_tok" -> Exprs.seqGet(col("p_type").str.splitBy(" "), lit(0)),
+      "third_tok" -> Exprs.seqGetChecked(col("p_type").str.splitBy(" "), lit(2), lit(null)),
+      "last_tok" -> Exprs.seqGet(col("p_type").str.splitBy(" "), lit(-1)),
       "pair_second" -> Exprs.makeTuple(col("p_brand"), col("p_type")).getField("p_type")).toDf
 
   private def qCastRename(s: SparkSession, dir: String): DataFrame =
@@ -2029,6 +2033,7 @@ object SparkEntry {
     "expr_tuple" ->
       """SELECT p_partkey, STRING_SPLIT(p_type, ' ')[1] AS first_tok,
         |  STRING_SPLIT(p_type, ' ')[3] AS third_tok,
+        |  STRING_SPLIT(p_type, ' ')[-1] AS last_tok,
         |  p_type AS pair_second
         |FROM part""".stripMargin,
     "cast_rename" ->

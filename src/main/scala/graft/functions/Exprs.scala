@@ -64,9 +64,28 @@ object Exprs {
       transform(sequence(lit(1), size(element_at(b, 1))), j =>
         aggregate(zip_with(row, b, (x, brow) => x.cast("double") * element_at(brow, j)),
           lit(0.0), (acc, v) => acc + v)))
-  /** checked get → null on missing (GetExpression, expression.py:1090). */
-  def tryGet(c: Column, i: Column): Column = try_element_at(c, i)
-  def get(c: Column, i: Column): Column = element_at(c, i)
+  /** pathway `tup[i]` / `tup.get(i, default)` (r16 decode of
+    * test_common.py test_sequence_get_* against expression.rs:350-389
+    * get_tuple_element/get_ndarray_element): indices are 0-BASED, a
+    * negative index wraps ONCE (+length), and an index still out of range
+    * after the wrap is "index out of bounds" (unchecked, the engine's
+    * DataError::IndexOutOfBounds) or the default (checked). Spark's
+    * element_at is 1-based and nulls on overflow — both wrong here. */
+  def seqGet(c: Column, i: Column): Column = {
+    val idx = when(i < 0, i + size(c)).otherwise(i)
+    when(idx >= 0 && idx < size(c), element_at(c, (idx + 1).cast("int")))
+      .otherwise(raise_error(lit("index out of bounds")))
+  }
+  /** checked get: out-of-range (after the one negative wrap) → default. */
+  def seqGetChecked(c: Column, i: Column, default: Column): Column = {
+    val idx = when(i < 0, i + size(c)).otherwise(i)
+    when(idx >= 0 && idx < size(c), element_at(c, (idx + 1).cast("int")))
+      .otherwise(default)
+  }
+  /** unchecked get, reference semantics (see [[seqGet]]). */
+  def get(c: Column, i: Column): Column = seqGet(c, i)
+  /** checked get with a null default, reference semantics. */
+  def tryGet(c: Column, i: Column): Column = seqGetChecked(c, i, lit(null))
 
   // ── string parsing (expression.rs:128-130) ──────────────────────────────────
   def parseInt(c: Column): Column = c.cast("long")

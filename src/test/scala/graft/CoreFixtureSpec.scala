@@ -164,4 +164,105 @@ class CoreFixtureSpec extends AnyFunSuite {
     assert(opts(d3, 0) == Seq(None, None, Some(2), Some(6), Some(7), Some(9),
       Some(6), Some(18), Some(15)))
   }
+
+  test("sequence get: 0-based, one negative wrap, OOB errors (test_sequence_get_unchecked_*)") {
+    import graft.functions.Exprs
+    // fixed length: tup[0], tup[1] round-trip (py:5241)
+    val t1 = Seq((4L, "xyz"), (3L, "abc"), (7L, "d")).toDF("i", "s")
+    val t2 = t1.select(array(col("i").cast("string"), col("s")).as("tup"))
+    val back = t2.select(Exprs.seqGet(col("tup"), lit(0)).cast("long").as("i"),
+      Exprs.seqGet(col("tup"), lit(1)).as("s"))
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((4L, "xyz"), (3L, "abc"), (7L, "d")))
+
+    // dynamic index (py:5272): tup[c] picks per-row
+    val d = Seq((4L, 1L, 0L), (3L, 2L, 1L), (7L, 3L, 1L)).toDF("a", "b", "c")
+    val r = d.select(Exprs.seqGet(array(col("a"), col("b")), col("c")).as("r"))
+    assert(r.as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+
+    // variable length with NEGATIVE indices (py:5325): tuple(n,..,1),
+    // x = tup[2], y = tup[-3]
+    val v = Seq(3L, 4L, 5L).toDF("a")
+      .select(col("a"), sequence(col("a"), lit(1L), lit(-1L)).as("tup"))
+    val xy = v.select(Exprs.seqGet(col("tup"), lit(2)).as("x"),
+      Exprs.seqGet(col("tup"), lit(-3)).as("y"))
+    assert(xy.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L), (2L, 3L), (3L, 3L)))
+
+    // out of range raises the engine's "index out of bounds" (py:5397)
+    val oob = Seq(1L).toDF("a")
+      .select(sequence(col("a"), lit(1L), lit(-1L)).as("tup"))
+    val e = intercept[Exception] {
+      oob.select(Exprs.seqGet(col("tup"), lit(1)).as("x")).collect()
+    }
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("index out of bounds")))
+  }
+
+  test("sequence get checked: default on overflow, negative wrap (test_sequence_get_checked_*)") {
+    import graft.functions.Exprs
+    // py:5373 — tuple(n..1): x = get(1) (null when len==1), y = get(-1) (=1)
+    val v = Seq(1L, 2L, 3L).toDF("a")
+      .select(col("a"), sequence(col("a"), lit(1L), lit(-1L)).as("tup"))
+    val xy = v.select(col("a"),
+      Exprs.seqGetChecked(col("tup"), lit(1), lit(null)).as("x"),
+      Exprs.seqGetChecked(col("tup"), lit(-1), lit(null)).as("y"))
+    val got = xy.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))).toSet
+    assert(got == Set((1L, None, 1L), (2L, Some(1L), 1L), (3L, Some(2L), 1L)))
+
+    // py:5433 — statically-overflowing checked get takes the default column
+    val t = Seq((4L, 10L, "abc"), (3L, 9L, "def"), (7L, 8L, "xx")).toDF("a", "b", "c")
+    val out = t.select(Exprs.seqGetChecked(
+      array(col("a").cast("string"), col("b").cast("string")), lit(2), col("c")).as("c"))
+    assert(out.as[String].collect().toSet == Set("abc", "def", "xx"))
+  }
+
+  test("make_tuple keeps nulls; tuple comparison is lexicographic (test_python_tuple_comparison)") {
+    import graft.functions.Exprs
+    // py:5215 — make_tuple carries optional fields through
+    val t = Seq((1L, 10L, Some("a")), (2L, 20L, None), (3L, 30L, Some("c")))
+      .toDF("a", "b", "c")
+    val z = t.select(Exprs.makeTuple((col("a") * 2).as("x"), col("b"), col("c")).as("zip"))
+    val rows = z.select(col("zip").getField("x"), col("zip").getField("b"),
+      col("zip").getField("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(rows == Set((2L, 10L, Some("a")), (4L, 20L, None), (6L, 30L, Some("c"))))
+
+    // py:6603 — (a,b) < (b,a) etc. resolve lexicographically, like python
+    val c = Seq((1L, 2L), (4L, 3L), (5L, 5L)).toDF("a", "b")
+    val cmp = c.select(
+      (struct(col("a"), col("b")) < struct(col("b").as("a"), col("a").as("b"))).as("x"),
+      (struct(col("a"), col("b")) > struct(col("b").as("a"), col("a").as("b"))).as("z"),
+      (struct(col("a"), col("b")) === struct(col("b").as("a"), col("a").as("b"))).as("e"),
+      (struct(col("a"), col("b")) =!= struct(col("b").as("a"), col("a").as("b"))).as("n"))
+    assert(cmp.collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2),
+      r.getBoolean(3))).toSet == Set(
+      (true, false, false, true), (false, true, false, true), (false, false, true, false)))
+  }
+
+  test("sort by a tuple key chains prev/next like the reference (test_python_tuple_sorting)") {
+    val t = Seq((1L, 3L, 2L), (2L, 4L, 1L), (3L, 3L, 6L), (4L, 2L, 8L),
+      (5L, 5L, 6L), (6L, 1L, 4L), (7L, 2L, 2L), (8L, 3L, 3L)).toDF("a", "b", "c")
+    val sorted = pw(t, "a")
+      .sortWithPrevNext(Seq(struct(col("b"), col("c"))), lit(0))
+    val prevA = sorted.df.select(col("a"), col("prev")).as("s")
+      .join(t.as("o"), col("s.prev") === graft.core.Keys.pointerFrom(col("o.a")), "left_outer")
+      .select(col("s.a").as("a"), col("o.a").as("prev_a"))
+    val got = prevA.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(got == Set((1L, Some(4L)), (2L, Some(3L)), (3L, Some(8L)), (4L, Some(7L)),
+      (5L, Some(2L)), (6L, None), (7L, Some(6L)), (8L, Some(1L))))
+  }
+
+  test("unwrap: errors on null, passes non-null (test_unwrap / test_unwrap_with_nones)") {
+    import graft.functions.Exprs
+    val a = Seq(Some(1L), Some(2L), Some(3L), None).toDF("foo")
+    val ok = a.filter(col("foo").isNotNull)
+      .select(Exprs.unwrap(col("foo")).as("ret"))
+    assert(ok.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    val e = intercept[Exception] {
+      a.select(Exprs.unwrap(col("foo")).as("ret")).collect()
+    }
+    assert(SparkTestBase.causeMessages(e).exists(_.contains("unwrap")))
+  }
 }
