@@ -1597,12 +1597,15 @@ object SparkEntry {
     Utils.majority(Tables.orders(s, dir).toDf, Seq(col("o_orderstatus")),
       col("o_orderpriority"))
 
+  /** r16 decode (gradual_broadcast.rs:128): apx_value is LOWER or UPPER,
+    * apportioned by the key's hash fraction vs (value−lower)/(upper−lower)
+    * — never the raw value. */
   private def qGradualBroadcast(s: SparkSession, dir: String): DataFrame = {
-    val stats = Tables.orders(s, dir).toDf
-      .agg(davg(col("o_totalprice")).as("avg_price"))
-    Utils.broadcastScalar(
-        Tables.orders(s, dir).toDf.select("o_orderkey", "o_totalprice"), stats)
-      .select(col("o_orderkey"), (col("o_totalprice") > col("avg_price")).as("above_avg"))
+    val orders = Tables.orders(s, dir).toDf
+    val thr = orders.agg(min(col("o_totalprice")).as("lower"),
+      davg(col("o_totalprice")).as("value"), max(col("o_totalprice")).as("upper"))
+    Utils.gradualBroadcast(orders.select("o_orderkey"), col("o_orderkey"), thr)
+      .select("o_orderkey", "apx_value")
   }
 
   private def qNdarraySum(s: SparkSession, dir: String): DataFrame =
@@ -2749,11 +2752,18 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
         |      ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
         |  FROM orders GROUP BY o_orderstatus, o_orderpriority) WHERE rn = 1""".stripMargin,
+    // the Knuth multiplicative row-hash is spelled out so DuckDB replays
+    // the apportioning split bit-exactly
     "gradual_broadcast" ->
-      """SELECT o_orderkey,
-        |  o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-        |                  FROM orders) AS above_avg
-        |FROM orders""".stripMargin,
+      """WITH thr AS (SELECT MIN(o_totalprice) AS lower,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS value,
+        |  MAX(o_totalprice) AS upper FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN upper = lower THEN lower
+        |       WHEN ((o_orderkey * 2654435761) % 4294967296) / 4294967296.0
+        |            < (value - lower) / (upper - lower)
+        |       THEN upper ELSE lower END AS apx_value
+        |FROM orders, thr""".stripMargin,
     "ndarray_sum" ->
       // x widens float→double BEFORE the decimal cast: DuckDB's direct
       // float→decimal rounds differently than its double→decimal (and Spark

@@ -124,6 +124,31 @@ object Utils {
   def broadcastScalar(df: DataFrame, scalar: DataFrame): DataFrame =
     df.crossJoin(broadcast(scalar))
 
+  /** `_gradual_broadcast` with the reference's REAL apportioning rule (r16
+    * decode of gradual_broadcast.rs:128-186 + test_gradual_broadcast.py):
+    * each row's `apx_value` is `upper` when the row key's hash fraction is
+    * below (value−lower)/(upper−lower), else `lower` — never the raw value.
+    * The share of rows on the upper bound thus tracks the threshold's
+    * progress through the band, and a threshold move only re-touches the
+    * keys inside the moved fragment (the reference's streaming-churn
+    * trick; its own test asserts PROPORTIONALITY, not row identity, since
+    * the split depends on the engine's key hash). Hash here = Knuth
+    * multiplicative on the key (engine-portable: the DuckDB oracle
+    * replays it with plain arithmetic). `thr` is one aggregated row
+    * (lower, value, upper), broadcast. */
+  def gradualBroadcast(df: DataFrame, key: Column, thr: DataFrame): DataFrame = {
+    val joined = df.crossJoin(broadcast(thr))
+    val frac = (col("value") - col("lower")) / (col("upper") - col("lower"))
+    val rowFrac =
+      pmod(key.cast("long") * lit(2654435761L), lit(4294967296L)).cast("double") /
+        lit(4294967296.0)
+    joined.withColumn("apx_value",
+        when(col("upper") === col("lower"), col("lower"))
+          .when(rowFrac < frac, col("upper"))
+          .otherwise(col("lower")))
+      .drop("lower", "value", "upper")
+  }
+
   /** Elementwise sum of equal-length numeric arrays per group (the reference's
     * ndarray `sum` reducer, reducers.py:350 ndarray case). Explode + (group,
     * index) partial aggregation — never materializes per-group matrices, so a

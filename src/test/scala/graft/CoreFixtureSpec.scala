@@ -265,4 +265,30 @@ class CoreFixtureSpec extends AnyFunSuite {
     }
     assert(SparkTestBase.causeMessages(e).exists(_.contains("unwrap")))
   }
+
+  test("gradual_broadcast apportions lower/upper by hash fraction (test_gradual_broadcast)") {
+    import graft.operators.Utils
+    // 500 rows, threshold triplet (20.5, 29.5, 30.5) — the reference's
+    // static vector shape: ~90% of rows should sit on the upper bound,
+    // value==lower pins ALL rows to lower, value==upper pins all to upper,
+    // a collapsed band (upper==lower) yields lower
+    val rows = (1L to 500L).toDF("k")
+    def thr(lo: Double, v: Double, up: Double) =
+      Seq((lo, v, up)).toDF("lower", "value", "upper")
+
+    val mid = Utils.gradualBroadcast(rows, col("k"), thr(20.5, 29.5, 30.5))
+    val midVals = mid.select("apx_value").as[Double].collect()
+    assert(midVals.toSet == Set(20.5, 30.5))
+    val upShare = midVals.count(_ == 30.5).toDouble / midVals.length
+    assert(math.abs(upShare - 0.9) < 0.08, s"upper share $upShare not ~0.9")
+
+    val atLower = Utils.gradualBroadcast(rows, col("k"), thr(20.5, 20.5, 30.5))
+    assert(atLower.select("apx_value").as[Double].collect().toSet == Set(20.5))
+
+    val atUpper = Utils.gradualBroadcast(rows, col("k"), thr(20.5, 30.5, 30.5))
+    assert(atUpper.select("apx_value").as[Double].collect().forall(_ == 30.5))
+
+    val collapsed = Utils.gradualBroadcast(rows, col("k"), thr(7.0, 7.0, 7.0))
+    assert(collapsed.select("apx_value").as[Double].collect().toSet == Set(7.0))
+  }
 }
