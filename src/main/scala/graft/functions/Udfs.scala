@@ -27,6 +27,50 @@ object Udfs {
     (a: Column, b: Column) => u(a, b)
   }
 
+  /** `propagate_none=True` (r16 decode of test_udf.py:298/1763): ANY null
+    * argument short-circuits the call to null — the function body is never
+    * invoked for that row (the reference asserts the mock fires exactly
+    * once on the all-present row). The default (False) passes nulls
+    * through to the function — use boxed argument types for that route,
+    * since Spark's primitive-typed UDFs null-skip on their own. */
+  def applyPropagateNone2[A: scala.reflect.runtime.universe.TypeTag,
+      B: scala.reflect.runtime.universe.TypeTag,
+      O: scala.reflect.runtime.universe.TypeTag](
+      f: (A, B) => O): (Column, Column) => Column = {
+    val u = udf(f)
+    (a: Column, b: Column) =>
+      when(a.isNull || b.isNull, lit(null)).otherwise(u(a, b))
+  }
+
+  /** `deterministic=False` (test_udf.py:336/943): the reference STORES a
+    * non-deterministic UDF's results and replays them on retraction rather
+    * than re-invoking. The batch analog of that contract: mark the UDF
+    * non-deterministic so Catalyst can never duplicate, collapse, or push
+    * the call — exactly one invocation per input row, regardless of how
+    * many plan sites reference the output. */
+  def apply1NonDeterministic[I: scala.reflect.runtime.universe.TypeTag,
+      O: scala.reflect.runtime.universe.TypeTag](f: I => O): Column => Column = {
+    val u = udf(f).asNondeterministic()
+    (c: Column) => u(c)
+  }
+
+  /** `max_batch_size` batch UDF (test_udf.py:1480/1526/1618): rows reach
+    * the function in slices of at most `maxBatchSize`, and the output MUST
+    * be 1:1 with the input — the reference's wrong-count ValueError is
+    * replicated verbatim. For flatMap-shaped batching use [[mapBatches]]. */
+  def batchUdf[I, O](ds: Dataset[I], maxBatchSize: Int)(call: Seq[I] => Seq[O])(
+      implicit enc: Encoder[O]): Dataset[O] =
+    ds.mapPartitions { it =>
+      it.grouped(maxBatchSize).flatMap { g =>
+        val batch = g.toSeq
+        val out = call(batch)
+        if (out.size != batch.size) throw new IllegalArgumentException(
+          s"The number of rows produced by a UDF (${out.size}) is different " +
+            s"than the number of rows on its input (${batch.size}).")
+        out
+      }
+    }
+
   /** apply_async (common.py:170) — per-partition batched execution: `setup`
     * builds one client per partition (≈ per reference worker), `call` handles a
     * whole batch (amortized round-trips), mirroring udfs/executors.py's async
