@@ -2760,7 +2760,7 @@ object SparkEntry {
         |  MAX(o_totalprice) AS upper FROM orders)
         |SELECT o_orderkey,
         |  CASE WHEN upper = lower THEN lower
-        |       WHEN ((o_orderkey * 2654435761) % 4294967296) / 4294967296.0
+        |       WHEN (((o_orderkey % 2147483648) * 506952113) % 2147483648) / 2147483648.0
         |            < (value - lower) / (upper - lower)
         |       THEN upper ELSE lower END AS apx_value
         |FROM orders, thr""".stripMargin,

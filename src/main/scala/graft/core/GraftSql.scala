@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, GraftExprBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Cast, Divide, EqualTo, Expression, IntegralDivide, Literal, NamedExpression, Remainder}
 import org.apache.spark.sql.catalyst.parser.ParseException
-import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Command, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter, UsingJoin}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Command, Join, LogicalPlan, ParsedStatement, Project}
 import org.apache.spark.sql.types._
 import graft.functions.PyArithOp
 
@@ -70,7 +70,10 @@ object GraftSql {
           GraftExprBridge.parsePlan(spark, reordered)
       }
     parsed match {
-      case _: Command => throw new UnsupportedOperationException(
+      // Command covers DDL; ParsedStatement covers INSERT INTO & co. —
+      // a statement bridge that silently executed writes would be a
+      // correctness hazard (the reference raises NotImplementedError)
+      case _: Command | _: ParsedStatement => throw new UnsupportedOperationException(
         s"${query.trim.takeWhile(_ != ' ')} not supported.")
       case _ =>
     }
@@ -92,7 +95,8 @@ object GraftSql {
     case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType => true
     case _ => false
   }
-  private def pyArithmetic(plan: LogicalPlan): LogicalPlan = plan transformAllExpressions {
+  private def pyArithmetic(plan: LogicalPlan): LogicalPlan =
+    plan transformAllExpressionsWithSubqueries {
     case Divide(l, r, _) if plain(l.dataType) && plain(r.dataType) =>
       PyArithOp(l, r, "truediv")
     case IntegralDivide(l, r, _) if plain(unLong(l).dataType) && plain(unLong(r).dataType) =>
@@ -103,7 +107,8 @@ object GraftSql {
 
   // ---- rule 2: decimal literals are reference floats ----
 
-  private def floatLiterals(plan: LogicalPlan): LogicalPlan = plan transformAllExpressions {
+  private def floatLiterals(plan: LogicalPlan): LogicalPlan =
+    plan transformAllExpressionsWithSubqueries {
     case Literal(d: Decimal, _: DecimalType) => Literal(d.toDouble, DoubleType)
   }
 
@@ -113,8 +118,10 @@ object GraftSql {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
   }
-  private def usingJoins(plan: LogicalPlan): LogicalPlan = plan transform {
-    case j @ Join(_, _, Inner, Some(cond), _) =>
+  private val usingPromotable: Set[org.apache.spark.sql.catalyst.plans.JoinType] =
+    Set(Inner, LeftOuter, RightOuter, FullOuter)
+  private def usingJoins(plan: LogicalPlan): LogicalPlan = plan transformWithSubqueries {
+    case j @ Join(_, _, jt, Some(cond), _) if usingPromotable(jt) =>
       val names = conjuncts(cond).map {
         case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
           if a.nameParts.length == 2 && b.nameParts.length == 2 &&
@@ -124,7 +131,7 @@ object GraftSql {
         case _ => None
       }
       if (names.nonEmpty && names.forall(_.isDefined))
-        j.copy(joinType = UsingJoin(Inner, names.flatten.toList), condition = None)
+        j.copy(joinType = UsingJoin(j.joinType, names.flatten.toList), condition = None)
       else j
   }
 
@@ -140,7 +147,7 @@ object GraftSql {
       case other => other
     }
   }
-  private def autoNamed(plan: LogicalPlan): LogicalPlan = plan transform {
+  private def autoNamed(plan: LogicalPlan): LogicalPlan = plan transformWithSubqueries {
     case p: Project => p.copy(projectList = autoName(p.projectList))
     case a: Aggregate => a.copy(aggregateExpressions = autoName(a.aggregateExpressions))
   }
@@ -194,6 +201,6 @@ object GraftSql {
     val prefix = q.substring(0, head.head._2)
     val suffix = q.substring(head.last._3)
     val body = sortedHead.map { case (_, s, e) => q.substring(s, e).trim }.mkString(" ")
-    s"$prefix$body$suffix"
+    s"$prefix$body $suffix"
   }
 }

@@ -73,15 +73,22 @@ object Exprs {
     * element_at is 1-based and nulls on overflow — both wrong here. */
   def seqGet(c: Column, i: Column): Column = {
     val idx = when(i < 0, i + size(c)).otherwise(i)
-    when(idx >= 0 && idx < size(c), element_at(c, (idx + 1).cast("int")))
+    when(c.isNull, raise_error(noneGetMsg(i)))
+      .when(idx >= 0 && idx < size(c), element_at(c, (idx + 1).cast("int")))
       .otherwise(raise_error(lit("index out of bounds")))
   }
-  /** checked get: out-of-range (after the one negative wrap) → default. */
+  /** checked get: out-of-range (after the one negative wrap) → default.
+    * A NULL sequence still ERRORS — get_array_element on Value::None is a
+    * ValueError even on the checked route (expression.rs:385), not the
+    * default. */
   def seqGetChecked(c: Column, i: Column, default: Column): Column = {
     val idx = when(i < 0, i + size(c)).otherwise(i)
-    when(idx >= 0 && idx < size(c), element_at(c, (idx + 1).cast("int")))
+    when(c.isNull, raise_error(noneGetMsg(i)))
+      .when(idx >= 0 && idx < size(c), element_at(c, (idx + 1).cast("int")))
       .otherwise(default)
   }
+  private def noneGetMsg(i: Column): Column =
+    concat(lit("Can't get element at index "), i.cast("string"), lit(" out of None"))
   /** unchecked get, reference semantics (see [[seqGet]]). */
   def get(c: Column, i: Column): Column = seqGet(c, i)
   /** checked get with a null default, reference semantics. */

@@ -115,6 +115,10 @@ object ErrorOps {
       how: String = "inner"): WithLog = {
     Predef.require(how == "inner" || how == "left",
       s"joinChecked supports inner/left, got: $how")
+    Predef.require(
+      (left.columns.toSet - ErrCol).intersect(right.columns.toSet - ErrCol).isEmpty,
+      "joinChecked requires disjoint column names (rename before joining) — " +
+        "a shared name would collide in the unmatched-row padding")
     val r0 = (if (right.columns.contains(ErrCol)) right else Errors.init(right))
       .withColumnRenamed(ErrCol, "_pw_errors_r")
     def rHasErr(name: String): Column =
@@ -166,9 +170,12 @@ object ErrorOps {
     * folds the right partial's value into the left state — the semigroup
     * contract the reference's combine step has too. */
   def foldLongChecked(c: Column)(foldFn: (Option[Long], Long) => Long): Column = {
-    val agg = Reducers.statefulSingle[Long, (Boolean, Long, String), (java.lang.Long, String)](
+    val agg = Reducers.statefulSingle[java.lang.Long, (Boolean, Long, String), (java.lang.Long, String)](
       (false, 0L, null)) { case ((has, s, m), v) =>
-        if (m != null) (has, s, m)
+        // an errored input is NULL under the accumulator encoding — skip it
+        // (the _skip_errors=True route; the False route poisons via the
+        // dep flag in reduceChecked, not here)
+        if (m != null || v == null) (has, s, m)
         else try { (true, foldFn(if (has) Some(s) else None, v), null) }
         catch { case e: Exception => (has, s, s"${e.getClass.getSimpleName}: ${e.getMessage}") }
       } { case ((h1, s1, m1), (h2, s2, m2)) =>

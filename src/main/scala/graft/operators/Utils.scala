@@ -139,9 +139,13 @@ object Utils {
   def gradualBroadcast(df: DataFrame, key: Column, thr: DataFrame): DataFrame = {
     val joined = df.crossJoin(broadcast(thr))
     val frac = (col("value") - col("lower")) / (col("upper") - col("lower"))
+    // modulus 2^31 with the Knuth constant reduced mod 2^31: keeps the
+    // multiply inside i64 for ANY bigint key (key % 2^31 < 2^31 times
+    // 506952113 < 2^29 stays < 2^60), so Spark and the DuckDB oracle agree
+    // at every scale factor instead of wrapping differently past ~3.4e9
     val rowFrac =
-      pmod(key.cast("long") * lit(2654435761L), lit(4294967296L)).cast("double") /
-        lit(4294967296.0)
+      pmod(pmod(key.cast("long"), lit(2147483648L)) * lit(506952113L),
+        lit(2147483648L)).cast("double") / lit(2147483648.0)
     joined.withColumn("apx_value",
         when(col("upper") === col("lower"), col("lower"))
           .when(rowFrac < frac, col("upper"))

@@ -189,6 +189,14 @@ class CoreFixtureSpec extends AnyFunSuite {
     assert(xy.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 3L), (2L, 3L), (3L, 3L)))
 
+    // a NULL sequence errors with the engine's ValueError, checked or not
+    // (expression.rs:385 — review pin; it is NOT the checked default)
+    val nullSeq = Seq((1L, Seq(1L, 2L)), (2L, null)).toDF("k", "tup")
+    val e0 = intercept[Exception] {
+      nullSeq.select(graft.functions.Exprs.seqGetChecked(col("tup"), lit(0), lit(-1L))).collect()
+    }
+    assert(SparkTestBase.causeMessages(e0).exists(_.contains("out of None")))
+
     // out of range raises the engine's "index out of bounds" (py:5397)
     val oob = Seq(1L).toDF("a")
       .select(sequence(col("a"), lit(1L), lit(-1L)).as("tup"))
@@ -290,5 +298,11 @@ class CoreFixtureSpec extends AnyFunSuite {
 
     val collapsed = Utils.gradualBroadcast(rows, col("k"), thr(7.0, 7.0, 7.0))
     assert(collapsed.select("apx_value").as[Double].collect().toSet == Set(7.0))
+
+    // review pin: keys beyond 2^32 stay inside i64 in BOTH engines (the
+    // reduced-modulus hash) — no wrap divergence at large scale factors
+    val huge = Seq(Long.MaxValue - 1, 6000000000L, 4294967297L).toDF("k")
+    val hv = Utils.gradualBroadcast(huge, col("k"), thr(20.5, 29.5, 30.5))
+    assert(hv.select("apx_value").as[Double].collect().forall(v => v == 20.5 || v == 30.5))
   }
 }

@@ -167,6 +167,28 @@ class ErrorFixtureSpec extends AnyFunSuite {
     assert(logMsgs(log) == Seq("IllegalArgumentException: Value 2 encountered"))
   }
 
+  test("foldLongChecked skips errored (null) inputs — product fold pin (review)") {
+    // a PRODUCT fold exposes null-as-zero: the errored cell must be
+    // SKIPPED (result 3*5=15), not folded as 0
+    val t = ErrorOps.floorDivChecked(
+      Errors.init(Seq((1L, 3L, 1L), (1L, 4L, 0L), (1L, 5L, 1L)).toDF("g", "b", "d")),
+      "b", col("b"), col("d"))
+    val WithLog(res, _) = ErrorOps.reduceChecked(t, Seq("g"), Seq(
+      Agg("p", ErrorOps.foldLongChecked(col("b")) {
+        (st, v) => st.getOrElse(1L) * v
+      }, Seq("b"), fold = true)), skipErrors = true)
+    assert(rows(res, "g", "p") == Set(Seq(1L, 15L)))
+  }
+
+  test("joinChecked requires disjoint column names (review pin)") {
+    val l = Errors.init(Seq((1L, "a")).toDF("k", "v"))
+    val r = Seq((1L, "b")).toDF("k", "w")
+    val e = intercept[IllegalArgumentException] {
+      ErrorOps.joinChecked(l, r, Seq("k" -> "k"), "left")
+    }
+    assert(e.getMessage.contains("disjoint column names"))
+  }
+
   test("test_unique_reducer: >1 distinct value = Error, recoverable") {
     val t = Errors.init(Seq(1L, 1L, 2L).toDF("a"))
     val WithLog(res, _) = ErrorOps.reduceChecked(t, Nil, Seq(

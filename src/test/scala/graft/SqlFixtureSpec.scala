@@ -194,6 +194,39 @@ class SqlFixtureSpec extends AnyFunSuite {
     // the reference raises NotImplementedError on ORDER BY; we run it (superset)
     val ordered = run("SELECT a, b FROM tab ORDER BY a DESC", "tab" -> ab)
     assert(ordered.collect().map(_.getLong(0)).toSeq == Seq(5L, 2L))
+    // INSERT parses to a ParsedStatement, not a Command — still rejected
+    // (review pin: a silent write through the bridge)
+    val ins = intercept[UnsupportedOperationException] {
+      run("INSERT INTO tab VALUES (9, 9)", "tab" -> ab)
+    }
+    assert(ins.getMessage.contains("not supported"))
+  }
+
+  test("dialect rules reach INSIDE subqueries (review pin)") {
+    // % inside a scalar subquery is still floor-signed: -7 % 5 = 3 (Spark: -2)
+    val tab = Seq(1L, 2L, 3L, 4L).toDF("a")
+    check(run("SELECT a FROM tab WHERE a > (SELECT -7 % 5)", "tab" -> tab),
+      Seq("a"), Set(Seq(4L)))
+    // decimal-looking literal inside a subquery is a float too
+    val df = run("SELECT (SELECT 1.5) AS d FROM tab LIMIT 1", "tab" -> tab)
+    assert(df.schema("d").dataType.typeName == "double")
+  }
+
+  test("scrambled clauses followed by ORDER BY re-parse with a separator (review pin)") {
+    val df = run(
+      "SELECT a, SUM(b) as s FROM tab HAVING COUNT(*) >= 1 GROUP BY a ORDER BY a DESC",
+      "tab" -> ab)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((5L, 6L), (2L, 3L)))
+  }
+
+  test("same-name ON unification works for LEFT JOIN too (review pin)") {
+    val l = Seq(("x", 11L), ("y", 12L), ("w", 13L)).toDF("a", "b")
+    val r = Seq(("x", 21L), ("y", 22L)).toDF("a", "d")
+    val df = run("SELECT a, b, d FROM tab1 LEFT JOIN tab2 ON tab1.a = tab2.a",
+      "tab1" -> l, "tab2" -> r)
+    assert(rows(df) == Set(
+      Seq("x", 11L, 21L), Seq("y", 12L, 22L), Seq("w", 13L, null)))
   }
 
   test("test_add / test_sub / comparison operators (incl. ==, !=)") {
