@@ -51,7 +51,11 @@ object Similarity {
     * metric, with the three axes those fixtures pin:
     *   - `k` is PER QUERY (a column; k=0 yields no rows for that query —
     *     the reference's empty result list),
-    *   - `corpusFilter` drops candidates BEFORE ranking (metadata_filter),
+    *   - `corpusFilter` drops candidates BEFORE ranking (metadata_filter);
+    *     `queryMetaFilter = Some((queryFilterStrCol, corpusMetadataMapCol))`
+    *     is the PER-QUERY variant — the reference's JMESPath-subset filter
+    *     strings evaluated per (query, candidate) pair before top-k
+    *     (tests/external_index/test_tantivy.py, [[graft.functions.IndexFilter]]),
     *   - `asofNow = Some((qTime, cTime))` makes each query see only corpus
     *     rows that arrived STRICTLY before it (get_nearest_items_asof_now /
     *     query_as_of_now stream semantics, replayed in batch) — the
@@ -64,19 +68,18 @@ object Similarity {
       corpus: DataFrame, cId: Column, cVec: Column,
       metric: String = "l2sq",
       corpusFilter: Option[Column] = None,
-      asofNow: Option[(Column, Column)] = None): DataFrame = {
-    val q = asofNow match {
-      case Some((qt, _)) =>
-        queries.select(qId.as("query_id"), qVec.as("_qv"), k.as("_k"), qt.as("_qt"))
-      case None => queries.select(qId.as("query_id"), qVec.as("_qv"), k.as("_k"))
-    }
+      asofNow: Option[(Column, Column)] = None,
+      queryMetaFilter: Option[(Column, Column)] = None): DataFrame = {
+    val q = queries.select(Seq(qId.as("query_id"), qVec.as("_qv"), k.as("_k")) ++
+      asofNow.map { case (qt, _) => qt.as("_qt") } ++
+      queryMetaFilter.map { case (f, _) => f.as("_qf") }: _*)
     val base = corpusFilter.fold(corpus)(corpus.filter)
-    val c = asofNow match {
-      case Some((_, ct)) => base.select(cId.as("nn_id"), cVec.as("_cv"), ct.as("_ct"))
-      case None => base.select(cId.as("nn_id"), cVec.as("_cv"))
-    }
+    val c = base.select(Seq(cId.as("nn_id"), cVec.as("_cv")) ++
+      asofNow.map { case (_, ct) => ct.as("_ct") } ++
+      queryMetaFilter.map { case (_, md) => md.as("_md") }: _*)
+    val pairOk = queryMetaFilter.fold(lit(true))(_ => metaFilterUdf(col("_qf"), col("_md")))
     val joined = c.join(broadcast(q),
-      asofNow.fold(lit(true))(_ => col("_ct") < col("_qt")))
+      asofNow.fold(lit(true))(_ => col("_ct") < col("_qt")) && pairOk)
     val dist = metric match {
       case "l2sq" => l2sq(col("_qv"), col("_cv"))
       case "cosine" => lit(1.0) - cosine(col("_qv"), col("_cv"))
@@ -90,6 +93,13 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("dist"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Per-(query, candidate) metadata filter — the reference's per-QUERY
+    * JMESPath-subset filter strings ([[graft.functions.IndexFilter]]):
+    * null filter accepts, unparseable filter matches nothing. Compiled
+    * per distinct string per executor; the pair path is one cache hit. */
+  private val metaFilterUdf =
+    udf((f: String, md: Map[String, String]) => graft.functions.IndexFilter.matches(f, md))
 
   /** Sign-random-projection LSH bucket for one table: `nPlanes` Rademacher (±1)
     * hyperplanes from a seeded PRNG, embedded as a literal 2-D array — zero
