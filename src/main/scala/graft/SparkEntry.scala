@@ -530,6 +530,25 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), min(col("ts_t")).as("s_start"), max(col("ts_t")).as("s_end"))
       .drop("_sid")
 
+  /** common_behavior(delay, cutoff, keep_results) decode
+    * (tests/temporal/test_windows_stream.py, SEMANTICS row 49): per-window
+    * freeze at `w_end + cutoff ≤ running-max frontier` plus the
+    * keep_results=false cleanup flag, over a deterministically scrambled
+    * arrival order ((event_id % 97)-interleaved — the batch analog of the
+    * fixture's second late pass over the time cycle). Sliding 12h/6h,
+    * delay 3h, cutoff 12h, µs grid. */
+  private def qWindowBehavior(s: SparkSession, dir: String): DataFrame = {
+    val us = 1000000L
+    val e = Tables.events(s, dir).df.select(
+      ((col("event_id") % 97) * lit(1000000000000L) + col("event_id")).as("arrival"),
+      expr("ts div 1000").as("t"), col("value"))
+    Temporal.windowBehaviorSurvival(e, col("t"), col("arrival"),
+        dur = 12L * 3600 * us, hop = 6L * 3600 * us,
+        delay = 3L * 3600 * us, cutoff = 12L * 3600 * us)(
+      count(lit(1)).as("n_rows"), max(col("t")).as("max_time"),
+      max(col("value")).as("max_value"))
+  }
+
   private def qIntervalsOver(s: SparkSession, dir: String): DataFrame = {
     val e = eventsT(s, dir)
     val at = e.filter(col("event_type") === "error")
@@ -1725,6 +1744,7 @@ object SparkEntry {
     "window_tumbling" -> (qWindowTumbling _),
     "window_sliding"  -> (qWindowSliding _),
     "window_session"  -> (qWindowSession _),
+    "window_behavior" -> (qWindowBehavior _),
     "intervals_over"  -> (qIntervalsOver _),
     "interval_join"   -> (qIntervalJoin _),
     "interval_join_left" -> (qIntervalJoinLeft _),
@@ -2109,6 +2129,23 @@ object SparkEntry {
         |w AS (SELECT UNNEST(generate_series(us // 900000000 * 900000000 - 2700000000,
         |                                    us // 900000000 * 900000000, 900000000)) AS st FROM e)
         |SELECT make_timestamp(st) AS w_start, COUNT(*) AS n FROM w GROUP BY 1""".stripMargin,
+    "window_behavior" ->
+      """WITH base AS (
+        |  SELECT (event_id % 97) * 1000000000000 + event_id AS arrival,
+        |         epoch_ns(ts) // 1000 AS t, value FROM events),
+        |runmax AS (SELECT *, max(t) OVER (ORDER BY arrival) AS now FROM base),
+        |starts AS (SELECT *,
+        |  t - ((t % 21600000000) + 21600000000) % 21600000000 AS smax FROM runmax),
+        |pairs AS (
+        |  SELECT t, now, value, s AS w_start, s + 43200000000 AS w_end
+        |  FROM starts, UNNEST([smax - 21600000000, smax]) AS u(s)
+        |  WHERE t < s + 43200000000),
+        |adm AS (SELECT * FROM pairs WHERE w_end + 43200000000 > now),
+        |mg AS (SELECT max(greatest(t, w_start + 10800000000)) AS mg FROM adm)
+        |SELECT w_start, w_end, COUNT(*) AS n_rows, max(t) AS max_time,
+        |       max(value) AS max_value,
+        |       (w_end + 43200000000 > mg.mg) AS kept_after_cleanup
+        |FROM adm, mg GROUP BY w_start, w_end, mg.mg""".stripMargin,
     "window_session" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
         |f AS (SELECT user_id, us,

@@ -57,15 +57,21 @@ object Temporal {
     * test_window_joins.py sliding(2,1) vector). Microsecond longs. */
   private def windowStartsUs(t: Column, durNs: Long, hopNs: Long,
       originNs: Option[Long]): Column = {
-    val us = usOf(t)
-    val h = hopNs / 1000L; val d = durNs / 1000L
-    val o = originNs.getOrElse(0L) / 1000L
-    val sMax = us - pmod(us - lit(o), lit(h)) // largest start ≤ t (pmod ≥ 0)
-    val n = (durNs + hopNs - 1) / hopNs // candidate windows per row
-    val all = filter(sequence(sMax - lit((n - 1) * h), sMax, lit(h)),
-      s => us < s + lit(d))
+    val all = windowStartsLong(usOf(t), durNs / 1000L, hopNs / 1000L,
+      originNs.getOrElse(0L) / 1000L)
     // reference origin semantics: windows starting before it do not exist
-    originNs.fold(all)(_ => filter(all, s => s >= lit(o)))
+    originNs.fold(all)(o => filter(all, s => s >= lit(o / 1000L)))
+  }
+
+  /** Start of every sliding window [s, s+dur) containing `t`, on an abstract
+    * long grid (the reference accepts int or datetime times — _window.py's
+    * get_windows enumerates starts s ≡ origin (mod hop) with t−dur < s ≤ t). */
+  private def windowStartsLong(t: Column, dur: Long, hop: Long,
+      origin: Long): Column = {
+    val sMax = t - pmod(t - lit(origin), lit(hop)) // largest start ≤ t (pmod ≥ 0)
+    val n = (dur + hop - 1) / hop // candidate windows per row
+    filter(sequence(sMax - lit((n - 1) * hop), sMax, lit(hop)),
+      s => t < s + lit(dur))
   }
 
   /** Sliding windows (_window.py:565): one row per (row, window) pair.
@@ -115,6 +121,188 @@ object Temporal {
       when(prevT.isNull, lit(1)).otherwise(isBreak.cast("int")))
     val sid = sum(col("_brk")).over(sortW.rowsBetween(Window.unboundedPreceding, 0))
     flagged.withColumn("_sid", sid).drop("_brk")
+  }
+
+  /** Batch analog of `common_behavior(delay, cutoff, keep_results)` over
+    * sliding windows — the admission/cleanup rules decoded from the
+    * reference's own streaming simulator
+    * (tests/temporal/test_windows_stream.py generate_buffer_output):
+    *
+    *  - rows arrive in `arrival` order; the frontier `now` is the running
+    *    max of event time INCLUDING the current row;
+    *  - a (row, window) pair is FROZEN — dropped from the aggregate — iff
+    *    `w_end + cutoff <= now` at its arrival (strict: `now` one below the
+    *    threshold still admits). A pair late for one window still counts
+    *    toward every not-yet-frozen window containing it;
+    *  - `delay` buffers emission but never membership (the buffer flushes
+    *    at end of stream), so it does not change the final aggregate —
+    *    EXCEPT through the cleanup frontier below;
+    *  - `keep_results=false` drops finished windows from the FINAL output:
+    *    those with `w_end + cutoff <= max_global`, where the frontier
+    *    max_global advances over both admitted event times and the
+    *    buffer-flush thresholds `w_start + delay` of admitted pairs.
+    *
+    * `time`/`arrival` are Long grid columns (the fixtures use raw ints; µs
+    * for timestamps). Output: one row per surviving window with `w_start`,
+    * `w_end` and `aggs`. The running max is a single ordered pass — the
+    * batch replay of the stream's total arrival order (the reference's
+    * single-worker frontier); the production streaming path is
+    * [[graft.streaming.StreamOps.withCutoff]], where Spark's global
+    * watermark applies the same per-window freeze rule distributedly. */
+  def windowBehaviorFinal(df: DataFrame, time: Column, arrival: Column,
+      dur: Long, hop: Long, delay: Long, cutoff: Long,
+      keepResults: Boolean)(aggs: Column*): DataFrame = {
+    val flagged = windowBehaviorSurvival(df, time, arrival, dur, hop, delay,
+      cutoff)(aggs: _*)
+    if (keepResults) flagged.drop("kept_after_cleanup")
+    else flagged.filter(col("kept_after_cleanup")).drop("kept_after_cleanup")
+  }
+
+  /** [[windowBehaviorFinal]]'s keep=true table plus a boolean
+    * `kept_after_cleanup` marking which windows `keep_results=false` would
+    * retain — one result that discriminates both the admission (freeze) and
+    * the cleanup (flush-threshold frontier) rules. */
+  def windowBehaviorSurvival(df: DataFrame, time: Column, arrival: Column,
+      dur: Long, hop: Long, delay: Long, cutoff: Long)(aggs: Column*): DataFrame = {
+    // The frontier excludes the current BATCH (equal-arrival rows): the
+    // reference updates operator time only after a whole input batch
+    // (temporal_behavior.py docstring; pinned by the asof same-batch
+    // admission vector). A row's own time can never freeze its own windows
+    // (w_end > t), so this matches the per-entry simulator exactly too.
+    val ord = Window.orderBy(arrival).rangeBetween(Window.unboundedPreceding, -1)
+    val admitted = df
+      .withColumn("_now", coalesce(max(time).over(ord), lit(Long.MinValue)))
+      .withColumn("w_start", explode(windowStartsLong(time, dur, hop, 0L)))
+      .withColumn("w_end", col("w_start") + lit(dur))
+      .filter(col("w_end") + lit(cutoff) > col("_now"))
+    val out = admitted.groupBy("w_start", "w_end").agg(aggs.head, aggs.tail: _*)
+    val frontier = admitted.agg(
+      max(greatest(time, col("w_start") + lit(delay))).as("_mg"))
+    out.join(broadcast(frontier), lit(true), "inner") // one-row scalar broadcast
+      .withColumn("kept_after_cleanup", col("w_end") + lit(cutoff) > col("_mg"))
+      .drop("_mg")
+  }
+
+  /** Per-side prev-batch frontier F(a) = max `t` over this side's rows with
+    * arrival strictly before batch `a`, evaluated at every batch of the
+    * union timeline `batches` (one `_a` column). Returns (_a, out). */
+  private def frontierAt(side: DataFrame, t: Column, arrival: Column,
+      batches: DataFrame, out: String): DataFrame = {
+    val probes = batches.select(col("_a"), lit(null).cast("long").as("_t"),
+      lit(1).as("_probe"))
+    val events = side.select(arrival.as("_a"), t.cast("long").as("_t"),
+      lit(0).as("_probe"))
+    val w = Window.orderBy("_a").rangeBetween(Window.unboundedPreceding, -1)
+    probes.unionByName(events)
+      .withColumn(out, coalesce(max("_t").over(w), lit(Long.MinValue)))
+      .filter(col("_probe") === 1).select(col("_a"), col(out))
+  }
+
+  /** Behavior'd interval join, batch analog — the co-aliveness rule decoded
+    * from tests/temporal/test_interval_joins_stream.py against
+    * temporal_behavior.py's apply_temporal_behavior (freeze + forget applied
+    * per input side on its own time column):
+    *
+    *  - a pair (l, r) with r.t ∈ [l.t+lo, l.t+hi] (and `cond`) forms iff BOTH
+    *    rows are alive at the LATER arrival: `t + cutoff > F_side(pairArr)`
+    *    where F_side is that side's max input time over strictly earlier
+    *    batches (this one rule subsumes each row's own admission — frontiers
+    *    only grow);
+    *  - `keep_results=true` SHIELDS formed pairs from later input forgetting
+    *    (the reference marks forgetting records and filters their effects
+    *    out of the join output, _interval_join.py:451);
+    *  - `keep_results=false` lets the retraction through: only pairs whose
+    *    BOTH rows outlive the final inclusive frontier survive;
+    *  - `delay` buffers emission, never membership (flushed at end).
+    *
+    * `lt`/`rt` are Long grid columns; arrivals are the batch clock (the
+    * fixture's __time__). Inner pairs only (the fixture's select shape).
+    * Replay analog — the production streaming path is watermarked
+    * [[graft.streaming.StreamOps]] kernels; this pins the reference's exact
+    * accept/forget boundaries for specs and oracles. */
+  def intervalJoinBehavior(left: DataFrame, right: DataFrame,
+      lt: Column, rt: Column, lArr: Column, rArr: Column,
+      lo: Long, hi: Long, cutoff: Long, keepResults: Boolean,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
+    val l = left.select(struct(left.columns.map(col): _*).as("_lrow"),
+      lt.cast("long").as("_lt"), lArr.cast("long").as("_la"))
+    val r = right.select(struct(right.columns.map(col): _*).as("_rrow"),
+      rt.cast("long").as("_rt"), rArr.cast("long").as("_ra"))
+    val batches = l.select(col("_la").as("_a"))
+      .unionByName(r.select(col("_ra").as("_a"))).distinct()
+    val fL = frontierAt(left, lt, lArr, batches, "_fl")
+    val fR = frontierAt(right, rt, rArr, batches, "_fr")
+    val joinCond = keys.map { case (a, b) =>
+      col(s"_lrow.$a") === col(s"_rrow.$b") }
+      .foldLeft(col("_rt").between(col("_lt") + lit(lo), col("_lt") + lit(hi)))(_ && _)
+    val pairs = l.join(r, joinCond)
+      .withColumn("_pa", greatest(col("_la"), col("_ra")))
+      .join(fL, col("_pa") === fL("_a")).drop("_a")
+      .join(fR, col("_pa") === fR("_a")).drop("_a")
+      .filter(col("_lt") + lit(cutoff) > col("_fl") &&
+        col("_rt") + lit(cutoff) > col("_fr"))
+    val alive = if (keepResults) pairs else {
+      val fin = l.agg(max("_lt").as("_flEnd"))
+        .join(broadcast(r.agg(max("_rt").as("_frEnd"))), lit(true), "inner")
+      pairs.join(broadcast(fin), lit(true), "inner") // one-row scalar broadcast
+        .filter(col("_lt") + lit(cutoff) > col("_flEnd") &&
+          col("_rt") + lit(cutoff) > col("_frEnd"))
+    }
+    alive.select(col("_lrow").as("left"), col("_rrow").as("right"))
+  }
+
+  /** Behavior'd asof_join_left, batch analog (tests/temporal/
+    * test_asof_joins_stream.py): admitted lefts (alive at own arrival under
+    * the per-side freeze rule — a frozen QUERY row disappears entirely, it
+    * does not even emit unmatched) match the best right `rt ≤ lt` among
+    * rights CO-ALIVE with them at the later arrival; `keep_results=false`
+    * refilters both sides by the final inclusive frontier (forgetting a
+    * matched right under keep=true is shielded and never re-matches).
+    * Unmatched admitted lefts keep a null right. Tie on rt: smallest right
+    * arrival, then input order (the fixtures use distinct rts). */
+  def asofJoinBehaviorLeft(left: DataFrame, right: DataFrame,
+      lt: Column, rt: Column, lArr: Column, rArr: Column,
+      cutoff: Long, keepResults: Boolean): DataFrame = {
+    // unique per-row id (batch, in-batch rank) — identical payloads may
+    // repeat across batches (the fixtures replay the same values late)
+    val idw = Window.partitionBy("_la").orderBy("_lrow")
+    val l0 = left.select(struct(left.columns.map(col): _*).as("_lrow"),
+      lt.cast("long").as("_lt"), lArr.cast("long").as("_la"))
+      .withColumn("_lid", struct(col("_la"), row_number().over(idw)))
+    val r0 = right.select(struct(right.columns.map(col): _*).as("_rrow"),
+      rt.cast("long").as("_rt"), rArr.cast("long").as("_ra"))
+    val ordL = Window.orderBy("_la").rangeBetween(Window.unboundedPreceding, -1)
+    val ordR = Window.orderBy("_ra").rangeBetween(Window.unboundedPreceding, -1)
+    val finL = l0.agg(max("_lt").as("_flEnd"))
+    val finR = r0.agg(max("_rt").as("_frEnd"))
+    def endFilter(adm: DataFrame, t: String, fin: DataFrame, f: String): DataFrame =
+      if (keepResults) adm
+      else adm.join(broadcast(fin), lit(true), "inner") // one-row scalar broadcast
+        .filter(col(t) + lit(cutoff) > col(f)).drop(f)
+    val lAdm = endFilter(
+      l0.withColumn("_f", coalesce(max("_lt").over(ordL), lit(Long.MinValue)))
+        .filter(col("_lt") + lit(cutoff) > col("_f")).drop("_f"),
+      "_lt", finL, "_flEnd")
+    val rAdm = endFilter(
+      r0.withColumn("_f", coalesce(max("_rt").over(ordR), lit(Long.MinValue)))
+        .filter(col("_rt") + lit(cutoff) > col("_f")).drop("_f"),
+      "_rt", finR, "_frEnd")
+    val batches = l0.select(col("_la").as("_a"))
+      .unionByName(r0.select(col("_ra").as("_a"))).distinct()
+    val fL = frontierAt(left, lt, lArr, batches, "_fl")
+    val fR = frontierAt(right, rt, rArr, batches, "_fr")
+    val cand = lAdm.join(rAdm, col("_rt") <= col("_lt"))
+      .withColumn("_pa", greatest(col("_la"), col("_ra")))
+      .join(fL, col("_pa") === fL("_a")).drop("_a")
+      .join(fR, col("_pa") === fR("_a")).drop("_a")
+      .filter(col("_lt") + lit(cutoff) > col("_fl") &&
+        col("_rt") + lit(cutoff) > col("_fr"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("_lid").orderBy(col("_rt").desc, col("_ra").asc)))
+      .filter(col("_rk") === 1)
+      .select(col("_lid").as("_k"), col("_rrow").as("right"))
+    lAdm.select(col("_lrow").as("left"), col("_lid"))
+      .join(cand, col("_lid") === col("_k"), "left").drop("_k", "_lid")
   }
 
   /** intervals_over (_window.py:699): for each row of `at`, aggregate `data` rows

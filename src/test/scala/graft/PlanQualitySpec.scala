@@ -44,12 +44,13 @@ class PlanQualitySpec extends AnyFunSuite {
     "doc_pack", "doc_split_chunks", "doc_parse", "expr_str", "expr_num",
     "expr_cond", "matmul_block", "reduce_countmin",
     "expr_str_py", "expr_json", "expr_dt", "reduce_distinct_fold",
-    "pagerank_ref")
+    "pagerank_ref", "window_behavior")
 
   /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
     * 1-row scalar cross joins (ignore_late-style max-ts broadcast;
     * sync_group_cut / inactivity_detect broadcast a 1-row frontier). */
-  private val bnljAllowed = Set("ignore_late", "sync_group_cut", "inactivity_detect")
+  private val bnljAllowed =
+    Set("ignore_late", "sync_group_cut", "inactivity_detect", "window_behavior")
 
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)

@@ -389,4 +389,119 @@ class TemporalFixtureSpec extends AnyFunSuite {
     assert(self == Map(1 -> List(1), 2 -> List(1, 2), 3 -> List(1, 2, 3),
       4 -> List(2, 3, 4), 5 -> List(3, 4, 5)))
   }
+
+  // ─────────────── test_windows_stream.py — common_behavior final tables ──────
+  //
+  // The reference pins streaming windowby behaviors with a 68-row stream
+  // (value=i, time=(i//2)%17, sliding(duration=5, hop=3)) and a simulator
+  // (generate_buffer_output) whose DiffEntry streams reduce to these FINAL
+  // tables of (w_start, w_end, max_time, max_value). Rows below are the
+  // simulator's output per parameterized_test combo (goldens recomputed from
+  // the fixture's admission rules); the exactly_once row cross-checks against
+  // the file's own hardcoded _create_expected_for_exactly_once (max_value =
+  // 2·w_end−1 for the five closed windows, 67/67 for the two flushed ones).
+  test("test_windows_stream.py behavior combos replay (final tables)") {
+    val stream = spark.range(68).select(
+      col("id").as("arrival"), col("id").as("value"), ((col("id") / 2).cast("long") % 17).as("time"))
+    val expect: Map[(Long, Long, Boolean), Seq[(Long, Long, Long, Long)]] = Map(
+      // (delay, cutoff, keep) → final (w_start, w_end, max_time, max_value)
+      (0L, 0L, true) -> Seq((-3, 2, 1, 3), (0, 5, 4, 9), (3, 8, 7, 15),
+        (6, 11, 10, 21), (9, 14, 13, 27), (12, 17, 16, 67), (15, 20, 16, 67)),
+      (0L, 0L, false) -> Seq((12, 17, 16, 67), (15, 20, 16, 67)),
+      (1L, 0L, true) -> Seq((-3, 2, 1, 3), (0, 5, 4, 9), (3, 8, 7, 15),
+        (6, 11, 10, 21), (9, 14, 13, 27), (12, 17, 16, 67), (15, 20, 16, 67)),
+      (1L, 0L, false) -> Seq((12, 17, 16, 67), (15, 20, 16, 67)),
+      (0L, 1L, true) -> Seq((-3, 2, 1, 3), (0, 5, 4, 9), (3, 8, 7, 15),
+        (6, 11, 10, 21), (9, 14, 13, 27), (12, 17, 16, 67), (15, 20, 16, 67)),
+      (0L, 1L, false) -> Seq((12, 17, 16, 67), (15, 20, 16, 67)),
+      (1L, 1L, true) -> Seq((-3, 2, 1, 3), (0, 5, 4, 9), (3, 8, 7, 15),
+        (6, 11, 10, 21), (9, 14, 13, 27), (12, 17, 16, 67), (15, 20, 16, 67)),
+      (1L, 1L, false) -> Seq((12, 17, 16, 67), (15, 20, 16, 67)),
+      // test_high_delay_high_buffer_keep_results: cutoff=6 keeps windows
+      // open into the second pass over the 0..16 time cycle — [6,11) and
+      // [9,14) absorb late values 55 and 61 the cutoff=1 combos freeze out
+      (5L, 6L, true) -> Seq((-3, 2, 1, 3), (0, 5, 4, 9), (3, 8, 7, 15),
+        (6, 11, 10, 55), (9, 14, 13, 61), (12, 17, 16, 67), (15, 20, 16, 67)),
+      // test_exactly_once / test_exactly_once_from_behavior (delay=6, cutoff=1)
+      (6L, 1L, true) -> Seq((-3, 2, 1, 3), (0, 5, 4, 9), (3, 8, 7, 15),
+        (6, 11, 10, 21), (9, 14, 13, 27), (12, 17, 16, 67), (15, 20, 16, 67)))
+    for (((delay, cutoff, keep), rows) <- expect) {
+      val out = Temporal.windowBehaviorFinal(stream, col("time"), col("arrival"),
+          dur = 5L, hop = 3L, delay = delay, cutoff = cutoff, keepResults = keep)(
+          max(col("time")).as("max_time"), max(col("value")).as("max_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      assert(out == rows, s"combo delay=$delay cutoff=$cutoff keep=$keep")
+    }
+  }
+
+  // ─────────── test_interval_joins_stream.py — forgetting final tables ───────
+  //
+  // Both sides stream t=0..4 twice (batch clock __time__ = 2,4,…,20) under
+  // common_behavior(0, cutoff=2, keep_results): the second pass's t=0,1,2 are
+  // frozen (t+cutoff ≤ prev-batch frontier 4) while t=3,4 are admitted and
+  // ALSO pair with the still-alive first-pass rows → (3,3)/(4,4) appear ×4;
+  // keep=false drops pairs not outliving the final frontier.
+  test("test_interval_joins_stream.py forgetting replays (final tables)") {
+    val side = Seq((0, 2), (1, 4), (2, 6), (3, 8), (4, 10),
+      (0, 12), (1, 14), (2, 16), (3, 18), (4, 20)).toDF("t", "arr")
+    val keepExpected = Seq((0, 0), (1, 1), (2, 2),
+      (3, 3), (3, 3), (3, 3), (3, 3), (4, 4), (4, 4), (4, 4), (4, 4))
+    val removeExpected = keepExpected.drop(3)
+    // interval(0,0) on the unit grid; interval(-0.1,0.1) on a ×1000 grid —
+    // the reference parametrizes both, with identical expected tables
+    for ((mul, lo, hi) <- Seq((1, 0L, 0L), (1000, -100L, 100L));
+         keep <- Seq(true, false)) {
+      val s = side.withColumn("tg", col("t") * mul)
+      val out = Temporal.intervalJoinBehavior(s, s, col("tg"), col("tg"),
+          col("arr"), col("arr"), lo, hi, cutoff = 2L * mul, keepResults = keep)
+        .select(col("left.t").as("lt"), col("right.t").as("rt"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+      assert(out == (if (keep) keepExpected else removeExpected),
+        s"mul=$mul keep=$keep")
+    }
+    // test_forgetting_with_instance: t1.v == t2.v doubles every batch; the
+    // expected table is the same block per v ∈ {0, 1}
+    val inst = Seq(0, 1).toDF("v").crossJoin(side)
+    for (keep <- Seq(true, false)) {
+      val exp = (for (v <- Seq(0, 1);
+        (lt, rt) <- if (keep) keepExpected else removeExpected)
+        yield (v, lt, rt)).sorted
+      val out = Temporal.intervalJoinBehavior(inst, inst, col("t"), col("t"),
+          col("arr"), col("arr"), 0L, 0L, cutoff = 2L, keepResults = keep,
+          keys = Seq("v" -> "v"))
+        .select(col("left.v").as("v"), col("left.t").as("lt"), col("right.t").as("rt"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq.sorted
+      assert(out == exp, s"instance keep=$keep")
+    }
+  }
+
+  // ─────────── test_asof_joins_stream.py — cutoff/delay final tables ─────────
+  //
+  // asof_join_left with common_behavior(cutoff=2): a frozen QUERY row (a=6,
+  // t=2 arriving against left frontier 5) disappears entirely — it does not
+  // even emit unmatched; a frozen DATA row (b=3, t=2 against right frontier
+  // 4) never replaces earlier matches (keep=true final keeps b=1 matches);
+  // keep=false refilters by the final inclusive frontiers (left 6, right 4).
+  test("test_asof_joins_stream.py cutoff/delay replay (final tables)") {
+    val queries = Seq((1, 2, 2), (2, 3, 2), (3, 3, 4), (4, 5, 4), (6, 2, 6),
+      (7, 6, 8)).toDF("a", "t", "arr")
+    val data = Seq((1, 1, 4), (2, 4, 6), (3, 2, 8)).toDF("b", "t", "arr")
+    def run(cutoff: Long, keep: Boolean): Seq[(Int, Int, Int, Int)] =
+      Temporal.asofJoinBehaviorLeft(queries, data, col("t"), col("t"),
+          col("arr"), col("arr"), cutoff, keepResults = keep)
+        .select(col("left.a"), col("left.t").as("tl"),
+          col("right.b"), col("right.t").as("tr"))
+        .collect().map(r => (optInt(r, 0), optInt(r, 1), optInt(r, 2), optInt(r, 3)))
+        .toSeq.sorted
+    assert(run(2L, keep = true) == Seq((1, 2, 1, 1), (2, 3, 1, 1),
+      (3, 3, 1, 1), (4, 5, 2, 4), (7, 6, 2, 4)))
+    assert(run(2L, keep = false) == Seq((4, 5, 2, 4), (7, 6, 2, 4)))
+    // test_without_behavior / test_delay: no cutoff — delay buffers emission
+    // only (flushed at end), so both share one final table where the late
+    // b=3 (t=2) wins every backward match at t ≤ 3
+    val noCutoff = Seq((1, 2, 3, 2), (2, 3, 3, 2), (3, 3, 3, 2), (4, 5, 2, 4),
+      (6, 2, 3, 2), (7, 6, 2, 4))
+    assert(run(1L << 40, keep = true) == noCutoff)
+  }
 }
