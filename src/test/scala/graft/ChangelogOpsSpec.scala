@@ -44,4 +44,21 @@ class ChangelogOpsSpec extends AnyFunSuite {
     // and the retracted pair netted out to zero
     assert(joined.filter(col("lv") === "l1").agg(sum("diff")).head.getLong(0) == 0L)
   }
+
+  // test_common.py test_remove_retractions: the source nets to {1,4} but the
+  // de-retracted view accumulates every inserted value, and its stream is
+  // exactly the diff=+1 slice at the original times
+  test("removeRetractions replays test_remove_retractions") {
+    val t = Seq((1, 2, 1), (2, 4, 1), (3, 6, 1), (2, 8, -1), (4, 10, 1),
+      (3, 12, -1)).toDF("a", "time", "diff")
+    val res = graft.streaming.StreamOps.removeRetractions(t)
+    assert(res.select("a", "time", "diff").as[(Int, Int, Int)].collect().toSet ==
+      Set((1, 2, 1), (2, 4, 1), (3, 6, 1), (4, 10, 1)))
+    val snap = graft.streaming.StreamOps.streamToTable(res, Seq("a"))
+      .as[Int].collect().toSet
+    assert(snap == Set(1, 2, 3, 4))
+    val orig = graft.streaming.StreamOps.streamToTable(t, Seq("a"))
+      .as[Int].collect().toSet
+    assert(orig == Set(1, 4))
+  }
 }

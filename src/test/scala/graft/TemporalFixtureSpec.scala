@@ -504,4 +504,77 @@ class TemporalFixtureSpec extends AnyFunSuite {
       (6, 2, 3, 2), (7, 6, 2, 4))
     assert(run(1L << 40, keep = true) == noCutoff)
   }
+
+  // ───── tests/temporal/test_operators.py — _freeze/_forget/_buffer streams ───
+  //
+  // Full DiffEntry-stream replays of the behavior primitives (threshold =
+  // t+2, batch clock = __time__): freeze/forget gate on the EXCLUSIVE
+  // (prev-batch) per-instance frontier while buffer releases on the
+  // INCLUSIVE one; forget retracts at the first global batch whose frontier
+  // reaches the threshold (even one where the instance has no rows); late
+  // rows and upstream retractions of already-gone rows vanish silently;
+  // unreleased buffered rows flush at end (Long.MaxValue here for the
+  // reference's u64::MAX−2 stamp).
+  private def behaviorInput = Seq((1, 2, 2), (1, 3, 2), (1, 5, 4), (1, 15, 8),
+    (1, 7, 10), (2, 4, 2), (2, 8, 4), (2, 9, 8), (3, 1, 6)).toDF("a", "t", "arr")
+
+  test("test_operators.py _freeze vectors replay") {
+    val in = Seq((1, 2, 2), (1, 3, 2), (1, 5, 6), (1, 15, 8), (1, 7, 10),
+      (2, 4, 2), (2, 8, 4), (2, 5, 8), (3, 1, 6)).toDF("a", "t", "arr")
+    def got(inst: Seq[org.apache.spark.sql.Column]) =
+      Temporal.freezeReplay(in, col("t"), col("t") + 2, col("arr"), inst)
+        .select("a", "t", "arr").as[(Int, Int, Int)].collect().toSeq.sorted
+    assert(got(Seq(col("a"))) == Seq((1, 2, 2), (1, 3, 2), (1, 5, 6),
+      (1, 15, 8), (2, 4, 2), (2, 8, 4), (3, 1, 6)))
+    assert(got(Nil) == Seq((1, 2, 2), (1, 3, 2), (1, 15, 8), (2, 4, 2), (2, 8, 4)))
+  }
+
+  test("test_operators.py _forget vectors replay (full diff streams)") {
+    def got(in: org.apache.spark.sql.DataFrame, inst: Seq[org.apache.spark.sql.Column]) =
+      Temporal.forgetReplay(in, col("t"), col("t") + 2, "arr", None, inst)
+        .select("a", "t", "time", "diff").as[(Int, Int, Long, Int)]
+        .collect().toSeq.sorted
+    assert(got(behaviorInput, Seq(col("a"))) == Seq(
+      (1, 2, 2L, 1), (1, 2, 6L, -1), (1, 3, 2L, 1), (1, 3, 6L, -1),
+      (1, 5, 4L, 1), (1, 5, 10L, -1), (1, 15, 8L, 1),
+      (2, 4, 2L, 1), (2, 4, 6L, -1), (2, 8, 4L, 1), (2, 9, 8L, 1),
+      (3, 1, 6L, 1)).sorted)
+    assert(got(behaviorInput, Nil) == Seq(
+      (1, 2, 2L, 1), (1, 2, 4L, -1), (1, 3, 2L, 1), (1, 3, 6L, -1),
+      (1, 5, 4L, 1), (1, 5, 6L, -1), (1, 15, 8L, 1),
+      (2, 4, 2L, 1), (2, 4, 6L, -1), (2, 8, 4L, 1), (2, 8, 10L, -1),
+      (2, 9, 8L, 1), (2, 9, 10L, -1)).sorted)
+    // test_forget_non_append_only: upstream retractions pass only for
+    // still-alive rows; forgotten/late rows swallow them
+    val naIn = Seq((1, 2, 1), (5, 4, 1), (5, 6, 1), (1, 8, -1), (2, 10, 1),
+      (2, 12, -1), (5, 14, -1), (8, 16, 1), (8, 18, 1)).toDF("x", "arr", "d")
+    val naOut = Temporal.forgetReplay(naIn, col("x"), col("x") + 2, "arr", Some("d"))
+      .select("x", "time", "diff").as[(Int, Long, Int)].collect().toSeq.sorted
+    assert(naOut == Seq((1, 2L, 1), (1, 6L, -1), (5, 4L, 1), (5, 6L, 1),
+      (5, 14L, -1), (5, 18L, -1), (8, 16L, 1), (8, 18L, 1)).sorted)
+  }
+
+  test("test_operators.py _buffer vectors replay (full diff streams)") {
+    val MAX = Long.MaxValue
+    def got(in: org.apache.spark.sql.DataFrame, inst: Seq[org.apache.spark.sql.Column]) =
+      Temporal.bufferReplay(in, col("t"), col("t") + 2, "arr", None, inst)
+        .select("a", "t", "time", "diff").as[(Int, Int, Long, Int)]
+        .collect().toSeq.sorted
+    assert(got(behaviorInput, Seq(col("a"))) == Seq(
+      (1, 2, 4L, 1), (1, 3, 4L, 1), (1, 5, 8L, 1), (1, 15, MAX, 1),
+      (1, 7, 10L, 1), (2, 4, 4L, 1), (2, 8, MAX, 1), (2, 9, MAX, 1),
+      (3, 1, MAX, 1)).sorted)
+    assert(got(behaviorInput, Nil) == Seq(
+      (1, 2, 2L, 1), (1, 3, 4L, 1), (1, 5, 4L, 1), (1, 15, MAX, 1),
+      (1, 7, 10L, 1), (2, 4, 4L, 1), (2, 8, 8L, 1), (2, 9, 8L, 1),
+      (3, 1, 6L, 1)).sorted)
+    // test_buffer_non_append_only: a retraction during buffering cancels the
+    // row silently; after release both sides pass through
+    val naIn = Seq((1, 2, 1), (5, 4, 1), (5, 6, 1), (1, 8, -1), (2, 10, 1),
+      (2, 12, -1), (5, 14, -1), (8, 16, 1), (8, 18, 1)).toDF("x", "arr", "d")
+    val naOut = Temporal.bufferReplay(naIn, col("x"), col("x") + 2, "arr", Some("d"))
+      .select("x", "time", "diff").as[(Int, Long, Int)].collect().toSeq.sorted
+    assert(naOut == Seq((1, 4L, 1), (1, 8L, -1), (2, 10L, 1), (2, 12L, -1),
+      (5, 16L, 1), (8, MAX, 1), (8, MAX, 1)).sorted)
+  }
 }
