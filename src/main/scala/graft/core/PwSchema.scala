@@ -24,13 +24,18 @@ final case class PwColumnDef(
     dtype: DataType,
     primaryKey: Boolean = false,
     defaultValue: Option[Any] = None,
-    appendOnly: Boolean = false)
+    appendOnly: Boolean = false,
+    /** The reference's `T | None` annotation (schema.py Optional dtype) —
+      * independent of default_value: a column can be optional AND carry a
+      * default (test_io.py:593). Drives the connector null rules. */
+    optional: Boolean = false)
 
 final case class PwSchema(cols: Seq[PwColumnDef]) {
   import PwSchema._
 
   def structType: StructType = StructType(cols.map { c =>
-    StructField(c.name, c.dtype, nullable = c.defaultValue.isEmpty && !c.primaryKey,
+    StructField(c.name, c.dtype,
+      nullable = c.optional || (c.defaultValue.isEmpty && !c.primaryKey),
       metadata = metadataFor(c))
   })
 

@@ -37,17 +37,109 @@ object Connectors {
         .withColumn("_metadata_modified_at", col("_metadata.file_modification_time"))
     else df
 
+  /** RFC-4180 escaping (the reference reads/writes with the Rust `csv`
+    * crate: quotes are DOUBLED inside quoted fields, backslash is a plain
+    * character — test_io.py:3743 test_csv_escaping). Spark's CSV default
+    * escape is backslash; setting escape to the quote char gives the
+    * crate's doubling on both sides. */
+  private val Rfc4180 = Map("quote" -> "\"", "escape" -> "\"")
+
   /** CSV (io/csv, data_format/dsv.rs). Header + delimiter options mirror
     * `csv.read(…, csv_settings)`. */
   def csv(spark: SparkSession, path: String, mode: Mode = Static,
       schema: Option[StructType] = None, header: Boolean = true,
       delimiter: String = ",", withMetadata: Boolean = false): DataFrame = {
-    val opts = Map("header" -> header.toString, "sep" -> delimiter)
+    val opts = Map("header" -> header.toString, "sep" -> delimiter) ++ Rfc4180
     val df = reader(spark, mode, schema) match {
       case Left(r)  => r.options(opts).csv(path)
       case Right(r) => r.options(opts).csv(path)
     }
     withMeta(df, withMetadata)
+  }
+
+  /** Schema-typed CSV (io/csv.read(schema=…) — data_format/dsv.rs + the
+    * mod.rs:586 cell contract; rules in [[TypedCells]]).
+    *
+    * Divergence this fixes vs plain `.schema(...).csv(...)`: Spark maps an
+    * explicit schema to CSV columns POSITIONALLY, the reference selects by
+    * HEADER NAME (dsv.rs:97 `column_indices_by_names`) — so a schema that
+    * skips a middle column (test_io.py:501 `test_csv_skip_column`) reads
+    * the wrong cells under Spark's mapping. Here every cell is read as a
+    * raw string, projected by header name (missing name → the reference's
+    * FieldsNotFoundInHeader error), then parsed by the decoded cell rules.
+    *
+    * Parse failures follow the engine's error-value convention: the cell is
+    * NULL and a record lands in the `_pw_errors` accumulator
+    * ([[graft.functions.Errors]]) — one bad row logs instead of killing the
+    * scan. `Errors.removeErrors` drops the accumulator. */
+  def csvTyped(spark: SparkSession, path: String, schema: graft.core.PwSchema,
+      mode: Mode = Static, delimiter: String = ",",
+      withMetadata: Boolean = false): DataFrame = {
+    // streaming needs an explicit schema: all requested names as strings —
+    // name-projection then happens on the parsed frame
+    val rawSchema = StructType(schema.cols.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, org.apache.spark.sql.types.StringType)))
+    val raw = reader(spark, mode, if (mode == Streaming) Some(rawSchema) else None) match {
+      case Left(r)  => r.options(Map("header" -> "true", "sep" -> delimiter,
+        "inferSchema" -> "false") ++ Rfc4180).csv(path)
+      case Right(r) => r.options(Map("header" -> "true", "sep" -> delimiter) ++ Rfc4180).csv(path)
+    }
+    val present = raw.columns.toSet
+    val missing = schema.cols.map(_.name).filterNot(present)
+    require(missing.isEmpty,
+      s"fields ${missing.mkString(", ")} not found in header ${raw.columns.mkString(", ")}")
+    val cells = schema.cols.map { c =>
+      c.name -> TypedCells.csvCell(col(c.name), c.dtype,
+        optional = c.optional, default = c.defaultValue)
+    }
+    val projected = withMeta(raw, withMetadata)
+    applyCells(projected, cells,
+      keep = if (withMetadata) metaCols else Nil)
+  }
+
+  /** Schema-typed JSON-lines (io/jsonlines.read(schema=…, json_field_paths=…)
+    * — data_format/json.rs + mod.rs:855 `values_by_names_from_json`).
+    *
+    * Each line parses to a VARIANT; fields extract by name or by JSON
+    * pointer (`json_field_paths`), with the decoded absent-vs-null split: a
+    * MISSING field takes the declared default (else None), an explicit
+    * `null` never does (test_io.py:581 `test_json_default_values`). Typed
+    * extraction is kind-strict like `parse_value_from_json` (an int column
+    * rejects `"5"` and `5.0`). Failures land in `_pw_errors` like
+    * [[csvTyped]]. */
+  def jsonlinesTyped(spark: SparkSession, path: String, schema: graft.core.PwSchema,
+      fieldPaths: Map[String, String] = Map.empty, mode: Mode = Static,
+      withMetadata: Boolean = false): DataFrame = {
+    val lines = plaintext(spark, path, mode, withMetadata)
+    val payload = parse_json(col("data"))
+    val cells = schema.cols.map { c =>
+      val vpath = fieldPaths.get(c.name)
+        .map(TypedCells.pointerToVariantPath)
+        .getOrElse("$." + c.name)
+      c.name -> TypedCells.jsonField(payload, vpath, c.dtype,
+        optional = c.optional, default = c.defaultValue)
+    }
+    applyCells(lines, cells, keep = if (withMetadata) metaCols else Nil)
+  }
+
+  private val metaCols =
+    Seq("_metadata_path", "_metadata_size", "_metadata_modified_at")
+
+  /** Materialize parsed cells + the `_pw_errors` accumulator in one select. */
+  private def applyCells(df: DataFrame, cells: Seq[(String, TypedCells.Cell)],
+      keep: Seq[String]): DataFrame = {
+    val errs = filter(
+      array(cells.map { case (n, cell) =>
+        when(cell.failed, struct(lit(n).as("col"),
+          lit(s"failed to parse value in field $n").as("msg")))
+          .otherwise(lit(null))
+      }: _*),
+      e => e.isNotNull)
+    val out = cells.map { case (n, cell) =>
+      when(cell.failed, lit(null)).otherwise(cell.value).as(n)
+    } ++ keep.map(col) :+ errs.cast(
+      "array<struct<col: string, msg: string>>").as(graft.functions.Errors.ErrCol)
+    df.select(out: _*)
   }
 
   /** JSON-lines (io/jsonlines, data_format/json.rs). */
@@ -188,7 +280,8 @@ object Connectors {
   // ── writers ────────────────────────────────────────────────────────────────
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
-    df.write.mode("overwrite").option("header", header.toString).csv(path)
+    df.write.mode("overwrite").option("header", header.toString)
+      .options(Rfc4180).csv(path)
 
   def writeJsonlines(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
@@ -199,5 +292,6 @@ object Connectors {
   /** Changelog CSV sink (concepts.md:240-243): appends rows with time/diff
     * columns rather than applying diffs. */
   def writeChangelogCsv(changelog: DataFrame, path: String): Unit =
-    changelog.write.mode("append").option("header", "true").csv(path)
+    changelog.write.mode("append").option("header", "true")
+      .options(Rfc4180).csv(path)
 }

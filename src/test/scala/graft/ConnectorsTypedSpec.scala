@@ -1,0 +1,229 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{PwColumnDef, PwSchema}
+import graft.functions.Errors
+import graft.sources.{Connectors, TypedCells}
+
+/** Bit-exact replays of the reference's typed-connector fixtures
+  * (tests/test_io.py: test_csv_default_values:468, test_csv_skip_column:501,
+  * test_json_default_values:581, test_json_optional_values:955,
+  * test_json_optional_values_with_paths:984) plus unit vectors for the
+  * decoded cell contract (data_format/mod.rs:490-660, 731, 855):
+  * advanced bool vocabulary, optional null vocabulary, strict int/float
+  * token shapes, JSON absent-vs-explicit-null, kind-strict JSON typing. */
+class ConnectorsTypedSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def tmpFile(lines: Seq[String]): String = {
+    val dir: Path = Files.createTempDirectory("graft-typed")
+    val f = dir.resolve("input.txt")
+    Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.drop(Errors.ErrCol).collect().toSet[Row].map(_.toSeq)
+
+  // ─────────────────────────── CSV ───────────────────────────
+
+  test("test_csv_default_values: empty cell on a defaulted int column takes the default") {
+    val path = tmpFile(Seq("k,v", "a,42", "b,43", "c,"))
+    val schema = PwSchema(Seq(
+      PwColumnDef("k", StringType, primaryKey = true),
+      PwColumnDef("v", LongType, defaultValue = Some(0L))))
+    val out = Connectors.csvTyped(spark, path, schema)
+    assert(rows(out) == Set(Seq("a", 42L), Seq("b", 43L), Seq("c", 0L)))
+    assert(out.filter(size(col(Errors.ErrCol)) > 0).count() == 0)
+  }
+
+  test("test_csv_skip_column: columns project by HEADER NAME, not position") {
+    val path = tmpFile(Seq("k,a,b", "1,foo,a", "2,bar,b", "3,baz,c"))
+    val schema = PwSchema(Seq(
+      PwColumnDef("k", LongType, primaryKey = true),
+      PwColumnDef("b", StringType)))
+    val out = Connectors.csvTyped(spark, path, schema)
+    assert(rows(out) == Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+  }
+
+  test("a schema field missing from the CSV header fails like FieldsNotFoundInHeader") {
+    val path = tmpFile(Seq("k,a", "1,foo"))
+    val schema = PwSchema(Seq(PwColumnDef("k", LongType), PwColumnDef("zz", StringType)))
+    val e = intercept[IllegalArgumentException] {
+      Connectors.csvTyped(spark, path, schema)
+    }
+    assert(e.getMessage.contains("zz") && e.getMessage.contains("not found in header"))
+  }
+
+  test("advanced bool vocabulary: postgres names + t/f/y/n, trimmed, any case (mod.rs:506)") {
+    val toks = Seq("true", "Yes", "ON", "1", "t", "Y", "false", "No", "OFF", "0", "F", "n")
+    val path = tmpFile("k,v" +: toks.zipWithIndex.map { case (t, i) => s"$i,$t" })
+    val schema = PwSchema(Seq(PwColumnDef("k", LongType), PwColumnDef("v", BooleanType)))
+    val out = Connectors.csvTyped(spark, path, schema)
+    val expect = toks.zipWithIndex.map { case (t, i) =>
+      Seq(i.toLong, Seq("true", "yes", "on", "1", "t", "y").contains(t.toLowerCase))
+    }.toSet[Seq[Any]]
+    assert(rows(out) == expect)
+    // "2" / "maybe" are parse errors, not false
+    val bad = tmpFile(Seq("k,v", "0,2", "1,maybe"))
+    val outBad = Connectors.csvTyped(spark, bad, schema)
+    assert(outBad.filter(size(col(Errors.ErrCol)) > 0).count() == 2)
+  }
+
+  test("optional columns parse null/none/'' as None; plain string keeps the token (mod.rs:514)") {
+    val path = tmpFile(Seq("k,v,s", "1,NULL,null", "2,none,none", "3,,x", "4,7,"))
+    val schema = PwSchema(Seq(
+      PwColumnDef("k", LongType),
+      PwColumnDef("v", LongType, optional = true),
+      PwColumnDef("s", StringType, optional = true)))
+    val out = Connectors.csvTyped(spark, path, schema)
+    // string column keeps the literal token (String not in the None match arm)
+    assert(rows(out) == Set(
+      Seq(1L, null, "null"), Seq(2L, null, "none"), Seq(3L, null, "x"), Seq(4L, 7L, "")))
+  }
+
+  test("int tokens are Rust-parse strict: no decimals, exponents, or inner spaces") {
+    val path = tmpFile(Seq("k,v", "1,5", "2,+7", "3,-9", "4,5.5", "5,1e3", "6,abc"))
+    val schema = PwSchema(Seq(PwColumnDef("k", LongType), PwColumnDef("v", LongType)))
+    val out = Connectors.csvTyped(spark, path, schema)
+    val good = out.filter(size(col(Errors.ErrCol)) === 0)
+    assert(rows(good) == Set(Seq(1L, 5L), Seq(2L, 7L), Seq(3L, -9L)))
+    val errs = Errors.errorTable(out, col("k")).select("k", "err_col")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(errs == Set((4L, "v"), (5L, "v"), (6L, "v")))
+  }
+
+  // ─────────────────────────── JSON-lines ───────────────────────────
+
+  test("test_json_default_values: MISSING field takes default; explicit null does NOT") {
+    val path = tmpFile(Seq(
+      """{"k": "a", "b": 1, "c": "foo" }""",
+      """{"k": "b", "b": 2, "c": null }""",
+      """{"k": "c" }"""))
+    val schema = PwSchema(Seq(
+      PwColumnDef("k", StringType, primaryKey = true),
+      PwColumnDef("b", LongType, defaultValue = Some(0L)),
+      PwColumnDef("c", StringType, defaultValue = Some("default"), optional = true)))
+    val out = Connectors.jsonlinesTyped(spark, path, schema)
+    assert(rows(out) == Set(
+      Seq("a", 1L, "foo"), Seq("b", 2L, null), Seq("c", 0L, "default")))
+    assert(out.filter(size(col(Errors.ErrCol)) > 0).count() == 0)
+  }
+
+  test("test_json_optional_values: absent defaulted field fills per row") {
+    val path = tmpFile(Seq(
+      """{"k": "a", "v": 1}""",
+      """{"k": "b", "v": 2, "w": 512}"""))
+    val schema = PwSchema(Seq(
+      PwColumnDef("k", StringType, primaryKey = true),
+      PwColumnDef("v", LongType, defaultValue = Some(0L)),
+      PwColumnDef("w", LongType, defaultValue = Some(1024L))))
+    val out = Connectors.jsonlinesTyped(spark, path, schema)
+    assert(rows(out) == Set(Seq("a", 1L, 1024L), Seq("b", 2L, 512L)))
+  }
+
+  test("test_json_optional_values_with_paths: a pointer path that never resolves defaults everywhere") {
+    val path = tmpFile(Seq(
+      """{"k": "a", "v": 1}""",
+      """{"k": "b", "v": 2, "w": 512}"""))
+    val schema = PwSchema(Seq(
+      PwColumnDef("k", StringType, primaryKey = true),
+      PwColumnDef("v", LongType, defaultValue = Some(0L)),
+      PwColumnDef("w", LongType, defaultValue = Some(1024L))))
+    val out = Connectors.jsonlinesTyped(spark, path, schema,
+      fieldPaths = Map("w" -> "/q/w/e/r/t/y/u"))
+    // "w": 512 sits at the top level, NOT at /q/w/e/r/t/y/u → default on both
+    assert(rows(out) == Set(Seq("a", 1L, 1024L), Seq("b", 2L, 1024L)))
+  }
+
+  test("json_field_paths resolve nested objects and array indices") {
+    val path = tmpFile(Seq(
+      """{"k": "a", "q": {"w": {"e": 7}}, "arr": [10, 20, 30]}"""))
+    val schema = PwSchema(Seq(
+      PwColumnDef("k", StringType),
+      PwColumnDef("deep", LongType),
+      PwColumnDef("second", LongType)))
+    val out = Connectors.jsonlinesTyped(spark, path, schema,
+      fieldPaths = Map("deep" -> "/q/w/e", "second" -> "/arr/1"))
+    assert(rows(out) == Set(Seq("a", 7L, 20L)))
+  }
+
+  test("JSON int typing is kind-strict: 5 parses; \"5\", 5.0, 1e3 are errors (mod.rs:741 as_i64)") {
+    val path = tmpFile(Seq(
+      """{"k": 1, "v": 5}""",
+      """{"k": 2, "v": "5"}""",
+      """{"k": 3, "v": 5.0}""",
+      """{"k": 4, "v": 1e3}""",
+      """{"k": 5, "v": true}"""))
+    val schema = PwSchema(Seq(PwColumnDef("k", LongType), PwColumnDef("v", LongType)))
+    val out = Connectors.jsonlinesTyped(spark, path, schema)
+    val good = out.filter(size(col(Errors.ErrCol)) === 0)
+    assert(rows(good) == Set(Seq(1L, 5L)))
+    assert(out.filter(size(col(Errors.ErrCol)) > 0).count() == 4)
+  }
+
+  test("JSON float accepts any number kind; bool and string only their own kind") {
+    val path = tmpFile(Seq(
+      """{"k": 1, "f": 5, "b": true, "s": "x"}""",
+      """{"k": 2, "f": 5.5, "b": 1, "s": 3}"""))
+    val schema = PwSchema(Seq(
+      PwColumnDef("k", LongType), PwColumnDef("f", DoubleType),
+      PwColumnDef("b", BooleanType), PwColumnDef("s", StringType)))
+    val out = Connectors.jsonlinesTyped(spark, path, schema)
+    val r1 = rows(out.filter(size(col(Errors.ErrCol)) === 0))
+    assert(r1 == Set(Seq(1L, 5.0, true, "x")))
+    val errs = Errors.errorTable(out, col("k")).select("k", "err_col")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(errs == Set((2L, "b"), (2L, "s")))
+  }
+
+  test("explicit JSON null on a NON-optional column is a parse error; on optional it is None") {
+    val path = tmpFile(Seq("""{"k": 1, "a": null, "b": null}"""))
+    val schema = PwSchema(Seq(
+      PwColumnDef("k", LongType),
+      PwColumnDef("a", LongType, optional = true),
+      PwColumnDef("b", LongType)))
+    val out = Connectors.jsonlinesTyped(spark, path, schema)
+    val r = out.collect().head
+    assert(r.isNullAt(out.columns.indexOf("a")) && r.isNullAt(out.columns.indexOf("b")))
+    val errs = Errors.errorTable(out, col("k")).select("err_col")
+      .collect().map(_.getString(0)).toSet
+    assert(errs == Set("b"))
+  }
+
+  test("pointer → variant path translation handles escapes and indices") {
+    assert(TypedCells.pointerToVariantPath("/q/w/e") == "$.q.w.e")
+    assert(TypedCells.pointerToVariantPath("/arr/0/x") == "$.arr[0].x")
+    assert(TypedCells.pointerToVariantPath("/a~1b/c~0d") == "$.a/b.c~d")
+  }
+
+  test("test_csv_escaping: RFC-4180 round-trip — quotes doubled, backslash is a plain char") {
+    import spark.implicits._
+    val testText = "ab,,\":,,cdefgh\\ '' \" hello \",, \\ ' \"\" s\"d,sd ,\""
+    val dir = Files.createTempDirectory("graft-esc").resolve("out").toString
+    Connectors.writeCsv(Seq(testText).toDF("data"), dir)
+    val back = Connectors.csv(spark, dir).select("data").as[String].collect().toSet
+    assert(back == Set(testText))
+    val typedBack = Connectors.csvTyped(spark, dir,
+      PwSchema(Seq(PwColumnDef("data", StringType))))
+    assert(rows(typedBack) == Set(Seq(testText)))
+  }
+
+  test("typed datetime columns parse the fixed connector formats (mod.rs:556)") {
+    val path = tmpFile(Seq(
+      "k,t",
+      "1,2023-05-15T10:51:00.000000000",
+      "2,2023-05-15T10:51:00"))
+    val schema = PwSchema(Seq(PwColumnDef("k", LongType), PwColumnDef("t", TimestampNTZType)))
+    val out = Connectors.csvTyped(spark, path, schema)
+    val vals = out.select(date_format(col("t"), "yyyy-MM-dd HH:mm:ss"))
+      .collect().map(_.getString(0)).toSet
+    assert(vals == Set("2023-05-15 10:51:00"))
+  }
+}
