@@ -143,6 +143,11 @@ object Exprs {
 
   /** `str.*` namespace (internals/expressions/string.py:33-872) — all native. */
   final class StrOps(private val c: Column) extends AnyVal {
+    /** `str * int` — python repetition: a negative count is the EMPTY
+      * string (expression.rs:1274-1279; r16 decode of test_string_mul,
+      * both operand orders). */
+    def mul(n: Column): Column =
+      when(n < 0, lit("")).otherwise(call_function("repeat", c, n.cast("int")))
     def lower: Column = org.apache.spark.sql.functions.lower(c)
     def upper: Column = org.apache.spark.sql.functions.upper(c)
     def reversed: Column = reverse(c)
@@ -382,6 +387,27 @@ object Exprs {
     def toNaiveInTimezone(tz: String): Column =
       from_utc_timestamp(c, tz).cast("timestamp_ntz")
 
+    /** datetime + Duration (expression.rs:300 AddDuration; r16 decode of
+      * test_operators.py test_date_time_and_duration): exact ns arithmetic
+      * floored onto the µs grid (D1) — `us + floor(ns/1000)`, so adding
+      * −1 ns to a grid point moves one µs back, exactly the truncation of
+      * the reference's ns result. Works for naive and utc inputs (returned
+      * as timestamp_ntz on the same UTC-session grid, like [[roundToNs]]). */
+    def addDuration(durNs: Column): Column = {
+      val us = unix_micros(c.cast("timestamp_ltz"))
+      val d = durNs.cast("long")
+      timestamp_micros(us +
+        call_function("div", d - pmod(d, lit(1000L)), lit(1000L))).cast("timestamp_ntz")
+    }
+    /** datetime − Duration (expression.rs:301 SubDuration): same grid rule
+      * on the negated duration. */
+    def subDuration(durNs: Column): Column = addDuration(-durNs.cast("long"))
+    /** datetime − datetime → Duration ns (expression.rs DateTimeNaive/Utc
+      * Sub): exact on the µs grid. */
+    def subDateTime(other: Column): Column =
+      (unix_micros(c.cast("timestamp_ltz")) -
+        unix_micros(other.cast("timestamp_ltz"))) * lit(1000L)
+
     /** dt.add_duration_in_timezone (date_time.py): interpret the naive time
       * in `tz`, add the duration in ABSOLUTE time, convert back to naive —
       * composition pinned by test_add_sub_in_timezone (crossing both DST
@@ -415,6 +441,36 @@ object Exprs {
     * division would corrupt |ns| > 2^53). */
   final class DurOps(private val c: Column) extends AnyVal {
     private def in(unit: Long): Column = call_function("div", c, lit(unit))
+
+    // ── Duration arithmetic (time.rs:420-528; r16 decode of
+    //    tests/test_operators.py test_duration / test_duration_and_int) ──
+    /** Duration × int: wrapping i64 product (time.rs:477). */
+    def mulBy(n: Column): Column = c.cast("long") * n.cast("long")
+    /** Duration × float: `(ns as f64 * f) as i64` — Rust `as` TRUNCATES
+      * toward zero (time.rs:487); Spark's non-ANSI double→long cast is the
+      * same truncate-with-saturation. */
+    def mulByFloat(f: Column): Column = (c.cast("double") * f.cast("double")).cast("long")
+    /** Duration / float → Duration, same truncating cast (time.rs:515). */
+    def divByFloat(f: Column): Column = (c.cast("double") / f.cast("double")).cast("long")
+    /** Duration // Duration → Int via div_floor (time.rs:499); /0 errors. */
+    def floorDivDur(other: Column): Column = new PwColumn(c).floorDiv(other)
+    /** Duration % Duration → Duration via mod_floor (time.rs:525); /0 errors. */
+    def modDur(other: Column): Column = new PwColumn(c).pyMod(other)
+    /** Duration // int → Duration via div_floor (time.rs:507-512). */
+    def floorDivBy(n: Column): Column = new PwColumn(c).floorDiv(n.cast("long"))
+    /** Duration / int → Duration: Rust `/` TRUNCATION toward zero, NOT
+      * floor — truediv-by-int and floordiv-by-int genuinely differ on
+      * negatives (time.rs:426 true_div_by_i64; pinned by the
+      * test_duration_and_int goldens: -11ns // 3 = -4ns but -11ns / 3 =
+      * -3ns); /0 errors. */
+    def trueDivBy(n: Column): Column =
+      GraftExprBridge.column(PyArithOp(
+        GraftExprBridge.expression(c.cast("long")),
+        GraftExprBridge.expression(n.cast("long")), "truncdiv"))
+    /** Duration / Duration → FLOAT ratio (time.rs:420 true_div); the zero
+      * check lives in the expression layer (expression.rs:1219). */
+    def trueDivDur(other: Column): Column = new PwColumn(c).pyDiv(other)
+
     def nanoseconds: Column = c.cast("long")
     def microseconds: Column = in(1000L)
     def milliseconds: Column = in(1000000L)

@@ -38,6 +38,10 @@ object PyArith {
   }
   def trueDivDouble(a: Double, b: Double): Double =
     if (b == 0.0) divZero() else a / b
+  /** Rust i64 `/` (truncating toward zero) with the zero error — the
+    * reference's Duration.true_div_by_i64 (time.rs:426). */
+  def truncDivLong(a: Long, b: Long): Long =
+    if (b == 0L) divZero() else a / b
   /** i64 wrapping pow, replicating the reference's `l.pow(r as u32)`
     * (expression.rs:1077) EXACTLY: the exponent is the u32 WRAP of r (so a
     * negative exponent becomes a huge one — typed int**int never routes to
@@ -91,6 +95,7 @@ private[graft] case class PyArithOp(left: Expression, right: Expression, kind: S
     if (isLong) kind match {
       case "floordiv" => PyArith.floorDivLong(asL(a), asL(b))
       case "mod" => PyArith.floorModLong(asL(a), asL(b))
+      case "truncdiv" => PyArith.truncDivLong(asL(a), asL(b))
       case "pow" => PyArith.powLong(asL(a), asL(b))
       case other => throw new IllegalStateException(s"unknown kind $other")
     } else kind match {
@@ -107,6 +112,7 @@ private[graft] case class PyArithOp(left: Expression, right: Expression, kind: S
       if (isLong) kind match {
         case "floordiv" => "graft.functions.PyArith.floorDivLong"
         case "mod" => "graft.functions.PyArith.floorModLong"
+        case "truncdiv" => "graft.functions.PyArith.truncDivLong"
         case _ => "graft.functions.PyArith.powLong"
       }
       else kind match {

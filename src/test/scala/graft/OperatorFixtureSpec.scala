@@ -24,6 +24,130 @@ class OperatorFixtureSpec extends AnyFunSuite {
       .filter(_.nonEmpty).map(_.split("\t", -1)).toList
   }
 
+  test("duration matrix replays test_duration: +,-, // → int floor, / → float ratio, % → floor-mod") {
+    val rows = golden("ops_duration.tsv").map(r => (r(0).toLong, r(1).toLong, r(2), r(3).toLong))
+    for ((op, group) <- rows.groupBy(_._3)) {
+      val df = group.map(r => (r._1, r._2, r._4)).toDF("a", "b", "expected")
+      val actual: Column = op match {
+        case "add" => col("a") + col("b")
+        case "sub" => col("a") - col("b")
+        case "floordiv" => col("a").dur.floorDivDur(col("b"))
+        case "mod" => col("a").dur.modDur(col("b"))
+        case "truediv_bits" => GraftTestBits.bitsOf(col("a").dur.trueDivDur(col("b")))
+      }
+      val bad = df.select(col("a"), col("b"), col("expected"), actual.as("actual"))
+        .filter(!(col("actual") <=> col("expected"))).collect()
+      assert(bad.isEmpty, s"duration $op mismatches: ${bad.take(5).mkString("; ")}")
+    }
+  }
+
+  test("duration × int/float replays test_duration_and_int: truediv TRUNCATES, floordiv FLOORS") {
+    val rows = golden("ops_duration_int.tsv").map(r => (r(0).toLong, r(1).toLong, r(2), r(3).toLong))
+    for ((op, group) <- rows.groupBy(_._3)) {
+      val df = group.map(r => (r._1, r._2, r._4)).toDF("a", "b", "expected")
+      val actual: Column = op match {
+        case "mul_int" => col("a").dur.mulBy(col("b"))
+        case "floordiv_int" => col("a").dur.floorDivBy(col("b"))
+        case "truediv_int" => col("a").dur.trueDivBy(col("b"))
+        case "mul_float" => col("a").dur.mulByFloat(col("b").cast("double"))
+        case "truediv_float" => col("a").dur.divByFloat(col("b").cast("double"))
+      }
+      val bad = df.select(col("a"), col("b"), col("expected"), actual.as("actual"))
+        .filter(!(col("actual") <=> col("expected"))).collect()
+      assert(bad.isEmpty, s"duration-int $op mismatches: ${bad.take(5).mkString("; ")}")
+    }
+    // the decisive pinned pair: -11ns // 3 floors to -4, -11ns / 3 truncates to -3
+    val pin = Seq((-11L, 3L)).toDF("a", "b")
+      .select(col("a").dur.floorDivBy(col("b")).as("fd"),
+        col("a").dur.trueDivBy(col("b")).as("td")).collect().head
+    assert(pin.getLong(0) == -4L && pin.getLong(1) == -3L)
+  }
+
+  test("duration division by zero errors like the reference (floordiv, truediv, mod; ÷int too)") {
+    for (mk <- Seq[(Column, Column) => Column](
+        (a, b) => a.dur.floorDivDur(b), (a, b) => a.dur.trueDivDur(b),
+        (a, b) => a.dur.modDur(b), (a, b) => a.dur.trueDivBy(b),
+        (a, b) => a.dur.floorDivBy(b))) {
+      val e = intercept[Exception] {
+        Seq((-763723L, 0L)).toDF("a", "b").select(mk(col("a"), col("b"))).collect()
+      }
+      assert(e.getMessage != null && e.getMessage.contains("division by zero"),
+        s"expected ZeroDivisionError, got $e")
+    }
+  }
+
+  test("datetime ± duration replays test_date_time_and_duration on the µs grid (naive + utc)") {
+    val rows = golden("ops_datetime_duration.tsv")
+      .map(r => (r(0), r(1).toLong, r(2).toLong, r(3), r(4).toLong))
+    for (kind <- Seq("naive", "utc"); (op, group) <- rows.filter(_._1 == kind).groupBy(_._4)) {
+      val df = group.map(r => (r._2, r._3, r._5)).toDF("us", "d", "expected")
+      val t = if (kind == "naive") timestamp_micros(col("us")).cast("timestamp_ntz")
+        else timestamp_micros(col("us"))
+      val actual = op match {
+        case "add_us" => unix_micros(t.dt.addDuration(col("d")).cast("timestamp_ltz"))
+        case "sub_us" => unix_micros(t.dt.subDuration(col("d")).cast("timestamp_ltz"))
+      }
+      val bad = df.select(col("us"), col("d"), col("expected"), actual.as("actual"))
+        .filter(!(col("actual") <=> col("expected"))).collect()
+      assert(bad.isEmpty, s"$kind $op mismatches: ${bad.take(5).mkString("; ")}")
+    }
+  }
+
+  test("datetime − datetime and comparisons replay test_date_time on the µs grid") {
+    val rows = golden("ops_datetime.tsv").map(r => (r(0), r(1).toLong, r(2).toLong, r(3), r(4)))
+    for (kind <- Seq("naive", "utc")) {
+      val sub = rows.filter(r => r._1 == kind && r._4 == "sub_ns")
+        .map(r => (r._2, r._3, r._5.toLong)).toDF("ua", "ub", "expected")
+      val cast = if (kind == "naive") "timestamp_ntz" else "timestamp"
+      val a = timestamp_micros(col("ua")).cast(cast)
+      val b = timestamp_micros(col("ub")).cast(cast)
+      val badSub = sub.select(col("expected"), a.dt.subDateTime(b).as("actual"))
+        .filter(!(col("actual") <=> col("expected"))).collect()
+      assert(badSub.isEmpty, s"$kind sub mismatches: ${badSub.take(5).mkString("; ")}")
+      for (op <- Seq("lt", "le", "gt", "ge", "eq", "ne")) {
+        val cmp = rows.filter(r => r._1 == kind && r._4 == op)
+          .map(r => (r._2, r._3, r._5 == "True")).toDF("ua", "ub", "expected")
+        val actual: Column = op match {
+          case "lt" => a < b; case "le" => a <= b; case "gt" => a > b
+          case "ge" => a >= b; case "eq" => a === b; case "ne" => a =!= b
+        }
+        val bad = cmp.select(col("expected"), actual.as("actual"))
+          .filter(!(col("actual") <=> col("expected"))).collect()
+        assert(bad.isEmpty, s"$kind $op mismatches: ${bad.take(5).mkString("; ")}")
+      }
+    }
+  }
+
+  test("string * int replays test_string_mul: python repetition, negative → empty, both orders") {
+    val rows = golden("ops_string_mul.tsv")
+      .map(r => (r(0).replace("\\t", "\t"), r(1).toInt, r(2)))
+    val df = rows.toDF("s", "n", "enc")
+    val produced = df.select(col("enc"), col("s").str.mul(col("n")).as("r"))
+      .select(col("enc"), col("r"), length(col("r")).as("len"),
+        md5(col("r").cast("binary")).as("md5"))
+      .collect()
+    for (row <- produced) {
+      val enc = row.getString(0)
+      if (enc.startsWith("lit:")) assert(row.getString(1) == enc.drop(4))
+      else {
+        val Array(_, len, _, digest) = enc.split(":")
+        assert(row.getInt(2).toLong == len.toLong && row.getString(3) == digest, enc.take(40))
+      }
+    }
+    // reversed operand order (int column * str column) — same kernel
+    val rev = Seq((3, "ab")).toDF("n", "s").select(col("s").str.mul(col("n"))).collect().head
+    assert(rev.getString(0) == "ababab")
+  }
+
+  test("& and | are LAZY: a raising right side is skipped when the left decides (test_and_or_are_lazy)") {
+    val t = Seq((1L, 0L), (3L, 2L), (6L, 3L)).toDF("a", "b")
+    val out = t.select(
+      ((col("b") =!= 0) && (col("a").floorDiv(col("b")) > 1)).as("x"),
+      ((col("b") === 0) || (col("a").floorDiv(col("b")) > 1)).as("y"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1))).toSet
+    assert(out == Set((false, true), (false, false), (true, true)))
+  }
+
   test("int operator matrix replays test_int / test_int_pow_shift (numpy goldens)") {
     val rows = golden("ops_int.tsv").map(r => (r(0).toLong, r(1).toLong, r(2), r(3).toLong))
     for ((op, group) <- rows.groupBy(_._3)) {

@@ -267,3 +267,174 @@ with open(os.path.join(OUT, "ops_float.tsv"), "w") as fh:
         fh.write("\t".join(map(str, r)) + "\n")
 
 print("operator goldens written")
+
+# ── tests/test_operators.py: duration / datetime / string matrices (r16) ─────
+# Expected values computed exactly as the reference tests do (python/pandas
+# scalar ops — the engine's own comparator), durations at full ns, datetimes
+# on the documented µs grid (inputs floor-truncated BEFORE the op, per D1).
+import hashlib
+
+DUR_PAIRS_NS = [
+    (0, 0), (1, 0), (0, 1), (2, 1), (2, 0), (2, -1), (-2, -2),
+    (-331399, -227463), (253173, -207184), (-741012, -856821),
+    (-935893, 341112), (-284786, -559808), (825347, 802488),
+    (-778696, 740473), (-763723, 431098), (-980333, 562122),
+    (10**6, 2 * 10**6), (-2 * 10**6, 3 * 10**6),
+    (10**9, 2 * 10**9), (-2 * 10**9, 3 * 10**9),
+    (60 * 10**9, 120 * 10**9), (-120 * 10**9, 180 * 10**9),
+    (3600 * 10**9, 7200 * 10**9), (-7200 * 10**9, 10800 * 10**9),
+    (86400 * 10**9, 2 * 86400 * 10**9), (-2 * 86400 * 10**9, 3 * 86400 * 10**9),
+    (7 * 86400 * 10**9, 14 * 86400 * 10**9), (-14 * 86400 * 10**9, 21 * 86400 * 10**9),
+    (7 * 86400 * 10**9, 2 * 10**9), (-14 * 86400 * 10**9, 3 * 10**9),
+]
+
+def bits(x) -> int:
+    return int(np.float64(x).view(np.int64))
+
+rows = []
+for a, b in DUR_PAIRS_NS:
+    rows.append((a, b, "add", a + b))
+    rows.append((a, b, "sub", a - b))
+    bb = 1 if b == 0 else b  # reference masks zero divisors for div ops
+    rows.append((a, bb, "floordiv", a // bb))            # -> int (div_floor)
+    rows.append((a, bb, "mod", a % bb))                  # -> duration (mod_floor)
+    rows.append((a, bb, "truediv_bits", bits(np.float64(a) / np.float64(bb))))
+with open(os.path.join(OUT, "ops_duration.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+DUR_INT_PAIRS = [
+    (0, 0), (1, 0), (0, 1), (2, 1), (2, 0), (2, -1), (-2, -2),
+    (10, 3), (10, -3), (-10, 3), (-10, -3),
+    (11, 3), (11, -3), (-11, 3), (-11, -3),
+    (-331399, -227463), (253173, -207184), (-741012, -856821),
+    (-935893, 341112), (-284786, -559808), (825347, 802488),
+    (-778696, 740473), (-763723, 431098), (-980333, 562122),
+    (10**6, -96), (-2 * 10**6, 88), (10**9, -3), (-2 * 10**9, -60),
+    (60 * 10**9, 54), (-120 * 10**9, 44), (3600 * 10**9, -31),
+    (-7200 * 10**9, 60), (86400 * 10**9, -91), (-2 * 86400 * 10**9, 28),
+    (7 * 86400 * 10**9, -90), (-14 * 86400 * 10**9, -65),
+    (7 * 86400 * 10**9, 10), (-14 * 86400 * 10**9, -45),
+]
+
+rows = []
+for a, b in DUR_INT_PAIRS:
+    rows.append((a, b, "mul_int", int((pd.Timedelta(a) * int(b)).value)))
+    bb = 1 if b == 0 else b
+    rows.append((a, bb, "floordiv_int", int((pd.Timedelta(a) // int(bb)).value)))
+    rows.append((a, bb, "truediv_int", int((pd.Timedelta(a) / int(bb)).value)))
+    rows.append((a, b, "mul_float", int((pd.Timedelta(a) * float(b)).value)))
+    rows.append((a, bb, "truediv_float", int((pd.Timedelta(a) / float(bb)).value)))
+with open(os.path.join(OUT, "ops_duration_int.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+# datetime ± duration / datetime − datetime, naive + utc — µs-grid inputs
+DT_DUR_PAIRS = [
+    ("1960-02-03 08:00:00.000000000", -1),
+    ("2008-02-29 08:00:00.000000000", 1),
+    ("2023-03-25 12:00:00.000000000", 825347),
+    ("2023-03-25 12:00:00.000000001", 249333862623082067),
+    ("2023-03-25 12:00:00.123456789", -462593511970998050),
+    ("2023-03-25 16:43:21.123456788", 3 * 86400 * 10**9),
+    ("2023-03-25 16:43:21.123456789", 20 * 3600 * 10**9),
+    ("2023-03-25 17:00:01.987000000", 12 * 7 * 86400 * 10**9),
+    ("2023-03-25 18:43:21.123456789", -10 * 86400 * 10**9),
+    ("2023-03-25 22:59:59.999999999", -34 * 3600 * 10**9),
+    ("2023-03-25 23:00:00.000000001", -3 * 60 * 10**9),
+    ("2023-03-25 23:59:59.999999999", 1),
+    ("2023-03-26 00:00:00.000000001", -1345),
+    ("2023-03-26 01:59:59.999999999", -3600 * 10**9),
+    ("2023-03-26 01:59:59.999999999", -2),
+    ("2023-03-26 01:59:59.999999999", -1),
+    ("2023-03-26 01:59:59.999999999", 1),
+    ("2023-03-26 01:59:59.999999999", 2),
+    ("2023-03-26 01:59:59.999999999", 3600 * 10**9),
+    ("2023-03-26 03:00:00.000000001", -3600 * 10**9),
+    ("2023-03-26 03:00:00.000000001", -2),
+    ("2023-03-26 03:00:00.000000001", -1),
+    ("2023-03-26 03:00:00.000000001", 1),
+    ("2023-03-26 03:00:00.000000001", 3600 * 10**9),
+    ("2023-03-26 12:00:00.000000001", 10**9),
+    ("2123-03-26 12:00:00.000000001", -971716231 * 10**9),
+    ("2123-03-31 23:00:00.000000001", 0),
+]
+
+rows = []
+for s, d in DT_DUR_PAIRS:
+    for kind in ("naive", "utc"):
+        t = pd.Timestamp(s, tz=("UTC" if kind == "utc" else None))
+        t_us = us_of(t)                       # µs-grid input
+        exact_add = t_us * 1000 + d           # reference ns result on µs input
+        exact_sub = t_us * 1000 - d
+        rows.append((kind, t_us, d, "add_us", exact_add // 1000))
+        rows.append((kind, t_us, d, "sub_us", exact_sub // 1000))
+with open(os.path.join(OUT, "ops_datetime_duration.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+# datetime − datetime and comparisons, on µs-truncated inputs (test_date_time)
+DT_PAIRS = [
+    ("1960-02-03 08:00:00.000000000", "2023-03-25 16:43:21.123456789"),
+    ("2008-02-29 08:00:00.000000000", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-25 12:00:00.000000000", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-25 12:00:00.000000001", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-25 12:00:00.123456789", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-25 16:43:21.123456788", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-25 16:43:21.123456789", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-25 17:00:01.987000000", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-25 18:43:21.123456789", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-25 22:59:59.999999999", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-25 23:00:00.000000001", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-25 23:59:59.999999999", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-26 00:00:00.000000001", "2023-03-25 16:43:21.123456789"),
+    ("2023-03-26 12:00:00.000000001", "2023-03-25 16:43:21.123456789"),
+    ("2123-03-26 12:00:00.000000001", "2023-03-25 16:43:21.123456789"),
+    ("2123-03-31 23:00:00.000000001", "2023-03-25 16:43:21.123456789"),
+]
+
+rows = []
+for sa, sb in DT_PAIRS:
+    for kind in ("naive", "utc"):
+        # utc variant shifts like the reference test (+01:30 / -00:30)
+        if kind == "utc":
+            a = pd.Timestamp(sa + "+01:30")
+            b = pd.Timestamp(sb + "-00:30")
+        else:
+            a = pd.Timestamp(sa)
+            b = pd.Timestamp(sb)
+        ua, ub = us_of(a), us_of(b)
+        rows.append((kind, ua, ub, "sub_ns", (ua - ub) * 1000))
+        for op, f in (("lt", ua < ub), ("le", ua <= ub), ("gt", ua > ub),
+                      ("ge", ua >= ub), ("eq", ua == ub), ("ne", ua != ub)):
+            rows.append((kind, ua, ub, op, f))
+with open(os.path.join(OUT, "ops_datetime.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+# string mul (python repetition; huge results stored as len:md5)
+STR_MUL_PAIRS = [
+    ("", 0), ("", 1), ("", 2), ("", -1), ("a", 0), ("a", 1), ("a", 2),
+    ("a", 10), ("a", -10), ("aaaaa", 0), ("aaaaa", 20), ("aaaaa", -20),
+    ("jnbewoifnq", 13), ("123", 2), ("321", 10), ("oemcoejo", 1000000),
+    ("oemcoejo", 999999), ("/**/", 1000001), ('E iRR5}KPtz$R$"t&mMW', 4),
+    ("*e[mX%rhI(p<.X", 3), ("(`-=,~j?uA_E-'{4", 4213),
+    ("{rC3#?y7AB{)pL>%[A(", 532), ("5I^We<N.KfQ3fH#@c)~", 214),
+    ("B|vQL!!MSaZ(n%K;q%:", -10), ('z0U\\?jmoz_.+1W"Y[OIv', 5),
+    ("g{:", 12345), ("HV", 54321), ("D$<edj8m@L-", 0),
+    ('z0U\\?jmoz_.+1W"Y[OIv', 2000000),
+]
+
+rows = []
+for s, n in STR_MUL_PAIRS:
+    r = s * n
+    if len(r) > 4096:
+        enc = "len:%d:md5:%s" % (len(r), hashlib.md5(r.encode()).hexdigest())
+    else:
+        enc = "lit:" + r
+    rows.append((s.replace("\t", "\\t"), n, enc))
+with open(os.path.join(OUT, "ops_string_mul.tsv"), "w") as fh:
+    for r in rows:
+        fh.write("\t".join(map(str, r)) + "\n")
+
+print("operator-matrix goldens written (duration/datetime/string)")
