@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PollingCdc
+
+/** Replays the reference's SQLite polling-CDC vectors
+  * (tests/test_sqlite.py:26 `test_sqlite`) on embedded Derby — the portable
+  * semantics of data_storage/sqlite.rs: per poll, a keyed snapshot diff
+  * emitting +1 for appearances, −1 for disappearances, and −1/+1 pairs for
+  * in-place updates. */
+class PollingCdcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val dbDir = java.nio.file.Files.createTempDirectory("graft-cdc-derby").toString
+  private val url = s"jdbc:derby:$dbDir/db;create=true"
+
+  private def sql(stmts: String*): Unit = {
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try stmts.foreach { s => val st = conn.createStatement(); st.execute(s); st.close() }
+    finally conn.close()
+  }
+
+  private def events(df: org.apache.spark.sql.DataFrame): Seq[(String, Int)] =
+    df.select(col("NAME"), col("diff")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq.sortBy(e => (e._1, e._2))
+
+  test("test_sqlite replay: insert, update (−1/+1 pair), delete across four polls") {
+    sql(
+      "CREATE TABLE users (id INT, login VARCHAR(64), name VARCHAR(64))",
+      "INSERT INTO users VALUES (1, 'alice', 'Alice')",
+      "INSERT INTO users VALUES (2, 'bob1999', 'Bob')")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cdc-state").toString
+
+    val p1 = events(PollingCdc.jdbcPollStep(spark, url, "users", Seq("ID"), stateDir))
+    assert(p1 == Seq(("Alice", 1), ("Bob", 1)))
+
+    sql("INSERT INTO users VALUES (3, 'ch123', 'Charlie')")
+    val p2 = events(PollingCdc.jdbcPollStep(spark, url, "users", Seq("ID"), stateDir))
+    assert(p2 == Seq(("Charlie", 1)))
+
+    sql("UPDATE users SET name = 'Bob Smith' WHERE id = 2")
+    val p3 = events(PollingCdc.jdbcPollStep(spark, url, "users", Seq("ID"), stateDir))
+    assert(p3 == Seq(("Bob", -1), ("Bob Smith", 1)))
+
+    sql("DELETE FROM users WHERE id = 3")
+    val p4 = events(PollingCdc.jdbcPollStep(spark, url, "users", Seq("ID"), stateDir))
+    assert(p4 == Seq(("Charlie", -1)))
+
+    // cumulative log matches the reference's asserted event list
+    val all = (p1 ++ p2 ++ p3 ++ p4).groupBy(identity).view.mapValues(_.size).toMap
+    assert(all == Map(("Alice", 1) -> 1, ("Bob", 1) -> 1, ("Charlie", 1) -> 1,
+      ("Bob", -1) -> 1, ("Bob Smith", 1) -> 1, ("Charlie", -1) -> 1))
+  }
+
+  test("an unchanged poll emits nothing; key-only tables diff on presence") {
+    sql("CREATE TABLE tags (tag VARCHAR(16) NOT NULL PRIMARY KEY)",
+      "INSERT INTO tags VALUES ('a')", "INSERT INTO tags VALUES ('b')")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-cdc-state2").toString
+    val p1 = PollingCdc.jdbcPollStep(spark, url, "tags", Seq("TAG"), stateDir)
+    assert(p1.count() == 2)
+    val p2 = PollingCdc.jdbcPollStep(spark, url, "tags", Seq("TAG"), stateDir)
+    assert(p2.count() == 0)
+    sql("DELETE FROM tags WHERE tag = 'a'")
+    val p3 = PollingCdc.jdbcPollStep(spark, url, "tags", Seq("TAG"), stateDir)
+    assert(p3.collect().map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("a", -1)))
+  }
+
+  test("snapshotDiff handles null values null-safely (no spurious update pairs)") {
+    import spark.implicits._
+    val prev = Seq((1, Option.empty[String]), (2, Some("x"))).toDF("k", "v")
+    val curr = Seq((1, Option.empty[String]), (2, Some("y"))).toDF("k", "v")
+    val out = PollingCdc.snapshotDiff(prev, curr, Seq("k"))
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getInt(2))).toSet
+    assert(out == Set((2, Some("x"), -1), (2, Some("y"), 1)))
+  }
+}
