@@ -162,6 +162,38 @@ object Llms {
     * deterministic order every ranking op in this repo uses). Unparseable or
     * failed replies are EXCLUDED from ranking (their error is not silently a
     * zero score). Returns (q_id, doc_id, score, rank). */
+  /** prompts.parse_score_json (prompts.py:312; r16 decode of
+    * test_llm_reranker): the LLM reply must be JSON with a `score` member —
+    * `float(int(json.loads(text)["score"]))`, truncating a fractional score
+    * toward zero; anything unparseable raises the reference's ValueError
+    * verbatim instead of scoring 0. */
+  def parseScoreJson(c: Column): Column = {
+    val raw = get_json_object(c, "$.score")
+    when(raw.isNotNull && raw.cast("double").isNotNull,
+        raw.cast("double").cast("long").cast("double"))
+      .otherwise(raise_error(concat(
+        lit("Expected a json response, got `"), c, lit("`."))).cast("double"))
+  }
+
+  /** rerankers.rerank_topk_filter (rerankers.py:17; r16 decode of
+    * test_rerank_topk_filter): per ROW, sort the parallel doc/score lists by
+    * score DESCENDING with python sorted's STABILITY (equal scores keep
+    * their original order) and keep the first k of each. Pure builtin HOFs —
+    * index-tagged structs sorted by (−score, index). Returns
+    * struct(docs, scores). */
+  def rerankTopkFilter(docs: Column, scores: Column, k: Int): Column = {
+    val tagged = zip_with(scores, sequence(lit(0), size(scores) - 1),
+      (s, i) => struct(s.as("score"), i.as("i")))
+    val sorted = array_sort(tagged, (a, b) =>
+      when(a("score") > b("score"), -1)
+        .when(a("score") < b("score"), 1)
+        .otherwise((a("i") - b("i")).cast("int")))
+    val top = slice(sorted, 1, k)
+    struct(
+      transform(top, t => element_at(docs, t("i").cast("int") + 1)).as("docs"),
+      transform(top, t => t("score")).as("scores"))
+  }
+
   def rerankLlm(candidates: DataFrame, queryId: Column, qText: Column,
       docId: Column, dText: Column, chat: () => ChatModel, k: Int,
       batchSize: Int = 16, maxRetries: Int = 3): DataFrame = {

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Llms, Splitters}
+
+/** Replays the reference's splitter and reranker fixtures
+  * (xpacks/llm/tests/test_splitters.py, test_rerankers.py) — the recursive
+  * separator-hierarchy split, the token-window punctuation rule, the strict
+  * score-JSON parse, and the stable top-k filter. Token-vocabulary-dependent
+  * boundaries (tiktoken cl100k_base) are replayed with the pluggable
+  * tokenizer at an equivalent budget — the structural contract is the
+  * decode, the vocabulary is a documented divergence. */
+class SplitterFixtureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val txt = "Pójdź, kińże tę chmurność w głąb flaszy 🍾."
+
+  test("test_null / test_tokencount: a short text passes through as one identical chunk") {
+    assert(Splitters.nullSplit(txt) == Seq(txt))
+    assert(Splitters.tokenCountSplit(txt, minTokens = 50, maxTokens = 500) == Seq(txt))
+  }
+
+  test("test_recursive: five \\n\\n-joined copies at a ~26-token budget of 30 → 5 chunks, separator excluded") {
+    val bigTxt = Seq.fill(5)(txt).mkString("\n\n")
+    // the reference counts 26 cl100k tokens per copy against chunk_size=30;
+    // an equivalent budget here: half the codepoint count (~21 per copy) —
+    // two copies + separator overflow 30, one fits
+    val chunks = Splitters.recursiveSplit(bigTxt, chunkSize = 30, chunkOverlap = 0,
+      lengthOf = s => (s.codePointCount(0, s.length) + 1) / 2)
+    assert(chunks.length == 5, chunks.map(_.take(12)))
+    assert(chunks.forall(_ == txt)) // separators never appear in chunks
+  }
+
+  test("recursive split descends the separator hierarchy and greedily merges") {
+    // chars-length default: paragraphs of 3 chars, budget 7: "aa bb" fits,
+    // "cc" starts the next chunk
+    val out = Splitters.recursiveSplit("aa bb cc", chunkSize = 7)
+    assert(out == Seq("aa bb", "cc"))
+    // a piece larger than the budget recurses to the next separator
+    val out2 = Splitters.recursiveSplit("aaaa\n\nbb cc dd", chunkSize = 5)
+    assert(out2 == Seq("aaaa", "bb cc", "dd"))
+    // overlap carries the tail of the previous chunk
+    val out3 = Splitters.recursiveSplit("aa bb cc dd", chunkSize = 7, chunkOverlap = 2)
+    assert(out3 == Seq("aa bb", "bb cc", "cc dd"))
+  }
+
+  test("token-window splitter truncates at the last punctuation past 3×min_tokens chars") {
+    // maxTokens=6 word-runs; the window "one two. three four " has its last
+    // '.' at index 7 > 3*2=6 → chunk cut after the period, the rest re-read
+    val text = "one two. three four five six seven."
+    val out = Splitters.tokenCountSplit(text, minTokens = 2, maxTokens = 6,
+      tokenizer = Splitters.wordRunTokenizer)
+    assert(out.head == "one two.")
+    assert(out.mkString == text) // partitioning tokenizer: nothing lost
+    // below the 3×min threshold the punctuation rule does NOT engage
+    val noCut = Splitters.tokenCountSplit("ab. cd ef", minTokens = 50, maxTokens = 500)
+    assert(noCut == Seq("ab. cd ef"))
+  }
+
+  test("test_llm_reranker: parse_score_json accepts {\"score\": n}, raises the reference ValueError otherwise") {
+    val ok = Seq("""{"score": 1}""", """{"score": 5}""", """{"score": 4.7}""").toDF("r")
+      .select(Llms.parseScoreJson(col("r"))).as[Double].collect().toSeq
+    assert(ok == Seq(1.0, 5.0, 4.0)) // int() truncation
+    val err = intercept[Exception] {
+      Seq("text").toDF("r").select(Llms.parseScoreJson(col("r"))).collect()
+    }
+    assert(err.getMessage.contains("Expected a json response, got `text`."))
+  }
+
+  test("test_rerank_topk_filter: stable top-k over parallel doc/score lists") {
+    val docs = (0 until 10).map(i => s"""{"text": "$i"}""")
+    val scores = Seq(1.0, 2.0, 5.5, -10.333, 2.0, 9.5, 5.555, 4.3, 2.8, 9.5)
+    val out = Seq((docs, scores)).toDF("docs", "scores")
+      .select(Llms.rerankTopkFilter(col("docs"), col("scores"), 3).as("r"))
+      .select(col("r.docs"), col("r.scores"))
+      .as[(Seq[String], Seq[Double])].collect().head
+    // ties at 9.5 keep original order: index 5 before index 9
+    assert(out._1 == Seq(5, 9, 6).map(i => s"""{"text": "$i"}"""))
+    assert(out._2 == Seq(9.5, 9.5, 5.555))
+  }
+
+  test("recursiveSplitDf explodes per-row chunks with metadata columns intact") {
+    val df = Seq((7L, "aa bb cc")).toDF("doc_id", "text")
+    val out = Splitters.recursiveSplitDf(df, col("text"), chunkSize = 7)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(out == Seq((7L, 0, "aa bb"), (7L, 1, "cc")))
+  }
+}
