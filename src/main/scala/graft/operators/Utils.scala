@@ -9,6 +9,37 @@ import org.apache.spark.sql.functions._
   * (engine dataflow.rs:2512) in its batch form. */
 object Utils {
 
+  /** xpacks combine_metadata (xpacks/llm/utils.py:5; r16 decode of
+    * tests/test_metadata.py): when `fromColumn` holds a (text, metadata)
+    * pair, move the pair's metadata into `toColumn` — the PAIR's keys WIN on
+    * conflicts (`{**metadata, **pair_meta}`); `toColumn` is created as an
+    * empty map when absent; `cleanFromColumn=true` strips the pair down to
+    * its text. A plain-string `fromColumn` leaves metadata untouched (but
+    * still creates the empty `toColumn`). Pairs are struct(text, meta) with
+    * meta a map<string,string> of JSON fragments. */
+  def combineMetadata(df: DataFrame, fromColumn: String = "text",
+      toColumn: String = "metadata", cleanFromColumn: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType, StructType}
+    val emptyMeta = map().cast(MapType(StringType, StringType))
+    val base =
+      if (df.columns.contains(toColumn)) df
+      else df.withColumn(toColumn, emptyMeta)
+    df.schema(fromColumn).dataType match {
+      case s: StructType if s.length == 2 =>
+        val textF = s(0).name
+        val metaF = s(1).name
+        val pairMeta = coalesce(col(fromColumn).getField(metaF), emptyMeta)
+        val merged = map_concat(
+          map_filter(coalesce(col(toColumn), emptyMeta),
+            (k, _) => !map_contains_key(pairMeta, k)),
+          pairMeta)
+        val out = base.withColumn(toColumn, merged)
+        if (cleanFromColumn) out.withColumn(fromColumn, col(fromColumn).getField(textF))
+        else out
+      case _ => base // not a (text, metadata) pair: metadata unchanged
+    }
+  }
+
   /** unpack_col: explode a struct column into top-level columns. */
   def unpackCol(df: DataFrame, structCol: Column, names: String*): DataFrame =
     df.select((df.columns.map(col) ++

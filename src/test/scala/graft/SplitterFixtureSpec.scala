@@ -82,6 +82,29 @@ class SplitterFixtureSpec extends AnyFunSuite {
     assert(out._2 == Seq(9.5, 9.5, 5.555))
   }
 
+  test("test_combine_metadata(+no_to_column/+no_metadata): pair metadata merges in, pair keys win") {
+    import graft.operators.Utils
+    for (clean <- Seq(true, false)) {
+      val df = Seq((("Text", Map("tag" -> "test")), Map("meta" -> "data", "tag" -> "old")))
+        .toDF("text", "metadata")
+      val out = Utils.combineMetadata(df, "text", "metadata", clean)
+      val r = out.collect().head
+      assert(r.getMap[String, String](1).toMap ==
+        Map("meta" -> "data", "tag" -> "test")) // pair's tag WINS
+      if (clean) assert(r.getString(0) == "Text")
+      else assert(r.getStruct(0).getString(0) == "Text")
+      // no to_column: created from the pair's metadata
+      val df2 = Seq(Tuple1(("Text", Map("tag" -> "test")))).toDF("text")
+      val out2 = Utils.combineMetadata(df2, "text", "metadata", clean)
+      assert(out2.collect().head.getMap[String, String](1).toMap == Map("tag" -> "test"))
+      // plain string from_column: empty metadata created, text untouched
+      val df3 = Seq(Tuple1("Text")).toDF("text")
+      val out3 = Utils.combineMetadata(df3, "text", "metadata", clean)
+      val r3 = out3.collect().head
+      assert(r3.getString(0) == "Text" && r3.getMap[String, String](1).isEmpty)
+    }
+  }
+
   test("recursiveSplitDf explodes per-row chunks with metadata columns intact") {
     val df = Seq((7L, "aa bb cc")).toDF("doc_id", "text")
     val out = Splitters.recursiveSplitDf(df, col("text"), chunkSize = 7)
