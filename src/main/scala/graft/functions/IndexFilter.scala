@@ -6,10 +6,17 @@ package graft.functions
   * evaluation):
   *
   *   - `globmatch(`"<glob>"`, <field>)` — GLOBSTAR path matching
-  *     (`**&#47;` spans directories, `*` stays inside a segment);
+  *     (`**&#47;` spans directories, `*` stays inside a segment); the glob
+  *     literal may also be 'single-quoted' (the form
+  *     document_store.py:35 `_get_jmespath_filter` emits);
   *   - `<field> <op> <literal>` with op ∈ {==, !=, <, <=, >, >=} and the
   *     literal a backtick number (`` `4` ``), a `'single-quoted'` string,
-  *     or a backtick-quoted string (`` `"s"` ``).
+  *     or a backtick-quoted string (`` `"s"` ``);
+  *   - `contains(<field>, <literal>)` — jmespath substring containment
+  *     (r16 decode of test_vs_filtering_metadata);
+  *   - `&&` / `||` conjunctions and parentheses — the shapes the document
+  *     store's filter merger generates (`(<metadata_filter>) &&
+  *     globmatch('<glob>', path)`).
   *
   * A NULL filter accepts every candidate (test_optional_filter); an
   * UNPARSEABLE filter matches NOTHING — the reference returns empty
@@ -66,17 +73,85 @@ object IndexFilter extends Serializable {
     sb.toString
   }
 
+  private final case class Contains(field: String, lit: String) extends Pred {
+    def eval(md: Map[String, String]): Boolean = md.get(field).exists(_.contains(lit))
+  }
+  private final case class AndP(ps: Seq[Pred]) extends Pred {
+    def eval(md: Map[String, String]): Boolean = ps.forall(_.eval(md))
+  }
+  private final case class OrP(ps: Seq[Pred]) extends Pred {
+    def eval(md: Map[String, String]): Boolean = ps.exists(_.eval(md))
+  }
+
   private val GlobRe =
-    """^\s*globmatch\(\s*`"(.*)"`\s*,\s*([A-Za-z_]\w*)\s*\)\s*$""".r
+    """^\s*globmatch\(\s*(`"(?:.*)"`|'(?:[^']*)')\s*,\s*([A-Za-z_]\w*)\s*\)\s*$""".r
+  private val ContainsRe =
+    """^\s*contains\(\s*([A-Za-z_]\w*)\s*,\s*(.+?)\s*\)\s*$""".r
   private val CmpRe =
     """^\s*([A-Za-z_]\w*)\s*(==|!=|<=|>=|<|>)\s*(.+?)\s*$""".r
 
-  private def compile(filter: String): Pred = filter match {
-    case GlobRe(glob, field) =>
-      Glob(java.util.regex.Pattern.compile(globToRegex(glob)), field)
+  /** Split on a top-level connective (outside parens/quotes/backticks). */
+  private def splitTop(s: String, sep: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inSq = false; var inBt = false; var last = 0; var i = 0
+    while (i < s.length - 1) {
+      val c = s.charAt(i)
+      if (c == '\'' && !inBt) inSq = !inSq
+      else if (c == '`' && !inSq) inBt = !inBt
+      else if (!inSq && !inBt) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && s.startsWith(sep, i)) {
+          parts += s.substring(last, i); last = i + sep.length; i += 1
+        }
+      }
+      i += 1
+    }
+    parts += s.substring(last)
+    parts.toSeq
+  }
+
+  private def compile(filter: String): Pred = parseExpr(filter).getOrElse(MatchNone)
+
+  private def parseExpr(s: String): Option[Pred] = {
+    val ors = splitTop(s, "||")
+    if (ors.length > 1) sequence(ors.map(parseAnd)).map(OrP) else parseAnd(s)
+  }
+  private def parseAnd(s: String): Option[Pred] = {
+    val ands = splitTop(s, "&&")
+    if (ands.length > 1) sequence(ands.map(parseTerm)).map(AndP) else parseTerm(s)
+  }
+  private def parseTerm(s: String): Option[Pred] = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")") && balanced(t.substring(1, t.length - 1)))
+      parseExpr(t.substring(1, t.length - 1))
+    else parseAtom(t)
+  }
+  private def balanced(s: String): Boolean = {
+    var depth = 0
+    s.foreach { c =>
+      if (c == '(') depth += 1 else if (c == ')') { depth -= 1; if (depth < 0) return false }
+    }
+    depth == 0
+  }
+  private def sequence[A](xs: Seq[Option[A]]): Option[Seq[A]] =
+    if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+
+  private def parseAtom(s: String): Option[Pred] = s match {
+    case GlobRe(globLit, field) =>
+      val glob =
+        if (globLit.startsWith("`\"")) globLit.substring(2, globLit.length - 2)
+        else globLit.substring(1, globLit.length - 1)
+      Some(Glob(java.util.regex.Pattern.compile(globToRegex(glob)), field))
+    case ContainsRe(field, litRaw) =>
+      parseLiteral(litRaw).map {
+        case Right(str) => Contains(field, str)
+        case Left(num) => Contains(field,
+          if (num == num.floor && !num.isInfinite) num.toLong.toString else num.toString)
+      }
     case CmpRe(field, op, litRaw) =>
-      parseLiteral(litRaw).map(Cmp(field, op, _)).getOrElse(MatchNone)
-    case _ => MatchNone
+      parseLiteral(litRaw).map(Cmp(field, op, _))
+    case _ => None
   }
 
   private def parseLiteral(raw: String): Option[Either[Double, String]] = {
@@ -88,6 +163,21 @@ object IndexFilter extends Serializable {
     else if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
       Some(Right(t.substring(1, t.length - 1)))
     else None
+  }
+
+  /** document_store.py:35 `_get_jmespath_filter` — merge a user
+    * metadata_filter with a filepath glob into ONE filter string: the
+    * metadata part has `'`→`\'`, backticks→`'`, `"` stripped, then is
+    * parenthesized; the glob becomes `globmatch('<glob>', path)`; parts
+    * join with `&&`; both empty → None (accept all). */
+  def mergeFilters(metadataFilter: Option[String],
+      globPattern: Option[String]): Option[String] = {
+    val parts = Seq(
+      metadataFilter.filter(_.nonEmpty).map { f =>
+        "(" + f.replace("'", "\\'").replace("`", "'").replace("\"", "") + ")"
+      },
+      globPattern.filter(_.nonEmpty).map(g => s"globmatch('$g', path)")).flatten
+    if (parts.isEmpty) None else Some(parts.mkString(" && "))
   }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Pred]()
