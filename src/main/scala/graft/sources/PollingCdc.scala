@@ -98,4 +98,41 @@ object PollingCdc {
   def jdbcPollStep(spark: SparkSession, url: String, table: String,
       keys: Seq[String], stateDir: String): DataFrame =
     new SnapshotState(spark, stateDir, keys).step(Connectors.jdbc(spark, url, table))
+
+  /** Filesystem CDC — the reference's streaming fs source WITH deletion/
+    * modification tracking (data_storage/file.rs scanner; replayed from
+    * test_io.py:1370-1601 test_simple_replacement variants,
+    * insert_consolidation, file_removal): overwriting a file retracts its
+    * old rows and inserts the
+    * new ones; deleting a file retracts its rows. Spark's native file stream
+    * is append-only (new files only), so this mode re-reads the glob per
+    * poll and snapshot-diffs — right for mutable dimension directories;
+    * keep append-only event directories on `Connectors.*(Streaming)`.
+    *
+    * `keys`: the schema primary key when one exists; pass
+    * `_metadata_path` + content columns for the reference's
+    * autogenerated-key mode (rows key to their file, so a file swap
+    * retracts only that file's rows). A vanished path diffs as
+    * all-retractions (the reference's file-removal semantics). */
+  def fsPollStep(spark: SparkSession, keys: Seq[String], stateDir: String,
+      readSnapshot: () => DataFrame,
+      emptySchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val curr =
+      try readSnapshot()
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+      }
+    new SnapshotState(spark, stateDir, keys).step(curr)
+  }
+
+  /** [[fsPollStep]] over schema-typed JSON-lines (the fixtures' format). */
+  def fsJsonlinesPollStep(spark: SparkSession, path: String,
+      schema: graft.core.PwSchema, keys: Seq[String], stateDir: String,
+      fieldPaths: Map[String, String] = Map.empty): DataFrame =
+    fsPollStep(spark, keys, stateDir,
+      () => Connectors.jsonlinesTyped(spark, path, schema, fieldPaths)
+        .drop(graft.functions.Errors.ErrCol),
+      org.apache.spark.sql.types.StructType(schema.cols.map(c =>
+        org.apache.spark.sql.types.StructField(c.name, c.dtype))))
 }

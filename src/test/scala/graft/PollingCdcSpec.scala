@@ -68,6 +68,81 @@ class PollingCdcSpec extends AnyFunSuite {
     assert(p3.collect().map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("a", -1)))
   }
 
+  test("fs replacement vectors: overwrite retracts+inserts, removal retracts (test_io.py:1370-1601)") {
+    import graft.core.{PwColumnDef, PwSchema}
+    import org.apache.spark.sql.types._
+    val schema = PwSchema(Seq(
+      PwColumnDef("key", LongType, primaryKey = true),
+      PwColumnDef("value", StringType)))
+    def events(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Int)] =
+      df.select("key", "value", "diff").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq.sortBy(identity)
+
+    // test_simple_replacement_with_removal: two files, then one removed
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-fs-cdc").toString
+    val st1 = java.nio.file.Files.createTempDirectory("graft-fs-state").toString
+    def poll1() = events(PollingCdc.fsJsonlinesPollStep(spark, dir1, schema, Seq("key"), st1))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir1, "input1.jsonlines"),
+      """{"key": 1, "value": "one"}""".getBytes)
+    assert(poll1() == Seq((1L, "one", 1)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir1, "input2.jsonlines"),
+      """{"key": 20, "value": "twenty"}""".getBytes)
+    assert(poll1() == Seq((20L, "twenty", 1)))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir1, "input1.jsonlines"))
+    assert(poll1() == Seq((1L, "one", -1)))
+
+    // test_simple_insert_consolidation: the SAME file overwritten back and forth
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-fs-cdc2").toString
+    val st2 = java.nio.file.Files.createTempDirectory("graft-fs-state2").toString
+    def poll2() = events(PollingCdc.fsJsonlinesPollStep(spark, dir2, schema, Seq("key"), st2))
+    val f2 = java.nio.file.Paths.get(dir2, "input1.jsonlines")
+    java.nio.file.Files.write(f2, """{"key": 1, "value": "one"}""".getBytes)
+    assert(poll2() == Seq((1L, "one", 1)))
+    java.nio.file.Files.write(f2, """{"key": 20, "value": "twenty"}""".getBytes)
+    assert(poll2() == Seq((1L, "one", -1), (20L, "twenty", 1)))
+    java.nio.file.Files.write(f2, """{"key": 1, "value": "one"}""".getBytes)
+    assert(poll2() == Seq((1L, "one", 1), (20L, "twenty", -1)))
+
+    // test_simple_replacement_on_file: a single-file path that vanishes and returns
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-fs-cdc3").toString
+    val st3 = java.nio.file.Files.createTempDirectory("graft-fs-state3").toString
+    val f3 = java.nio.file.Paths.get(dir3, "input.jsonlines")
+    def poll3() = events(PollingCdc.fsJsonlinesPollStep(
+      spark, f3.toString, schema, Seq("key"), st3))
+    java.nio.file.Files.write(f3, """{"key": 1, "value": "one"}""".getBytes)
+    assert(poll3() == Seq((1L, "one", 1)))
+    java.nio.file.Files.write(f3, """{"key": 20, "value": "twenty"}""".getBytes)
+    assert(poll3() == Seq((1L, "one", -1), (20L, "twenty", 1)))
+    java.nio.file.Files.delete(f3)
+    assert(poll3() == Seq((20L, "twenty", -1)))
+    java.nio.file.Files.write(f3, """{"key": 3, "value": "three"}""".getBytes)
+    assert(poll3() == Seq((3L, "three", 1)))
+  }
+
+  test("test_id_hashing_across_connectors: csv and jsonlines yield identical keyed ids") {
+    import graft.core.{PwColumnDef, PwSchema}
+    import graft.sources.Connectors
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-idhash")
+    java.nio.file.Files.write(dir.resolve("input.csv"),
+      "key,value\n1,foo\n2,bar\n3,baz".getBytes)
+    java.nio.file.Files.write(dir.resolve("input.json"),
+      Seq("""{"key": 1, "value": "foo"}""", """{"key": 2, "value": "bar"}""",
+        """{"key": 3, "value": "baz"}""").mkString("\n").getBytes)
+    val schema = PwSchema(Seq(
+      PwColumnDef("key", LongType, primaryKey = true),
+      PwColumnDef("value", StringType)))
+    val fromCsv = schema.keyed(
+      Connectors.csvTyped(spark, dir.resolve("input.csv").toString, schema)
+        .drop(graft.functions.Errors.ErrCol))
+    val fromJson = schema.keyed(
+      Connectors.jsonlinesTyped(spark, dir.resolve("input.json").toString, schema)
+        .drop(graft.functions.Errors.ErrCol))
+    val a = fromCsv.df.select("_pw_id", "key", "value").collect().map(_.toSeq).toSet
+    val b = fromJson.df.select("_pw_id", "key", "value").collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 3)
+  }
+
   test("snapshotDiff handles null values null-safely (no spurious update pairs)") {
     import spark.implicits._
     val prev = Seq((1, Option.empty[String]), (2, Some("x"))).toDF("k", "v")
