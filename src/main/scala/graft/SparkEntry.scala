@@ -155,6 +155,21 @@ object SparkEntry {
       .select("c_custkey" -> col("c_custkey"), "c_mktsegment" -> col("c_mktsegment")).toDf
   }
 
+  /** PollingCdc.snapshotDiff on two derived order snapshots (the SQLite-
+    * connector CDC kernel, data_storage/sqlite.rs:1118): one full-outer
+    * equi-join emitting −1/+1 changelog rows for disappearances, appearances
+    * and in-place updates. */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).toDf
+    val prev = o.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val curr = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+    graft.sources.PollingCdc.snapshotDiff(prev, curr, Seq("o_orderkey"))
+  }
+
   private def qConcatReindex(s: SparkSession, dir: String): DataFrame = {
     // same source twice: concat would collide on ids; concat_reindex re-keys.
     // Observable = row multiset (ids are engine-internal): every order twice.
@@ -1778,6 +1793,7 @@ object SparkEntry {
     "perceptron_quality" -> (qPerceptronQuality _),
     "text_langid"     -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
+    "snapshot_diff"   -> (qSnapshotDiff _),
     "doc_split_chunks" -> (qDocSplit _),
     "doc_parse"       -> (qDocParse _),
     "dedup_exact"     -> (qDedupExact _),
@@ -1970,6 +1986,20 @@ object SparkEntry {
       """SELECT c_custkey,
         |  CASE WHEN c_nationkey = 7 THEN 'OVERRIDDEN' ELSE c_mktsegment END AS c_mktsegment
         |FROM customer""".stripMargin,
+    "snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),
+        |curr AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT p.o_orderkey AS o_orderkey, p.o_totalprice AS o_totalprice, -1 AS diff
+        |FROM prev p LEFT JOIN curr c ON p.o_orderkey = c.o_orderkey
+        |WHERE c.o_orderkey IS NULL OR p.o_totalprice IS DISTINCT FROM c.o_totalprice
+        |UNION ALL
+        |SELECT c.o_orderkey AS o_orderkey, c.o_totalprice AS o_totalprice, 1 AS diff
+        |FROM curr c LEFT JOIN prev p ON p.o_orderkey = c.o_orderkey
+        |WHERE p.o_orderkey IS NULL OR p.o_totalprice IS DISTINCT FROM c.o_totalprice""".stripMargin,
     "flatten" ->
       """SELECT tok, COUNT(*) AS n
         |FROM (SELECT UNNEST(STRING_SPLIT(p_type, ' ')) AS tok FROM part)
