@@ -36,6 +36,37 @@ object Embedders {
 
   /** Embed `textCol` of `df` into an `embedding: array<float>` column.
     * Rows flow per partition in `batchSize` groups through one client. */
+  /** Known embedder context limits (reference OPENAI_EMBEDDERS_MAX_TOKENS —
+    * public OpenAI model limits). */
+  val EmbedderMaxTokens: Map[String, Int] = Map(
+    "text-embedding-ada-002" -> 8191,
+    "text-embedding-3-small" -> 8191,
+    "text-embedding-3-large" -> 8191)
+
+  /** OpenAIEmbedder.truncate_context (embedders.py:287; r16 decode of
+    * test_openai_context_truncation): strategy "start" KEEPS the first
+    * max_tokens, "end" keeps the last; any other strategy is a ValueError;
+    * an UNKNOWN model skips truncation (the reference logs and passes the
+    * text through rather than failing the pipeline). Token measure is the
+    * pluggable partitioning tokenizer (tiktoken not available offline —
+    * structural contract decoded, vocabulary divergence documented). */
+  def truncateContext(model: String, text: String, strategy: String,
+      tokenizer: String => Vector[String] = Splitters.wordRunTokenizer): String = {
+    require(strategy == "start" || strategy == "end",
+      s"Given truncation strategy $strategy is not supported. " +
+        "Strategy must be one of (start, end)")
+    EmbedderMaxTokens.get(model) match {
+      case None => text // unknown model: skip truncation, like the reference
+      case Some(maxTokens) =>
+        val tokens = tokenizer(text)
+        val kept =
+          if (tokens.length <= maxTokens) tokens
+          else if (strategy == "start") tokens.take(maxTokens)
+          else tokens.takeRight(maxTokens)
+        kept.mkString
+    }
+  }
+
   def embed(df: DataFrame, textCol: String, dim: Int = 64,
       batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession

@@ -82,6 +82,26 @@ class SplitterFixtureSpec extends AnyFunSuite {
     assert(out._2 == Seq(9.5, 9.5, 5.555))
   }
 
+  test("test_openai_context_truncation: start keeps the head, end keeps the tail, unknown model passes through") {
+    import graft.operators.Embedders
+    // the reference's text: a long A-run then a long B-run, over the limit;
+    // word-run tokens here → craft runs of words over the 8191-token budget
+    val text = (Seq.fill(9000)("A") ++ Seq.fill(9000)("B")).mkString(" ")
+    val start = Embedders.truncateContext("text-embedding-ada-002", text, "start")
+    assert(start.contains("A A A") && !start.contains("B"))
+    val end = Embedders.truncateContext("text-embedding-ada-002", text, "end")
+    assert(end.contains("B B B") && !end.contains("A"))
+    // under the limit: identity (test_openai_context_no_truncation)
+    val shortText = "A" * 200 + "B" * 200
+    for (s <- Seq("start", "end"))
+      assert(Embedders.truncateContext("text-embedding-3-large", shortText, s) == shortText)
+    // unknown model skips truncation; bad strategy raises
+    assert(Embedders.truncateContext("mystery-model", text, "start") == text)
+    intercept[IllegalArgumentException] {
+      Embedders.truncateContext("text-embedding-ada-002", text, "middle")
+    }
+  }
+
   test("test_combine_metadata(+no_to_column/+no_metadata): pair metadata merges in, pair keys win") {
     import graft.operators.Utils
     for (clean <- Seq(true, false)) {
