@@ -59,12 +59,36 @@ object QaServer {
     def top(qv: Array[Float], k: Int): Array[(Entry, Double)]
     /** (docId, nChunks, nChars) sorted by docId. */
     def docSummary: Seq[(Long, Long, Long)]
+    /** (path, modified_at µs) per distinct input file — the
+      * statistics/inputs surface (vector_store.py statistics_query /
+      * inputs_query). Empty when the store carries no `_metadata_path`. */
+    def fileInventory: Seq[(String, Option[Long])]
     /** Cache owned by this index to release when superseded. */
     def backing: Option[DataFrame]
   }
 
+  /** Distinct (path, max modified_at) over the store's metadata columns —
+    * one small aggregation, ships one row per input file. */
+  private def fileInventoryOf(store: DataFrame): Seq[(String, Option[Long])] = {
+    import org.apache.spark.sql.functions.{col, max, unix_micros}
+    if (!store.columns.contains("_metadata_path")) Seq.empty
+    else {
+      val agg =
+        if (store.columns.contains("_metadata_modified_at"))
+          store.groupBy("_metadata_path")
+            .agg(max(unix_micros(
+              col("_metadata_modified_at").cast("timestamp_ltz"))).as("_m"))
+        else store.select(col("_metadata_path")).distinct()
+          .withColumn("_m", org.apache.spark.sql.functions.lit(null).cast("long"))
+      agg.orderBy("_metadata_path").collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    }
+  }
+
   private final class SnapshotIndex(entries: Array[Entry],
       owned: DataFrame) extends Index {
+    private val inv = fileInventoryOf(owned)
+    def fileInventory: Seq[(String, Option[Long])] = inv
     def top(qv: Array[Float], k: Int): Array[(Entry, Double)] =
       entries.map(e => (e, DocumentStore.cosineF(qv, e.vec)))
         .filter { case (_, s) => java.lang.Double.isFinite(s) }
@@ -101,6 +125,7 @@ object QaServer {
         .map(h => (Entry(h.chunkId, h.docId, h.chunkText, Array.emptyFloatArray), h.score))
     def docSummary: Seq[(Long, Long, Long)] =
       DocumentStore.docSummaryDistributed(store)
+    def fileInventory: Seq[(String, Option[Long])] = fileInventoryOf(store)
     def backing: Option[DataFrame] = Some(store)
   }
 
@@ -268,6 +293,40 @@ object QaServer {
           s"""{"doc_id":$docId,"n_chunks":$nChunks,"n_chars":$nChars}"""
         }
         respond(ex, 200, docs.mkString("""{"results":[""", ",", "]}"))
+      } finally ex.close()
+    })
+
+    // vector_store.py statistics_query: {file_count, last_modified}
+    server.createContext("/v1/statistics", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val inv = indexRef.get().fileInventory
+        val lastMod = inv.flatMap(_._2).maxOption
+          .map(us => (us / 1000000L).toString).getOrElse("null")
+        respond(ex, 200,
+          s"""{"file_count":${inv.size},"last_modified":$lastMod}""")
+      } finally ex.close()
+    })
+
+    // vector_store.py inputs_query: body {"metadata_filter":…,
+    // "filepath_globpattern":…} → the matching input files. Filters merge
+    // and evaluate exactly like retrieval filters (IndexFilter.mergeFilters).
+    server.createContext("/v1/inputs", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = try {
+        val (mf, glob) = parseBody(ex) match {
+          case Some(j) =>
+            (j \ "metadata_filter" match { case JString(v) => Some(v); case _ => None },
+             j \ "filepath_globpattern" match { case JString(v) => Some(v); case _ => None })
+          case None => (None, None)
+        }
+        val filter = graft.functions.IndexFilter.mergeFilters(mf, glob).orNull
+        val results = indexRef.get().fileInventory
+          .filter { case (path, _) =>
+            graft.functions.IndexFilter.matches(filter, Map("path" -> path)) }
+          .map { case (path, mod) =>
+            s"""{"path":"${jsonEscape(path)}","modified_at":${
+              mod.map(us => (us / 1000000L).toString).getOrElse("null")}}"""
+          }
+        respond(ex, 200, results.mkString("""{"results":[""", ",", "]}"))
       } finally ex.close()
     })
 

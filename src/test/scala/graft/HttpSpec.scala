@@ -137,6 +137,39 @@ class HttpSpec extends AnyFunSuite {
     } finally served.stop()
   }
 
+  test("statistics/inputs endpoints: file_count, glob- and metadata-filtered input listing") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta words here",
+        "pathway/xpacks/llm/tests/test_vector_store.py"),
+      (2L, "completely different text about a sleeping cat on a mat",
+        "docs/readme.txt")).toDF("doc_id", "text", "path")
+    val store = graft.operators.DocumentStore.build(
+      docs, col("doc_id"), col("text"), chunkTokens = 30, overlap = 5, dim = 32)
+      .join(docs.select(col("doc_id"), col("path")), "doc_id")
+      .withColumn("_metadata_path", col("path"))
+      .withColumn("_metadata_modified_at",
+        to_timestamp(lit("2024-02-28 10:00:00")))
+    val served = graft.sources.QaServer.serveRefreshable(store, dim = 32)
+    try {
+      val stats = post(s"http://127.0.0.1:${served.port}/v1/statistics", "{}")
+      assert(stats.contains("\"file_count\":2"), stats)
+      assert(!stats.contains("\"last_modified\":null"), stats)
+      // test_vs_parsing-style inputs listing: glob narrows to the .py file
+      val all = post(s"http://127.0.0.1:${served.port}/v1/inputs", "{}")
+      assert(all.contains("test_vector_store.py") && all.contains("readme.txt"))
+      val py = post(s"http://127.0.0.1:${served.port}/v1/inputs",
+        """{"filepath_globpattern": "**/*.py"}""")
+      assert(py.contains("test_vector_store.py") && !py.contains("readme.txt"))
+      val byMeta = post(s"http://127.0.0.1:${served.port}/v1/inputs",
+        """{"metadata_filter": "contains(path, `readme`)"}""")
+      assert(!byMeta.contains("test_vector_store.py") && byMeta.contains("readme.txt"))
+      val none = post(s"http://127.0.0.1:${served.port}/v1/inputs",
+        """{"filepath_globpattern": "**/*.rs"}""")
+      assert(none.contains("\"results\":[]"), none)
+    } finally served.stop()
+  }
+
   test("QaServer sharded mode: byte-identical responses, refresh still swaps") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
