@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap", "docstore"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "cdc", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap", "docstore"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -258,6 +258,25 @@ object ScaleProbe {
       }
       time("hotbucket_hash64_guarded3k", m3) {
         Dedup.hash64DupPairs(sigs3, maxDist = 3, bands = 4)
+      }
+    }
+
+    if (families("cdc")) {
+      // PollingCdc.snapshotDiff at mult x lineitem: ~4% updates, ~2% deletes,
+      // ~2% inserts between the two snapshots - the dimension-refresh shape.
+      // Expect ONE shuffle (the full-outer equi-join); runtime ~ 2 scans + join.
+      val liBase = graft.sources.Tables.parquet(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("k", col("l_orderkey") * 10 + col("l_linenumber"))
+      val nl = liBase.count()
+      val li = replicate(liBase, Map("l_orderkey" -> (nl + 7L)), "/tmp/graft_cdc_scaled")
+        .withColumn("k", col("l_orderkey") * 10 + col("l_linenumber"))
+      val prev = li.filter(col("k") % 50 =!= 0).select(col("k"), col("l_extendedprice"))
+      val curr = li.filter(col("k") % 47 =!= 0).select(col("k"),
+        when(col("k") % 25 === 0, col("l_extendedprice") + 1)
+          .otherwise(col("l_extendedprice")).as("l_extendedprice"))
+      time("cdc_snapshot_diff", nl * mult) {
+        graft.sources.PollingCdc.snapshotDiff(prev, curr, Seq("k"))
       }
     }
 
