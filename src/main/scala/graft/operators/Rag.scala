@@ -130,6 +130,48 @@ object Rag {
   }
 
   /** The reference's `prompt_summarize` role: condense a list of texts. */
+  /** RAG prompt template (prompts.py:74 RAGPromptTemplate; r16 decode of
+    * test_rag.py test_invalid_prompt_template_raises_error): the template
+    * must contain BOTH `{context}` and `{query}`, and NOTHING else may be a
+    * placeholder (python str.format with only those two keys must succeed —
+    * `{{`/`}}` are literal braces). Returns the compiled segments so
+    * [[ragPrompt]] lowers to a literal concat (codegen'd), not a UDF. */
+  def parseRagTemplate(template: String): Seq[Either[String, String]] = {
+    if (!template.contains("{context}") || !template.contains("{query}"))
+      throw new IllegalArgumentException(
+        "Template must contain `{context}` and `{query}` placeholders.")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Either[String, String]]
+    val lit = new StringBuilder
+    var i = 0
+    def expectsOnly(): Nothing = throw new IllegalArgumentException(
+      "RAG prompt template expects `context` and `query` placeholders only.")
+    while (i < template.length) {
+      val c = template.charAt(i)
+      if (c == '{') {
+        if (template.startsWith("{{", i)) { lit += '{'; i += 2 }
+        else if (template.startsWith("{context}", i)) {
+          out += Left(lit.result()); lit.clear(); out += Right("context"); i += 9
+        } else if (template.startsWith("{query}", i)) {
+          out += Left(lit.result()); lit.clear(); out += Right("query"); i += 7
+        } else expectsOnly() // another placeholder, or a stray '{'
+      } else if (c == '}') {
+        if (template.startsWith("}}", i)) { lit += '}'; i += 2 }
+        else expectsOnly() // python: "Single '}' encountered"
+      } else { lit += c; i += 1 }
+    }
+    out += Left(lit.result())
+    out.toSeq
+  }
+
+  /** Build the prompt column from a validated template — a plain concat of
+    * literal segments and the two columns. */
+  def ragPrompt(template: String, context: Column, query: Column): Column =
+    concat(parseRagTemplate(template).map {
+      case Left(s) => lit(s)
+      case Right("context") => context
+      case Right(_) => query
+    }: _*)
+
   def summarizePrompt(texts: Seq[String]): String =
     "Summarize the following texts into a single short summary.\n\n" +
       texts.mkString("\n\n") + "\n\nSummary:"

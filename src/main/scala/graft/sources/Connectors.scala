@@ -75,10 +75,22 @@ object Connectors {
   def csvTyped(spark: SparkSession, path: String, schema: graft.core.PwSchema,
       mode: Mode = Static, delimiter: String = ",",
       withMetadata: Boolean = false): DataFrame = {
-    // streaming needs an explicit schema: all requested names as strings —
-    // name-projection then happens on the parsed frame
-    val rawSchema = StructType(schema.cols.map(c =>
-      org.apache.spark.sql.types.StructField(c.name, org.apache.spark.sql.types.StringType)))
+    // streaming needs an explicit schema UP FRONT, and Spark applies it to
+    // CSV files POSITIONALLY — so peek at an existing file's header to build
+    // the raw schema in FILE order (name-projection then still works and a
+    // schema that skips/reorders columns reads the right cells). No file
+    // yet → fall back to schema order (the header check below re-runs per
+    // static read; for streaming the first file fixes the order).
+    val rawSchema = StructType({
+      val headerNames =
+        if (mode == Streaming)
+          scala.util.Try(
+            spark.read.options(Map("header" -> "true", "sep" -> delimiter) ++ Rfc4180)
+              .csv(path).columns.toSeq).getOrElse(schema.cols.map(_.name))
+        else schema.cols.map(_.name)
+      headerNames.map(n =>
+        org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType))
+    })
     val raw = reader(spark, mode, if (mode == Streaming) Some(rawSchema) else None) match {
       case Left(r)  => r.options(Map("header" -> "true", "sep" -> delimiter,
         "inferSchema" -> "false") ++ Rfc4180).csv(path)

@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object PollingCdc {
 
+  private val liveDiffs =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** Diff `curr` against `prev` on `keys` → changelog (key + value columns
     * + `diff` int). Both frames must share a schema; `keys` must be unique
     * per frame (the reference tracks one state entry per key,
@@ -86,7 +89,15 @@ object PollingCdc {
       val frozen = curr.sparkSession.read.parquet(slotDir(next))
       val out = snapshotDiff(tracked(frozen), frozen, keys)
       val diffed = out.cache()
-      diffed.count() // force before the slot flips
+      diffed.count() // force before the slot flips (the next poll overwrites
+                     // the old slot the lazy plan would still reference)
+      // release the previous poll's cached diff — keyed on the state dir so
+      // per-call wrappers (jdbcPollStep/fsPollStep) release across instances:
+      // a long-polling session holds at most ONE diff per state in the
+      // block manager
+      val key = fsPath.getCanonicalPath
+      Option(PollingCdc.liveDiffs.put(key, diffed))
+        .foreach(_.unpersist(blocking = false))
       java.nio.file.Files.write(slotFile.toPath, next.toString.getBytes("UTF-8"))
       diffed
     }

@@ -90,6 +90,44 @@ object StreamOps {
     }
   }
 
+  /** Upsert-session event stream → ±1 changelog (reference
+    * SessionType.UPSERT, connectors/mod.rs session handling; r16 decode of
+    * test_io.py:2424-2598 test_python_connector_upsert_raw/json,
+    * removal_by_key): an `add(key, payload)` REPLACES the key's previous
+    * value — it emits a retraction of the old payload AND an insertion of
+    * the new one; a `remove(key, _)` retracts the key's CURRENT value (the
+    * supplied payload is IGNORED — removal is by key); a remove of an
+    * absent key emits nothing. The fixture's 5-event count (add/remove/
+    * add/add on one key) pins the expansion.
+    *
+    * Batch form: one per-key window sort (single shuffle), then a 0-2-row
+    * explode per event — no driver state. `events` needs (`opCol` ∈
+    * add|remove, `timeCol`, key columns, payload columns). */
+  def upsertSessionToChangelog(events: DataFrame, keyCols: Seq[String],
+      opCol: String = "op", timeCol: String = "time"): DataFrame = {
+    val payload = events.columns.filterNot(c =>
+      c == opCol || c == timeCol || keyCols.contains(c)).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
+    // state after an event: the payload for add, cleared for remove —
+    // materialized BEFORE the explode (window functions can't sit under a
+    // generator)
+    val stateAfter = when(col(opCol) === "add",
+      struct(payload.map(col): _*)).otherwise(lit(null))
+    val withPrev = events.withColumn("_prev", lag(stateAfter, 1).over(w))
+    val prev = col("_prev")
+    val oldImage = struct(payload.map(n => prev(n).as(n)) :+ lit(-1).as("diff"): _*)
+    val newImage = struct(payload.map(col) :+ lit(1).as("diff"): _*)
+    val out = when(col(opCol) === "add" && prev.isNotNull, array(oldImage, newImage))
+      .when(col(opCol) === "add", array(newImage))
+      .when(col(opCol) === "remove" && prev.isNotNull, array(oldImage))
+      .otherwise(slice(array(newImage), 1, 0)) // remove of an absent key: nothing
+    withPrev
+      .select(keyCols.map(col) :+ col(timeCol) :+ explode(out).as("_e"): _*)
+      .select(keyCols.map(col) ++ payload.map(n => col(s"_e.$n")) :+
+        col(timeCol) :+ col("_e.diff").as("diff"): _*)
+  }
+
   /** `_remove_retractions` (table.py; tests/test_common.py
     * test_remove_retractions): drops every deletion from a changelog so the
     * result accumulates ALL values ever inserted — retracted rows stay. The

@@ -22,6 +22,34 @@ class ChangelogOpsSpec extends AnyFunSuite {
     assert(out == Map("a" -> ((1L, 7.0))))
   }
 
+  test("upsert session expansion replays test_python_connector_upsert_raw: 5 events, final {three}") {
+    import graft.streaming.StreamOps
+    // add(one), remove, add(two), add(three) on ONE key (test_io.py:2424)
+    val events = Seq(
+      (0L, 1L, "add", "one"), (0L, 2L, "remove", ""),
+      (0L, 3L, "add", "two"), (0L, 4L, "add", "three"))
+      .toDF("k", "time", "op", "v")
+    val out = StreamOps.upsertSessionToChangelog(events, Seq("k"))
+      .select("v", "diff").as[(String, Int)].collect().toSeq
+    assert(out.length == 5) // the fixture's len(result) == 5
+    assert(out.sorted == Seq(("one", -1), ("one", 1), ("three", 1),
+      ("two", -1), ("two", 1)).sorted)
+    // net state = {three}
+    val net = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).filter(_._2 > 0).keys.toSet
+    assert(net == Set("three"))
+
+    // removal is BY KEY - the remove's own payload is ignored (test_io.py:2473)
+    val rm = Seq((0L, 1L, "add", "one"), (0L, 2L, "remove", "IGNORED"))
+      .toDF("k", "time", "op", "v")
+    val out2 = StreamOps.upsertSessionToChangelog(rm, Seq("k"))
+      .select("v", "diff").as[(String, Int)].collect().toSeq
+    assert(out2.length == 2 && out2.toSet == Set(("one", 1), ("one", -1)))
+
+    // remove of an absent key emits nothing
+    val rm2 = Seq((0L, 1L, "remove", "x")).toDF("k", "time", "op", "v")
+    assert(StreamOps.upsertSessionToChangelog(rm2, Seq("k")).count() == 0)
+  }
+
   test("liveMinMax ignores retracted values (retract-then-reinsert safe)") {
     val out = ChangelogOps.liveMinMax(cl, Seq("k"), col("v"), col("diff"))
       .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap

@@ -215,6 +215,29 @@ class ConnectorsTypedSpec extends AnyFunSuite {
     assert(rows(typedBack) == Set(Seq(testText)))
   }
 
+  test("test_json_csv_serialization: a pw.Json column round-trips jsonlines → csv → csv") {
+    import org.apache.spark.sql.types.VariantType
+    val testJson = """{"int": 1, "float": 1.1, "string": "hello", "bool_true": true,""" +
+      """ "bool_false": false, "list": ["one", "two"],""" +
+      """ "map": {"one": "two", "six": true, "nine": 9, "eleven": {"twelve": "thirteen"}}}"""
+    val in = tmpFile(Seq(s"""{"data": $testJson}"""))
+    val schema = PwSchema(Seq(PwColumnDef("data", VariantType)))
+    val t1 = Connectors.jsonlinesTyped(spark, in, schema)
+    assert(t1.filter(size(col(Errors.ErrCol)) > 0).count() == 0)
+    // write through CSV (variant serializes as JSON text) and read back typed
+    val out1 = Files.createTempDirectory("graft-jsoncsv").resolve("o1").toString
+    Connectors.writeCsv(t1.select(to_json(col("data")).as("data")), out1)
+    val t2 = Connectors.csvTyped(spark, out1, schema)
+    assert(t2.filter(size(col(Errors.ErrCol)) > 0).count() == 0)
+    val parsedBack = t2.select(to_json(col("data"))).collect().head.getString(0)
+    // compare as parsed variants (key order is not part of JSON equality)
+    val eq = spark.sql(
+      s"""SELECT to_json(parse_json('${parsedBack.replace("'", "''")}')) =
+         |  to_json(parse_json('${testJson.replace("'", "''")}'))""".stripMargin)
+      .collect().head.getBoolean(0)
+    assert(eq, s"round-trip mismatch: $parsedBack")
+  }
+
   test("typed datetime columns parse the fixed connector formats (mod.rs:556)") {
     val path = tmpFile(Seq(
       "k,t",

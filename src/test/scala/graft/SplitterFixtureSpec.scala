@@ -82,6 +82,24 @@ class SplitterFixtureSpec extends AnyFunSuite {
     assert(out._2 == Seq(9.5, 9.5, 5.555))
   }
 
+  test("test_invalid_prompt_template_raises_error: {context}+{query} required, nothing else allowed") {
+    import graft.operators.Rag
+    // the reference's four invalid templates, verbatim
+    for (bad <- Seq(
+        "Context: {context}, query: {query}, abc: {abc}",
+        "Context: {something}, query: {else}",
+        "Context: {context}",
+        "No placeholder template.")) {
+      intercept[IllegalArgumentException] { Rag.parseRagTemplate(bad) }
+    }
+    // valid templates compile to a literal concat; {{ }} are literal braces
+    val p = Seq(("ctx here", "the question")).toDF("c", "q")
+      .select(Rag.ragPrompt(
+        "Answer the question. Context: {context}\nQuestion: {query} {{json}}",
+        col("c"), col("q"))).as[String].collect().head
+    assert(p == "Answer the question. Context: ctx here\nQuestion: the question {json}")
+  }
+
   test("test_openai_context_truncation: start keeps the head, end keeps the tail, unknown model passes through") {
     import graft.operators.Embedders
     // the reference's text: a long A-run then a long B-run, over the limit;
