@@ -98,6 +98,17 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     PwJoinResult(l.join(r, on, normalizeHow(how)), spark)
   }
 
+  /** Pathway `join` with NO `on` between DIFFERENT universes — a CROSS
+    * join (test_common.py test_cross_join: every (left, right) pair, id =
+    * hash(left_id, right_id)). Genuinely cartesian by the reference's
+    * semantics — size the sides accordingly (same-universe lookups belong
+    * on [[join]]/[[ix]]). */
+  def crossJoin(other: PwTable): PwJoinResult = {
+    val l = df.alias("l")
+    val r = other.df.withColumnRenamed(IdCol, "_pw_id_r").alias("r")
+    PwJoinResult(l.crossJoin(r), spark)
+  }
+
   private def normalizeHow(how: String): String = how match {
     case "left"  => "left_outer"
     case "right" => "right_outer"

@@ -27,6 +27,36 @@ class CoreFixtureSpec extends AnyFunSuite {
       (4, -5), (5, -5), (6, -5), (10, -4), (11, -4), (12, -4)).sorted)
   }
 
+  test("cross join: no-condition join of different universes is cartesian (test_cross_join)") {
+    val t1 = Seq((1L, 1L, "Alice", 10L), (2L, 1L, "Bob", 9L), (3L, 2L, "Alice", 8L))
+      .toDF("id0", "pet", "owner", "age")
+    val t2 = Seq((11L, 3L, "Alice", 10L, "M"), (12L, 1L, "Bob", 9L, "L"),
+      (13L, 1L, "Tom", 8L, "XL")).toDF("id0", "pet", "owner", "age", "size")
+    val res = pw(t1, "id0").crossJoin(pw(t2, "id0"))
+      .select("owner_name" -> col("r.owner"), "L" -> col("l.id0"),
+        "R" -> col("r.id0"), "age" -> col("l.age")).toDf
+    val got = res.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("Alice", 1L, 11L, 10L), ("Bob", 1L, 12L, 10L), ("Tom", 1L, 13L, 10L),
+      ("Alice", 2L, 11L, 9L), ("Bob", 2L, 12L, 9L), ("Tom", 2L, 13L, 9L),
+      ("Alice", 3L, 11L, 8L), ("Bob", 3L, 12L, 8L), ("Tom", 3L, 13L, 8L)))
+    // pair ids are distinct (id = hash(left_id, right_id))
+    val ids = pw(t1, "id0").crossJoin(pw(t2, "id0"))
+      .select("x" -> col("l.age")).df.select(graft.core.Keys.IdCol)
+    assert(ids.distinct().count() == 9)
+  }
+
+  test("flatten on a 2-D ndarray explodes along the FIRST axis (test_flatten_multidimensional)") {
+    val t = Seq((1, Seq(Seq(1, 2), Seq(3, 4))), (2, Seq(Seq(1, 2, 5, 6))))
+      .toDF("k", "array")
+    val out = pw(t, "k").flatten("array").toDf
+      .select("array").collect().map(_.getSeq[Int](0).toList).toList
+      .sortBy(r => (r.length, r.headOption.getOrElse(0)))
+    assert(out == List(List(1, 2), List(3, 4), List(1, 2, 5, 6))
+      .sortBy(r => (r.length, r.headOption.getOrElse(0))))
+  }
+
   test("flatten: strings explode into characters; non-iterables are rejected (test_flatten_string)") {
     val t = Seq((1, "abc"), (2, "defoimkm"), (3, "xyz")).toDF("k", "string")
     val out = pw(t, "k").flatten("string").toDf
