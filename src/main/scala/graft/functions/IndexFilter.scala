@@ -96,7 +96,8 @@ object IndexFilter extends Serializable {
     var depth = 0; var inSq = false; var inBt = false; var last = 0; var i = 0
     while (i < s.length - 1) {
       val c = s.charAt(i)
-      if (c == '\'' && !inBt) inSq = !inSq
+      if (c == '\\' && inSq) i += 1 // escaped char inside a quoted literal
+      else if (c == '\'' && !inBt) inSq = !inSq
       else if (c == '`' && !inSq) inBt = !inBt
       else if (!inSq && !inBt) {
         if (c == '(') depth += 1
@@ -161,7 +162,8 @@ object IndexFilter extends Serializable {
     else if (t.startsWith("`") && t.endsWith("`") && t.length >= 2)
       t.substring(1, t.length - 1).trim.toDoubleOption.map(Left(_))
     else if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
-      Some(Right(t.substring(1, t.length - 1)))
+      // the merger escapes user apostrophes as \' — unescape them back
+      Some(Right(t.substring(1, t.length - 1).replace("\\'", "'")))
     else None
   }
 

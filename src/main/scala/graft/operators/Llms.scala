@@ -182,7 +182,11 @@ object Llms {
     * index-tagged structs sorted by (−score, index). Returns
     * struct(docs, scores). */
   def rerankTopkFilter(docs: Column, scores: Column, k: Int): Column = {
-    val tagged = zip_with(scores, sequence(lit(0), size(scores) - 1),
+    // sequence(0, -1) would step BACKWARD for an empty list — guard the
+    // empty case to empty outputs (the reference returns ((), ()))
+    val idx = when(size(scores) > 0, sequence(lit(0), size(scores) - 1))
+      .otherwise(slice(sequence(lit(0), lit(0)), 1, 0))
+    val tagged = zip_with(scores, idx,
       (s, i) => struct(s.as("score"), i.as("i")))
     val sorted = array_sort(tagged, (a, b) =>
       when(a("score") > b("score"), -1)

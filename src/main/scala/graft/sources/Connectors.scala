@@ -123,13 +123,17 @@ object Connectors {
       fieldPaths: Map[String, String] = Map.empty, mode: Mode = Static,
       withMetadata: Boolean = false): DataFrame = {
     val lines = plaintext(spark, path, mode, withMetadata)
-    val payload = parse_json(col("data"))
+    // lenient parse: ONE malformed line must land in _pw_errors as a failed
+    // row (the reference's per-row ParseError), not kill the scan
+    val payload = try_parse_json(col("data"))
+    val lineBad = col("data").isNotNull && payload.isNull
     val cells = schema.cols.map { c =>
       val vpath = fieldPaths.get(c.name)
         .map(TypedCells.pointerToVariantPath)
         .getOrElse("$." + c.name)
-      c.name -> TypedCells.jsonField(payload, vpath, c.dtype,
+      val cell = TypedCells.jsonField(payload, vpath, c.dtype,
         optional = c.optional, default = c.defaultValue)
+      c.name -> TypedCells.Cell(cell.value, lineBad || cell.failed)
     }
     applyCells(lines, cells, keep = if (withMetadata) metaCols else Nil)
   }

@@ -31,6 +31,9 @@ object PollingCdc {
     * sqlite.rs:1158). */
   def snapshotDiff(prev: DataFrame, curr: DataFrame, keys: Seq[String]): DataFrame = {
     val valueCols = curr.columns.filterNot(keys.contains).toSeq
+    require(!curr.columns.contains("diff"),
+      "column name 'diff' is reserved by the changelog (the reference " +
+        "rejects reserved column names in stream mode the same way)")
     require(curr.columns.sorted.sameElements(prev.columns.sorted),
       s"snapshot schema changed: ${prev.columns.mkString(",")} -> ${curr.columns.mkString(",")}")
 

@@ -87,7 +87,9 @@ object QaServer {
 
   private final class SnapshotIndex(entries: Array[Entry],
       owned: DataFrame) extends Index {
-    private val inv = fileInventoryOf(owned)
+    // lazy: the inventory job runs on the FIRST statistics/inputs request,
+    // not on every index rebuild
+    private lazy val inv = fileInventoryOf(owned)
     def fileInventory: Seq[(String, Option[Long])] = inv
     def top(qv: Array[Float], k: Int): Array[(Entry, Double)] =
       entries.map(e => (e, DocumentStore.cosineF(qv, e.vec)))
@@ -125,7 +127,8 @@ object QaServer {
         .map(h => (Entry(h.chunkId, h.docId, h.chunkText, Array.emptyFloatArray), h.score))
     def docSummary: Seq[(Long, Long, Long)] =
       DocumentStore.docSummaryDistributed(store)
-    def fileInventory: Seq[(String, Option[Long])] = fileInventoryOf(store)
+    private lazy val inv = fileInventoryOf(store)
+    def fileInventory: Seq[(String, Option[Long])] = inv
     def backing: Option[DataFrame] = Some(store)
   }
 
@@ -320,8 +323,12 @@ object QaServer {
         }
         val filter = graft.functions.IndexFilter.mergeFilters(mf, glob).orNull
         val results = indexRef.get().fileInventory
-          .filter { case (path, _) =>
-            graft.functions.IndexFilter.matches(filter, Map("path" -> path)) }
+          .filter { case (path, mod) =>
+            // metadata visible to the filter mirrors the reference's file
+            // metadata: path + modified_at (seconds)
+            val md = Map("path" -> path) ++
+              mod.map(us => "modified_at" -> (us / 1000000L).toString)
+            graft.functions.IndexFilter.matches(filter, md) }
           .map { case (path, mod) =>
             s"""{"path":"${jsonEscape(path)}","modified_at":${
               mod.map(us => (us / 1000000L).toString).getOrElse("null")}}"""

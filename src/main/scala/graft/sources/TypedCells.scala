@@ -51,6 +51,11 @@ object TypedCells {
   private val TrueVocab = Seq("true", "yes", "on", "1", "t", "y")
   private val FalseVocab = Seq("false", "no", "off", "0", "f", "n")
 
+  /** base64 (mod.rs:570) — validate the standard alphabet + padding so
+    * garbage errors instead of silently decoding. */
+  private def base64Valid(c: Column): Column =
+    c.rlike("^[A-Za-z0-9+/]*={0,2}$") && (length(c) % 4 === 0)
+
   // ── CSV tokens ─────────────────────────────────────────────────────────────
 
   /** Parse one raw CSV token per `parse_with_type` (mod.rs:586).
@@ -119,9 +124,7 @@ object TypedCells {
       val v = tok.dt.strptimeUtc("%Y-%m-%dT%H:%M:%S%.f%z")
       Cell(v, v.isNull)
     case BinaryType =>
-      // base64 (mod.rs:570); validate the alphabet so garbage errors instead
-      // of silently decoding
-      val ok = tok.rlike("^[A-Za-z0-9+/]*={0,2}$") && (length(tok) % 4 === 0)
+      val ok = base64Valid(tok)
       Cell(when(ok, unbase64(tok)), !ok)
     case VariantType =>
       // Type::Json: the token is serialized JSON (mod.rs:545)
@@ -148,7 +151,12 @@ object TypedCells {
     pointer.split("/").drop(1).map { seg =>
       val unescaped = seg.replace("~1", "/").replace("~0", "~")
       if (unescaped.forall(_.isDigit) && unescaped.nonEmpty) s"[$unescaped]"
-      else s".$unescaped"
+      else if (unescaped.nonEmpty && unescaped.head.isUnicodeIdentifierStart &&
+          unescaped.forall(ch => ch.isUnicodeIdentifierPart))
+        s".$unescaped"
+      else // keys containing '.', quotes, etc. — bracket-quote (serde's
+           // pointer resolves the literal key; `$.a.b` would NEST instead)
+        s"['${unescaped.replace("'", "\\'")}']"
     }.mkString("$", "", "")
   }
 
@@ -211,7 +219,7 @@ object TypedCells {
         Cell(v, kind =!= "STRING" || v.isNull)
       case BinaryType =>
         val s = try_variant_get(node, "$", "string")
-        val ok = kind === "STRING" && s.rlike("^[A-Za-z0-9+/]*={0,2}$") && (length(s) % 4 === 0)
+        val ok = kind === "STRING" && base64Valid(s)
         Cell(when(ok, unbase64(s)), !ok)
       case t @ (_: ArrayType | _: StructType | _: MapType) =>
         val ok = kind.startsWith("ARRAY") || kind.startsWith("OBJECT")

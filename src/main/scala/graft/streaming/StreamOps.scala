@@ -107,6 +107,8 @@ object StreamOps {
       opCol: String = "op", timeCol: String = "time"): DataFrame = {
     val payload = events.columns.filterNot(c =>
       c == opCol || c == timeCol || keyCols.contains(c)).toSeq
+    require(!payload.contains("diff"),
+      "payload column name 'diff' is reserved by the changelog")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
     // state after an event: the payload for add, cleared for remove —

@@ -197,10 +197,28 @@ class ConnectorsTypedSpec extends AnyFunSuite {
     assert(errs == Set("b"))
   }
 
-  test("pointer → variant path translation handles escapes and indices") {
+  test("pointer → variant path translation handles escapes, indices and exotic keys") {
     assert(TypedCells.pointerToVariantPath("/q/w/e") == "$.q.w.e")
     assert(TypedCells.pointerToVariantPath("/arr/0/x") == "$.arr[0].x")
-    assert(TypedCells.pointerToVariantPath("/a~1b/c~0d") == "$.a/b.c~d")
+    // non-identifier keys bracket-quote (a dotted form would NEST: serde's
+    // pointer resolves the literal key "a/b", not a path)
+    assert(TypedCells.pointerToVariantPath("/a~1b/c~0d") == "$['a/b']['c~d']")
+    assert(TypedCells.pointerToVariantPath("/a.b") == "$['a.b']")
+    // and the bracket path actually resolves the literal dotted key
+    val path = tmpFile(Seq("""{"k": 1, "a.b": 7}"""))
+    val schema = PwSchema(Seq(PwColumnDef("k", LongType), PwColumnDef("v", LongType)))
+    val out = Connectors.jsonlinesTyped(spark, path, schema,
+      fieldPaths = Map("v" -> "/a.b"))
+    assert(rows(out) == Set(Seq(1L, 7L)))
+  }
+
+  test("a malformed JSON line lands in _pw_errors instead of killing the scan") {
+    val path = tmpFile(Seq("""{"k": 1, "v": 5}""", """{broken"""))
+    val schema = PwSchema(Seq(PwColumnDef("k", LongType), PwColumnDef("v", LongType)))
+    val out = Connectors.jsonlinesTyped(spark, path, schema)
+    val good = out.filter(size(col(Errors.ErrCol)) === 0)
+    assert(rows(good) == Set(Seq(1L, 5L)))
+    assert(out.filter(size(col(Errors.ErrCol)) > 0).count() == 1)
   }
 
   test("test_csv_escaping: RFC-4180 round-trip — quotes doubled, backslash is a plain char") {

@@ -68,6 +68,16 @@ class DocStoreFilterSpec extends AnyFunSuite {
     assert(IndexFilter.mergeFilters(None, None).isEmpty)
   }
 
+  test("apostrophes in literals survive the merger's escaping (accented-path metadata filters)") {
+    val accented = "Document publie a l'XYZ le 28.pdf"
+    val amd = Map("path" -> accented)
+    // the merger escapes ' as \' inside the single-quoted literal; the
+    // parser unescapes it back - the filter must MATCH, not MatchNone
+    assert(matches(Some("contains(path, `a l'XYZ`)"), None, amd))
+    assert(!matches(Some("contains(path, `a l'ABC`)"), None, amd))
+    assert(matches(Some("contains(path, `a l'XYZ`)"), Some("*.pdf"), amd))
+  }
+
   test("boolean grammar: || alternatives and parenthesized groups") {
     assert(IndexFilter.matches("path == 'a.py' || contains(path, 'test_vector')", md))
     assert(!IndexFilter.matches("path == 'a.py' || contains(path, 'nope')", md))

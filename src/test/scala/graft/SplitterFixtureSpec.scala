@@ -143,6 +143,14 @@ class SplitterFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("rerank_topk_filter on EMPTY lists returns empty lists, not an error") {
+    val out = Seq((Seq.empty[String], Seq.empty[Double])).toDF("docs", "scores")
+      .select(graft.operators.Llms.rerankTopkFilter(col("docs"), col("scores"), 3).as("r"))
+      .select(col("r.docs"), col("r.scores"))
+      .as[(Seq[String], Seq[Double])].collect().head
+    assert(out._1.isEmpty && out._2.isEmpty)
+  }
+
   test("recursiveSplitDf explodes per-row chunks with metadata columns intact") {
     val df = Seq((7L, "aa bb cc")).toDF("doc_id", "text")
     val out = Splitters.recursiveSplitDf(df, col("text"), chunkSize = 7)
