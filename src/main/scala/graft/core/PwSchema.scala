@@ -72,6 +72,93 @@ object PwSchema {
   val AppendOnlyKey = "pw.append_only"
   val PrimaryKeyKey = "pw.primary_key"
 
+  /** pw.schema_from_csv (schema.py:927; r16 decode of
+    * test_schema.py:217 test_schema_from_csv): infer a schema from a CSV
+    * sample — column names from the header, per-column type = Long if EVERY
+    * sampled value parses as a python int, else Double if every value
+    * parses as a python float, else String; zero sampled rows → the
+    * reference's Any (String here, the engine's Any carrier);
+    * `numParsedRows = Some(0)` forces that. Comment lines (first
+    * non-blank char == `commentCharacter`) are skipped BEFORE parsing;
+    * `quote`/`doubleQuoteEscapes`/`escape` drive the tokenizer exactly like
+    * python's csv module (quoted values UNQUOTE before type-sniffing — a
+    * quoted "1" is an int). Driver-side sampling, like the reference's
+    * local file read. */
+  def fromCsv(path: String, delimiter: Char = ',', quote: Char = '"',
+      commentCharacter: Option[Char] = None, escape: Option[Char] = None,
+      doubleQuoteEscapes: Boolean = true,
+      numParsedRows: Option[Int] = None): PwSchema = {
+    val lines = scala.io.Source.fromFile(path, "UTF-8")
+    val rows = try {
+      val kept = lines.getLines()
+        .filter(l => commentCharacter.forall(c =>
+          l.dropWhile(_.isWhitespace).headOption.forall(_ != c)))
+      parseCsv(kept, delimiter, quote, escape, doubleQuoteEscapes)
+    } finally lines.close()
+    require(rows.nonEmpty, "can't generate Schema based on an empty CSV file")
+    val header = rows.head
+    val data = numParsedRows.fold(rows.tail)(n => rows.tail.take(n))
+
+    // python int()/float() predicates (schema.py:919 _is_parsable_to)
+    def isInt(s: String) = s.trim.matches("[+-]?[0-9]+")
+    def isFloat(s: String) = {
+      val t = s.trim.toLowerCase
+      t.matches("[+-]?(inf|infinity|nan|[0-9]*\\.?[0-9]+(e[+-]?[0-9]+)?|[0-9]+\\.([0-9]*)?(e[+-]?[0-9]+)?)")
+    }
+    def chooseType(entries: Seq[String]): DataType =
+      if (entries.isEmpty) StringType // the reference's Any
+      else if (entries.forall(isInt)) LongType
+      else if (entries.forall(isFloat)) DoubleType
+      else StringType
+
+    PwSchema(header.zipWithIndex.map { case (name, i) =>
+      PwColumnDef(name, chooseType(data.map(r => if (i < r.length) r(i) else "")))
+    })
+  }
+
+  /** python-csv-module tokenizer: quotechar with optional doubled-quote
+    * escapes, optional escapechar, quoted fields may span lines. */
+  private def parseCsv(lines: Iterator[String], delimiter: Char, quote: Char,
+      escape: Option[Char], doubleQuoteEscapes: Boolean): Vector[Vector[String]] = {
+    val rows = Vector.newBuilder[Vector[String]]
+    val field = new StringBuilder
+    var row = Vector.newBuilder[String]
+    var inQuotes = false
+    var anyField = false
+    for (line <- lines) {
+      val text = if (inQuotes) "\n" + line else line
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (escape.contains(c) && i + 1 < text.length) {
+          field += text.charAt(i + 1); i += 2
+        } else if (inQuotes) {
+          if (c == quote) {
+            if (doubleQuoteEscapes && i + 1 < text.length && text.charAt(i + 1) == quote) {
+              field += quote; i += 2
+            } else { inQuotes = false; i += 1 }
+          } else { field += c; i += 1 }
+        } else if (c == quote && field.isEmpty) { inQuotes = true; i += 1 }
+        else if (c == quote && doubleQuoteEscapes) {
+          // python csv: a quote inside an unquoted field after content —
+          // taken literally (covers the va"l"ue header vector)
+          field += quote; i += 1
+        } else if (c == delimiter) {
+          row += field.result(); field.clear(); anyField = true; i += 1
+        } else { field += c; i += 1 }
+      }
+      if (!inQuotes) {
+        if (anyField || field.nonEmpty) {
+          row += field.result(); field.clear()
+          rows += row.result(); row = Vector.newBuilder[String]
+          anyField = false
+        }
+      }
+    }
+    if (anyField || field.nonEmpty) { row += field.result(); rows += row.result() }
+    rows.result()
+  }
+
   private def metadataFor(c: PwColumnDef): Metadata =
     new MetadataBuilder()
       .putBoolean(AppendOnlyKey, c.appendOnly)
