@@ -33,6 +33,73 @@ object Clustering {
       graft.functions.QuantizeVec(GraftExprBridge.expression(vec), Q))
   }
 
+  /** Euclidean LSH bucketer (stdlib/ml/classifiers/_lsh.py:31
+    * generate_euclidean_lsh_bucketer; r16 decode of
+    * stdlib/ml/classifiers/test_lsh.py): project the point onto M×L unit
+    * gaussian lines, add a uniform [0, A) shift, floor-divide by the bucket
+    * length A; each band (OR) is the tuple of its M consecutive bucket
+    * indices (ANDs). Returns the L band-key strings per point. Lines/shifts
+    * are seeded-deterministic (partition-invariant) like [[Similarity.srpPlanes]];
+    * the reference seeds numpy the same way — its tests assert the
+    * STRUCTURE (L bands; close points share a band, distant ones never do),
+    * which is generator-independent. */
+  def euclideanLshBands(d: Int, M: Int, L: Int, A: Double,
+      seed: Long = 0): Seq[Double] => Seq[String] = {
+    val rnd = new scala.util.Random(0x5eed ^ seed)
+    val totalLines = M * L
+    val lines = Array.fill(totalLines) {
+      val v = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val shifts = Array.fill(totalLines)(rnd.nextDouble() * A)
+    (x: Seq[Double]) => {
+      val xs = x.toArray
+      (0 until L).map { band =>
+        (0 until M).map { m =>
+          val li = band * M + m
+          var dot = 0.0; var i = 0
+          while (i < d) { dot += xs(i) * lines(li)(i); i += 1 }
+          math.floor((dot + shifts(li)) / A).toLong
+        }.mkString(",")
+      }
+    }
+  }
+
+  /** Cosine LSH bucketer (generate_cosine_lsh_bucketer): same band shape
+    * over signed random projections (the SRP family [[Similarity.srpPlanes]]
+    * uses) — bucket bit = sign of the projection. */
+  def cosineLshBands(d: Int, M: Int, L: Int, seed: Long = 0): Seq[Double] => Seq[String] = {
+    val rnd = new scala.util.Random(0x5eed ^ seed)
+    val lines = Array.fill(M * L)(Array.fill(d)(rnd.nextGaussian()))
+    (x: Seq[Double]) => {
+      val xs = x.toArray
+      (0 until L).map { band =>
+        (0 until M).map { m =>
+          val li = band * M + m
+          var dot = 0.0; var i = 0
+          while (i < d) { dot += xs(i) * lines(li)(i); i += 1 }
+          if (dot > 0) "1" else "0"
+        }.mkString
+      }
+    }
+  }
+
+  /** stdlib `lsh(data, bucketer)` flattening: one row per (point, band) with
+    * the band index (`bucketing`, 0..L-1 — test_lsh_bucketing) and the band
+    * key (`band`). Candidate generation is then a plain equi-join /
+    * groupBy on (bucketing, band) — the reference's downstream shape. */
+  def lshFlatten(points: DataFrame, id: Column, vec: Column,
+      bucketer: Seq[Double] => Seq[String]): DataFrame = {
+    val sess = points.sparkSession
+    import sess.implicits._
+    points.select(id.cast("long").as("data_id"), vec.cast("array<double>").as("_v"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (pid, v) =>
+        bucketer(v).zipWithIndex.map { case (key, band) => (pid, band, key) }
+      }.toDF("data_id", "bucketing", "band")
+  }
+
   /** LSH pre-clustering: returns (id, label) with label ∈ [0, k).
     *
     * Pipeline: SRP-bucket each point into `nTables` (table, bucket) groups →

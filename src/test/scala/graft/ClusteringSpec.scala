@@ -47,4 +47,34 @@ class ClusteringSpec extends AnyFunSuite {
     val b = run().collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(a.sameElements(b), "bit-deterministic across runs")
   }
+  test("euclidean LSH bucketer: L band keys per point (test_bucketer_euclidean)") {
+    import graft.operators.Clustering
+    val b = Clustering.euclideanLshBands(d = 3, M = 5, L = 7, A = 3)
+    assert(b(Seq(1.0, 2.0, 3.0)).length == 7)
+    assert(b(Seq(4.0, 5.0, 6.0)).length == 7)
+    val c = Clustering.cosineLshBands(d = 3, M = 5, L = 7)
+    assert(c(Seq(1.0, 2.0, 3.0)).length == 7)
+  }
+
+  test("lsh flatten: close points share a band, distant ones never do (test_lsh, test_lsh_bucketing)") {
+    import graft.operators.Clustering
+    val data = Seq((0L, Seq(1.0, 2.0, 3.0)), (1L, Seq(1.02, 2.01, 3.03)),
+      (2L, Seq(4.0, 5.0, 6.0))).toDF("id", "v")
+    val bucketer = Clustering.euclideanLshBands(d = 3, M = 5, L = 3, A = 3)
+    val flat = Clustering.lshFlatten(data, col("id"), col("v"), bucketer)
+    // bucketing is properly indexed 0..L-1
+    assert(flat.select("bucketing").distinct().collect().map(_.getInt(0)).sorted
+      .sameElements(Array(0, 1, 2)))
+    // close points (0, 1) co-bucket in at least one band; the distant point
+    // (2) NEVER co-buckets with either (the reference's seed happens to put
+    // 0 and 1 together in all bands — the structural contract is
+    // together-somewhere / apart-everywhere)
+    val groups = flat.groupBy("bucketing", "band")
+      .agg(sort_array(collect_list(col("data_id"))).as("ids"))
+      .select("ids").collect().map(_.getSeq[Long](0).toList).toSet
+    assert(groups.contains(List(0L, 1L)), s"0 and 1 never co-bucket: $groups")
+    assert(groups.forall(g => !g.contains(2L) || g == List(2L)),
+      s"2 co-bucketed with a distant point: $groups")
+  }
+
 }
