@@ -92,4 +92,61 @@ object JdbcSink {
     df.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       applyUpserts(batch, keyCols, url, table, diffCol)
     }
+
+  /** stream_of_changes output mode (reference io duckdb/postgres
+    * output_table_type="stream_of_changes"; r16 decode of
+    * tests/test_io_duckdb.py:36-101): APPEND every changelog event —
+    * (payload…, time, diff) — to the table; deletions are RECORDED as
+    * diff=−1 rows, never applied; the payload must not itself contain the
+    * reserved `time`/`diff` names (the reference raises ValueError). */
+  def appendChangelog(batch: DataFrame, url: String, table: String,
+      timeCol: String = "time", diffCol: String = "diff",
+      jdbcBatchSize: Int = 500): Unit = {
+    val cols = batch.columns.toSeq
+    val reservedDup = cols.count(c => c == timeCol || c == diffCol)
+    require(cols.contains(timeCol) && cols.contains(diffCol) && reservedDup == 2,
+      s"stream_of_changes needs exactly the reserved $timeCol/$diffCol columns " +
+        s"plus payload; got ${cols.mkString(", ")}")
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")})" +
+      s" VALUES (${cols.map(_ => "?").mkString(", ")})"
+    batch.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ins = conn.prepareStatement(insertSql)
+          rows.grouped(jdbcBatchSize).foreach { group =>
+            group.foreach { r =>
+              cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+              ins.addBatch()
+            }
+            ins.executeBatch()
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** Snapshot-mode validation (test_io_duckdb.py:141-235 — the reference
+    * rejects these at graph build): a snapshot sink REQUIRES a primary key;
+    * key columns must exist, be distinct, non-nullable by schema, and
+    * scalar (no array/struct/map keys). Call before [[applyUpserts]] when
+    * mirroring the reference's snapshot connector contract. */
+  def validateSnapshotKeys(df: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty,
+      "snapshot mode requires a primary key (output_table_type=snapshot)")
+    require(keyCols.distinct.size == keyCols.size,
+      s"duplicate primary key columns: ${keyCols.mkString(", ")}")
+    val fields = df.schema.fields.map(f => f.name -> f).toMap
+    keyCols.foreach { k =>
+      val f = fields.getOrElse(k,
+        throw new IllegalArgumentException(s"primary key column $k missing"))
+      require(!f.nullable, s"primary key column $k must not be nullable")
+      require(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType],
+        s"primary key column $k must be scalar, got ${f.dataType.simpleString}")
+    }
+  }
 }

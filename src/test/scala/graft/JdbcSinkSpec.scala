@@ -108,4 +108,51 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(got == (0L until 10L).map(k => (k, 70L)),
       s"700 rows over 10 keys must count exactly 70 each after recovery, got $got")
   }
+  test("stream_of_changes mode: events APPEND with time/diff, deletions recorded not applied") {
+    import graft.streaming.JdbcSink
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    locally {
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().execute(
+        "CREATE TABLE soc_out (k BIGINT, v VARCHAR(32), time BIGINT, diff INT)")
+      finally c.close()
+    }
+    val b1 = Seq((1L, "one", 10L, 1), (2L, "two", 10L, 1)).toDF("k", "v", "time", "diff")
+    JdbcSink.appendChangelog(b1, url, "soc_out")
+    // a deletion event is a NEW ROW with diff=-1 (test_stream_of_changes_records_deletions)
+    val b2 = Seq((1L, "one", 20L, -1)).toDF("k", "v", "time", "diff")
+    JdbcSink.appendChangelog(b2, url, "soc_out")
+    val conn = java.sql.DriverManager.getConnection(url)
+    val rs = conn.createStatement().executeQuery(
+      "SELECT k, diff FROM soc_out ORDER BY time, k")
+    val rows = Iterator.continually(rs).takeWhile(_.next())
+      .map(r => (r.getLong(1), r.getInt(2))).toList
+    conn.close()
+    assert(rows == List((1L, 1), (2L, 1), (1L, -1)))
+    // reserved-name collision: payload may not carry its own time/diff
+    val bad = Seq((1L, 5, 10L, 1)).toDF("k", "time", "time2", "diff")
+      .withColumnRenamed("time2", "time")
+    intercept[IllegalArgumentException] {
+      JdbcSink.appendChangelog(bad, url, "soc_out")
+    }
+  }
+
+  test("snapshot-mode key validation: pk required, distinct, non-nullable, scalar") {
+    import graft.streaming.JdbcSink
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("nk", LongType, nullable = true),
+        StructField("arr", ArrayType(LongType), nullable = false),
+        StructField("v", StringType))))
+    JdbcSink.validateSnapshotKeys(df, Seq("k")) // fine
+    intercept[IllegalArgumentException] { JdbcSink.validateSnapshotKeys(df, Nil) }
+    intercept[IllegalArgumentException] { JdbcSink.validateSnapshotKeys(df, Seq("k", "k")) }
+    intercept[IllegalArgumentException] { JdbcSink.validateSnapshotKeys(df, Seq("nk")) }
+    intercept[IllegalArgumentException] { JdbcSink.validateSnapshotKeys(df, Seq("arr")) }
+    intercept[IllegalArgumentException] { JdbcSink.validateSnapshotKeys(df, Seq("zz")) }
+  }
+
 }
