@@ -295,12 +295,21 @@ object Connectors {
 
   // ── writers ────────────────────────────────────────────────────────────────
 
-  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
-    df.write.mode("overwrite").option("header", header.toString)
+  /** Output `sort_by` (io fs.write/subscribe sort_by, test_io.py:3652):
+    * rows write in sorted order. Spark-first: `orderBy` range-partitions
+    * and sorts — part files concatenate to the global order (readers
+    * consuming part-00000, part-00001, … see exactly the reference's
+    * ordering) without funnelling the write through one task. */
+  private def sorted(df: DataFrame, sortBy: Seq[Column]): DataFrame =
+    if (sortBy.isEmpty) df else df.orderBy(sortBy: _*)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      sortBy: Seq[Column] = Nil): Unit =
+    sorted(df, sortBy).write.mode("overwrite").option("header", header.toString)
       .options(Rfc4180).csv(path)
 
-  def writeJsonlines(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+  def writeJsonlines(df: DataFrame, path: String, sortBy: Seq[Column] = Nil): Unit =
+    sorted(df, sortBy).write.mode("overwrite").json(path)
 
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)

@@ -267,4 +267,31 @@ class ConnectorsTypedSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(vals == Set("2023-05-15 10:51:00"))
   }
+  test("output sort_by writes rows in sorted order (test_output_column_sorting_by_references)") {
+    import spark.implicits._
+    val t = Seq((1L, "foo", "bar"), (2L, "bar", "bar"), (3L, "baz", "baz"))
+      .toDF("k", "v", "vv")
+    def readOrder(dir: String): Seq[Long] = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      files.toSeq.flatMap { f =>
+        scala.io.Source.fromFile(f, "UTF-8").getLines()
+          .map(l => """\"k\":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong).toList
+      }
+    }
+    val d1 = Files.createTempDirectory("graft-sortby").resolve("o1").toString
+    Connectors.writeJsonlines(t, d1, sortBy = Seq(col("v")))
+    assert(readOrder(d1) == Seq(2L, 3L, 1L)) // bar, baz, foo
+    val d2 = Files.createTempDirectory("graft-sortby").resolve("o2").toString
+    Connectors.writeJsonlines(t, d2, sortBy = Seq(col("vv"), col("v")))
+    assert(readOrder(d2) == Seq(2L, 1L, 3L)) // (bar,bar), (bar,foo), (baz,baz)
+    val d3 = Files.createTempDirectory("graft-sortby").resolve("o3").toString
+    Connectors.writeJsonlines(t, d3, sortBy = Seq(col("k")))
+    assert(readOrder(d3) == Seq(1L, 2L, 3L))
+    // a foreign sort column is an analysis error, like the reference ValueError
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Connectors.writeJsonlines(t, d3, sortBy = Seq(col("nope")))
+    }
+  }
+
 }
