@@ -140,6 +140,30 @@ object PollingCdc {
     new SnapshotState(spark, stateDir, keys).step(curr)
   }
 
+  /** fs.read(format="only_metadata") (test_io.py:4271 test_fs_metadata_only):
+    * one row per FILE carrying only its metadata; a rewritten file retracts
+    * the old metadata row and inserts the new one, a removed file retracts.
+    * The snapshot is the `binaryFile` source's metadata columns — column
+    * pruning keeps content bytes unread — diffed per poll on the full
+    * metadata (path, size, mtime), so ANY change to a file shows as
+    * retract+insert. */
+  def fsMetadataPollStep(spark: SparkSession, path: String,
+      stateDir: String): DataFrame = {
+    val keys = Seq("_metadata_path", "_metadata_size", "_metadata_modified_at")
+    fsPollStep(spark, keys, stateDir,
+      () => spark.read.format("binaryFile").load(path)
+        .select(col("path").as("_metadata_path"),
+          col("length").as("_metadata_size"),
+          col("modificationTime").as("_metadata_modified_at")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_metadata_path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_metadata_size",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_metadata_modified_at",
+          org.apache.spark.sql.types.TimestampType))))
+  }
+
   /** [[fsPollStep]] over schema-typed JSON-lines (the fixtures' format). */
   def fsJsonlinesPollStep(spark: SparkSession, path: String,
       schema: graft.core.PwSchema, keys: Seq[String], stateDir: String,

@@ -151,4 +151,26 @@ class PollingCdcSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getInt(2))).toSet
     assert(out == Set((2, Some("x"), -1), (2, Some("y"), 1)))
   }
+  test("only_metadata format: one metadata row per file, rewrite = retract+insert (test_fs_metadata_only)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta-cdc").toString
+    val st = java.nio.file.Files.createTempDirectory("graft-meta-state").toString
+    def poll() = PollingCdc.fsMetadataPollStep(spark, dir, st)
+      .select("_metadata_path", "diff").collect()
+      .map(r => (new java.io.File(r.getString(0)).getName, r.getInt(1))).toSeq.sorted
+    val f = java.nio.file.Paths.get(dir, "a.txt")
+    java.nio.file.Files.write(f, "aaaa".getBytes)
+    assert(poll() == Seq(("a.txt", 1)))
+    // unchanged poll: nothing
+    assert(poll().isEmpty)
+    // rewrite with different content/size -> retract old metadata + insert new
+    java.nio.file.Files.write(f, "bbbbbbbb".getBytes)
+    assert(poll() == Seq(("a.txt", -1), ("a.txt", 1)))
+    // removal retracts; rows carry ONLY metadata columns + diff
+    java.nio.file.Files.delete(f)
+    val last = PollingCdc.fsMetadataPollStep(spark, dir, st)
+    assert(last.columns.toSet ==
+      Set("_metadata_path", "_metadata_size", "_metadata_modified_at", "diff"))
+    assert(last.count() == 1 && last.select("diff").collect().head.getInt(0) == -1)
+  }
+
 }
