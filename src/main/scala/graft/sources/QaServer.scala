@@ -46,7 +46,7 @@ object QaServer {
     sharded.getOrElse(store.count() * dim > autoShardCells)
 
   private final case class Entry(chunkId: Long, docId: Long, text: String,
-      vec: Array[Float])
+      vec: Array[Float], path: String = null)
 
   /** The serving index behind every route: ranked top-k plus the
     * list_documents inventory. Two implementations — the collected
@@ -56,7 +56,11 @@ object QaServer {
     * rank under the same (-score, chunkId) order with the same cosine, so
     * answers are bit-identical (DocumentStoreSpec pins it). */
   private sealed trait Index {
-    def top(qv: Array[Float], k: Int): Array[(Entry, Double)]
+    def top(qv: Array[Float], k: Int): Array[(Entry, Double)] = top(qv, k, null)
+    /** `filter` is a merged IndexFilter string evaluated against each
+      * chunk's file metadata BEFORE ranking (pre-filtered exact top-k — the
+      * DocumentStore.retrieve contract); null accepts everything. */
+    def top(qv: Array[Float], k: Int, filter: String): Array[(Entry, Double)]
     /** (docId, nChunks, nChars) sorted by docId. */
     def docSummary: Seq[(Long, Long, Long)]
     /** (path, modified_at µs) per distinct input file — the
@@ -91,9 +95,13 @@ object QaServer {
     // not on every index rebuild
     private lazy val inv = fileInventoryOf(owned)
     def fileInventory: Seq[(String, Option[Long])] = inv
-    def top(qv: Array[Float], k: Int): Array[(Entry, Double)] =
-      entries.map(e => (e, DocumentStore.cosineF(qv, e.vec)))
+    def top(qv: Array[Float], k: Int, filter: String): Array[(Entry, Double)] =
+      entries.iterator
+        .filter(e => filter == null || graft.functions.IndexFilter.matches(filter,
+          if (e.path == null) Map.empty else Map("path" -> e.path)))
+        .map(e => (e, DocumentStore.cosineF(qv, e.vec)))
         .filter { case (_, s) => java.lang.Double.isFinite(s) }
+        .toArray
         .sortBy { case (e, s) => (-s, e.chunkId) }
         .take(math.max(k, 0))
     def docSummary: Seq[(Long, Long, Long)] =
@@ -121,10 +129,22 @@ object QaServer {
           s"store embedding dim $n != serve dim $dim (chunk ${r.getLong(0)})")
       }
     }
-    def top(qv: Array[Float], k: Int): Array[(Entry, Double)] =
-      DocumentStore.retrieveSharded(store, Seq(0L -> qv), k, expectDim = Some(dim))
+    def top(qv: Array[Float], k: Int, filter: String): Array[(Entry, Double)] = {
+      // the filter prunes the DISTRIBUTED scan before per-shard top-k — the
+      // same pre-filtered exact-top-k contract as the snapshot path
+      val base =
+        if (filter == null || !store.columns.contains("_metadata_path")) store
+        else {
+          val f = filter
+          val matchUdf = org.apache.spark.sql.functions.udf((p: String) =>
+            graft.functions.IndexFilter.matches(f,
+              if (p == null) Map.empty[String, String] else Map("path" -> p)))
+          store.filter(matchUdf(org.apache.spark.sql.functions.col("_metadata_path")))
+        }
+      DocumentStore.retrieveSharded(base, Seq(0L -> qv), k, expectDim = Some(dim))
         .sortBy(_.rank)
         .map(h => (Entry(h.chunkId, h.docId, h.chunkText, Array.emptyFloatArray), h.score))
+    }
     def docSummary: Seq[(Long, Long, Long)] =
       DocumentStore.docSummaryDistributed(store)
     private lazy val inv = fileInventoryOf(store)
@@ -163,11 +183,15 @@ object QaServer {
   }
 
   private def collectEntries(store: DataFrame, dim: Int): Array[Entry] = {
-    val entries = store.select("chunk_id", "doc_id", "chunk_text", "embedding")
+    val hasPath = store.columns.contains("_metadata_path")
+    val cols = Seq("chunk_id", "doc_id", "chunk_text", "embedding") ++
+      (if (hasPath) Seq("_metadata_path") else Nil)
+    val entries = store.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .collect()
       .map { r =>
         Entry(r.getLong(0), r.getLong(1), r.getString(2),
-          r.getSeq[Float](3).toArray)
+          r.getSeq[Float](3).toArray,
+          if (hasPath) r.getString(4) else null)
       }
     // fail fast on a serve(dim) / store-dim mismatch: truncated-cosine
     // scoring would otherwise return silently garbage rankings
@@ -253,10 +277,18 @@ object QaServer {
             case JInt(n) => n.toInt
             case _ => defaultK
           }
+          // per-query retrieval filters (RetrieveQuerySchema metadata_filter /
+          // filepath_globpattern), merged exactly like DocumentStore retrieval
+          def strField(name: String): Option[String] = parsed \ name match {
+            case JString(v) if v.nonEmpty => Some(v)
+            case _ => None
+          }
+          val filter = graft.functions.IndexFilter.mergeFilters(
+            strField("metadata_filter"), strField("filepath_globpattern")).orNull
           val qv = embedder.embedBatch(Seq(query)).head
           // non-finite scores (zero-norm query or chunk) can't rank and
           // -Infinity isn't valid JSON - the index drops them
-          val top = indexRef.get().top(qv, k)
+          val top = indexRef.get().top(qv, k, filter)
           val results = top.map { case (e, s) =>
             s"""{"chunk_id":${e.chunkId},"doc_id":${e.docId},"score":$s,"text":"${jsonEscape(e.text)}"}"""
           }.mkString("[", ",", "]")

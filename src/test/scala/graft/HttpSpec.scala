@@ -170,6 +170,35 @@ class HttpSpec extends AnyFunSuite {
     } finally served.stop()
   }
 
+  test("per-query retrieval filters on the answer route (RetrieveQuerySchema metadata_filter/glob)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta words here",
+        "pathway/tests/a.py"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta words here",
+        "docs/readme.txt")).toDF("doc_id", "text", "path")
+    val store = graft.operators.DocumentStore.build(
+      docs, col("doc_id"), col("text"), chunkTokens = 30, overlap = 5, dim = 32)
+      .join(docs.select(col("doc_id"), col("path")), "doc_id")
+      .withColumn("_metadata_path", col("path"))
+    for (sharded <- Seq(Some(false), Some(true))) {
+      val served = graft.sources.QaServer.serveRefreshable(store, dim = 32,
+        sharded = sharded)
+      try {
+        val url = s"http://127.0.0.1:${served.port}/v2/answer"
+        val all = post(url, """{"query": "alpha", "k": 4}""")
+        assert(all.contains("\"doc_id\":1") && all.contains("\"doc_id\":2"))
+        val py = post(url, """{"query": "alpha", "k": 4, "filepath_globpattern": "**/*.py"}""")
+        assert(py.contains("\"doc_id\":1") && !py.contains("\"doc_id\":2"), s"$sharded: $py")
+        val meta = post(url,
+          """{"query": "alpha", "k": 4, "metadata_filter": "contains(path, `readme`)"}""")
+        assert(!meta.contains("\"doc_id\":1") && meta.contains("\"doc_id\":2"), s"$sharded: $meta")
+        val none = post(url, """{"query": "alpha", "k": 4, "filepath_globpattern": "**/*.rs"}""")
+        assert(none.contains("\"results\":[]"), s"$sharded: $none")
+      } finally served.stop()
+    }
+  }
+
   test("QaServer sharded mode: byte-identical responses, refresh still swaps") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
