@@ -44,12 +44,31 @@ object Connectors {
     * crate's doubling on both sides. */
   private val Rfc4180 = Map("quote" -> "\"", "escape" -> "\"")
 
+  /** Directory-scan parity with the reference's filesystem scanner
+    * (data_storage/file.rs; test_io.py:3124-3182): reads RECURSE into
+    * subdirectories (a glob may match a directory and its tree is read),
+    * and quoted embedded newlines round-trip (multiLine) — Spark's default
+    * is direct-children-only and line-split CSV. At scale parallelism is
+    * per FILE under multiLine; mutable dirs belong on PollingCdc anyway. */
+  private val DirScan = Map("recursiveFileLookup" -> "true")
+  private val CsvRead = Rfc4180 ++ DirScan + ("multiLine" -> "true")
+
+  /** The reference returns an EMPTY table when a path/glob matches nothing
+    * (test_glob_pattern_nothing_matched) — Spark raises PATH_NOT_FOUND. */
+  private def globMatches(spark: SparkSession, path: String): Boolean =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.globStatus(p)
+      st != null && st.nonEmpty
+    }.getOrElse(false)
+
   /** CSV (io/csv, data_format/dsv.rs). Header + delimiter options mirror
     * `csv.read(…, csv_settings)`. */
   def csv(spark: SparkSession, path: String, mode: Mode = Static,
       schema: Option[StructType] = None, header: Boolean = true,
       delimiter: String = ",", withMetadata: Boolean = false): DataFrame = {
-    val opts = Map("header" -> header.toString, "sep" -> delimiter) ++ Rfc4180
+    val opts = Map("header" -> header.toString, "sep" -> delimiter) ++ CsvRead
     val df = reader(spark, mode, schema) match {
       case Left(r)  => r.options(opts).csv(path)
       case Right(r) => r.options(opts).csv(path)
@@ -85,7 +104,7 @@ object Connectors {
       val headerNames =
         if (mode == Streaming)
           scala.util.Try(
-            spark.read.options(Map("header" -> "true", "sep" -> delimiter) ++ Rfc4180)
+            spark.read.options(Map("header" -> "true", "sep" -> delimiter) ++ CsvRead)
               .csv(path).columns.toSeq).getOrElse(schema.cols.map(_.name))
         else schema.cols.map(_.name)
       headerNames.map(n =>
@@ -93,8 +112,8 @@ object Connectors {
     })
     val raw = reader(spark, mode, if (mode == Streaming) Some(rawSchema) else None) match {
       case Left(r)  => r.options(Map("header" -> "true", "sep" -> delimiter,
-        "inferSchema" -> "false") ++ Rfc4180).csv(path)
-      case Right(r) => r.options(Map("header" -> "true", "sep" -> delimiter) ++ Rfc4180).csv(path)
+        "inferSchema" -> "false") ++ CsvRead).csv(path)
+      case Right(r) => r.options(Map("header" -> "true", "sep" -> delimiter) ++ CsvRead).csv(path)
     }
     val present = raw.columns.toSet
     val missing = schema.cols.map(_.name).filterNot(present)
@@ -162,8 +181,8 @@ object Connectors {
   def jsonlines(spark: SparkSession, path: String, mode: Mode = Static,
       schema: Option[StructType] = None, withMetadata: Boolean = false): DataFrame = {
     val df = reader(spark, mode, schema) match {
-      case Left(r)  => r.json(path)
-      case Right(r) => r.json(path)
+      case Left(r)  => r.options(DirScan).json(path)
+      case Right(r) => r.options(DirScan).json(path)
     }
     withMeta(df, withMetadata)
   }
@@ -171,9 +190,16 @@ object Connectors {
   /** Plaintext: one row per line (io/plaintext, data_format/single_column.rs). */
   def plaintext(spark: SparkSession, path: String, mode: Mode = Static,
       withMetadata: Boolean = false): DataFrame = {
+    if (mode == Static && !globMatches(spark, path)) {
+      // matchless path/glob → EMPTY table, the reference's scanner behavior
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("data", StringType))))
+    }
     val df = reader(spark, mode, None) match {
-      case Left(r)  => r.text(path)
-      case Right(r) => r.text(path)
+      case Left(r)  => r.options(DirScan).text(path)
+      case Right(r) => r.options(DirScan).text(path)
     }
     withMeta(df.withColumnRenamed("value", "data"), withMetadata)
   }

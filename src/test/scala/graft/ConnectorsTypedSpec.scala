@@ -294,4 +294,36 @@ class ConnectorsTypedSpec extends AnyFunSuite {
     }
   }
 
+  test("directory scans recurse; globs match dirs; matchless globs yield EMPTY (test_io.py:3124-3182)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-glob")
+    val nested = root.resolve("nested_level_1/nested_level_2/nested_level_3")
+    Files.createDirectories(nested)
+    Files.write(nested.resolve("a.txt"), "a\nb\nc".getBytes)
+    // subdirectories recurse (test_subdirectories)
+    assert(Connectors.plaintext(spark,
+      root.resolve("nested_level_1").toString).count() == 3)
+    // a glob reaching through ** matches (test_glob_pattern)
+    Files.write(nested.resolve("b.txt"), "d\ne\nf\ng".getBytes)
+    assert(Connectors.plaintext(spark,
+      root.resolve("nested_level_1").toString + "/*/*/b.txt").count() == 4)
+    // a glob matching a DIRECTORY recurses into it (test_glob_pattern_recurse_subdirs)
+    val in2 = root.resolve("input"); Files.createDirectories(in2.resolve("foo/level2"))
+    Files.write(in2.resolve("foo/level2/a.txt"), "a\nb\nc".getBytes)
+    Files.write(in2.resolve("f1.txt"), "d\ne\nf\ng".getBytes)
+    Files.write(in2.resolve("bar.txt"), "h\ni\nj\nk\nl".getBytes)
+    assert(Connectors.plaintext(spark, in2.toString + "/f*").count() == 7)
+    // a matchless path yields ZERO rows, not PATH_NOT_FOUND
+    assert(Connectors.plaintext(spark, in2.toString + "/f").count() == 0)
+  }
+
+  test("test_non_ascii_characters: embedded newlines and unicode round-trip through CSV") {
+    import spark.implicits._
+    val values = Seq("a\na", "ąęćśż", "قطة")
+    val dir = Files.createTempDirectory("graft-nonascii").resolve("out").toString
+    Connectors.writeCsv(values.toDF("data"), dir)
+    val back = Connectors.csv(spark, dir).select("data").as[String].collect().toSet
+    assert(back == values.toSet)
+  }
+
 }
