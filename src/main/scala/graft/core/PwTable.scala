@@ -345,4 +345,25 @@ final case class PwJoinResult(joined: DataFrame, spark: SparkSession) {
   }
 
   def filter(cond: Column): PwJoinResult = copy(joined = joined.filter(cond))
+
+  /** `join(…, id=left.id / right.id)` (joins.py:135 id override; r16 replay
+    * of test_common.py test_join_left/right_assign_id): the result keys by
+    * ONE side's id instead of hash(l, r) — valid only while that side's
+    * rows match at most once; a duplicate raises the reference's runtime
+    * KeyError. `side` ∈ "left" | "right". */
+  def selectWithId(side: String, cols: (String, Column)*): PwTable = {
+    val idCol = side match {
+      case "left" => col(s"l.$IdCol")
+      case "right" => col("_pw_id_r")
+      case other => throw new IllegalArgumentException(
+        s"id override must be left or right, got $other")
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    val guarded = joined
+      .withColumn("_pw_idn", count(lit(1)).over(w))
+      .where(when(col("_pw_idn") > 1, raise_error(concat(
+        lit("duplicate key: "), idCol.cast("string")))).otherwise(lit(true)))
+    PwTable.fromKeyed(guarded.withColumn(IdCol, idCol)
+      .select(col(IdCol) +: cols.map { case (n, c) => c.as(n) }: _*))
+  }
 }

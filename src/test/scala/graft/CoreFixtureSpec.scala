@@ -47,6 +47,28 @@ class CoreFixtureSpec extends AnyFunSuite {
     assert(ids.distinct().count() == 9)
   }
 
+  test("join id override keys by one side; duplicates raise (test_join_left/right_assign_id)") {
+    val left = Seq((1L, "a", 11L), (2L, "b", 12L), (3L, "c", 13L), (4L, "d", 13L))
+      .toDF("id0", "col", "on")
+    val right = Seq((11L, "d", 12L), (12L, "e", 13L), (13L, "f", 14L))
+      .toDF("id0", "col", "on")
+    // id=left.id: each left matches <=1 right -> result keyed by LEFT ids 2,3,4
+    val joined = pw(left, "id0").join(pw(right, "id0"), col("l.on") === col("r.on"))
+      .selectWithId("left", "lid" -> col("l.id0"),
+        "lcol" -> col("l.col"), "rcol" -> col("r.col"))
+    val got = joined.toDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set((2L, "b", "d"), (3L, "c", "e"), (4L, "d", "e")))
+    assert(joined.df.select(graft.core.Keys.IdCol).distinct().count() == 3)
+    // id=right.id: right row 12 ('e') matches TWO lefts -> the reference's
+    // runtime KeyError
+    val err = intercept[Exception] {
+      pw(left, "id0").join(pw(right, "id0"), col("l.on") === col("r.on"))
+        .selectWithId("right", "lcol" -> col("l.col")).toDf.collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("duplicate key"))
+  }
+
   test("flatten on a 2-D ndarray explodes along the FIRST axis (test_flatten_multidimensional)") {
     val t = Seq((1, Seq(Seq(1, 2), Seq(3, 4))), (2, Seq(Seq(1, 2, 5, 6))))
       .toDF("k", "array")
