@@ -330,6 +330,21 @@ final case class PwGrouped(table: PwTable, keys: Seq[(String, Column)]) {
     PwTable.fromKeyed(
       grouped.withColumn(IdCol, Keys.pointerFrom(keys.map { case (n, _) => col(n) }: _*)))
   }
+
+  /** `groupby(id=<pointer col>)` (groupbys.py id=; r16 replay of
+    * test_common.py test_groupby_setid): when grouping by a single POINTER
+    * column, the pointer itself becomes the result id (no re-hash) — so the
+    * reduced table stays addressable by the original keys (ix /
+    * with_universe_of interop). `idKey` must be the (single) grouping
+    * column holding the pointer. */
+  def reduceWithId(idKey: String, aggs: (String, Column)*): PwTable = {
+    require(keys.exists(_._1 == idKey), s"$idKey is not a grouping key")
+    val keyCols = keys.map { case (n, c) => c.as(n) }
+    val grouped = table.df
+      .groupBy(keyCols: _*)
+      .agg(aggs.head._2.as(aggs.head._1), aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    PwTable.fromKeyed(grouped.withColumn(IdCol, col(idKey).cast("long")))
+  }
 }
 
 /** Join result with deferred projection (Pathway `JoinResult`, joins.py:553). */

@@ -69,6 +69,19 @@ class CoreFixtureSpec extends AnyFunSuite {
     assert(err.getMessage != null && err.getMessage.contains("duplicate key"))
   }
 
+  test("groupby(id=pointer) keeps the pointer as the result id (test_groupby_setid)") {
+    val left = Seq((1L, 1L, "Alice", 10L), (2L, 1L, "Bob", 9L),
+      (3L, 2L, "Alice", 8L), (4L, 1L, "Bob", 7L)).toDF("id0", "pet", "owner", "age")
+      .withColumn("pet", Keys.pointerFrom(col("pet")))
+    val res = pw(left, "id0").groupby("pet" -> col("pet"))
+      .reduceWithId("pet", "agesum" -> sum(col("age")))
+    val rows = res.df.select(col(graft.core.Keys.IdCol), col("pet"), col("agesum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the id IS the pet pointer (no re-hash): id == pet for every row
+    assert(rows.forall { case (id, pet, _) => id == pet })
+    assert(rows.map(_._3).toSet == Set(26L, 8L))
+  }
+
   test("flatten on a 2-D ndarray explodes along the FIRST axis (test_flatten_multidimensional)") {
     val t = Seq((1, Seq(Seq(1, 2), Seq(3, 4))), (2, Seq(Seq(1, 2, 5, 6))))
       .toDF("k", "array")
