@@ -170,6 +170,19 @@ object SparkEntry {
     graft.sources.PollingCdc.snapshotDiff(prev, curr, Seq("o_orderkey"))
   }
 
+  /** StreamOps.upsertSessionToChangelog over a synthetic upsert event
+    * stream derived from orders (SessionType.UPSERT expansion: add
+    * retracts the previous value + inserts, remove retracts by key). */
+  private def qUpsertSession(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).toDf
+    val events = o.select(
+      (col("o_orderkey") % 1000).as("k"),
+      col("o_orderkey").as("time"),
+      when(col("o_orderkey") % 7 === 0, lit("remove")).otherwise(lit("add")).as("op"),
+      col("o_totalprice").as("v"))
+    graft.streaming.StreamOps.upsertSessionToChangelog(events, Seq("k"))
+  }
+
   private def qConcatReindex(s: SparkSession, dir: String): DataFrame = {
     // same source twice: concat would collide on ids; concat_reindex re-keys.
     // Observable = row multiset (ids are engine-internal): every order twice.
@@ -1794,6 +1807,7 @@ object SparkEntry {
     "text_langid"     -> (qTextLangId _),
     "text_fingerprint" -> (qTextFingerprint _),
     "snapshot_diff"   -> (qSnapshotDiff _),
+    "upsert_session"  -> (qUpsertSession _),
     "doc_split_chunks" -> (qDocSplit _),
     "doc_parse"       -> (qDocParse _),
     "dedup_exact"     -> (qDedupExact _),
@@ -1986,6 +2000,20 @@ object SparkEntry {
       """SELECT c_custkey,
         |  CASE WHEN c_nationkey = 7 THEN 'OVERRIDDEN' ELSE c_mktsegment END AS c_mktsegment
         |FROM customer""".stripMargin,
+    "upsert_session" ->
+      """WITH events AS (
+        |  SELECT o_orderkey % 1000 AS k, o_orderkey AS time,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'remove' ELSE 'add' END AS op,
+        |    o_totalprice AS v
+        |  FROM orders),
+        |w AS (
+        |  SELECT k, time, op, v,
+        |    CASE WHEN lag(op) OVER (PARTITION BY k ORDER BY time) = 'add'
+        |      THEN lag(v) OVER (PARTITION BY k ORDER BY time) END AS prev_state
+        |  FROM events)
+        |SELECT k, prev_state AS v, time, -1 AS diff FROM w WHERE prev_state IS NOT NULL
+        |UNION ALL
+        |SELECT k, v AS v, time, 1 AS diff FROM w WHERE op = 'add'""".stripMargin,
     "snapshot_diff" ->
       """WITH prev AS (
         |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),

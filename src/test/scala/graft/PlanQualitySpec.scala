@@ -44,7 +44,7 @@ class PlanQualitySpec extends AnyFunSuite {
     "doc_pack", "doc_split_chunks", "doc_parse", "expr_str", "expr_num",
     "expr_cond", "matmul_block", "reduce_countmin",
     "expr_str_py", "expr_json", "expr_dt", "reduce_distinct_fold",
-    "pagerank_ref", "window_behavior", "snapshot_diff")
+    "pagerank_ref", "window_behavior", "snapshot_diff", "upsert_session")
 
   /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
     * 1-row scalar cross joins (ignore_late-style max-ts broadcast;
