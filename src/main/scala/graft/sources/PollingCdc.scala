@@ -140,6 +140,29 @@ object PollingCdc {
     new SnapshotState(spark, stateDir, keys).step(curr)
   }
 
+  /** Drive a poll step as a LIVE Structured Streaming query (the
+    * reference's connector mode: autocommit_duration_ms paces the polls) —
+    * each trigger runs one snapshot-diff poll and hands the changelog to
+    * `onChangelog` (a sink write, a foreachBatch merge, …). The pacing
+    * rides a 1-row-per-trigger rate stream; the poll itself is the same
+    * distributed diff as the batch form, so a restart resumes from the
+    * parquet-tracked snapshot (checkpointing the rate stream is
+    * unnecessary — the SnapshotState IS the source's durable state). */
+  def pollingStream(spark: SparkSession, intervalMs: Long,
+      step: () => DataFrame)(onChangelog: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", math.max(1, 1000 / math.max(1, intervalMs)))
+      .load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val diff = step()
+        if (!diff.isEmpty) onChangelog(diff)
+      }
+      .start()
+  }
+
   /** fs.read(format="only_metadata") (test_io.py:4271 test_fs_metadata_only):
     * one row per FILE carrying only its metadata; a rewritten file retracts
     * the old metadata row and inserts the new one, a removed file retracts.

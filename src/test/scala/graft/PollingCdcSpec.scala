@@ -173,4 +173,33 @@ class PollingCdcSpec extends AnyFunSuite {
     assert(last.count() == 1 && last.select("diff").collect().head.getInt(0) == -1)
   }
 
+  test("pollingStream drives live polls: changes between triggers surface as changelog batches") {
+    import graft.core.{PwColumnDef, PwSchema}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-live-cdc").toString
+    val st = java.nio.file.Files.createTempDirectory("graft-live-state").toString
+    val schema = PwSchema(Seq(
+      PwColumnDef("key", LongType, primaryKey = true),
+      PwColumnDef("value", StringType)))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Int)]()
+    val f = java.nio.file.Paths.get(dir, "d.jsonlines")
+    java.nio.file.Files.write(f, """{"key": 1, "value": "one"}""".getBytes)
+    val q = PollingCdc.pollingStream(spark, intervalMs = 300,
+      () => PollingCdc.fsJsonlinesPollStep(spark, dir, schema, Seq("key"), st)) { diff =>
+      diff.select("key", "value", "diff").collect()
+        .foreach(r => seen.add((r.getLong(0), r.getString(1), r.getInt(2))))
+    }
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.size < 1 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(seen.size >= 1, "first poll never surfaced")
+      java.nio.file.Files.write(f, """{"key": 1, "value": "uno"}""".getBytes)
+      while (seen.size < 3 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    val events = seen.toArray(Array.empty[(Long, String, Int)]).toSeq
+    assert(events.contains((1L, "one", 1)))
+    assert(events.contains((1L, "one", -1)) && events.contains((1L, "uno", 1)),
+      s"update never surfaced: $events")
+  }
+
 }
