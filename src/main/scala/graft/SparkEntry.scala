@@ -2790,7 +2790,7 @@ object SparkEntry {
         |r3 AS (SELECT * FROM base UNION ALL
         |       SELECT e.v AS vertex, SUM(flow) + 1000 AS rank
         |       FROM e JOIN f3 ON e.u = f3.vertex GROUP BY e.v)
-        |SELECT vertex, rank FROM r3""".stripMargin,
+        |SELECT vertex, CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin,
     "pagerank" ->
       """WITH nn AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
         |ed0 AS (SELECT k AS src, (k+1)%25 AS dst FROM nn
@@ -2825,8 +2825,8 @@ object SparkEntry {
     // DuckDB's native `//` and `%` are C-style (trunc, dividend-sign)
     "sql_dialect" ->
       """SELECT l_returnflag, COUNT(*) AS cnt,
-        |  SUM(CAST(floor((CAST(l_quantity AS BIGINT) - 25) / 7.0) AS BIGINT)) AS fdiv,
-        |  SUM((((CAST(l_quantity AS BIGINT) - 25) % 7) + 7) % 7) AS fmod,
+        |  CAST(SUM(CAST(floor((CAST(l_quantity AS BIGINT) - 25) / 7.0) AS BIGINT)) AS BIGINT) AS fdiv,
+        |  CAST(SUM((((CAST(l_quantity AS BIGINT) - 25) % 7) + 7) % 7) AS BIGINT) AS fmod,
         |  SUM(l_quantity / 64.0) AS qd
         |FROM lineitem GROUP BY l_returnflag HAVING COUNT(*) > 1""".stripMargin,
     "apply_udf" ->
@@ -3029,18 +3029,18 @@ object SparkEntry {
     // vanish from the reducer, count(*) still counts them
     "error_skip_reduce" ->
       """SELECT l_returnflag,
-        |  SUM(CASE WHEN l_linenumber <> 3 THEN
+        |  CAST(SUM(CASE WHEN l_linenumber <> 3 THEN
         |    CAST(floor(CAST(l_quantity AS BIGINT) / CAST(l_linenumber - 3 AS DOUBLE)) AS BIGINT)
-        |  END) AS sx,
+        |  END) AS BIGINT) AS sx,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // _skip_errors=False: one errored input poisons the group's reducer
     // (exactly the l_linenumber=3 group), fill_error recovers with -1
     "error_propagate_reduce" ->
       """SELECT l_linenumber,
-        |  CASE WHEN l_linenumber = 3 THEN -1 ELSE
+        |  CAST(CASE WHEN l_linenumber = 3 THEN -1 ELSE
         |    SUM(CAST(floor(CAST(l_quantity AS BIGINT) / CAST(l_linenumber - 3 AS DOUBLE)) AS BIGINT))
-        |  END AS sx,
+        |  END AS BIGINT) AS sx,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_linenumber""".stripMargin,
     "dedup_minhash_lsh" -> OracleSqlGen.dedupMinhashLsh(k = 5, numHashes = 32, bands = 8, threshold = 0.7),

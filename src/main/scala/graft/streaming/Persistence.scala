@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted static reruns (reference `tests/test_persistence.py`,
+  * `tests/test_persistence_iterate.py`; engine `src/persistence/`).
+  *
+  * The reference contract, decoded from those two files (2,791 LoC of
+  * vectors): a program run repeatedly in STATIC mode against the same
+  * persistence directory must, on every run, emit EXACTLY the unit-diff
+  * multiset delta between the previous run's output state and the new
+  * output state — additions as `diff=+1` rows, removals as `diff=-1` rows,
+  * nothing for unchanged rows, and never a non-unit diff
+  * (`_assert_diffs_are_unit`, test_persistence_iterate.py:142). This holds
+  * across every operator family the reference pins: iterate fixpoints
+  * (chunk propagation under file add/modify/delete), groupby/reduce,
+  * joins with id override, ix lookups, intersect/difference/restrict,
+  * update_rows/update_cells, stream_to_table, deduplicate-with-acceptor,
+  * and non-deterministic UDFs (whose per-row results must be memoized so
+  * replays retract the ORIGINAL values — test_persistence.py:665).
+  *
+  * Spark-first shape: persistence state IS a generation-numbered parquet
+  * snapshot of the output table. One run =
+  *   1. compute the new output over the full current input (Catalyst plans
+  *      the whole program; nothing is hand-scheduled),
+  *   2. write it as generation N+1 (write-then-flip-pointer commit, the
+  *      same two-phase shape a 1000-executor job needs for atomicity),
+  *   3. emit `unitDiff(gen N, gen N+1)` — a single count-aggregate over the
+  *      union, distributed end-to-end, no driver collect.
+  * Old generations are retained, which makes the store double as the
+  * `History.asOf` time-travel log. At 100 TB the diff is one shuffle over
+  * (|prev| + |cur|) grouped rows with map-side combine; the snapshot write
+  * is a plain parquet append of the new generation.
+  *
+  * Divergence (documented in SEMANTICS.md): the reference's
+  * OPERATOR_PERSISTING replays retractions THROUGH re-executed operators, so
+  * a lying "deterministic" UDF retracts a freshly-computed value
+  * (test_persistence.py:717). Graft always retracts the persisted output
+  * values — the retraction matches what was previously emitted.
+  */
+object Persistence {
+
+  private val LatestFile = "_LATEST"
+
+  /** Unit-diff changelog `cur ⊖ prev`: one row per unit of multiset
+    * difference with `diff` ∈ {+1, −1}. Null-safe on every column (a
+    * groupBy, unlike an equi-join, buckets nulls together — the chunk
+    * propagation vectors carry `chunk_start=None` rows). */
+  def unitDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val cols = cur.columns.toSeq
+    val tagged = cur.select(cols.map(col): _*).withColumn("_pw_d", lit(1L))
+      .unionByName(prev.select(cols.map(col): _*).withColumn("_pw_d", lit(-1L)))
+    tagged.groupBy(cols.map(col): _*)
+      .agg(sum("_pw_d").as("_pw_net"))
+      .filter(col("_pw_net") =!= 0)
+      .withColumn("diff", when(col("_pw_net") > 0, 1).otherwise(-1))
+      .withColumn("_pw_i", explode(sequence(lit(1L), abs(col("_pw_net")))))
+      .drop("_pw_net", "_pw_i")
+  }
+
+  private def latestGen(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new java.io.File(dir, LatestFile)
+    if (p.exists()) Some(new String(java.nio.file.Files.readAllBytes(p.toPath)).trim.toLong)
+    else None
+  }
+
+  private def genDir(dir: String, gen: Long): String =
+    new java.io.File(dir, s"gen=$gen").toString
+
+  /** The persisted output state (latest committed generation), if any. */
+  def readSnapshot(spark: SparkSession, dir: String): Option[DataFrame] =
+    latestGen(spark, dir).map(g => spark.read.parquet(genDir(dir, g)))
+
+  /** One persisted static run: write `current` as the next generation
+    * (commit = flip the `_LATEST` pointer only after the parquet write
+    * completes), and return the unit-diff changelog vs the previous
+    * generation — the exact rows the reference's csv sink would carry. */
+  def runStatic(stateDir: String, current: DataFrame): DataFrame = {
+    val spark = current.sparkSession
+    val prevGen = latestGen(spark, stateDir)
+    val nextGen = prevGen.getOrElse(-1L) + 1
+    current.write.mode("overwrite").parquet(genDir(stateDir, nextGen))
+    java.nio.file.Files.write(
+      new java.io.File(stateDir, LatestFile).toPath,
+      nextGen.toString.getBytes)
+    val cur = spark.read.parquet(genDir(stateDir, nextGen))
+    prevGen match {
+      case Some(g) => unitDiff(spark.read.parquet(genDir(stateDir, g)), cur)
+      case None    => cur.withColumn("diff", lit(1))
+    }
+  }
+
+  /** Persisted memo for a non-deterministic per-row computation
+    * (reference: non-deterministic UDF results are snapshotted so replays
+    * retract the original values, test_persistence.py:665-712; the on-disk
+    * UDF cache is a rebuildable working set, not the source of truth).
+    *
+    * Rows whose `keyCols` projection matches the memo reuse the stored
+    * result columns; misses run `compute` (input-with-keyCols → result
+    * columns added) and join the memo. The new memo is consolidated to the
+    * CURRENT input (retracted rows drop out — bounded state). Both paths
+    * are equi-joins on `keyCols`; nothing driver-side. */
+  def memoize(stateDir: String, input: DataFrame, keyCols: Seq[String],
+      compute: DataFrame => DataFrame): DataFrame = {
+    val spark = input.sparkSession
+    val memoOpt = readSnapshot(spark, stateDir)
+    val result = memoOpt match {
+      case None => compute(input)
+      case Some(memo) =>
+        val hits = input.join(memo, keyCols, "inner")
+        val misses = input.join(memo.select(keyCols.map(col): _*), keyCols, "left_anti")
+        val fresh = compute(misses)
+        hits.unionByName(fresh)
+    }
+    // commit the consolidated memo as the next generation
+    val prevGen = latestGen(spark, stateDir)
+    val nextGen = prevGen.getOrElse(-1L) + 1
+    result.write.mode("overwrite").parquet(genDir(stateDir, nextGen))
+    java.nio.file.Files.write(
+      new java.io.File(stateDir, LatestFile).toPath,
+      nextGen.toString.getBytes)
+    spark.read.parquet(genDir(stateDir, nextGen))
+  }
+}

@@ -46,16 +46,25 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); n_fail += 1; continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+        # DTYPE-STRICT (r17): the driver's hash is dtype-sensitive (DuckDB
+        # HUGEINT vs Spark int64 reads as a hash mismatch even when every
+        # value is equal), so the local proxy must fail on dtype drift too.
+        dtype_mismatch = [
+            (c, str(g[c].dtype), str(e[c].dtype))
+            for c in g.columns if str(g[c].dtype) != str(e[c].dtype)
+        ]
         eq = g.equals(e)
         if not eq:
-            # tolerate dtype-width differences by value compare
             try:
                 pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
                 eq = True
             except AssertionError as ae:
                 msg = str(ae).split("\n")[0:6]
                 print(f"FAIL {name}: {msg}")
-        if eq:
+        if eq and dtype_mismatch:
+            print(f"FAIL {name}: values equal but DTYPE mismatch {dtype_mismatch}")
+            n_fail += 1
+        elif eq:
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
         else:
             n_fail += 1
