@@ -91,6 +91,93 @@ object Persistence {
     }
   }
 
+  // ── persisted behavior-operator runs (decoded from test_persistence.py
+  //    test_buffer:758 / test_forget:797 / test_forget_streaming:817) ──────
+  //
+  // Cross-run state = (rows, watermark), where the watermark is the max of
+  // the TIME column over all admitted rows so far. Decoded rules:
+  //  * forget: per run, first retract previously-active rows whose threshold
+  //    ≤ the PREVIOUS run's watermark (non-strict — run4 retracts t=11 with
+  //    threshold 21 at wm=21), drop late arrivals (threshold ≤ prev wm)
+  //    silently, then advance the watermark with the admitted rows.
+  //  * buffer: advance the watermark with ALL arrivals first, then release
+  //    (held ∪ new) rows whose threshold ≤ the NEW watermark (non-strict —
+  //    run1 {1,3,11} releases only t=1: threshold 11 ≤ wm 11).
+  // Rows stay distributed (parquet state, filter/union plans); only the
+  // watermark — a scalar — crosses to the driver.
+
+  private def readWm(dir: String): Long = {
+    val f = new java.io.File(dir, "_WM")
+    if (f.exists()) new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+    else Long.MinValue
+  }
+
+  private def writeWm(dir: String, wm: Long): Unit =
+    java.nio.file.Files.write(new java.io.File(dir, "_WM").toPath, wm.toString.getBytes)
+
+  /** One persisted static run of `_forget(threshold, time)`. Returns the
+    * unit-diff changelog (retractions of newly-forgotten rows, insertions of
+    * admitted arrivals). */
+  def forgetRun(stateDir: String, arrivals: DataFrame,
+      threshold: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      timeCol: String): DataFrame = {
+    val spark = arrivals.sparkSession
+    new java.io.File(stateDir).mkdirs()
+    val wmPrev = readWm(stateDir)
+    val active = readSnapshot(spark, stateDir)
+      .getOrElse(arrivals.limit(0))
+    val forgotten = active.filter(threshold(col(timeCol)) <= wmPrev)
+    val kept = active.filter(threshold(col(timeCol)) > wmPrev)
+    val admitted = arrivals.filter(threshold(col(timeCol)) > wmPrev)
+    val newActive = kept.unionByName(admitted)
+    val wmNew = math.max(wmPrev,
+      admitted.agg(max(col(timeCol).cast("long"))).collect()(0) match {
+        case r if r.isNullAt(0) => Long.MinValue
+        case r => r.getLong(0)
+      })
+    val diff = forgotten.withColumn("diff", lit(-1))
+      .unionByName(admitted.withColumn("diff", lit(1)))
+    val out = diff.collect() // materialize before state flip (tiny: one run's churn)
+    commitRows(stateDir, newActive)
+    writeWm(stateDir, wmNew)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq), diff.schema)
+  }
+
+  /** One persisted static run of `_buffer(threshold, time)`. Returns the
+    * released rows (always `diff=+1` — a buffer reorders, never retracts). */
+  def bufferRun(stateDir: String, arrivals: DataFrame,
+      threshold: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      timeCol: String): DataFrame = {
+    val spark = arrivals.sparkSession
+    new java.io.File(stateDir).mkdirs()
+    val wmPrev = readWm(stateDir)
+    val held = readSnapshot(spark, stateDir).getOrElse(arrivals.limit(0))
+    val wmNew = math.max(wmPrev,
+      arrivals.agg(max(col(timeCol).cast("long"))).collect()(0) match {
+        case r if r.isNullAt(0) => Long.MinValue
+        case r => r.getLong(0)
+      })
+    val pool = held.unionByName(arrivals)
+    val released = pool.filter(threshold(col(timeCol)) <= wmNew)
+    val newHeld = pool.filter(threshold(col(timeCol)) > wmNew)
+    val diff = released.withColumn("diff", lit(1))
+    val out = diff.collect()
+    commitRows(stateDir, newHeld)
+    writeWm(stateDir, wmNew)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toIndexedSeq), diff.schema)
+  }
+
+  private def commitRows(stateDir: String, rows: DataFrame): Unit = {
+    val spark = rows.sparkSession
+    val prevGen = latestGen(spark, stateDir)
+    val nextGen = prevGen.getOrElse(-1L) + 1
+    rows.write.mode("overwrite").parquet(genDir(stateDir, nextGen))
+    java.nio.file.Files.write(
+      new java.io.File(stateDir, LatestFile).toPath, nextGen.toString.getBytes)
+  }
+
   /** Persisted memo for a non-deterministic per-row computation
     * (reference: non-deterministic UDF results are snapshotted so replays
     * retract the original values, test_persistence.py:665-712; the on-disk
