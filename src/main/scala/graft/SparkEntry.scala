@@ -1716,6 +1716,18 @@ object SparkEntry {
         col("live_min"), col("live_max"))
   }
 
+  /** Persisted static rerun (r17 decode of tests/test_persistence.py): two
+    * generations of a projected orders table committed to a snapshot store;
+    * the emitted changelog is the unit-diff delta between them —
+    * streaming/Persistence.runStatic end-to-end on real data. */
+  private def qPersistDiff(s: SparkSession, dir: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("graft-persist-q").toString
+    val proj = Tables.orders(s, dir).toDf
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    graft.streaming.Persistence.runStatic(state, proj.filter(col("o_orderkey") % 2 === 0))
+    graft.streaming.Persistence.runStatic(state, proj.filter(col("o_orderkey") % 3 =!= 0))
+  }
+
   private def qIgnoreLate(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamOps.ignoreLateBatch(
         eventsT(s, dir).select(col("event_id"), col("ts_t")),
@@ -1871,6 +1883,7 @@ object SparkEntry {
     "asof_now_join"   -> (qAsofNow _),
     "stream_upsert"   -> (qStreamUpsert _),
     "changelog_agg"   -> (qChangelogAgg _),
+    "persist_diff"    -> (qPersistDiff _),
     "ignore_late"     -> (qIgnoreLate _),
   )
 
@@ -2910,6 +2923,20 @@ object SparkEntry {
         |SELECT net.user_id, net_count, net_sum, net_sum / net_count AS net_avg,
         |  live_min, live_max
         |FROM net JOIN mm USING (user_id)""".stripMargin,
+    // generation 0 = even orderkeys, generation 1 = keys not divisible by 3;
+    // the changelog is the signed multiset delta between the two states
+    "persist_diff" ->
+      """WITH p AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |           WHERE o_orderkey % 2 = 0),
+        |c AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |      WHERE o_orderkey % 3 <> 0),
+        |u AS (SELECT *, CAST(1 AS BIGINT) AS d FROM c
+        |      UNION ALL SELECT *, CAST(-1 AS BIGINT) AS d FROM p),
+        |g AS (SELECT o_orderkey, o_custkey, o_orderstatus, SUM(d) AS net
+        |      FROM u GROUP BY 1, 2, 3)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(CASE WHEN net > 0 THEN 1 ELSE -1 END AS INTEGER) AS diff
+        |FROM g WHERE net <> 0""".stripMargin,
     "ignore_late" ->
       """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts_t FROM events)
         |SELECT event_id, ts_t FROM e
