@@ -58,10 +58,72 @@ object AsyncTransformer {
       }
     }
 
+  /** `_async_status` values of the `finished` table
+    * (async_transformer.py _ASYNC_STATUS_COLUMN; pinned by
+    * tests/test_async_transformer.py:329-335). */
+  val StatusSuccess = "-SUCCESS-"
+  val StatusFailure = "-FAILURE-"
+
+  /** Instance-grouped variant (async_transformer.py `instance=`): rows
+    * sharing an instance value complete TOGETHER, and one failing row fails
+    * the WHOLE instance (tests/test_async_transformer.py
+    * test_fails_whole_instance:348 — both rows of instance 1 come back
+    * `-FAILURE-` when only one raised; test_with_instance:263 — each
+    * instance's results commit as one group). Spark shape: groupByKey on
+    * the instance, per-group invoke, group-atomic success/failure. */
+  def transformInstanced[I, K, O](ds: Dataset[I], instanceOf: I => K,
+      maxRetries: Int = 1, initialDelayMs: Long = 1)(call: I => O)(
+      implicit ke: Encoder[K], enc: Encoder[Attempt[I, O]]): Dataset[Attempt[I, O]] =
+    ds.groupByKey(instanceOf).flatMapGroups { (_: K, it: Iterator[I]) =>
+      val rows = it.toSeq
+      val attempts = rows.map { r =>
+        r -> scala.util.Try(Udfs.withRetries(maxRetries, initialDelayMs)(() => call(r)))
+      }
+      attempts.collectFirst { case (_, scala.util.Failure(e)) => e } match {
+        case Some(e) =>
+          val msg = String.valueOf(e.getMessage)
+          rows.iterator.map(r => (r, Option.empty[O], Some(msg)))
+        case None =>
+          attempts.iterator.map { case (r, t) => (r, Some(t.get), Option.empty[String]) }
+      }
+    }
+
+  /** The reference's invoke-signature validation
+    * (async_transformer.py __init__; exact messages pinned by
+    * tests/test_async_transformer.py:407-435). */
+  def validateInvokeArgs(inputColumns: Seq[String], invokeArgs: Seq[String]): Unit = {
+    for (c <- inputColumns if !invokeArgs.contains(c))
+      throw new IllegalArgumentException(
+        s"Input table has a column '$c' but it is not present on the argument " +
+          "list of the invoke method.")
+    for (a <- invokeArgs if !inputColumns.contains(a))
+      throw new IllegalArgumentException(
+        s"Column '$a' is present on the argument list of the invoke method " +
+          "but it is not present in the input_table.")
+  }
+
+  /** The reference's result-schema check: invoke must return exactly the
+    * declared output columns or the row FAILS (not errors the job) —
+    * tests/test_async_transformer.py test_assert_schema_error:186. */
+  def checkResultSchema[O](declared: Set[String])(result: Map[String, O]): Map[String, O] = {
+    require(result.keySet == declared,
+      s"invoke result keys ${result.keySet.toSeq.sorted.mkString(",")} do not match " +
+        s"the output schema ${declared.toSeq.sorted.mkString(",")}")
+    result
+  }
+
   /** Completed rows: (input, result). */
   def successes[I, O](attempts: Dataset[Attempt[I, O]])(
       implicit enc: Encoder[(I, O)]): Dataset[(I, O)] =
     attempts.flatMap(a => a._2.map(o => (a._1, o)))
+
+  /** The `finished` table: every row with its `-SUCCESS-`/`-FAILURE-`
+    * status (async_transformer.py `finished`; successful results carried,
+    * failures padded with None). */
+  def finished[I, O](attempts: Dataset[Attempt[I, O]])(
+      implicit enc: Encoder[(I, String, Option[O])]): Dataset[(I, String, Option[O])] =
+    attempts.map(a =>
+      (a._1, if (a._2.isDefined) StatusSuccess else StatusFailure, a._2))
 
   /** The failure side-table: (input, error message). */
   def failures[I, O](attempts: Dataset[Attempt[I, O]])(
