@@ -9,10 +9,12 @@ import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
   * Each query runs cold then warm (cache cleared between runs): the per-query
   * numbers report warm runs so first-touch JIT/codegen cost isn't charged to
   * whichever query the Map iterates first — the r5/r6 identical-binary runs
-  * showed up to 5.7× per-query swings from that attribution. Queries whose
-  * first warm run lands under 1 s are re-run to a MEDIAN-OF-3 warm (the
+  * showed up to 5.7× per-query swings from that attribution. Every query
+  * gets >= 2 warm reps (r17): sub-second queries run MEDIAN-OF-3 (the
   * local[32] scheduling-noise floor is ~±0.2 s, which otherwise swamps
-  * sub-second deltas); `reps` records the per-query rep count.
+  * sub-second deltas), heavier queries BEST-OF-2 (an external load spike
+  * only inflates, so min is the signal); `reps` and `spread` (max−min)
+  * record the evidence, so a spiked sweep self-identifies in the artifact.
   *
   * Output, defended against the driver's line-length capture cap (r7 lost 15
   * of 102 entries to truncation of the single giant line):
@@ -78,18 +80,28 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val cold = timeOnce(name, fn)
       val warm1 = if (cold < 0) -1.0 else timeOnce(name, fn)
-      // median-of-3 for sub-second queries: two more warm reps, take the median
-      val (warm, reps) =
-        if (warm1 >= 0 && warm1 < 1.0) {
+      // EVERY query gets >= 2 warm reps (r17: a one-rep heavy query can't
+      // tell a load spike from a regression — the r16 driver sweep read
+      // dedup_groups at 26 s while four same-day runs said 6; the rep
+      // spread now self-identifies such spikes in the artifact):
+      //  - sub-second: median-of-3 (scheduling-noise floor ~±0.2 s)
+      //  - >= 1 s: best-of-2 (a spike only inflates, so min is the signal
+      //    and a large spread flags the spike)
+      val (warm, reps, spread) =
+        if (warm1 < 0) (warm1, 1, -1.0)
+        else if (warm1 < 1.0) {
           val ws = Seq(warm1, timeOnce(name, fn), timeOnce(name, fn)).filter(_ >= 0).sorted
           // lower-median: on an even count (a rep timed out) take the lower
           // middle, not the max — the noise this guards against is upward
-          (ws((ws.size - 1) / 2), ws.size)
-        } else (warm1, 1)
-      println(s"""{"q":"$name","cold":${r3(cold)},"s":${r3(warm)},"reps":$reps}""")
-      name -> (cold, warm, reps)
+          (ws((ws.size - 1) / 2), ws.size, ws.last - ws.head)
+        } else {
+          val ws = Seq(warm1, timeOnce(name, fn)).filter(_ >= 0).sorted
+          (ws.head, ws.size, if (ws.size > 1) ws.last - ws.head else -1.0)
+        }
+      println(s"""{"q":"$name","cold":${r3(cold)},"s":${r3(warm)},"reps":$reps,"spread":${r3(spread)}}""")
+      name -> (cold, warm, reps, spread)
     }
-    val qs = results.map { case (k, (_, w, _)) => s"\"" + k + "\":" + r3(w) }
+    val qs = results.map { case (k, (_, w, _, _)) => s"\"" + k + "\":" + r3(w) }
       .mkString("{", ",", "}")
     val warmTotal = results.values.map(_._2).filter(_ > 0).sum
     val coldTotal = results.values.map(_._1).filter(_ > 0).sum
@@ -99,7 +111,7 @@ object Bench {
     // work (BASELINE.md explains the split once)
     val streamingFloor = Set("sync_group_stream", "inactivity_stream_replay")
     val computeTotal = results.collect {
-      case (k, (_, w, _)) if w > 0 && !streamingFloor(k) => w }.sum
+      case (k, (_, w, _, _)) if w > 0 && !streamingFloor(k) => w }.sum
     val line = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","compute_total":${r3(computeTotal)},"cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the tail of stdout (~2000 chars, BENCH_r*.json
@@ -108,11 +120,11 @@ object Bench {
     // compact line (slowest 15 queries only, guaranteed < ~500 chars) so a
     // tail-side parser always finds one complete {"metric":...} JSON line.
     val top = results.toSeq.sortBy(-_._2._2).take(15)
-      .map { case (k, (_, w, _)) => s"\"" + k + "\":" + r3(w) }.mkString("{", ",", "}")
+      .map { case (k, (_, w, _, _)) => s"\"" + k + "\":" + r3(w) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","compute_total":${r3(computeTotal)},"cold_total":${r3(coldTotal)},"n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
     try {
-      val full = results.map { case (k, (c, w, n)) =>
-        s"""    "$k": {"cold": ${r3(c)}, "warm": ${r3(w)}, "reps": $n}""" }
+      val full = results.map { case (k, (c, w, n, sp)) =>
+        s"""    "$k": {"cold": ${r3(c)}, "warm": ${r3(w)}, "reps": $n, "spread": ${r3(sp)}}""" }
         .mkString("{\n  \"metric\": \"total\",\n  \"value\": " + r3(warmTotal) +
           ",\n  \"unit\": \"sec\",\n  \"compute_total\": " + r3(computeTotal) +
           ",\n  \"cold_total\": " + r3(coldTotal) +

@@ -93,7 +93,11 @@ object PwSchema {
       val kept = lines.getLines()
         .filter(l => commentCharacter.forall(c =>
           l.dropWhile(_.isWhitespace).headOption.forall(_ != c)))
-      parseCsv(kept, delimiter, quote, escape, doubleQuoteEscapes)
+      // bounded sample: stop consuming the file once header + numParsedRows
+      // rows are tokenized (r17 ADVICE — a 1-row sample of a huge file was
+      // still O(file size) in driver time and memory)
+      parseCsv(kept, delimiter, quote, escape, doubleQuoteEscapes,
+        maxRows = numParsedRows.map(_ + 1))
     } finally lines.close()
     require(rows.nonEmpty, "can't generate Schema based on an empty CSV file")
     val header = rows.head
@@ -119,13 +123,16 @@ object PwSchema {
   /** python-csv-module tokenizer: quotechar with optional doubled-quote
     * escapes, optional escapechar, quoted fields may span lines. */
   private def parseCsv(lines: Iterator[String], delimiter: Char, quote: Char,
-      escape: Option[Char], doubleQuoteEscapes: Boolean): Vector[Vector[String]] = {
+      escape: Option[Char], doubleQuoteEscapes: Boolean,
+      maxRows: Option[Int] = None): Vector[Vector[String]] = {
     val rows = Vector.newBuilder[Vector[String]]
+    var rowCount = 0
     val field = new StringBuilder
     var row = Vector.newBuilder[String]
     var inQuotes = false
     var anyField = false
-    for (line <- lines) {
+    val bounded = lines.takeWhile(_ => maxRows.forall(rowCount < _))
+    for (line <- bounded) {
       val text = if (inQuotes) "\n" + line else line
       var i = 0
       while (i < text.length) {
@@ -152,10 +159,13 @@ object PwSchema {
           row += field.result(); field.clear()
           rows += row.result(); row = Vector.newBuilder[String]
           anyField = false
+          rowCount += 1
         }
       }
     }
-    if (anyField || field.nonEmpty) { row += field.result(); rows += row.result() }
+    if ((anyField || field.nonEmpty) && maxRows.forall(rowCount < _)) {
+      row += field.result(); rows += row.result()
+    }
     rows.result()
   }
 

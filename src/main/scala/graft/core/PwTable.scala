@@ -183,6 +183,20 @@ final class PwTable private (val df: DataFrame) extends Serializable {
   /** Pathway `restrict` (table.py:1087): like intersect, asserting other ⊆ this. */
   def restrict(other: PwTable): PwTable = intersect(other)
 
+  /** Reference `restrict` strict contract (tests/test_error_messages.py:723):
+    * every id of `other` must exist in this table. A dangling id fails at
+    * runtime with the reference's "key missing in output table" KeyError
+    * (the un-promised static form "other universe has to be a subset of
+    * self universe." has no Spark equivalent — universes are not tracked
+    * statically; this runtime check is the enforcement point). */
+  def restrictStrict(other: PwTable): PwTable = {
+    val r = other.df.select(col(IdCol).as("_pw_restrict_id"))
+    val joined = r.join(df, col("_pw_restrict_id") === col(IdCol), "left_outer")
+    val checked = joined.where(when(col(IdCol).isNull,
+      raise_error(lit("key missing in output table"))).otherwise(lit(true)))
+    wrap(checked.drop("_pw_restrict_id"))
+  }
+
   /** Pathway `with_universe_of` (table.py:2289): re-key this table onto `other`'s
     * universe — the key sets must match 1:1 (the reference's UniverseSolver
     * proves it statically; we enforce it at runtime via an inner join, and
@@ -193,6 +207,13 @@ final class PwTable private (val df: DataFrame) extends Serializable {
   /** Pathway `update_cells` / `<<` (table.py:1691): overwrite cells present in `other`
     * (matched by id); rows missing from `other` keep their values. */
   def updateCells(other: PwTable): PwTable = {
+    // reference rejects columns absent from the updated table with this
+    // exact message (tests/test_error_messages.py:602-627)
+    val extra = other.columns.filterNot(columns.contains)
+    if (extra.nonEmpty)
+      throw new IllegalArgumentException(
+        "Columns of the argument in Table.update_cells() not present in the " +
+          s"updated table: [${extra.map(c => s"'$c'").mkString(", ")}].")
     val overlap = other.columns.filter(columns.contains)
     val r = other.df
       .select((IdCol +: overlap).map(col): _*)
@@ -323,6 +344,18 @@ final case class PwGrouped(table: PwTable, keys: Seq[(String, Column)]) {
   /** Pathway `reduce` (groupbys.py:158): one aggregation pass; result id =
     * hash(grouping values). Spark gives partial (map-side) aggregation for free. */
   def reduce(aggs: (String, Column)*): PwTable = {
+    // reference rejects a bare (non-grouped, non-reduced) column in reduce
+    // with this exact message (tests/test_error_messages.py:457-478); a bare
+    // column reference stringifies to its name, wrapped reducers don't
+    val keyNames = keys.map(_._1).toSet
+    for ((_, c) <- aggs) {
+      val s = c.toString
+      if (!keyNames.contains(s) && table.columns.contains(s))
+        throw new IllegalArgumentException(
+          s"You cannot use <table1>.$s in this reduce statement.\n" +
+            s"Make sure that <table1>.$s is used in a groupby or wrap it with " +
+            s"a reducer, e.g. pw.reducers.count(<table1>.$s)")
+    }
     val keyCols = keys.map { case (n, c) => c.as(n) }
     val grouped = table.df
       .groupBy(keyCols: _*)
@@ -338,7 +371,17 @@ final case class PwGrouped(table: PwTable, keys: Seq[(String, Column)]) {
     * with_universe_of interop). `idKey` must be the (single) grouping
     * column holding the pointer. */
   def reduceWithId(idKey: String, aggs: (String, Column)*): PwTable = {
-    require(keys.exists(_._1 == idKey), s"$idKey is not a grouping key")
+    // exact reference contract (tests/test_error_messages.py:579-599): the id
+    // pointer must BE the single grouping column — extra grouping keys would
+    // silently duplicate _pw_id values and break universe uniqueness
+    if (keys.size > 1)
+      throw new IllegalArgumentException(
+        "Table.groupby() cannot have id argument when grouping by multiple columns.")
+    if (keys.head._1 != idKey)
+      throw new IllegalArgumentException(
+        "Table.groupby() received id argument and is grouped by a single column," +
+          " but the arguments are not equal.\n" +
+          "Consider using <table>.groupby(id=...), skipping the positional argument.")
     val keyCols = keys.map { case (n, c) => c.as(n) }
     val grouped = table.df
       .groupBy(keyCols: _*)

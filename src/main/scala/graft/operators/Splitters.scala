@@ -45,15 +45,28 @@ object Splitters {
 
   // ── RecursiveSplitter ──────────────────────────────────────────────────────
 
-  /** langchain-semantics recursive split: returns the chunk list. */
+  /** langchain-semantics recursive split: returns the chunk list.
+    *
+    * `keepSeparator=true` is langchain's RecursiveCharacterTextSplitter
+    * default (r17, ADVICE): each separator attaches to the START of the
+    * following piece and merged chunks join with `""` — so custom
+    * non-whitespace separators stay in the output text. For the default
+    * whitespace hierarchy the stripped chunks coincide with the old
+    * keep_separator=false behavior (the r16 fixture replays pin that). */
   def recursiveSplit(text: String, chunkSize: Int, chunkOverlap: Int = 0,
       separators: Seq[String] = DefaultSeparators,
-      lengthOf: String => Int = _.length): Seq[String] = {
+      lengthOf: String => Int = _.length,
+      keepSeparator: Boolean = true): Seq[String] = {
     require(chunkOverlap < chunkSize, "chunk_overlap must be < chunk_size")
 
     def splitOn(text: String, sep: String): Seq[String] =
       (if (sep.isEmpty) text.map(_.toString)
-       else text.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+       else if (keepSeparator) {
+         // langchain _split_text_with_regex(keep_separator=True): the
+         // separator prefixes the piece that follows it
+         val parts = text.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+         if (parts.isEmpty) parts else parts.head +: parts.tail.map(sep + _)
+       } else text.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
         .filter(_.nonEmpty)
 
     def joinDocs(docs: Seq[String], sep: String): Option[String] = {
@@ -92,16 +105,19 @@ object Splitters {
         if (idx < 0) (seps.last, Seq.empty[String])
         else (seps(idx), seps.drop(idx + 1))
       val pieces = splitOn(text, sep)
+      // langchain: when separators are kept in the pieces, merged chunks
+      // join with the empty string
+      val joinSep = if (keepSeparator) "" else sep
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       val good = scala.collection.mutable.ArrayBuffer.empty[String]
       for (p <- pieces) {
         if (lengthOf(p) < chunkSize) good += p
         else {
-          if (good.nonEmpty) { out ++= merge(good.toSeq, sep); good.clear() }
+          if (good.nonEmpty) { out ++= merge(good.toSeq, joinSep); good.clear() }
           if (remaining.isEmpty) out += p else out ++= split(p, remaining)
         }
       }
-      if (good.nonEmpty) out ++= merge(good.toSeq, sep)
+      if (good.nonEmpty) out ++= merge(good.toSeq, joinSep)
       out.toSeq
     }
 

@@ -63,11 +63,27 @@ object Connectors {
       st != null && st.nonEmpty
     }.getOrElse(false)
 
+  /** Matchless static path/glob → EMPTY table with the declared schema
+    * (test_glob_pattern_nothing_matched; r17 ADVICE — previously only the
+    * plaintext path had this guard while csv/jsonlines raised
+    * PATH_NOT_FOUND). */
+  private def emptyStatic(spark: SparkSession, st: StructType,
+      withMetadata: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, TimestampType}
+    val full = if (withMetadata) StructType(st.fields ++ Seq(
+      StructField("_metadata_path", StringType),
+      StructField("_metadata_size", LongType),
+      StructField("_metadata_modified_at", TimestampType))) else st
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+  }
+
   /** CSV (io/csv, data_format/dsv.rs). Header + delimiter options mirror
     * `csv.read(…, csv_settings)`. */
   def csv(spark: SparkSession, path: String, mode: Mode = Static,
       schema: Option[StructType] = None, header: Boolean = true,
       delimiter: String = ",", withMetadata: Boolean = false): DataFrame = {
+    if (mode == Static && !globMatches(spark, path))
+      return emptyStatic(spark, schema.getOrElse(StructType(Nil)), withMetadata)
     val opts = Map("header" -> header.toString, "sep" -> delimiter) ++ CsvRead
     val df = reader(spark, mode, schema) match {
       case Left(r)  => r.options(opts).csv(path)
@@ -94,6 +110,20 @@ object Connectors {
   def csvTyped(spark: SparkSession, path: String, schema: graft.core.PwSchema,
       mode: Mode = Static, delimiter: String = ",",
       withMetadata: Boolean = false): DataFrame = {
+    if (mode == Static && !globMatches(spark, path)) {
+      var raw = emptyStatic(spark, StructType(schema.cols.map(c =>
+        org.apache.spark.sql.types.StructField(c.name,
+          org.apache.spark.sql.types.StringType))), withMetadata = false)
+      if (withMetadata) raw = raw
+        .withColumn("_metadata_path", lit(null).cast("string"))
+        .withColumn("_metadata_size", lit(null).cast("long"))
+        .withColumn("_metadata_modified_at", lit(null).cast("timestamp"))
+      val cells = schema.cols.map { c =>
+        c.name -> TypedCells.csvCell(col(c.name), c.dtype,
+          optional = c.optional, default = c.defaultValue)
+      }
+      return applyCells(raw, cells, keep = if (withMetadata) metaCols else Nil)
+    }
     // streaming needs an explicit schema UP FRONT, and Spark applies it to
     // CSV files POSITIONALLY — so peek at an existing file's header to build
     // the raw schema in FILE order (name-projection then still works and a
@@ -180,6 +210,8 @@ object Connectors {
   /** JSON-lines (io/jsonlines, data_format/json.rs). */
   def jsonlines(spark: SparkSession, path: String, mode: Mode = Static,
       schema: Option[StructType] = None, withMetadata: Boolean = false): DataFrame = {
+    if (mode == Static && !globMatches(spark, path))
+      return emptyStatic(spark, schema.getOrElse(StructType(Nil)), withMetadata)
     val df = reader(spark, mode, schema) match {
       case Left(r)  => r.options(DirScan).json(path)
       case Right(r) => r.options(DirScan).json(path)

@@ -133,8 +133,15 @@ object QaServer {
       // the filter prunes the DISTRIBUTED scan before per-shard top-k — the
       // same pre-filtered exact-top-k contract as the snapshot path
       val base =
-        if (filter == null || !store.columns.contains("_metadata_path")) store
-        else {
+        if (filter == null) store
+        else if (!store.columns.contains("_metadata_path")) {
+          // consistency with SnapshotIndex (r17, ADVICE): a store without
+          // metadata evaluates the filter against EMPTY metadata — the same
+          // filtered query must not flip between all-hits and no-hits when
+          // serve() auto-selects snapshot vs sharded by store size
+          if (graft.functions.IndexFilter.matches(filter, Map.empty[String, String])) store
+          else store.limit(0)
+        } else {
           val f = filter
           val matchUdf = org.apache.spark.sql.functions.udf((p: String) =>
             graft.functions.IndexFilter.matches(f,

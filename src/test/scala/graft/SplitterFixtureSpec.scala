@@ -39,12 +39,28 @@ class SplitterFixtureSpec extends AnyFunSuite {
     // "cc" starts the next chunk
     val out = Splitters.recursiveSplit("aa bb cc", chunkSize = 7)
     assert(out == Seq("aa bb", "cc"))
-    // a piece larger than the budget recurses to the next separator
+    // a piece larger than the budget recurses to the next separator. With
+    // langchain's keep_separator=True default each kept " " counts against
+    // the budget, so "bb"/"cc"/"dd" stay separate at size 5 (r17 decode);
+    // keepSeparator=false reproduces the plain-split merge "bb cc"
     val out2 = Splitters.recursiveSplit("aaaa\n\nbb cc dd", chunkSize = 5)
-    assert(out2 == Seq("aaaa", "bb cc", "dd"))
-    // overlap carries the tail of the previous chunk
+    assert(out2 == Seq("aaaa", "bb", "cc", "dd"))
+    val out2b = Splitters.recursiveSplit("aaaa\n\nbb cc dd", chunkSize = 5,
+      keepSeparator = false)
+    assert(out2b == Seq("aaaa", "bb cc", "dd"))
+    // overlap carries the tail of the previous chunk when the tail pieces
+    // fit the overlap budget (keep mode counts the leading separator: a
+    // 3-char " bb" exceeds overlap 2, so nothing carries)
     val out3 = Splitters.recursiveSplit("aa bb cc dd", chunkSize = 7, chunkOverlap = 2)
-    assert(out3 == Seq("aa bb", "bb cc", "cc dd"))
+    assert(out3 == Seq("aa bb", "cc dd"))
+    val out3b = Splitters.recursiveSplit("aa bb cc dd", chunkSize = 7, chunkOverlap = 2,
+      keepSeparator = false)
+    assert(out3b == Seq("aa bb", "bb cc", "cc dd"))
+    // custom NON-whitespace separator: the separator text stays in chunks
+    // (the divergence the r17 ADVICE flagged — langchain keeps it)
+    val out4 = Splitters.recursiveSplit("one;two;three", chunkSize = 8,
+      separators = Seq(";"))
+    assert(out4 == Seq("one;two", ";three"))
   }
 
   test("token-window splitter truncates at the last punctuation past 3×min_tokens chars") {
