@@ -415,4 +415,81 @@ object Graphs {
             .as("rank"))
     }, iters, unroll = unroll)
   }
+
+  // ── graph contraction machinery (r17 decode of stdlib/graphs/graph.py:40-160
+  //    + tests/test_graphs.py:185-453) ──────────────────────────────────────
+  //
+  // Conventions: vertices = (vid), edges = (u, v [, weight]), clustering =
+  // (vid, c). All ops are plain joins/aggregations — Catalyst broadcasts the
+  // (small) clustering side automatically at typical cluster-map sizes and
+  // falls back to a shuffle join when it is edge-scale.
+
+  /** `Graph.without_self_loops` (graph.py:116): drop u == v edges. */
+  def withoutSelfLoops(edges: DataFrame): DataFrame =
+    edges.filter(col("u") =!= col("v"))
+
+  /** `_extended_to_full_clustering` (graph.py:61): vertices missing from the
+    * partial clustering become singleton clusters keyed by their own id. */
+  def extendToFullClustering(vertices: DataFrame, clustering: DataFrame): DataFrame =
+    vertices.select(col("vid"))
+      .join(clustering.select(col("vid"), col("c")), Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("c"), col("vid")).as("c"))
+
+  /** `contracted_to_multi_graph` (graph.py:109): endpoints map to their
+    * clusters, every original edge kept (weights carried through); the new
+    * vertex set is the cluster set. Returns (vertices, edges). */
+  def contractToMultiGraph(vertices: DataFrame, edges: DataFrame,
+      clustering: DataFrame): (DataFrame, DataFrame) = {
+    val full = extendToFullClustering(vertices, clustering)
+    val cu = full.select(col("vid").as("u"), col("c").as("_cu"))
+    val cv = full.select(col("vid").as("v"), col("c").as("_cv"))
+    val rest = edges.columns.filterNot(c => c == "u" || c == "v").map(col)
+    val newE = edges.join(cu, "u").join(cv, "v")
+      .select(col("_cu").as("u") +: col("_cv").as("v") +: rest.toSeq: _*)
+    val newV = full.select(col("c").as("vid")).distinct()
+    (newV, newE)
+  }
+
+  /** `contracted_to_unweighted_simple_graph` (graph.py:85): contract, then
+    * collapse parallel edges. */
+  def contractToSimpleGraph(vertices: DataFrame, edges: DataFrame,
+      clustering: DataFrame): (DataFrame, DataFrame) = {
+    val (nv, ne) = contractToMultiGraph(vertices, edges, clustering)
+    (nv, ne.select("u", "v").distinct())
+  }
+
+  /** `contracted_to_weighted_simple_graph` (graph.py:132): contract, then
+    * reduce parallel edges with the given weight aggregate (the reference
+    * takes reducer kwargs; summing the weight is its only used form). */
+  def contractToWeightedSimpleGraph(vertices: DataFrame, edges: DataFrame,
+      clustering: DataFrame): (DataFrame, DataFrame) = {
+    val (nv, ne) = contractToMultiGraph(vertices, edges, clustering)
+    (nv, ne.groupBy("u", "v").agg(sum("weight").as("weight")))
+  }
+
+  /** `exact_modularity` (louvain_communities/impl.py:340): modularity of a
+    * clustering over a weighted directed-edge list,
+    * Σ_c (internal_c · m − degree_c²) / m², rounded python-style (half-even
+    * on the exact binary value) to `roundDigits`. One row, one column
+    * `modularity` — the reference's test/development metric, also the
+    * quality oracle for the D8 louvain divergence. */
+  def exactModularity(edges: DataFrame, clustering: DataFrame,
+      roundDigits: Int = 16): DataFrame = {
+    val cu = clustering.select(col("vid").as("u"), col("c").as("_cu"))
+    val cv = clustering.select(col("vid").as("v"), col("c").as("_cv"))
+    val e = edges.join(cu, "u").join(cv, "v")
+    val degrees = e.groupBy(col("_cu").as("c")).agg(sum("weight").as("degree"))
+    val internal = e.filter(col("_cu") === col("_cv"))
+      .groupBy(col("_cu").as("c")).agg(sum("weight").as("internal"))
+    val clusters = clustering.select(col("c")).distinct()
+    val m = edges.agg(sum("weight")).head.getDouble(0)
+    val perCluster = clusters
+      .join(degrees, Seq("c"), "left").join(internal, Seq("c"), "left")
+      .select(((coalesce(col("internal"), lit(0.0)) * m -
+        coalesce(col("degree"), lit(0.0)) * coalesce(col("degree"), lit(0.0))) /
+        (m * m)).as("q"))
+    import graft.functions.Exprs.PwColumn
+    perCluster.agg(sum("q").as("modularity"))
+      .select(col("modularity").num.round(roundDigits).as("modularity"))
+  }
 }
