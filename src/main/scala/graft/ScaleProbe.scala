@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "cdc", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap", "docstore"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "cdc", "persist", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap", "docstore"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -277,6 +277,24 @@ object ScaleProbe {
           .otherwise(col("l_extendedprice")).as("l_extendedprice"))
       time("cdc_snapshot_diff", nl * mult) {
         graft.sources.PollingCdc.snapshotDiff(prev, curr, Seq("k"))
+      }
+    }
+
+    if (families("persist")) {
+      // Persistence.unitDiff at mult x lineitem: the persisted-static-rerun
+      // changelog between two ~6M-row output generations (r17). Expect ONE
+      // shuffle (union -> count-aggregate with map-side combine); the
+      // whole-row groupBy is the cost driver — wider rows shuffle more
+      // bytes, so the probe carries a realistic 4-column payload.
+      val liBase = graft.sources.Tables.parquet(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+      val nl = liBase.count()
+      val li = replicate(liBase, Map("l_orderkey" -> (nl + 7L)), "/tmp/graft_persist_scaled")
+      val prevGen = li.filter((col("l_orderkey") * 10 + col("l_linenumber")) % 50 =!= 0)
+      val curGen = li.filter((col("l_orderkey") * 10 + col("l_linenumber")) % 47 =!= 0)
+      time("persist_unit_diff", nl * mult) {
+        graft.streaming.Persistence.unitDiff(prevGen, curGen)
       }
     }
 

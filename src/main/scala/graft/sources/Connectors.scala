@@ -219,9 +219,24 @@ object Connectors {
     withMeta(df, withMetadata)
   }
 
-  /** Plaintext: one row per line (io/plaintext, data_format/single_column.rs). */
+  /** Plaintext: one row per line (io/plaintext, data_format/single_column.rs).
+    * `objectPattern` is the reference's `object_pattern=` filename filter
+    * (test_io.py test_objects_pattern) — Spark's `pathGlobFilter` applies
+    * it at the file listing, so filtered files are never even opened. */
   def plaintext(spark: SparkSession, path: String, mode: Mode = Static,
-      withMetadata: Boolean = false): DataFrame = {
+      withMetadata: Boolean = false, objectPattern: Option[String] = None): DataFrame = {
+    objectPattern match {
+      case Some(p) =>
+        val base = new org.apache.hadoop.fs.Path(path)
+        // filter applies to files under the dir; globMatches guard below
+        // still sees the dir itself
+        val df0 = reader(spark, mode, None) match {
+          case Left(r)  => r.options(DirScan).option("pathGlobFilter", p).text(base.toString)
+          case Right(r) => r.options(DirScan).option("pathGlobFilter", p).text(base.toString)
+        }
+        return withMeta(df0.withColumnRenamed("value", "data"), withMetadata)
+      case None => ()
+    }
     if (mode == Static && !globMatches(spark, path)) {
       // matchless path/glob → EMPTY table, the reference's scanner behavior
       import org.apache.spark.sql.types.{StringType, StructField, StructType}

@@ -140,6 +140,17 @@ object StreamOps {
   def removeRetractions(changelog: DataFrame, diffCol: String = "diff"): DataFrame =
     changelog.filter(col(diffCol) > 0)
 
+  /** `_deletions_enabled = False` contract (r17 decode of test_io.py
+    * test_python_connector_deletions_disabled*): a source declaring
+    * deletions-disabled passes insertions through untouched but FAILS the
+    * run with the reference's message the moment a retraction appears —
+    * not a silent filter. */
+  def assertDeletionsDisabled(changelog: DataFrame, name: String,
+      diffCol: String = "diff"): DataFrame =
+    changelog.where(when(col(diffCol) < 0, raise_error(lit(
+      s"Trying to delete a row in $name but deletions_enabled is set to False")))
+      .otherwise(lit(true)))
+
   // ── stream-static (asof_now) join ──────────────────────────────────────────
 
   /** asof_now_join (reference _asof_now_join.py:176): left stream rows join

@@ -89,4 +89,20 @@ class ChangelogOpsSpec extends AnyFunSuite {
       .as[Int].collect().toSet
     assert(orig == Set(1, 4))
   }
+
+  test("deletions_enabled=false: insertions pass, a retraction fails the run " +
+      "with the reference's message (r17 decode of test_io.py)") {
+    import spark.implicits._
+    val inserts = Seq((1, "upupa", 1), (3, "bubo", 1)).toDF("key", "genus", "diff")
+    val ok = graft.streaming.StreamOps
+      .assertDeletionsDisabled(inserts, "python-abcde")
+      .collect()
+    assert(ok.length == 2)
+    val withDelete = Seq((1, "upupa", 1), (1, "upupa", -1)).toDF("key", "genus", "diff")
+    val e = intercept[Exception] {
+      graft.streaming.StreamOps.assertDeletionsDisabled(withDelete, "python-abcde").collect()
+    }
+    assert(SparkTestBase.causeMessages(e).exists(m =>
+      m.contains("Trying to delete a row in python-abcde but deletions_enabled is set to False")))
+  }
 }

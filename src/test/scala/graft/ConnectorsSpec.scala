@@ -118,4 +118,17 @@ class ConnectorsSpec extends AnyFunSuite {
     val df = graft.streaming.StreamOps.rateStream(spark, 10)
     assert(df.isStreaming && df.columns.contains("value"))
   }
+
+  test("object_pattern filters the directory listing before any file opens " +
+      "(r17 decode of test_io.py test_objects_pattern)") {
+    val dir = tmpDir()
+    Files.write(java.nio.file.Paths.get(dir, "input.txt"), "a\nb\nc".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "input.dat"), "d\ne\nf\ng".getBytes)
+    val txt = Connectors.plaintext(spark, dir, objectPattern = Some("*.txt"))
+      .collect().map(_.getString(0)).toSet
+    assert(txt == Set("a", "b", "c"))
+    val dat = Connectors.plaintext(spark, dir, objectPattern = Some("*.dat"))
+      .collect().map(_.getString(0)).toSet
+    assert(dat == Set("d", "e", "f", "g"))
+  }
 }

@@ -57,6 +57,27 @@ class PlanQualitySpec extends AnyFunSuite {
     df.queryExecution.sparkPlan.toString
   }
 
+  test("Persistence.unitDiff plans one count-aggregate shuffle over the " +
+      "union — no join, no second exchange (r17)") {
+    // built directly (persist_diff's construction writes parquet state, so
+    // it can't sit in `guarded`): the changelog between two generations
+    // must stay a union -> partial agg -> ONE hash exchange -> final agg
+    import org.apache.spark.sql.functions.col
+    val base = graft.sources.Tables.orders(spark, sfDir).toDf
+      .select("o_orderkey", "o_orderstatus")
+    val diff = graft.streaming.Persistence.unitDiff(
+      base.filter(col("o_orderkey") % 2 === 0),
+      base.filter(col("o_orderkey") % 3 =!= 0))
+    // executedPlan: EnsureRequirements has inserted the exchanges by now
+    // (sparkPlan is pre-placement and shows none)
+    val p = diff.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"unitDiff must not plan a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle:\n$p")
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+    assert(p.contains("partial_sum"), "expected map-side partial aggregation")
+  }
+
   test("no guarded query plans a CartesianProduct or stray nested-loop join") {
     val offenders = guarded.flatMap { name =>
       val p = plan(name)
