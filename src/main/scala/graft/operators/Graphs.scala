@@ -477,12 +477,24 @@ object Graphs {
       roundDigits: Int = 16): DataFrame = {
     val cu = clustering.select(col("vid").as("u"), col("c").as("_cu"))
     val cv = clustering.select(col("vid").as("v"), col("c").as("_cv"))
-    val e = edges.join(cu, "u").join(cv, "v")
-    val degrees = e.groupBy(col("_cu").as("c")).agg(sum("weight").as("degree"))
+    // the reference looks endpoints up with C.ix (impl.py:359) — a vertex
+    // missing from the clustering is a KeyError there, so it fails loudly
+    // here too instead of silently dropping the edge from the numerator
+    // while m still counts it (use extendToFullClustering first for a
+    // partial clustering)
+    val e = edges.join(cu, Seq("u"), "left").join(cv, Seq("v"), "left")
+      .where(when(col("_cu").isNull || col("_cv").isNull,
+        raise_error(lit("exact_modularity: vertex missing from clustering")))
+        .otherwise(lit(true)))
+    val w = col("weight").cast("double")
+    val degrees = e.groupBy(col("_cu").as("c")).agg(sum(w).as("degree"))
     val internal = e.filter(col("_cu") === col("_cv"))
-      .groupBy(col("_cu").as("c")).agg(sum("weight").as("internal"))
+      .groupBy(col("_cu").as("c")).agg(sum(w).as("internal"))
     val clusters = clustering.select(col("c")).distinct()
-    val m = edges.agg(sum("weight")).head.getDouble(0)
+    // cast BEFORE the head: an integer weight column sums to Long (getDouble
+    // would ClassCastException), and an empty edge list sums to null
+    val m = Option(edges.agg(sum(w)).head.get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
     val perCluster = clusters
       .join(degrees, Seq("c"), "left").join(internal, Seq("c"), "left")
       .select(((coalesce(col("internal"), lit(0.0)) * m -

@@ -50,9 +50,11 @@ object Splitters {
     * `keepSeparator=true` is langchain's RecursiveCharacterTextSplitter
     * default (r17, ADVICE): each separator attaches to the START of the
     * following piece and merged chunks join with `""` — so custom
-    * non-whitespace separators stay in the output text. For the default
-    * whitespace hierarchy the stripped chunks coincide with the old
-    * keep_separator=false behavior (the r16 fixture replays pin that). */
+    * non-whitespace separators stay in the output text. NOTE this changed
+    * chunk BOUNDARIES for whitespace hierarchies too (kept separators count
+    * against the budget, so pieces that previously merged may now split —
+    * SplitterFixtureSpec pins both forms); `keepSeparator = false` restores
+    * the pre-r17 plain-split behavior. */
   def recursiveSplit(text: String, chunkSize: Int, chunkOverlap: Int = 0,
       separators: Seq[String] = DefaultSeparators,
       lengthOf: String => Int = _.length,

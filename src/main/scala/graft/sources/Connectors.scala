@@ -110,18 +110,17 @@ object Connectors {
   def csvTyped(spark: SparkSession, path: String, schema: graft.core.PwSchema,
       mode: Mode = Static, delimiter: String = ",",
       withMetadata: Boolean = false): DataFrame = {
+    // ONE copy of the cell-parsing rules for both the matchless-glob empty
+    // path and the real read (r17 review: two copies would let the empty
+    // table's dtypes drift from the populated one)
+    val cells = schema.cols.map { c =>
+      c.name -> TypedCells.csvCell(col(c.name), c.dtype,
+        optional = c.optional, default = c.defaultValue)
+    }
     if (mode == Static && !globMatches(spark, path)) {
-      var raw = emptyStatic(spark, StructType(schema.cols.map(c =>
+      val raw = emptyStatic(spark, StructType(schema.cols.map(c =>
         org.apache.spark.sql.types.StructField(c.name,
-          org.apache.spark.sql.types.StringType))), withMetadata = false)
-      if (withMetadata) raw = raw
-        .withColumn("_metadata_path", lit(null).cast("string"))
-        .withColumn("_metadata_size", lit(null).cast("long"))
-        .withColumn("_metadata_modified_at", lit(null).cast("timestamp"))
-      val cells = schema.cols.map { c =>
-        c.name -> TypedCells.csvCell(col(c.name), c.dtype,
-          optional = c.optional, default = c.defaultValue)
-      }
+          org.apache.spark.sql.types.StringType))), withMetadata)
       return applyCells(raw, cells, keep = if (withMetadata) metaCols else Nil)
     }
     // streaming needs an explicit schema UP FRONT, and Spark applies it to
@@ -149,10 +148,6 @@ object Connectors {
     val missing = schema.cols.map(_.name).filterNot(present)
     require(missing.isEmpty,
       s"fields ${missing.mkString(", ")} not found in header ${raw.columns.mkString(", ")}")
-    val cells = schema.cols.map { c =>
-      c.name -> TypedCells.csvCell(col(c.name), c.dtype,
-        optional = c.optional, default = c.defaultValue)
-    }
     val projected = withMeta(raw, withMetadata)
     applyCells(projected, cells,
       keep = if (withMetadata) metaCols else Nil)
@@ -225,18 +220,10 @@ object Connectors {
     * it at the file listing, so filtered files are never even opened. */
   def plaintext(spark: SparkSession, path: String, mode: Mode = Static,
       withMetadata: Boolean = false, objectPattern: Option[String] = None): DataFrame = {
-    objectPattern match {
-      case Some(p) =>
-        val base = new org.apache.hadoop.fs.Path(path)
-        // filter applies to files under the dir; globMatches guard below
-        // still sees the dir itself
-        val df0 = reader(spark, mode, None) match {
-          case Left(r)  => r.options(DirScan).option("pathGlobFilter", p).text(base.toString)
-          case Right(r) => r.options(DirScan).option("pathGlobFilter", p).text(base.toString)
-        }
-        return withMeta(df0.withColumnRenamed("value", "data"), withMetadata)
-      case None => ()
-    }
+    // the matchless-path guard applies in BOTH modes of the pattern arg
+    // (a nonexistent dir with a pattern must still yield the empty table,
+    // not PATH_NOT_FOUND); a pattern matching no files inside an existing
+    // dir already reads empty via pathGlobFilter
     if (mode == Static && !globMatches(spark, path)) {
       // matchless path/glob → EMPTY table, the reference's scanner behavior
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -244,9 +231,10 @@ object Connectors {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("data", StringType))))
     }
+    val extra = objectPattern.map(p => Map("pathGlobFilter" -> p)).getOrElse(Map.empty)
     val df = reader(spark, mode, None) match {
-      case Left(r)  => r.options(DirScan).text(path)
-      case Right(r) => r.options(DirScan).text(path)
+      case Left(r)  => r.options(DirScan ++ extra).text(path)
+      case Right(r) => r.options(DirScan ++ extra).text(path)
     }
     withMeta(df.withColumnRenamed("value", "data"), withMetadata)
   }

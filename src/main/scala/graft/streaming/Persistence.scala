@@ -79,11 +79,7 @@ object Persistence {
   def runStatic(stateDir: String, current: DataFrame): DataFrame = {
     val spark = current.sparkSession
     val prevGen = latestGen(spark, stateDir)
-    val nextGen = prevGen.getOrElse(-1L) + 1
-    current.write.mode("overwrite").parquet(genDir(stateDir, nextGen))
-    java.nio.file.Files.write(
-      new java.io.File(stateDir, LatestFile).toPath,
-      nextGen.toString.getBytes)
+    val nextGen = commitRows(stateDir, current)
     val cur = spark.read.parquet(genDir(stateDir, nextGen))
     prevGen match {
       case Some(g) => unitDiff(spark.read.parquet(genDir(stateDir, g)), cur)
@@ -169,13 +165,16 @@ object Persistence {
       spark.sparkContext.parallelize(out.toIndexedSeq), diff.schema)
   }
 
-  private def commitRows(stateDir: String, rows: DataFrame): Unit = {
+  /** The ONE commit protocol (write generation fully, THEN flip the
+    * pointer); every state write in this object goes through here. */
+  private def commitRows(stateDir: String, rows: DataFrame): Long = {
     val spark = rows.sparkSession
     val prevGen = latestGen(spark, stateDir)
     val nextGen = prevGen.getOrElse(-1L) + 1
     rows.write.mode("overwrite").parquet(genDir(stateDir, nextGen))
     java.nio.file.Files.write(
       new java.io.File(stateDir, LatestFile).toPath, nextGen.toString.getBytes)
+    nextGen
   }
 
   /** Persisted memo for a non-deterministic per-row computation
@@ -195,18 +194,18 @@ object Persistence {
     val result = memoOpt match {
       case None => compute(input)
       case Some(memo) =>
-        val hits = input.join(memo, keyCols, "inner")
+        // the memo carries input columns + computed columns; project it to
+        // keyCols + computed so a keyCols ⊂ input-columns call doesn't
+        // produce duplicate non-key columns in the join
+        val computedCols = memo.columns.filterNot(c =>
+          input.columns.contains(c) && !keyCols.contains(c))
+        val hits = input.join(memo.select(computedCols.map(col): _*), keyCols, "inner")
         val misses = input.join(memo.select(keyCols.map(col): _*), keyCols, "left_anti")
         val fresh = compute(misses)
         hits.unionByName(fresh)
     }
     // commit the consolidated memo as the next generation
-    val prevGen = latestGen(spark, stateDir)
-    val nextGen = prevGen.getOrElse(-1L) + 1
-    result.write.mode("overwrite").parquet(genDir(stateDir, nextGen))
-    java.nio.file.Files.write(
-      new java.io.File(stateDir, LatestFile).toPath,
-      nextGen.toString.getBytes)
+    val nextGen = commitRows(stateDir, result)
     spark.read.parquet(genDir(stateDir, nextGen))
   }
 }

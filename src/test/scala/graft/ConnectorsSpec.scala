@@ -131,4 +131,12 @@ class ConnectorsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(dat == Set("d", "e", "f", "g"))
   }
+
+  test("object_pattern on a nonexistent directory still yields the empty " +
+      "table, not PATH_NOT_FOUND (r17 review pin)") {
+    val out = Connectors.plaintext(spark, "/no/such/graft/dir",
+      objectPattern = Some("*.txt"))
+    assert(out.collect().isEmpty)
+    assert(out.columns.toSeq == Seq("data"))
+  }
 }

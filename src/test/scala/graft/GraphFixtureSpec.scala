@@ -143,4 +143,23 @@ class GraphFixtureSpec extends AnyFunSuite {
     assert(after >= base, s"louvain modularity $after < singleton $base")
     assert(after > 0.3, s"expected real communities, got modularity $after")
   }
+
+  test("exactModularity r17-review pins: integer weights sum cleanly, a " +
+      "vertex missing from the clustering fails loudly, empty edges -> 0") {
+    val longW = modularityEdges.withColumn("weight", col("weight").cast("long") + 1)
+    // integer weights: no ClassCastException, a real number comes back
+    assert(!Graphs.exactModularity(longW,
+      Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L)).toDF("vid", "c"),
+      6).head.isNullAt(0))
+    // missing vertex = the reference's C.ix KeyError, not a silent drop
+    val partial = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("vid", "c")
+    val e = intercept[Exception] {
+      Graphs.exactModularity(modularityEdges, partial, 6).head
+    }
+    assert(SparkTestBase.causeMessages(e)
+      .exists(_.contains("exact_modularity: vertex missing from clustering")))
+    // empty edge list: m = 0, no NPE
+    val none = modularityEdges.limit(0)
+    Graphs.exactModularity(none, Seq((1L, 1L)).toDF("vid", "c"), 6).head
+  }
 }

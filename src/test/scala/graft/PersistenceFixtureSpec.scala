@@ -466,6 +466,23 @@ class PersistenceFixtureSpec extends AnyFunSuite {
     run(Seq(9, 10), Set("9,1", "10,1"))
     run(Seq(26), Set("15,1", "16,1"))
   }
+
+  test("memoize with keyCols a PROPER SUBSET of the input columns reuses " +
+      "results without duplicate-column failures (r17 review pin)") {
+    val memoDir = tmp()
+    PersistenceFixtureSpec.udfCounter.set(0)
+    val nextUdf = udf(() => PersistenceFixtureSpec.udfCounter.incrementAndGet())
+    def run(rows: Seq[(Int, String)]): Map[Int, (String, Int)] = {
+      val input = rows.toDF("a", "note") // memo key = a only; note rides along
+      Persistence.memoize(memoDir, input, Seq("a"),
+        misses => misses.coalesce(1).sortWithinPartitions("a")
+          .withColumn("x", nextUdf()))
+        .collect().map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    }
+    assert(run(Seq((1, "p"), (2, "q"))) == Map(1 -> ("p", 1), 2 -> ("q", 2)))
+    // key 1 hits the memo (x stays 1) even though its non-key column changed
+    assert(run(Seq((1, "P2"), (3, "r"))) == Map(1 -> ("P2", 1), 3 -> ("r", 3)))
+  }
 }
 
 object PersistenceFixtureSpec {
