@@ -86,6 +86,11 @@ object Udfs {
     * memoization of a pure function. At scale this is a per-JVM LRU — the
     * reference's cache is likewise per-worker. */
   def cached[I, O](f: I => O, maxEntries: Int = 100000): I => O = {
+    // InMemoryCache(max_size=0) stores nothing — every call recomputes
+    // (r17 decode of test_udf.py test_udf_in_memory_cache_with_limit; the
+    // clear-before-insert loop below would still serve the just-inserted
+    // entry on the next hit)
+    if (maxEntries <= 0) return f
     // ConcurrentHashMap forbids the mapping function from mutating the map
     // (clear() inside computeIfAbsent can deadlock under concurrent executor
     // threads), so the bound check runs BEFORE the lookup. clear() is a crude
@@ -95,6 +100,25 @@ object Udfs {
     (i: I) => {
       if (cache.size() >= maxEntries && !cache.containsKey(i)) cache.clear()
       cache.computeIfAbsent(i, k => f(k))
+    }
+  }
+
+  /** Per-call timeout (udfs/executors.py `async_executor(timeout=…)`;
+    * r17 decode of test_udf.py test_udf_timeout / too_fast_for_timeout):
+    * a call running past `timeoutMs` raises TimeoutException — the row
+    * errors like the reference's asyncio TimeoutError — while fast calls
+    * pass through untouched. The worker thread is daemonized and
+    * interrupted so a hung call can't pin the executor. */
+  def withTimeout[O](timeoutMs: Long)(f: () => O): O = {
+    val task = new java.util.concurrent.FutureTask[O](() => f())
+    val t = new Thread(task, "graft-udf-timeout"); t.setDaemon(true); t.start()
+    try task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        task.cancel(true)
+        throw new java.util.concurrent.TimeoutException(
+          s"UDF call exceeded $timeoutMs ms")
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
     }
   }
 

@@ -95,4 +95,27 @@ class UdfFixtureSpec extends AnyFunSuite {
     assert(SparkTestBase.causeMessages(e).exists(_.contains(
       "The number of rows produced by a UDF (2) is different than the number of rows on its input (3).")))
   }
+
+  test("test_udf_timeout / too_fast_for_timeout: a call past the budget " +
+      "raises TimeoutException, fast calls pass (r17)") {
+    import graft.functions.Udfs
+    intercept[java.util.concurrent.TimeoutException] {
+      Udfs.withTimeout(100L)(() => { Thread.sleep(2000); 42 })
+    }
+    assert((1 to 3).map(i => Udfs.withTimeout(10000L)(() => i + 1)) == Seq(2, 3, 4))
+    // a failing call surfaces its own error, not a timeout
+    val e = intercept[RuntimeException] {
+      Udfs.withTimeout(10000L)(() => throw new RuntimeException("boom"))
+    }
+    assert(e.getMessage == "boom")
+  }
+
+  test("test_udf_in_memory_cache_with_limit: max_size=0 disables caching — " +
+      "results stay correct, every call recomputes (r17)") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inc = graft.functions.Udfs.cached[Int, Int](
+      a => { calls.incrementAndGet(); a + 1 }, maxEntries = 0)
+    assert(Seq(1, 1, 1).map(inc) == Seq(2, 2, 2))
+    assert(calls.get() == 3)
+  }
 }
