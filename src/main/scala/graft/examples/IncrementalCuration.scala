@@ -61,15 +61,19 @@ object IncrementalCuration {
     val d1 = runOnce(state, firstHalf)
     println(s"run 1: ${d1.count()} changelog rows (all +1)")
 
-    // run 2: the rest arrives (including exact duplicates of run-1 docs) —
-    // only the delta comes out
-    val d2 = runOnce(state, docs)
+    // run 2: the rest arrives, plus exact duplicates of some run-1 docs
+    // under SMALLER ids — those displace the old representatives, so the
+    // changelog carries their retractions alongside the new insertions
+    val dupes = firstHalf.limit(20)
+      .select((col("doc_id") - 1000000L).as("doc_id"), col("text"))
+    val corpus2 = docs.unionByName(dupes)
+    val d2 = runOnce(state, corpus2)
     val byDiff = d2.groupBy("diff").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     println(s"run 2: +${byDiff.getOrElse(1, 0L)} / -${byDiff.getOrElse(-1, 0L)} changelog rows")
 
     // run 3: nothing changed — the changelog is empty
-    val d3 = runOnce(state, docs)
+    val d3 = runOnce(state, corpus2)
     println(s"run 3 (no-op): ${d3.count()} changelog rows")
     spark.stop()
   }
