@@ -44,13 +44,28 @@ class PlanQualitySpec extends AnyFunSuite {
     "doc_pack", "doc_split_chunks", "doc_parse", "expr_str", "expr_num",
     "expr_cond", "matmul_block", "reduce_countmin",
     "expr_str_py", "expr_json", "expr_dt", "reduce_distinct_fold",
-    "pagerank_ref", "window_behavior", "snapshot_diff", "upsert_session")
+    "pagerank_ref", "window_behavior", "snapshot_diff", "upsert_session",
+    // r17 widening: every remaining purely-declarative board row
+    "error_handling", "error_table", "sql_bridge", "sql_dialect",
+    "bm25_per_term", "rrf_fusion", "changelog_agg", "stream_upsert",
+    "unpack_col", "majority", "argmax_rows", "ndarray_sum",
+    "reduce_min_max", "reduce_argminmax", "reduce_unique_any",
+    "reduce_sorted_tuple", "reduce_tuple_ordered", "reduce_stats",
+    "reduce_stateful_sumsq", "reduce_earliest_latest",
+    "reduce_approx_distinct", "reduce_misra_gries", "reduce_topk_freq",
+    "text_boilerplate", "text_lm_score", "cast_rename", "apply_udf",
+    "error_propagate_reduce", "error_skip_reduce", "expr_dt_round",
+    "expr_tuple", "dedup_acceptor", "asof_now_join")
 
   /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
     * 1-row scalar cross joins (ignore_late-style max-ts broadcast;
     * sync_group_cut / inactivity_detect broadcast a 1-row frontier). */
   private val bnljAllowed =
-    Set("ignore_late", "sync_group_cut", "inactivity_detect", "window_behavior")
+    Set("ignore_late", "sync_group_cut", "inactivity_detect", "window_behavior",
+      // text_lm_score: crossJoin(broadcast(vocab)) where vocab is the ONE-ROW
+      // countDistinct aggregate; rrf_fusion: its knn inputs broadcast the
+      // tiny (3-row) query set — both designed scalar/tiny-side broadcasts
+      "text_lm_score", "rrf_fusion")
 
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
