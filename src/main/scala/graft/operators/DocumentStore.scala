@@ -23,6 +23,34 @@ object DocumentStore {
     * path, timestamps…) onto every chunk so retrieval can pre-filter — the
     * reference's metadata JSON on each indexed row
     * (document_store.py `metadata_filter` / `filepath_globpattern`). */
+  /** Unify heterogeneous input tables into one corpus (r17 decode of
+    * test_document_store.py test_docstore_on_tables_with_different_schemas /
+    * test_docstore_on_table_without_metadata): DocumentStore accepts a LIST
+    * of tables; columns missing from one table (e.g. `_metadata_path`, or
+    * extra per-source columns) null-fill — `unionByName(allowMissing)`. */
+  def unifyInputs(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "DocumentStore needs at least one input table")
+    tables.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Doc post-processors (document_store.py `doc_post_processors`; r17
+    * decode of test_docstore_post_processor / metadata variant): each hook
+    * rewrites (text, metadata) BEFORE chunking/indexing — applied in order,
+    * as one codegen'd-boundary UDF pass over the corpus. Metadata rides as
+    * a JSON string column (absent metadata = `{}`). */
+  def applyPostProcessors(docs: DataFrame, textCol: Column, metadataCol: Column,
+      processors: Seq[(String, String) => (String, String)]): DataFrame = {
+    val chain = udf((text: String, meta: String) => {
+      val start = (if (text == null) "" else text, if (meta == null) "{}" else meta)
+      val (t, m) = processors.foldLeft(start) { case ((tt, mm), f) => f(tt, mm) }
+      Seq(t, m)
+    })
+    docs.withColumn("_pp", chain(textCol, metadataCol))
+      .withColumn("text", col("_pp").getItem(0))
+      .withColumn("_metadata", col("_pp").getItem(1))
+      .drop("_pp")
+  }
+
   def build(docs: DataFrame, idCol: Column, textCol: Column,
       chunkTokens: Int = 50, overlap: Int = 10, dim: Int = 64,
       metaCols: Seq[Column] = Nil): DataFrame = {

@@ -105,4 +105,37 @@ class DocumentStoreSpec extends AnyFunSuite {
     assert(top == 1L)
     assert(out.select("rerank_score").as[Double].collect().forall(_ > 0.9))
   }
+
+  test("tables with different schemas unify into one corpus; missing columns " +
+      "null-fill (test_document_store.py r17 decode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs1 = Seq((1L, "test")).toDF("doc_id", "text")
+    val docs2 = Seq((2L, "test2", "{}", 1)).toDF("doc_id", "text", "_metadata", "val")
+    val corpus = graft.operators.DocumentStore.unifyInputs(Seq(docs1, docs2))
+    assert(corpus.count() == 2)
+    assert(corpus.columns.toSet == Set("doc_id", "text", "_metadata", "val"))
+    // docs1's row carries nulls for the columns it lacks
+    val r1 = corpus.filter(col("doc_id") === 1L).head
+    assert(r1.isNullAt(r1.fieldIndex("_metadata")) && r1.isNullAt(r1.fieldIndex("val")))
+    // and a store built over the union retrieves from BOTH sources
+    val store = graft.operators.DocumentStore.build(
+      corpus, col("doc_id"), col("text"), chunkTokens = 10, overlap = 2, dim = 16)
+    assert(store.select("doc_id").distinct().count() == 2)
+    store.unpersist()
+  }
+
+  test("doc post-processors rewrite text and metadata before indexing, " +
+      "in order (test_docstore_post_processor r17 decode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "test", """{"foo":"bar"}""")).toDF("doc_id", "text", "_metadata")
+    val addBaz: (String, String) => (String, String) = (t, m) => (t + "baz", m)
+    val addId: (String, String) => (String, String) =
+      (t, m) => (t, m.stripSuffix("}") + ""","id":1}""")
+    val out = graft.operators.DocumentStore.applyPostProcessors(
+      docs, col("text"), col("_metadata"), Seq(addBaz, addId)).head
+    assert(out.getString(out.fieldIndex("text")) == "testbaz")
+    assert(out.getString(out.fieldIndex("_metadata")) == """{"foo":"bar","id":1}""")
+  }
 }
