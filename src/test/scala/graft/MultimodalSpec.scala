@@ -84,4 +84,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(out(1L).rms - 0.354) < 0.01, s"rms=${out(1L).rms}")
     assert(!out(2L).ok)
   }
+
+  test("REAL video decode: MJPEG-AVI frames parse, decode and hash; stride " +
+      "samples; non-AVI blobs take the failure channel (r17)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // build 5 genuinely different JPEG frames (two-tone split moves across)
+    def jpeg(split: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 32)
+        img.setRGB(x, y, if (x < split) 0xffffff else 0x000000)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val frames = (1 to 5).map(i => jpeg(i * 5))
+    val avi = Multimodal.mjpegAvi(frames, 32, 16)
+    val media = Seq((1L, avi), (2L, "not a video".getBytes)).toDF("media_id", "blob")
+    val out = Multimodal.decodeVideoFrames(media, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getInt(3), r.getInt(4), r.getLong(5)))
+    val ok = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(ok.map(_._2).toSeq == Seq(0L, 2L, 4L)) // stride 2 over 5 frames
+    assert(ok.forall(f => f._3 && f._4 == 32 && f._5 == 16))
+    assert(ok.map(_._6).distinct.length == 3) // moving split -> distinct hashes
+    val bad = out.filter(_._1 == 2L)
+    assert(bad.toSeq == Seq((2L, -1L, false, -1, -1, 0L)))
+  }
 }
