@@ -1417,6 +1417,41 @@ object SparkEntry {
       .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
   }
 
+  /** REAL video decode end-to-end (r17): deterministic MJPEG-AVIs generated
+    * per customer key — (key % 3 + 2) two-tone JPEG frames each — then
+    * `decodeVideoFrames(stride = 2)`. Frame indices, dims and the ok flag
+    * are closed-form for the oracle; the lossy JPEG payload itself is
+    * asserted through the decoder (ok=true requires a successful ImageIO
+    * read of every sampled frame). */
+  private def qMultimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    val mkAvi = udf((id: Long) => {
+      val n = (id % 3).toInt + 2
+      val frames = (0 until n).map { i =>
+        val img = new java.awt.image.BufferedImage(32, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 32) {
+            img.setRGB(x, y, if (x < (i + 1) * 5) 0xffffff else 0x000000)
+            x += 1
+          }
+          y += 1
+        }
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", buf)
+        buf.toByteArray
+      }
+      Multimodal.mjpegAvi(frames, 32, 16)
+    })
+    val media = Tables.customer(s, dir).toDf
+      .select(col("c_custkey").cast("long").as("media_id"))
+      .filter(col("media_id") <= 200)
+      .withColumn("blob", mkAvi(col("media_id")))
+    Multimodal.decodeVideoFrames(media, stride = 2)
+      .select("media_id", "frame_idx", "ok", "width", "height")
+  }
+
   // ───────────────────────────────────────────────────────────────────────────
   //  Iterate + graphs (SURVEY §2.1 iterate, §2.6 pagerank/bellman_ford)
   // ───────────────────────────────────────────────────────────────────────────
@@ -1858,6 +1893,7 @@ object SparkEntry {
     "multimodal_decode" -> (qMultimodalDecode _),
     "multimodal_audio" -> (qMultimodalAudio _),
     "multimodal_frames" -> (qMultimodalFrames _),
+    "multimodal_video" -> (qMultimodalVideo _),
     "iterate_cc"      -> (qIterateCc _),
     "bellman_ford"    -> (qBellmanFord _),
     "pagerank"        -> (qPagerank _),
@@ -2759,6 +2795,19 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST(FLOOR(GREATEST(CAST(FLOOR(length(text) / 16) AS BIGINT) - 1, 0) / 4) + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // (media % 3 + 2) MJPEG frames per AVI, stride-2 sampling; dims and
+    // indices are closed-form, ok=true pins every sampled frame's ImageIO
+    // decode succeeding
+    "multimodal_video" ->
+      """WITH m AS (SELECT CAST(c_custkey AS BIGINT) AS media_id,
+        |                  (c_custkey % 3) + 2 AS nf
+        |           FROM customer WHERE c_custkey <= 200),
+        |f AS (SELECT media_id,
+        |        UNNEST(generate_series(CAST(0 AS BIGINT), CAST(nf - 1 AS BIGINT), 2)) AS frame_idx
+        |      FROM m)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx, TRUE AS ok,
+        |  CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height
+        |FROM f""".stripMargin,
     "iterate_cc" ->
       """WITH m AS (SELECT c_nationkey, MIN(c_custkey) AS minc FROM customer GROUP BY c_nationkey)
         |SELECT c_custkey AS vertex, minc AS component
