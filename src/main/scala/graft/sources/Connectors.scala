@@ -81,10 +81,12 @@ object Connectors {
     * `csv.read(…, csv_settings)`. */
   def csv(spark: SparkSession, path: String, mode: Mode = Static,
       schema: Option[StructType] = None, header: Boolean = true,
-      delimiter: String = ",", withMetadata: Boolean = false): DataFrame = {
+      delimiter: String = ",", withMetadata: Boolean = false,
+      objectPattern: Option[String] = None): DataFrame = {
     if (mode == Static && !globMatches(spark, path))
       return emptyStatic(spark, schema.getOrElse(StructType(Nil)), withMetadata)
-    val opts = Map("header" -> header.toString, "sep" -> delimiter) ++ CsvRead
+    val opts = Map("header" -> header.toString, "sep" -> delimiter) ++ CsvRead ++
+      objectPattern.map("pathGlobFilter" -> _)
     val df = reader(spark, mode, schema) match {
       case Left(r)  => r.options(opts).csv(path)
       case Right(r) => r.options(opts).csv(path)
@@ -204,12 +206,14 @@ object Connectors {
 
   /** JSON-lines (io/jsonlines, data_format/json.rs). */
   def jsonlines(spark: SparkSession, path: String, mode: Mode = Static,
-      schema: Option[StructType] = None, withMetadata: Boolean = false): DataFrame = {
+      schema: Option[StructType] = None, withMetadata: Boolean = false,
+      objectPattern: Option[String] = None): DataFrame = {
     if (mode == Static && !globMatches(spark, path))
       return emptyStatic(spark, schema.getOrElse(StructType(Nil)), withMetadata)
+    val opts = DirScan ++ objectPattern.map("pathGlobFilter" -> _)
     val df = reader(spark, mode, schema) match {
-      case Left(r)  => r.options(DirScan).json(path)
-      case Right(r) => r.options(DirScan).json(path)
+      case Left(r)  => r.options(opts).json(path)
+      case Right(r) => r.options(opts).json(path)
     }
     withMeta(df, withMetadata)
   }

@@ -139,4 +139,19 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(out.collect().isEmpty)
     assert(out.columns.toSeq == Seq("data"))
   }
+
+  test("object_pattern filters csv and jsonlines directory reads too " +
+      "(io.fs.read object_pattern applies to every format)") {
+    val dir = tmpDir()
+    Files.write(java.nio.file.Paths.get(dir, "a.csv"), "v\n1\n2".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "b.dat"), "v\n9".getBytes)
+    val got = Connectors.csv(spark, dir, objectPattern = Some("*.csv"))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("1", "2"))
+    Files.write(java.nio.file.Paths.get(dir, "c.jsonl"), """{"x": 5}""".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "d.txt"), """{"x": 6}""".getBytes)
+    val js = Connectors.jsonlines(spark, dir, objectPattern = Some("*.jsonl"))
+      .select("x").collect().map(_.getLong(0)).toSet
+    assert(js == Set(5L))
+  }
 }
