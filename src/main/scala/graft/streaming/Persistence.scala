@@ -87,6 +87,21 @@ object Persistence {
     }
   }
 
+  /** Persistence as a STREAMING sink (the reference's streaming persistence
+    * story — test_persistence.py test_groupby_count: run, stop, restart,
+    * only deltas appear): in COMPLETE output mode every microbatch carries
+    * the full current result table, so committing it as a generation turns
+    * the stream into a unit-diff changelog across microbatches AND across
+    * query restarts — the store outlives the query, so a restarted stream
+    * diffs against the last committed generation, not from scratch.
+    * Start with `.outputMode("complete")`. */
+  def changelogSink(df: DataFrame, stateDir: String)(
+      onDiff: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    df.writeStream.outputMode("complete").foreachBatch {
+      (batch: DataFrame, id: Long) => onDiff(runStatic(stateDir, batch), id)
+    }
+
   // ── persisted behavior-operator runs (decoded from test_persistence.py
   //    test_buffer:758 / test_forget:797 / test_forget_streaming:817) ──────
   //

@@ -658,4 +658,38 @@ class StreamingSpec extends AnyFunSuite {
       .as[java.sql.Timestamp].collect().toSet
     assert(kept == Set(ts("2024-01-01 05:00:00"), ts("2024-01-01 06:30:00")))
   }
+
+  test("Persistence.changelogSink: complete-mode stream emits unit-diff " +
+      "changelogs per microbatch AND across query restarts (r17 — the " +
+      "reference's test_persistence.py:49 groupby_count story)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-clsink").toString
+    val inDir = base + "/in"; val ckpt = base + "/ckpt"; val state = base + "/state"
+    new java.io.File(inDir).mkdirs()
+    val diffs = scala.collection.mutable.ArrayBuffer[Set[(String, Long, Int)]]()
+    def startQuery() = {
+      val counts = graft.examples.WordCount.counts(
+        graft.sources.Connectors.plaintext(spark, inDir,
+          mode = graft.sources.Connectors.Streaming)).toDF("w", "c")
+      graft.streaming.Persistence.changelogSink(counts, state) { (d, _) =>
+        val rows = d.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+        if (rows.nonEmpty) diffs.synchronized { diffs += rows }
+      }.option("checkpointLocation", ckpt).start()
+    }
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "0.txt"), "abc\ndef\nfoo\n")
+    val q1 = startQuery(); q1.processAllAvailable()
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "1.txt"), "foo\nxyz\n")
+    q1.processAllAvailable(); q1.stop()
+    // restart: new file, the store carries over — only deltas come out
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "2.txt"), "abc\nxxx\n")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    // batch 1: all insertions; batch 2: foo 1→2; post-restart: abc 1→2 + xxx
+    assert(diffs.head == Set(("abc", 1L, 1), ("def", 1L, 1), ("foo", 1L, 1)))
+    assert(diffs.exists(_ == Set(("foo", 1L, -1), ("foo", 2L, 1), ("xyz", 1L, 1))))
+    assert(diffs.last == Set(("abc", 1L, -1), ("abc", 2L, 1), ("xxx", 1L, 1)))
+    // accumulated state = reference's expected final table
+    val acc = scala.collection.mutable.Map[(String, Long), Int]().withDefaultValue(0)
+    diffs.flatten.foreach { case (w, c, d) => acc((w, c)) += d }
+    assert(acc.collect { case (k, 1) => k }.toSet ==
+      Set(("abc", 2L), ("def", 1L), ("foo", 2L), ("xyz", 1L), ("xxx", 1L)))
+  }
 }
