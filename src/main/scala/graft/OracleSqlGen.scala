@@ -503,10 +503,21 @@ WHERE rank <= $topK"""
     * k, exact): chunking (40-token stride), md5 chunk ids, FakeEmbedder
     * vectors per chunk and per query, cosine ranking with the chunk id as
     * tie-break — the full RAG retrieval path replayed in SQL. */
-  def docStoreRetrieve(dim: Int, k: Int, queries: Seq[(Long, String)]): String = {
+  def docStoreRetrieve(dim: Int, k: Int, queries: Seq[(Long, String)]): String =
+    s"""WITH ${docStoreCtes(dim, queries)},
+sc AS (SELECT query_id, chunk_id, doc_id, chunk_idx, ${cos("qv", "cv", dim)} AS score
+  FROM qemb JOIN cemb ON query_id <> chunk_id),
+r AS (SELECT query_id, doc_id, chunk_idx, score,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, chunk_id ASC) AS rank FROM sc)
+SELECT query_id, doc_id, chunk_idx, score, rank FROM r WHERE rank <= $k"""
+
+  /** CTE chain shared by the document-store oracles: chunking (40-token
+    * stride), md5 chunk ids (`chid`), FakeEmbedder chunk vectors (`cemb`)
+    * and query vectors (`qemb`) for the literal query set (`q`). */
+  private def docStoreCtes(dim: Int, queries: Seq[(Long, String)]): String = {
     val qvals = queries.map { case (i, t) => s"(CAST($i AS BIGINT), '$t')" }.mkString(", ")
     // signed token-count vector of a token-list column `toks`, as CTE steps
-    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+    s"""d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
 c0 AS (SELECT doc_id, toks,
     UNNEST(generate_series(0, GREATEST(CAST(CEIL(CAST(len(toks) - 10 AS DOUBLE) / 40) AS INT), 1) - 1)) AS ci
   FROM d),
@@ -534,12 +545,45 @@ qg AS (SELECT query_id, list(idx ORDER BY idx) AS idxs, list(v ORDER BY idx) AS 
   FROM qag GROUP BY query_id),
 qemb AS (SELECT q.query_id, list_transform(generate_series(0, ${dim - 1}),
     i -> CAST(COALESCE(vals[list_position(idxs, i)], 0) AS DOUBLE)) AS qv
-  FROM q LEFT JOIN qg ON qg.query_id = q.query_id),
-sc AS (SELECT query_id, chunk_id, doc_id, chunk_idx, ${cos("qv", "cv", dim)} AS score
+  FROM q LEFT JOIN qg ON qg.query_id = q.query_id)"""
+  }
+
+  /** DocumentStore.retrieveHybrid: vector arm (cosine KNN over the chunk
+    * embeddings) + lexical arm (word-token BM25 of each query's own terms
+    * over the chunk text, summed per (query, chunk)), each top-k ranked,
+    * fused by reciprocal rank (k0=60). BM25 ranks are ULP-robust here (the
+    * scores feed only the rank, and rrf_score is a ≤2-term sum of exact
+    * 1/(k0+rank) doubles). */
+  def docStoreHybrid(dim: Int, k: Int, k0: Int, queries: Seq[(Long, String)]): String = {
+    val wordToks = "regexp_extract_all(lower(%s), '[a-z0-9'']+')"
+    s"""WITH ${docStoreCtes(dim, queries)},
+vsc AS (SELECT query_id, chunk_id AS nn_id, ${cos("qv", "cv", dim)} AS score
   FROM qemb JOIN cemb ON query_id <> chunk_id),
-r AS (SELECT query_id, doc_id, chunk_idx, score,
-  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, chunk_id ASC) AS rank FROM sc)
-SELECT query_id, doc_id, chunk_idx, score, rank FROM r WHERE rank <= $k"""
+vr AS (SELECT query_id, nn_id,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM vsc),
+wt AS (SELECT chunk_id, ${wordToks.format("chunk_text")} AS wtoks FROM chid),
+wstats AS (SELECT COUNT(*) AS n, AVG(CAST(len(wtoks) AS BIGINT)) AS avgdl FROM wt),
+qterms AS (SELECT query_id, UNNEST(list_distinct(${wordToks.format("q_text")})) AS term FROM q),
+terms AS (SELECT DISTINCT term FROM qterms),
+tdf AS (SELECT term, COUNT(*) AS df FROM wt, terms WHERE list_contains(wtoks, term) GROUP BY term),
+tfc AS (SELECT chunk_id, CAST(len(wtoks) AS BIGINT) AS dl, term,
+    CAST(len(list_filter(wtoks, t -> t = term)) AS BIGINT) AS tf
+  FROM wt, terms WHERE list_contains(wtoks, term)),
+bsc AS (SELECT tfc.chunk_id, tfc.term,
+    LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+      * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+  FROM tfc JOIN tdf USING (term), wstats),
+lsc AS (SELECT query_id, chunk_id AS nn_id, SUM(score) AS score
+  FROM bsc JOIN qterms USING (term) GROUP BY 1, 2),
+lr AS (SELECT query_id, nn_id,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM lsc),
+uni AS (SELECT query_id, nn_id, rank FROM vr WHERE rank <= $k
+  UNION ALL SELECT query_id, nn_id, rank FROM lr WHERE rank <= $k),
+f AS (SELECT query_id, nn_id, SUM(1.0 / ($k0 + rank)) AS rrf_score FROM uni GROUP BY 1, 2),
+fr AS (SELECT query_id, nn_id, rrf_score,
+  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, nn_id ASC) AS rank FROM f)
+SELECT fr.query_id, c.doc_id, c.chunk_idx, fr.rrf_score, fr.rank
+FROM fr JOIN chid c ON c.chunk_id = fr.nn_id WHERE fr.rank <= $k"""
   }
 
   /** Graphs.louvain over the 25-node nation graph, `iters` unrolled passes

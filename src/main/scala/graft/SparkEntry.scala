@@ -1361,6 +1361,47 @@ object SparkEntry {
       .select("query_id", "doc_id", "chunk_idx", "score", "rank")
   }
 
+  /** Hybrid document store (reference HybridIndexFactory): vector KNN +
+    * per-query-term BM25 over the same chunk store, fused by reciprocal
+    * rank — the full two-retriever RAG path, DuckDB-replayed end to end. */
+  private def qDocStoreHybrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = graft.operators.DocumentStore.build(
+      docs(s, dir), col("doc_id"), col("text"), chunkTokens = 50, overlap = 10, dim = 32)
+    val queries = Seq((1L, "data query window"), (2L, "spark join batch"),
+      (3L, "hash table scan")).toDF("qid", "qtext")
+    graft.operators.DocumentStore.retrieveHybrid(store, queries, col("qid"),
+        col("qtext"), k = 3, dim = 32)
+      .select("query_id", "doc_id", "chunk_idx", "rrf_score", "rank")
+  }
+
+  /** UdfChangelog storage policy (reference UDF-result store,
+    * test_udf.py:1023/1813): a synthetic orders changelog — every key
+    * inserts at t=1, keys %3==0 retract at t=2, keys %9==0 re-insert at
+    * t=3 — through a PER-ARG INVOCATION COUNTER UDF (non-deterministic by
+    * construction). The StoredTemporarily policy makes the output
+    * deterministic anyway: retractions replay the stored value, re-inserts
+    * compute fresh — which is exactly what the closed-form oracle checks. */
+  private def qUdfChangelog(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(s, dir).toDf
+      .select(col("o_orderkey").cast("long").as("k"))
+    val ins = keys.select(col("k"), lit(1L).as("time"), lit(1).as("diff"))
+    val del = keys.filter(col("k") % 3 === 0)
+      .select(col("k"), lit(2L).as("time"), lit(-1).as("diff"))
+    val re = keys.filter(col("k") % 9 === 0)
+      .select(col("k"), lit(3L).as("time"), lit(1).as("diff"))
+    // fresh per run: a per-TASK deserialized copy, so reruns (bench reps)
+    // and task retries alike start from zero — deterministic under the policy
+    val counts = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    graft.operators.UdfChangelog(ins.unionByName(del).unionByName(re),
+      "k", Seq("k"), "time", "diff",
+      graft.operators.UdfChangelog.StoredTemporarily, "x",
+      org.apache.spark.sql.types.LongType) { args =>
+      val a = args.head.asInstanceOf[Long]
+      10 * a + counts.merge(a, 1L, (x, y) => x + y)
+    }
+  }
+
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.packAsMedia(docs(s, dir), col("doc_id"), col("text"), "text")
     Multimodal.byteFeatures(media).toDF()
@@ -1887,6 +1928,8 @@ object SparkEntry {
     "fuzzy_join"      -> (qFuzzyJoin _),
     "rerank_topk"     -> (qRerank _),
     "doc_store_retrieve" -> (qDocStoreRetrieve _),
+    "doc_store_hybrid" -> (qDocStoreHybrid _),
+    "udf_changelog"   -> (qUdfChangelog _),
     "matmul_2d"       -> (qMatmul2d _),
     "matmul_block"    -> (qMatmulBlock _),
     "multimodal_features" -> (qMultimodalFeatures _),
@@ -3181,5 +3224,14 @@ object SparkEntry {
     "doc_store_retrieve" -> OracleSqlGen.docStoreRetrieve(dim = 32, k = 3,
       queries = Seq(1L -> "data query window", 2L -> "spark join batch",
         3L -> "hash table scan")),
+    "doc_store_hybrid" -> OracleSqlGen.docStoreHybrid(dim = 32, k = 3, k0 = 60,
+      queries = Seq(1L -> "data query window", 2L -> "spark join batch",
+        3L -> "hash table scan")),
+    "udf_changelog" ->
+      """WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+        |cl AS (SELECT k, CAST(1 AS BIGINT) AS time, 1 AS diff, 10 * k + 1 AS x FROM k
+        |  UNION ALL SELECT k, CAST(2 AS BIGINT), -1, 10 * k + 1 FROM k WHERE k % 3 = 0
+        |  UNION ALL SELECT k, CAST(3 AS BIGINT), 1, 10 * k + 2 FROM k WHERE k % 9 = 0)
+        |SELECT k, time, diff, x FROM cl""".stripMargin,
   )
 }

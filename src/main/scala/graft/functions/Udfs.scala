@@ -109,13 +109,22 @@ object Udfs {
     * errors like the reference's asyncio TimeoutError — while fast calls
     * pass through untouched. The worker thread is daemonized and
     * interrupted so a hung call can't pin the executor. */
+  // Shared cached daemon pool for withTimeout: per-row thread creation on
+  // the UDF hot path would cost a Thread per call and leak one per hung,
+  // uninterruptible call; a cached pool reuses idle workers (only a truly
+  // stuck call holds a thread, and it is interrupted first).
+  private lazy val timeoutPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-udf-timeout")
+      t.setDaemon(true); t
+    })
+
   def withTimeout[O](timeoutMs: Long)(f: () => O): O = {
-    val task = new java.util.concurrent.FutureTask[O](() => f())
-    val t = new Thread(task, "graft-udf-timeout"); t.setDaemon(true); t.start()
-    try task.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val fut = timeoutPool.submit(() => f(): O)
+    try fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     catch {
       case _: java.util.concurrent.TimeoutException =>
-        task.cancel(true)
+        fut.cancel(true)
         throw new java.util.concurrent.TimeoutException(
           s"UDF call exceeded $timeoutMs ms")
       case e: java.util.concurrent.ExecutionException => throw e.getCause

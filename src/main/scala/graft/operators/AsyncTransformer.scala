@@ -81,7 +81,9 @@ object AsyncTransformer {
       }
       attempts.collectFirst { case (_, scala.util.Failure(e)) => e } match {
         case Some(e) =>
-          val msg = String.valueOf(e.getMessage)
+          // messageless exceptions (e.g. bare NPE) keep the class name
+          // instead of rendering as the literal string "null"
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           rows.iterator.map(r => (r, Option.empty[O], Some(msg)))
         case None =>
           attempts.iterator.map { case (r, t) => (r, Some(t.get), Option.empty[String]) }

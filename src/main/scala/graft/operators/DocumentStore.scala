@@ -216,4 +216,55 @@ object DocumentStore {
         "chunk_text"), Seq("query_id", "chunk_id"))
       .select("query_id", "doc_id", "chunk_idx", "chunk_text", "rerank_score", "rank")
   }
+
+  /** Hybrid retrieval (reference `HybridIndexFactory` — a DocumentStore
+    * built over SEVERAL retrievers whose per-query rankings fuse by
+    * reciprocal rank; xpacks/llm/tests/test_document_store.py:264/338,
+    * stdlib/indexing/hybrid_index.py): a vector arm (cosine KNN over the
+    * store embeddings) and a lexical arm (BM25 over the chunk text for the
+    * query's own terms), each ranked top-k per query, fused with
+    * [[Similarity.rrfFusion]]. The metadata/glob filter pre-filters the
+    * corpus ONCE, before BOTH arms — the reference applies the query's
+    * filter inside every retriever of the hybrid, so a non-matching glob
+    * yields zero rows from either arm (test:338).
+    *
+    * Scale shape: the vector arm is the broadcast-queries KNN; the lexical
+    * arm is one exploded-token groupBy over the eligible corpus joined to a
+    * broadcast query-term table; fusion is a (query, chunk)-keyed agg. */
+  def retrieveHybrid(store: DataFrame, queries: DataFrame, qId: Column,
+      qText: Column, k: Int = 5, dim: Int = 64, k0: Int = 60,
+      metadataFilter: Option[Column] = None): DataFrame = {
+    val corpus = metadataFilter.fold(store)(store.filter)
+    val q = queries.select(qId.as("query_id"), qText.as("q_text"))
+    // vector arm: same exact-KNN path as retrieve()
+    val qEmb = Embedders.embed(q, "q_text", dim = dim)
+    val vecArm = Similarity.bruteForceKnn(qEmb, col("query_id"), col("embedding"),
+      corpus, col("chunk_id"), col("embedding"), k)
+      .select(col("query_id"), col("nn_id"), col("rank"))
+    // lexical arm: BM25 of each query's own terms over the eligible chunks
+    val qTerms = q.select(col("query_id"),
+        explode(array_distinct(TextOps.wordTokens(col("q_text")))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val terms = qTerms.select("term").distinct().collect().map(_.getString(0)).toSeq
+    val lexArm =
+      if (terms.isEmpty) vecArm.limit(0)
+      else {
+        val perTerm = TextOps.bm25PerTerm(corpus, col("chunk_id"),
+          col("chunk_text"), terms, tokenize = TextOps.wordTokens)
+        val scored = perTerm.join(broadcast(qTerms), "term")
+          .groupBy(col("query_id"), col("id").as("nn_id"))
+          .agg(sum("score").as("score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("nn_id"), col("rank"))
+      }
+    val fused = Similarity.rrfFusion(Seq(vecArm, lexArm), k0, k)
+    qTerms.unpersist()
+    fused.join(corpus.select(col("chunk_id").as("nn_id"), col("doc_id"),
+        col("chunk_idx"), col("chunk_text")), "nn_id")
+      .select(col("query_id"), col("nn_id").as("chunk_id"), col("doc_id"),
+        col("chunk_idx"), col("chunk_text"), col("rrf_score"), col("rank"))
+  }
 }

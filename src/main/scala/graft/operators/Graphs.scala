@@ -43,7 +43,8 @@ object Graphs {
       val unioned = labels.unionByName(viaNeighbor)
       numPartitions.fold(unioned)(p => unioned.repartition(p, col("vertex")))
         .groupBy("vertex").agg(min("component").as("component"))
-    }, df => df.agg(sum("component")).head.getLong(0), maxIterations, unroll = unroll)
+    }, df => df.agg(sum("component")).head.getLong(0), maxIterations, unroll = unroll,
+      nonEmptyGuard = true)
   }
 
   /** Single-source shortest paths (Bellman-Ford). Integer or decimal weights
@@ -65,7 +66,7 @@ object Graphs {
     }, df => {
       val r = df.agg(count(lit(1)), sum("dist")).head
       (r.getLong(0), r.getLong(1))
-    }, maxIterations, unroll = unroll)
+    }, maxIterations, unroll = unroll, nonEmptyGuard = true)
   }
 
   /** Community detection via synchronous label propagation — the scalable
@@ -88,7 +89,7 @@ object Graphs {
         .partitionBy(col("vertex")).orderBy(col("_n").desc, col("label").asc)
       counted.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
         .select(col("vertex"), col("label"))
-    }, iters, unroll = unroll)
+    }, iters, unroll = unroll, nonEmptyGuard = true)
   }
 
   /** Louvain-style community detection: synchronous modularity-gain moves
@@ -192,7 +193,7 @@ object Graphs {
     Iterate.nTimesConverged(initial, labels =>
       if (alternate) movePass(movePass(labels, Some(0)), Some(1))
       else movePass(labels, None),
-      iters, unroll = unroll)
+      iters, unroll = unroll, nonEmptyGuard = true)
       .select(col("vertex"), col("community"))
   }
 
@@ -413,7 +414,7 @@ object Graphs {
         .select(col("vertex"),
           (lit(baseFp) + expr(s"($dampNum * coalesce(mass, CAST(0 AS BIGINT))) div $dampDen"))
             .as("rank"))
-    }, iters, unroll = unroll)
+    }, iters, unroll = unroll, nonEmptyGuard = true)
   }
 
   // ── graph contraction machinery (r17 decode of stdlib/graphs/graph.py:40-160

@@ -32,6 +32,20 @@ object Iterate {
     if (reliable) df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(true)
     else df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
 
+  /** Loud-failure invariant for steps that preserve non-emptiness (every
+    * graph algorithm here iterates a vertex-keyed table whose key set never
+    * shrinks): a pass that turns a non-empty table EMPTY is a runtime fault
+    * (observed once: a localCheckpoint under AQE returned an empty frame),
+    * not a legal fixpoint — fail the job with a diagnosable error instead of
+    * silently returning nothing. One cached-limit-1 job per pass, trivia
+    * next to the pass's shuffles; only runs when the loop opts in. */
+  private def guardNonEmpty(next: DataFrame, enabled: Boolean, pass: Int): Unit =
+    if (enabled && next.isEmpty)
+      throw new IllegalStateException(
+        s"iterate pass $pass produced an EMPTY table from a non-empty input — " +
+          "this step preserves cardinality, so an empty result is a " +
+          "materialization fault (retry the job), not a fixpoint")
+
   /** Fixpoint with a per-pass scalar fingerprint. `fingerprint` must be a
     * deterministic driver-side summary (an aggregate `.head`, e.g. Σ label)
     * such that fingerprint(step(x)) == fingerprint(x) ⇔ convergence — true for
@@ -51,12 +65,14 @@ object Iterate {
     * passes past the fixpoint. */
   def fixpointByFingerprint(initial: DataFrame, step: DataFrame => DataFrame,
       fingerprint: DataFrame => Any, maxIterations: Int = 50,
-      reliable: Boolean = false, unroll: Int = 1): DataFrame = {
+      reliable: Boolean = false, unroll: Int = 1,
+      nonEmptyGuard: Boolean = false): DataFrame = {
     require(unroll >= 1, s"unroll=$unroll must be >= 1")
     // reference pw.iterate raises ValueError on a non-positive
     // iteration_limit (tests/test_common.py test_iterate_with_wrong_limit)
     require(maxIterations >= 1, s"iteration limit $maxIterations must be >= 1")
     var current = materialize(initial, reliable)
+    val guard = nonEmptyGuard && !current.isEmpty
     var fp = fingerprint(current)
     var i = 0
     var done = false
@@ -71,6 +87,7 @@ object Iterate {
         if (reliable) stepped.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(true)
         else stepped.localCheckpoint(false)
       val nfp = fingerprint(next)
+      guardNonEmpty(next, guard, i)
       done = nfp == fp
       fp = nfp
       current.unpersist()
@@ -86,13 +103,15 @@ object Iterate {
   def fixpoint(initial: DataFrame, step: DataFrame => DataFrame,
       maxIterations: Int = 50,
       converged: (DataFrame, DataFrame) => Boolean = defaultConverged,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, nonEmptyGuard: Boolean = false): DataFrame = {
     require(maxIterations >= 1, s"iteration limit $maxIterations must be >= 1")
     var current = materialize(initial, reliable)
+    val guard = nonEmptyGuard && !current.isEmpty
     var i = 0
     var done = false
     while (i < maxIterations && !done) {
       val next = materialize(step(current), reliable)
+      guardNonEmpty(next, guard, i)
       done = converged(current, next)
       current.unpersist()
       current = next
@@ -110,15 +129,18 @@ object Iterate {
     * passes per materialization — same caveat as fixpointByFingerprint: only
     * for steps that consume their input exactly once. */
   def nTimes(initial: DataFrame, step: DataFrame => DataFrame, n: Int,
-      reliable: Boolean = false, unroll: Int = 1): DataFrame = {
+      reliable: Boolean = false, unroll: Int = 1,
+      nonEmptyGuard: Boolean = false): DataFrame = {
     require(unroll >= 1, s"unroll=$unroll must be >= 1")
     require(n >= 1, s"iteration limit $n must be >= 1")
     var current = materialize(initial, reliable)
+    val guard = nonEmptyGuard && !current.isEmpty
     var i = 0
     while (i < n) {
       val k = math.min(unroll, n - i)
       val stepped = (1 to k).foldLeft(current)((df, _) => step(df))
       val next = materialize(stepped, reliable)
+      guardNonEmpty(next, guard, i)
       current.unpersist()
       current = next
       i += k
@@ -134,15 +156,18 @@ object Iterate {
     * one `exceptAll.isEmpty` job per block over the (small, key-scale)
     * iterated table — trivia next to a move pass's edge-scale shuffles. */
   def nTimesConverged(initial: DataFrame, step: DataFrame => DataFrame, n: Int,
-      reliable: Boolean = false, unroll: Int = 1): DataFrame = {
+      reliable: Boolean = false, unroll: Int = 1,
+      nonEmptyGuard: Boolean = false): DataFrame = {
     require(unroll >= 1, s"unroll=$unroll must be >= 1")
     var current = materialize(initial, reliable)
+    val guard = nonEmptyGuard && !current.isEmpty
     var i = 0
     var done = false
     while (i < n && !done) {
       val k = math.min(unroll, n - i)
       val stepped = (1 to k).foldLeft(current)((df, _) => step(df))
       val next = materialize(stepped, reliable)
+      guardNonEmpty(next, guard, i)
       // the check only buys anything if passes REMAIN — never pay the job
       // on the final block. Both directions, like fixpoint: one-directional
       // next⊆current would declare a row-DROPPING step "converged" and break

@@ -299,7 +299,9 @@ object Multimodal {
       var off = from
       while (off + 8 <= to) {
         val id = cc(off); val size = le32(off + 4)
-        if (size < 0 || off + 8 + size > to) return // corrupt chunk: stop
+        // bounds check in Long: a corrupt chunk can declare size ~2^31 and
+        // overflow an Int sum past the guard
+        if (size < 0 || off.toLong + 8L + size > to) return // corrupt chunk: stop
         if (id == "LIST") walk(off + 12, off + 8 + size)
         else if (id.endsWith("dc") || id.endsWith("dj"))
           out += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + size)
@@ -322,7 +324,11 @@ object Multimodal {
       .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val frames = aviFrames(bytes)
+          // a corrupt container must land on the ok=false failure channel,
+          // not fail the task — same contract as the per-frame decode below
+          val frames =
+            try aviFrames(bytes)
+            catch { case scala.util.control.NonFatal(_) => Vector.empty[Array[Byte]] }
           if (frames.isEmpty) Iterator((id, -1L, false, -1, -1, 0L))
           else frames.zipWithIndex.iterator
             .filter { case (_, i) => i % stride == 0 }

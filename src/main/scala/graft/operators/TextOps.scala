@@ -428,6 +428,10 @@ object TextOps {
     val base = docs.select(id.as("id"), toks.as("_toks"), size(toks).cast("long").as("_dl"))
     val r = base.agg(count(lit(1)), avg(col("_dl"))).head
     val n = r.getLong(0) // N docs (driver scalar: two-pass like any TF-IDF build)
+    // an EMPTY corpus (e.g. a pre-filter that matched nothing) has no avgdl:
+    // BM25 over nothing is the empty score table, not an NPE
+    if (n == 0)
+      return base.select(col("id"), lit("").as("term"), lit(0.0).as("score")).limit(0)
     val avgdl = r.getDouble(1)
 
     val termDf = base

@@ -271,13 +271,16 @@ object Inactivity {
     * timestamps via the kernel's sorted within-batch scan, plus open
     * tails), for ANY `batchTicks` chunking.
     *
-    * The log feeds the MemoryStream through a sorted `toLocalIterator`,
-    * so the driver holds ONE event-time chunk (plus one fetched shuffle
-    * partition) at a time instead of the whole log — the r14 watch item
-    * for scaling the rig past sf1; committed MemoryStream batches purge
-    * on commit, so the feed side stays bounded too. Timeouts never fire:
-    * tick units are opaque to Spark's processing-time clock, and every
-    * gap is detected on data.
+    * The log feeds the kernel through a FILE-SOURCE spool (r18 — retiring
+    * the r14-17 driver-side `toLocalIterator` MemoryStream feed, the last
+    * driver funnel in any board row's harness): one JSON-lines file per
+    * event-time chunk, written DISTRIBUTEDLY (`partitionBy(chunk)`), then
+    * installed into the spool with monotone names and strictly increasing
+    * modification times so Spark's file source (`maxFilesPerTrigger=1`,
+    * oldest-first) replays exactly one chunk per micro-batch, in order.
+    * No event row ever crosses the driver — the install step is O(chunks)
+    * rename metadata ops. Timeouts never fire: tick units are opaque to
+    * Spark's processing-time clock, and every gap is detected on data.
     * Returns a STATIC DataFrame (instance, inactivity_ts, resumed_ts) in
     * the input's tick units. */
   def inactivityDetectionReplay(events: DataFrame, ts: Column, instance: Column,
@@ -288,7 +291,7 @@ object Inactivity {
     // the result casts back (batch-analog / oracle schema parity)
     val instType = events.select(instance.as("i")).schema.head.dataType
     // persisted: the rig reads the projection three times (span agg, the
-    // sort's range-partition sampling, the sorted pull) — one source scan,
+    // chunked spool write, the probe's instance set) — one source scan,
     // and no consistency hazard if `events` embeds nondeterminism
     val proj = events.select(instance.cast("string").as("i"), ts.cast("long").as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -302,11 +305,55 @@ object Inactivity {
     // span-proportional chunk width keeps replay wall-time flat across SFs
     val width = if (batchTicks > 0) batchTicks
       else math.max(1L, (frontier - t0) / 8 + 1)
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[InactIn]
+    val base = java.nio.file.Files.createTempDirectory("graft-inact-replay")
+    val stage = base.resolve("stage").toString
+    val probeStage = base.resolve("probe").toString
+    val spool = base.resolve("spool"); java.nio.file.Files.createDirectories(spool)
+    val ckpt = base.resolve("ckpt").toString
+    // distributed chunked write: rows of one event-time chunk land in one
+    // partition (repartition on chunk), partitionBy splits one file per chunk
+    proj.withColumn("act", lit(true))
+      .withColumn("chunk", ((col("t") - t0) / width).cast("long"))
+      .repartition(col("chunk"))
+      .write.partitionBy("chunk").json(stage)
+    // frontier probe = final chunk: one NON-activity row per instance at the
+    // global max — instances more than allowedTicks behind it report their
+    // open period, exactly the batch analog's open-tail rule
+    proj.select(col("i")).distinct()
+      .select(col("i"), lit(frontier).as("t"), lit(false).as("act"))
+      .coalesce(1).write.json(probeStage)
+    // install into the spool in chunk order: monotone names + strictly
+    // increasing mtimes (the file source's replay order) — metadata ops only
+    def parts(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("part-") && f.length > 0).toSeq
+        .sortBy(_.getName)
+    var seqNo = 0
+    var mt = (System.currentTimeMillis() / 1000) * 1000 // whole-second base: FS granularity safe
+    def install(f: java.io.File): Unit = {
+      val target = spool.resolve(f"replay-$seqNo%09d.json")
+      java.nio.file.Files.move(f.toPath, target)
+      target.toFile.setLastModified(mt)
+      seqNo += 1; mt += 2000
+    }
+    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("chunk="))
+      .sortBy(_.getName.drop(6).toLong)
+      .foreach(d => parts(d).foreach(install))
+    parts(new java.io.File(probeStage)).foreach(install)
+    val inSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("act",
+        org.apache.spark.sql.types.BooleanType)))
     val outName = s"inact_replay_${java.util.UUID.randomUUID().toString.take(8)}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-inact-replay").toString
-    val q = input.toDS()
+    val q = spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(spool.toString)
+      .select(col("i").as("instance"), lit(false).as("synthetic"),
+        col("act").as("isActivity"), col("t").as("nowMs")).as[InactIn]
       .groupByKey(r => (r.synthetic, r.instance))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(
@@ -316,32 +363,6 @@ object Inactivity {
       .option("checkpointLocation", ckpt)
       .start()
     try {
-      // globally time-sorted pull: toLocalIterator fetches one shuffle
-      // partition at a time; the buffer holds one event-time chunk
-      val it = proj.orderBy(col("t")).toLocalIterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[InactIn]
-      val seen = scala.collection.mutable.LinkedHashSet.empty[String] // O(instances)
-      var curChunk = Long.MinValue
-      def flush(): Unit = if (buf.nonEmpty) {
-        input.addData(buf.toSeq)
-        q.processAllAvailable()
-        buf.clear()
-      }
-      while (it.hasNext) {
-        val r = it.next()
-        val chunk = (r.getLong(1) - t0) / width
-        if (chunk != curChunk) { flush(); curChunk = chunk }
-        seen += r.getString(0)
-        buf += InactIn(r.getString(0), synthetic = false,
-          isActivity = true, nowMs = r.getLong(1))
-      }
-      flush()
-      // frontier probe: one NON-activity row per instance at the global
-      // max — instances more than allowedTicks behind it report their
-      // open period, exactly the batch analog's open-tail rule (the
-      // instance set was accumulated during the pull — no extra scan)
-      input.addData(seen.toSeq.map(i =>
-        InactIn(i, synthetic = false, isActivity = false, nowMs = frontier)))
       q.processAllAvailable()
       val rows = spark.table(outName).collect().toSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
@@ -350,13 +371,14 @@ object Inactivity {
           col("start").as("inactivity_ts"),
           col("resumed").as("resumed_ts"))
     } finally {
-      // the memory sink pins all output rows in the driver until dropped,
-      // and the checkpoint dir is run-local scratch — repeated replays
-      // (specs run 4 per suite) would otherwise accumulate both
+      // the memory sink pins all output rows in the driver until dropped
+      // (bounded: inactivity periods, not events), and the spool/checkpoint
+      // dirs are run-local scratch — repeated replays (specs run 4 per
+      // suite) would otherwise accumulate both
       try q.stop() finally {
         proj.unpersist(false)
         spark.catalog.dropTempView(outName)
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
       }
     }
   }

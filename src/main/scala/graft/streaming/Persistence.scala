@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   *      same two-phase shape a 1000-executor job needs for atomicity),
   *   3. emit `unitDiff(gen N, gen N+1)` — a single count-aggregate over the
   *      union, distributed end-to-end, no driver collect.
-  * Old generations are retained, which makes the store double as the
-  * `History.asOf` time-travel log. At 100 TB the diff is one shuffle over
+  * Old generations are retained by default (the store doubles as a
+  * time-travel log, [[readGeneration]]); a long-lived deployment bounds it
+  * with the retention knob ([[gc]], or `runStatic(..., retain = n)`) —
+  * matching the reference's snapshot cleanup. At 100 TB the diff is one shuffle over
   * (|prev| + |cur|) grouped rows with map-side combine; the snapshot write
   * is a plain parquet append of the new generation.
   *
@@ -49,14 +51,22 @@ object Persistence {
     * propagation vectors carry `chunk_start=None` rows). */
   def unitDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
     val cols = cur.columns.toSeq
-    val tagged = cur.select(cols.map(col): _*).withColumn("_pw_d", lit(1L))
-      .unionByName(prev.select(cols.map(col): _*).withColumn("_pw_d", lit(-1L)))
+    require(!cols.contains("diff"),
+      "unitDiff input must not already have a `diff` column — it is the changelog output column")
+    // working column names uniquified against the input so a snapshot that
+    // happens to carry a `_pw_*` column is not silently clobbered/mis-grouped
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(n => !cols.contains(n)).get
+    val d = fresh("_pw_d"); val net = fresh("_pw_net"); val i = fresh("_pw_i")
+    val tagged = cur.select(cols.map(col): _*).withColumn(d, lit(1L))
+      .unionByName(prev.select(cols.map(col): _*).withColumn(d, lit(-1L)))
     tagged.groupBy(cols.map(col): _*)
-      .agg(sum("_pw_d").as("_pw_net"))
-      .filter(col("_pw_net") =!= 0)
-      .withColumn("diff", when(col("_pw_net") > 0, 1).otherwise(-1))
-      .withColumn("_pw_i", explode(sequence(lit(1L), abs(col("_pw_net")))))
-      .drop("_pw_net", "_pw_i")
+      .agg(sum(d).as(net))
+      .filter(col(net) =!= 0)
+      .withColumn("diff", when(col(net) > 0, 1).otherwise(-1))
+      .withColumn(i, explode(sequence(lit(1L), abs(col(net)))))
+      .drop(net, i)
   }
 
   private def latestGen(spark: SparkSession, dir: String): Option[Long] = {
@@ -76,15 +86,27 @@ object Persistence {
     * (commit = flip the `_LATEST` pointer only after the parquet write
     * completes), and return the unit-diff changelog vs the previous
     * generation — the exact rows the reference's csv sink would carry. */
-  def runStatic(stateDir: String, current: DataFrame): DataFrame = {
+  def runStatic(stateDir: String, current: DataFrame): DataFrame =
+    runStatic(stateDir, current, retain = 0)
+
+  /** As above, with generation retention: `retain` > 0 keeps only the newest
+    * `retain` generations after the run (the changelog is first committed to
+    * its own `diff=<gen>` parquet so GC of the previous snapshot cannot
+    * invalidate it). `retain = 0` keeps every generation (time-travel log). */
+  def runStatic(stateDir: String, current: DataFrame, retain: Int): DataFrame = {
     val spark = current.sparkSession
     val prevGen = latestGen(spark, stateDir)
     val nextGen = commitRows(stateDir, current)
     val cur = spark.read.parquet(genDir(stateDir, nextGen))
-    prevGen match {
+    val diff = prevGen match {
       case Some(g) => unitDiff(spark.read.parquet(genDir(stateDir, g)), cur)
       case None    => cur.withColumn("diff", lit(1))
     }
+    if (retain > 0) {
+      val out = commitDiff(stateDir, nextGen, diff)
+      gc(stateDir, retain)
+      out
+    } else diff
   }
 
   /** Persistence as a STREAMING sink (the reference's streaming persistence
@@ -100,6 +122,82 @@ object Persistence {
       org.apache.spark.sql.Row] =
     df.writeStream.outputMode("complete").foreachBatch {
       (batch: DataFrame, id: Long) => onDiff(runStatic(stateDir, batch), id)
+    }
+
+  // ── update-mode persistence: per-batch work ∝ touched keys ──────────────
+  //
+  // `changelogSink` re-commits the FULL result table every microbatch — the
+  // right contract for the decoded groupby-count fixtures (bounded group
+  // cardinality), but an unbounded-key aggregation would rewrite 100 TB of
+  // state per batch. The update-mode variant stores state as BASE + DELTA
+  // generations (latest row per key wins, an LSM shape): each microbatch
+  // commits ONLY its touched-key rows as a delta, diffs only against the
+  // touched keys' previous values, and occasionally compacts the deltas into
+  // a new base. Per-batch cost is O(touched) for the write and one
+  // left-semi + count-agg shuffle over (touched_prev + batch) for the diff;
+  // the O(|state|) merge cost is paid only at compaction.
+
+  /** Latest-wins merged view of an update-mode store (base + deltas). */
+  def readUpdateState(spark: SparkSession, dir: String,
+      keyCols: Seq[String]): Option[DataFrame] =
+    latestGen(spark, dir).map { latest =>
+      val gens = (0L to latest).map { g =>
+        val d = new java.io.File(genDir(dir, g))
+        if (d.exists()) Some(spark.read.parquet(d.toString).withColumn("_pw_gen", lit(g)))
+        else None // compacted away
+      }.flatten
+      val all = gens.reduce(_.unionByName(_))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col("_pw_gen").desc)
+      all.withColumn("_pw_rn", row_number().over(w))
+        .filter(col("_pw_rn") === 1).drop("_pw_gen", "_pw_rn")
+    }
+
+  /** One update-mode run: `batch` carries the full current rows of the
+    * TOUCHED keys only (Structured Streaming `update` output mode). Commits
+    * the batch as a delta generation, returns the unit-diff changelog for
+    * exactly those keys — identical to what complete-mode `runStatic` would
+    * emit, without touching untouched state. */
+  def updateRun(stateDir: String, batch: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val spark = batch.sparkSession
+    new java.io.File(stateDir).mkdirs()
+    val touchedPrev = readUpdateState(spark, stateDir, keyCols) match {
+      case Some(prev) =>
+        prev.join(batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      case None => batch.limit(0)
+    }
+    val diff = unitDiff(touchedPrev, batch)
+    val nextGen = latestGen(spark, stateDir).getOrElse(-1L) + 1
+    val out = commitDiff(stateDir, nextGen, diff)
+    commitRows(stateDir, batch)
+    out
+  }
+
+  /** Fold all delta generations into a single new base generation and drop
+    * the olds (and their diff logs older than the new base). Call on a
+    * cadence (`compactEvery` in [[changelogSinkUpdate]]) — this is the only
+    * O(|state|) step in the update-mode path. */
+  def compactUpdateState(spark: SparkSession, stateDir: String,
+      keyCols: Seq[String]): Unit =
+    readUpdateState(spark, stateDir, keyCols).foreach { merged =>
+      commitRows(stateDir, merged)
+      gc(stateDir, keep = 1)
+    }
+
+  /** Update-mode streaming persistence sink: same changelog contract as
+    * [[changelogSink]] but per-batch work proportional to the keys the batch
+    * touched. Requires the aggregation's key columns. Start with
+    * `.outputMode(...)` already set by this method — do not override it. */
+  def changelogSinkUpdate(df: DataFrame, stateDir: String, keyCols: Seq[String],
+      compactEvery: Int = 0)(onDiff: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        onDiff(updateRun(stateDir, batch, keyCols), id)
+        val spark = batch.sparkSession
+        if (compactEvery > 0 &&
+            latestGen(spark, stateDir).exists(g => g > 0 && g % compactEvery == 0))
+          compactUpdateState(spark, stateDir, keyCols)
     }
 
   // ── persisted behavior-operator runs (decoded from test_persistence.py
@@ -148,11 +246,16 @@ object Persistence {
       })
     val diff = forgotten.withColumn("diff", lit(-1))
       .unionByName(admitted.withColumn("diff", lit(1)))
-    val out = diff.collect() // materialize before state flip (tiny: one run's churn)
+    // A forget run's churn is NOT bounded by contract (a threshold jump can
+    // retract an arbitrarily large slice of the active table), so the diff
+    // must never cross to the driver: commit it as its own parquet
+    // generation — distributed write, same crash consistency as the state —
+    // and return a reader on it.
+    val nextGen = latestGen(spark, stateDir).getOrElse(-1L) + 1
+    val out = commitDiff(stateDir, nextGen, diff)
     commitRows(stateDir, newActive)
     writeWm(stateDir, wmNew)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toIndexedSeq), diff.schema)
+    out
   }
 
   /** One persisted static run of `_buffer(threshold, time)`. Returns the
@@ -173,11 +276,13 @@ object Persistence {
     val released = pool.filter(threshold(col(timeCol)) <= wmNew)
     val newHeld = pool.filter(threshold(col(timeCol)) > wmNew)
     val diff = released.withColumn("diff", lit(1))
-    val out = diff.collect()
+    // like forgetRun: a watermark jump can release an arbitrarily large held
+    // slice, so the release set stays distributed (committed diff generation)
+    val nextGen = latestGen(spark, stateDir).getOrElse(-1L) + 1
+    val out = commitDiff(stateDir, nextGen, diff)
     commitRows(stateDir, newHeld)
     writeWm(stateDir, wmNew)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toIndexedSeq), diff.schema)
+    out
   }
 
   /** The ONE commit protocol (write generation fully, THEN flip the
@@ -191,6 +296,52 @@ object Persistence {
       new java.io.File(stateDir, LatestFile).toPath, nextGen.toString.getBytes)
     nextGen
   }
+
+  private def diffDir(dir: String, gen: Long): String =
+    new java.io.File(dir, s"diff=$gen").toString
+
+  /** Commit a run's changelog as its own parquet generation and return a
+    * reader on it. Written BEFORE the state pointer flips (the diff plan
+    * reads the still-live previous generation); on a crash between the two
+    * writes, the next run recomputes the same generation number and
+    * overwrites the orphan. Nothing crosses the driver. */
+  private def commitDiff(stateDir: String, gen: Long, diff: DataFrame): DataFrame = {
+    val spark = diff.sparkSession
+    diff.write.mode("overwrite").parquet(diffDir(stateDir, gen))
+    spark.read.parquet(diffDir(stateDir, gen))
+  }
+
+  /** Generation retention (reference `src/persistence/` snapshot cleanup;
+    * its exhaustive harness compacts old state in "compression rounds"):
+    * keep the newest `keep` committed generations (and their diff logs),
+    * delete everything older. Bounds the store for a long-lived deployment;
+    * the trade is time-travel depth — `readGeneration`/diff history older
+    * than the horizon is gone. `keep` ≥ 1 (the live state is never GC'd). */
+  def gc(stateDir: String, keep: Int): Unit = {
+    require(keep >= 1, s"retention must keep at least the live generation (got $keep)")
+    val base = new java.io.File(stateDir)
+    val latest = {
+      val p = new java.io.File(base, LatestFile)
+      if (!p.exists()) return
+      new String(java.nio.file.Files.readAllBytes(p.toPath)).trim.toLong
+    }
+    val horizon = latest - keep + 1
+    val victims = Option(base.listFiles()).getOrElse(Array.empty).filter { f =>
+      val n = f.getName
+      (n.startsWith("gen=") || n.startsWith("diff=")) &&
+        scala.util.Try(n.dropWhile(_ != '=').drop(1).toLong).toOption.exists(_ < horizon)
+    }
+    victims.foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** A specific retained generation (time travel over the snapshot log). */
+  def readGeneration(spark: SparkSession, dir: String, gen: Long): DataFrame =
+    spark.read.parquet(genDir(dir, gen))
 
   /** Persisted memo for a non-deterministic per-row computation
     * (reference: non-deterministic UDF results are snapshotted so replays
@@ -214,7 +365,11 @@ object Persistence {
         // produce duplicate non-key columns in the join
         val computedCols = memo.columns.filterNot(c =>
           input.columns.contains(c) && !keyCols.contains(c))
-        val hits = input.join(memo.select(computedCols.map(col): _*), keyCols, "inner")
+        // dedup the memo on its key: a committed memo holding duplicate rows
+        // under keyCols (natural when the input itself repeats a key) would
+        // otherwise fan out the inner join and grow multiplicatively per run
+        val memoByKey = memo.select(computedCols.map(col): _*).dropDuplicates(keyCols)
+        val hits = input.join(memoByKey, keyCols, "inner")
         val misses = input.join(memo.select(keyCols.map(col): _*), keyCols, "left_anti")
         val fresh = compute(misses)
         hits.unionByName(fresh)

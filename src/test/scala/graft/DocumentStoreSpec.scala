@@ -138,4 +138,42 @@ class DocumentStoreSpec extends AnyFunSuite {
     assert(out.getString(out.fieldIndex("text")) == "testbaz")
     assert(out.getString(out.fieldIndex("_metadata")) == """{"foo":"bar","id":1}""")
   }
+
+  test("retrieveHybrid: vector + BM25 arms fuse by reciprocal rank; the " +
+      "metadata/glob filter pre-filters BOTH arms " +
+      "(test_document_store.py:264/338 hybrid store)") {
+    val docsMeta = Seq(
+      (1L, "alpha beta gamma delta epsilon " * 12, "/a/1.md"),
+      (2L, "spark shuffle partition broadcast join " * 12, "/b/2.md"),
+      (3L, "spark shuffle partition broadcast join " * 12, "/a/3.md"))
+      .toDF("id", "body", "path")
+    val store = DocumentStore.build(docsMeta, col("id"), col("body"),
+      chunkTokens = 20, overlap = 5, dim = 16,
+      metaCols = Seq(col("path"))).cache()
+    val queries = Seq((100L, "spark shuffle partition")).toDF("qid", "qtext")
+    // positive: the best doc matches both lexically and by embedding — the
+    // fused rank-1 hit is its chunk (test:264's dist < 1e-6 analog), and
+    // every returned row carries real text
+    val hits = DocumentStore.retrieveHybrid(store, queries, col("qid"),
+      col("qtext"), k = 3, dim = 16)
+    val top = hits.filter(col("rank") === 1)
+      .select("doc_id", "chunk_text").as[(Long, String)].head()
+    assert(Set(2L, 3L)(top._1) && top._2.nonEmpty)
+    // both arms contributed: the rrf score of rank-1 reflects two lists
+    val s1 = hits.filter(col("rank") === 1).select("rrf_score").as[Double].head()
+    assert(s1 > 1.0 / 61 + 1e-9, s"rank-1 fused score $s1 should exceed a single-arm score")
+    // filtered: only /a/ paths eligible — doc 2 (better unfiltered) must
+    // never appear; doc 3's identical chunks win both arms
+    val filtered = DocumentStore.retrieveHybrid(store, queries, col("qid"),
+      col("qtext"), k = 3, dim = 16,
+      metadataFilter = Some(col("path").like("/a/%")))
+    val got = filtered.select("doc_id").as[Long].collect()
+    assert(got.nonEmpty && got.forall(_ == 3L))
+    // negative glob (test:338): nothing eligible -> zero rows from the hybrid
+    val none = DocumentStore.retrieveHybrid(store, queries, col("qid"),
+      col("qtext"), k = 3, dim = 16,
+      metadataFilter = Some(col("path").like("/zzz/%")))
+    assert(none.count() == 0)
+    store.unpersist()
+  }
 }

@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Persistence
+
+/** Scale-honesty pins for the persistence store (r18):
+  *   - forget/buffer runs keep the churn DISTRIBUTED (the returned changelog
+  *     is a committed parquet generation, never a driver-side collect) — the
+  *     file's own "rows stay distributed; only the watermark crosses to the
+  *     driver" contract;
+  *   - generation retention/GC bounds the store (reference
+  *     `src/persistence/` snapshot cleanup);
+  *   - `unitDiff` rejects/avoids reserved-column collisions;
+  *   - `memoize` does not fan out or grow multiplicatively under duplicate
+  *     keys;
+  *   - the update-mode changelog sink does per-batch work proportional to
+  *     the TOUCHED keys (delta generations + compaction), emitting the same
+  *     changelog complete mode would.
+  */
+class PersistenceScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-pscale").toString
+
+  private def genDirs(dir: String): Set[Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("gen=")).map(_.drop(4).toLong).toSet
+
+  private def diffDirs(dir: String): Set[Long] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("diff=")).map(_.drop(5).toLong).toSet
+
+  // ── distributed forget/buffer changelogs ─────────────────────────────────
+
+  test("forgetRun/bufferRun changelogs are parquet-backed readers, not " +
+      "driver-side LocalTableScans (ADVICE r17 #1: unbounded churn must " +
+      "never collect)") {
+    val fState = tmp()
+    val fOut = Persistence.forgetRun(fState, Seq(1L, 3L).toDF("t"), c => c + 10, "t")
+    val fPlan = fOut.queryExecution.optimizedPlan.toString
+    assert(fPlan.contains("parquet") || fPlan.toLowerCase.contains("relation"),
+      s"forgetRun changelog should scan a committed parquet generation, got:\n$fPlan")
+    assert(!fPlan.contains("LocalRelation") && !fPlan.contains("ExistingRDD"),
+      s"forgetRun changelog must not be driver-materialized:\n$fPlan")
+
+    val bState = tmp()
+    val bOut = Persistence.bufferRun(bState, Seq(1L, 3L, 11L).toDF("t"), c => c + 10, "t")
+    val bPlan = bOut.queryExecution.optimizedPlan.toString
+    assert(!bPlan.contains("LocalRelation") && !bPlan.contains("ExistingRDD"),
+      s"bufferRun changelog must not be driver-materialized:\n$bPlan")
+    // and the committed diff generation is on disk
+    assert(diffDirs(fState).nonEmpty && diffDirs(bState).nonEmpty)
+  }
+
+  test("forgetRun/bufferRun changelogs still replay the reference vectors " +
+      "after the distributed rewrite (test_persistence.py:758/797 rows)") {
+    // buffer: run1 {1,3,11} with threshold t+10 releases only t=1 (11 <= wm 11)
+    val bState = tmp()
+    val r1 = Persistence.bufferRun(bState, Seq(1L, 3L, 11L).toDF("t"), c => c + 10, "t")
+    assert(r1.select("t", "diff").as[(Long, Int)].collect().toSet == Set((1L, 1)))
+    // run2 {2,12}: wm advances with ALL arrivals -> 12; (held ∪ new) rows with
+    // threshold t+10 <= 12 release: only t=2
+    val r2 = Persistence.bufferRun(bState, Seq(2L, 12L).toDF("t"), c => c + 10, "t")
+    assert(r2.select("t", "diff").as[(Long, Int)].collect().toSet == Set((2L, 1)))
+
+    // forget: run1 admits {1,3} (thresholds 11,13 > wm=-inf), wm -> 3
+    val fState = tmp()
+    val f1 = Persistence.forgetRun(fState, Seq(1L, 3L).toDF("t"), c => c + 10, "t")
+    assert(f1.select("t", "diff").as[(Long, Int)].collect().toSet ==
+      Set((1L, 1), (3L, 1)))
+    // run2 {11}: prev wm=3 → nothing forgotten (11,13 > 3), 11 admitted, wm -> 11
+    val f2 = Persistence.forgetRun(fState, Seq(11L).toDF("t"), c => c + 10, "t")
+    assert(f2.select("t", "diff").as[(Long, Int)].collect().toSet == Set((11L, 1)))
+    // run3 {25}: prev wm=11 → t=1 forgotten (11 <= 11), 25 admitted
+    val f3 = Persistence.forgetRun(fState, Seq(25L).toDF("t"), c => c + 10, "t")
+    assert(f3.select("t", "diff").as[(Long, Int)].collect().toSet ==
+      Set((1L, -1), (25L, 1)))
+  }
+
+  // ── retention / GC ───────────────────────────────────────────────────────
+
+  test("gc(keep=n) deletes generations and diff logs older than the " +
+      "horizon; the live snapshot and newest diffs survive") {
+    val state = tmp()
+    (1 to 5).foreach { i =>
+      Persistence.runStatic(state, Seq.tabulate(i)(j => (j, s"v$i")).toDF("k", "v")).count()
+    }
+    assert(genDirs(state) == Set(0L, 1L, 2L, 3L, 4L))
+    Persistence.gc(state, keep = 2)
+    assert(genDirs(state) == Set(3L, 4L))
+    // snapshot still reads the live generation
+    val snap = Persistence.readSnapshot(spark, state).get
+    assert(snap.count() == 5 && snap.filter($"v" === "v5").count() == 5)
+    // another run still diffs correctly against the retained generation
+    val d = Persistence.runStatic(state, Seq.tabulate(5)(j => (j, "v6")).toDF("k", "v"))
+    assert(d.filter($"diff" === 1).count() == 5 && d.filter($"diff" === -1).count() == 5)
+    intercept[IllegalArgumentException] { Persistence.gc(state, keep = 0) }
+  }
+
+  test("runStatic(retain=n) self-GCs: the store never holds more than n " +
+      "generations, and the returned changelog stays valid (committed " +
+      "diff=<gen> survives its own GC)") {
+    val state = tmp()
+    var last: DataFrame = null
+    (1 to 6).foreach { i =>
+      last = Persistence.runStatic(state, Seq((1, i)).toDF("k", "v"), retain = 2)
+      assert(genDirs(state).size <= 2, s"run $i retained ${genDirs(state)}")
+    }
+    // the run-6 changelog reads AFTER gc of generation 4's snapshot
+    assert(last.select("k", "v", "diff").as[(Int, Int, Int)].collect().toSet ==
+      Set((1, 5, -1), (1, 6, 1)))
+    assert(genDirs(state) == Set(4L, 5L))
+  }
+
+  // ── unitDiff reserved columns ────────────────────────────────────────────
+
+  test("unitDiff uniquifies its working columns against the input (a " +
+      "snapshot carrying _pw_d is not clobbered) and rejects a `diff` input " +
+      "column loudly") {
+    val prev = Seq((1, 100L)).toDF("k", "_pw_d")
+    val cur = Seq((1, 100L), (2, 200L)).toDF("k", "_pw_d")
+    val d = Persistence.unitDiff(prev, cur)
+    assert(d.select("k", "_pw_d", "diff").as[(Int, Long, Int)].collect().toSet ==
+      Set((2, 200L, 1)))
+    val withDiff = Seq((1, 2)).toDF("k", "diff")
+    intercept[IllegalArgumentException] { Persistence.unitDiff(withDiff, withDiff) }
+  }
+
+  // ── memoize under duplicate keys ─────────────────────────────────────────
+
+  test("memoize: duplicate rows under keyCols do not fan out the hits join " +
+      "or grow the memo multiplicatively across runs (ADVICE r17 #2)") {
+    val memoDir = tmp()
+    val input = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "payload")
+    val calls = spark.sparkContext.longAccumulator("memo-calls")
+    def run(): DataFrame = Persistence.memoize(memoDir, input, Seq("k"), df => {
+      val add = udf { (k: String) => calls.add(1); k.length.toLong }
+      df.withColumn("computed", add($"k"))
+    })
+    val r1 = run()
+    assert(r1.count() == 3, "run 1 must preserve input cardinality")
+    val r2 = run()
+    assert(r2.count() == 3, s"run 2 fanned out to ${r2.count()} rows")
+    val r3 = run()
+    assert(r3.count() == 3, s"run 3 fanned out to ${r3.count()} rows")
+    // memo values stable: every k keeps one computed value
+    assert(r3.select("k", "computed").distinct().count() == 2)
+  }
+
+  // ── update-mode persistence ──────────────────────────────────────────────
+
+  test("updateRun emits the same changelog as complete-mode runStatic, " +
+      "while committing ONLY the touched keys' rows per run") {
+    val upState = tmp(); val fullState = tmp()
+    // run 1: keys a,b,c appear
+    val b1 = Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("w", "c")
+    // run 2: only b changes (b -> 2); update mode carries just b
+    val full2 = Seq(("a", 1L), ("b", 2L), ("c", 1L)).toDF("w", "c")
+    val touched2 = Seq(("b", 2L)).toDF("w", "c")
+
+    def rows(d: DataFrame): Set[(String, Long, Int)] =
+      d.select("w", "c", "diff").as[(String, Long, Int)].collect().toSet
+
+    val u1 = rows(Persistence.updateRun(upState, b1, Seq("w")))
+    val f1 = rows(Persistence.runStatic(fullState, b1))
+    assert(u1 == f1)
+    val u2 = rows(Persistence.updateRun(upState, touched2, Seq("w")))
+    val f2 = rows(Persistence.runStatic(fullState, full2))
+    assert(u2 == f2 && u2 == Set(("b", 1L, -1), ("b", 2L, 1)))
+    // proportionality pin: generation 1 holds ONLY the touched key
+    val delta = spark.read.parquet(new java.io.File(upState, "gen=1").toString)
+    assert(delta.count() == 1 && delta.select("w").as[String].head() == "b")
+    // merged state is latest-wins
+    val merged = Persistence.readUpdateState(spark, upState, Seq("w")).get
+    assert(merged.as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("compactUpdateState folds deltas into one base; subsequent runs and " +
+      "reads stay correct") {
+    val state = tmp()
+    Persistence.updateRun(state, Seq(("a", 1L), ("b", 1L)).toDF("w", "c"), Seq("w")).count()
+    Persistence.updateRun(state, Seq(("a", 2L)).toDF("w", "c"), Seq("w")).count()
+    Persistence.updateRun(state, Seq(("b", 3L)).toDF("w", "c"), Seq("w")).count()
+    assert(genDirs(state).size == 3)
+    Persistence.compactUpdateState(spark, state, Seq("w"))
+    assert(genDirs(state).size == 1, s"compaction left ${genDirs(state)}")
+    val merged = Persistence.readUpdateState(spark, state, Seq("w")).get
+    assert(merged.as[(String, Long)].collect().toSet == Set(("a", 2L), ("b", 3L)))
+    // a post-compaction run still diffs correctly
+    val d = Persistence.updateRun(state, Seq(("a", 5L)).toDF("w", "c"), Seq("w"))
+    assert(d.select("w", "c", "diff").as[(String, Long, Int)].collect().toSet ==
+      Set(("a", 2L, -1), ("a", 5L, 1)))
+  }
+
+  test("changelogSinkUpdate: update-mode stream emits the same changelog " +
+      "as complete-mode changelogSink (wordcount story), with per-batch " +
+      "deltas and periodic compaction") {
+    val base = java.nio.file.Files.createTempDirectory("graft-upsink").toString
+    val inDir = base + "/in"; val ckpt = base + "/ckpt"; val state = base + "/state"
+    new java.io.File(inDir).mkdirs()
+    val diffs = scala.collection.mutable.ArrayBuffer[Set[(String, Long, Int)]]()
+    def startQuery() = {
+      val counts = graft.examples.WordCount.counts(
+        graft.sources.Connectors.plaintext(spark, inDir,
+          mode = graft.sources.Connectors.Streaming)).toDF("w", "c")
+      graft.streaming.Persistence.changelogSinkUpdate(counts, state, Seq("w"),
+          compactEvery = 2) { (d, _) =>
+        val rows = d.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+        if (rows.nonEmpty) diffs.synchronized { diffs += rows }
+      }.option("checkpointLocation", ckpt).start()
+    }
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "0.txt"), "abc\ndef\nfoo\n")
+    val q1 = startQuery(); q1.processAllAvailable()
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "1.txt"), "foo\nxyz\n")
+    q1.processAllAvailable(); q1.stop()
+    // restart across the SAME store: only deltas come out
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "2.txt"), "abc\nxxx\n")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    assert(diffs.head == Set(("abc", 1L, 1), ("def", 1L, 1), ("foo", 1L, 1)))
+    assert(diffs.exists(_ == Set(("foo", 1L, -1), ("foo", 2L, 1), ("xyz", 1L, 1))))
+    assert(diffs.last == Set(("abc", 1L, -1), ("abc", 2L, 1), ("xxx", 1L, 1)))
+    val acc = scala.collection.mutable.Map[(String, Long), Int]().withDefaultValue(0)
+    diffs.flatten.foreach { case (w, c, d) => acc((w, c)) += d }
+    assert(acc.collect { case (k, 1) => k }.toSet ==
+      Set(("abc", 2L), ("def", 1L), ("foo", 2L), ("xyz", 1L), ("xxx", 1L)))
+  }
+}
