@@ -570,10 +570,10 @@ tfc AS (SELECT chunk_id, CAST(len(wtoks) AS BIGINT) AS dl, term,
     CAST(len(list_filter(wtoks, t -> t = term)) AS BIGINT) AS tf
   FROM wt, terms WHERE list_contains(wtoks, term)),
 bsc AS (SELECT tfc.chunk_id, tfc.term,
-    LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-      * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+    ROUND(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+      * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
   FROM tfc JOIN tdf USING (term), wstats),
-lsc AS (SELECT query_id, chunk_id AS nn_id, SUM(score) AS score
+lsc AS (SELECT query_id, chunk_id AS nn_id, ROUND(SUM(score), 6) AS score
   FROM bsc JOIN qterms USING (term) GROUP BY 1, 2),
 lr AS (SELECT query_id, nn_id,
   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM lsc),

@@ -249,11 +249,17 @@ object DocumentStore {
     val lexArm =
       if (terms.isEmpty) vecArm.limit(0)
       else {
+        // per-term scores and the per-chunk sum both round to 6 dp: BM25's
+        // LN/div chain contracts differently (FMA) across engines, and the
+        // sum order of a chunk's 2-3 term scores is partition-dependent —
+        // 6 dp is far above ULP noise and far below score resolution, the
+        // same pin the green bm25_per_term oracle row carries
         val perTerm = TextOps.bm25PerTerm(corpus, col("chunk_id"),
-          col("chunk_text"), terms, tokenize = TextOps.wordTokens)
+            col("chunk_text"), terms, tokenize = TextOps.wordTokens)
+          .withColumn("score", round(col("score"), 6))
         val scored = perTerm.join(broadcast(qTerms), "term")
           .groupBy(col("query_id"), col("id").as("nn_id"))
-          .agg(sum("score").as("score"))
+          .agg(round(sum("score"), 6).as("score"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
         scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -240,4 +240,26 @@ class IterateSpec extends AnyFunSuite {
     val f = Udfs.cached[Int, Int] { x => calls += 1; x + 1 }
     assert(f(1) == 2 && f(1) == 2 && calls == 1)
   }
+
+  test("nonEmptyGuard: a pass that EMPTIES a cardinality-preserving table " +
+      "fails loudly instead of silently returning nothing (r18 louvain " +
+      "empty-frame fence)") {
+    import spark.implicits._
+    val initial = Seq(1L, 2L, 3L).toDF("v")
+    // a legal fixpoint step keeps running under the guard
+    val ok = graft.operators.Iterate.nTimesConverged(initial,
+      df => df, n = 3, nonEmptyGuard = true)
+    assert(ok.count() == 3)
+    // a faulty step that drops every row must raise, not converge-to-empty
+    val e = intercept[IllegalStateException] {
+      graft.operators.Iterate.nTimesConverged(initial,
+        df => df.filter(org.apache.spark.sql.functions.lit(false)),
+        n = 3, nonEmptyGuard = true)
+    }
+    assert(e.getMessage.contains("EMPTY"))
+    // empty INPUT is legal: guard disarms, empty fixpoint returns
+    val empty = graft.operators.Iterate.nTimesConverged(initial.limit(0),
+      df => df, n = 2, nonEmptyGuard = true)
+    assert(empty.count() == 0)
+  }
 }
