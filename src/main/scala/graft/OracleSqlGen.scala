@@ -693,7 +693,32 @@ SELECT m.vertex, b.community FROM map1 m JOIN bl$iters2 b ON b.vertex = m.commun
     * unrolled Lloyd passes — same technique as the louvain oracle) → per-point
     * majority vote. All state is exact integer; only the cosine folds are
     * floating point (left-to-right, bit-stable). */
-  def clusteringLsh(dim: Int, k: Int, nPlanes: Int, nTables: Int, lloydIters: Int): String = {
+  def clusteringLsh(dim: Int, k: Int, nPlanes: Int, nTables: Int, lloydIters: Int): String =
+    s"""WITH ${clusteringLshCtes(dim, k, nPlanes, nTables, lloydIters,
+        "SELECT vec_id, embedding FROM embeddings")}
+SELECT pid AS id, CAST(label AS BIGINT) AS label FROM asgf"""
+
+  /** Dedup.semantic (SemDeDup): the clustering CTE chain over a planted
+    * corpus (originals + exact copies at vec_id+20000), then within-cluster
+    * smaller-id pruning at `threshold` cosine over the quantized vectors. */
+  def dedupSemantic(dim: Int, k: Int, nPlanes: Int, nTables: Int,
+      lloydIters: Int, threshold: Double, copyBelow: Int, copyShift: Long): String =
+    s"""WITH ${clusteringLshCtes(dim, k, nPlanes, nTables, lloydIters,
+        s"SELECT vec_id, embedding FROM embeddings UNION ALL " +
+          s"SELECT vec_id + $copyShift, embedding FROM embeddings WHERE vec_id < $copyBelow")},
+pvv AS (SELECT a.pid, a.label, p.qv FROM asgf a JOIN pts p USING (pid)),
+near AS (SELECT x.pid AS id, MIN(y.pid) AS rep FROM pvv x JOIN pvv y
+  ON x.label = y.label AND y.pid < x.pid
+  WHERE ${cos("x.qv", "y.qv", dim)} >= $threshold GROUP BY x.pid)
+SELECT a.pid AS id, CAST(a.label AS BIGINT) AS label,
+  COALESCE(n.rep, a.pid) AS rep_id, n.rep IS NOT NULL AS is_dup
+FROM asgf a LEFT JOIN near n ON n.id = a.pid"""
+
+  /** CTE chain of [[clusteringLsh]] over `src` (vec_id, embedding): ends at
+    * `asgf` = (pid, label) final per-point assignments; `pts` carries the
+    * quantized vectors. */
+  private def clusteringLshCtes(dim: Int, k: Int, nPlanes: Int, nTables: Int,
+      lloydIters: Int, src: String): String = {
     val buckets = (0 until nTables).map { t =>
       s"SELECT pid, qv, $t AS tbl, ${srpBucketSql("qv", t, nPlanes, dim)} AS bkt FROM pts"
     }.mkString("\n  UNION ALL ")
@@ -721,9 +746,9 @@ nc$i AS (SELECT c, list(CAST(s AS BIGINT) ORDER BY idx) AS nv FROM n$i GROUP BY 
 $n AS MATERIALIZED (SELECT $c.c, COALESCE(nc$i.nv, $c.cv) AS cv FROM $c LEFT JOIN nc$i USING (c))"""
     }.mkString(",\n")
     val last = s"c$lloydIters"
-    s"""WITH pts AS (SELECT vec_id AS pid, list_transform(generate_series(1, $dim),
+    s"""pts AS (SELECT vec_id AS pid, list_transform(generate_series(1, $dim),
     i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1099511627776) AS BIGINT)) AS qv
-  FROM embeddings),
+  FROM ($src)),
 b AS MATERIALIZED ($buckets),
 comp AS (SELECT tbl, bkt, g.i AS idx, SUM(qv[g.i]) AS s
   FROM b CROSS JOIN generate_series(1, $dim) AS g(i) GROUP BY 1, 2, 3),
@@ -737,10 +762,10 @@ af AS (SELECT rid, c FROM (
     ORDER BY ${cos("r.rv", s"$last.cv", dim)} DESC, $last.c ASC) AS rn
   FROM rept r CROSS JOIN $last) WHERE rn = 1),
 lab AS (SELECT tbl, bkt, c - 1 AS label FROM af JOIN rept USING (rid)),
-votes AS (SELECT pid, label, COUNT(*) AS cnt FROM b JOIN lab USING (tbl, bkt) GROUP BY 1, 2)
-SELECT pid AS id, CAST(label AS BIGINT) AS label FROM (
+votes AS (SELECT pid, label, COUNT(*) AS cnt FROM b JOIN lab USING (tbl, bkt) GROUP BY 1, 2),
+asgf AS (SELECT pid, label FROM (
   SELECT pid, label, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cnt DESC, label ASC) AS rn
-  FROM votes) WHERE rn = 1"""
+  FROM votes) WHERE rn = 1)"""
   }
 
   /** TrainPrep.duplicateSpans(plantedDocs, k): per doc, how many of its

@@ -1291,6 +1291,17 @@ object SparkEntry {
       dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2)
   }
 
+  /** SemDeDup over the embeddings table with planted exact copies
+    * (vec_id+20000 for vec_id<50): cluster assignment bounds the candidate
+    * joins, copies land is_dup=true with their original as rep. */
+  private def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf.select(col("vec_id"), col("embedding"))
+    val planted = e.unionByName(e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 20000).as("vec_id"), col("embedding")))
+    Dedup.semantic(planted, col("vec_id"), col("embedding"), dim = 64, k = 3,
+      threshold = 0.95, nPlanes = 4, nTables = 4, lloydIters = 2)
+  }
+
   private def qRrfFusion(s: SparkSession, dir: String): DataFrame =
     Similarity.rrfFusion(Seq(qKnnBrute(s, dir), qKnnLsh(s, dir)), k0 = 60, topK = 5)
 
@@ -1903,6 +1914,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_groups" -> (qDedupGroups _),
     "dedup_simhash"   -> (qDedupSimhash _),
+    "dedup_semantic"  -> (qDedupSemantic _),
     "dedup_spans"     -> (qDedupSpans _),
     "decontaminate"   -> (qDecontaminate _),
     "decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
@@ -3201,6 +3213,8 @@ object SparkEntry {
     "reduce_countmin" -> OracleSqlGen.reduceCountMin(depth = 4, width = 32,
       topK = 5),
     "clustering_lsh" -> OracleSqlGen.clusteringLsh(dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2),
+    "dedup_semantic" -> OracleSqlGen.dedupSemantic(dim = 64, k = 3, nPlanes = 4,
+      nTables = 4, lloydIters = 2, threshold = 0.95, copyBelow = 50, copyShift = 20000L),
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),
     "louvain" -> OracleSqlGen.louvain(iters = 4),

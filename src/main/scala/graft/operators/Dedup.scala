@@ -593,6 +593,47 @@ object Dedup {
     * is closed); transitive grouping ([[dupGroups]] / minhashLsh's
     * star-merge) reconnects each cluster. `bucketCap = Int.MaxValue`
     * disables the guard (the honest unguarded control). */
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the embedding space, then prune WITHIN each
+    * cluster — a row is a semantic duplicate iff some smaller-id member of
+    * its cluster is within `threshold` cosine (rep = the smallest such id;
+    * keep-lowest-id is the paper's "keep one representative per duplicate
+    * set" with a deterministic pick). Candidate generation is the cluster
+    * assignment ([[Clustering.viaLsh]] — SRP buckets → spherical k-means),
+    * so no corpus×corpus join ever forms: the within-cluster self-join is
+    * O(Σ cluster²), and the paper's contract is that k GROWS with the
+    * corpus (clusters stay bounded — at 100 TB you run k in the tens of
+    * thousands and each cluster's join is a few MB). Cosine runs over the
+    * floor-quantized vectors (exact BIGINTs) so the threshold compare is
+    * engine-portable — the same fold the DuckDB oracle replays.
+    * Returns (id, label, rep_id, is_dup). */
+  def semantic(points: DataFrame, id: Column, vec: Column, dim: Int, k: Int,
+      threshold: Double, nPlanes: Int = 4, nTables: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val labeled = Clustering.viaLsh(points, id, vec, dim, k, nPlanes, nTables, lloydIters)
+    val q = points.select(id.cast("long").as("id"),
+      Clustering.quantize(vec).cast("array<double>").as("_qv"))
+    // assignment + quantized vectors feed both sides of the within-cluster
+    // join: persist + eager count (the AQE cache-race lesson, see minhashCore)
+    val pv = labeled.join(q, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      pv.count()
+      val near = pv.select(col("id").as("_ida"), col("label"), col("_qv").as("_va"))
+        .join(pv.select(col("id").as("_idb"), col("label"), col("_qv").as("_vb")),
+          Seq("label"))
+        .filter(col("_idb") < col("_ida"))
+        .filter(Similarity.cosine(col("_va"), col("_vb")) >= threshold)
+        .groupBy(col("_ida").as("id")).agg(min("_idb").as("rep_id"))
+      pv.join(near, Seq("id"), "left_outer")
+        .select(col("id"), col("label"),
+          coalesce(col("rep_id"), col("id")).as("rep_id"),
+          col("rep_id").isNotNull.as("is_dup"))
+        .localCheckpoint(true)
+    } finally pv.unpersist(false)
+  }
+
   def hash64DupPairs(sigs: DataFrame, maxDist: Int, bands: Int,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     val width = 64 / bands

@@ -55,7 +55,11 @@ class PlanQualitySpec extends AnyFunSuite {
     "reduce_approx_distinct", "reduce_misra_gries", "reduce_topk_freq",
     "text_boilerplate", "text_lm_score", "cast_rename", "apply_udf",
     "error_propagate_reduce", "error_skip_reduce", "expr_dt_round",
-    "expr_tuple", "dedup_acceptor", "asof_now_join")
+    "expr_tuple", "dedup_acceptor", "asof_now_join",
+    // r18: changelog UDF storage (one groupByKey shuffle, no execution at
+    // plan time; doc_store_hybrid is excluded — its builder materializes
+    // the store eagerly by design)
+    "udf_changelog")
 
   /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
     * 1-row scalar cross joins (ignore_late-style max-ts broadcast;
