@@ -1815,6 +1815,25 @@ object SparkEntry {
     graft.streaming.Persistence.runStatic(state, proj.filter(col("o_orderkey") % 3 =!= 0))
   }
 
+  /** Update-mode persistence (r18): two runs against one base+delta store —
+    * run 1 inserts every per-customer order count, run 2 touches only keys
+    * %5==0 (count+1). Each run's changelog is the unit diff of exactly the
+    * touched keys; run 2 commits a delta generation holding only those
+    * keys' rows. The returned union carries a `run` tag. */
+  private def qPersistUpdateDiff(s: SparkSession, dir: String): DataFrame = {
+    val state = java.nio.file.Files.createTempDirectory("graft-persist-u").toString
+    val counts = Tables.orders(s, dir).toDf
+      .groupBy(col("o_custkey").cast("long").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val touched = counts.filter(col("k") % 5 === 0)
+      .select(col("k"), (col("c") + 1).as("c"))
+    val d1 = graft.streaming.Persistence.updateRun(state, counts, Seq("k"))
+      .withColumn("run", lit(1))
+    val d2 = graft.streaming.Persistence.updateRun(state, touched, Seq("k"))
+      .withColumn("run", lit(2))
+    d1.unionByName(d2)
+  }
+
   private def qIgnoreLate(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamOps.ignoreLateBatch(
         eventsT(s, dir).select(col("event_id"), col("ts_t")),
@@ -1975,6 +1994,7 @@ object SparkEntry {
     "stream_upsert"   -> (qStreamUpsert _),
     "changelog_agg"   -> (qChangelogAgg _),
     "persist_diff"    -> (qPersistDiff _),
+    "persist_update_diff" -> (qPersistUpdateDiff _),
     "ignore_late"     -> (qIgnoreLate _),
   )
 
@@ -3041,6 +3061,14 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CAST(CASE WHEN net > 0 THEN 1 ELSE -1 END AS INTEGER) AS diff
         |FROM g WHERE net <> 0""".stripMargin,
+    // update-mode store: run 1 = every count (+1 diff), run 2 touches only
+    // keys %5==0 (retract old count, insert count+1)
+    "persist_update_diff" ->
+      """WITH c AS (SELECT CAST(o_custkey AS BIGINT) AS k, COUNT(*) AS c
+        |           FROM orders GROUP BY 1)
+        |SELECT k, c, CAST(1 AS INTEGER) AS diff, CAST(1 AS INTEGER) AS run FROM c
+        |UNION ALL SELECT k, c, CAST(-1 AS INTEGER), CAST(2 AS INTEGER) FROM c WHERE k % 5 = 0
+        |UNION ALL SELECT k, c + 1, CAST(1 AS INTEGER), CAST(2 AS INTEGER) FROM c WHERE k % 5 = 0""".stripMargin,
     "ignore_late" ->
       """WITH e AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts_t FROM events)
         |SELECT event_id, ts_t FROM e
