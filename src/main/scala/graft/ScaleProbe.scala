@@ -296,6 +296,18 @@ object ScaleProbe {
       time("persist_unit_diff", nl * mult) {
         graft.streaming.Persistence.unitDiff(prevGen, curGen)
       }
+      // update-mode store (r18): base generation = the full per-orderkey
+      // aggregate; the timed run touches ~1% of keys — per-batch work must
+      // track the TOUCHED slice (diff over touched-prev + batch, delta
+      // commit of only those rows), never the base size
+      val counts = li.groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      val upDir = java.nio.file.Files.createTempDirectory("graft-upd-probe").toString
+      graft.streaming.Persistence.updateRun(upDir, counts, Seq("l_orderkey")).count()
+      val touched = counts.filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), (col("q") + 1).as("q"))
+      time("persist_update_touched", nl * mult / 100) {
+        graft.streaming.Persistence.updateRun(upDir, touched, Seq("l_orderkey"))
+      }
     }
 
     if (families("relational")) {

@@ -137,14 +137,24 @@ object Persistence {
   // left-semi + count-agg shuffle over (touched_prev + batch) for the diff;
   // the O(|state|) merge cost is paid only at compaction.
 
-  /** Latest-wins merged view of an update-mode store (base + deltas). */
-  def readUpdateState(spark: SparkSession, dir: String,
-      keyCols: Seq[String]): Option[DataFrame] =
+  /** Latest-wins merged view of an update-mode store (base + deltas).
+    * `restrictTo` narrows every generation to the given key set BEFORE the
+    * union and latest-wins window — the broadcast semi-join prunes each
+    * generation at its scan, so only the restricted keys' rows ever reach
+    * the window (updateRun's per-batch-proportional read; without it a
+    * touched-keys lookup would window the WHOLE state). */
+  def readUpdateState(spark: SparkSession, dir: String, keyCols: Seq[String],
+      restrictTo: Option[DataFrame] = None): Option[DataFrame] =
     latestGen(spark, dir).map { latest =>
+      val keys = restrictTo.map(k =>
+        broadcast(k.select(keyCols.map(col): _*).distinct()))
       val gens = (0L to latest).map { g =>
         val d = new java.io.File(genDir(dir, g))
-        if (d.exists()) Some(spark.read.parquet(d.toString).withColumn("_pw_gen", lit(g)))
-        else None // compacted away
+        if (d.exists()) {
+          val base = spark.read.parquet(d.toString)
+          val pruned = keys.fold(base)(k => base.join(k, keyCols, "left_semi"))
+          Some(pruned.withColumn("_pw_gen", lit(g)))
+        } else None // compacted away
       }.flatten
       val all = gens.reduce(_.unionByName(_))
       val w = org.apache.spark.sql.expressions.Window
@@ -161,11 +171,9 @@ object Persistence {
   def updateRun(stateDir: String, batch: DataFrame, keyCols: Seq[String]): DataFrame = {
     val spark = batch.sparkSession
     new java.io.File(stateDir).mkdirs()
-    val touchedPrev = readUpdateState(spark, stateDir, keyCols) match {
-      case Some(prev) =>
-        prev.join(batch.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-      case None => batch.limit(0)
-    }
+    val touchedPrev =
+      readUpdateState(spark, stateDir, keyCols, restrictTo = Some(batch))
+        .getOrElse(batch.limit(0))
     val diff = unitDiff(touchedPrev, batch)
     val nextGen = latestGen(spark, stateDir).getOrElse(-1L) + 1
     val out = commitDiff(stateDir, nextGen, diff)

@@ -181,6 +181,22 @@ class PersistenceScaleSpec extends AnyFunSuite {
       Set(("a", 1L), ("b", 2L), ("c", 1L)))
   }
 
+  test("readUpdateState(restrictTo) prunes every generation BELOW the " +
+      "latest-wins window — a touched-keys lookup never windows the whole " +
+      "state (per-batch-proportional read)") {
+    val state = tmp()
+    Persistence.updateRun(state, Seq(("a", 1L), ("b", 1L), ("c", 1L)).toDF("w", "c"),
+      Seq("w")).count()
+    Persistence.updateRun(state, Seq(("b", 2L)).toDF("w", "c"), Seq("w")).count()
+    val restricted = Persistence.readUpdateState(spark, state, Seq("w"),
+      restrictTo = Some(Seq(("b", 0L)).toDF("w", "c"))).get
+    assert(restricted.as[(String, Long)].collect().toSet == Set(("b", 2L)))
+    val p = restricted.queryExecution.optimizedPlan.toString
+    val (iw, is) = (p.indexOf("Window"), p.indexOf("LeftSemi"))
+    assert(iw >= 0 && is >= 0 && iw < is,
+      s"the semi-join must sit BELOW the window (prune before merge):\n$p")
+  }
+
   test("compactUpdateState folds deltas into one base; subsequent runs and " +
       "reads stay correct") {
     val state = tmp()
