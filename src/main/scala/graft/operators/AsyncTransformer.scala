@@ -53,7 +53,9 @@ object AsyncTransformer {
           batch.lazyZip(out).map((i, o) => (i, Some(o), Option.empty[String]))
         } catch {
           case e: Throwable =>
-            batch.map(i => (i, Option.empty[O], Some(String.valueOf(e.getMessage))))
+            // messageless exceptions keep the class name (not the string "null")
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            batch.map(i => (i, Option.empty[O], Some(msg)))
         }
       }
     }

@@ -245,6 +245,8 @@ object DocumentStore {
     val qTerms = q.select(col("query_id"),
         explode(array_distinct(TextOps.wordTokens(col("q_text")))).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // driver scalar bounded by the QUERY vocabulary (queries are the small
+    // side throughout this file — the same contract as the broadcast KNN)
     val terms = qTerms.select("term").distinct().collect().map(_.getString(0)).toSeq
     val lexArm =
       if (terms.isEmpty) vecArm.limit(0)

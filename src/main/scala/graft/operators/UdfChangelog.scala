@@ -64,12 +64,14 @@ object UdfChangelog {
     changelog.groupByKey(r => String.valueOf(r.get(keyIdx)))
       .flatMapGroups { (key: String, it: Iterator[Row]) =>
         // per-key fold in time order, retractions first within a timestamp
+        // (numeric-width tolerant: int/long time and diff columns both work)
         val rows = it.toArray.sortBy(r =>
-          (r.getLong(timeIdx), r.getInt(diffIdx)))
+          (r.get(timeIdx).asInstanceOf[Number].longValue(),
+            r.get(diffIdx).asInstanceOf[Number].intValue()))
         var stored: Option[Any] = None
         var live = false
         rows.iterator.map { r =>
-          val diff = r.getInt(diffIdx)
+          val diff = r.get(diffIdx).asInstanceOf[Number].intValue()
           val args = argIdx.map(r.get)
           val value = policy match {
             case NotStored => f(args)
