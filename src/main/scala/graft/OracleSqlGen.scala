@@ -871,4 +871,34 @@ sc AS (SELECT query_id, nn_id, ${cos("qv", "cv", dim)} AS score
 r AS (SELECT query_id, nn_id, score,
   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, nn_id ASC) AS rank FROM sc)
 SELECT query_id, nn_id, score, rank FROM r WHERE rank <= $k"""
+
+  /** TrainPrep.dsirSelect(raw=documents, target=doc_id%targetMod=0):
+    * hashed unigram+bigram bucket counts (md5 % buckets — power-of-two, so
+    * unsigned HUGEINT modulo equals Spark's signed pmod), Laplace-smoothed
+    * per-bucket log-ratios quantized to integer micro-units (the
+    * bm25_per_term LN-round pin), then EXACT integer per-doc weight sums —
+    * order-independent on both engines. */
+  def dsir(buckets: Int, k: Int, targetMod: Int): String =
+    s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+    x -> x <> '') AS toks FROM documents),
+gr AS (SELECT doc_id, UNNEST(toks || list_transform(generate_series(1, len(toks) - 1),
+    i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM tk),
+bk AS MATERIALIZED (SELECT doc_id, CAST(${duckU64("gram")} % $buckets AS BIGINT) AS bucket
+  FROM gr),
+dc AS MATERIALIZED (SELECT doc_id, bucket, COUNT(*) AS cnt FROM bk GROUP BY 1, 2),
+tc AS (SELECT bucket, SUM(cnt) AS t FROM dc WHERE doc_id % $targetMod = 0 GROUP BY 1),
+rc AS (SELECT bucket, SUM(cnt) AS r FROM dc GROUP BY 1),
+tot AS (SELECT (SELECT COALESCE(SUM(t), 0) FROM tc) AS tt,
+               (SELECT COALESCE(SUM(r), 0) FROM rc) AS rt),
+lr AS (SELECT g.b AS bucket,
+    CAST(ROUND((LN((COALESCE(tc.t, 0) + 1.0) / (tt + $buckets)) -
+                LN((COALESCE(rc.r, 0) + 1.0) / (rt + $buckets))) * 1000000, 0) AS BIGINT) AS lrm
+  FROM generate_series(0, ${buckets - 1}) AS g(b)
+  LEFT JOIN tc ON tc.bucket = g.b LEFT JOIN rc ON rc.bucket = g.b, tot),
+w AS (SELECT dc.doc_id AS id, SUM(dc.cnt * lr.lrm) AS logw_micro
+  FROM dc JOIN lr USING (bucket) GROUP BY 1)
+SELECT id, CAST(logw_micro AS BIGINT) AS logw_micro, rank FROM (
+  SELECT id, logw_micro,
+    ROW_NUMBER() OVER (ORDER BY logw_micro DESC, id ASC) AS rank FROM w)
+WHERE rank <= $k"""
 }

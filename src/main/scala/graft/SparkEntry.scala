@@ -1302,6 +1302,16 @@ object SparkEntry {
       threshold = 0.95, nPlanes = 4, nTables = 4, lloydIters = 2)
   }
 
+  /** DSIR data selection: raw = documents, target "domain" = doc_id%7==0;
+    * top-100 raw docs by hashed-ngram log importance weight. Weights are
+    * exact integers (micro-unit quantized log-ratios), so the rank order is
+    * bit-stable on both engines. */
+  private def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TrainPrep.dsirSelect(d, d.filter(col("doc_id") % 7 === 0),
+      col("doc_id"), col("text"), buckets = 8192, k = 100)
+  }
+
   private def qRrfFusion(s: SparkSession, dir: String): DataFrame =
     Similarity.rrfFusion(Seq(qKnnBrute(s, dir), qKnnLsh(s, dir)), k0 = 60, topK = 5)
 
@@ -1937,6 +1947,7 @@ object SparkEntry {
     "dedup_spans"     -> (qDedupSpans _),
     "decontaminate"   -> (qDecontaminate _),
     "decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
+    "dsir_select"     -> (qDsirSelect _),
     "sample_weighted" -> (qSampleWeighted _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_group_cap" -> (qSampleGroupCap _),
@@ -3243,6 +3254,7 @@ object SparkEntry {
     "clustering_lsh" -> OracleSqlGen.clusteringLsh(dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2),
     "dedup_semantic" -> OracleSqlGen.dedupSemantic(dim = 64, k = 3, nPlanes = 4,
       nTables = 4, lloydIters = 2, threshold = 0.95, copyBelow = 50, copyShift = 20000L),
+    "dsir_select" -> OracleSqlGen.dsir(buckets = 8192, k = 100, targetMod = 7),
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),
     "louvain" -> OracleSqlGen.louvain(iters = 4),

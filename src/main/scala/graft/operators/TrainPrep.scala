@@ -355,4 +355,100 @@ object TrainPrep {
         floor(coalesce(col("_p"), lit(defaultP)) * resolution.toDouble).cast("long"))
       .drop("_g", "_p")
   }
+
+  // ── DSIR: data selection via importance resampling (Xie et al. 2023) ───────
+  //
+  // Select raw-corpus documents that LOOK LIKE a target domain: fit hashed
+  // n-gram (unigram+bigram) bag models over the target and raw corpora,
+  // weight each raw doc by its log importance ratio, and take the top
+  // (or gumbel-resample). The standard public data-selection recipe for
+  // pre-training mixture construction.
+  //
+  // 100 TB shape: one explode+count per corpus with map-side combine, a
+  // `buckets`-row ratio table broadcast onto the per-doc counts, and ONE
+  // groupBy(id) shuffle. Never corpus x corpus; the only driver scalars are
+  // the two corpus gram totals (same two-pass contract as any TF-IDF build,
+  // TextOps.bm25PerTerm). Log-ratios quantize to integer micro-units before
+  // the per-doc sum, so weights are exact integers — order-independent
+  // across partitionings and bit-reproducible in the DuckDB oracle (the
+  // bm25_per_term 6-dp LN pin, then integer arithmetic the rest of the way).
+
+  /** Per-doc hashed n-gram bucket counts: (id, bucket, cnt). Tokens are
+    * nonempty whitespace runs of the lowercased text (the oracle-pinned
+    * shape); grams are tokens plus adjacent-pair bigrams; `buckets` must be
+    * a power of two so the oracle's unsigned `% buckets` equals this signed
+    * `pmod` bit-for-bit (same requirement as LinearModel's feature hash). */
+  def hashedNgramCounts(df: DataFrame, id: Column, text: Column,
+      buckets: Int): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets=$buckets must be a power of two")
+    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val bigrams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).otherwise(array())
+    df.select(id.as("id"), explode(concat(toks, bigrams)).as("gram"))
+      .select(col("id"), pmod(CrossHash.md5Long(col("gram")), lit(buckets.toLong)).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Laplace-smoothed log importance ratios per hash bucket, in integer
+    * micro-units: round(1e6 * (ln p_target(b) − ln p_raw(b))). One row per
+    * bucket (absent buckets included at count 0), small enough to broadcast
+    * at any corpus size. */
+  def dsirLogRatios(raw: DataFrame, target: DataFrame, id: Column, text: Column,
+      buckets: Int): DataFrame = {
+    val spark = raw.sparkSession
+    val tc = hashedNgramCounts(target, id, text, buckets)
+      .groupBy("bucket").agg(sum("cnt").as("t"))
+    val rc = hashedNgramCounts(raw, id, text, buckets)
+      .groupBy("bucket").agg(sum("cnt").as("r"))
+    // two driver scalars (gram totals) — ONE tiny job each over the
+    // already-bucketed counts, the bm25PerTerm two-pass contract
+    val tTot = tc.agg(coalesce(sum("t"), lit(0L))).head.getLong(0)
+    val rTot = rc.agg(coalesce(sum("r"), lit(0L))).head.getLong(0)
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(tc, Seq("bucket"), "left_outer")
+      .join(rc, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        round((log((coalesce(col("t"), lit(0L)) + lit(1.0)) /
+                   lit(tTot.toDouble + buckets)) -
+               log((coalesce(col("r"), lit(0L)) + lit(1.0)) /
+                   lit(rTot.toDouble + buckets))) * lit(1e6), 0)
+          .cast("long").as("lr_micro"))
+  }
+
+  /** Per-raw-doc DSIR log importance weight in micro-units:
+    * Σ_grams cnt·lr_micro(bucket) — an exact integer. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, id: Column, text: Column,
+      buckets: Int = 8192): DataFrame =
+    hashedNgramCounts(raw, id, text, buckets)
+      .join(broadcast(dsirLogRatios(raw, target, id, text, buckets)), "bucket")
+      .groupBy("id").agg(sum(col("cnt") * col("lr_micro")).as("logw_micro"))
+
+  /** Top-k raw docs by importance weight (ties broken by id): the
+    * deterministic selection head. Output (id, logw_micro, rank). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, id: Column, text: Column,
+      buckets: Int = 8192, k: Int = 100): DataFrame = {
+    val w = dsirWeights(raw, target, id, text, buckets)
+      .orderBy(col("logw_micro").desc, col("id").asc).limit(k)
+    w.withColumn("rank", row_number().over(
+        Window.orderBy(col("logw_micro").desc, col("id").asc)).cast("long"))
+  }
+
+  /** Gumbel-top-k importance RESAMPLING (the paper's sampling head): key =
+    * logw/temperature + Gumbel(u) with u a cross-engine hash of the id, so
+    * the sample is without-replacement ∝ exp(logw/T), yet deterministic and
+    * stable under reruns/repartitioning — same hash-slot philosophy as
+    * [[sampleByWeight]]. */
+  def dsirResample(raw: DataFrame, target: DataFrame, id: Column, text: Column,
+      buckets: Int = 8192, k: Int = 100, temperature: Double = 1.0,
+      resolution: Long = 1 << 30): DataFrame = {
+    val w = dsirWeights(raw, target, id, text, buckets)
+    val u = (pmod(CrossHash.md5Long(col("id")), lit(resolution)) + lit(0.5)) /
+      lit(resolution.toDouble)
+    w.withColumn("key",
+        col("logw_micro") / lit(1e6 * temperature) - log(-log(u)))
+      .orderBy(col("key").desc, col("id").asc).limit(k)
+  }
 }

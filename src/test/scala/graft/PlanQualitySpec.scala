@@ -59,7 +59,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // r18: changelog UDF storage (one groupByKey shuffle, no execution at
     // plan time; doc_store_hybrid is excluded — its builder materializes
     // the store eagerly by design)
-    "udf_changelog")
+    "udf_changelog",
+    // r18: DSIR selection — bucket-count shuffles + a broadcast ratio join;
+    // construction runs the two scalar-total jobs (the bm25_per_term
+    // two-pass contract), never a corpus x corpus join
+    "dsir_select")
 
   /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
     * 1-row scalar cross joins (ignore_late-style max-ts broadcast;

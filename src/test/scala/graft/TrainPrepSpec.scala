@@ -556,4 +556,67 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out(7L) == ((7L, true)) && out(8L) == ((7L, false)),
       "all-unscored group keeps its smallest id")
   }
+
+  // ── DSIR importance resampling ──────────────────────────────────────────
+
+  private def dsirCorpus = {
+    // two "domains": science-ish docs (even ids) and cooking-ish docs (odd);
+    // the target sample is science-only, so science docs must outrank
+    val sci = (0L until 20L).map(i =>
+      (i * 2, s"quantum physics experiment $i measures particle energy states"))
+    val cook = (0L until 20L).map(i =>
+      (i * 2 + 1, s"recipe $i simmer the onion butter sauce until golden"))
+    (sci ++ cook).toDF("doc_id", "text")
+  }
+
+  test("dsirSelect: target-domain lookalikes outrank the other domain") {
+    val raw = dsirCorpus
+    val target = raw.filter(col("doc_id") % 2 === 0).limit(8) // science sample
+    val top = TrainPrep.dsirSelect(raw, target, col("doc_id"), col("text"),
+      buckets = 1024, k = 10).collect()
+    assert(top.length == 10)
+    assert(top.forall(_.getLong(0) % 2 == 0),
+      s"top-10 must all be science docs: ${top.map(_.getLong(0)).mkString(",")}")
+    // ranks are 1..k, descending weight, id tiebreak
+    assert(top.map(_.getLong(2)).sorted.toSeq == (1L to 10L))
+    val ws = top.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    assert(ws == ws.sorted.reverse, "weights non-increasing in rank order")
+  }
+
+  test("dsirWeights: exact integers, invariant under repartitioning") {
+    val raw = dsirCorpus
+    val target = raw.filter(col("doc_id") % 2 === 0)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TrainPrep.dsirWeights(d, target, col("doc_id"), col("text"), buckets = 512)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(raw)
+    val b = run(raw.repartition(13))
+    assert(a == b, "integer micro-unit weights are partition-order independent")
+    assert(a.size == 40)
+  }
+
+  test("dsirLogRatios: one row per bucket, zero rows where neither corpus hits") {
+    val raw = dsirCorpus
+    val lr = TrainPrep.dsirLogRatios(raw, raw.limit(4), col("doc_id"), col("text"), 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lr.size == 256, "every bucket present (absent ones smoothed)")
+    // a bucket no gram hashes into gets lr = ln(1/(T+B)) − ln(1/(R+B)) =
+    // ln((R+B)/(T+B)) > 0 here since R > T — constant across empty buckets
+    val grams = TrainPrep.hashedNgramCounts(raw, col("doc_id"), col("text"), 256)
+      .select("bucket").distinct().collect().map(_.getLong(0)).toSet
+    val empties = (0L until 256L).filterNot(grams)
+    assert(empties.nonEmpty && empties.map(lr).toSet.size == 1)
+  }
+
+  test("dsirResample: deterministic gumbel keys, biased toward target lookalikes") {
+    val raw = dsirCorpus
+    val target = raw.filter(col("doc_id") % 2 === 0)
+    def ids(temp: Double) = TrainPrep.dsirResample(raw, target, col("doc_id"),
+      col("text"), buckets = 512, k = 12, temperature = temp)
+      .collect().map(_.getLong(0)).toSet
+    val cold = ids(0.05) // near-argmax: should be essentially all science
+    assert(cold == ids(0.05), "hash-seeded gumbel keys are rerun-stable")
+    assert(cold.count(_ % 2 == 0) >= 11,
+      s"low temperature concentrates on the target domain: $cold")
+  }
 }
