@@ -20,7 +20,11 @@ object SparkTestBase {
 
   lazy val spark: SparkSession = {
     var b = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures]: allow ONE task retry so
+      // FaultToleranceSpec can inject first-attempt failures and prove
+      // retry-determinism; healthy tasks never retry, so call-count
+      // replay specs are unaffected
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
