@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "cdc", "persist", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap", "docstore"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "cdc", "persist", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap", "docstore", "dsir"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -699,6 +699,23 @@ object ScaleProbe {
         time(s"perceptron_$tag", rows) {
           LinearModel.perceptronClassify(df, col("doc_id"), col("text"),
             when(col("n_chars") >= 306, 1L).otherwise(-1L), dim = 32, iters = 3)
+        }
+    }
+
+    if (families("dsir")) {
+      // DSIR selection at mult× (Caesar replication: distinct gram
+      // distributions per replica, the honest corpus growth): two
+      // bucket-count shuffles + a buckets-row broadcast join + one
+      // groupBy(id) — cost should be ~linear in total gram count.
+      import graft.operators.TrainPrep
+      val docsBase = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val nd = docsBase.count()
+      val big = caesarReplicate(docsBase, nd, "/tmp/graft_docs_dsir")
+      for ((df, rows, tag) <- Seq((docsBase, nd, "1x"), (big, nd * mult, s"${mult}x")))
+        time(s"dsir_select_$tag", rows) {
+          TrainPrep.dsirSelect(df, df.filter(col("doc_id") % 7 === 0),
+            col("doc_id"), col("text"), buckets = 8192, k = 100)
         }
     }
 
