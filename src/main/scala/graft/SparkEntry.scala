@@ -1312,6 +1312,20 @@ object SparkEntry {
       col("doc_id"), col("text"), buckets = 8192, k = 100)
   }
 
+  /** Mixture planner: sources = doc_id%5, inventory = word counts, target
+    * mix 35/25/20/15/5 at ≤2 epochs. Strict plan: T* = min cap/w — every
+    * float op is an IEEE-exact /·* min floor chain, bit-identical in
+    * DuckDB. */
+  private def qMixturePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val targets = Seq((0L, 0.35), (1L, 0.25), (2L, 0.20), (3L, 0.15), (4L, 0.05))
+      .toDF("src", "w")
+    val words = size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+      .cast("long")
+    TrainPrep.mixturePlanStrict(docs(s, dir), col("doc_id") % 5, words,
+      targets, maxEpochs = 2.0)
+  }
+
   private def qRrfFusion(s: SparkSession, dir: String): DataFrame =
     Similarity.rrfFusion(Seq(qKnnBrute(s, dir), qKnnLsh(s, dir)), k0 = 60, topK = 5)
 
@@ -1948,6 +1962,7 @@ object SparkEntry {
     "decontaminate"   -> (qDecontaminate _),
     "decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
     "dsir_select"     -> (qDsirSelect _),
+    "mixture_plan"    -> (qMixturePlan _),
     "sample_weighted" -> (qSampleWeighted _),
     "sample_stratified" -> (qSampleStratified _),
     "sample_group_cap" -> (qSampleGroupCap _),
@@ -3255,6 +3270,20 @@ object SparkEntry {
     "dedup_semantic" -> OracleSqlGen.dedupSemantic(dim = 64, k = 3, nPlanes = 4,
       nTables = 4, lloydIters = 2, threshold = 0.95, copyBelow = 50, copyShift = 20000L),
     "dsir_select" -> OracleSqlGen.dsir(buckets = 8192, k = 100, targetMod = 7),
+    "mixture_plan" ->
+      """WITH tk AS (SELECT doc_id % 5 AS src,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS nw
+        |  FROM documents),
+        |counts AS (SELECT src, CAST(SUM(nw) AS BIGINT) AS tokens FROM tk GROUP BY 1),
+        |t(tsrc, w0) AS (VALUES (0, 0.35), (1, 0.25), (2, 0.20), (3, 0.15), (4, 0.05)),
+        |j AS (SELECT src, tokens, tokens * 2.0 AS cap, CAST(w0 AS DOUBLE) AS w
+        |  FROM counts JOIN t ON src = tsrc),
+        |m AS (SELECT MIN(cap / w) AS tstar FROM j)
+        |SELECT src, tokens, CAST(FLOOR(cap) AS BIGINT) AS cap,
+        |  CAST(FLOOR(w * tstar) AS BIGINT) AS selected,
+        |  CAST(FLOOR(1000000 * w * tstar / tokens) AS BIGINT) AS rate_micro,
+        |  (cap / w = tstar) AS saturated
+        |FROM j, m""".stripMargin,
     "rrf_fusion" -> OracleSqlGen.rrfFusion(k = 5, dim = 64, nPlanes = 6, nTables = 12, k0 = 60, topK = 5),
     "embed_knn" -> OracleSqlGen.embedKnn(dim = 32, k = 3, maxQueryId = 5),
     "louvain" -> OracleSqlGen.louvain(iters = 4),

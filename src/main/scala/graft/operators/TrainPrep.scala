@@ -451,4 +451,97 @@ object TrainPrep {
         col("logw_micro") / lit(1e6 * temperature) - log(-log(u)))
       .orderBy(col("key").desc, col("id").asc).limit(k)
   }
+
+  // ── Mixture planning: per-source token budgets for a target mix ────────────
+  //
+  // The data-mixing arithmetic of a pre-training corpus build: sources have
+  // token inventories and an epoch cap (how many times a source may repeat);
+  // the recipe has target proportions. [[mixturePlanStrict]] answers "how
+  // large can the corpus be if the mixture is honored EXACTLY" (the scarcest
+  // source binds); [[mixturePlanFilled]] answers "given a token budget, how
+  // much comes from each source when saturated sources' overflow
+  // redistributes to the rest" (renormalizing waterfill). Output rates feed
+  // [[sampleStratified]] directly.
+  //
+  // Planning runs on one G-row frame (G = #sources, dims-small by
+  // construction — the sampleStratified contract); the only corpus-sized
+  // work is the groupBy(source) token count. Every float op in the strict
+  // plan is an IEEE-exact  / * min floor chain, so the plan is
+  // bit-reproducible in the DuckDB oracle with no rounding-tie risk.
+
+  /** Exact-mixture plan: largest total T with sel_g = w_g·T ≤ cap_g, i.e.
+    * T* = min_g cap_g/w_g. `targets` is a (group, weight) table (weights
+    * should sum to 1). Output per source: tokens, cap, selected,
+    * rate_micro (floor(1e6·selected/tokens), the sampleStratified rate in
+    * micro-units), saturated (this source binds T*). */
+  def mixturePlanStrict(df: DataFrame, group: Column, tokens: Column,
+      targets: DataFrame, maxEpochs: Double = 1.0): DataFrame = {
+    val tCols = targets.columns
+    require(tCols.length == 2, s"targets must be (group, weight), got ${tCols.mkString(",")}")
+    val counts = df.groupBy(group.as("src")).agg(sum(tokens).as("tokens"))
+    val j = counts.join(
+      broadcast(targets.select(col(tCols(0)).as("src"),
+        col(tCols(1)).cast("double").as("w"))), "src")
+      .withColumn("cap", col("tokens") * lit(maxEpochs))
+    val tstar = j.agg(min(col("cap") / col("w")).as("tstar"))
+    j.crossJoin(broadcast(tstar))
+      .select(col("src"), col("tokens"),
+        floor(col("cap")).cast("long").as("cap"),
+        floor(col("w") * col("tstar")).cast("long").as("selected"),
+        floor(lit(1e6) * col("w") * col("tstar") / col("tokens"))
+          .cast("long").as("rate_micro"),
+        (col("cap") / col("w") === col("tstar")).as("saturated"))
+  }
+
+  /** Budgeted waterfill: spend `budget` tokens at proportions `targets`,
+    * letting each source give at most cap_g = tokens_g·maxEpochs; a
+    * saturated source's unmet share redistributes proportionally among the
+    * rest (at most G rounds). Planning happens on the collected G-row
+    * mixture table (dims-small by construction). */
+  def mixturePlanFilled(df: DataFrame, group: Column, tokens: Column,
+      targets: DataFrame, budget: Double, maxEpochs: Double = 1.0): DataFrame = {
+    val spark = df.sparkSession
+    val tCols = targets.columns
+    require(tCols.length == 2, s"targets must be (group, weight), got ${tCols.mkString(",")}")
+    val rows = df.groupBy(group.as("src")).agg(sum(tokens).as("tokens"))
+      .join(broadcast(targets.select(col(tCols(0)).as("src"),
+        col(tCols(1)).cast("double").as("w"))), "src")
+      .collect()
+      .map(r => (r.get(0), r.getLong(1), r.getLong(1) * maxEpochs, r.getDouble(2)))
+    var remaining = budget
+    var active = rows.map { case (s, _, cap, w) => (s, cap, w) }
+    val sel = scala.collection.mutable.Map[Any, Double]()
+    rows.foreach { case (s, _, _, _) => sel(s) = 0.0 }
+    var done = false
+    while (!done && remaining > 1e-9 && active.nonEmpty) {
+      val wSum = active.map(_._3).sum
+      if (wSum <= 0) done = true
+      else {
+        // groups that saturate at this round's proportional allocation
+        val sat = active.filter { case (s, cap, w) =>
+          sel(s) + remaining * (w / wSum) >= cap - 1e-9 }
+        if (sat.isEmpty) {
+          active.foreach { case (s, _, w) => sel(s) += remaining * (w / wSum) }
+          remaining = 0.0
+        } else {
+          sat.foreach { case (s, cap, _) => remaining -= (cap - sel(s)); sel(s) = cap }
+          active = active.filterNot { case (s, _, _) => sat.exists(_._1 == s) }
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val out = rows.map { case (s, t, cap, _) =>
+      org.apache.spark.sql.Row(s, t, math.floor(cap).toLong,
+        math.floor(sel(s)).toLong, sel(s) >= cap - 1e-9)
+    }.toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        rows.headOption.map(r => org.apache.spark.sql.catalyst.expressions.Literal(r._1).dataType)
+          .getOrElse(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cap", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("selected", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("saturated", org.apache.spark.sql.types.BooleanType)))
+    spark.createDataFrame(out.asJava, schema)
+  }
 }

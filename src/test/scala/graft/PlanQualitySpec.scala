@@ -63,7 +63,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // r18: DSIR selection — bucket-count shuffles + a broadcast ratio join;
     // construction runs the two scalar-total jobs (the bm25_per_term
     // two-pass contract), never a corpus x corpus join
-    "dsir_select")
+    "dsir_select",
+    // r18: mixture planner — one groupBy(source) count + G-row broadcast
+    // joins (the T* scalar is a broadcast 1-row cross join)
+    "mixture_plan")
 
   /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
     * 1-row scalar cross joins (ignore_late-style max-ts broadcast;
@@ -73,7 +76,10 @@ class PlanQualitySpec extends AnyFunSuite {
       // text_lm_score: crossJoin(broadcast(vocab)) where vocab is the ONE-ROW
       // countDistinct aggregate; rrf_fusion: its knn inputs broadcast the
       // tiny (3-row) query set — both designed scalar/tiny-side broadcasts
-      "text_lm_score", "rrf_fusion")
+      "text_lm_score", "rrf_fusion",
+      // mixture_plan: crossJoin(broadcast(tstar)) where tstar is the ONE-ROW
+      // min(cap/w) aggregate — a designed scalar broadcast
+      "mixture_plan")
 
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)

@@ -608,6 +608,55 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(empties.nonEmpty && empties.map(lr).toSet.size == 1)
   }
 
+  // ── mixture planning ────────────────────────────────────────────────────
+
+  test("mixturePlanStrict: scarcest source binds T*, proportions exact") {
+    // inventories: a=1000, b=400, c=100 tokens; mix 50/30/20, 1 epoch.
+    // c binds: T* = 100/0.2 = 500 → sel = 250/150/100
+    val corpus = Seq(("a", 1000L), ("b", 400L), ("c", 100L)).toDF("src", "nw")
+    val targets = Seq(("a", 0.5), ("b", 0.3), ("c", 0.2)).toDF("src", "w")
+    val plan = TrainPrep.mixturePlanStrict(corpus, col("src"), col("nw"), targets)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    assert(plan("a") == ((1000L, 250L, false)))
+    assert(plan("b") == ((400L, 150L, false)))
+    assert(plan("c") == ((100L, 100L, true)), "the binding source saturates")
+  }
+
+  test("mixturePlanStrict: epoch cap scales every inventory") {
+    val corpus = Seq(("a", 1000L), ("c", 100L)).toDF("src", "nw")
+    val targets = Seq(("a", 0.8), ("c", 0.2)).toDF("src", "w")
+    val plan = TrainPrep.mixturePlanStrict(corpus, col("src"), col("nw"),
+      targets, maxEpochs = 3.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // c caps at 300 → T* = 1500 → a takes 1200 (well under its 3000 cap)
+    assert(plan("c") == 300L && plan("a") == 1200L)
+  }
+
+  test("mixturePlanFilled: saturated overflow redistributes, budget exhausted") {
+    val corpus = Seq(("a", 1000L), ("b", 400L), ("c", 100L)).toDF("src", "nw")
+    val targets = Seq(("a", 0.5), ("b", 0.3), ("c", 0.2)).toDF("src", "w")
+    // budget 1000 at 1 epoch: c wants 200, caps at 100; the overflow
+    // re-splits 5:3 between a and b → a=562, b=337 (floored), c=100
+    val plan = TrainPrep.mixturePlanFilled(corpus, col("src"), col("nw"),
+      targets, budget = 1000.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(plan("c") == ((100L, true)))
+    assert(plan("a")._1 == 562L && plan("b")._1 == 337L)
+    assert(!plan("a")._2 && !plan("b")._2)
+    // unsaturated pair keeps the 5:3 target ratio
+    assert(math.abs(plan("a")._1 * 3 - plan("b")._1 * 5) <= 8)
+  }
+
+  test("mixturePlanFilled: budget above total caps saturates everything") {
+    val corpus = Seq(("a", 30L), ("b", 20L)).toDF("src", "nw")
+    val targets = Seq(("a", 0.9), ("b", 0.1)).toDF("src", "w")
+    val plan = TrainPrep.mixturePlanFilled(corpus, col("src"), col("nw"),
+      targets, budget = 1e9, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    assert(plan("a") == ((60L, true)) && plan("b") == ((40L, true)))
+  }
+
   test("dsirResample: deterministic gumbel keys, biased toward target lookalikes") {
     val raw = dsirCorpus
     val target = raw.filter(col("doc_id") % 2 === 0)
