@@ -76,4 +76,58 @@ class PropertySpec extends AnyFunSuite {
     val again = df.select(graft.core.Keys.pointerFrom(col("a"), col("b")).as("id"))
     assert(ids.exceptAll(again).isEmpty)
   }
+
+  test("mixturePlanFilled invariants on random inventories and weights") {
+    import graft.operators.TrainPrep
+    val gen = for {
+      g <- Gen.choose(2, 6)
+      toks <- Gen.listOfN(g, Gen.choose(10L, 5000L))
+      ws <- Gen.listOfN(g, Gen.choose(1, 20))
+      budget <- Gen.choose(50L, 20000L)
+      epochs <- Gen.oneOf(1.0, 2.0)
+    } yield (toks, ws.map(_.toDouble / ws.sum), budget.toDouble, epochs)
+    Gen.listOfN(12, gen).sample.get.foreach { case (toks, ws, budget, epochs) =>
+      val corpus = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("src", "nw")
+      val targets = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("src", "w")
+      val plan = TrainPrep.mixturePlanFilled(corpus, col("src"), col("nw"),
+        targets, budget, epochs)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      val caps = plan.map(_._2).sum
+      val selTot = plan.map(_._3).sum
+      // budget exhausted up to flooring, never exceeding caps or budget
+      assert(selTot <= math.min(budget, caps.toDouble) + 0.5)
+      assert(selTot >= math.min(budget, caps.toDouble) - plan.length,
+        s"under-spend beyond flooring: sel=$selTot budget=$budget caps=$caps")
+      plan.foreach { case (_, cap, sel, sat) =>
+        assert(sel <= cap, "selection never exceeds a source cap")
+        assert(sat == (sel >= cap), s"saturated flag consistent (sel=$sel cap=$cap)")
+      }
+      // unsaturated sources keep the target ratio among themselves
+      val unsat = plan.filterNot(_._4)
+      if (unsat.length >= 2 && unsat.forall(_._3 > 100)) {
+        val wOf = targets.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val ratios = unsat.map { case (s, _, sel, _) => sel.toDouble / wOf(s) }
+        assert(ratios.max / ratios.min < 1.05,
+          s"unsaturated sources must honor the mixture: $ratios")
+      }
+    }
+  }
+
+  test("dsirWeights edge cases: empty target, single-word docs, empty raw") {
+    import graft.operators.TrainPrep
+    val raw = Seq((1L, "alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val empty = raw.limit(0)
+    // empty target: every bucket ratio is ln(uniform) − ln(raw) — finite,
+    // weights defined for all docs
+    val w = TrainPrep.dsirWeights(raw, empty, col("doc_id"), col("text"), 64)
+      .collect()
+    assert(w.length == 2 && w.forall(r => !r.isNullAt(1)))
+    // empty raw: no weights, no crash
+    assert(TrainPrep.dsirWeights(empty, raw, col("doc_id"), col("text"), 64)
+      .collect().isEmpty)
+    // blank text never reaches the gram explode
+    val blank = Seq((3L, "   ")).toDF("doc_id", "text")
+    assert(TrainPrep.dsirWeights(blank, raw, col("doc_id"), col("text"), 64)
+      .collect().isEmpty)
+  }
 }
