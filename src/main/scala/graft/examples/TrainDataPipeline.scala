@@ -1,6 +1,6 @@
 package graft.examples
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Bpe, Dedup, TextOps, TrainPrep}
@@ -151,6 +151,36 @@ object TrainDataPipeline {
         // still references it
         .localCheckpoint(true)
     } finally curated.unpersist(false)
+  }
+
+  /** Targeted selection ahead of curation: DSIR importance ranking toward a
+    * target domain, then a budgeted mixture waterfill across sources whose
+    * rates drive deterministic stratified sampling — the "which data do I
+    * even feed the pipeline" stage of a 100 TB corpus build. Entirely
+    * composed from TrainPrep primitives:
+    *
+    *   docs ── dsirWeights(target) ──┐ keep docs scoring above the
+    *                                 ├ importance floor (lookalikes of the
+    *                                 ┘ target domain)
+    *        ── mixturePlanFilled ──── per-source keep rates for `budget`
+    *                                  tokens at `mix` proportions
+    *        ── sampleStratified ───── hash-deterministic selection
+    *        ── curate(...) ────────── the full dedup/decontaminate pipeline
+    */
+  def selectAndCurate(docs: DataFrame, evalSet: DataFrame, target: DataFrame,
+      source: Column, mix: DataFrame, tokenBudget: Double,
+      dsirFloorMicro: Long = 0L, dsirBuckets: Int = 4096): DataFrame = {
+    val words = size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+      .cast("long")
+    val scored = docs.join(
+      TrainPrep.dsirWeights(docs, target, col("doc_id"), col("text"), dsirBuckets)
+        .select(col("id").as("doc_id"), col("logw_micro")), "doc_id")
+      .filter(col("logw_micro") >= dsirFloorMicro)
+    val rates = TrainPrep.mixturePlanFilled(scored, source, words, mix, tokenBudget)
+      .select(col("src"), (col("rate_micro") / lit(1e6)).as("p"))
+    val sampled = TrainPrep.sampleStratified(scored, col("doc_id"), source, rates)
+      .select("doc_id", "text")
+    curate(sampled, evalSet)
   }
 
   def main(args: Array[String]): Unit = {

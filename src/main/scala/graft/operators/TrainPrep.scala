@@ -531,8 +531,12 @@ object TrainPrep {
     }
     import scala.jdk.CollectionConverters._
     val out = rows.map { case (s, t, cap, _) =>
+      // rate_micro = keep fraction of the source inventory (can exceed 1e6
+      // when maxEpochs > 1 — i.e. "repeat this source"), feeds
+      // sampleStratified (p = rate_micro/1e6) for single-epoch plans
       org.apache.spark.sql.Row(s, t, math.floor(cap).toLong,
-        math.floor(sel(s)).toLong, sel(s) >= cap - 1e-9)
+        math.floor(sel(s)).toLong, sel(s) >= cap - 1e-9,
+        math.floor(1e6 * sel(s) / t).toLong)
     }.toSeq
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("src",
@@ -541,7 +545,8 @@ object TrainPrep {
       org.apache.spark.sql.types.StructField("tokens", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cap", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("selected", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("saturated", org.apache.spark.sql.types.BooleanType)))
+      org.apache.spark.sql.types.StructField("saturated", org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("rate_micro", org.apache.spark.sql.types.LongType)))
     spark.createDataFrame(out.asJava, schema)
   }
 }

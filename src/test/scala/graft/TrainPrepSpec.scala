@@ -114,6 +114,36 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(run() == out, "pipeline must be deterministic across reruns")
   }
 
+  test("TrainDataPipeline.selectAndCurate: DSIR floor + mixture rates gate the corpus") {
+    import graft.examples.TrainDataPipeline
+    // two domains across two sources; the target is science-flavored
+    // English-shaped (stopword-bearing) text: curate's language/quality
+    // filter is part of the path under test
+    val sci = (0L until 12L).map(i =>
+      (i * 2, s"the physics experiment number $i measures the energy of the " +
+        s"particle states and it is recorded in the journal of the lab"))
+    val cook = (0L until 12L).map(i =>
+      (i * 2 + 1, s"the recipe number $i simmers the onion in the butter sauce " +
+        s"until it is golden and then you serve it to the guests at the table"))
+    val docs = (sci ++ cook).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 2 === 0).limit(6)
+    val evalSet = Seq((100L, "never matches anything here at all"))
+      .toDF("eval_id", "eval_text")
+    val mix = Seq((0L, 0.6), (1L, 0.4)).toDF("src", "w")
+    // buckets sized to the corpus (~400 grams): with buckets >> grams the
+    // Laplace smoothing crushes every weight below zero and an absolute
+    // floor keeps nothing (ranking is unaffected — see the dsirSelect test)
+    def run() = TrainDataPipeline.selectAndCurate(docs, evalSet, target,
+      source = col("doc_id") % 2, mix = mix, tokenBudget = 120.0,
+      dsirFloorMicro = 1L, dsirBuckets = 64)
+      .select("doc_id").as[Long].collect().toSet
+    val out = run()
+    assert(out.nonEmpty, "selection must keep something")
+    assert(out.forall(_ % 2 == 0),
+      s"positive DSIR floor keeps only target lookalikes: $out")
+    assert(run() == out, "hash-deterministic end to end")
+  }
+
   test("curate with bpeMerges budgets packs in real BPE tokens") {
     import graft.examples.TrainDataPipeline
     val base = "the quick brown fox jumps over the lazy dog and then it runs away " +
