@@ -34,13 +34,37 @@ final class PwTable private (val df: DataFrame) extends Serializable {
 
   // ───────────────────────── row-wise (universe-preserving) ─────────────────────────
 
-  /** Pathway `select` (table.py:389): rowwise projection, same universe. */
-  def select(cols: (String, Column)*): PwTable =
+  /** Pathway `select` (table.py:389): rowwise projection, same universe.
+    * Future-typed columns (fully-async UDF outputs) pass through bare but
+    * are rejected inside any computation (test_udf.py:1131). */
+  def select(cols: (String, Column)*): PwTable = {
+    cols.foreach { case (_, c) => graft.functions.Futures.checkExpression(df, c) }
     wrap(df.select(col(IdCol) +: cols.map { case (n, c) => c.as(n) }: _*))
+  }
 
   /** Pathway `with_columns` (table.py:1865): add/replace columns. */
-  def withColumns(cols: (String, Column)*): PwTable =
+  def withColumns(cols: (String, Column)*): PwTable = {
+    cols.foreach { case (_, c) => graft.functions.Futures.checkExpression(df, c) }
     wrap(df.withColumns(cols.toMap))
+  }
+
+  /** A fully-async UDF column (udfs `fully_async_executor`,
+    * test_udf.py:1069): the value lands with dtype Future[innerPy] — usable
+    * only for pass-through (or another fully-async UDF) until
+    * [[awaitFutures]]. Execution is synchronous (SEMANTICS D10); the dtype
+    * GATE is the decoded engine contract. */
+  def withFullyAsync(name: String, value: Column, innerPy: String): PwTable =
+    wrap(df.withColumn(name, value)
+      .withMetadata(name, graft.functions.Futures.metadataFor(innerPy)))
+
+  /** Pathway `await_futures()` (test_udf.py:1348): resolve every
+    * Future-typed column — afterwards expressions/reducers/groupby are
+    * allowed again. Values are already materialized here, so this only
+    * strips the dtype flag. */
+  def awaitFutures(): PwTable =
+    wrap(df.schema.fields.filter(graft.functions.Futures.isFuture)
+      .foldLeft(df)((d, f) => d.withMetadata(f.name,
+        org.apache.spark.sql.types.Metadata.empty)))
 
   /** Pathway `filter` (table.py:497). */
   def filter(cond: Column): PwTable = wrap(df.filter(cond))
@@ -71,7 +95,10 @@ final class PwTable private (val df: DataFrame) extends Serializable {
 
   /** Pathway `groupby` (table.py:1192). `instance` is just an extra grouping column
     * used for sharding (SURVEY §2.4) — pass it as one of the keys. */
-  def groupby(keys: (String, Column)*): PwGrouped = PwGrouped(this, keys)
+  def groupby(keys: (String, Column)*): PwGrouped = {
+    graft.functions.Futures.checkUsable(keys.map(_._2))
+    PwGrouped(this, keys)
+  }
 
   def groupbyCols(names: String*): PwGrouped =
     PwGrouped(this, names.map(n => n -> df(n)))
@@ -80,6 +107,7 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     * row maximal under `priority` (the acceptor reduced to an ordering). Implemented as
     * `max_by(struct(all), priority)` — one shuffle, map-side combine, no window sort. */
   def deduplicate(instance: Seq[Column], priority: Column): PwTable = {
+    graft.functions.Futures.checkUsable(instance :+ priority)
     val payload = struct(df.columns.map(df(_)): _*)
     val out = df
       .groupBy(instance: _*)
@@ -239,8 +267,10 @@ final class PwTable private (val df: DataFrame) extends Serializable {
   // ───────────────────────────── re-keying / shape ─────────────────────────────
 
   /** Pathway `with_id_from` (table.py:1942): re-key from expression values. */
-  def withIdFrom(cols: Column*): PwTable =
+  def withIdFrom(cols: Column*): PwTable = {
+    graft.functions.Futures.checkComputed(cols, "pathway.pointer_from")
     wrap(df.withColumn(IdCol, Keys.pointerFrom(cols: _*)))
+  }
 
   /** Pathway `flatten` (table.py:2341): explode an iterable column; id = hash(origin, pos).
     * `withOrigin` keeps the pre-explosion id as `origin_id`. Rows with an
@@ -285,6 +315,7 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     * funnel the whole table through one partition (pass the sharding column the
     * reference's `instance=` argument carries). */
   def sortWithPrevNext(keys: Seq[Column], instance: Column): PwTable = {
+    graft.functions.Futures.checkUsable(keys :+ instance)
     val w = Window.partitionBy(instance).orderBy(keys: _*)
     wrap(df.withColumn("prev", lag(col(IdCol), 1).over(w))
            .withColumn("next", lead(col(IdCol), 1).over(w)))
@@ -344,6 +375,9 @@ final case class PwGrouped(table: PwTable, keys: Seq[(String, Column)]) {
   /** Pathway `reduce` (groupbys.py:158): one aggregation pass; result id =
     * hash(grouping values). Spark gives partial (map-side) aggregation for free. */
   def reduce(aggs: (String, Column)*): PwTable = {
+    // Future-typed columns can't feed a reducer until await_futures()
+    // (tests/test_udf.py:1169 — names the reducer in the message)
+    aggs.foreach { case (_, c) => graft.functions.Futures.checkReducer(table.df, c) }
     // reference rejects a bare (non-grouped, non-reduced) column in reduce
     // with this exact message (tests/test_error_messages.py:457-478); a bare
     // column reference stringifies to its name, wrapped reducers don't

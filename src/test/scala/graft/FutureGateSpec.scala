@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.PwTable
+
+/** Replays the engine-relevant members of tests/test_udf.py's fully-async
+  * family (:1069-1480): Future-dtype columns pass through projections, are
+  * rejected with the reference's exact messages everywhere else, and
+  * `await_futures()` lifts the gate. */
+class FutureGateSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def futureTable: PwTable = {
+    val t = PwTable.fromAllColumns(Seq(1L, 2L, 3L).toDF("a"))
+    t.withFullyAsync("ret", t("a") + 1, "int")
+  }
+
+  private def msgOf(body: => Any): String =
+    intercept[IllegalArgumentException](body).getMessage
+
+  test("test_fully_async_udf: the future column's values are correct") {
+    val t = futureTable
+    assert(t.select("ret" -> t("ret")).toDf.as[Long].collect().sorted.toSeq
+      == Seq(2L, 3L, 4L))
+  }
+
+  test("test_fully_async_udf_propagation_allowed: bare pass-through beside " +
+      "computed columns") {
+    val t = futureTable
+    val out = t.select("a" -> (t("a") + 2), "b" -> t("ret"))
+      .toDf.as[(Long, Long)].collect().sorted.toSeq
+    assert(out == Seq((3L, 2L), (4L, 3L), (5L, 4L)))
+  }
+
+  test("test_future_dtype_disallowed_expression: binary add raises verbatim") {
+    val t = futureTable
+    assert(msgOf(t.select("ret" -> (t("ret") + 1))) ==
+      "Pathway does not support using binary operator add on columns of " +
+      "types _asyncio.Future[int], <class 'int'>.")
+  }
+
+  test("test_future_dtype_disallowed_reduce: sum names the reducer") {
+    val t = futureTable
+    assert(msgOf(t.groupby("g" -> lit(1)).reduce("s" -> sum(t("ret")))) ==
+      "Cannot perform pathway.reducers.sum when column of type " +
+      "_asyncio.Future[int] is involved. Consider applying " +
+      "`await_futures()` to the table used here")
+  }
+
+  test("test_future_dtype_disallowed_in_groupby") {
+    val t = futureTable
+    assert(msgOf(t.groupby("ret" -> t("ret"))) ==
+      "Using column of type _asyncio.Future[int] is not allowed here. " +
+      "Consider applying `await_futures()` to the table first.")
+  }
+
+  test("test_future_dtype_disallowed_in_sort_key and _in_sort_instance") {
+    val t = futureTable
+    val expect = "Using column of type _asyncio.Future[int] is not allowed " +
+      "here. Consider applying `await_futures()` to the table first."
+    assert(msgOf(t.sortWithPrevNext(Seq(t("ret")), lit(1))) == expect)
+    assert(msgOf(t.sortWithPrevNext(Seq(t("a")), t("ret"))) == expect)
+  }
+
+  test("test_future_dtype_disallowed_in_deduplicate (+instance form)") {
+    val t = futureTable
+    val expect = "Using column of type _asyncio.Future[int] is not allowed " +
+      "here. Consider applying `await_futures()` to the table first."
+    assert(msgOf(t.deduplicate(Seq(lit(1)), t("ret"))) == expect)
+    assert(msgOf(t.deduplicate(Seq(t("ret")), t("a"))) == expect)
+  }
+
+  test("test_future_dtype_disallowed_in_expressions: pointer_from form") {
+    val t = futureTable
+    assert(msgOf(t.withIdFrom(t("ret"))) ==
+      "Cannot perform pathway.pointer_from when column of type " +
+      "_asyncio.Future[int] is involved. Consider applying " +
+      "`await_futures()` to the table used here.")
+  }
+
+  test("test_fully_async_udf_expression_allowed_after_await (+reducer)") {
+    val t = futureTable.awaitFutures()
+    assert(t.select("r" -> (t("ret") + 1)).toDf.as[Long].collect().sorted.toSeq
+      == Seq(3L, 4L, 5L))
+    assert(t.groupby("g" -> lit(1)).reduce("s" -> sum(t("ret")))
+      .toDf.select("s").as[Long].head() == 9L)
+  }
+
+  test("test_fully_async_udf_chaining: a fully-async UDF may consume a future") {
+    val t = futureTable
+    val chained = t.withFullyAsync("ret2", t("ret") + 1, "int")
+    // both stay gated until awaited
+    assert(msgOf(chained.select("x" -> (chained("ret2") + 1))).nonEmpty)
+    val awaited = chained.awaitFutures()
+    assert(awaited.select("x" -> awaited("ret2")).toDf.as[Long]
+      .collect().sorted.toSeq == Seq(3L, 4L, 5L))
+  }
+}
