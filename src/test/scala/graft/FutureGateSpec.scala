@@ -88,6 +88,24 @@ class FutureGateSpec extends AnyFunSuite {
       .toDf.select("s").as[Long].head() == 9L)
   }
 
+  test("test_fully_async_udf_error_propagation: errored input rides through " +
+      "the future, fill_error recovers") {
+    import graft.functions.{Errors, Exprs}
+    // a // b errors on b=0 (division by zero poisons the row's q)
+    val base = Errors.tryDiv(Errors.init(Seq((1L, 1L), (2L, 0L), (3L, 1L))
+      .toDF("a", "b")), "q", col("a"), col("b"))
+    val t = PwTable.fromAllColumns(base)
+    val f = t.withFullyAsync("ret", t("q") + 1, "int").awaitFutures()
+    // the poisoned value propagates through the async result; fill_error -1
+    val out = f.df.select(Exprs.fillError(col("ret"), lit(-1.0)))
+      .as[Double].collect().sorted.toSeq
+    assert(out == Seq(-1.0, 2.0, 4.0))
+    // and the original error record is still attributed to q
+    val errs = f.df.select(col(Errors.ErrCol)).collect()
+      .flatMap(_.getSeq[org.apache.spark.sql.Row](0)).map(_.getString(0)).toSeq
+    assert(errs == Seq("q"))
+  }
+
   test("test_fully_async_udf_chaining: a fully-async UDF may consume a future") {
     val t = futureTable
     val chained = t.withFullyAsync("ret2", t("ret") + 1, "int")
