@@ -395,7 +395,14 @@ object TrainPrep {
   /** Laplace-smoothed log importance ratios per hash bucket, in integer
     * micro-units: round(1e6 * (ln p_target(b) − ln p_raw(b))). One row per
     * bucket (absent buckets included at count 0), small enough to broadcast
-    * at any corpus size. */
+    * at any corpus size.
+    *
+    * Size `buckets` at or below the expected DISTINCT-gram count: with
+    * buckets >> grams the smoothing mass dominates both models and every
+    * absolute weight goes negative (top-k RANKING is unaffected, but
+    * absolute thresholds invert — a doubled target-flavored doc scores 2x
+    * worse instead of 2x better). The 8192 default fits the >= 100k-gram
+    * corpora this is built for; shrink it for toy fixtures. */
   def dsirLogRatios(raw: DataFrame, target: DataFrame, id: Column, text: Column,
       buckets: Int): DataFrame = {
     val spark = raw.sparkSession
@@ -418,13 +425,23 @@ object TrainPrep {
           .cast("long").as("lr_micro"))
   }
 
-  /** Per-raw-doc DSIR log importance weight in micro-units:
-    * Σ_grams cnt·lr_micro(bucket) — an exact integer. */
-  def dsirWeights(raw: DataFrame, target: DataFrame, id: Column, text: Column,
+  /** Score docs against a PRE-BUILT ratio table: Σ_grams cnt·lr_micro —
+    * an exact integer. Freezing the ratios is the INCREMENTAL form: under
+    * persisted reruns a grown corpus re-scores only its new docs' grams and
+    * every retained doc keeps a bit-identical weight, so the changelog is
+    * the true diff (recomputing ratios per run shifts every weight — full
+    * churn). */
+  def dsirScore(raw: DataFrame, ratios: DataFrame, id: Column, text: Column,
       buckets: Int = 8192): DataFrame =
     hashedNgramCounts(raw, id, text, buckets)
-      .join(broadcast(dsirLogRatios(raw, target, id, text, buckets)), "bucket")
+      .join(broadcast(ratios), "bucket")
       .groupBy("id").agg(sum(col("cnt") * col("lr_micro")).as("logw_micro"))
+
+  /** Per-raw-doc DSIR log importance weight in micro-units (one-shot form:
+    * ratios fitted on this raw corpus and target, then scored). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, id: Column, text: Column,
+      buckets: Int = 8192): DataFrame =
+    dsirScore(raw, dsirLogRatios(raw, target, id, text, buckets), id, text, buckets)
 
   /** Top-k raw docs by importance weight (ties broken by id): the
     * deterministic selection head. Output (id, logw_micro, rank). */

@@ -687,6 +687,42 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(plan("a") == ((60L, true)) && plan("b") == ((40L, true)))
   }
 
+  test("dsirSelect under persisted reruns: frozen ratios, changelog = true diff") {
+    // incremental curation story: fit the ratio table ONCE, then persisted
+    // reruns score the grown corpus against the FROZEN ratios — retained
+    // docs keep bit-identical weights (no churn), so the changelog is only
+    // the newcomers and the docs they displace from the top-k. (Refitting
+    // ratios per run shifts every weight — full-table churn by design.)
+    import graft.streaming.Persistence
+    val store = java.nio.file.Files.createTempDirectory("graft-dsir-persist").toString
+    val target = dsirCorpus.filter(col("doc_id") % 2 === 0).limit(8)
+    // corpus-sized buckets: oversized smoothing turns all weights negative
+    // and a doubled clone then scores 2x WORSE, not better
+    val ratios = TrainPrep.dsirLogRatios(dsirCorpus, target,
+      col("doc_id"), col("text"), 64).localCheckpoint(true)
+    def select(raw: org.apache.spark.sql.DataFrame) = {
+      val w = TrainPrep.dsirScore(raw, ratios, col("doc_id"), col("text"), 64)
+        .orderBy(col("logw_micro").desc, col("id").asc).limit(6)
+      w.select("id", "logw_micro")
+    }
+    val run1 = Persistence.runStatic(store, select(dsirCorpus))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(run1.size == 6 && run1.values.forall(_ == 1), "first run: all inserts")
+    // newcomers: doubled clones of the strongest target docs -> 2x weight
+    val clones = dsirCorpus.filter(col("doc_id").isin(0L, 2L, 4L))
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text"))
+    val changes = Persistence.runStatic(store, select(dsirCorpus.unionByName(clones)))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    val adds = changes.filter(_._2 == 1).map(_._1).toSet
+    val dels = changes.filter(_._2 == -1).map(_._1).toSet
+    assert(adds == Set(1000L, 1002L, 1004L), s"only the newcomers enter: $adds")
+    assert(dels.size == 3 && dels.subsetOf(run1.keySet),
+      s"exactly the displaced three retract: $dels")
+    // retained docs kept bit-identical weights -> zero churn beyond the diff
+    assert(changes.length == 6)
+  }
+
   test("dsirResample: deterministic gumbel keys, biased toward target lookalikes") {
     val raw = dsirCorpus
     val target = raw.filter(col("doc_id") % 2 === 0)
