@@ -410,18 +410,21 @@ object TrainPrep {
       .groupBy("bucket").agg(sum("cnt").as("t"))
     val rc = hashedNgramCounts(raw, id, text, buckets)
       .groupBy("bucket").agg(sum("cnt").as("r"))
-    // two driver scalars (gram totals) — ONE tiny job each over the
-    // already-bucketed counts, the bm25PerTerm two-pass contract
-    val tTot = tc.agg(coalesce(sum("t"), lit(0L))).head.getLong(0)
-    val rTot = rc.agg(coalesce(sum("r"), lit(0L))).head.getLong(0)
+    // the corpus gram totals ride along as broadcast 1-row cross joins
+    // (the mixture_plan T* pattern) — NO driver-scalar actions, so the
+    // whole ratio table is ONE declarative plan and the bucket-aggregate
+    // exchanges feed both their total and their join consumer
+    val tTot = broadcast(tc.agg(coalesce(sum("t"), lit(0L)).as("_tt")))
+    val rTot = broadcast(rc.agg(coalesce(sum("r"), lit(0L)).as("_rt")))
     spark.range(buckets).select(col("id").as("bucket"))
       .join(tc, Seq("bucket"), "left_outer")
       .join(rc, Seq("bucket"), "left_outer")
+      .crossJoin(tTot).crossJoin(rTot)
       .select(col("bucket"),
         round((log((coalesce(col("t"), lit(0L)) + lit(1.0)) /
-                   lit(tTot.toDouble + buckets)) -
+                   (col("_tt").cast("double") + lit(buckets.toDouble))) -
                log((coalesce(col("r"), lit(0L)) + lit(1.0)) /
-                   lit(rTot.toDouble + buckets))) * lit(1e6), 0)
+                   (col("_rt").cast("double") + lit(buckets.toDouble)))) * lit(1e6), 0)
           .cast("long").as("lr_micro"))
   }
 

@@ -61,8 +61,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // the store eagerly by design)
     "udf_changelog",
     // r18: DSIR selection — bucket-count shuffles + a broadcast ratio join;
-    // construction runs the two scalar-total jobs (the bm25_per_term
-    // two-pass contract), never a corpus x corpus join
+    // the corpus gram totals are broadcast 1-row cross joins inside ONE
+    // declarative plan (no driver scalars), never a corpus x corpus join
     "dsir_select",
     // r18: mixture planner — one groupBy(source) count + G-row broadcast
     // joins (the T* scalar is a broadcast 1-row cross join)
@@ -78,8 +78,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // tiny (3-row) query set — both designed scalar/tiny-side broadcasts
       "text_lm_score", "rrf_fusion",
       // mixture_plan: crossJoin(broadcast(tstar)) where tstar is the ONE-ROW
-      // min(cap/w) aggregate — a designed scalar broadcast
-      "mixture_plan")
+      // min(cap/w) aggregate — a designed scalar broadcast; dsir_select:
+      // the two ONE-ROW gram-total aggregates ride the same pattern
+      "mixture_plan", "dsir_select")
 
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
