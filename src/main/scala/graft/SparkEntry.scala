@@ -1320,9 +1320,8 @@ object SparkEntry {
     import s.implicits._
     val targets = Seq((0L, 0.35), (1L, 0.25), (2L, 0.20), (3L, 0.15), (4L, 0.05))
       .toDF("src", "w")
-    val words = size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
-      .cast("long")
-    TrainPrep.mixturePlanStrict(docs(s, dir), col("doc_id") % 5, words,
+    TrainPrep.mixturePlanStrict(docs(s, dir), col("doc_id") % 5,
+      TrainPrep.whitespaceWordCount(col("text")),
       targets, maxEpochs = 2.0)
   }
 

@@ -64,10 +64,18 @@ final class PwTable private (val df: DataFrame) extends Serializable {
   def awaitFutures(): PwTable =
     wrap(df.schema.fields.filter(graft.functions.Futures.isFuture)
       .foldLeft(df)((d, f) => d.withMetadata(f.name,
-        org.apache.spark.sql.types.Metadata.empty)))
+        // strip ONLY the future flag — coexisting metadata (pw.append_only,
+        // pw.primary_key) must survive resolution
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove(graft.functions.Futures.Flag).build())))
 
-  /** Pathway `filter` (table.py:497). */
-  def filter(cond: Column): PwTable = wrap(df.filter(cond))
+  /** Pathway `filter` (table.py:497). A future column in the condition —
+    * bare or computed — is a USE, not a pass-through (SEMANTICS 84). */
+  def filter(cond: Column): PwTable = {
+    graft.functions.Futures.checkExpression(df, cond, allowBare = false)
+    wrap(df.filter(cond))
+  }
 
   /** Pathway `split` (table.py:538): one logical pass → (matching, rest).
     * Catalyst shares the scan between the two branches. */
@@ -87,9 +95,12 @@ final class PwTable private (val df: DataFrame) extends Serializable {
   /** Pathway `without` (table.py:2232). */
   def without(cols: String*): PwTable = wrap(df.drop(cols: _*))
 
-  /** Pathway `cast_to_types` (table.py:2232). */
-  def castToTypes(types: (String, DataType)*): PwTable =
+  /** Pathway `cast_to_types` (table.py:2232). A future column cannot be
+    * cast until await_futures() (SEMANTICS 84). */
+  def castToTypes(types: (String, DataType)*): PwTable = {
+    graft.functions.Futures.checkUsable(types.map { case (n, _) => df(n) })
     wrap(df.withColumns(types.map { case (n, t) => n -> df(n).cast(t) }.toMap))
+  }
 
   // ───────────────────────────────── grouping ─────────────────────────────────
 
@@ -100,8 +111,10 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     PwGrouped(this, keys)
   }
 
-  def groupbyCols(names: String*): PwGrouped =
+  def groupbyCols(names: String*): PwGrouped = {
+    graft.functions.Futures.checkUsable(names.map(df(_)))
     PwGrouped(this, names.map(n => n -> df(n)))
+  }
 
   /** Pathway `deduplicate` (table.py:1315) — batch form: keep, per instance, the single
     * row maximal under `priority` (the acceptor reduced to an ordering). Implemented as
@@ -123,7 +136,11 @@ final class PwTable private (val df: DataFrame) extends Serializable {
   def join(other: PwTable, on: Column, how: String = "inner"): PwJoinResult = {
     val l = df.alias("l")
     val r = other.df.withColumnRenamed(IdCol, "_pw_id_r").alias("r")
-    PwJoinResult(l.join(r, on, normalizeHow(how)), spark)
+    val joined = l.join(r, on, normalizeHow(how))
+    // a future column in the join predicate is a USE (SEMANTICS 84); the
+    // condition spans both frames, so the gate reads the analyzed Join node
+    graft.functions.Futures.checkJoinCondition(joined)
+    PwJoinResult(joined, spark)
   }
 
   /** Pathway `join` with NO `on` between DIFFERENT universes — a CROSS
@@ -327,6 +344,7 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     * the window partition key; a constant funnels the table through one
     * partition (see sortWithPrevNext). */
   def diff(keys: Seq[Column], valueCol: Column, k: Int, instance: Column): PwTable = {
+    graft.functions.Futures.checkUsable(keys ++ Seq(valueCol, instance))
     val w = Window.partitionBy(instance).orderBy(keys: _*)
     wrap(df.withColumn("diff", valueCol - lag(valueCol, k).over(w)))
   }
@@ -335,6 +353,7 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     * pass producing `diff_<name>` per value column, the reference's output
     * shape (r16 decode of tests/ordered/test_diff.py). */
   def diffAll(keys: Seq[Column], values: Seq[(String, Column)], instance: Column): PwTable = {
+    graft.functions.Futures.checkUsable(keys ++ values.map(_._2) :+ instance)
     val w = Window.partitionBy(instance).orderBy(keys: _*)
     wrap(values.foldLeft(df) { case (d, (name, c)) =>
       d.withColumn(s"diff_$name", c - lag(c, 1).over(w))
@@ -375,12 +394,11 @@ final case class PwGrouped(table: PwTable, keys: Seq[(String, Column)]) {
   /** Pathway `reduce` (groupbys.py:158): one aggregation pass; result id =
     * hash(grouping values). Spark gives partial (map-side) aggregation for free. */
   def reduce(aggs: (String, Column)*): PwTable = {
-    // Future-typed columns can't feed a reducer until await_futures()
-    // (tests/test_udf.py:1169 — names the reducer in the message)
-    aggs.foreach { case (_, c) => graft.functions.Futures.checkReducer(table.df, c) }
     // reference rejects a bare (non-grouped, non-reduced) column in reduce
     // with this exact message (tests/test_error_messages.py:457-478); a bare
-    // column reference stringifies to its name, wrapped reducers don't
+    // column reference stringifies to its name, wrapped reducers don't.
+    // This check runs FIRST so a bare future column still gets the decoded
+    // bare-column text, not a dtype error.
     val keyNames = keys.map(_._1).toSet
     for ((_, c) <- aggs) {
       val s = c.toString
@@ -390,6 +408,9 @@ final case class PwGrouped(table: PwTable, keys: Seq[(String, Column)]) {
             s"Make sure that <table1>.$s is used in a groupby or wrap it with " +
             s"a reducer, e.g. pw.reducers.count(<table1>.$s)")
     }
+    // Future-typed columns can't feed a reducer until await_futures()
+    // (tests/test_udf.py:1169 — names the reducer in the message)
+    aggs.foreach { case (_, c) => graft.functions.Futures.checkReducer(table.df, c) }
     val keyCols = keys.map { case (n, c) => c.as(n) }
     val grouped = table.df
       .groupBy(keyCols: _*)
@@ -430,13 +451,18 @@ final case class PwJoinResult(joined: DataFrame, spark: SparkSession) {
 
   /** Project; result id = hash(left_id, right_id) (joins.py id derivation). */
   def select(cols: (String, Column)*): PwTable = {
+    cols.foreach { case (_, c) =>
+      graft.functions.Futures.checkExpression(joined, c) }
     val withId = joined.withColumn(IdCol,
       Keys.pointerFrom(col(s"l.$IdCol"), col("_pw_id_r")))
     PwTable.fromKeyed(
       withId.select(col(IdCol) +: cols.map { case (n, c) => c.as(n) }: _*))
   }
 
-  def filter(cond: Column): PwJoinResult = copy(joined = joined.filter(cond))
+  def filter(cond: Column): PwJoinResult = {
+    graft.functions.Futures.checkExpression(joined, cond, allowBare = false)
+    copy(joined = joined.filter(cond))
+  }
 
   /** `join(…, id=left.id / right.id)` (joins.py:135 id override; r16 replay
     * of test_common.py test_join_left/right_assign_id): the result keys by

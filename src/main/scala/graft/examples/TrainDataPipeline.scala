@@ -170,8 +170,7 @@ object TrainDataPipeline {
   def selectAndCurate(docs: DataFrame, evalSet: DataFrame, target: DataFrame,
       source: Column, mix: DataFrame, tokenBudget: Double,
       dsirFloorMicro: Long = 0L, dsirBuckets: Int = 4096): DataFrame = {
-    val words = size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
-      .cast("long")
+    val words = TrainPrep.whitespaceWordCount(col("text"))
     val scored = docs.join(
       TrainPrep.dsirWeights(docs, target, col("doc_id"), col("text"), dsirBuckets)
         .select(col("id").as("doc_id"), col("logw_micro")), "doc_id")

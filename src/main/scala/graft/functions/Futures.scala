@@ -67,13 +67,6 @@ object Futures {
         a.name -> a.metadata.getString(Flag)
     }.distinct
 
-  /** A bare pass-through: the expression is exactly a reference (possibly
-    * aliased) — the ONE use of a future column select/with_columns allows. */
-  def isBareRef(c: Column): Boolean = exprOf(c) match {
-    case _: AttributeReference => true
-    case Alias(_: AttributeReference, _) => true
-    case _ => false
-  }
 
   private val binaryOpNames: Map[String, String] = Map(
     "Add" -> "add", "Subtract" -> "sub", "Multiply" -> "mul",
@@ -109,7 +102,7 @@ object Futures {
     * binary-op TypeError (test_udf.py:1145); any other computation raises
     * the generic "Cannot perform" form (:1255 pointer_from shape). */
   def checkExpression(df: DataFrame, c: Column,
-      describe: String = "this operation"): Unit = {
+      describe: String = "this operation", allowBare: Boolean = true): Unit = {
     // zero-cost on the common path: only tables that actually carry a
     // future column pay the throwaway-analysis gate
     if (!df.schema.fields.exists(isFuture)) return
@@ -117,7 +110,14 @@ object Futures {
     val refs = futureRefs(e)
     if (refs.isEmpty) return
     val root = rootOf(e)
-    if (root.isInstanceOf[AttributeReference]) return // bare pass-through
+    if (root.isInstanceOf[AttributeReference]) {
+      // bare pass-through is the ONE allowed projection use; as a filter
+      // condition / join predicate it is still a USE and raises
+      if (allowBare) return
+      throw new IllegalArgumentException(
+        s"Using column of type ${render(refs.head._2)} is not allowed " +
+        "here. Consider applying `await_futures()` to the table first.")
+    }
     binaryOpOf(root) match {
       case Some(op) =>
         val types = root.children.map { ch =>
@@ -147,6 +147,21 @@ object Futures {
         "Consider applying `await_futures()` to the table first.")
     }
 
+  /** Gate for join predicates: the condition Column is an opaque lazy node
+    * spanning two frames, so the check walks the ANALYZED Join condition of
+    * the already-built join instead (metadata survives analysis). */
+  def checkJoinCondition(joined: DataFrame): Unit = {
+    if (!joined.schema.fields.exists(isFuture)) return
+    org.apache.spark.sql.GraftExprBridge.analyzedPlan(joined)
+      .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition }
+      .flatten.flatMap(futureRefs).headOption.foreach { case (_, inner) =>
+        throw new IllegalArgumentException(
+          s"Using column of type ${render(inner)} is not allowed here. " +
+          "Consider applying `await_futures()` to the table first.")
+      }
+  }
+
   /** Gate for whole-operator computations over explicit column lists
     * (e.g. pointer_from — test_udf.py:1255): any future reference is
     * rejected, bare or not. */
@@ -171,7 +186,9 @@ object Futures {
   /** Gate for reducer arguments (test_udf.py:1169): names the reducer.
     * Spark 4 builds `functions.sum(...)` as UnresolvedFunction, so the name
     * is read from either the function name or the resolved aggregate
-    * class. */
+    * class; a future ref with NO recognizable reducer node (e.g. a bare
+    * column) falls back to the uniform "not allowed here" form rather than
+    * inventing a reducer name. */
   def checkReducer(df: DataFrame, c: Column): Unit = {
     if (!df.schema.fields.exists(isFuture)) return
     val e = analyzedExpr(df, c)
@@ -183,10 +200,15 @@ object Futures {
         fnToReducer(e.nameParts.last.toLowerCase)
       case e if reducerNames.contains(e.getClass.getSimpleName) =>
         reducerNames(e.getClass.getSimpleName)
-    }.getOrElse("this reducer")
-    throw new IllegalArgumentException(
-      s"Cannot perform pathway.reducers.$agg when column of type " +
-      s"${render(refs.head._2)} is involved. Consider applying " +
-      "`await_futures()` to the table used here")
+    }
+    agg match {
+      case Some(name) => throw new IllegalArgumentException(
+        s"Cannot perform pathway.reducers.$name when column of type " +
+        s"${render(refs.head._2)} is involved. Consider applying " +
+        "`await_futures()` to the table used here")
+      case None => throw new IllegalArgumentException(
+        s"Using column of type ${render(refs.head._2)} is not allowed " +
+        "here. Consider applying `await_futures()` to the table first.")
+    }
   }
 }

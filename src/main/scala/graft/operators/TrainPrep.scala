@@ -373,6 +373,16 @@ object TrainPrep {
   // across partitionings and bit-reproducible in the DuckDB oracle (the
   // bm25_per_term 6-dp LN pin, then integer arithmetic the rest of the way).
 
+  /** Nonempty whitespace tokens of the lowercased text — the oracle-pinned
+    * tokenization every TrainPrep op shares. */
+  def whitespaceTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Whitespace word count on [[whitespaceTokens]] — the token-inventory
+    * column the mixture planner and selection pipelines feed on. */
+  def whitespaceWordCount(text: Column): Column =
+    size(whitespaceTokens(text)).cast("long")
+
   /** Per-doc hashed n-gram bucket counts: (id, bucket, cnt). Tokens are
     * nonempty whitespace runs of the lowercased text (the oracle-pinned
     * shape); grams are tokens plus adjacent-pair bigrams; `buckets` must be
@@ -382,7 +392,7 @@ object TrainPrep {
       buckets: Int): DataFrame = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       s"buckets=$buckets must be a power of two")
-    val toks = filter(split(lower(text), "\\s+"), t => t =!= "")
+    val toks = whitespaceTokens(text)
     val bigrams = when(size(toks) >= 2,
       zip_with(slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
@@ -550,13 +560,15 @@ object TrainPrep {
       }
     }
     import scala.jdk.CollectionConverters._
+    // SAME column order as mixturePlanStrict — the two planner heads are
+    // drop-in siblings for positional consumers
     val out = rows.map { case (s, t, cap, _) =>
       // rate_micro = keep fraction of the source inventory (can exceed 1e6
       // when maxEpochs > 1 — i.e. "repeat this source"), feeds
       // sampleStratified (p = rate_micro/1e6) for single-epoch plans
       org.apache.spark.sql.Row(s, t, math.floor(cap).toLong,
-        math.floor(sel(s)).toLong, sel(s) >= cap - 1e-9,
-        math.floor(1e6 * sel(s) / t).toLong)
+        math.floor(sel(s)).toLong,
+        math.floor(1e6 * sel(s) / t).toLong, sel(s) >= cap - 1e-9)
     }.toSeq
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("src",
@@ -565,8 +577,8 @@ object TrainPrep {
       org.apache.spark.sql.types.StructField("tokens", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("cap", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("selected", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("saturated", org.apache.spark.sql.types.BooleanType),
-      org.apache.spark.sql.types.StructField("rate_micro", org.apache.spark.sql.types.LongType)))
+      org.apache.spark.sql.types.StructField("rate_micro", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("saturated", org.apache.spark.sql.types.BooleanType)))
     spark.createDataFrame(out.asJava, schema)
   }
 }

@@ -88,6 +88,50 @@ class FutureGateSpec extends AnyFunSuite {
       .toDf.select("s").as[Long].head() == 9L)
   }
 
+  test("future gate covers the remaining use sites: filter, join, cast, " +
+      "groupbyCols, diff (r18 review)") {
+    val t = futureTable
+    val notAllowed = "Using column of type _asyncio.Future[int] is not " +
+      "allowed here. Consider applying `await_futures()` to the table first."
+    // a bare future column as a filter condition is a USE, not pass-through
+    assert(msgOf(t.filter(t("ret") === 2)).startsWith("Pathway does not support"))
+    // a computed (non-binary-op) condition takes the "Cannot perform" form
+    assert(msgOf(t.filter(t("ret").cast("boolean")))
+      .startsWith("Cannot perform this operation when column of type " +
+        "_asyncio.Future[int]"))
+    val other = PwTable.fromAllColumns(Seq(2L, 3L).toDF("x"))
+    assert(msgOf(t.join(other, t("ret") === other("x"))) == notAllowed)
+    assert(msgOf(t.castToTypes("ret" ->
+      org.apache.spark.sql.types.DoubleType)) == notAllowed)
+    assert(msgOf(t.groupbyCols("ret")) == notAllowed)
+    assert(msgOf(t.diff(Seq(t("a")), t("ret"), 1, lit(1))) == notAllowed)
+  }
+
+  test("awaitFutures strips ONLY the future flag — coexisting metadata survives") {
+    val base = Seq(1L, 2L).toDF("a")
+    val tagged = base.withMetadata("a",
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean("pw.append_only", true).build())
+    val t = PwTable.fromAllColumns(tagged)
+    val f = t.withFullyAsync("ret", t("a") + 1, "int")
+    // withFullyAsync composes: tag ret with BOTH keys, then await
+    val both = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(graft.functions.Futures.metadataFor("int"))
+      .putBoolean("pw.append_only", true).build()
+    val f2 = PwTable.fromAllColumns(f.toDf.withMetadata("ret", both))
+    val awaited = f2.awaitFutures()
+    val md = awaited.toDf.schema("ret").metadata
+    assert(!md.contains(graft.functions.Futures.Flag), "future flag stripped")
+    assert(md.getBoolean("pw.append_only"), "append-only flag preserved")
+  }
+
+  test("reduce: a BARE future column still gets the decoded bare-column " +
+      "message, not a dtype error (ordering)") {
+    val t = futureTable
+    val m = msgOf(t.groupby("g" -> lit(1)).reduce("s" -> t("ret")))
+    assert(m.startsWith("You cannot use <table1>.ret in this reduce statement."))
+  }
+
   test("test_fully_async_udf_error_propagation: errored input rides through " +
       "the future, fill_error recovers") {
     import graft.functions.{Errors, Exprs}

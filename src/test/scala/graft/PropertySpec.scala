@@ -86,12 +86,15 @@ class PropertySpec extends AnyFunSuite {
       budget <- Gen.choose(50L, 20000L)
       epochs <- Gen.oneOf(1.0, 2.0)
     } yield (toks, ws.map(_.toDouble / ws.sum), budget.toDouble, epochs)
-    Gen.listOfN(12, gen).sample.get.foreach { case (toks, ws, budget, epochs) =>
+    // seeded draw: a failing input must be replayable (repo-wide
+    // bit-reproducibility discipline)
+    Gen.listOfN(12, gen)(org.scalacheck.Gen.Parameters.default,
+        org.scalacheck.rng.Seed(0xD51AL)).get.foreach { case (toks, ws, budget, epochs) =>
       val corpus = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("src", "nw")
       val targets = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("src", "w")
       val plan = TrainPrep.mixturePlanFilled(corpus, col("src"), col("nw"),
         targets, budget, epochs)
-        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(5)))
       val caps = plan.map(_._2).sum
       val selTot = plan.map(_._3).sum
       // budget exhausted up to flooring, never exceeding caps or budget

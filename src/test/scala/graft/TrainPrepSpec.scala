@@ -670,7 +670,7 @@ class TrainPrepSpec extends AnyFunSuite {
     // re-splits 5:3 between a and b → a=562, b=337 (floored), c=100
     val plan = TrainPrep.mixturePlanFilled(corpus, col("src"), col("nw"),
       targets, budget = 1000.0)
-      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(5))).toMap
     assert(plan("c") == ((100L, true)))
     assert(plan("a")._1 == 562L && plan("b")._1 == 337L)
     assert(!plan("a")._2 && !plan("b")._2)
@@ -683,7 +683,7 @@ class TrainPrepSpec extends AnyFunSuite {
     val targets = Seq(("a", 0.9), ("b", 0.1)).toDF("src", "w")
     val plan = TrainPrep.mixturePlanFilled(corpus, col("src"), col("nw"),
       targets, budget = 1e9, maxEpochs = 2.0)
-      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(5))).toMap
     assert(plan("a") == ((60L, true)) && plan("b") == ((40L, true)))
   }
 
