@@ -37,6 +37,8 @@ final class DiskCache(dir: String, op: String = "0", worker: Int = 0,
   // insertion-ordered for oldest-first eviction
   private val entries = new java.util.LinkedHashMap[String, Array[Byte]]()
   private var totalBytes = 0L
+  private var flushedBytes = 0L    // totalBytes at the last flush
+  private var bytesSinceFlush = 0L // growth since then (amortized-flush gate)
 
   // declared before the constructor-time sweep below (vals initialize in order)
   private val FileName = """run-(\d+)-worker-\d+-op-.*""".r
@@ -88,7 +90,13 @@ final class DiskCache(dir: String, op: String = "0", worker: Int = 0,
       totalBytes -= (e.getValue.length.toLong + e.getKey.length)
       it.remove()
     }
-    flush()
+    // amortized durability: rewriting the whole file per put is O(n²) I/O
+    // on the UDF hot path (r18 review) — the file marks run/worker
+    // ownership for the directory-hygiene contract, it is never the read
+    // path (get serves memory; a restart rebuilds), so flush when the
+    // working set has grown past 2x the last flushed size (and on close)
+    bytesSinceFlush += sz
+    if (flushedBytes == 0L || bytesSinceFlush * 2 > flushedBytes) flush()
   }
 
   def get(key: String): Option[Any] = synchronized {
@@ -125,6 +133,8 @@ final class DiskCache(dir: String, op: String = "0", worker: Int = 0,
     Files.move(tmp.toPath, ownFile.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    flushedBytes = totalBytes
+    bytesSinceFlush = 0L
   }
 
   /** Shutdown: each worker removes its own file (the directory ends empty

@@ -241,13 +241,21 @@ object DocumentStore {
     val vecArm = Similarity.bruteForceKnn(qEmb, col("query_id"), col("embedding"),
       corpus, col("chunk_id"), col("embedding"), k)
       .select(col("query_id"), col("nn_id"), col("rank"))
-    // lexical arm: BM25 of each query's own terms over the eligible chunks
-    val qTerms = q.select(col("query_id"),
+    // lexical arm: BM25 of each query's own terms over the eligible chunks.
+    // The (query_id, term) pairs are COLLECTED once and rebuilt as a literal
+    // frame (bounded by the query vocabulary — the small side throughout
+    // this file): the lazy fused plan must not re-derive the terms from the
+    // source at execution time, where a nondeterministic `queries` input
+    // could diverge from the `terms` list the per-term table was built on
+    // (r18 review; this also ends the old persist/unpersist-before-execute
+    // lifecycle bug)
+    val qTermsSrc = q.select(col("query_id"),
         explode(array_distinct(TextOps.wordTokens(col("q_text")))).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // driver scalar bounded by the QUERY vocabulary (queries are the small
-    // side throughout this file — the same contract as the broadcast KNN)
-    val terms = qTerms.select("term").distinct().collect().map(_.getString(0)).toSeq
+    val spark = store.sparkSession
+    val pairs = qTermsSrc.collect().toSeq
+    val qTerms = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs, 1), qTermsSrc.schema)
+    val terms = pairs.map(_.getString(1)).distinct
     val lexArm =
       if (terms.isEmpty) vecArm.limit(0)
       else {
@@ -269,7 +277,6 @@ object DocumentStore {
           .select(col("query_id"), col("nn_id"), col("rank"))
       }
     val fused = Similarity.rrfFusion(Seq(vecArm, lexArm), k0, k)
-    qTerms.unpersist()
     fused.join(corpus.select(col("chunk_id").as("nn_id"), col("doc_id"),
         col("chunk_idx"), col("chunk_text")), "nn_id")
       .select(col("query_id"), col("nn_id").as("chunk_id"), col("doc_id"),

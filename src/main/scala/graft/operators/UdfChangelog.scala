@@ -46,12 +46,22 @@ object UdfChangelog {
 
   /** Apply `f(args...)` over a changelog `(keyCol, ..., timeCol, diffCol)`
     * under `policy`, appending `resultCol`. Rows keep their (time, diff)
-    * changelog shape; within a timestamp, retractions process first (the
-    * reference's upsert decomposition order). `f` receives the values of
-    * `argCols` in order. */
+    * changelog shape; within a timestamp the group first CONSOLIDATES
+    * (identical rows with cancelling +1/−1 diffs are a differential no-op
+    * and never run the UDF — a same-timestamp transient insert of a dead
+    * key is legal, not an error), then retractions process before
+    * insertions (the reference's upsert decomposition order). `f` receives
+    * the values of `argCols` in order.
+    *
+    * Spark shape: shuffle once on the key, then a SORT-WITHIN-PARTITIONS
+    * streaming fold — per-key state is one stored value and the only
+    * buffering is one (key, timestamp) group at a time (the reference's
+    * own atomic unit), so a key with millions of changelog rows never
+    * materializes in memory (the r18 review's toArray fix). */
   def apply(changelog: DataFrame, keyCol: String, argCols: Seq[String],
       timeCol: String, diffCol: String, policy: StorePolicy,
       resultCol: String, resultType: DataType)(f: Seq[Any] => Any): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val inSchema = changelog.schema
     val outSchema = StructType(inSchema.fields :+ StructField(resultCol, resultType))
     val keyIdx = inSchema.fieldIndex(keyCol)
@@ -60,18 +70,43 @@ object UdfChangelog {
     val argIdx = argCols.map(inSchema.fieldIndex)
     implicit val rowEnc: ExpressionEncoder[Row] =
       ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    implicit val keyEnc: ExpressionEncoder[String] = ExpressionEncoder[String]()
-    changelog.groupByKey(r => String.valueOf(r.get(keyIdx)))
-      .flatMapGroups { (key: String, it: Iterator[Row]) =>
-        // per-key fold in time order, retractions first within a timestamp
-        // (numeric-width tolerant: int/long time and diff columns both work)
-        val rows = it.toArray.sortBy(r =>
-          (r.get(timeIdx).asInstanceOf[Number].longValue(),
-            r.get(diffIdx).asInstanceOf[Number].intValue()))
-        var stored: Option[Any] = None
-        var live = false
-        rows.iterator.map { r =>
-          val diff = r.get(diffIdx).asInstanceOf[Number].intValue()
+    val keyed = changelog
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(timeCol), col(diffCol))
+    keyed.mapPartitions { it =>
+      // numeric-width tolerant: int/long time and diff columns both work
+      def timeOf(r: Row): Long = r.get(timeIdx).asInstanceOf[Number].longValue()
+      def diffOf(r: Row): Int = r.get(diffIdx).asInstanceOf[Number].intValue()
+
+      var curKey: String = null
+      var stored: Option[Any] = None
+      var live = false
+
+      def processGroup(key: String, group: Seq[Row]): Iterator[Row] = {
+        // differential consolidation: cancel +/− pairs with identical
+        // content (everything except the diff column) inside the timestamp
+        def content(r: Row): Seq[Any] =
+          r.toSeq.zipWithIndex.collect { case (v, i) if i != diffIdx => v }
+        val net = scala.collection.mutable.LinkedHashMap[Seq[Any], Int]()
+        group.foreach { r =>
+          val c = content(r)
+          net(c) = net.getOrElse(c, 0) + diffOf(r)
+        }
+        val survivors = group.filter { r =>
+          val c = content(r)
+          val n = net(c)
+          if (n == 0) false // fully cancelled (or already used up)
+          else if (diffOf(r) > 0 == n > 0) {
+            // keep |net| rows of the winning sign; the counter hitting 0
+            // drops any same-content same-sign rows beyond |net|
+            net(c) = if (n > 0) n - 1 else n + 1
+            true
+          } else false // losing-sign row: cancelled by the consolidation
+        }
+        // retractions before insertions (already diff-ascending from the
+        // partition sort, but consolidation may have reordered survivors)
+        survivors.sortBy(diffOf).iterator.map { r =>
+          val diff = diffOf(r)
           val args = argIdx.map(r.get)
           val value = policy match {
             case NotStored => f(args)
@@ -95,6 +130,37 @@ object UdfChangelog {
           }
           Row.fromSeq(r.toSeq :+ value)
         }
-      }.toDF()
+      }
+
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var bufTime = 0L
+      new Iterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        private def refill(): Unit = {
+          while (!pending.hasNext && (it.hasNext || buf.nonEmpty)) {
+            if (!it.hasNext) {
+              // STRICT evaluation: the fold mutates stored/live, and the
+              // key-change branch below resets them — a lazy iterator would
+              // evaluate after the reset
+              pending = processGroup(curKey, buf.toSeq).toVector.iterator
+              buf.clear()
+            } else {
+              val r = it.next()
+              val k = String.valueOf(r.get(keyIdx)); val t = timeOf(r)
+              if (buf.isEmpty) { curKey = k; bufTime = t; buf += r }
+              else if (k == curKey && t == bufTime) buf += r
+              else {
+                pending = processGroup(curKey, buf.toSeq).toVector.iterator
+                buf.clear()
+                if (k != curKey) { stored = None; live = false }
+                curKey = k; bufTime = t; buf += r
+              }
+            }
+          }
+        }
+        def hasNext: Boolean = { refill(); pending.hasNext }
+        def next(): Row = { refill(); pending.next() }
+      }
+    }(rowEnc).toDF()
   }
 }

@@ -305,11 +305,20 @@ object Inactivity {
     // span-proportional chunk width keeps replay wall-time flat across SFs
     val width = if (batchTicks > 0) batchTicks
       else math.max(1L, (frontier - t0) / 8 + 1)
-    val base = java.nio.file.Files.createTempDirectory("graft-inact-replay")
-    val stage = base.resolve("stage").toString
-    val probeStage = base.resolve("probe").toString
-    val spool = base.resolve("spool"); java.nio.file.Files.createDirectories(spool)
-    val ckpt = base.resolve("ckpt").toString
+    // ALL paths live on the session's DEFAULT Hadoop filesystem (file:// in
+    // local mode, the shared FS on a cluster) and every install op goes
+    // through the Hadoop FileSystem API — driver-local java.io listing of a
+    // Spark-written directory silently finds nothing once the default FS is
+    // not the driver's disk (r18 review)
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = new HPath("/tmp",
+      s"graft-inact-replay-${java.util.UUID.randomUUID().toString.take(12)}")
+    fs.mkdirs(base)
+    val stage = new HPath(base, "stage").toString
+    val probeStage = new HPath(base, "probe").toString
+    val spool = new HPath(base, "spool"); fs.mkdirs(spool)
+    val ckpt = new HPath(base, "ckpt").toString
     // distributed chunked write: rows of one event-time chunk land in one
     // partition (repartition on chunk), partitionBy splits one file per chunk
     proj.withColumn("act", lit(true))
@@ -324,23 +333,25 @@ object Inactivity {
       .coalesce(1).write.json(probeStage)
     // install into the spool in chunk order: monotone names + strictly
     // increasing mtimes (the file source's replay order) — metadata ops only
-    def parts(dir: java.io.File): Seq[java.io.File] =
-      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.getName.startsWith("part-") && f.length > 0).toSeq
-        .sortBy(_.getName)
+    def parts(dir: HPath): Seq[HPath] =
+      (if (fs.exists(dir)) fs.listStatus(dir) else Array.empty[org.apache.hadoop.fs.FileStatus])
+        .filter(st => st.getPath.getName.startsWith("part-") && st.getLen > 0)
+        .map(_.getPath).sortBy(_.getName).toSeq
     var seqNo = 0
     var mt = (System.currentTimeMillis() / 1000) * 1000 // whole-second base: FS granularity safe
-    def install(f: java.io.File): Unit = {
-      val target = spool.resolve(f"replay-$seqNo%09d.json")
-      java.nio.file.Files.move(f.toPath, target)
-      target.toFile.setLastModified(mt)
+    def install(f: HPath): Unit = {
+      val target = new HPath(spool, f"replay-$seqNo%09d.json")
+      fs.rename(f, target)
+      fs.setTimes(target, mt, -1)
       seqNo += 1; mt += 2000
     }
-    Option(new java.io.File(stage).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.getName.startsWith("chunk="))
-      .sortBy(_.getName.drop(6).toLong)
-      .foreach(d => parts(d).foreach(install))
-    parts(new java.io.File(probeStage)).foreach(install)
+    fs.listStatus(new HPath(stage))
+      .filter(_.getPath.getName.startsWith("chunk="))
+      .sortBy(_.getPath.getName.drop(6).toLong)
+      .foreach(d => parts(d.getPath).foreach(install))
+    parts(new HPath(probeStage)).foreach(install)
+    require(seqNo > 0, "replay spool installed no chunks — staged write and " +
+      "install must share the default filesystem")
     val inSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("i",
         org.apache.spark.sql.types.StringType),
@@ -378,7 +389,7 @@ object Inactivity {
       try q.stop() finally {
         proj.unpersist(false)
         spark.catalog.dropTempView(outName)
-        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+        try fs.delete(base, true) catch { case _: java.io.IOException => () }
       }
     }
   }

@@ -148,19 +148,27 @@ object Persistence {
     latestGen(spark, dir).map { latest =>
       val keys = restrictTo.map(k =>
         broadcast(k.select(keyCols.map(col): _*).distinct()))
+      // working column names uniquified against the state schema (the
+      // unitDiff reserved-column rule): a state row carrying a literal
+      // `_pw_gen` column must survive the merge untouched
+      val stateCols = spark.read.parquet(genDir(dir, latest)).columns.toSeq
+      def fresh(base: String): String =
+        Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+          .find(n => !stateCols.contains(n)).get
+      val genCol = fresh("_pw_gen"); val rnCol = fresh("_pw_rn")
       val gens = (0L to latest).map { g =>
         val d = new java.io.File(genDir(dir, g))
         if (d.exists()) {
           val base = spark.read.parquet(d.toString)
           val pruned = keys.fold(base)(k => base.join(k, keyCols, "left_semi"))
-          Some(pruned.withColumn("_pw_gen", lit(g)))
+          Some(pruned.withColumn(genCol, lit(g)))
         } else None // compacted away
       }.flatten
       val all = gens.reduce(_.unionByName(_))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*).orderBy(col("_pw_gen").desc)
-      all.withColumn("_pw_rn", row_number().over(w))
-        .filter(col("_pw_rn") === 1).drop("_pw_gen", "_pw_rn")
+        .partitionBy(keyCols.map(col): _*).orderBy(col(genCol).desc)
+      all.withColumn(rnCol, row_number().over(w))
+        .filter(col(rnCol) === 1).drop(genCol, rnCol)
     }
 
   /** One update-mode run: `batch` carries the full current rows of the
@@ -182,14 +190,17 @@ object Persistence {
   }
 
   /** Fold all delta generations into a single new base generation and drop
-    * the olds (and their diff logs older than the new base). Call on a
-    * cadence (`compactEvery` in [[changelogSinkUpdate]]) — this is the only
-    * O(|state|) step in the update-mode path. */
+    * the olds. Call on a cadence (`compactEvery` in [[changelogSinkUpdate]])
+    * — this is the only O(|state|) step in the update-mode path.
+    * Retention keeps TWO generations (the new base and the last delta), so
+    * the changelog just handed to `onDiff` — a lazy reader on `diff=<last>`
+    * — is never deleted underneath a deferred consumer; diff history older
+    * than one compaction cycle is gone (materialize it if you need it). */
   def compactUpdateState(spark: SparkSession, stateDir: String,
       keyCols: Seq[String]): Unit =
     readUpdateState(spark, stateDir, keyCols).foreach { merged =>
       commitRows(stateDir, merged)
-      gc(stateDir, keep = 1)
+      gc(stateDir, keep = 2)
     }
 
   /** Update-mode streaming persistence sink: same changelog contract as
@@ -203,8 +214,11 @@ object Persistence {
       (batch: DataFrame, id: Long) =>
         onDiff(updateRun(stateDir, batch, keyCols), id)
         val spark = batch.sparkSession
-        if (compactEvery > 0 &&
-            latestGen(spark, stateDir).exists(g => g > 0 && g % compactEvery == 0))
+        // cadence counts BATCHES (foreachBatch ids are monotone), not
+        // generations — compaction itself commits a generation, so a
+        // generation-count trigger would collapse to compact-every-batch
+        // after the first compaction
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
           compactUpdateState(spark, stateDir, keyCols)
     }
 

@@ -204,10 +204,19 @@ class PersistenceScaleSpec extends AnyFunSuite {
     Persistence.updateRun(state, Seq(("a", 2L)).toDF("w", "c"), Seq("w")).count()
     Persistence.updateRun(state, Seq(("b", 3L)).toDF("w", "c"), Seq("w")).count()
     assert(genDirs(state).size == 3)
+    // a deferred reader on the LAST batch's changelog must survive the
+    // compaction that follows it (r18 review: gc(keep=1) deleted the diff
+    // just handed to onDiff) — hold the lazy frame across the compaction
+    val lastDiff = Persistence.updateRun(state,
+      Seq(("b", 4L)).toDF("w", "c"), Seq("w"))
     Persistence.compactUpdateState(spark, state, Seq("w"))
-    assert(genDirs(state).size == 1, s"compaction left ${genDirs(state)}")
+    assert(genDirs(state).size == 2,
+      s"compaction keeps the new base AND the last delta: ${genDirs(state)}")
+    assert(lastDiff.select("w", "c", "diff").as[(String, Long, Int)]
+      .collect().toSet == Set(("b", 3L, -1), ("b", 4L, 1)),
+      "the just-emitted changelog stays readable after compaction")
     val merged = Persistence.readUpdateState(spark, state, Seq("w")).get
-    assert(merged.as[(String, Long)].collect().toSet == Set(("a", 2L), ("b", 3L)))
+    assert(merged.as[(String, Long)].collect().toSet == Set(("a", 2L), ("b", 4L)))
     // a post-compaction run still diffs correctly
     val d = Persistence.updateRun(state, Seq(("a", 5L)).toDF("w", "c"), Seq("w"))
     assert(d.select("w", "c", "diff").as[(String, Long, Int)].collect().toSet ==

@@ -52,6 +52,32 @@ class UdfResidueFixtureSpec extends AnyFunSuite {
     assert(UdfResidueCounters.calls.get() == 3) // one per insertion only
   }
 
+  test("StoredTemporarily: same-timestamp transient insert of a DEAD key " +
+      "consolidates to a differential no-op, never an error (r18 review)") {
+    reset()
+    // (+1, -1) of identical content at t=4 cancels; the surviving history
+    // is insert@2 / retract@6 — and the transient pair runs NO udf call
+    val changelog = Seq(
+      (1L, 2L, 1), (7L, 4L, 1), (7L, 4L, -1), (1L, 6L, -1)
+    ).toDF("a", "time", "diff")
+    val out = UdfChangelog(changelog, "a", Seq("a"), "time", "diff",
+      UdfChangelog.StoredTemporarily, "x", LongType)(counterUdf)
+    val got = out.select("a", "x", "time", "diff").as[(Long, Long, Long, Int)]
+      .collect().toSet
+    assert(got == Set((1L, 11L, 2L, 1), (1L, 11L, 6L, -1)))
+    assert(UdfResidueCounters.calls.get() == 1, "cancelled pair never computes")
+    // an upsert of a LIVE key at one timestamp (different content) is NOT
+    // consolidated: retraction replays, insertion computes fresh
+    reset()
+    val upsert = Seq((1L, 2L, 2L, 1), (1L, 2L, 4L, -1), (1L, 3L, 4L, 1))
+      .toDF("a", "b", "time", "diff")
+    val out2 = UdfChangelog(upsert, "a", Seq("a"), "time", "diff",
+      UdfChangelog.StoredTemporarily, "x", LongType)(counterUdf)
+    assert(out2.select("b", "x", "diff").as[(Long, Long, Int)].collect().toSet
+      == Set((2L, 11L, 1), (2L, 11L, -1), (3L, 12L, 1)))
+    assert(UdfResidueCounters.calls.get() == 2)
+  }
+
   test("StoredForever (append-only argument column): first result per key " +
       "served to every later change, UDF runs once per key " +
       "(test_udf.py:976/1869 vector)") {
