@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "relational", "graph", "changelog", "cdc", "persist", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap", "docstore", "dsir"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "semdedup", "relational", "graph", "changelog", "cdc", "persist", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap", "docstore", "dsir"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -258,6 +258,40 @@ object ScaleProbe {
       }
       time("hotbucket_hash64_guarded3k", m3) {
         Dedup.hash64DupPairs(sigs3, maxDist = 3, bands = 4)
+      }
+    }
+
+    if (families("semdedup")) {
+      // SemDeDup adversarial pileup (r18 judge #1): every embedding
+      // IDENTICAL, so the LSH->k-means assignment collapses into ONE
+      // cluster holding the whole corpus. Unguarded, the within-cluster
+      // join is m^2/2 candidates (1.25B at 50k); the cluster guard's
+      // tier-1 star (identical quantized vectors share a sub-key) emits
+      // m-1 — the same linear bound as the r8 constant-signature probe.
+      import spark.implicits._
+      val base = Array.tabulate(16)(i => math.sin(i * 1.3) + 0.1)
+      def pile(m: Long) = spark.range(1, m + 1)
+        .select(col("id"), typedLit(base).as("v"))
+      val m = 50000L
+      time("semdedup_pile_guarded50k", m) {
+        Dedup.semantic(pile(m), col("id"), col("v"), dim = 16, k = 4,
+          threshold = 0.95)
+      }
+      val out = Dedup.semantic(pile(m), col("id"), col("v"), dim = 16, k = 4,
+        threshold = 0.95)
+      val dups = out.filter(col("is_dup")).count()
+      println(s"PROBE semdedup_pile_guarded50k dups=$dups of $m " +
+        s"(expect ${m - 1} star dups under rep 1; unguarded all-pairs would " +
+        s"be ${m * (m - 1) / 2} candidates)")
+      // the unguarded cliff, at a size where it still terminates
+      val m3 = 3000L
+      time("semdedup_pile_unguarded3k", m3) {
+        Dedup.semantic(pile(m3), col("id"), col("v"), dim = 16, k = 4,
+          threshold = 0.95, clusterCap = Int.MaxValue)
+      }
+      time("semdedup_pile_guarded3k", m3) {
+        Dedup.semantic(pile(m3), col("id"), col("v"), dim = 16, k = 4,
+          threshold = 0.95)
       }
     }
 

@@ -98,7 +98,7 @@ final class PwTable private (val df: DataFrame) extends Serializable {
   /** Pathway `cast_to_types` (table.py:2232). A future column cannot be
     * cast until await_futures() (SEMANTICS 84). */
   def castToTypes(types: (String, DataType)*): PwTable = {
-    graft.functions.Futures.checkUsable(types.map { case (n, _) => df(n) })
+    graft.functions.Futures.checkUsable(df, types.map { case (n, _) => df(n) })
     wrap(df.withColumns(types.map { case (n, t) => n -> df(n).cast(t) }.toMap))
   }
 
@@ -107,12 +107,12 @@ final class PwTable private (val df: DataFrame) extends Serializable {
   /** Pathway `groupby` (table.py:1192). `instance` is just an extra grouping column
     * used for sharding (SURVEY §2.4) — pass it as one of the keys. */
   def groupby(keys: (String, Column)*): PwGrouped = {
-    graft.functions.Futures.checkUsable(keys.map(_._2))
+    graft.functions.Futures.checkUsable(df, keys.map(_._2))
     PwGrouped(this, keys)
   }
 
   def groupbyCols(names: String*): PwGrouped = {
-    graft.functions.Futures.checkUsable(names.map(df(_)))
+    graft.functions.Futures.checkUsable(df, names.map(df(_)))
     PwGrouped(this, names.map(n => n -> df(n)))
   }
 
@@ -120,7 +120,7 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     * row maximal under `priority` (the acceptor reduced to an ordering). Implemented as
     * `max_by(struct(all), priority)` — one shuffle, map-side combine, no window sort. */
   def deduplicate(instance: Seq[Column], priority: Column): PwTable = {
-    graft.functions.Futures.checkUsable(instance :+ priority)
+    graft.functions.Futures.checkUsable(df, instance :+ priority)
     val payload = struct(df.columns.map(df(_)): _*)
     val out = df
       .groupBy(instance: _*)
@@ -285,7 +285,7 @@ final class PwTable private (val df: DataFrame) extends Serializable {
 
   /** Pathway `with_id_from` (table.py:1942): re-key from expression values. */
   def withIdFrom(cols: Column*): PwTable = {
-    graft.functions.Futures.checkComputed(cols, "pathway.pointer_from")
+    graft.functions.Futures.checkComputed(df, cols, "pathway.pointer_from")
     wrap(df.withColumn(IdCol, Keys.pointerFrom(cols: _*)))
   }
 
@@ -332,7 +332,7 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     * funnel the whole table through one partition (pass the sharding column the
     * reference's `instance=` argument carries). */
   def sortWithPrevNext(keys: Seq[Column], instance: Column): PwTable = {
-    graft.functions.Futures.checkUsable(keys :+ instance)
+    graft.functions.Futures.checkUsable(df, keys :+ instance)
     val w = Window.partitionBy(instance).orderBy(keys: _*)
     wrap(df.withColumn("prev", lag(col(IdCol), 1).over(w))
            .withColumn("next", lead(col(IdCol), 1).over(w)))
@@ -344,7 +344,7 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     * the window partition key; a constant funnels the table through one
     * partition (see sortWithPrevNext). */
   def diff(keys: Seq[Column], valueCol: Column, k: Int, instance: Column): PwTable = {
-    graft.functions.Futures.checkUsable(keys ++ Seq(valueCol, instance))
+    graft.functions.Futures.checkUsable(df, keys ++ Seq(valueCol, instance))
     val w = Window.partitionBy(instance).orderBy(keys: _*)
     wrap(df.withColumn("diff", valueCol - lag(valueCol, k).over(w)))
   }
@@ -353,7 +353,7 @@ final class PwTable private (val df: DataFrame) extends Serializable {
     * pass producing `diff_<name>` per value column, the reference's output
     * shape (r16 decode of tests/ordered/test_diff.py). */
   def diffAll(keys: Seq[Column], values: Seq[(String, Column)], instance: Column): PwTable = {
-    graft.functions.Futures.checkUsable(keys ++ values.map(_._2) :+ instance)
+    graft.functions.Futures.checkUsable(df, keys ++ values.map(_._2) :+ instance)
     val w = Window.partitionBy(instance).orderBy(keys: _*)
     wrap(values.foldLeft(df) { case (d, (name, c)) =>
       d.withColumn(s"diff_$name", c - lag(c, 1).over(w))

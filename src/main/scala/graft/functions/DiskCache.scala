@@ -38,7 +38,6 @@ final class DiskCache(dir: String, op: String = "0", worker: Int = 0,
   private val entries = new java.util.LinkedHashMap[String, Array[Byte]]()
   private var totalBytes = 0L
   private var flushedBytes = 0L    // totalBytes at the last flush
-  private var bytesSinceFlush = 0L // growth since then (amortized-flush gate)
 
   // declared before the constructor-time sweep below (vals initialize in order)
   private val FileName = """run-(\d+)-worker-\d+-op-.*""".r
@@ -93,10 +92,11 @@ final class DiskCache(dir: String, op: String = "0", worker: Int = 0,
     // amortized durability: rewriting the whole file per put is O(n²) I/O
     // on the UDF hot path (r18 review) — the file marks run/worker
     // ownership for the directory-hygiene contract, it is never the read
-    // path (get serves memory; a restart rebuilds), so flush when the
-    // working set has grown past 2x the last flushed size (and on close)
-    bytesSinceFlush += sz
-    if (flushedBytes == 0L || bytesSinceFlush * 2 > flushedBytes) flush()
+    // path (get serves memory; a restart rebuilds), so flush only when the
+    // working set EXCEEDS 2x the last flushed size (and on close). The gate
+    // compares totalBytes, not a growth counter, so evictions — which
+    // shrink the set — defer the next flush instead of hastening it.
+    if (flushedBytes == 0L || totalBytes > 2L * flushedBytes) flush()
   }
 
   def get(key: String): Option[Any] = synchronized {
@@ -134,7 +134,6 @@ final class DiskCache(dir: String, op: String = "0", worker: Int = 0,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     flushedBytes = totalBytes
-    bytesSinceFlush = 0L
   }
 
   /** Shutdown: each worker removes its own file (the directory ends empty

@@ -138,10 +138,22 @@ object Futures {
     }
   }
 
+  /** Future refs seen through ANALYSIS: a function application (e.g.
+    * `upper(t("ret"))`) converts lazily to an opaque ColumnNodeExpression
+    * leaf, so the unanalyzed walk misses the wrapped reference — the gate
+    * must analyze a throwaway projection, exactly like checkExpression /
+    * checkReducer (r18 advice). Fast path: a table with no future field
+    * pays nothing. */
+  private def analyzedFutureRefs(df: DataFrame, cols: Seq[Column]): Seq[(String, String)] =
+    if (!df.schema.fields.exists(isFuture)) Nil
+    else cols.flatMap(c => futureRefs(analyzedExpr(df, c)))
+
   /** Gate for groupby keys, sort keys/instances, deduplicate columns —
-    * the uniform "not allowed here" message (test_udf.py:1182-1254). */
-  def checkUsable(cols: Seq[Column]): Unit =
-    cols.flatMap(futureRefs).headOption.foreach { case (_, inner) =>
+    * the uniform "not allowed here" message (test_udf.py:1182-1254).
+    * Analysis-aware: a future column hidden inside a computation (e.g. a
+    * function application used as a key) is still a USE and raises. */
+  def checkUsable(df: DataFrame, cols: Seq[Column]): Unit =
+    analyzedFutureRefs(df, cols).headOption.foreach { case (_, inner) =>
       throw new IllegalArgumentException(
         s"Using column of type ${render(inner)} is not allowed here. " +
         "Consider applying `await_futures()` to the table first.")
@@ -164,9 +176,9 @@ object Futures {
 
   /** Gate for whole-operator computations over explicit column lists
     * (e.g. pointer_from — test_udf.py:1255): any future reference is
-    * rejected, bare or not. */
-  def checkComputed(cols: Seq[Column], describe: String): Unit =
-    cols.flatMap(futureRefs).headOption.foreach { case (_, inner) =>
+    * rejected, bare or not. Analysis-aware like [[checkUsable]]. */
+  def checkComputed(df: DataFrame, cols: Seq[Column], describe: String): Unit =
+    analyzedFutureRefs(df, cols).headOption.foreach { case (_, inner) =>
       throw new IllegalArgumentException(
         s"Cannot perform $describe when column of type ${render(inner)} " +
         "is involved. Consider applying `await_futures()` to the table " +

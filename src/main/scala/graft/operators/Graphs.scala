@@ -43,7 +43,12 @@ object Graphs {
       val unioned = labels.unionByName(viaNeighbor)
       numPartitions.fold(unioned)(p => unioned.repartition(p, col("vertex")))
         .groupBy("vertex").agg(min("component").as("component"))
-    }, df => df.agg(sum("component")).head.getLong(0), maxIterations, unroll = unroll,
+    }, df => {
+      // counted fingerprint: the row count feeds the free non-empty fence,
+      // Σ component is the monotone convergence summary — one aggregate job
+      val r = df.agg(count(lit(1)), sum("component")).head
+      (r.getLong(0), r.getLong(1)): (Long, Any)
+    }, maxIterations, unroll = unroll,
       nonEmptyGuard = true)
   }
 
@@ -65,7 +70,9 @@ object Graphs {
         .groupBy("vertex").agg(min("dist").as("dist"))
     }, df => {
       val r = df.agg(count(lit(1)), sum("dist")).head
-      (r.getLong(0), r.getLong(1))
+      // the reached-count doubles as the fence count (free non-empty guard)
+      // and stays part of the convergence summary
+      (r.getLong(0), (r.getLong(0), r.getLong(1))): (Long, Any)
     }, maxIterations, unroll = unroll, nonEmptyGuard = true)
   }
 

@@ -91,6 +91,34 @@ class TrainPrepSpec extends AnyFunSuite {
       s"expected 29 star pairs, got ${pairs.size}")
   }
 
+  test("hot-cluster guard: semantic dedup pileup emits star candidates, exact below cap") {
+    import graft.operators.Dedup
+    // 30 identical embeddings: the assignment collapses them into one
+    // cluster; clusterCap=8 forces the guarded star path. All 29 clones
+    // must still resolve to rep 1 (identical vectors share the tier-1
+    // sub-key, so the star IS exact here), and the two distinct vectors
+    // stay non-dups.
+    val base = Array.tabulate(8)(i => math.sin(i * 1.7) + 0.2)
+    val vecs = ((1L to 30L).map(i => (i, base)) ++
+      Seq((100L, Array.tabulate(8)(i => math.cos(i * 2.3))),
+          (101L, Array.tabulate(8)(i => math.sin(i * 0.4) - 0.6)))).toDF("id", "v")
+    val guarded = Dedup.semantic(vecs, col("id"), col("v"), dim = 8, k = 2,
+        threshold = 0.99, clusterCap = 8)
+      .select("id", "rep_id", "is_dup").as[(Long, Long, Boolean)]
+      .collect().toSeq.sortBy(_._1)
+    assert(guarded.filter(_._1 <= 30).forall { case (id, rep, dup) =>
+      rep == 1L && (dup == (id != 1L)) }, s"star clones must rep to 1: $guarded")
+    assert(guarded.filter(_._1 >= 100).forall { case (_, rep, dup) => !dup },
+      s"distinct vectors must survive: $guarded")
+    // below the cap the guarded path is byte-identical to the unguarded form
+    val small = ((1L to 5L).map(i => (i, base)) ++
+      Seq((100L, Array.tabulate(8)(i => math.cos(i * 2.3))))).toDF("id", "v")
+    def run(cap: Int) = Dedup.semantic(small, col("id"), col("v"), dim = 8,
+        k = 2, threshold = 0.99, clusterCap = cap)
+      .select("id", "rep_id", "is_dup").as[(Long, Long, Boolean)].collect().toSet
+    assert(run(Int.MaxValue) == run(3), "guarded must equal exact below/above cap here")
+  }
+
   test("TrainDataPipeline.curate: clones and contaminated docs removed, rerun-stable") {
     import graft.examples.TrainDataPipeline
     val base = "the quick brown fox jumps over the lazy dog and then it runs away " +
@@ -135,7 +163,7 @@ class TrainPrepSpec extends AnyFunSuite {
     // floor keeps nothing (ranking is unaffected — see the dsirSelect test)
     def run() = TrainDataPipeline.selectAndCurate(docs, evalSet, target,
       source = col("doc_id") % 2, mix = mix, tokenBudget = 120.0,
-      dsirFloorMicro = 1L, dsirBuckets = 64)
+      dsirFloorMicro = Some(1L), dsirBuckets = 64)
       .select("doc_id").as[Long].collect().toSet
     val out = run()
     assert(out.nonEmpty, "selection must keep something")
