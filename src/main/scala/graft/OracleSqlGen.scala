@@ -878,8 +878,11 @@ SELECT query_id, nn_id, score, rank FROM r WHERE rank <= $k"""
     * per-bucket log-ratios quantized to integer micro-units (the
     * bm25_per_term LN-round pin), then EXACT integer per-doc weight sums —
     * order-independent on both engines. */
-  def dsir(buckets: Int, k: Int, targetMod: Int): String =
-    s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+  /** The dsir weight chain alone (CTEs tk…w, ending at w(id, logw_micro)) —
+    * shared between [[dsir]] and the composed [[selectAndCurate]] oracle so
+    * a weight fix cannot silently diverge between them. */
+  private def dsirWeightCtes(buckets: Int, targetMod: Int): String =
+    s"""tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
     x -> x <> '') AS toks FROM documents),
 gr AS (SELECT doc_id, UNNEST(toks || list_transform(generate_series(1, len(toks) - 1),
     i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM tk),
@@ -896,9 +899,89 @@ lr AS (SELECT g.b AS bucket,
   FROM generate_series(0, ${buckets - 1}) AS g(b)
   LEFT JOIN tc ON tc.bucket = g.b LEFT JOIN rc ON rc.bucket = g.b, tot),
 w AS (SELECT dc.doc_id AS id, SUM(dc.cnt * lr.lrm) AS logw_micro
-  FROM dc JOIN lr USING (bucket) GROUP BY 1)
+  FROM dc JOIN lr USING (bucket) GROUP BY 1)"""
+
+  def dsir(buckets: Int, k: Int, targetMod: Int): String =
+    s"""WITH ${dsirWeightCtes(buckets, targetMod)}
 SELECT id, CAST(logw_micro AS BIGINT) AS logw_micro, rank FROM (
   SELECT id, logw_micro,
     ROW_NUMBER() OVER (ORDER BY logw_micro DESC, id ASC) AS rank FROM w)
 WHERE rank <= $k"""
+
+  /** TrainDataPipeline.selectAndCurate end-to-end — the composed
+    * selection+curation board row. Every stage replays an already-green
+    * stage oracle verbatim: DSIR weights ([[dsirWeightCtes]]) → top-K rank
+    * head → strict mixture rates (the mixture_plan T* = min cap/w chain,
+    * maxEpochs = 1) → stratified hash-slot sample → PII redaction →
+    * lang-ID + quality gate → exact text dedup (min-id rep) → MinHash-LSH
+    * near-dedup ([[minhashCtes]]) → 8-token-window decontamination →
+    * quality-weighted hash sample → train split → sharded sequence
+    * packing. All decisions are integer/hash compares or the pinned IEEE
+    * float chains, so the composition hash-matches at any sf. */
+  def selectAndCurate(buckets: Int, targetMod: Int, topK: Int,
+      mix: Seq[(Int, Double)], evalMod: Int, k: Int, numHashes: Int,
+      bands: Int, threshold: Double, deconK: Int, budget: Long): String = {
+    def slot(m: Long) = "((" + duckSigned(duckU64("CAST(doc_id AS VARCHAR)")) +
+      s" % $m) + $m) % $m"
+    val mixVals = mix.map { case (s0, w0) => s"($s0, $w0)" }.mkString(", ")
+    val em = graft.operators.TrainPrep.EmailRe
+    val ph = graft.operators.TrainPrep.PhoneRe
+    val stops = "['the','a','and','of','to','in','is','it','you','that']"
+    val quality = s"""LEAST(1.0, GREATEST(0.0,
+    0.4 * LEAST(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+    + 0.3 * (CAST(len(list_filter(toks, x -> list_contains($stops, x))) AS DOUBLE) / len(toks))
+    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?''"]', '', 'g')) AS DOUBLE) / length(text))))"""
+    s"""WITH ${dsirWeightCtes(buckets, targetMod)},
+sc0 AS (SELECT d.doc_id, d.text, COALESCE(w.logw_micro, -9223372036854775807 - 1) AS lw
+  FROM documents d LEFT JOIN w ON w.id = d.doc_id),
+sel AS MATERIALIZED (SELECT doc_id, text FROM
+  (SELECT doc_id, text, ROW_NUMBER() OVER (ORDER BY lw DESC, doc_id ASC) AS rk FROM sc0)
+  WHERE rk <= $topK),
+mtk AS (SELECT doc_id, text, doc_id % 5 AS msrc,
+    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS nw
+  FROM sel),
+mcounts AS (SELECT msrc, SUM(nw) AS tokens FROM mtk GROUP BY 1),
+mt(tsrc, w0) AS (VALUES $mixVals),
+mj AS (SELECT msrc, tokens, tokens * 1.0 AS cap, CAST(w0 AS DOUBLE) AS mw
+  FROM mcounts JOIN mt ON msrc = tsrc),
+mm AS (SELECT MIN(cap / mw) AS tstar FROM mj),
+mrates AS (SELECT msrc, CAST(FLOOR(1000000 * mw * tstar / tokens) AS BIGINT) AS rate_micro
+  FROM mj, mm),
+samp AS MATERIALIZED (SELECT doc_id, text FROM mtk JOIN mrates USING (msrc)
+  WHERE ${slot(1000000L)} < CAST(FLOOR((CAST(rate_micro AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT)),
+pii AS (SELECT doc_id,
+    regexp_replace(regexp_replace(text, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g') AS text
+  FROM samp),
+la AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM pii),
+lq AS (SELECT doc_id, text,
+    len(list_filter(toks, x -> list_contains($stops, x))) AS h_en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ich','nicht','mit','ein','zu'], x))) AS h_de,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','je','ne','pas','un','pour'], x))) AS h_fr,
+    len(list_filter(toks, x -> list_contains(['el','los','y','es','no','un','por','que','con','para'], x))) AS h_es,
+    $quality AS quality,
+    CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM la),
+kept AS MATERIALIZED (SELECT doc_id, text, quality, n_tokens FROM lq
+  WHERE h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 AND quality >= 0.3),
+ex AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+exd AS MATERIALIZED (SELECT kept.* FROM kept JOIN ex USING (doc_id)),
+${minhashCtes("u AS (SELECT doc_id, text FROM exd)", k, numHashes, bands, threshold)},
+nbm AS (SELECT id, MIN(nbr) AS mn FROM
+  (SELECT id1 AS id, id2 AS nbr FROM dup UNION ALL SELECT id2, id1 FROM dup) GROUP BY id),
+nd AS MATERIALIZED (SELECT e.* FROM exd e LEFT JOIN nbm ON nbm.id = e.doc_id
+  WHERE COALESCE(nbm.mn, e.doc_id) >= e.doc_id),
+cg AS (SELECT * FROM ${windowGrams("(SELECT doc_id, text FROM nd) cs", deconK)} wg),
+eg AS (SELECT DISTINCT doc_id AS eid, h FROM
+  ${windowGrams(s"(SELECT doc_id, text FROM documents WHERE doc_id % $evalMod = 0) es", deconK)} e2),
+cont AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (h)),
+cl AS (SELECT nd.* FROM nd WHERE NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = nd.doc_id)),
+sw AS (SELECT * FROM cl
+  WHERE ${slot(1000000L)} < CAST(FLOOR(LEAST(quality + 0.5, 1.0) * 1000000.0) AS BIGINT)),
+tr AS (SELECT doc_id, n_tokens, ${slot(16L)} AS sh FROM sw WHERE ${slot(100L)} < 98),
+pk AS (SELECT doc_id, n_tokens, COALESCE(SUM(n_tokens) OVER (
+  PARTITION BY sh ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM tr)
+SELECT doc_id, n_tokens, CAST(off // $budget AS BIGINT) AS pack_id,
+  CAST(off % $budget AS BIGINT) AS offset_in_pack FROM pk"""
+  }
 }

@@ -1302,6 +1302,29 @@ object SparkEntry {
       threshold = 0.95, nPlanes = 4, nTables = 4, lloydIters = 2)
   }
 
+  /** The composed selection+curation pipeline END-TO-END
+    * (examples/TrainDataPipeline.selectAndCurate): DSIR top-K toward the
+    * doc_id%7 target domain → strict mixture rates over doc_id%5 sources →
+    * deterministic stratified sample → the full curate stack (PII redact,
+    * lang/quality gate, exact + MinHash dedup, eval decontamination,
+    * quality-weighted sampling, train split, sharded sequence packing).
+    * Each stage is individually oracle-green; this row pins the
+    * COMPOSITION's determinism — every decision is an integer/hash compare
+    * or a pinned IEEE float chain, end to end. */
+  private def qSelectAndCurate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir).select("doc_id", "text")
+    val evalSet = d.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
+    val mix = Seq((0L, 0.35), (1L, 0.25), (2L, 0.20), (3L, 0.15), (4L, 0.05))
+      .toDF("src", "w")
+    graft.examples.TrainDataPipeline.selectAndCurate(d, evalSet,
+      target = d.filter(col("doc_id") % 7 === 0),
+      source = col("doc_id") % 5, mix = mix, tokenBudget = 0.0,
+      dsirBuckets = 8192, dsirTopK = Some(300), strictMix = true)
+      .select(col("doc_id"), col("n_tokens"), col("pack_id"), col("offset_in_pack"))
+  }
+
   /** DSIR data selection: raw = documents, target "domain" = doc_id%7==0;
     * top-100 raw docs by hashed-ngram log importance weight. Weights are
     * exact integers (micro-unit quantized log-ratios), so the rank order is
@@ -1968,6 +1991,7 @@ object SparkEntry {
     "sample_group_cap_hot" -> (qSampleGroupCapHot _),
     "dedup_keep_best" -> (qDedupKeepBest _),
     "dedup_pipeline" -> (qDedupPipeline _),
+    "select_and_curate" -> (qSelectAndCurate _),
     "embedding_cosine_pairs" -> (qEmbCosinePairs _),
     "knn_brute_force" -> (qKnnBrute _),
     "knn_l2_variablek" -> (qKnnL2K _),
@@ -3269,6 +3293,11 @@ object SparkEntry {
     "dedup_semantic" -> OracleSqlGen.dedupSemantic(dim = 64, k = 3, nPlanes = 4,
       nTables = 4, lloydIters = 2, threshold = 0.95, copyBelow = 50, copyShift = 20000L),
     "dsir_select" -> OracleSqlGen.dsir(buckets = 8192, k = 100, targetMod = 7),
+    "select_and_curate" -> OracleSqlGen.selectAndCurate(buckets = 8192,
+      targetMod = 7, topK = 300,
+      mix = Seq(0 -> 0.35, 1 -> 0.25, 2 -> 0.20, 3 -> 0.15, 4 -> 0.05),
+      evalMod = 97, k = 5, numHashes = 32, bands = 8, threshold = 0.8,
+      deconK = 8, budget = 2048),
     "mixture_plan" ->
       """WITH tk AS (SELECT doc_id % 5 AS src,
         |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS nw

@@ -169,22 +169,31 @@ object TrainDataPipeline {
     */
   def selectAndCurate(docs: DataFrame, evalSet: DataFrame, target: DataFrame,
       source: Column, mix: DataFrame, tokenBudget: Double,
-      dsirFloorMicro: Option[Long] = None, dsirBuckets: Int = 4096): DataFrame = {
+      dsirFloorMicro: Option[Long] = None, dsirBuckets: Int = 4096,
+      dsirTopK: Option[Int] = None, strictMix: Boolean = false): DataFrame = {
     val words = TrainPrep.whitespaceWordCount(col("text"))
     // floor is OFF by default: an ABSOLUTE floor interacts with the bucket
     // count (dsirLogRatios inverts when buckets exceed distinct grams — all
     // weights go negative and a 0 floor silently drops the whole corpus);
-    // opt in only with a floor calibrated to the corpus. LEFT join so a
-    // gram-less (e.g. empty-text) doc keeps an explicit sentinel weight —
-    // it ranks last and an explicit floor excludes it VISIBLY — instead of
+    // opt in only with a floor calibrated to the corpus, or use the
+    // calibration-free rank head (`dsirTopK` — the dsirSelect rule: weight
+    // DESC, id ASC, distributed orderBy+limit). LEFT join so a gram-less
+    // (e.g. empty-text) doc keeps an explicit sentinel weight — it ranks
+    // last and an explicit floor excludes it VISIBLY — instead of
     // vanishing in an inner join.
     val scored0 = docs.join(
       TrainPrep.dsirWeights(docs, target, col("doc_id"), col("text"), dsirBuckets)
         .select(col("id").as("doc_id"), col("logw_micro")), Seq("doc_id"), "left")
       .withColumn("logw_micro", coalesce(col("logw_micro"), lit(Long.MinValue)))
-    val scored = dsirFloorMicro.fold(scored0)(f => scored0.filter(col("logw_micro") >= f))
-    val rates = TrainPrep.mixturePlanFilled(scored, source, words, mix, tokenBudget)
-      .select(col("src"), (col("rate_micro") / lit(1e6)).as("p"))
+    val floored = dsirFloorMicro.fold(scored0)(f => scored0.filter(col("logw_micro") >= f))
+    val scored = dsirTopK.fold(floored)(kk =>
+      floored.orderBy(col("logw_micro").desc, col("doc_id").asc).limit(kk))
+    // strictMix = exact-mixture plan (T* = min cap/w, one declarative plan,
+    // bit-replayable); default = budgeted waterfill toward `tokenBudget`
+    val plan =
+      if (strictMix) TrainPrep.mixturePlanStrict(scored, source, words, mix)
+      else TrainPrep.mixturePlanFilled(scored, source, words, mix, tokenBudget)
+    val rates = plan.select(col("src"), (col("rate_micro") / lit(1e6)).as("p"))
     val sampled = TrainPrep.sampleStratified(scored, col("doc_id"), source, rates)
       .select("doc_id", "text")
     curate(sampled, evalSet)

@@ -262,16 +262,24 @@ object Persistence {
       (batch: DataFrame, id: Long) =>
         onDiff(updateRun(stateDir, batch, keyCols), id)
         val spark = batch.sparkSession
-        // fixed cadence counts BATCHES (foreachBatch ids are monotone), not
-        // generations — compaction itself commits a generation, so a
-        // generation-count trigger at N=small would collapse to
-        // compact-every-batch after the first compaction. The auto default
-        // counts LIVE generations, which compaction resets to 2.
-        val due =
-          if (compactEvery > 0) id > 0 && id % compactEvery == 0
-          else compactEvery == 0 && liveGenCount(spark, stateDir) > AutoCompactGens
-        if (due) compactUpdateState(spark, stateDir, keyCols)
+        maybeCompact(spark, stateDir, keyCols, compactEvery, id)
     }
+
+  /** The sink's compaction decision, factored out so the cadence contract
+    * is unit-testable. Fixed cadence (`compactEvery > 0`) counts BATCHES
+    * (foreachBatch ids are monotone), not generations — compaction itself
+    * commits a generation, so a generation-count trigger at N=small would
+    * collapse to compact-every-batch after the first compaction. The auto
+    * default (`0`) counts LIVE generations (compaction resets them to 2),
+    * so the store's merged read stays bounded over an unbounded run.
+    * Negative disables. */
+  def maybeCompact(spark: SparkSession, stateDir: String, keyCols: Seq[String],
+      compactEvery: Int, batchId: Long): Unit = {
+    val due =
+      if (compactEvery > 0) batchId > 0 && batchId % compactEvery == 0
+      else compactEvery == 0 && liveGenCount(spark, stateDir) > AutoCompactGens
+    if (due) compactUpdateState(spark, stateDir, keyCols)
+  }
 
   // ── persisted behavior-operator runs (decoded from test_persistence.py
   //    test_buffer:758 / test_forget:797 / test_forget_streaming:817) ──────
