@@ -19,8 +19,15 @@ object Debug {
       .filterNot(l => l.matches("^[|\\s:-]+$")) // separator rows
       .map(_.stripPrefix("|").stripSuffix("|").split("\\|").map(_.trim).toSeq)
     require(rows.nonEmpty, "empty markdown table")
-    val header = rows.head
-    val data = rows.tail.map(r => r.padTo(header.size, ""))
+    // an UNNAMED leading column is the explicit row key (the reference's
+    // `   | colA | colB` grids, where key values sit BEFORE the first `|` —
+    // debug/__init__.py table_from_markdown): detected as every data row
+    // carrying exactly one more cell than the header
+    val header0 = rows.head
+    val data0 = rows.tail
+    val keyed = data0.nonEmpty && data0.forall(_.size == header0.size + 1)
+    val header = if (keyed) "id" +: header0 else header0
+    val data = data0.map(r => r.padTo(header.size, ""))
 
     def parses[T](f: String => T)(v: String): Boolean =
       try { f(v); true } catch { case _: Exception => false }
@@ -48,6 +55,35 @@ object Debug {
       new java.util.ArrayList[Row](java.util.Arrays.asList(parsed: _*)), schema)
     if (header.head == "id") PwTable.fromPrimaryKey(df, "id")
     else PwTable.fromAllColumns(df)
+  }
+
+  /** StreamGenerator.table_from_markdown (debug StreamGenerator;
+    * test_io.py test_stream_generator_from_markdown[_with_diffs]): the
+    * grid's `_time` column orders events into batches and `_diff`
+    * (+1 default, −1) adds or retracts the keyed row. Returns the raw
+    * EVENT table (id, payload…, _time, _diff) — feed it to a replay
+    * source, or fold it with [[streamTableFromMarkdown]]. */
+  def streamEventsFromMarkdown(spark: SparkSession, text: String): DataFrame = {
+    val df = tableFromMarkdown(spark, text).toDf
+    require(df.columns.contains("_time"),
+      "stream markdown needs a `_time` column")
+    if (df.columns.contains("_diff")) df
+    else df.withColumn("_diff", org.apache.spark.sql.functions.lit(1L))
+  }
+
+  /** The FINAL table a stream generated from `text` settles to: apply the
+    * diffs in time order — a keyed row is present iff its net diff is
+    * positive (the with_diffs vector: rows inserted then retracted vanish).
+    * One groupBy over the literal events; `_time` only orders, so the net
+    * per (id, payload) decides presence. */
+  def streamTableFromMarkdown(spark: SparkSession, text: String): PwTable = {
+    import org.apache.spark.sql.functions._
+    val ev = streamEventsFromMarkdown(spark, text)
+    val payload = ev.columns.filterNot(c => c == "_time" || c == "_diff")
+    val folded = ev.groupBy(payload.map(col): _*)
+      .agg(sum(col("_diff")).as("_net"))
+      .filter(col("_net") > 0).drop("_net")
+    PwTable.fromPrimaryKey(folded, "id")
   }
 
   /** Order-independent multiset equality (assert_table_equality_wo_index). */

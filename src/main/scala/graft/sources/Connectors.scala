@@ -368,9 +368,27 @@ object Connectors {
   private def sorted(df: DataFrame, sortBy: Seq[Column]): DataFrame =
     if (sortBy.isEmpty) df else df.orderBy(sortBy: _*)
 
+  /** Render columns CSV can't carry natively, the reference's way
+    * (test_io.py test_json_csv_serialization / the serialization variety
+    * suite): a pw.Json (variant) column writes its SERIALIZED JSON text —
+    * a csv read with a Json-typed schema parses it back to the same value
+    * (TypedCells' VariantType arm) — and bytes write as base64 (the same
+    * encoding TypedCells' Binary cell reads). */
+  private def csvRenderable(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.VariantType =>
+          d.withColumn(f.name, to_json(col(f.name)))
+        case org.apache.spark.sql.types.BinaryType =>
+          d.withColumn(f.name, base64(col(f.name)))
+        case _ => d
+      }
+    }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
       sortBy: Seq[Column] = Nil): Unit =
-    sorted(df, sortBy).write.mode("overwrite").option("header", header.toString)
+    sorted(csvRenderable(df), sortBy).write.mode("overwrite")
+      .option("header", header.toString)
       .options(Rfc4180).csv(path)
 
   def writeJsonlines(df: DataFrame, path: String, sortBy: Seq[Column] = Nil): Unit =

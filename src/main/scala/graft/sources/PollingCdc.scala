@@ -148,6 +148,17 @@ object PollingCdc {
     * distributed diff as the batch form, so a restart resumes from the
     * parquet-tracked snapshot (checkpointing the rate stream is
     * unnecessary — the SnapshotState IS the source's durable state). */
+  /** Duration-typed form: `refreshInterval` accepts the reference's full
+    * duration vocabulary — seconds as int/float, or a timedelta-like
+    * (java.time.Duration / FiniteDuration) — validated through
+    * [[Durations.asDurationSeconds]] (zero = poll as fast as possible). */
+  def pollingStream(spark: SparkSession, refreshInterval: Any,
+      step: () => DataFrame, onChangelog: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val secs = Durations.asDurationSeconds(refreshInterval, "refresh_interval")
+    pollingStream(spark, math.round(secs * 1000.0), step)(onChangelog)
+  }
+
   def pollingStream(spark: SparkSession, intervalMs: Long,
       step: () => DataFrame)(onChangelog: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {

@@ -21,12 +21,22 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object JdbcSink {
 
+  /** Uniform output-batching validation (test_io.py
+    * test_output_rejects_nonpositive_max_batch_size): the flush threshold
+    * is validated once, centrally, so the rule applies to every writer —
+    * 0 would silently never trigger size-based batching and a negative
+    * value is meaningless, so both fail up front with the reference's
+    * message instead of surfacing as unbounded buffering. */
+  private[graft] def validateBatchSize(n: Int): Unit =
+    require(n > 0, "max_batch_size must be a positive integer")
+
   /** Apply one (micro)batch of changelog rows to `table` over JDBC.
     * `diffCol`, when present, routes rows: < 0 → DELETE by key, else upsert.
     * Runs as `foreachPartition` — executor-side, batched, no driver data. */
   def applyUpserts(batch: DataFrame, keyCols: Seq[String], url: String,
       table: String, diffCol: Option[String] = None,
       jdbcBatchSize: Int = 500): Unit = {
+    validateBatchSize(jdbcBatchSize)
     val cols = batch.columns.toSeq
     val payload = cols.filterNot(diffCol.contains)
     val nonKeys = payload.filterNot(keyCols.contains)
@@ -102,6 +112,7 @@ object JdbcSink {
   def appendChangelog(batch: DataFrame, url: String, table: String,
       timeCol: String = "time", diffCol: String = "diff",
       jdbcBatchSize: Int = 500): Unit = {
+    validateBatchSize(jdbcBatchSize)
     val cols = batch.columns.toSeq
     val reservedDup = cols.count(c => c == timeCol || c == diffCol)
     require(cols.contains(timeCol) && cols.contains(diffCol) && reservedDup == 2,

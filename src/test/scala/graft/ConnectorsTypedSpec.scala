@@ -242,9 +242,11 @@ class ConnectorsTypedSpec extends AnyFunSuite {
     val schema = PwSchema(Seq(PwColumnDef("data", VariantType)))
     val t1 = Connectors.jsonlinesTyped(spark, in, schema)
     assert(t1.filter(size(col(Errors.ErrCol)) > 0).count() == 0)
-    // write through CSV (variant serializes as JSON text) and read back typed
+    // write through CSV — the WRITER renders the variant column as its
+    // serialized JSON text (the reference's csv.write takes the Json table
+    // directly; r19 closes the explicit-to_json workaround) — read back typed
     val out1 = Files.createTempDirectory("graft-jsoncsv").resolve("o1").toString
-    Connectors.writeCsv(t1.select(to_json(col("data")).as("data")), out1)
+    Connectors.writeCsv(t1.select(col("data")), out1)
     val t2 = Connectors.csvTyped(spark, out1, schema)
     assert(t2.filter(size(col(Errors.ErrCol)) > 0).count() == 0)
     val parsedBack = t2.select(to_json(col("data"))).collect().head.getString(0)
@@ -324,6 +326,73 @@ class ConnectorsTypedSpec extends AnyFunSuite {
     Connectors.writeCsv(values.toDF("data"), dir)
     val back = Connectors.csv(spark, dir).select("data").as[String].collect().toSet
     assert(back == values.toSet)
+  }
+
+  test("test_apply_bytes_full_cycle: bytes survive binary read → transform → " +
+      "jsonlines write as BASE64, and csv write base64s too") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bytes")
+    val in = root.resolve("input.txt")
+    val contents = "abc\n\ndef\nghi\n"
+    Files.write(in, contents.getBytes("UTF-8"))
+    // format="binary": one row per whole file; duplicate the payload like
+    // the reference's `pw.apply(duplicate, data)`
+    val t = Connectors.binaryByFile(spark, in.toString)
+      .select(concat(col("data"), col("data")).as("data"))
+    val outJson = root.resolve("out.jsonl").toString
+    Connectors.writeJsonlines(t, outJson)
+    val line = spark.read.text(outJson).as[String].collect().head
+    val expected = java.util.Base64.getEncoder.encodeToString(
+      (contents * 2).getBytes("UTF-8"))
+    assert(line.contains(s""""data":"$expected""""),
+      s"jsonlines must carry bytes as base64: $line")
+    // CSV: the writer base64s binary columns (the serialization-variety
+    // rule), and the typed reader's Binary cell decodes them back
+    val outCsv = root.resolve("out-csv").toString
+    Connectors.writeCsv(t, outCsv)
+    val back = Connectors.csvTyped(spark, outCsv,
+      PwSchema(Seq(PwColumnDef("data", org.apache.spark.sql.types.BinaryType))))
+    val bytes = back.select("data").collect().head.getAs[Array[Byte]](0)
+    assert(new String(bytes, "UTF-8") == contents * 2)
+  }
+
+  test("as_duration_seconds: the connector duration vocabulary (io/_utils.py:93)") {
+    import graft.sources.Durations.asDurationSeconds
+    // all 30-second forms coerce to 30.0
+    Seq[Any](30, 30L, 30.0, 30.0f, java.time.Duration.ofSeconds(30),
+        scala.concurrent.duration.Duration(30, "s")).foreach { v =>
+      assert(asDurationSeconds(v, "param") == 30.0, s"form $v")
+    }
+    // fractional seconds survive
+    assert(asDurationSeconds(java.time.Duration.ofMillis(1500), "param") == 1.5)
+    assert(asDurationSeconds(0.25, "param") == 0.25)
+    // zero allowed by default (poll-as-fast-as-possible)
+    Seq[Any](0, 0.0, java.time.Duration.ZERO).foreach { v =>
+      assert(asDurationSeconds(v, "param") == 0.0)
+    }
+    // negatives rejected
+    Seq[Any](-1, -0.5, java.time.Duration.ofSeconds(-1)).foreach { v =>
+      val e = intercept[IllegalArgumentException] { asDurationSeconds(v, "param") }
+      assert(e.getMessage.contains("'param' must be non-negative"), e.getMessage)
+    }
+    // non-finite rejected
+    Seq[Any](Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity).foreach { v =>
+      val e = intercept[IllegalArgumentException] { asDurationSeconds(v, "param") }
+      assert(e.getMessage.contains("'param' must be finite"), e.getMessage)
+    }
+    // wrong types rejected — including booleans, though python bools are ints
+    Seq[Any]("30", null, true, Seq(30)).foreach { v =>
+      val e = intercept[IllegalArgumentException] { asDurationSeconds(v, "param") }
+      assert(e.getMessage.contains("'param' must be a number of seconds"), e.getMessage)
+    }
+    // timeout-like knobs opt out of the zero allowance
+    Seq[Any](0, java.time.Duration.ZERO).foreach { v =>
+      val e = intercept[IllegalArgumentException] {
+        asDurationSeconds(v, "param", allowZero = false)
+      }
+      assert(e.getMessage.contains("'param' must be positive"), e.getMessage)
+    }
+    assert(asDurationSeconds(1, "param", allowZero = false) == 1.0)
   }
 
 }

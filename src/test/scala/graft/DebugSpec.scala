@@ -44,4 +44,42 @@ class DebugSpec extends AnyFunSuite {
     val want = Seq(("Alice", 2L), ("Bob", 1L)).toDF("owner", "n")
     assert(Debug.tablesEqual(got, want))
   }
+
+  test("test_stream_generator_from_markdown: _time batches replay to the " +
+      "full table when nothing retracts") {
+    val t = Debug.streamTableFromMarkdown(spark,
+      """   | colA | colB | _time
+        | 1 | 1    | 2    | 2
+        | 5 | 2    | 3    | 4
+        |10 | 5    | 1    | 8""".stripMargin)
+    val want = Debug.tableFromMarkdown(spark,
+      """   | colA | colB
+        | 1 | 1    | 2
+        | 5 | 2    | 3
+        |10 | 5    | 1""".stripMargin)
+    assert(Debug.tablesEqual(t.toDf, want.toDf))
+  }
+
+  test("test_stream_generator_from_markdown_with_diffs: _diff=-1 retracts " +
+      "the keyed row; the stream settles to the net-positive rows") {
+    val t = Debug.streamTableFromMarkdown(spark,
+      """   | colA | colB | _time | _diff
+        | 1 | 1    | 2    | 2     | 1
+        | 5 | 2    | 3    | 2     | 1
+        | 1 | 1    | 2    | 4     | -1
+        |10 | 5    | 1    | 4     | 1
+        | 3 | 1    | 1    | 4     | 1
+        |10 | 5    | 1    | 8     | -1""".stripMargin)
+    val want = Debug.tableFromMarkdown(spark,
+      """   | colA | colB
+        | 5 | 2    | 3
+        | 3 | 1    | 1""".stripMargin)
+    assert(Debug.tablesEqual(t.toDf, want.toDf))
+    // the raw event form keeps the control columns for replay feeding
+    val ev = Debug.streamEventsFromMarkdown(spark,
+      """   | colA | _time
+        | 1 | 7    | 2""".stripMargin)
+    assert(ev.columns.toSet == Set("id", "colA", "_time", "_diff"))
+    assert(ev.select("_diff").collect().head.getLong(0) == 1L)
+  }
 }

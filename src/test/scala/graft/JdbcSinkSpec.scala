@@ -155,4 +155,18 @@ class JdbcSinkSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { JdbcSink.validateSnapshotKeys(df, Seq("zz")) }
   }
 
+  test("test_output_rejects_nonpositive_max_batch_size: the flush threshold " +
+      "is validated centrally with the reference's message") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    Seq(0, -5).foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        JdbcSink.applyUpserts(df, Seq("k"), "jdbc:derby:memory:nosuch;create=true",
+          "t", jdbcBatchSize = bad)
+      }
+      assert(e.getMessage.contains("max_batch_size must be a positive integer"),
+        e.getMessage)
+    }
+  }
+
 }
