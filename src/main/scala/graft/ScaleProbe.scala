@@ -52,7 +52,7 @@ object ScaleProbe {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val families = args.drop(1).headOption
       .map(_.split(',').map(_.trim).toSet)
-      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "semdedup", "relational", "graph", "changelog", "cdc", "persist", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap", "docstore", "dsir"))
+      .getOrElse(Set("lsh", "textdedup", "textdedupdist", "curation", "hotbucket", "semdedup", "updatestore", "relational", "graph", "changelog", "cdc", "persist", "pipeline", "bucketing", "skew", "longdoc", "bpe", "bpedist", "pq", "perceptron", "groupcap", "docstore", "dsir"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -293,6 +293,47 @@ object ScaleProbe {
         Dedup.semantic(pile(m3), col("id"), col("v"), dim = 16, k = 4,
           threshold = 0.95)
       }
+    }
+
+    if (families("updatestore")) {
+      // r19: the auto-compaction contract over a LONG run (r18 judge #4's
+      // done-criterion): 1,000 update-mode batches against one store with
+      // the DEFAULT (count-triggered) compaction. Per-batch read cost must
+      // stay FLAT — the merged read plans a bounded number of generation
+      // scans — and live generations must stay under the trigger + 2.
+      import graft.streaming.Persistence
+      import spark.implicits._
+      val state = "/tmp/graft_updatestore_probe"
+      def rmrf(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+        f.delete(): Unit
+      }
+      rmrf(new java.io.File(state))
+      val keys = Seq("w")
+      val n = 1000
+      var maxGens = 0
+      def window(b: Int): Double = {
+        val t0 = System.nanoTime()
+        Persistence.updateRun(state,
+          Seq(("hot", b.toLong), (s"k$b", 1L)).toDF("w", "c"), keys).count()
+        Persistence.maybeCompact(spark, state, keys, compactEvery = 0, batchId = b.toLong)
+        (System.nanoTime() - t0) / 1e9
+      }
+      var early = 0.0; var late = 0.0
+      (1 to n).foreach { b =>
+        val dt = window(b)
+        if (b <= 100) early += dt
+        if (b > n - 100) late += dt
+        val gens = new java.io.File(state).listFiles()
+          .count(_.getName.startsWith("gen="))
+        maxGens = math.max(maxGens, gens)
+        if (b % 200 == 0) println(f"PROBE updatestore batch=$b gens=$gens dt=$dt%.3f")
+      }
+      val merged = Persistence.readUpdateState(spark, state, keys).get
+      val hot = merged.filter($"w" === "hot").select("c").as[Long].head()
+      println(f"PROBE updatestore_1000 early100=${early}%.1f s late100=${late}%.1f s " +
+        f"maxGens=$maxGens (bound ${Persistence.AutoCompactGens + 2}) " +
+        s"hot=$hot keys=${merged.count()} — flat iff late100 ~ early100")
     }
 
     if (families("cdc")) {

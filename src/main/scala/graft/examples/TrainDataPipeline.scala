@@ -186,16 +186,31 @@ object TrainDataPipeline {
         .select(col("id").as("doc_id"), col("logw_micro")), Seq("doc_id"), "left")
       .withColumn("logw_micro", coalesce(col("logw_micro"), lit(Long.MinValue)))
     val floored = dsirFloorMicro.fold(scored0)(f => scored0.filter(col("logw_micro") >= f))
-    val scored = dsirTopK.fold(floored)(kk =>
+    val selected = dsirTopK.fold(floored)(kk =>
       floored.orderBy(col("logw_micro").desc, col("doc_id").asc).limit(kk))
+    // the selected frame is consumed TWICE (the mixture count-agg AND the
+    // stratified sample) — without a materialization the whole DSIR scoring
+    // DAG evaluates once per consumer. When a selection head (floor/topK)
+    // shrank it, checkpoint the survivors; with no head it is the full
+    // corpus — leave it lazy rather than copy 100 TB.
+    val scored =
+      if (dsirFloorMicro.isDefined || dsirTopK.isDefined) selected.localCheckpoint(true)
+      else selected
     // strictMix = exact-mixture plan (T* = min cap/w, one declarative plan,
     // bit-replayable); default = budgeted waterfill toward `tokenBudget`
     val plan =
       if (strictMix) TrainPrep.mixturePlanStrict(scored, source, words, mix)
       else TrainPrep.mixturePlanFilled(scored, source, words, mix, tokenBudget)
     val rates = plan.select(col("src"), (col("rate_micro") / lit(1e6)).as("p"))
+    // materialize the SELECTED corpus once before curation: curate's stages
+    // run several eager actions (the minhash signature count, checkpoint
+    // fences), and each would otherwise re-evaluate the whole DSIR scoring
+    // + rank + mixture DAG upstream (measured 67 s → ~7 s at sf0.1). The
+    // checkpoint truncates lineage, so the returned frame doesn't pin the
+    // scoring plan either.
     val sampled = TrainPrep.sampleStratified(scored, col("doc_id"), source, rates)
       .select("doc_id", "text")
+      .localCheckpoint(true)
     curate(sampled, evalSet)
   }
 

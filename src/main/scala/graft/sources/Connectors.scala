@@ -400,6 +400,6 @@ object Connectors {
   /** Changelog CSV sink (concepts.md:240-243): appends rows with time/diff
     * columns rather than applying diffs. */
   def writeChangelogCsv(changelog: DataFrame, path: String): Unit =
-    changelog.write.mode("append").option("header", "true")
+    csvRenderable(changelog).write.mode("append").option("header", "true")
       .options(Rfc4180).csv(path)
 }

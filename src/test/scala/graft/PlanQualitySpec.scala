@@ -67,6 +67,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // r18: mixture planner — one groupBy(source) count + G-row broadcast
     // joins (the T* scalar is a broadcast 1-row cross join)
     "mixture_plan")
+  // select_and_curate / dedup_semantic are excluded like doc_store_hybrid:
+  // their builders materialize eagerly by design (minhashCore's sig.count /
+  // the cluster-assignment persist), so a plan-only sweep would execute
+  // them; their component stages (dsir_select, mixture_plan,
+  // sample_stratified, dedup_minhash_lsh, decontaminate, doc_pack) are all
+  // individually guarded above.
 
   /** BroadcastNestedLoopJoin is legitimate ONLY for designed tiny sides:
     * 1-row scalar cross joins (ignore_late-style max-ts broadcast;
