@@ -222,8 +222,16 @@ object Connectors {
     * `objectPattern` is the reference's `object_pattern=` filename filter
     * (test_io.py test_objects_pattern) — Spark's `pathGlobFilter` applies
     * it at the file listing, so filtered files are never even opened. */
+  /** `maxBacklogFiles` is the reference's `max_backlog_size` backpressure
+    * knob reshaped for Spark's file source (test_io.py
+    * test_backpressure_management*): it bounds how much enters one
+    * micro-batch, and the ATOMICITY contract holds by construction — the
+    * file source admits whole files only, so a file's rows always share
+    * one batch (one commit timestamp); backpressure may interrupt BETWEEN
+    * files, never split one. Streaming mode only. */
   def plaintext(spark: SparkSession, path: String, mode: Mode = Static,
-      withMetadata: Boolean = false, objectPattern: Option[String] = None): DataFrame = {
+      withMetadata: Boolean = false, objectPattern: Option[String] = None,
+      maxBacklogFiles: Option[Int] = None): DataFrame = {
     // the matchless-path guard applies in BOTH modes of the pattern arg
     // (a nonexistent dir with a pattern must still yield the empty table,
     // not PATH_NOT_FOUND); a pattern matching no files inside an existing
@@ -235,7 +243,10 @@ object Connectors {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("data", StringType))))
     }
-    val extra = objectPattern.map(p => Map("pathGlobFilter" -> p)).getOrElse(Map.empty)
+    val extra = objectPattern.map(p => Map("pathGlobFilter" -> p)).getOrElse(Map.empty) ++
+      (if (mode == Streaming)
+         maxBacklogFiles.map(n => Map("maxFilesPerTrigger" -> n.toString)).getOrElse(Map.empty)
+       else Map.empty)
     val df = reader(spark, mode, None) match {
       case Left(r)  => r.options(DirScan ++ extra).text(path)
       case Right(r) => r.options(DirScan ++ extra).text(path)
@@ -381,6 +392,13 @@ object Connectors {
           d.withColumn(f.name, to_json(col(f.name)))
         case org.apache.spark.sql.types.BinaryType =>
           d.withColumn(f.name, base64(col(f.name)))
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType =>
+          // Array/List/Tuple cells travel JSON-encoded through CSV — the
+          // same encoding the typed reader's from_json arm parses
+          // (data_format mod.rs:575)
+          d.withColumn(f.name, to_json(col(f.name)))
         case _ => d
       }
     }

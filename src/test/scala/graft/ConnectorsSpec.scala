@@ -114,6 +114,34 @@ class ConnectorsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("test_backpressure_management_respects_atomicity: maxBacklogFiles " +
+      "throttles BETWEEN files; a file's lines never split across batches") {
+    val dir = tmpDir() + "/bp"
+    new java.io.File(dir).mkdirs()
+    Files.writeString(java.nio.file.Path.of(dir, "input_1.txt"),
+      ('a' to 'j').mkString("\n"))
+    Files.writeString(java.nio.file.Path.of(dir, "input_2.txt"),
+      ('k' to 't').mkString("\n"))
+    val lines = Connectors.plaintext(spark, dir, mode = Connectors.Streaming,
+      maxBacklogFiles = Some(1))
+    val batchOf = scala.collection.mutable.Map[String, Long]()
+    val q = lines.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.collect().foreach(r => batchOf.synchronized {
+          batchOf(r.getString(0)) = id
+        })
+    }.start()
+    q.processAllAvailable(); q.stop()
+    assert(batchOf.size == 20, s"all 20 lines delivered: ${batchOf.size}")
+    // each file is an atomic unit: all its lines share ONE batch id, and
+    // the two files landed in different batches (the throttle interrupted
+    // between them, never inside one)
+    val b1 = ('a' to 'j').map(c => batchOf(c.toString)).toSet
+    val b2 = ('k' to 't').map(c => batchOf(c.toString)).toSet
+    assert(b1.size == 1 && b2.size == 1, s"file split across batches: $b1 $b2")
+    assert(b1 != b2, "maxBacklogFiles=1 must separate the two files")
+  }
+
   test("rate demo stream produces increasing values") {
     val df = graft.streaming.StreamOps.rateStream(spark, 10)
     assert(df.isStreaming && df.columns.contains("value"))

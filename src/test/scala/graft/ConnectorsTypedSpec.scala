@@ -356,6 +356,46 @@ class ConnectorsTypedSpec extends AnyFunSuite {
     assert(new String(bytes, "UTF-8") == contents * 2)
   }
 
+  test("test_different_types_serialization: a variety table round-trips " +
+      "through BOTH jsonlines and csv (write → typed read → same values)") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-variety")
+    val df = Seq(
+      (1L, "hello", 42L, 1.5, true, "payload".getBytes("UTF-8"), Seq(1L, 2L, 3L)),
+      (2L, "second row", -7L, -0.25, false, Array[Byte](0, 1, 2, -1), Seq.empty[Long]))
+      .toDF("pkey", "s", "i", "f", "b", "bin", "arr")
+      .withColumn("js", parse_json(lit("""{"k": [1, true, "x"]}""")))
+    val schema = PwSchema(Seq(
+      PwColumnDef("pkey", LongType, primaryKey = true),
+      PwColumnDef("s", StringType), PwColumnDef("i", LongType),
+      PwColumnDef("f", DoubleType), PwColumnDef("b", BooleanType),
+      PwColumnDef("bin", BinaryType), PwColumnDef("arr", ArrayType(LongType)),
+      PwColumnDef("js", VariantType)))
+    def check(back: org.apache.spark.sql.DataFrame): Unit = {
+      assert(back.filter(size(col(Errors.ErrCol)) > 0).count() == 0)
+      val m = back.select(col("pkey"), col("s"), col("i"), col("f"), col("b"),
+          base64(col("bin")).as("bin"), col("arr"), to_json(col("js")).as("js"))
+        .collect().map(r => r.getLong(0) -> r).toMap
+      assert(m(1L).getString(1) == "hello" && m(2L).getString(1) == "second row")
+      assert(m(1L).getLong(2) == 42L && m(2L).getLong(2) == -7L)
+      assert(m(1L).getDouble(3) == 1.5 && m(2L).getDouble(3) == -0.25)
+      assert(m(1L).getBoolean(4) && !m(2L).getBoolean(4))
+      assert(m(1L).getString(5) ==
+        java.util.Base64.getEncoder.encodeToString("payload".getBytes("UTF-8")))
+      assert(m(2L).getString(5) ==
+        java.util.Base64.getEncoder.encodeToString(Array[Byte](0, 1, 2, -1)))
+      assert(m(1L).getSeq[Long](6) == Seq(1L, 2L, 3L) && m(2L).getSeq[Long](6).isEmpty)
+      assert(m(1L).getString(7).replaceAll("\\s", "") == """{"k":[1,true,"x"]}""")
+    }
+    val j = root.resolve("j").toString
+    Connectors.writeJsonlines(df, j)
+    check(Connectors.jsonlinesTyped(spark, j, schema))
+    val c = root.resolve("c").toString
+    Connectors.writeCsv(df, c)
+    check(Connectors.csvTyped(spark, c, schema))
+  }
+
   test("as_duration_seconds: the connector duration vocabulary (io/_utils.py:93)") {
     import graft.sources.Durations.asDurationSeconds
     // all 30-second forms coerce to 30.0
