@@ -698,6 +698,20 @@ SELECT m.vertex, b.community FROM map1 m JOIN bl$iters2 b ON b.vertex = m.commun
         "SELECT vec_id, embedding FROM embeddings")}
 SELECT pid AS id, CAST(label AS BIGINT) AS label FROM asgf"""
 
+  /** TrainPrep.diversitySample: the clustering CTE chain, then the
+    * per-cluster hash-rank quota (the sample_group_cap rule keyed on the
+    * point id, partitioned by the cluster label). */
+  def diversitySample(dim: Int, k: Int, nPlanes: Int, nTables: Int,
+      lloydIters: Int, cap: Int): String = {
+    val slot = duckSigned(duckU64("CAST(pid AS VARCHAR)"))
+    s"""WITH ${clusteringLshCtes(dim, k, nPlanes, nTables, lloydIters,
+        "SELECT vec_id, embedding FROM embeddings")}
+SELECT id, label FROM (
+  SELECT pid AS id, CAST(label AS BIGINT) AS label, ROW_NUMBER() OVER (
+    PARTITION BY label ORDER BY $slot ASC, pid ASC) AS rk
+  FROM asgf) WHERE rk <= $cap"""
+  }
+
   /** Dedup.semantic (SemDeDup): the clustering CTE chain over a planted
     * corpus (originals + exact copies at vec_id+20000), then within-cluster
     * smaller-id pruning at `threshold` cosine over the quantized vectors. */

@@ -1291,6 +1291,15 @@ object SparkEntry {
       dim = 64, k = 3, nPlanes = 4, nTables = 4, lloydIters = 2)
   }
 
+  /** Embedding-space diversity quota: SRP-LSH → k-means clusters, at most
+    * 50 members kept per cluster by the deterministic hash-rank rule —
+    * the coverage-preserving counterpart of semantic dedup. */
+  private def qDiversitySample(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).toDf
+    TrainPrep.diversitySample(e, col("vec_id"), col("embedding"),
+      dim = 64, k = 3, cap = 50)
+  }
+
   /** SemDeDup over the embeddings table with planted exact copies
     * (vec_id+20000 for vec_id<50): cluster assignment bounds the candidate
     * joins, copies land is_dup=true with their original as rep. */
@@ -1980,6 +1989,7 @@ object SparkEntry {
     "dedup_groups" -> (qDedupGroups _),
     "dedup_simhash"   -> (qDedupSimhash _),
     "dedup_semantic"  -> (qDedupSemantic _),
+    "diversity_sample" -> (qDiversitySample _),
     "dedup_spans"     -> (qDedupSpans _),
     "decontaminate"   -> (qDecontaminate _),
     "decontaminate_fuzzy" -> (qDecontaminateFuzzy _),
@@ -3293,6 +3303,8 @@ object SparkEntry {
     "dedup_semantic" -> OracleSqlGen.dedupSemantic(dim = 64, k = 3, nPlanes = 4,
       nTables = 4, lloydIters = 2, threshold = 0.95, copyBelow = 50, copyShift = 20000L),
     "dsir_select" -> OracleSqlGen.dsir(buckets = 8192, k = 100, targetMod = 7),
+    "diversity_sample" -> OracleSqlGen.diversitySample(dim = 64, k = 3,
+      nPlanes = 4, nTables = 4, lloydIters = 2, cap = 50),
     "select_and_curate" -> OracleSqlGen.selectAndCurate(buckets = 8192,
       targetMod = 7, topK = 300,
       mix = Seq(0 -> 0.35, 1 -> 0.25, 2 -> 0.20, 3 -> 0.15, 4 -> 0.05),

@@ -356,6 +356,24 @@ object TrainPrep {
       .drop("_g", "_p")
   }
 
+  /** Embedding-space DIVERSITY quota sampling — the coverage companion of
+    * SemDeDup (Abbas et al. 2023 §5 keeps spread-out representatives; the
+    * DiverseEvol/coreset line does the same with an explicit quota): cluster
+    * the embedding space (SRP-LSH buckets → spherical k-means assignment,
+    * [[Clustering.viaLsh]]) and keep at most `cap` members per cluster, so
+    * the kept subset covers every discovered region instead of
+    * oversampling dense ones. Selection inside a cluster is the
+    * deterministic hash-rank rule ([[capPerGroup]] — md5(id) order):
+    * rerun/append-stable, exactly replayable in the DuckDB oracle, and
+    * hot-cluster-safe at scale (the two-level histogram boundary plan caps
+    * any single window task). Returns the kept (id, label) rows. */
+  def diversitySample(points: DataFrame, id: Column, vec: Column, dim: Int,
+      k: Int, cap: Int, nPlanes: Int = 4, nTables: Int = 4,
+      lloydIters: Int = 2, hotThreshold: Long = 1L << 22): DataFrame = {
+    val labeled = Clustering.viaLsh(points, id, vec, dim, k, nPlanes, nTables, lloydIters)
+    capPerGroup(labeled, col("id"), col("label"), cap, hotThreshold)
+  }
+
   // ── DSIR: data selection via importance resampling (Xie et al. 2023) ───────
   //
   // Select raw-corpus documents that LOOK LIKE a target domain: fit hashed
