@@ -273,13 +273,16 @@ object ScaleProbe {
       def pile(m: Long) = spark.range(1, m + 1)
         .select(col("id"), typedLit(base).as("v"))
       val m = 50000L
+      // capture the warm run's frame: semantic returns an eager
+      // localCheckpoint, so the correctness count below is a cache read —
+      // no third full-pipeline run (r19 review)
+      var last: org.apache.spark.sql.DataFrame = null
       time("semdedup_pile_guarded50k", m) {
-        Dedup.semantic(pile(m), col("id"), col("v"), dim = 16, k = 4,
+        last = Dedup.semantic(pile(m), col("id"), col("v"), dim = 16, k = 4,
           threshold = 0.95)
+        last
       }
-      val out = Dedup.semantic(pile(m), col("id"), col("v"), dim = 16, k = 4,
-        threshold = 0.95)
-      val dups = out.filter(col("is_dup")).count()
+      val dups = last.filter(col("is_dup")).count()
       println(s"PROBE semdedup_pile_guarded50k dups=$dups of $m " +
         s"(expect ${m - 1} star dups under rep 1; unguarded all-pairs would " +
         s"be ${m * (m - 1) / 2} candidates)")

@@ -144,9 +144,18 @@ object Futures {
     * must analyze a throwaway projection, exactly like checkExpression /
     * checkReducer (r18 advice). Fast path: a table with no future field
     * pays nothing. */
-  private def analyzedFutureRefs(df: DataFrame, cols: Seq[Column]): Seq[(String, String)] =
-    if (!df.schema.fields.exists(isFuture)) Nil
+  private def analyzedFutureRefs(df: DataFrame, cols: Seq[Column]): Seq[(String, String)] = {
+    // the unanalyzed walk first: it is free (no analysis job) and it is
+    // the only detector for a future column RESOLVED AGAINST ANOTHER
+    // TABLE (t1.groupby(key = t2("fut")) — the gated df's schema then has
+    // no future field, so the schema short-circuit alone would wave the
+    // misuse through to a raw resolution error with no await_futures
+    // guidance)
+    val direct = cols.flatMap(futureRefs)
+    if (direct.nonEmpty) direct
+    else if (!df.schema.fields.exists(isFuture)) Nil
     else cols.flatMap(c => futureRefs(analyzedExpr(df, c)))
+  }
 
   /** Gate for groupby keys, sort keys/instances, deduplicate columns —
     * the uniform "not allowed here" message (test_udf.py:1182-1254).

@@ -45,9 +45,13 @@ object Graphs {
         .groupBy("vertex").agg(min("component").as("component"))
     }, df => {
       // counted fingerprint: the row count feeds the free non-empty fence,
-      // Σ component is the monotone convergence summary — one aggregate job
+      // Σ component is the monotone convergence summary — one aggregate
+      // job. An EMPTY frame (legal input: a graph with no edges) sums to
+      // null — report (0, 0): the fence stays disarmed and the loop
+      // converges immediately instead of NPE-ing on getLong.
       val r = df.agg(count(lit(1)), sum("component")).head
-      (r.getLong(0), r.getLong(1)): (Long, Any)
+      val n = r.getLong(0)
+      (n, if (n == 0) 0L else r.getLong(1)): (Long, Any)
     }, maxIterations, unroll = unroll,
       nonEmptyGuard = true)
   }
@@ -70,9 +74,12 @@ object Graphs {
         .groupBy("vertex").agg(min("dist").as("dist"))
     }, df => {
       val r = df.agg(count(lit(1)), sum("dist")).head
-      // the reached-count doubles as the fence count (free non-empty guard)
-      // and stays part of the convergence summary
-      (r.getLong(0), (r.getLong(0), r.getLong(1))): (Long, Any)
+      // the reached-count doubles as the fence count (free non-empty
+      // guard) and stays part of the convergence summary; count 0 cannot
+      // happen from the 1-row source seed, but guard the null-sum read
+      // anyway (same empty-frame rule as connectedComponents)
+      val n = r.getLong(0)
+      (n, (n, if (n == 0) 0L else r.getLong(1))): (Long, Any)
     }, maxIterations, unroll = unroll, nonEmptyGuard = true)
   }
 

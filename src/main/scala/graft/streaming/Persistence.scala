@@ -46,17 +46,29 @@ object Persistence {
   private val LatestFile = "_LATEST"
 
   // ── store metadata I/O ────────────────────────────────────────────────
-  // ALL pointer/watermark/existence operations go through the session's
-  // DEFAULT Hadoop filesystem — the SAME filesystem the parquet
-  // generations are written to. Driver-local java.io checks of a
-  // Spark-written path silently miss once the default FS is not the
-  // driver's disk (the exact failure class the r18 Inactivity fix closed;
-  // readUpdateState's File.exists would have silently DROPPED live
-  // generations from the latest-wins merge — wrong state, no error).
+  // ALL pointer/watermark/existence operations go through the STORE PATH'S
+  // OWN Hadoop filesystem — the SAME filesystem the parquet generations
+  // land on. Driver-local java.io checks of a Spark-written path silently
+  // miss once the default FS is not the driver's disk (the exact failure
+  // class the r18 Inactivity fix closed; readUpdateState's File.exists
+  // would have silently DROPPED live generations from the latest-wins
+  // merge — wrong state, no error). Resolution is per-path, not the
+  // session default FS: a scheme-qualified store ("s3a://bucket/state",
+  // "file:/local/state") must hit its own filesystem, exactly like
+  // spark.read/write.parquet does (the repo convention —
+  // Connectors/SyncedSpool resolve the same way).
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-  private def hfs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Hadoop conf for session-less entry points (e.g. the gc(dir, keep)
+    * overload called from cleanup hooks after spark.stop()): any live
+    * session's conf, else a fresh default Configuration. */
+  private def anyHadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   private def readSmallFile(fs: FileSystem, p: HPath): Option[String] =
     if (!fs.exists(p)) None
@@ -99,7 +111,7 @@ object Persistence {
   }
 
   private def latestGen(spark: SparkSession, dir: String): Option[Long] =
-    readSmallFile(hfs(spark), new HPath(dir, LatestFile)).map(_.toLong)
+    readSmallFile(fsOf(spark, dir), new HPath(dir, LatestFile)).map(_.toLong)
 
   private def genDir(dir: String, gen: Long): String =
     new HPath(dir, s"gen=$gen").toString
@@ -182,18 +194,23 @@ object Persistence {
         Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
           .find(n => !stateCols.contains(n)).get
       val genCol = fresh("_pw_gen"); val rnCol = fresh("_pw_rn")
-      // generation existence through the Hadoop FS the generations were
-      // written to (r18 advice) — a driver-local File.exists on a cluster
-      // whose default FS is not the driver's disk would silently drop
-      // LIVE generations from the latest-wins merge
-      val fs = hfs(spark)
-      val gens = (0L to latest).map { g =>
-        if (fs.exists(new HPath(genDir(dir, g)))) {
-          val base = spark.read.parquet(genDir(dir, g))
-          val pruned = keys.fold(base)(k => base.join(k, keyCols, "left_semi"))
-          Some(pruned.withColumn(genCol, lit(g)))
-        } else None // compacted away (below the GC horizon)
-      }.flatten
+      // live generations come from ONE listing of the store's own FS
+      // (r18 advice closed the driver-local File.exists silent skip; the
+      // r19 review closed the per-generation fs.exists probe — generation
+      // NUMBERS are never reused, so a long-lived sink's 0..latest walk
+      // was O(total batches ever) metadata RPCs per read even though
+      // compaction keeps ~AutoCompactGens live). Gens ABOVE the committed
+      // pointer are crash orphans (written, pointer never flipped) and
+      // stay excluded.
+      val fs = fsOf(spark, dir)
+      val liveGens = storeEntries(fs, dir)
+        .collect { case (p, g) if p.getName.startsWith("gen=") && g <= latest => g }
+        .sorted
+      val gens = liveGens.map { g =>
+        val base = spark.read.parquet(genDir(dir, g))
+        val pruned = keys.fold(base)(k => base.join(k, keyCols, "left_semi"))
+        pruned.withColumn(genCol, lit(g))
+      }
       val all = gens.reduce(_.unionByName(_))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*).orderBy(col(genCol).desc)
@@ -208,7 +225,7 @@ object Persistence {
     * emit, without touching untouched state. */
   def updateRun(stateDir: String, batch: DataFrame, keyCols: Seq[String]): DataFrame = {
     val spark = batch.sparkSession
-    hfs(spark).mkdirs(new HPath(stateDir))
+    fsOf(spark, stateDir).mkdirs(new HPath(stateDir))
     val touchedPrev =
       readUpdateState(spark, stateDir, keyCols, restrictTo = Some(batch))
         .getOrElse(batch.limit(0))
@@ -241,7 +258,7 @@ object Persistence {
   val AutoCompactGens = 16
 
   private def liveGenCount(spark: SparkSession, stateDir: String): Int =
-    storeEntries(hfs(spark), stateDir)
+    storeEntries(fsOf(spark, stateDir), stateDir)
       .count { case (p, _) => p.getName.startsWith("gen=") }
 
   /** Update-mode streaming persistence sink: same changelog contract as
@@ -297,11 +314,11 @@ object Persistence {
   // watermark — a scalar — crosses to the driver.
 
   private def readWm(spark: SparkSession, dir: String): Long =
-    readSmallFile(hfs(spark), new HPath(dir, "_WM")).map(_.toLong)
+    readSmallFile(fsOf(spark, dir), new HPath(dir, "_WM")).map(_.toLong)
       .getOrElse(Long.MinValue)
 
   private def writeWm(spark: SparkSession, dir: String, wm: Long): Unit =
-    writeSmallFile(hfs(spark), new HPath(dir, "_WM"), wm.toString)
+    writeSmallFile(fsOf(spark, dir), new HPath(dir, "_WM"), wm.toString)
 
   /** One persisted static run of `_forget(threshold, time)`. Returns the
     * unit-diff changelog (retractions of newly-forgotten rows, insertions of
@@ -310,7 +327,7 @@ object Persistence {
       threshold: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       timeCol: String): DataFrame = {
     val spark = arrivals.sparkSession
-    hfs(spark).mkdirs(new HPath(stateDir))
+    fsOf(spark, stateDir).mkdirs(new HPath(stateDir))
     val wmPrev = readWm(spark, stateDir)
     val active = readSnapshot(spark, stateDir)
       .getOrElse(arrivals.limit(0))
@@ -343,7 +360,7 @@ object Persistence {
       threshold: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       timeCol: String): DataFrame = {
     val spark = arrivals.sparkSession
-    hfs(spark).mkdirs(new HPath(stateDir))
+    fsOf(spark, stateDir).mkdirs(new HPath(stateDir))
     val wmPrev = readWm(spark, stateDir)
     val held = readSnapshot(spark, stateDir).getOrElse(arrivals.limit(0))
     val wmNew = math.max(wmPrev,
@@ -371,7 +388,7 @@ object Persistence {
     val prevGen = latestGen(spark, stateDir)
     val nextGen = prevGen.getOrElse(-1L) + 1
     rows.write.mode("overwrite").parquet(genDir(stateDir, nextGen))
-    writeSmallFile(hfs(spark), new HPath(stateDir, LatestFile), nextGen.toString)
+    writeSmallFile(fsOf(spark, stateDir), new HPath(stateDir, LatestFile), nextGen.toString)
     nextGen
   }
 
@@ -395,12 +412,17 @@ object Persistence {
     * delete everything older. Bounds the store for a long-lived deployment;
     * the trade is time-travel depth — `readGeneration`/diff history older
     * than the horizon is gone. `keep` ≥ 1 (the live state is never GC'd). */
+  /** Session-less form (usable from cleanup hooks after spark.stop() —
+    * the pre-r19 java.io implementation's contract): resolves the store
+    * path's FS from any live session's Hadoop conf, else a default one. */
   def gc(stateDir: String, keep: Int): Unit =
-    gc(org.apache.spark.sql.SparkSession.active, stateDir, keep)
+    gcWith(new HPath(stateDir).getFileSystem(anyHadoopConf()), stateDir, keep)
 
-  def gc(spark: SparkSession, stateDir: String, keep: Int): Unit = {
+  def gc(spark: SparkSession, stateDir: String, keep: Int): Unit =
+    gcWith(fsOf(spark, stateDir), stateDir, keep)
+
+  private def gcWith(fs: FileSystem, stateDir: String, keep: Int): Unit = {
     require(keep >= 1, s"retention must keep at least the live generation (got $keep)")
-    val fs = hfs(spark)
     val latest = readSmallFile(fs, new HPath(stateDir, LatestFile)) match {
       case Some(s) => s.toLong
       case None => return

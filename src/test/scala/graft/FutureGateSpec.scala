@@ -20,6 +20,15 @@ class FutureGateSpec extends AnyFunSuite {
   private def msgOf(body: => Any): String =
     intercept[IllegalArgumentException](body).getMessage
 
+  test("a FOREIGN table's future column used as a key still raises (the " +
+      "gated table has no future field — the schema short-circuit alone " +
+      "would wave it through, r19 review)") {
+    val t = futureTable
+    val clean = PwTable.fromAllColumns(Seq(1L, 2L).toDF("k"))
+    val m = msgOf(clean.groupby("g" -> t("ret")))
+    assert(m.contains("is not allowed here") && m.contains("await_futures"), m)
+  }
+
   test("test_fully_async_udf: the future column's values are correct") {
     val t = futureTable
     assert(t.select("ret" -> t("ret")).toDf.as[Long].collect().sorted.toSeq

@@ -27,6 +27,13 @@ class IterateSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L).forall(m(_) == 1L) && Seq(10L, 11L).forall(m(_) == 10L))
   }
 
+  test("connectedComponents on an EMPTY edge table returns empty (legal " +
+      "input — a corpus with zero duplicate pairs; the counted fingerprint " +
+      "must not NPE on the null sum, r19 review)") {
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graphs.connectedComponents(edges).count() == 0)
+  }
+
   test("bellmanFord finds shortest paths with relaxation") {
     // 0→1 (5), 0→2 (1), 2→1 (2): shortest 0→1 is 3 via 2
     val edges = Seq((0L, 1L, 5L), (0L, 2L, 1L), (2L, 1L, 2L)).toDF("src", "dst", "weight")
