@@ -901,6 +901,25 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("pack_id"), col("offset_in_pack"), col("n_tokens"))
   }
 
+  /** Materialized fixed-length context windows (packTokenWindows — the
+    * trainer-facing twin of packSequences): md5-hashed whitespace-token ids
+    * laid end-to-end per doc_id%4 shard and cut into exact 512-id windows.
+    * The window CONTENTS are compared (ids comma-joined — the
+    * sorted_tuple string-agg idiom), so straddling, ordering, and the
+    * final partial window are all pinned. */
+  private def qPackTokenWindows(s: SparkSession, dir: String): DataFrame = {
+    val tids = transform(TrainPrep.whitespaceTokens(col("text")),
+      t => graft.functions.CrossHash.md5Long(t))
+    val prepared = docs(s, dir).select(col("doc_id"),
+      (col("doc_id") % 4).as("_shard"), tids.as("_tids"))
+    TrainPrep.packTokenWindows(prepared, instance = col("_shard"),
+      order = col("doc_id"), tokenIds = col("_tids"), budget = 512)
+      .select(col("instance").cast("long").as("instance"), col("pack_id"),
+        array_join(transform(col("token_ids"), t => t.cast("string")), ",")
+          .as("token_str"),
+        col("n"))
+  }
+
   /** PII redaction + audit counts. The fixture corpus is synthetic/clean, so
     * deterministic PII is planted on every 7th doc before redacting. */
   private def qTextPii(s: SparkSession, dir: String): DataFrame = {
@@ -1967,6 +1986,7 @@ object SparkEntry {
     "inactivity_stream_replay" -> (qInactivityStreamReplay _),
     "split_train_test" -> (qSplitTrainTest _),
     "doc_pack"        -> (qDocPack _),
+    "pack_token_windows" -> (qPackTokenWindows _),
     "text_pii"        -> (qTextPii _),
     "text_tokens"     -> (qTextTokens _),
     "text_quality"    -> (qTextQuality _),
@@ -2589,6 +2609,25 @@ object SparkEntry {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM t)
         |SELECT doc_id, lang, CAST(off // 2048 AS BIGINT) AS pack_id,
         |  CAST(off % 2048 AS BIGINT) AS offset_in_pack, n_tokens FROM o""".stripMargin,
+    "pack_token_windows" -> {
+      val tok = graft.functions.CrossHash.duckSigned(
+        graft.functions.CrossHash.duckU64("t"))
+      s"""WITH tk AS (SELECT doc_id, doc_id % 4 AS shard,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ts
+         |  FROM documents),
+         |ids AS (SELECT doc_id, shard, list_transform(ts, t -> $tok) AS tids FROM tk),
+         |off AS (SELECT doc_id, shard, tids,
+         |    CAST(COALESCE(SUM(len(tids)) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |  FROM ids),
+         |ex AS (SELECT shard, o, tids, UNNEST(generate_series(1, len(tids))) AS i FROM off),
+         |pe AS (SELECT shard, o + i - 1 AS p, tids[i] AS tok FROM ex),
+         |g AS (SELECT shard, CAST(p // 512 AS BIGINT) AS pack_id,
+         |    string_agg(CAST(tok AS VARCHAR), ',' ORDER BY p) AS token_str,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pe GROUP BY 1, 2)
+         |SELECT CAST(shard AS BIGINT) AS instance, pack_id, token_str, n FROM g""".stripMargin
+    },
     "text_pii" -> {
       val em = graft.operators.TrainPrep.EmailRe
       val ph = graft.operators.TrainPrep.PhoneRe
