@@ -56,4 +56,30 @@ object History {
     * — the diff stream a downstream consumer would have seen. */
   def between(spark: SparkSession, dir: String, afterBatch: Long, upTo: Long): DataFrame =
     log(spark, dir).filter(col(BatchCol) > afterBatch && col(BatchCol) <= upTo)
+
+  // ── PersistenceMode replay semantics (reference api.PersistenceMode;
+  //    test_io.py test_replay / test_replay_timestamps) ────────────────────
+  //
+  // A recorded input snapshot re-consumes two ways: BATCH collapses the
+  // whole snapshot into ONE batch — downstream sees a single commit
+  // timestamp however many commits recording produced — while SPEEDRUN
+  // preserves the RECORDED batch boundaries (replayed as fast as possible,
+  // but the number of distinct downstream timestamps equals the number
+  // recorded — the exact property test_replay_timestamps counts).
+  // PERSISTING itself is the recording contract ([[sink]] + the
+  // persistence store's no-delta rerun: a second run over the same store
+  // emits nothing new — Persistence.runStatic/changelogSink), and
+  // `continue_after_replay=false` is simply not chaining a live source
+  // after the replayed batches.
+
+  /** The whole recorded snapshot as ONE batch (PersistenceMode.BATCH). */
+  def replayBatch(spark: SparkSession, dir: String): DataFrame =
+    log(spark, dir).drop(BatchCol)
+
+  /** The recorded batches, in order, each under its original batch id
+    * (PersistenceMode.SPEEDRUN_REPLAY): same batch COUNT and contents as
+    * the recording run, independent of how fast they are consumed. */
+  def replaySpeedrun(spark: SparkSession, dir: String): Seq[(Long, DataFrame)] =
+    versions(spark, dir).map(v =>
+      v -> log(spark, dir).filter(col(BatchCol) === v).drop(BatchCol))
 }

@@ -33,4 +33,25 @@ class HistorySpec extends AnyFunSuite {
       .select("user", "diff").as[(String, Int)].collect()
     assert(diffs.length == 3)
   }
+
+  test("test_replay / test_replay_timestamps: SPEEDRUN preserves the " +
+      "recorded batch boundaries, BATCH collapses to one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replaymode").toString
+    // record 3 batches of 15 generated rows (5 per commit)
+    (0L until 3L).foreach { b =>
+      History.append((0L until 5L).map(i => (b * 5 + i, 2 * (b * 5 + i) + 1))
+        .toDF("x", "number"), dir, b)
+    }
+    // SPEEDRUN: same number of distinct "timestamps" (batches) as recorded,
+    // same contents per batch, in recorded order
+    val speedrun = History.replaySpeedrun(spark, dir)
+    assert(speedrun.map(_._1) == Seq(0L, 1L, 2L), "recorded batch ids, in order")
+    val perBatch = speedrun.map { case (_, df) =>
+      df.select("number").as[Long].collect().toSet }
+    assert(perBatch == Seq.tabulate(3)(b =>
+      (0L until 5L).map(i => 2 * (b * 5 + i) + 1).toSet))
+    // BATCH: ONE batch carrying the whole snapshot
+    val batch = History.replayBatch(spark, dir).select("number").as[Long].collect()
+    assert(batch.length == 15 && batch.toSet == perBatch.flatten.toSet)
+  }
 }
