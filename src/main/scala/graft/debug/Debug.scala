@@ -79,11 +79,23 @@ object Debug {
   def streamTableFromMarkdown(spark: SparkSession, text: String): PwTable = {
     import org.apache.spark.sql.functions._
     val ev = streamEventsFromMarkdown(spark, text)
+    // fail up front with the real contract (r19 advice): an unkeyed grid
+    // would otherwise surface as an unrelated missing-column error deep in
+    // fromPrimaryKey, and a net diff outside {0, 1} is a double-insert /
+    // dangling retract that the presence filter would silently collapse
+    require(ev.columns.contains("id"),
+      "stream markdown needs a keyed grid (an `id` column)")
     val payload = ev.columns.filterNot(c => c == "_time" || c == "_diff")
     val folded = ev.groupBy(payload.map(col): _*)
       .agg(sum(col("_diff")).as("_net"))
-      .filter(col("_net") > 0).drop("_net")
-    PwTable.fromPrimaryKey(folded, "id")
+    val bad = folded.filter(col("_net") < 0 || col("_net") > 1).limit(1).collect()
+    require(bad.isEmpty, {
+      val r = bad.head
+      val net = r.getAs[Long]("_net")
+      s"stream markdown row id=${r.getAs[Any]("id")} folds to net diff $net — " +
+        (if (net > 1) "a duplicate-key insert" else "a retract without a matching insert")
+    })
+    PwTable.fromPrimaryKey(folded.filter(col("_net") > 0).drop("_net"), "id")
   }
 
   /** Order-independent multiset equality (assert_table_equality_wo_index). */

@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, TextOps, TrainPrep}
+import graft.operators.{Bpe, Dedup, Materialize, TextOps, TrainPrep}
 
 /** End-to-end LLM training-data curation pipeline — the composition a user
   * of the reference would run daily, expressed entirely in this library's
@@ -143,13 +143,12 @@ object TrainDataPipeline {
         } finally wc.unpersist(false)
       val ids = Bpe.encodeIds(curated, col("doc_id"), col("text"), merges, vocab)
         .select(col("id").as("doc_id"), col("token_ids"))
-      TrainPrep.packTokenWindows(
+      Materialize.eager(TrainPrep.packTokenWindows(
         curated.select(col("doc_id"), col("_shard")).join(ids, "doc_id"),
         instance = col("_shard"), order = col("doc_id"),
-        tokenIds = col("token_ids"), budget = budget)
-        // materialize before releasing curated: the packed frame's plan
-        // still references it
-        .localCheckpoint(true)
+        tokenIds = col("token_ids"), budget = budget))
+        // (materialized before releasing curated: the packed frame's plan
+        // still references it)
     } finally curated.unpersist(false)
   }
 
@@ -194,7 +193,7 @@ object TrainDataPipeline {
     // shrank it, checkpoint the survivors; with no head it is the full
     // corpus — leave it lazy rather than copy 100 TB.
     val scored =
-      if (dsirFloorMicro.isDefined || dsirTopK.isDefined) selected.localCheckpoint(true)
+      if (dsirFloorMicro.isDefined || dsirTopK.isDefined) Materialize.eager(selected)
       else selected
     // strictMix = exact-mixture plan (T* = min cap/w, one declarative plan,
     // bit-replayable); default = budgeted waterfill toward `tokenBudget`
@@ -208,9 +207,9 @@ object TrainDataPipeline {
     // + rank + mixture DAG upstream (measured 67 s → ~7 s at sf0.1). The
     // checkpoint truncates lineage, so the returned frame doesn't pin the
     // scoring plan either.
-    val sampled = TrainPrep.sampleStratified(scored, col("doc_id"), source, rates)
-      .select("doc_id", "text")
-      .localCheckpoint(true)
+    val sampled = Materialize.eager(
+      TrainPrep.sampleStratified(scored, col("doc_id"), source, rates)
+        .select("doc_id", "text"))
     curate(sampled, evalSet)
   }
 

@@ -153,8 +153,20 @@ object Futures {
     // guidance)
     val direct = cols.flatMap(futureRefs)
     if (direct.nonEmpty) direct
-    else if (!df.schema.fields.exists(isFuture)) Nil
-    else cols.flatMap(c => futureRefs(analyzedExpr(df, c)))
+    else {
+      // a FOREIGN table's future column hidden inside a computation
+      // (upper(t2("fut")) as a key on a future-free table) resolves against
+      // NEITHER walk above — the gated df has no future field and the
+      // opaque leaf hides the ref — but the lazy node tree still carries
+      // the resolved foreign AttributeReference; walk it without analysis
+      // (r19 advice). Plan-free, so it runs unconditionally.
+      val embedded = cols.flatMap(c =>
+        org.apache.spark.sql.GraftExprBridge.embeddedExpressions(c)
+          .flatMap(futureRefs)).distinct
+      if (embedded.nonEmpty) embedded
+      else if (!df.schema.fields.exists(isFuture)) Nil
+      else cols.flatMap(c => futureRefs(analyzedExpr(df, c)))
+    }
   }
 
   /** Gate for groupby keys, sort keys/instances, deduplicate columns —

@@ -241,7 +241,7 @@ object Bpe {
       .as[(String, Long)]
       .map { case (w, c) => (toSymbols(w), c) }
       .toDF("syms", "cnt")
-      .localCheckpoint(eager = true)
+      .transform(Materialize.eager)
     // the loop's aggregations run over the vocabulary-bounded table, not
     // the corpus — size their shuffle width accordingly (the dupGroups
     // discipline: ~50k rows/partition, floor 1, cap = session setting) so
@@ -270,7 +270,7 @@ object Bpe {
       .flatMap { case (s, c) => adjacentPairs(s).map { case (p, _) => (p._1, p._2, c) } }
       .toDF("a", "b", "cnt")
       .groupBy("a", "b").agg(sum("cnt").as("cnt"))
-      .localCheckpoint(eager = true)
+      .transform(Materialize.eager)
     // previous step's caches, released once the current step materializes
     var prevVocab: DataFrame = null
     var prevStats: DataFrame = null
@@ -406,8 +406,8 @@ object Bpe {
         if (superSteps % 8 == 0) {
           // materialize BOTH checkpoints off the old caches before
           // releasing them — mergedStats' delta plan reads the old vocab
-          val vcp = applied.localCheckpoint(eager = true)
-          val scp = mergedStats.localCheckpoint(eager = true)
+          val vcp = Materialize.eager(applied)
+          val scp = Materialize.eager(mergedStats)
           vocab.unpersist(false); pairStats.unpersist(false)
           vocab = vcp; pairStats = scp
         } else {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CrossHash
 
@@ -297,12 +297,11 @@ object Dedup {
     // same-session calls no longer leak a cache entry per invocation.
     // localCheckpoint truncates lineage; its blocks are ContextCleaner-
     // managed once the frame is unreachable, unlike persist entries.
-    val dupPairs = prefiltered
+    val dupPairs = Materialize.eager(prefiltered
       .join(candSets.select(col("id").as("id1"), col("_sh").as("_sh1")), Seq("id1"))
       .join(candSets.select(col("id").as("id2"), col("_sh").as("_sh2")), Seq("id2"))
       .filter(jaccard(col("_sh1"), col("_sh2")) >= threshold)
-      .select("id1", "id2")
-      .localCheckpoint(true)
+      .select("id1", "id2"))
 
     (norm, dupPairs)
     } finally {
@@ -407,7 +406,7 @@ object Dedup {
   private def groupsFromPairs(norm: DataFrame, pairs: DataFrame): DataFrame = {
     // comp is tiny (pair vertices only) and consumed twice (sizes + the
     // corpus join) — checkpoint it so the CC pass chain runs once
-    val comp = dupGroups(pairs).localCheckpoint(true)
+    val comp = Materialize.eager(dupGroups(pairs))
     val sizes = comp.groupBy("rep_id").agg(count(lit(1)).as("group_size"))
     norm.select(col("id"))
       .join(comp, Seq("id"), "left_outer")
@@ -527,6 +526,43 @@ object Dedup {
     * the only added work vs all-pairs is the map-side-combined count and
     * the sub-rep agg over hot members only. `bucketCap = Int.MaxValue`
     * short-circuits to the unguarded all-pairs join (the honest control). */
+  /** Guard observability (r19 advice): when ANY bucket exceeds the cap the
+    * output is the guarded two-tier star, not the exact all-pairs compare —
+    * a behavior a production run must be able to see. The hot-key aggregate
+    * already executes (it feeds the broadcast), so the metric rides it as an
+    * `observe` — zero extra jobs — surfaced two ways: the named observation
+    * (`graft.guardedSelfJoin.*` → any QueryExecutionListener / the streaming
+    * progress metrics) and a WARN log from the per-session listener below. */
+  val GuardObservationPrefix = "graft.guardedSelfJoin."
+  private val guardRunId = new java.util.concurrent.atomic.AtomicLong(0)
+  private val guardLog = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val observedSessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  private def ensureGuardObserver(spark: SparkSession): Unit =
+    if (observedSessions.add(spark))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          // the guard node's subtree is referenced many times (cold anti-join,
+          // hot members, tiers) → duplicated physical instances with one
+          // executed copy; merge keeping the executed one's row
+          guardObservations(qe).foreach { case (name, row) =>
+            if (row.getAs[Long]("hot_buckets") > 0L)
+              guardLog.warn(s"guardedSelfJoin [$name]: ${row.getAs[Long]("hot_buckets")} " +
+                s"bucket(s) over the cap (largest ${row.getAs[Long]("max_bucket_rows")} rows) " +
+                "took the two-tier star — output is guarded, not the exact all-pairs compare")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+
+  /** The guard's observed metric rows for a finished execution, duplicates
+    * merged (max hot-bucket count wins — the executed instance). */
+  def guardObservations(qe: org.apache.spark.sql.execution.QueryExecution):
+      Map[String, org.apache.spark.sql.Row] =
+    org.apache.spark.sql.GraftExprBridge.observedMetricRows(qe, GuardObservationPrefix,
+      (a, b) => if (a.getAs[Long]("hot_buckets") >= b.getAs[Long]("hot_buckets")) a else b)
+
   def guardedSelfJoin(buckets: DataFrame, keyCols: Seq[String],
       payloadCols: Seq[String], bucketCap: Int): DataFrame = {
     def keys = keyCols.map(col)
@@ -546,8 +582,11 @@ object Dedup {
       (col(s"$structCol.id").as(s"id$n") +:
         payloadCols.map(p => col(s"$structCol.$p").as(s"${p}_$n"))).toSeq
 
+    ensureGuardObserver(buckets.sparkSession)
     val hotKeys = broadcast(buckets.groupBy(keys: _*)
       .agg(count(lit(1)).as("_n")).filter(col("_n") > bucketCap)
+      .observe(s"$GuardObservationPrefix${guardRunId.incrementAndGet()}",
+        count(lit(1)).as("hot_buckets"), max(col("_n")).as("max_bucket_rows"))
       .select(keys: _*))
     val cold = buckets.join(hotKeys, keyCols, "left_anti")
     val hotMembers = buckets.join(hotKeys, keyCols)
@@ -644,11 +683,10 @@ object Dedup {
       val near = guardedSelfJoin(buckets, Seq("label"), Seq("_qv"), clusterCap)
         .filter(Similarity.cosine(col("_qv_1"), col("_qv_2")) >= threshold)
         .groupBy(col("id2").as("id")).agg(min("id1").as("rep_id"))
-      pv.join(near, Seq("id"), "left_outer")
+      Materialize.eager(pv.join(near, Seq("id"), "left_outer")
         .select(col("id"), col("label"),
           coalesce(col("rep_id"), col("id")).as("rep_id"),
-          col("rep_id").isNotNull.as("is_dup"))
-        .localCheckpoint(true)
+          col("rep_id").isNotNull.as("is_dup")))
     } finally pv.unpersist(false)
   }
 
@@ -675,12 +713,11 @@ object Dedup {
       // cache — blocks are ContextCleaner-managed, unlike persist entries),
       // then release the cache in finally: repeated same-session calls no
       // longer leak a cache entry per invocation.
-      pairs
+      Materialize.eager(pairs
         .dropDuplicates("id1", "id2")
         .filter(hammingDist(col("_sig_1"), col("_sig_2")) <= maxDist)
         .select(col("id1"), col("id2"),
-          hammingDist(col("_sig_1"), col("_sig_2")).as("hamming"))
-        .localCheckpoint(true)
+          hammingDist(col("_sig_1"), col("_sig_2")).as("hamming")))
     } finally withSig.unpersist(false)
   }
 }

@@ -71,7 +71,7 @@ object Rag {
         .withColumn("iterations", lit(iter.toLong))
         .select(outCols.map(col): _*)
         // paid LLM calls must never re-execute under a downstream action
-        .localCheckpoint(true)
+        .transform(Materialize.eager)
       val answered = asked.filter(col("answer").isNotNull)
       done = if (done == null) answered else done.unionByName(answered)
       pending = asked.filter(col("answer").isNull)

@@ -419,7 +419,7 @@ object Similarity {
     // lookup tables both consume them — left lazy, each consumer re-runs
     // every Lloyd pass over the corpus (measured 3.5 → 1.9 s at 2k vectors,
     // and the probe's 10× rung stops re-scanning the corpus twice)
-    val centroids = centroids0.localCheckpoint(true)
+    val centroids = Materialize.eager(centroids0)
     // freeze the cell → lookup-table index mapping (ascending seed ids)
     val cellIds = seedRows.select(col("_cell")).collect()
       .map(_.getLong(0)).sorted
@@ -435,7 +435,7 @@ object Similarity {
           e => array_position(cellIdx, e("_cell"))).as("_codes"))
     // the PQ index IS the materialized code table: one eager build, after
     // which the raw vectors (cq) can be released
-    PqIndex(centroids, codes.localCheckpoint(true), cellIds, dim, m, ksub)
+    PqIndex(centroids, Materialize.eager(codes), cellIds, dim, m, ksub)
     } finally cq.unpersist(false)
   }
 

@@ -265,7 +265,7 @@ object TrainPrep {
     // materialization of each boundary (df itself is still scanned per
     // branch: like every multi-pass operator here, df must be
     // deterministic under rescan).
-    def pin(d: DataFrame): DataFrame = broadcast(d.localCheckpoint(true))
+    def pin(d: DataFrame): DataFrame = broadcast(Materialize.eager(d))
     // 1. hot list (tiny by pigeonhole) broadcast back as a tag
     val hot = pin(df.groupBy(group.as(s"${P}g"))
       .agg(count(lit(1)).as(s"${P}cnt"))

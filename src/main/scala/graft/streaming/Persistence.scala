@@ -70,20 +70,43 @@ object Persistence {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
 
-  private def readSmallFile(fs: FileSystem, p: HPath): Option[String] =
-    if (!fs.exists(p)) None
-    else {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(p)
-      try in.readFully(0, buf) finally in.close()
-      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim)
+  /** Reads a pointer file. An empty read means a writer is mid-flip (the
+    * pre-r20 truncate-in-place window) — retry briefly rather than letting
+    * `_LATEST`'s `.toLong` surface as NumberFormatException; after the
+    * retries a still-empty file is a real corruption and fails loudly. */
+  private def readSmallFile(fs: FileSystem, p: HPath): Option[String] = {
+    def once(): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim)
+      }
+    var got = once(); var tries = 0
+    while (got.exists(_.isEmpty) && tries < 5) {
+      Thread.sleep(20L << tries); tries += 1; got = once()
     }
+    if (got.exists(_.isEmpty))
+      throw new IllegalStateException(
+        s"persistence pointer $p is empty after ${tries} retries — " +
+          "corrupted store (writer crashed mid-flip on a pre-r20 layout?)")
+    got
+  }
 
+  /** Pointer writes go through a sibling temp file + rename so a reader
+    * (or a crash between create and close) sees either the old or the new
+    * pointer, never a truncated one. `FileContext.rename(OVERWRITE)` is
+    * atomic on HDFS and POSIX local FS; object stores without atomic
+    * rename still shrink the window to the rename call itself. */
   private def writeSmallFile(fs: FileSystem, p: HPath, s: String): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new HPath(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Unit-diff changelog `cur ⊖ prev`: one row per unit of multiset
@@ -257,9 +280,15 @@ object Persistence {
     * scans (r18 judge finding #4). */
   val AutoCompactGens = 16
 
+  /** Counts the generations the merged read will actually scan — gens
+    * ABOVE the committed `_LATEST` pointer are crash orphans that
+    * `readUpdateState` excludes, so they must not inflate the compaction
+    * trigger either (r19 advice). */
   private def liveGenCount(spark: SparkSession, stateDir: String): Int =
-    storeEntries(fsOf(spark, stateDir), stateDir)
-      .count { case (p, _) => p.getName.startsWith("gen=") }
+    latestGen(spark, stateDir).fold(0) { latest =>
+      storeEntries(fsOf(spark, stateDir), stateDir)
+        .count { case (p, g) => p.getName.startsWith("gen=") && g <= latest }
+    }
 
   /** Update-mode streaming persistence sink: same changelog contract as
     * [[changelogSink]] but per-batch work proportional to the keys the batch

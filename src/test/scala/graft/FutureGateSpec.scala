@@ -29,6 +29,15 @@ class FutureGateSpec extends AnyFunSuite {
     assert(m.contains("is not allowed here") && m.contains("await_futures"), m)
   }
 
+  test("a FOREIGN table's future column hidden INSIDE a computation still " +
+      "raises — the lazy node tree is walked without analysis, so the " +
+      "opaque function-application leaf cannot hide it (r19 advice)") {
+    val t = futureTable
+    val clean = PwTable.fromAllColumns(Seq(1L, 2L).toDF("k"))
+    val m = msgOf(clean.groupby("g" -> upper(t("ret").cast("string"))))
+    assert(m.contains("is not allowed here") && m.contains("await_futures"), m)
+  }
+
   test("test_fully_async_udf: the future column's values are correct") {
     val t = futureTable
     assert(t.select("ret" -> t("ret")).toDf.as[Long].collect().sorted.toSeq

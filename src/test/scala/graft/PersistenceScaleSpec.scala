@@ -283,4 +283,40 @@ class PersistenceScaleSpec extends AnyFunSuite {
     assert(acc.collect { case (k, 1) => k }.toSet ==
       Set(("abc", 2L), ("def", 1L), ("foo", 2L), ("xyz", 1L), ("xxx", 1L)))
   }
+
+  // ── r20 advice fixes: pointer atomicity + orphan-aware compaction ──────
+
+  test("pointer flips leave no tmp residue, and a truncated pointer fails " +
+      "loudly after retries instead of a bare NumberFormatException") {
+    val state = tmp()
+    Persistence.runStatic(state, Seq(1L).toDF("v")).count()
+    Persistence.runStatic(state, Seq(2L).toDF("v")).count()
+    val files = Option(new java.io.File(state).listFiles()).get.map(_.getName).toSeq
+    assert(!files.exists(_.endsWith(".tmp")), files.mkString(","))
+    assert(Persistence.readSnapshot(spark, state).get.as[Long].collect().toSeq == Seq(2L))
+    // truncate the pointer the way a crashed truncate-in-place writer could
+    java.nio.file.Files.write(java.nio.file.Paths.get(state, "_LATEST"), Array.empty[Byte])
+    val e = intercept[IllegalStateException](Persistence.readSnapshot(spark, state))
+    assert(e.getMessage.contains("empty"), e.getMessage)
+  }
+
+  test("auto-compaction trigger ignores crash-orphan generations above the " +
+      "committed pointer (r19 advice: the trigger must count exactly the " +
+      "scans the merged read plans)") {
+    val state = tmp()
+    val keys = Seq("w")
+    (0 until 3).foreach { i =>
+      Persistence.updateRun(state, Seq((s"k$i", 1L)).toDF("w", "c"), keys).count()
+    }
+    assert(genDirs(state) == Set(0L, 1L, 2L))
+    // orphans: written generations whose pointer flip never happened
+    (50L to 70L).foreach { g =>
+      java.nio.file.Files.createDirectory(java.nio.file.Paths.get(state, s"gen=$g"))
+    }
+    // 3 live + 21 orphans; an orphan-blind count (24 > AutoCompactGens) would
+    // compact here — the live count (3) must not
+    Persistence.maybeCompact(spark, state, keys, compactEvery = 0, batchId = 3L)
+    assert(genDirs(state).intersect(Set(0L, 1L, 2L, 3L)) == Set(0L, 1L, 2L),
+      s"orphan-inflated trigger compacted: ${genDirs(state).toSeq.sorted}")
+  }
 }

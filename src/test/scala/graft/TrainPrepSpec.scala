@@ -762,4 +762,29 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(cold.count(_ % 2 == 0) >= 11,
       s"low temperature concentrates on the target domain: $cold")
   }
+
+  test("guard observability (r19 advice): a hot bucket surfaces through the " +
+      "named observe metric, zero extra jobs — a production run can tell " +
+      "guarded output from exact output") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.QueryExecution
+    val rec = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        Dedup.guardObservations(qe).foreach { case (_, row) =>
+          rec.add((row.getAs[Long]("hot_buckets"), row.getAs[Long]("max_bucket_rows")))
+        }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val buckets = (1L to 30L).map(i => (i, 1L, 1L, 1L)).toDF("id", "_key", "_subKey", "_sig")
+      Dedup.guardedSelfJoin(buckets, Seq("_key"), Seq("_sig"), bucketCap = 10).count()
+      val deadline = System.currentTimeMillis + 15000
+      while (rec.isEmpty && System.currentTimeMillis < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      assert(rec.asScala.exists { case (hot, mx) => hot == 1L && mx == 30L },
+        s"expected a (1, 30) hot-bucket observation, got ${rec.asScala.toList}")
+    } finally spark.listenerManager.unregister(l)
+  }
 }
