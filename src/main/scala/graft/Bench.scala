@@ -95,7 +95,15 @@ object Bench {
           // middle, not the max — the noise this guards against is upward
           (ws((ws.size - 1) / 2), ws.size, ws.last - ws.head)
         } else {
-          val ws = Seq(warm1, timeOnce(name, fn)).filter(_ >= 0).sorted
+          // self-adjudicating artifact (r20, VERDICT #2): when the 2-rep
+          // spread exceeds 20% of the best warm time, the row can't tell a
+          // regression from a load spike by itself — pay a third rep so no
+          // committed row's own spread spans a 1.5× verdict
+          val ws2 = Seq(warm1, timeOnce(name, fn)).filter(_ >= 0).sorted
+          val ws =
+            if (ws2.size > 1 && ws2.last - ws2.head > 0.2 * ws2.head)
+              (ws2 :+ timeOnce(name, fn)).filter(_ >= 0).sorted
+            else ws2
           (ws.head, ws.size, if (ws.size > 1) ws.last - ws.head else -1.0)
         }
       println(s"""{"q":"$name","cold":${r3(cold)},"s":${r3(warm)},"reps":$reps,"spread":${r3(spread)}}""")

@@ -55,15 +55,14 @@ object Exprs {
 
   /** MatMul for 2-D ndarrays (expression.rs:134 — full matrix case):
     * result[i][j] = Σ_k a[i][k]·b[k][j], folds left-to-right in k so the
-    * value is bit-reproducible by the oracle. HOFs are interpreted — right
-    * for the reference's per-row small-matrix semantics (feature transforms);
-    * corpus-scale linear algebra belongs in an explode→equi-join→agg plan,
-    * not an expression. */
+    * value is bit-reproducible by the oracle. Runs as a native kernel
+    * ([[graft.functions.MatMul2d]], r20): the HOF chain it replaces
+    * re-evaluated the whole `b` expression once per output cell —
+    * corpus-scale linear algebra still belongs in an explode→equi-join→agg
+    * plan (Linalg.blockMatmul), not an expression. */
   def matmul2d(a: Column, b: Column): Column =
-    transform(a, row =>
-      transform(sequence(lit(1), size(element_at(b, 1))), j =>
-        aggregate(zip_with(row, b, (x, brow) => x.cast("double") * element_at(brow, j)),
-          lit(0.0), (acc, v) => acc + v)))
+    GraftExprBridge.column(graft.functions.MatMul2d(
+      GraftExprBridge.expression(a), GraftExprBridge.expression(b)))
   /** pathway `tup[i]` / `tup.get(i, default)` (r16 decode of
     * test_common.py test_sequence_get_* against expression.rs:350-389
     * get_tuple_element/get_ndarray_element): indices are 0-BASED, a

@@ -281,6 +281,98 @@ case class QuantizeVec(child: Expression, scale: Long) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 2-D matrix product of two `array<array<numeric>>` columns — the native
+  * twin of the `transform(a, row => transform(seq, j => aggregate(zip_with(
+  * row, b, x·b[k][j]), 0.0, +)))` HOF chain it replaces (r20).
+  *
+  * The HOF form was not merely interpreted: `b` is an EXPRESSION (in the
+  * board row, `transpose2d(m)` with the reshape inlined), and the inner
+  * `zip_with(row, b, …)` re-evaluates it once per OUTPUT CELL — 64
+  * re-transposes per row on an 8×8 product (measured 2.6 s warm at 500 rows).
+  * As a BinaryExpression both children evaluate exactly once per row and the
+  * k-fold runs as a JVM loop.
+  *
+  * Value semantics are the HOF's, bit-for-bit on the oracle-checked shape:
+  * cell(i,j) = 0.0 + a[i][0]·b[0][j] + a[i][1]·b[1][j] + … accumulated
+  * left-to-right in double; a null row in `a` yields a row of null cells
+  * (zip_with(null, b) poisons every fold); a null element, a row-length
+  * mismatch against `b`, or a `b` row shorter than j yields a null cell
+  * (null products poison the fold). The column count comes from `b`'s first
+  * row like `size(element_at(b, 1))`; an empty `b` (which the HOF form can
+  * only error on) yields null. */
+case class MatMul2d(left: Expression, right: Expression) extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = true), containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "matmul_2d"
+
+  private def matrixType(dt: DataType): Boolean = dt match {
+    case ArrayType(inner, _) => VectorExprs.numericArray(inner)
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (matrixType(left.dataType) && matrixType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<array<numeric>> inputs, got ${left.dataType} / ${right.dataType}")
+
+  @transient private lazy val etL = left.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[ArrayType].elementType
+  @transient private lazy val etR = right.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val nb = b.numElements()
+    if (nb == 0 || b.isNullAt(0)) return null
+    // b rows decoded once per (a,b) evaluation — not once per cell
+    val bRows = new Array[ArrayData](nb)
+    var k = 0
+    while (k < nb) {
+      bRows(k) = if (b.isNullAt(k)) null else b.getArray(k)
+      k += 1
+    }
+    val nCols = bRows(0).numElements()
+    val nRows = a.numElements()
+    val out = new Array[Any](nRows)
+    var i = 0
+    while (i < nRows) {
+      val cells = new Array[Any](nCols)
+      if (!a.isNullAt(i)) {
+        val row = a.getArray(i)
+        val nk = math.max(row.numElements(), nb) // zip_with pads the shorter side
+        var j = 0
+        while (j < nCols) {
+          var acc = 0.0
+          var ok = true
+          var kk = 0
+          while (ok && kk < nk) {
+            if (kk >= row.numElements() || row.isNullAt(kk)) ok = false // null x
+            else if (kk >= nb || bRows(kk) == null) ok = false          // null b row
+            else {
+              val br = bRows(kk)
+              if (j >= br.numElements() || br.isNullAt(j)) ok = false   // element_at → null
+              else acc += VectorExprs.getD(row, kk, etL) * VectorExprs.getD(br, j, etR)
+            }
+            kk += 1
+          }
+          cells(j) = if (ok) acc else null
+          j += 1
+        }
+      } // null row: every cell stays null (the HOF's poisoned folds)
+      out(i) = new GenericArrayData(cells)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All `nTables` SRP bucket bitstrings of a vector in one corpus pass.
   *
   * Twin of the per-table `Similarity.srpBucket` Column form (same Rademacher

@@ -193,22 +193,36 @@ object Graphs {
           max_by(col("c"), struct(col("_score"),
             when(col("c") === col("own"), 1).otherwise(0), -col("c"))).as("_new"),
           first(col("own")).as("_own"), first(col("k")).as("k"))
-      parity match {
-        case None => best.select(col("vertex"), col("_new").as("community"), col("k"))
-        case Some(p) => best.select(col("vertex"),
-          when(pmod(xxhash64(col("vertex")), lit(2)) === p, col("_new"))
-            .otherwise(col("_own")).as("community"), col("k"))
+      val comm = parity match {
+        case None => col("_new")
+        case Some(p) => when(pmod(xxhash64(col("vertex")), lit(2)) === p, col("_new"))
+          .otherwise(col("_own"))
       }
+      // _moved rides along so the loop's own materializing aggregate can
+      // detect a no-move pass with zero extra jobs (r20) — movePass inputs
+      // rebuild their columns explicitly, so the flag never feeds back
+      best.select(col("vertex"), comm.as("community"), col("k"),
+        (comm =!= col("_own")).cast("long").as("_moved"))
     }
     // converged-early-stop: a pass that moves nothing makes all remaining
     // passes no-ops (deterministic step), so labels are bit-identical to the
     // full `iters` unroll — the oracle's fixed-pass CTEs stay exact — and
-    // contracted levels (which converge in 1-2 passes) skip the rest
-    Iterate.nTimesConverged(initial, labels =>
-      if (alternate) movePass(movePass(labels, Some(0)), Some(1))
-      else movePass(labels, None),
-      iters, unroll = unroll, nonEmptyGuard = true)
-      .select(col("vertex"), col("community"))
+    // contracted levels (which converge in 1-2 passes) skip the rest.
+    // Non-alternate passes carry their own moved counter → the free
+    // nTimesUntilNoChange stop; alternate (two sub-passes per block — only
+    // the SECOND sub-pass's flag would survive the chain) keeps the exact
+    // exceptAll compare.
+    val looped =
+      if (!alternate && unroll == 1) Iterate.nTimesUntilNoChange(initial,
+        labels => movePass(labels, None), iters, changedCol = "_moved",
+        nonEmptyGuard = true)
+      else Iterate.nTimesConverged(initial, labels =>
+        // the exceptAll compare needs pass schema == initial schema — the
+        // moved flag is the no-change path's concern, drop it here
+        (if (alternate) movePass(movePass(labels, Some(0)), Some(1))
+         else movePass(labels, None)).drop("_moved"),
+        iters, unroll = unroll, nonEmptyGuard = true)
+    looped.select(col("vertex"), col("community"))
   }
 
   /** Contract an assignment into its super-graph: cross-community mass
@@ -266,7 +280,12 @@ object Graphs {
     val deg = sym.groupBy(col("u").as("vertex")).agg(sum("w").as("k")).persist(mem)
     val m2 = sym.count().toDouble
     val l1 = louvainMoves(sym, deg, m2, iters1, unroll).persist(mem)
-    val (superSym, superDeg) = contract(sym, deg, l1)
+    // the contracted graph is scanned by EVERY level-2 move pass — cache it
+    // (lazy: the first pass populates, passes are sequential so no AQE race;
+    // left lazy, each pass re-runs the contraction joins — r20)
+    val (superSym0, superDeg0) = contract(sym, deg, l1)
+    val superSym = superSym0.persist(mem)
+    val superDeg = superDeg0.persist(mem)
     val l2 = louvainMoves(superSym, superDeg, m2, iters2, unroll)
     l1.select(col("vertex"), col("community").as("_c1"))
       .join(l2.select(col("vertex").as("_c1"), col("community")), "_c1")

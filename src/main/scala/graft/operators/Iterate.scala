@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.apache.spark.storage.StorageLevel
 
 /** Fixed-point iteration of a DataFrame transformation (reference
@@ -174,6 +175,44 @@ object Iterate {
       current.unpersist()
       current = next
       i += k
+    }
+    current
+  }
+
+  /** [[nTimes]] with a ZERO-extra-job early stop for steps that EMIT their
+    * own change counter (r20): `changedCol` names a numeric column of the
+    * step's output where sum(changedCol) == 0 ⇔ the pass left the iterated
+    * state unchanged — e.g. louvain's per-vertex moved flag. The step is
+    * deterministic, so an unchanged pass makes every remaining pass a no-op
+    * and the result is bit-identical to running all `n` passes (oracles
+    * unaffected). The sum rides the SAME aggregate that materializes the
+    * pass (the fixpointByFingerprint trick), where [[nTimesConverged]]'s
+    * exceptAll check paid 1-2 extra shuffle jobs per pass for the same
+    * verdict. The count in that aggregate feeds the free non-empty fence. */
+  def nTimesUntilNoChange(initial: DataFrame, step: DataFrame => DataFrame,
+      n: Int, changedCol: String, reliable: Boolean = false,
+      nonEmptyGuard: Boolean = false): DataFrame = {
+    require(n >= 1, s"iteration limit $n must be >= 1")
+    var current = materialize(initial, reliable)
+    val guard = nonEmptyGuard && !current.isEmpty
+    var i = 0
+    var done = false
+    while (i < n && !done) {
+      val stepped = step(current)
+      val rel = reliable || Materialize.reliable(stepped.sparkSession)
+      // local: lazy checkpoint mark, the aggregate materializes it (one job).
+      // reliable: eager FS checkpoint as everywhere, the aggregate then reads
+      // the (cached) materialized pass — still no shuffle re-run.
+      val next =
+        if (rel) materialize(stepped, reliable)
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(false)
+      val r = next.agg(count(lit(1)), sum(col(changedCol))).head
+      val cnt = r.getLong(0)
+      guardCount(cnt, guard, i)
+      done = cnt == 0 || r.getLong(1) == 0L
+      current.unpersist()
+      current = next
+      i += 1
     }
     current
   }

@@ -242,7 +242,14 @@ object Similarity {
     // by scaling nCells with corpus size (cells ≈ N/nCells members), which
     // is also what keeps probe cost flat — the bound and the perf posture
     // want the same knob.
-    val centroids = (0 until refineIters).foldLeft(seeds) { (ct, _) =>
+    // Each Lloyd pass is MATERIALIZED (nCells rows — one tiny job): the fold
+    // references its input twice (the broadcast assignment AND the carry-over
+    // join), so a lazy chain doubles the replayed subtree per iteration, and
+    // the final table feeds TWO consumers (corpus assignment + query probes)
+    // that would each re-run the whole chain over the cached corpus
+    // (r20 — the pqIndex lesson applied to the coarse quantizer; measured
+    // knn_ivf 2.8 s → see OPTIMIZATION_r20.md).
+    val centroids0 = (0 until refineIters).foldLeft(seeds) { (ct, _) =>
       val a = cq.join(broadcast(ct), lit(true))
         .withColumn("_sim", cosine(col("_qv"), col("_centroid")))
         .groupBy(col("nn_id")).agg(
@@ -253,9 +260,13 @@ object Similarity {
         .groupBy("_cell").agg(
           transform(array_sort(collect_list(struct(col("_i"), col("_s")))),
             e => e("_s")).as("_nv"))
-      ct.join(sums, Seq("_cell"), "left_outer")
-        .select(col("_cell"), coalesce(col("_nv"), col("_centroid")).as("_centroid"))
+      Materialize.eager(ct.join(sums, Seq("_cell"), "left_outer")
+        .select(col("_cell"), coalesce(col("_nv"), col("_centroid")).as("_centroid")))
     }
+    // refineIters = 0 leaves the seed plan lazy — materialize it for the two
+    // consumers below (with iterations, the last pass is already eager)
+    val centroids =
+      if (refineIters == 0) Materialize.eager(centroids0) else centroids0
     // cell assignment: each vector's `spill` nearest centroids by cosine
     // over the quantized view
     val aw = org.apache.spark.sql.expressions.Window
@@ -399,7 +410,13 @@ object Similarity {
       .select(col("_j"), col("_cell"), col("_centroid"))
     // Lloyd, keyed by (subspace, cell); centroid = exact Long component sums
     // (cosine is scale-invariant, so sums serve as means)
-    val centroids0 = (0 until refineIters).foldLeft(seeds) { (ct, _) =>
+    // Each Lloyd pass materialized (m × ksub rows — one tiny job): the fold
+    // references its input twice per level, so a lazy chain doubles the
+    // replayed subtree per iteration; the final table was already
+    // materialized ONCE for its two consumers (codes + query lookup tables,
+    // measured 3.5 → 1.9 s at 2k vectors) — per-pass truncation extends the
+    // same discipline inside the chain (r20).
+    val centroids1 = (0 until refineIters).foldLeft(seeds) { (ct, _) =>
       val a = subs.join(broadcast(ct), Seq("_j"))
         .withColumn("_sim", cosine(col("_sv"), col("_centroid")))
         .groupBy(col("nn_id"), col("_j")).agg(
@@ -411,15 +428,12 @@ object Similarity {
         .groupBy("_j", "_cell").agg(
           transform(array_sort(collect_list(struct(col("_i"), col("_s")))),
             e => e("_s")).as("_nv"))
-      ct.join(sums, Seq("_j", "_cell"), "left_outer")
+      Materialize.eager(ct.join(sums, Seq("_j", "_cell"), "left_outer")
         .select(col("_j"), col("_cell"),
-          coalesce(col("_nv"), col("_centroid")).as("_centroid"))
+          coalesce(col("_nv"), col("_centroid")).as("_centroid")))
     }
-    // materialize the codebooks ONCE (m × ksub rows): codes and the query
-    // lookup tables both consume them — left lazy, each consumer re-runs
-    // every Lloyd pass over the corpus (measured 3.5 → 1.9 s at 2k vectors,
-    // and the probe's 10× rung stops re-scanning the corpus twice)
-    val centroids = Materialize.eager(centroids0)
+    val centroids =
+      if (refineIters == 0) Materialize.eager(centroids1) else centroids1
     // freeze the cell → lookup-table index mapping (ascending seed ids)
     val cellIds = seedRows.select(col("_cell")).collect()
       .map(_.getLong(0)).sorted

@@ -65,4 +65,46 @@ class LinalgSpec extends AnyFunSuite {
       assert(got == base, s"partitions=$p")
     }
   }
+
+  /** The exact HOF chain the native [[graft.functions.MatMul2d]] replaced
+    * (r20) — kept here as the semantics pin: identical left-to-right 0.0-seed
+    * double folds AND identical null poisoning, bit-for-bit. */
+  private def hofMatmul2d(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(a, row =>
+      transform(sequence(lit(1), size(element_at(b, 1))), j =>
+        aggregate(zip_with(row, b, (x, brow) => x.cast("double") * element_at(brow, j)),
+          lit(0.0), (acc, v) => acc + v)))
+
+  test("MatMul2d native kernel ≡ the HOF chain it replaced, bit-for-bit " +
+      "(values, fold order, null poisoning)") {
+    import graft.functions.Exprs
+    // non-round doubles so any fold-order difference shows in the bits
+    val flat = (0 until 64).map(i => math.sin(i + 1) * 3.7).toArray
+    val base = Seq(Tuple1(flat.toSeq)).toDF("v")
+      .select(Exprs.reshape(col("v"), 8, 8).as("m"))
+    def run(c: org.apache.spark.sql.Column) =
+      base.select(c.as("p")).collect()(0)
+        .getSeq[scala.collection.Seq[java.lang.Double]](0).toList.map(r => if (r == null) null else r.toList)
+    val native = run(Exprs.matmul2d(col("m"), Exprs.transpose2d(col("m"))))
+    val hof = run(hofMatmul2d(col("m"), Exprs.transpose2d(col("m"))))
+    assert(native == hof) // Seq equality on boxed doubles = exact bit values
+
+    // rectangular product (2×3 · 3×2) and null poisoning: a null element
+    // nulls exactly the cells whose k-fold touches it; a null A-row yields a
+    // row of null cells
+    val aM = Seq(Tuple2(
+      Seq(Seq[java.lang.Double](1.5, 2.5, 3.5), null,
+          Seq[java.lang.Double](1.0, null, 2.0)),
+      Seq(Seq[java.lang.Double](1.25, 2.0), Seq[java.lang.Double](0.5, 1.0),
+          Seq[java.lang.Double](2.0, 4.0)))).toDF("a", "b")
+    def runOn(df: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.Column) =
+      df.select(c.as("p")).collect()(0)
+        .getSeq[scala.collection.Seq[java.lang.Double]](0).toList.map(r => if (r == null) null else r.toList)
+    val gotN = runOn(aM, Exprs.matmul2d(col("a"), col("b")))
+    val gotH = runOn(aM, hofMatmul2d(col("a"), col("b")))
+    assert(gotN == gotH)
+    assert(gotN(1) == List(null, null)) // null A-row → poisoned cells
+    assert(gotN(2) == List(null, null)) // null element → poisoned folds
+  }
 }
