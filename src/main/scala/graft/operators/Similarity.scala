@@ -230,6 +230,15 @@ object Similarity {
     val cq = corpus.select(cId.as("nn_id"), cVec.as("_cv"),
         Clustering.quantize(cVec).as("_qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ivfCoarseOn(cq, queries, qId, qVec, nCells, nProbe, refineIters, spill)
+  }
+
+  /** [[ivfCoarse]] over a PREPARED corpus frame (nn_id, _cv, _qv), already
+    * persisted by the caller — lets [[ivfadcKnn]] share one quantized corpus
+    * scan with [[pqIndex]] instead of each building its own (r20). */
+  private def ivfCoarseOn(cq: DataFrame, queries: DataFrame, qId: Column,
+      qVec: Column, nCells: Int, nProbe: Int, refineIters: Int,
+      spill: Int): (DataFrame, DataFrame) = {
     val seeds = cq
       .orderBy(graft.functions.CrossHash.md5Long(col("nn_id")), col("nn_id"))
       .limit(nCells)
@@ -316,10 +325,25 @@ object Similarity {
       k: Int, dim: Int, m: Int = 4, ksub: Int = 8,
       nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2,
       spill: Int = 3): DataFrame = {
-    val index = pqIndex(corpus, cId, cVec, dim, m, ksub, refineIters)
-    val cand = ivfCandidates(queries, qId, qVec, corpus, cId, cVec,
-      nCells, nProbe, refineIters, spill)
-    pqRerank(index, queries, qId, qVec, cand, k)
+    // ONE quantized corpus scan shared by the PQ codebook training and the
+    // IVF coarse quantizer (r20 — each previously built and persisted its
+    // own (nn_id, _qv) projection: two corpus scans, two cache copies).
+    // The candidate set is materialized so the prepared frame can be
+    // released before the rerank executes.
+    val prep = corpus.select(cId.as("nn_id"), cVec.as("_cv"),
+        Clustering.quantize(cVec).as("_qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      prep.count()
+      val index = pqIndexOn(prep, dim, m, ksub, refineIters)
+      val (probed, assigned) = ivfCoarseOn(prep, queries, qId, qVec,
+        nCells, nProbe, refineIters, spill)
+      val cand = Materialize.eager(probed.join(assigned, Seq("_cell"))
+        .filter(col("query_id") =!= col("nn_id"))
+        .select(col("query_id"), col("nn_id"))
+        .dropDuplicates("query_id", "nn_id"))
+      pqRerank(index, queries, qId, qVec, cand, k)
+    } finally prep.unpersist(false)
   }
 
   /** Embedding near-dup pairs via one shared LSH table (dedup-by-cosine):
@@ -388,17 +412,26 @@ object Similarity {
 
   def pqIndex(corpus: DataFrame, cId: Column, cVec: Column,
       dim: Int, m: Int = 4, ksub: Int = 8, refineIters: Int = 2): PqIndex = {
+    val cq = corpus.select(cId.as("nn_id"), Clustering.quantize(cVec).as("_qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // eager materialize: the Lloyd chain and the code assignment both scan
+      // cq — without this, AQE's parallel subquery jobs race to fill the
+      // unpopulated cache (the minhashCore lesson)
+      cq.count()
+      pqIndexOn(cq, dim, m, ksub, refineIters)
+    } finally cq.unpersist(false)
+  }
+
+  /** [[pqIndex]] over a PREPARED quantized corpus frame carrying
+    * (nn_id, _qv), already persisted + materialized by the caller — lets
+    * [[ivfadcKnn]] share one corpus scan with the coarse quantizer (r20). */
+  private def pqIndexOn(cq: DataFrame,
+      dim: Int, m: Int, ksub: Int, refineIters: Int): PqIndex = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val dsub = dim / m
     def subSlices(v: Column): Column =
       array((0 until m).map(j => slice(v, j * dsub + 1, dsub)): _*)
-    val cq = corpus.select(cId.as("nn_id"), Clustering.quantize(cVec).as("_qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-    // eager materialize: the Lloyd chain and the code assignment both scan
-    // cq — without this, AQE's parallel subquery jobs race to fill the
-    // unpopulated cache (the minhashCore lesson)
-    cq.count()
     val subs = cq.select(col("nn_id"),
       posexplode(subSlices(col("_qv"))).as(Seq("_j", "_sv")))
     val seedRows = cq
@@ -448,9 +481,8 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("_j"), col("_cell")))),
           e => array_position(cellIdx, e("_cell"))).as("_codes"))
     // the PQ index IS the materialized code table: one eager build, after
-    // which the raw vectors (cq) can be released
+    // which the caller may release the raw vectors (cq)
     PqIndex(centroids, Materialize.eager(codes), cellIds, dim, m, ksub)
-    } finally cq.unpersist(false)
   }
 
   /** ADC query over a built [[PqIndex]]: per query, an (m × ksub) lookup

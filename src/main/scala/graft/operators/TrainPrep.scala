@@ -370,7 +370,12 @@ object TrainPrep {
   def diversitySample(points: DataFrame, id: Column, vec: Column, dim: Int,
       k: Int, cap: Int, nPlanes: Int = 4, nTables: Int = 4,
       lloydIters: Int = 2, hotThreshold: Long = 1L << 22): DataFrame = {
+    // capPerGroup scans its input at least twice (hot-group probe + the rank
+    // pass) — cache the cluster assignment so the vote/window plan runs once
+    // (lazy persist: capPerGroup's eager hot probe is the first action and
+    // populates it sequentially, no AQE race; r20)
     val labeled = Clustering.viaLsh(points, id, vec, dim, k, nPlanes, nTables, lloydIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     capPerGroup(labeled, col("id"), col("label"), cap, hotThreshold)
   }
 
