@@ -748,12 +748,21 @@ object Temporal {
   def interpolate(t: Column, v: Column, instance: Seq[Column]): Column = {
     val wPrev = Window.partitionBy(instance: _*).orderBy(t)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = Window.partitionBy(instance: _*).orderBy(t)
-      .rowsBetween(1, Window.unboundedFollowing)
+    // "next non-null" as a RUNNING frame over the REVERSED order: identical
+    // value to first(ignoreNulls) over [+1, unboundedFollowing) on the
+    // ascending order (the last frame row in t-descending order before the
+    // current row IS the nearest later timestamp), but Spark evaluates an
+    // UnboundedFollowing frame by rebuilding the aggregate from scratch per
+    // row — O(rows²) per instance, a scale hazard on long per-instance
+    // histories — while the unboundedPreceding form is the O(rows) running
+    // frame (r20, guide §1.2 first-principles). Costs one extra in-partition
+    // sort (same single exchange: identical partition keys).
+    val wNext = Window.partitionBy(instance: _*).orderBy(t.desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val pv = last(v, ignoreNulls = true).over(wPrev)
     val pt = last(when(v.isNotNull, usOf(t)), ignoreNulls = true).over(wPrev)
-    val nv = first(v, ignoreNulls = true).over(wNext)
-    val nt = first(when(v.isNotNull, usOf(t)), ignoreNulls = true).over(wNext)
+    val nv = last(v, ignoreNulls = true).over(wNext)
+    val nt = last(when(v.isNotNull, usOf(t)), ignoreNulls = true).over(wNext)
     when(v.isNotNull, v)
       .when(pv.isNull, nv)
       .when(nv.isNull, pv)
