@@ -25,8 +25,33 @@ import java.util.concurrent.{FutureTask, TimeUnit, TimeoutException}
   *     appeared on its own line;
   *  3. the complete JSON is also written to SPARK_GRAFT_BENCH_OUT
   *     (default /tmp/graft_bench_full.json).
+  *
+  * Every form carries `calib`/`calib_end`: a fixed 2M-chained-MD5
+  * single-core loop timed before and after the sweep, so host-load
+  * contamination (the r20 driver sweep read untouched rows 1.3-2.9× slower
+  * under external load) is detectable and correctable from the artifact.
   */
 object Bench {
+  /** Fixed single-core calibration workload (r21, VERDICT #1): 2M chained
+    * MD5 digests — pure JVM compute, no Spark, no I/O. Identical work every
+    * round, so the reading is a direct probe of how fast this host runs
+    * single-threaded code RIGHT NOW: the r20 driver sweep carried ~35%
+    * inflation on untouched rows from external load, and nothing in the
+    * artifact could prove it. Emitted as `calib` (before the sweep) and
+    * `calib_end` (after) in every output form; cross-round comparisons can
+    * deflate by the calib ratio from the artifact alone. */
+  private def calibrate(): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var buf = new Array[Byte](16)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 2000000) { buf = md.digest(buf); i += 1 }
+    // fold the digest into a sink so the loop cannot be dead-code-eliminated
+    calibSink += buf(0)
+    (System.nanoTime() - t0) / 1e9
+  }
+  @volatile private var calibSink: Long = 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,6 +70,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT-warm the calibration loop itself, then take the pre-sweep reading
+    calibrate()
+    val calibStart = calibrate()
     // untimed warmup: absorb JVM/session/committer startup so it isn't charged
     // to whichever query runs first
     try {
@@ -109,6 +137,8 @@ object Bench {
       println(s"""{"q":"$name","cold":${r3(cold)},"s":${r3(warm)},"reps":$reps,"spread":${r3(spread)}}""")
       name -> (cold, warm, reps, spread)
     }
+    val calibEnd = calibrate()
+    val calib = s""""calib":${r3(calibStart)},"calib_end":${r3(calibEnd)}"""
     val qs = results.map { case (k, (_, w, _, _)) => s"\"" + k + "\":" + r3(w) }
       .mkString("{", ",", "}")
     val warmTotal = results.values.map(_._2).filter(_ > 0).sum
@@ -120,22 +150,33 @@ object Bench {
     val streamingFloor = Set("sync_group_stream", "inactivity_stream_replay")
     val computeTotal = results.collect {
       case (k, (_, w, _, _)) if w > 0 && !streamingFloor(k) => w }.sum
-    val line = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","compute_total":${r3(computeTotal)},"cold_total":${r3(coldTotal)},"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","compute_total":${r3(computeTotal)},"cold_total":${r3(coldTotal)},$calib,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the tail of stdout (~2000 chars, BENCH_r*.json
     // "tail"), so the full line above gets its head cut off once the query map
     // outgrows the cap — every round's artifact shows parsed:null. Emit a LAST
     // compact line (slowest 15 queries only, guaranteed < ~500 chars) so a
     // tail-side parser always finds one complete {"metric":...} JSON line.
-    val top = results.toSeq.sortBy(-_._2._2).take(15)
+    // (r21, VERDICT #1) the tail line also carries calib plus per-row
+    // reps/spread for its 15 rows, so a load-contaminated sweep is BOTH
+    // detectable (calib vs prior rounds, spread per row) and correctable
+    // from the driver-parsed artifact alone; `queries` stays name→sec.
+    val topRows = results.toSeq.sortBy(-_._2._2).take(15)
+    val top = topRows
       .map { case (k, (_, w, _, _)) => s"\"" + k + "\":" + r3(w) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","compute_total":${r3(computeTotal)},"cold_total":${r3(coldTotal)},"n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
+    val topReps = topRows
+      .map { case (k, (_, _, n, _)) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val topSpread = topRows
+      .map { case (k, (_, _, _, sp)) => s"\"" + k + "\":" + r3(sp) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","compute_total":${r3(computeTotal)},"cold_total":${r3(coldTotal)},$calib,"n_queries":${results.size},"queries":$top,"reps":$topReps,"spread":$topSpread,"sf":"$sfDir"}""")
     try {
       val full = results.map { case (k, (c, w, n, sp)) =>
         s"""    "$k": {"cold": ${r3(c)}, "warm": ${r3(w)}, "reps": $n, "spread": ${r3(sp)}}""" }
         .mkString("{\n  \"metric\": \"total\",\n  \"value\": " + r3(warmTotal) +
           ",\n  \"unit\": \"sec\",\n  \"compute_total\": " + r3(computeTotal) +
           ",\n  \"cold_total\": " + r3(coldTotal) +
+          ",\n  \"calib\": " + r3(calibStart) +
+          ",\n  \"calib_end\": " + r3(calibEnd) +
           ",\n  \"sf\": \"" + sfDir + "\",\n  \"queries\": {\n", ",\n", "\n  }\n}\n")
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

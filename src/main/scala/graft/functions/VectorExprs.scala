@@ -298,10 +298,13 @@ case class QuantizeVec(child: Expression, scale: Long) extends UnaryExpression {
   * (zip_with(null, b) poisons every fold); a null element, a row-length
   * mismatch against `b`, or a `b` row shorter than j yields a null cell
   * (null products poison the fold). The column count comes from `b`'s first
-  * row like `size(element_at(b, 1))`; an empty `b` (which the HOF form can
-  * only error on) yields null. */
-case class MatMul2d(left: Expression, right: Expression) extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  * row like `size(element_at(b, 1))`; an empty or null-first-row `b` yields
+  * null — a DOCUMENTED divergence from the HOF chain on that degenerate
+  * input (with ANSI off + legacy sizeOfNull the HOF's
+  * `sequence(1, size(element_at(b,1)))` = sequence(1,-1) = [1,0,-1], so it
+  * returns rows of 3 null cells; the native kernel's null is the graceful
+  * intended behavior — LinalgSpec pins both degenerate cases). */
+case class MatMul2d(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType =
     ArrayType(ArrayType(DoubleType, containsNull = true), containsNull = true)
   override def nullable: Boolean = true
@@ -323,9 +326,14 @@ case class MatMul2d(left: Expression, right: Expression) extends BinaryExpressio
   @transient private lazy val etR = right.dataType.asInstanceOf[ArrayType]
     .elementType.asInstanceOf[ArrayType].elementType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  /** The kernel, shared by interpreted eval and codegen (r21: was
+    * CodegenFallback, which re-evaluated the CHILD subtree interpreted per
+    * row; now children run inside whole-stage codegen and only this call is
+    * a single virtual dispatch per row). */
+  private[functions] def compute(a: ArrayData, b: ArrayData): Any = {
     val nb = b.numElements()
     if (nb == 0 || b.isNullAt(0)) return null
     // b rows decoded once per (a,b) evaluation — not once per cell
@@ -368,6 +376,17 @@ case class MatMul2d(left: Expression, right: Expression) extends BinaryExpressio
     }
     new GenericArrayData(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val self = ctx.addReferenceObj("matmul2d", this, classOf[MatMul2d].getName)
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = $self.compute($a, $b);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res; }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -109,7 +109,14 @@ object Clustering {
     * (score DESC, cluster ASC) tie-break; empty clusters keep their previous
     * centroid) → each point votes with all its buckets, majority label wins
     * (ties → smaller label).
-    */
+    *
+    * The returned assignment is MATERIALIZED (localCheckpoint — one narrow
+    * (id, label) row per point), and the internal bucketed-corpus cache is
+    * released before returning (r21): the old shape left the nTables×-wider
+    * bucket table persisted for the session's lifetime, and every consumer
+    * (semanticDedup's per-cluster self-join, diversitySample's two
+    * capPerGroup scans, the clustering_lsh row) re-ran the vote/window plan
+    * per scan. */
   def viaLsh(points: DataFrame, id: Column, vec: Column, dim: Int, k: Int,
       nPlanes: Int = 4, nTables: Int = 4, lloydIters: Int = 2): DataFrame = {
     // Quantize + all nTables bucket strings in ONE mapPartitions kernel:
@@ -225,8 +232,9 @@ object Clustering {
       .join(broadcast(labels), Seq("_table", "_bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pid")).orderBy(col("_cnt").desc, col("_label").asc)
-    votes.groupBy("pid", "_label").agg(count(lit(1)).as("_cnt"))
+    try Materialize.eager(votes.groupBy("pid", "_label").agg(count(lit(1)).as("_cnt"))
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col("pid").as("id"), col("_label").as("label"))
+      .select(col("pid").as("id"), col("_label").as("label")))
+    finally b.unpersist(false)
   }
 }

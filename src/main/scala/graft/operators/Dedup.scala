@@ -198,7 +198,19 @@ object Dedup {
     val sig = sigRows.select(col("id") +:
         (0 until numHashes).map(s => col("_mins")(s).as(s"_h$s")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sig.count()
+    val nSigs = sig.count()
+    // Tiny-corpus LAZY mode (r21, VERDICT #3): the prefilter/candSet
+    // persist+count fences below defend EXPENSIVE subtrees against AQE's
+    // racing parallel subquery jobs — but each fence is a full local job
+    // (~0.3-0.5 s of scheduling latency), and below a few thousand docs the
+    // whole guarded subtree costs less than the fence itself (the ~300-doc
+    // curate stage inside select_and_curate paid all of them). The signature
+    // count is already on hand from the sig fence, so the branch is free;
+    // duplicate lazy recompute of a tiny subtree is cheap and deterministic
+    // (everything derives from the materialized sig). Threshold is a session
+    // conf; at any production scale the fenced path runs unchanged.
+    val lazyFences = nSigs <= sess.conf.getOption(LazyFenceRowsConf)
+      .map(_.toLong).getOrElse(DefaultLazyFenceRows)
     var candSets: DataFrame = null
     var prefilteredCached: DataFrame = null
     try {
@@ -246,12 +258,17 @@ object Dedup {
     // operator's fixed stage overhead (measured 27 s → 9 s full-op at
     // sf0.1). Size is bounded by the prefilter: true near-dups + margin
     // survivors only, orders of magnitude below the corpus.
-    val prefiltered = uniquePairs.join(sigL, "id1").join(sigR, "id2")
+    val prefilteredPlan = uniquePairs.join(sigL, "id1").join(sigR, "id2")
       .filter(estJaccard >= estMin)
       .select("id1", "id2")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prefilteredCached = prefiltered
-    prefiltered.count()
+    val prefiltered =
+      if (lazyFences) prefilteredPlan
+      else {
+        prefilteredCached = prefilteredPlan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prefilteredCached.count()
+        prefilteredCached
+      }
 
     // verification: shingle ONLY docs that appear in some surviving pair
     // (semi-join first), then join the small candidate set to both sides and
@@ -262,7 +279,7 @@ object Dedup {
     // pair join, and the interpreted shingle HOF stays off this path.
     val candIds = prefiltered.select(col("id1").as("id"))
       .unionByName(prefiltered.select(col("id2").as("id"))).distinct()
-    candSets = norm.join(candIds, Seq("id"), "left_semi")
+    val candSetsPlan = norm.join(candIds, Seq("id"), "left_semi")
       .as[(Long, String)].mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (docId, n) =>
@@ -287,19 +304,26 @@ object Dedup {
           }
         }
       }.toDF("id", "_sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Eager materialize: candSets is joined twice below (id1/id2 sides), and
-    // AQE's parallel subquery jobs otherwise race to fill the unpopulated
-    // cache, running the shingle kernel (+ its semi-join input) twice.
-    candSets.count()
+    // Eager materialize (fenced mode only): candSets is joined twice below
+    // (id1/id2 sides), and AQE's parallel subquery jobs otherwise race to
+    // fill the unpopulated cache, running the shingle kernel (+ its
+    // semi-join input) twice. Lazy mode just recomputes the tiny kernel.
+    val cs =
+      if (lazyFences) candSetsPlan
+      else {
+        candSets = candSetsPlan
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        candSets.count()
+        candSets
+      }
     // Materialize the verified pairs (small: true near-dups only) so the
     // signature/shingle caches can be released in finally — repeated
     // same-session calls no longer leak a cache entry per invocation.
     // localCheckpoint truncates lineage; its blocks are ContextCleaner-
     // managed once the frame is unreachable, unlike persist entries.
     val dupPairs = Materialize.eager(prefiltered
-      .join(candSets.select(col("id").as("id1"), col("_sh").as("_sh1")), Seq("id1"))
-      .join(candSets.select(col("id").as("id2"), col("_sh").as("_sh2")), Seq("id2"))
+      .join(cs.select(col("id").as("id1"), col("_sh").as("_sh1")), Seq("id1"))
+      .join(cs.select(col("id").as("id2"), col("_sh").as("_sh2")), Seq("id2"))
       .filter(jaccard(col("_sh1"), col("_sh2")) >= threshold)
       .select("id1", "id2"))
 
@@ -496,6 +520,18 @@ object Dedup {
     * boilerplate key can't go quadratic at corpus scale. */
   val DefaultBucketCap: Int = 4096
 
+  /** Session conf: corpora at or below this many docs run [[minhashCore]]
+    * WITHOUT the prefilter/candSet persist+count fences (r21). The fences
+    * exist to stop AQE's parallel subquery jobs from racing an expensive
+    * unpopulated cache (r17: 13→4 s / 27→9 s at sf0.1) — below a few
+    * thousand docs the whole guarded subtree is cheaper than one fence
+    * job's local scheduling latency, so lazy duplicate recompute wins. The
+    * signature table's own persist+count stays (it supplies this count for
+    * free); results are identical either way — the branch changes
+    * materialization, not the plan's semantics. */
+  val LazyFenceRowsConf = "spark.graft.dedup.lazyFenceRows"
+  val DefaultLazyFenceRows: Long = 2000L
+
   /** Shared hot-bucket-guarded band self-join for the whole LSH family
     * (minhashLsh, [[hash64DupPairs]], Similarity.embeddingDupPairs).
     *
@@ -594,18 +630,30 @@ object Dedup {
     // empty. When a bucket IS hot, the guarded three-tier plan compiles
     // exactly as before (observe metric + WARN listener included — the
     // observation only ever fires with hot_buckets > 0, which is unchanged).
-    if (buckets.groupBy(keys: _*).agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > bucketCap).isEmpty)
-      return pairUp(buckets)
+    // The probe COLLECTS the aggregate (r21, VERDICT #5): the hot path
+    // previously paid the hot-key aggregate twice — once as this probe, once
+    // again as the broadcast build — two full scans of the banded corpus.
+    // The collected set is the same bounded (≤ rows/bucketCap) relation the
+    // old plan already shipped to the driver as a broadcast, so driver
+    // memory is unchanged; it now feeds BOTH the plan decision and (rebuilt
+    // as a local relation, with the observe metric riding it) the broadcast
+    // side. Contract (as dupGroups documents): `buckets` must be
+    // deterministic under rescan — the probe freezes the hot-key SET, the
+    // executed joins rescan the input.
+    val hotAgg = buckets.groupBy(keys: _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > bucketCap)
+    val hotRows = hotAgg.collect()
+    if (hotRows.isEmpty) return pairUp(buckets)
 
     val payloadStruct = struct(col("id") +: payloadCols.map(col): _*)
     def repSide(structCol: String, n: Int): Seq[Column] =
       (col(s"$structCol.id").as(s"id$n") +:
         payloadCols.map(p => col(s"$structCol.$p").as(s"${p}_$n"))).toSeq
 
-    ensureGuardObserver(buckets.sparkSession)
-    val hotKeys = broadcast(buckets.groupBy(keys: _*)
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > bucketCap)
+    val spark = buckets.sparkSession
+    ensureGuardObserver(spark)
+    val hotKeys = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(hotRows.toSeq, 1), hotAgg.schema)
       .observe(s"$GuardObservationPrefix${guardRunId.incrementAndGet()}",
         count(lit(1)).as("hot_buckets"), max(col("_n")).as("max_bucket_rows"))
       .select(keys: _*))

@@ -205,33 +205,36 @@ object Similarity {
       corpus: DataFrame, cId: Column, cVec: Column,
       k: Int, nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2,
       spill: Int = 3): DataFrame = {
-    val (probed, assigned) = ivfCoarse(queries, qId, qVec,
-      corpus, cId, cVec, nCells, nProbe, refineIters, spill)
-    // spill-replicated vectors can reach a query through several probed
-    // cells: dedupe the (query, candidate) pair before scoring
-    val scored = probed.join(assigned, Seq("_cell"))
-      .filter(col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("_qv"), col("nn_id"), col("_cv"))
-      .dropDuplicates("query_id", "nn_id")
-      .withColumn("score", cosine(col("_qv"), col("_cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nn_id"), col("score"), col("rank").cast("long").as("rank"))
+    val cq = ivfPrep(corpus, cId, cVec)
+    try {
+      val (probed, assigned) = ivfCoarseOn(cq, queries, qId, qVec,
+        nCells, nProbe, refineIters, spill)
+      // spill-replicated vectors can reach a query through several probed
+      // cells: dedupe the (query, candidate) pair before scoring
+      val scored = probed.join(assigned, Seq("_cell"))
+        .filter(col("query_id") =!= col("nn_id"))
+        .select(col("query_id"), col("_qv"), col("nn_id"), col("_cv"))
+        .dropDuplicates("query_id", "nn_id")
+        .withColumn("score", cosine(col("_qv"), col("_cv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score").desc, col("nn_id"))
+      // materialize the (queries × k)-bounded result so the quantized-corpus
+      // cache can be RELEASED in finally — the old shape left cq persisted
+      // for the session's lifetime (r21; same leak class as VERDICT #4)
+      Materialize.eager(scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("nn_id"), col("score"),
+          col("rank").cast("long").as("rank")))
+    } finally cq.unpersist(false)
   }
 
-  /** Coarse IVF stage shared by [[ivfKnn]] and [[ivfCandidates]]: returns
-    * (probed(query_id, _qv, _cell), assigned(_cell, nn_id, _cv)). */
-  private def ivfCoarse(queries: DataFrame, qId: Column, qVec: Column,
-      corpus: DataFrame, cId: Column, cVec: Column,
-      nCells: Int, nProbe: Int, refineIters: Int,
-      spill: Int): (DataFrame, DataFrame) = {
-    val cq = corpus.select(cId.as("nn_id"), cVec.as("_cv"),
+  /** The shared quantized-corpus projection of the IVF family — persisted
+    * LAZILY (the first Lloyd pass populates it sequentially; no AQE race,
+    * r20); callers own the release. */
+  private def ivfPrep(corpus: DataFrame, cId: Column, cVec: Column): DataFrame =
+    corpus.select(cId.as("nn_id"), cVec.as("_cv"),
         Clustering.quantize(cVec).as("_qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ivfCoarseOn(cq, queries, qId, qVec, nCells, nProbe, refineIters, spill)
-  }
 
   /** [[ivfCoarse]] over a PREPARED corpus frame (nn_id, _cv, _qv), already
     * persisted by the caller — lets [[ivfadcKnn]] share one quantized corpus
@@ -304,12 +307,17 @@ object Similarity {
       corpus: DataFrame, cId: Column, cVec: Column,
       nCells: Int = 16, nProbe: Int = 4, refineIters: Int = 2,
       spill: Int = 3): DataFrame = {
-    val (probed, assigned) = ivfCoarse(queries, qId, qVec,
-      corpus, cId, cVec, nCells, nProbe, refineIters, spill)
-    probed.join(assigned, Seq("_cell"))
-      .filter(col("query_id") =!= col("nn_id"))
-      .select(col("query_id"), col("nn_id"))
-      .dropDuplicates("query_id", "nn_id")
+    val cq = ivfPrep(corpus, cId, cVec)
+    try {
+      val (probed, assigned) = ivfCoarseOn(cq, queries, qId, qVec,
+        nCells, nProbe, refineIters, spill)
+      // narrow (query_id, nn_id) pairs, bounded by queries × probed cells —
+      // materialized so cq releases (r21, as ivfKnn)
+      Materialize.eager(probed.join(assigned, Seq("_cell"))
+        .filter(col("query_id") =!= col("nn_id"))
+        .select(col("query_id"), col("nn_id"))
+        .dropDuplicates("query_id", "nn_id"))
+    } finally cq.unpersist(false)
   }
 
   /** IVFADC (Jégou et al. 2011 §IV-A, the FAISS IVFPQ shape): coarse IVF
@@ -358,16 +366,25 @@ object Similarity {
       dim: Int, threshold: Double, nPlanes: Int = 8, nTables: Int = 8,
       bucketCap: Int = Dedup.DefaultBucketCap): DataFrame = {
     val base = df.select(id.as("id"), vec.as("_v"))
+    // guardedSelfJoin's materialized-deterministic input contract (advice
+    // r20): its hot-key probe runs a job over `b` at call time and the
+    // returned join rescans it (twice, as the self-join's two sides) —
+    // persist so the SRP bucketing subtree computes once (the probe's job
+    // populates the cache sequentially), and release it once the bounded
+    // candidate pair set is materialized.
     val b = base.select(col("id"), col("_v"),
       posexplode(srpAllBuckets(col("_v"), nTables, nPlanes, dim)).as(Seq("_table", "_bucket")))
       .select(col("_table"), col("_bucket"), col("id"),
         xxhash64(col("_v")).as("_subKey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates stay NARROW (id1, id2): a pair can surface from up to
     // nTables buckets, so dedupe 16-byte rows first and rejoin the vectors
     // once per unique pair — not once per bucket copy
-    val pairs = Dedup.guardedSelfJoin(b, Seq("_table", "_bucket"), Nil, bucketCap)
-    pairs
-      .dropDuplicates("id1", "id2")
+    val uniquePairs =
+      try Materialize.eager(Dedup.guardedSelfJoin(b, Seq("_table", "_bucket"), Nil, bucketCap)
+        .dropDuplicates("id1", "id2"))
+      finally b.unpersist(false)
+    uniquePairs
       .join(base.select(col("id").as("id1"), col("_v").as("_v1")), "id1")
       .join(base.select(col("id").as("id2"), col("_v").as("_v2")), "id2")
       .withColumn("score", cosine(col("_v1"), col("_v2")))

@@ -434,15 +434,18 @@ object TextOps {
       return base.select(col("id"), lit("").as("term"), lit(0.0).as("score")).limit(0)
     val avgdl = r.getDouble(1)
 
-    val termDf = base
-      .select(col("id"), explode(array_distinct(col("_toks"))).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-
     val tf = base
       .select(col("id"), col("_dl"), explode(col("_toks")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("id"), col("term"), col("_dl")).agg(count(lit(1)).as("tf"))
+
+    // df derives from tf's OWN aggregate (r21, guide §2.4): tf holds exactly
+    // one row per (doc, matching term), so count-of-rows per term IS the
+    // document frequency — the old separate array_distinct+explode pass was
+    // a second full tokenize+scan of the corpus for a number the first pass
+    // already determines. The shared tf subtree's exchange is canonically
+    // identical under both consumers, so AQE stage reuse runs it once.
+    val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
     tf.join(broadcast(termDf), "term")
       .withColumn("idf",

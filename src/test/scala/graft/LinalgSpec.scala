@@ -107,4 +107,22 @@ class LinalgSpec extends AnyFunSuite {
     assert(gotN(1) == List(null, null)) // null A-row → poisoned cells
     assert(gotN(2) == List(null, null)) // null element → poisoned folds
   }
+
+  test("MatMul2d degenerate b (empty / null first row): native yields null — " +
+      "the documented intended divergence from the HOF chain (advice r20)") {
+    import graft.functions.Exprs
+    // empty b: HOF (ANSI off, legacy sizeOfNull) sees size(element_at(b,1))
+    // = -1 → sequence(1,-1) = [1,0,-1] → rows of 3 null cells; native = null
+    val emptyB = Seq(Tuple2(
+      Seq(Seq[java.lang.Double](1.0, 2.0)),
+      Seq.empty[Seq[java.lang.Double]])).toDF("a", "b")
+    val gotEmpty = emptyB.select(Exprs.matmul2d(col("a"), col("b")).as("p")).collect()(0)
+    assert(gotEmpty.isNullAt(0), "empty b → null result (graceful, not 3-null-cell rows)")
+    // null first b-row: same rule — column count is unknowable
+    val nullFirst = Seq(Tuple2(
+      Seq(Seq[java.lang.Double](1.0, 2.0)),
+      Seq[Seq[java.lang.Double]](null, Seq[java.lang.Double](3.0, 4.0)))).toDF("a", "b")
+    val gotNf = nullFirst.select(Exprs.matmul2d(col("a"), col("b")).as("p")).collect()(0)
+    assert(gotNf.isNullAt(0), "null first b row → null result")
+  }
 }
