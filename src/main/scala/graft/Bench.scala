@@ -155,20 +155,24 @@ object Bench {
     // The driver captures only the tail of stdout (~2000 chars, BENCH_r*.json
     // "tail"), so the full line above gets its head cut off once the query map
     // outgrows the cap — every round's artifact shows parsed:null. Emit a LAST
-    // compact line (slowest 15 queries only, guaranteed < ~500 chars) so a
+    // compact line (slowest 15 queries only, ~1 kB with the r21 calib/rs
+    // additions — still well under the cap) so a
     // tail-side parser always finds one complete {"metric":...} JSON line.
     // (r21, VERDICT #1) the tail line also carries calib plus per-row
-    // reps/spread for its 15 rows, so a load-contaminated sweep is BOTH
-    // detectable (calib vs prior rounds, spread per row) and correctable
-    // from the driver-parsed artifact alone; `queries` stays name→sec.
+    // [reps, spread] for its 15 rows (one "rs" map — each name printed once,
+    // not three times), so a load-contaminated sweep is BOTH detectable
+    // (calib vs prior rounds, spread per row) and correctable from the
+    // driver-parsed artifact alone; `queries` stays name→sec. Measured line
+    // size ≈ 1.0-1.1 kB against the driver's ~2 kB tail capture — the old
+    // "< ~500 chars" margin no longer holds, but a complete last line still
+    // fits with ~2× headroom (r21 review).
     val topRows = results.toSeq.sortBy(-_._2._2).take(15)
     val top = topRows
       .map { case (k, (_, w, _, _)) => s"\"" + k + "\":" + r3(w) }.mkString("{", ",", "}")
-    val topReps = topRows
-      .map { case (k, (_, _, n, _)) => s"\"" + k + "\":" + n }.mkString("{", ",", "}")
-    val topSpread = topRows
-      .map { case (k, (_, _, _, sp)) => s"\"" + k + "\":" + r3(sp) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","compute_total":${r3(computeTotal)},"cold_total":${r3(coldTotal)},$calib,"n_queries":${results.size},"queries":$top,"reps":$topReps,"spread":$topSpread,"sf":"$sfDir"}""")
+    val topRs = topRows
+      .map { case (k, (_, _, n, sp)) => s"\"" + k + "\":[" + n + "," + r3(sp) + "]" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(warmTotal)},"unit":"sec","compute_total":${r3(computeTotal)},"cold_total":${r3(coldTotal)},$calib,"n_queries":${results.size},"queries":$top,"rs":$topRs,"sf":"$sfDir"}""")
     try {
       val full = results.map { case (k, (c, w, n, sp)) =>
         s"""    "$k": {"cold": ${r3(c)}, "warm": ${r3(w)}, "reps": $n, "spread": ${r3(sp)}}""" }

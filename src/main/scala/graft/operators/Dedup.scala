@@ -205,10 +205,14 @@ object Dedup {
     // (~0.3-0.5 s of scheduling latency), and below a few thousand docs the
     // whole guarded subtree costs less than the fence itself (the ~300-doc
     // curate stage inside select_and_curate paid all of them). The signature
-    // count is already on hand from the sig fence, so the branch is free;
-    // duplicate lazy recompute of a tiny subtree is cheap and deterministic
-    // (everything derives from the materialized sig). Threshold is a session
-    // conf; at any production scale the fenced path runs unchanged.
+    // count is already on hand from the sig fence, so the branch is free.
+    // Lazy mode re-evaluates the prefilter (from the materialized sig) and
+    // the shingle kernel (from `norm`, i.e. the raw input) once per
+    // consumer — fine under minhash dedup's standing input contract that
+    // `df` is deterministic under rescan (the signature kernel and `norm`
+    // ALWAYS rescan it on separate jobs, fenced or not; a nondeterministic
+    // input was never sound here). Threshold is a session conf; at any
+    // production scale the fenced path runs unchanged.
     val lazyFences = nSigs <= sess.conf.getOption(LazyFenceRowsConf)
       .map(_.toLong).getOrElse(DefaultLazyFenceRows)
     var candSets: DataFrame = null

@@ -338,9 +338,7 @@ object Similarity {
     // own (nn_id, _qv) projection: two corpus scans, two cache copies).
     // The candidate set is materialized so the prepared frame can be
     // released before the rerank executes.
-    val prep = corpus.select(cId.as("nn_id"), cVec.as("_cv"),
-        Clustering.quantize(cVec).as("_qv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prep = ivfPrep(corpus, cId, cVec)
     try {
       prep.count()
       val index = pqIndexOn(prep, dim, m, ksub, refineIters)

@@ -445,6 +445,10 @@ object TextOps {
     // a second full tokenize+scan of the corpus for a number the first pass
     // already determines. The shared tf subtree's exchange is canonically
     // identical under both consumers, so AQE stage reuse runs it once.
+    // Input contract made explicit by this derivation: `id` identifies a
+    // document (one row per id). Duplicate-id rows were ill-defined before
+    // too — tf's groupBy merged them while the old df counted them per row,
+    // an inconsistent hybrid; now both sides agree on the merged reading.
     val termDf = tf.groupBy("term").agg(count(lit(1)).as("df"))
 
     tf.join(broadcast(termDf), "term")

@@ -382,8 +382,16 @@ object Inactivity {
       .map(_.toLong).getOrElse(8192L)
     val stateParts = math.max(1L,
       math.min(sessParts.toLong, (nInst + keysPer - 1) / keysPer)).toInt
-    // a fresh session scopes the override to this one streaming query
+    // a fresh session scopes the override to this one streaming query.
+    // newSession() starts from SparkConf DEFAULTS, not the caller's runtime
+    // conf (the Bpe.scala lesson) — carry the caller's SQL settings (state
+    // store provider, timezone, ANSI…) over, THEN apply the partitioning
+    // override. Static/immutable entries reject the set — skip them.
     val ss = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try ss.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     ss.conf.set("spark.sql.shuffle.partitions", stateParts)
     val q = ss.readStream.schema(inSchema)
       .option("maxFilesPerTrigger", 1)
