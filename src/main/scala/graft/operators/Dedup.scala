@@ -569,7 +569,12 @@ object Dedup {
     * hot bucket) → both broadcast; the cold path is a broadcast anti-join;
     * the only added work vs all-pairs is the map-side-combined count and
     * the sub-rep agg over hot members only. `bucketCap = Int.MaxValue`
-    * short-circuits to the unguarded all-pairs join (the honest control). */
+    * short-circuits to the unguarded all-pairs join (the honest control).
+    *
+    * Input contract (like [[dupGroups]]): `buckets` must be DETERMINISTIC
+    * under rescan — the eager hot-key probe freezes the hot-key set at call
+    * time and the returned join rescans the input (callers pass persisted /
+    * checkpointed frames or pure projections of stable sources; r21). */
   /** Guard observability (r19 advice): when ANY bucket exceeds the cap the
     * output is the guarded two-tier star, not the exact all-pairs compare —
     * a behavior a production run must be able to see. The hot-key aggregate
